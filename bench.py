@@ -1,0 +1,73 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() materializes the full
+plan) after a warm-up of the session; per-query wall time is recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_tool_bakasura__spark.plans.catalog import QUERIES  # noqa: E402
+from data_ingestion_tool_bakasura__spark.session import get_spark  # noqa: E402
+
+#: Headline suite: one per operator family, the shapes that matter at scale.
+HEADLINE = [
+    "q_pricing_summary",       # scan + full agg
+    "q_region_revenue",        # 6-way join w/ broadcast dims
+    "q_shipping_priority",     # join + agg + top-k
+    "q_top3_orders_per_customer",  # grouped window top-k
+    "q_rollup_returns",        # rollup agg
+    "q_ship_within_30d",       # equi+range join
+    "q_asof_click_error",      # as-of join (union+window)
+    "q_tumbling_hourly",       # time-window agg
+    "q_session_windows",       # session windows
+    "q_exact_dedup",           # hash dedup
+    "q_minhash_lsh_candidates",  # MinHash LSH near-dup
+    "q_token_stats",           # text analysis scan
+    "q_cosine_topk_batch",     # brute-force vector top-k (batched)
+    "q_lsh_ann_topk",          # ANN vector top-k
+    "q_ingest_pipeline",       # full ingest (chunk+dedup+embed)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bakasura-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer caches, not measured
+    QUERIES["q_top_orders"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

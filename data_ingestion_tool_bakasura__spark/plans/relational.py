@@ -1,0 +1,714 @@
+"""Relational query layer (SURVEY §2.C3-C12) over the driver fixtures.
+
+Each query is a function ``(spark, sf_dir) -> DataFrame`` with a
+DuckDB-equivalent oracle SQL string in ``ORACLE`` under the same name;
+every computed column is aliased identically on both sides (the
+driver's value-hash sorts columns by name).
+
+These queries dual as the performance suite, so each is written the
+way it should run at 100 TB:
+- dimension tables are broadcast explicitly (`F.broadcast`);
+- aggregates go partial->final via ordinary groupBy (map-side combine);
+- top-k is orderBy+limit (TakeOrderedAndProject, no global sort);
+- money sums are rounded in-query (both sides) so the oracle hash
+  can't flip on double summation order at 6-decimal rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators.asof import asof_join
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+# --- C5 aggregation: TPC-H Q1-style pricing summary -----------------------
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE["q_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(avg(l_quantity), 6)                                           AS avg_qty,
+       round(avg(l_extendedprice), 6)                                      AS avg_price,
+       round(avg(l_discount), 6)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- C7 top-k: global orderBy+limit ---------------------------------------
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderstatus",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE["q_top_orders"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderstatus
+FROM orders
+ORDER BY total_price DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- C4 join + C5: TPC-H Q3-style shipping priority -----------------------
+
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE["q_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- C4 multi-way join w/ broadcast dims: TPC-H Q5-style ------------------
+
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(dims, sup.s_nationkey == dims.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE["q_region_revenue"] = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --- C4 semi/anti joins ----------------------------------------------------
+
+def q_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q_customers_with_orders"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE["q_customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+# --- C6 window functions ---------------------------------------------------
+
+def q_top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rnk",
+        )
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+ORACLE["q_top3_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 3 AND o_custkey < 100
+ORDER BY o_custkey, rnk
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+ORACLE["q_running_revenue"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def q_order_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead: days since a customer's previous order."""
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+ORACLE["q_order_gaps"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate)::INTEGER AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def q_rank_dense_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank over part prices."""
+    part = load_table(spark, sf, "part")
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            F.rank().over(w).cast("bigint").alias("price_rank"),
+            F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+            F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        )
+        .filter(F.col("price_rank") <= 50)
+        .orderBy("price_rank", "p_partkey")
+    )
+
+
+ORACLE["q_rank_dense_ntile"] = """
+SELECT p_partkey, p_brand, price_rank, price_dense_rank, price_quartile, price_pct_rank
+FROM (
+  SELECT p_partkey, p_brand,
+         rank()        OVER w AS price_rank,
+         dense_rank()  OVER w AS price_dense_rank,
+         ntile(4)      OVER w AS price_quartile,
+         round(percent_rank() OVER w, 6) AS price_pct_rank
+  FROM part
+  WINDOW w AS (ORDER BY p_retailprice DESC, p_partkey)
+) t
+WHERE price_rank <= 50
+ORDER BY price_rank, p_partkey
+"""
+
+
+# --- C5 rollup / cube / grouping sets -------------------------------------
+
+def q_rollup_returns(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE["q_rollup_returns"] = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE["q_cube_orders"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS via the SQL layer (C5 + spark.sql entry point)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+ORACLE["q_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+# --- C8 set operations -----------------------------------------------------
+
+def q_nation_setops(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    c_n = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s_n = sup.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c_n.intersect(s_n).withColumn("which", F.lit("both"))
+    cust_only = c_n.exceptAll(s_n).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(cust_only).orderBy("which", "nationkey")
+
+
+ORACLE["q_nation_setops"] = """
+SELECT nationkey, 'both' AS which
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier) t
+UNION ALL
+SELECT nationkey, 'customer_only' AS which
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier) t
+ORDER BY which, nationkey
+"""
+
+
+# --- C9 string functions ---------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("has_red"),
+        F.levenshtein(F.lit("STANDARD"), F.col("p_type")).cast("bigint").alias(
+            "lev_standard"
+        ),
+    ).orderBy("p_partkey")
+
+
+ORACLE["q_string_funcs"] = """
+SELECT p_partkey,
+       upper(p_name)  AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substr(p_type, 1, 5) AS type_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+       coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word,
+       CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red,
+       levenshtein('STANDARD', p_type) AS lev_standard
+FROM part
+WHERE p_partkey < 500
+ORDER BY p_partkey
+"""
+
+
+# --- C10 date/time functions ----------------------------------------------
+
+def q_orders_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min(F.date_trunc("day", "o_orderdate")).alias("first_day"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+ORACLE["q_orders_by_month"] = """
+SELECT year(o_orderdate)::INTEGER AS order_year,
+       month(o_orderdate)::INTEGER AS order_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(date_trunc('day', o_orderdate)) AS first_day
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_year, order_month
+"""
+
+
+# --- C11 math functions ----------------------------------------------------
+
+def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLE["q_math_funcs"] = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       floor(l_extendedprice)::BIGINT AS price_floor,
+       ceil(l_extendedprice)::BIGINT  AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       round(pow(l_quantity, 2), 6) AS qty_sq,
+       round(ln(l_extendedprice + 1.0), 6) AS price_ln
+FROM lineitem
+WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- C3 case/cast/filter ---------------------------------------------------
+
+def q_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.select(bucket.alias("price_bucket"), "o_totalprice")
+        .groupBy("price_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+ORACLE["q_price_buckets"] = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY price_bucket
+"""
+
+
+# --- C4 range (non-equi) join ---------------------------------------------
+
+def q_ship_within_30d(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi key + range predicate: lineitems shipped within 30 days of
+    their order date. Equi key keeps this a hash join (range as
+    post-filter), never a nested-loop."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_fast_ships"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 6).alias(
+                "avg_lag_days"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE["q_ship_within_30d"] = """
+SELECT o_orderstatus, count(*) AS n_fast_ships,
+       round(avg(datediff('day', o_orderdate, l_shipdate)), 6) AS avg_lag_days
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- C4 as-of join ---------------------------------------------------------
+
+def q_asof_click_error(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent
+    error event at-or-before it (union+window, one shuffle)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("last_error_ts"),
+        F.round("value_asof", 6).alias("last_error_value"),
+    ).orderBy("event_id")
+
+
+ORACLE["q_asof_click_error"] = """
+SELECT c.event_id, c.user_id, c.ts,
+       (SELECT max(e.ts) FROM events e
+         WHERE e.user_id = c.user_id AND e.event_type = 'error' AND e.ts <= c.ts)
+         AS last_error_ts,
+       (SELECT round(e.value, 6) FROM events e
+         WHERE e.user_id = c.user_id AND e.event_type = 'error' AND e.ts <= c.ts
+         ORDER BY e.ts DESC LIMIT 1)
+         AS last_error_value
+FROM events c
+WHERE c.event_type = 'click'
+ORDER BY c.event_id
+"""
+
+
+# --- scalar subquery / correlated pattern ---------------------------------
+
+def q_orders_above_cust_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders above their customer's average (decorrelated via join —
+    the scalable plan for a correlated scalar subquery)."""
+    orders = load_table(spark, sf, "orders")
+    avgs = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        orders.join(avgs, on="o_custkey")
+        .filter(F.col("o_totalprice") > F.col("_avg") * 1.5)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("_avg", 6).alias("cust_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE["q_orders_above_cust_avg"] = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       round(cust_avg, 6) AS cust_avg
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) t
+WHERE o_totalprice > cust_avg * 1.5
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- C5 distinct aggregation ----------------------------------------------
+
+def q_distinct_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q_distinct_stats"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,227 @@
+"""Vector similarity queries (B9 / C14) over the ``embeddings`` fixture.
+
+Exact brute-force cosine paths are DuckDB-oracle-checked (vectors cast
+to double on both sides so 6-decimal rounding can't flip on float32
+arithmetic); the LSH/IVF approximate paths are checked by recall tests
+in the test suite instead (approximation has no SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity, l2_distance
+from data_ingestion_tool_bakasura__spark.operators import similarity as SIM
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (self-join form: the
+    query vector comes from the table itself, broadcast one row)."""
+    emb = load_table(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    )
+    return (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity("embedding", "_qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+ORACLE["q_cosine_topk"] = """
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_cosine_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched exact top-3 for five query vectors in ONE corpus scan
+    (broadcast queries x corpus + per-query window top-k)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.cosine_topk_batch(
+        emb.filter(F.col("vec_id") >= 5), queries, k=3, corpus_id="vec_id", query_id="q_id"
+    )
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_cosine_topk_batch"] = """
+SELECT q_id, vec_id, cos_sim
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                     e.vec_id) AS rn
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < 5 AND e.vec_id >= 5
+) t
+WHERE rn <= 3
+ORDER BY q_id, cos_sim DESC, vec_id
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    exact verifier downstream of ANN candidate generation)."""
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, on="lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("lbl").alias("label"),
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE["q_embedding_near_dup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_l2_centroid_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid then each vector's L2 distance to its own
+    centroid — the building block of IVF assignment / k-means, done as
+    one agg + one broadcast join (no UDF)."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = 64
+    # element-wise mean via posexplode + groupBy(label, pos)
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs")
+        )
+        .select(
+            "label", F.transform("pairs", lambda p: p["m"]).alias("centroid")
+        )
+    )
+    return (
+        emb.join(F.broadcast(cent), on="label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance("embedding", "centroid"), 6).alias("dist_to_centroid"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE["q_l2_centroid_dist"] = """
+WITH ex AS (
+  SELECT label, vec_id, i AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) r(i)
+),
+cent AS (
+  SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos
+)
+SELECT ex.vec_id, ex.label,
+       round(sqrt(sum((ex.x - c.m) * (ex.x - c.m))), 6) AS dist_to_centroid
+FROM ex
+JOIN cent c ON c.label = ex.label AND c.pos = ex.pos
+GROUP BY ex.vec_id, ex.label
+ORDER BY ex.vec_id
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector stats: L2 norm / min / max / mean per vector (higher-order
+    fns only — the cheap pre-filter before similarity work)."""
+    emb = load_table(spark, sf, "embeddings")
+    arr = F.col("embedding")
+    sq = F.aggregate(
+        arr, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(s / F.size(arr), 6).alias("mean_val"),
+        F.round(F.array_min(arr).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+ORACLE["q_vector_norms"] = """
+SELECT vec_id,
+       round(sqrt(list_sum([x * x FOR x IN embedding::DOUBLE[]])), 6) AS l2_norm,
+       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+       round(list_min(embedding::DOUBLE[]), 6) AS min_val,
+       round(list_max(embedding::DOUBLE[]), 6) AS max_val
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+# --- approximate paths (no SQL oracle; recall-tested in tests/) -----------
+
+def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 for five queries — the 100 TB scan-pruning
+    path. Recall vs exact checked in tests; driver records rows-only."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.lsh_ann_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        dim=64,
+        k=3,
+        num_tables=12,
+        bits=4,
+    ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+def q_ivf_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse assignment: 8 deterministic seed centroids, nearest-
+    centroid partition per vector (rows-only check + tests)."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = SIM.pick_seed_centroids(emb, 8)
+    out = SIM.ivf_assign(emb, cents)
+    return (
+        out.groupBy("c_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("c_id")
+    )
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,107 @@
+"""Batch + streaming sources.
+
+Reference parity: the reference's only source is an uploader capped at
+10 PDFs held in memory (``main.py:226-228,271-273``, A1/A2 in SURVEY
+§2). Spark-first replacement: ``binaryFile`` scans for raw documents and
+columnar formats (parquet/csv/json/text) for tabular data, both batch
+and streaming, with no file-count cap — the source is a distributed
+scan, not a driver-side loop.
+
+Scale notes (100 TB): all readers here return lazy DataFrames, so
+column pruning and predicate pushdown reach the parquet footers
+(`PushedFilters`/`ReadSchema` in `.explain`). `binaryFile` rows carry
+whole file bodies — cap per-task bytes with
+``spark.sql.files.maxPartitionBytes`` and prefer many medium files over
+few giant ones; for 100 TB of raw docs, land them as parquet with a
+binary column (see `multimodal/`) so scans split within files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver fixture tables (TESTDATA.md): one parquet file per table.
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    Nanosecond parquet timestamps (events.ts) arrive as long when
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set; convert via integer
+    division to microseconds (a double division would lose precision at
+    1e18 ns magnitudes).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (SQL-layer entry)."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, streaming: bool = False
+) -> DataFrame:
+    """Raw-document source: DataFrame(path, modificationTime, length, content).
+
+    Batch (`spark.read.format("binaryFile")`) or incremental
+    (`readStream`) over the same directory; the streaming variant is the
+    Spark-first replacement for the reference's re-upload loop.
+    """
+    reader = spark.readStream if streaming else spark.read
+    r = reader.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "false", **options}
+    r = spark.read.options(**opts)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic stream source for tests (`rate` format)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-stream source over a parquet directory (requires schema)."""
+    return spark.readStream.schema(schema).parquet(path)

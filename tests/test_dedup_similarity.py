@@ -1,0 +1,107 @@
+"""Near-dup + similarity operator tests (C13/C14): MinHash/LSH recall on
+planted near-duplicates, SimHash locality, ANN recall vs exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators import dedup as DD
+from data_ingestion_tool_bakasura__spark.operators import similarity as SIM
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _near_dup_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, base),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    df = _near_dup_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(df, num_hashes=16, bands=8).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup collides in some band
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(df, shingle_n=1).collect()
+    }
+    assert abs(pairs[(1, 2)] - 3 / 5) < 1e-9  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert (1, 3) not in pairs or pairs[(1, 3)] == 0.0
+
+
+def test_simhash_locality(spark):
+    df = _near_dup_corpus(spark)
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", DD.simhash64("text").alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    mask = (1 << 64) - 1
+    d_near = bin((sigs[1] ^ sigs[2]) & mask).count("1")
+    d_far = bin((sigs[1] ^ sigs[3]) & mask).count("1")
+    assert d_near < d_far  # locality: near-dup closer in Hamming space
+
+
+def test_simhash_candidates_include_dups(spark):
+    df = _near_dup_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in DD.simhash_candidates(df).collect()
+    }
+    assert (1, 4) in pairs
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """ANN top-3 must recover most of the exact top-3 (recall >= 0.5 at
+    these parameters on the fixture corpus)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.cosine_topk_batch(corpus, queries, k=3).collect()
+    }
+    ann = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.lsh_ann_topk(
+            corpus, queries, dim=64, k=3, num_tables=12, bits=4
+        ).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_cosine_top1_self(spark):
+    """Property: a vector's nearest neighbor (including itself) is itself."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top1 = SIM.cosine_topk_batch(emb, q, k=1).collect()[0]
+    assert top1["vec_id"] == 7
+    assert abs(top1["cos_sim"] - 1.0) < 1e-6
+
+
+def test_ivf_partitions_cover_corpus(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = SIM.pick_seed_centroids(emb, 8)
+    assigned = SIM.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("c_id").distinct().count() <= 8
