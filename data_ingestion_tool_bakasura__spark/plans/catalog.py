@@ -18,13 +18,14 @@ from data_ingestion_tool_bakasura__spark.plans import (
     documents_q,
     events_q,
     relational,
+    streaming_q,
     vectors_q,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, documents_q, events_q, vectors_q):
+for mod in (relational, documents_q, events_q, streaming_q, vectors_q):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
 

@@ -1,0 +1,90 @@
+"""Streaming queries for the driver gate: each runs a REAL Structured
+Streaming query (file source -> availableNow -> memory sink) and is
+checked against the same DuckDB oracle as its batch twin in
+``events_q.py`` — the stream==batch equivalence contract, enforced by
+the correctness gate itself.
+
+Complete output mode is used for window aggregations (a bounded replay
+must emit every window, including those the final watermark has not
+passed); the dedup query uses append mode (its emitted rows are final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.streaming import windows as SW
+
+ORACLE: dict[str, str] = {}
+
+
+def q_stream_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = SW.stream_events(spark, sf)
+    out = SW.replay_to_table(SW.tumbling_agg(ev), spark, mode="complete")
+    return out.orderBy("window_start", "event_type")
+
+
+ORACLE["q_stream_tumbling_hourly"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    ev = SW.stream_events(spark, sf).filter(F.col("user_id") < 30)
+    out = SW.replay_to_table(SW.session_agg(ev), spark, mode="complete")
+    return out.orderBy("user_id", "session_start")
+
+
+ORACLE["q_stream_session_windows"] = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stateful dedup; output projected to the key set
+    (which physical duplicate survives is replay-order-dependent, the
+    key set is exact)."""
+    ev = SW.stream_events(spark, sf)
+    out = SW.replay_to_table(
+        SW.stream_dedup_keys(ev, ["user_id", "event_type"]), spark, mode="append"
+    )
+    return out.distinct().orderBy("user_id", "event_type")
+
+
+ORACLE["q_stream_dedup_keys"] = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,80 @@
+"""Incremental document ingest: the streaming form of ``operators.ingest``.
+
+Reference parity: the reference re-ingests by a human re-uploading
+files through Streamlit (``main.py:226-263``); its dedup probe
+(``db_utils.py:133-146``) is a non-atomic per-chunk HTTP check. Here the
+arrival of new files IS the stream: a file source feeds the same lazy
+chunk->hash->embed transforms, and `foreachBatch` gives the transactional
+per-micro-batch boundary where dedup-against-the-index and the bulk
+append happen atomically per batch.
+
+Scale notes:
+- the chunk/hash/embed stages are stateless -> no streaming state at
+  all; only the sink-side anti-join touches the index, and it reads the
+  index's `text_hash` column only (column-pruned scan, broadcast-able).
+- per micro-batch the work is identical to the batch pipeline, so the
+  100 TB design notes in ``operators.ingest`` carry over; backlog
+  catch-up is governed by maxFilesPerTrigger / availableNow.
+- exactly-once: file source + checkpoint gives exactly-once *input*
+  processing; the parquet append in foreachBatch is idempotent w.r.t.
+  replays only because the anti-join drops already-indexed hashes —
+  the same dedup that the reference does racily, done atomically.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_tool_bakasura__spark.operators.ingest import (
+    IngestConfig,
+    dedup_against_index,
+    ingest_documents,
+)
+
+
+def stream_documents(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File stream of document rows (parquet parts arriving in ``path``)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def start_incremental_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    cfg: IngestConfig | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Start the incremental ingest query writing to a parquet index.
+
+    Each micro-batch: chunk -> hash -> within-batch dedup -> anti-join
+    against the CURRENT index -> embed -> append. Returns the
+    StreamingQuery (caller awaits/stops).
+    """
+    cfg = cfg or IngestConfig()
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path).select("text_hash")
+        except Exception:
+            index = None  # first batch: no index yet
+        rows = ingest_documents(batch_df, index=index, cfg=cfg)
+        rows.write.mode("append").parquet(index_path)
+
+    writer = docs_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = [
+    "IngestConfig",
+    "dedup_against_index",
+    "start_incremental_ingest",
+    "stream_documents",
+]

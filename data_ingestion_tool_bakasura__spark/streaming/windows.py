@@ -1,0 +1,159 @@
+"""Watermarked window aggregations + stateful dedup over a stream.
+
+Reference parity: the reference has no streaming at all — its
+"incremental" path is a human re-running the uploader (``main.py:263``
+per-file loop). The driver's ``events`` fixture mandates a real stream
+surface (SURVEY §2.C17): these are the streaming forms of the batch
+queries in ``plans/events_q.py``; Structured Streaming's contract is
+that a streaming query over a bounded input equals the batch query over
+the same input, and ``replay_to_table`` makes that contract testable
+(availableNow trigger -> memory sink -> compare against the DuckDB
+oracle of the batch form).
+
+Scale notes (100 TB/day streams):
+- every aggregation is keyed by (window, key): state is bounded by the
+  watermark — Spark drops window state once the watermark passes the
+  window end, so memory tracks the number of LIVE windows, not stream
+  history.
+- session windows merge in-state (no re-sort of history); skewed users
+  produce skewed state — key-salting does not apply to stateful ops, so
+  cap per-key event rates upstream (sample or pre-aggregate in a
+  stateless stage) when a key can exceed executor state budgets.
+- dedup state is one entry per key within the watermark horizon;
+  `dropDuplicatesWithinWatermark` expires entries, unbounded
+  `dropDuplicates` does not (only use the latter on finite replays).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events fixture with the same ts normalization
+    as the batch reader (nanos-as-long -> timestamp).
+
+    The file-stream source monitors a DIRECTORY; the fixture is a single
+    parquet file, so it is staged (symlinked) into a scratch dir — the
+    production shape is simply a landing directory that files arrive in.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), "bakasura_stream_stage", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    batch = spark.read.parquet(src)
+    sdf = spark.readStream.schema(batch.schema).parquet(stage)
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def tumbling_agg(ev: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type (streaming form of
+    q_tumbling_hourly)."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    ev: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window count/avg (streaming form of q_sliding_1h_30m)."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_agg(
+    ev: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window (gap-based) per-user aggregation — the genuinely
+    stateful operator: sessions merge in-state as events arrive."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_keys(ev: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """First-seen-per-key dedup with watermark-bounded state
+    (`dropDuplicatesWithinWatermark`): the streaming form of A18.
+    Projects to the key columns — WHICH duplicate survives a replay is
+    batch-order-dependent, the key set is not."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def replay_to_table(
+    sdf: DataFrame,
+    spark: SparkSession,
+    mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Run a bounded streaming query to completion (availableNow) into a
+    memory sink and return the result as a batch DataFrame.
+
+    ``complete`` mode emits every window regardless of watermark (right
+    for equivalence checks over a finite replay); ``append`` emits only
+    watermark-finalized rows (right for dedup, whose sink rows are
+    immutable). Memory-sink results are driver-resident — this is a test
+    /verification harness, not a production sink (use foreachBatch /
+    parquet sinks from `pipeline` for real output paths).
+    """
+    name = name or f"replay_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,95 @@
+"""Structured Streaming tests (SURVEY §5.4): stream == batch
+equivalence for windowed aggregations, watermark-bounded dedup, and the
+incremental (foreachBatch) ingest pipeline — files arriving in two
+waves must produce the same index as one batch ingest, with
+cross-micro-batch dedup holding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators.ingest import IngestConfig, ingest_documents
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
+from data_ingestion_tool_bakasura__spark.streaming import windows as SW
+from tests.conftest import SF_SMOKE
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_stream_tumbling_equals_batch(spark):
+    got = SW.replay_to_table(
+        SW.tumbling_agg(SW.stream_events(spark, SF_SMOKE)), spark, mode="complete"
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_sliding_equals_batch(spark):
+    got = SW.replay_to_table(
+        SW.sliding_agg(SW.stream_events(spark, SF_SMOKE)), spark, mode="complete"
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_key_set(spark):
+    got = SW.replay_to_table(
+        SW.stream_dedup_keys(SW.stream_events(spark, SF_SMOKE), ["user_id", "event_type"]),
+        spark,
+        mode="append",
+    )
+    want = _batch_events(spark).select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.distinct().collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_ingest_two_waves(spark, tmp_path):
+    """Docs arriving in two waves through the stream -> same unique-hash
+    index as a single batch ingest; second wave's duplicates of wave one
+    are dropped by the foreachBatch anti-join."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40).cache()
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    # wave2 includes half of wave1 again (replayed files) + the odd docs
+    wave2 = docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0))
+
+    landing = str(tmp_path / "landing")
+    index_path = str(tmp_path / "index")
+    cfg = IngestConfig(embedding_dim=8)
+
+    wave1.coalesce(1).write.mode("append").parquet(landing)
+    stream = SP.stream_documents(spark, landing, docs.schema)
+    q = SP.start_incremental_ingest(
+        stream, index_path, cfg=cfg, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    wave2.coalesce(1).write.mode("append").parquet(landing)
+    q = SP.start_incremental_ingest(
+        SP.stream_documents(spark, landing, docs.schema),
+        index_path,
+        cfg=cfg,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(index_path)
+    batch = ingest_documents(docs, cfg=cfg)
+    assert (
+        sorted(r["text_hash"] for r in streamed.select("text_hash").distinct().collect())
+        == sorted(r["text_hash"] for r in batch.select("text_hash").distinct().collect())
+    )
+    # cross-batch dedup: no text_hash appears twice in the streamed index
+    dup = streamed.groupBy("text_hash").count().filter(F.col("count") > 1).count()
+    assert dup == 0
