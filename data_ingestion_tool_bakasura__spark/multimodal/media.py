@@ -1,0 +1,212 @@
+"""Opaque media columns (image/audio/video) with typed metadata (C15).
+
+The round brief mandates: treat media as `binary` columns + typed
+metadata; implement decode / feature-extract / resize / frame-sample as
+pandas UDFs over `mapInPandas`; the image/audio libs are absent from
+the container, so real codec work is stubbed behind import-tries /
+`NotImplementedError` while the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested.
+
+Deterministic container format used by the stubs (so every operator has
+checkable behavior without codec libs):
+    IMG1|<width>|<height>|<channels>|payload...
+    AUD1|<sample_rate>|<n_samples>|payload...
+    VID1|<fps>|<n_frames>|frame0\\x00frame1\\x00...
+A real deployment swaps the parser for PIL/libav behind the same
+schemas.
+
+Scale notes: all operators are stateless mapInPandas / pandas UDFs —
+no shuffle, linear scans, Arrow-batched both directions. Media bytes
+ride parquet binary columns, so scans split inside files and column
+pruning keeps metadata-only queries from reading payloads (the 100 TB
+path: store metadata columns beside the blob, query metadata, fetch
+blobs late)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _parse_header(b: bytes) -> dict:
+    if b is None:
+        raise ValueError("null media payload")
+    head = bytes(b).split(b"|", 4)
+    magic = head[0].decode("ascii", "replace")
+    if magic == "IMG1" and len(head) >= 4:
+        return {
+            "format": "IMG1",
+            "width": int(head[1]),
+            "height": int(head[2]),
+            "channels": int(head[3]),
+        }
+    if magic == "AUD1" and len(head) >= 3:
+        return {"format": "AUD1", "sample_rate": int(head[1]), "n_samples": int(head[2])}
+    if magic == "VID1" and len(head) >= 3:
+        return {"format": "VID1", "fps": int(head[1]), "n_frames": int(head[2])}
+    raise ValueError(f"unknown media magic {magic!r}")
+
+
+def with_image_meta(df: DataFrame, media_col: str = "media", out: str = "meta") -> DataFrame:
+    """Attach typed image metadata parsed from the binary column; parse
+    failures land in ``meta.error`` (dead-letter, job never dies)."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf["_media"]:
+                try:
+                    h = _parse_header(b)
+                    rows.append(
+                        (h.get("width"), h.get("height"), h.get("channels"),
+                         len(bytes(b)), h["format"], None)
+                    )
+                except Exception as e:
+                    rows.append((None, None, None, None, None, f"{type(e).__name__}: {e}"))
+            out_pdf = pd.DataFrame(rows, columns=IMAGE_META_SCHEMA.fieldNames())
+            out_pdf["_row_id"] = pdf["_row_id"].values
+            yield out_pdf
+
+    schema = T.StructType(
+        [*IMAGE_META_SCHEMA.fields, T.StructField("_row_id", T.LongType())]
+    )
+    tagged = df.withColumn("_row_id", F.monotonically_increasing_id())
+    metas = tagged.select(F.col(media_col).alias("_media"), "_row_id").mapInPandas(
+        _meta, schema=schema
+    )
+    meta_struct = F.struct(*[F.col(f.name) for f in IMAGE_META_SCHEMA.fields]).alias(out)
+    return tagged.join(metas.select("_row_id", meta_struct), on="_row_id").drop("_row_id")
+
+
+def decode_image(b: bytes):
+    """Real pixel decode — requires PIL, absent here by design."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(bytes(b)))  # pragma: no cover
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codec libs not installed in this container; "
+            "metadata/resize/frame-sample stubs cover the Spark plumbing"
+        ) from e
+
+
+@F.pandas_udf(T.BinaryType())
+def resize_image_stub(media: pd.Series, target_w: pd.Series) -> pd.Series:
+    """Resize as a binary->binary Arrow-batched pandas UDF. The stub
+    rewrites the header dims deterministically (real impl: PIL resize
+    behind the same signature) and scales height to keep aspect."""
+
+    def _resize(b, w):
+        if b is None:
+            return None
+        try:
+            h = _parse_header(b)
+            if h["format"] != "IMG1":
+                return None
+            new_w = int(w)
+            new_h = max(1, round(h["height"] * new_w / max(1, h["width"])))
+            payload = bytes(b).split(b"|", 4)[-1]
+            return b"IMG1|%d|%d|%d|%s" % (new_w, new_h, h["channels"], payload)
+        except Exception:
+            return None
+
+    return pd.Series([_resize(b, w) for b, w in zip(media, target_w)])
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Explode every k-th frame of VID1 payloads -> (video_id,
+    frame_index, frame). Real impl swaps the splitter for libav keyframe
+    iteration behind the same output schema; row explosion (frames per
+    video) is the scale knob — sample BEFORE any shuffle."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, frames = [], [], []
+            for vid, b in zip(pdf["_id"], pdf["_media"]):
+                if b is None:
+                    continue
+                try:
+                    h = _parse_header(b)
+                    if h["format"] != "VID1":
+                        continue
+                except Exception:
+                    continue
+                payload = bytes(b).split(b"|", 3)[-1]
+                if not payload:  # zero-frame video, not one empty frame
+                    continue
+                for i, frame in enumerate(payload.split(b"\x00")):
+                    if i % every_k == 0:
+                        vids.append(str(vid))
+                        idxs.append(i)
+                        frames.append(frame)
+            yield pd.DataFrame({"video_id": vids, "frame_index": idxs, "frame": frames})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(media_col).alias("_media"))
+    return src.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def audio_features(df: DataFrame, id_col: str = "media_id", media_col: str = "media") -> DataFrame:
+    """Duration + byte-energy features for AUD1 payloads — the
+    feature-extract slot (real impl: librosa/torchaudio behind the same
+    schema)."""
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("byte_energy", T.DoubleType()),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf["_id"], pdf["_media"]):
+                if b is None:
+                    continue
+                try:
+                    h = _parse_header(b)
+                    if h["format"] != "AUD1":
+                        continue
+                except Exception:
+                    continue
+                payload = bytes(b).split(b"|", 3)[-1]
+                energy = (sum(x * x for x in payload) / len(payload)) if payload else 0.0
+                rows.append(
+                    (str(aid), h["sample_rate"], h["n_samples"],
+                     h["n_samples"] / h["sample_rate"], round(energy, 6))
+                )
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(media_col).alias("_media"))
+    return src.mapInPandas(_feat, schema=schema)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_ingestion_tool_bakasura__spark.plans import (
     documents_q,
     events_q,
+    multimodal_q,
     relational,
     streaming_q,
     vectors_q,
@@ -25,7 +26,7 @@ from data_ingestion_tool_bakasura__spark.plans import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, documents_q, events_q, streaming_q, vectors_q):
+for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vectors_q):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
 

@@ -1,0 +1,112 @@
+"""Multimodal extraction queries for the driver gate (SURVEY §2.A4-A11,
+C15).
+
+Each query synthesizes deterministic binary documents FROM the
+``documents`` fixture (two pages: the doc text + a short page with a
+table row), pushes them through the REAL extraction pipeline
+(mapInPandas parse -> in-UDF OCR gate -> tag -> ordered concat), and is
+value-checked against a DuckDB oracle that replays the same string
+semantics — so the whole binary->pages->document leg, including the OCR
+branch, is exact-checked, not rows-only.
+
+Layout per synthesized doc (chr(12) = form feed page break):
+    page 1: the fixture text (OCR branch iff len(trim(text)) < 100)
+    page 2: 'TABLE|r1c1|r1c2\\npage two of {source}'   (always OCRs)
+Stub OCR text = 'ocr:' || substr(md5('IMG:' || md5(raw_page)), 1, 16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.multimodal import extract as MX
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def _fake_binary_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    page2 = F.concat(F.lit("TABLE|r1c1|r1c2\npage two of "), F.col("source"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(F.concat("text", F.lit("\f"), page2), "utf-8").alias("content"),
+    )
+
+
+def q_page_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-page extraction rows: OCR gate decision + tagged segment hash."""
+    pages = MX.extract_pages(_fake_binary_docs(spark, sf))
+    return (
+        pages.withColumn("seg", MX.tagged_page_segment())
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            "page_number",
+            "needs_ocr",
+            F.md5("seg").alias("seg_hash"),
+            F.size("tables").alias("n_tables"),
+        )
+        .orderBy("doc_id", "page_number")
+    )
+
+
+_OCR1 = "'ocr:' || substr(md5('IMG:' || md5(text)), 1, 16)"
+_P2RAW = "'TABLE|r1c1|r1c2' || chr(10) || 'page two of ' || source"
+_P2TEXT = "'page two of ' || source"
+_OCR2 = f"'ocr:' || substr(md5('IMG:' || md5({_P2RAW})), 1, 16)"
+
+ORACLE["q_page_extract"] = f"""
+WITH p1 AS (
+  SELECT doc_id, 1 AS page_number,
+         len(trim(text)) < 100 AS needs_ocr,
+         md5('[Page 1 Text]:' || chr(10) ||
+             CASE WHEN len(trim(text)) < 100
+                  THEN {_OCR1} || chr(10) || text ELSE text END) AS seg_hash,
+         0 AS n_tables
+  FROM documents
+), p2 AS (
+  SELECT doc_id, 2 AS page_number, TRUE AS needs_ocr,
+         md5('[Page 2 Text]:' || chr(10) || {_OCR2} || chr(10) || {_P2TEXT}
+             || chr(10) || chr(10) ||
+             '[Page 2 Table]:' || chr(10) || 'r1c1 r1c2') AS seg_hash,
+         1 AS n_tables
+  FROM documents
+)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2
+ORDER BY doc_id, page_number
+"""
+
+
+def q_doc_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """Full extraction leg: binary -> pages -> ordered tagged concat per
+    document (A11), hash-compared."""
+    out = MX.extract_to_documents(_fake_binary_docs(spark, sf))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_pages",
+        F.col("n_ocr_pages").cast("long").alias("n_ocr_pages"),
+        F.md5("text").alias("doc_hash"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_doc_assembly"] = f"""
+SELECT doc_id, 2::BIGINT AS n_pages,
+       (CASE WHEN len(trim(text)) < 100 THEN 2 ELSE 1 END)::BIGINT AS n_ocr_pages,
+       md5('[Page 1 Text]:' || chr(10) ||
+           CASE WHEN len(trim(text)) < 100
+                THEN {_OCR1} || chr(10) || text ELSE text END
+           || chr(10) || chr(10) ||
+           '[Page 2 Text]:' || chr(10) || {_OCR2} || chr(10) || {_P2TEXT}
+           || chr(10) || chr(10) ||
+           '[Page 2 Table]:' || chr(10) || 'r1c1 r1c2') AS doc_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,111 @@
+"""Multimodal extraction + media column tests (A4-A9, C15): binaryFile
+scan -> page explode -> OCR gate -> assembly -> ingest, plus the media
+metadata / resize / frame-sample / audio-feature plumbing with the
+deterministic container formats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.multimodal import extract as MX
+from data_ingestion_tool_bakasura__spark.multimodal import media as MM
+from data_ingestion_tool_bakasura__spark.operators.ingest import IngestConfig, ingest_documents
+from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rawdocs")
+    long_text = ("alpha beta gamma delta epsilon " * 10).strip()  # >= 100 chars
+    (d / "a.txt").write_bytes(
+        f"{long_text}\fTABLE|x|y\nshort page".encode()
+    )
+    (d / "b.txt").write_bytes(b"tiny")  # single short page -> OCR
+    (d / "bad.txt").write_bytes(b"\xff\xfe broken \xff")  # decodes w/ replacement
+    return str(d)
+
+
+def test_binaryfile_scan_to_pages(spark, doc_dir):
+    raw = read_binary_files(spark, doc_dir, glob="*.txt")
+    pages = MX.extract_pages(raw)
+    rows = {(r["path"].rsplit("/", 1)[-1], r["page_number"]): r for r in pages.collect()}
+    assert rows[("a.txt", 1)]["needs_ocr"] is False
+    assert rows[("a.txt", 2)]["needs_ocr"] is True
+    assert rows[("a.txt", 2)]["tables"] == ["x y"]
+    assert rows[("a.txt", 2)]["page_text"].startswith("ocr:")
+    assert rows[("b.txt", 1)]["needs_ocr"] is True
+    assert all(r["error"] is None for r in rows.values())
+
+
+def test_extract_assemble_ingest_e2e(spark, doc_dir):
+    raw = read_binary_files(spark, doc_dir, glob="*.txt")
+    docs = MX.extract_to_documents(raw)
+    assert docs.count() == 3
+    a = docs.filter(F.col("doc_id").endswith("a.txt")).first()
+    assert a["n_pages"] == 2 and a["n_ocr_pages"] == 1
+    assert "[Page 1 Text]:" in a["text"] and "[Page 2 Table]:" in a["text"]
+    # feeds the standard ingest pipeline unchanged
+    rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
+    assert rows.count() >= 3
+    assert rows.filter(F.size("content_vector") != 8).count() == 0
+
+
+def test_extractor_dead_letter(spark):
+    df = spark.createDataFrame([("p1", b"ok page")], "path string, content binary")
+
+    def boom(content: bytes):
+        raise RuntimeError("parser exploded")
+
+    pages = MX.extract_pages(df, parser=boom)
+    dead = MX.dead_letters(pages).collect()
+    assert len(dead) == 1 and "parser exploded" in dead[0]["error"]
+    assert MX.assemble_documents(pages).count() == 0  # clean side empty
+
+
+def test_image_meta_and_resize(spark):
+    rows = [
+        ("i1", b"IMG1|640|480|3|" + b"\x01" * 16),
+        ("i2", b"not-an-image"),
+        ("i3", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    meta = {r["media_id"]: r["meta"] for r in MM.with_image_meta(df).collect()}
+    assert (meta["i1"]["width"], meta["i1"]["height"], meta["i1"]["channels"]) == (640, 480, 3)
+    assert meta["i2"]["error"] is not None and meta["i3"]["error"] is not None
+
+    resized = (
+        df.filter(F.col("media_id") == "i1")
+        .select(MM.resize_image_stub("media", F.lit(320)).alias("out"))
+        .first()["out"]
+    )
+    assert bytes(resized).startswith(b"IMG1|320|240|3|")
+
+
+def test_decode_image_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        MX_decode = MM.decode_image
+        MX_decode(b"IMG1|2|2|3|xx")
+
+
+def test_frame_sampling(spark):
+    frames = b"\x00".join(b"frame%d" % i for i in range(10))
+    df = spark.createDataFrame(
+        [("v1", b"VID1|24|10|" + frames), ("i1", b"IMG1|1|1|1|x")],
+        "media_id string, media binary",
+    )
+    out = MM.sample_frames(df, every_k=3).collect()
+    assert {(r["video_id"], r["frame_index"]) for r in out} == {
+        ("v1", 0), ("v1", 3), ("v1", 6), ("v1", 9)
+    }
+    assert all(bytes(r["frame"]) == b"frame%d" % r["frame_index"] for r in out)
+
+
+def test_audio_features(spark):
+    df = spark.createDataFrame(
+        [("a1", b"AUD1|16000|32000|" + bytes(range(10)))],
+        "media_id string, media binary",
+    )
+    r = MM.audio_features(df).first()
+    assert r["duration_s"] == 2.0 and r["sample_rate"] == 16000
+    assert r["byte_energy"] > 0
