@@ -23,8 +23,12 @@ a broadcast of the query set); the LSH/IVF paths bound the scan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity, dot
 
@@ -96,7 +100,6 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
     across sessions with no stored model state."""
     import hashlib
-    import numpy as np
 
     rng = np.frombuffer(
         b"".join(
@@ -116,7 +119,10 @@ def lsh_bucket_keys(
     Sign of <v, h> for ``bits`` fixed hyperplanes per table; cosine-close
     vectors agree on most signs, so they collide in some table w.h.p.
     Pure expression over the vector column — signatures need no shuffle
-    and no fitted model.
+    and no fitted model. (Reference/parity form; the hot path uses the
+    Arrow-vectorized :func:`lsh_bucket_keys_udf`, which computes the
+    same signs as one matmul per batch — 32 interpreted higher-order
+    dot trees per row don't codegen and dominate wall time.)
     """
     keys = []
     for t in range(num_tables):
@@ -126,6 +132,31 @@ def lsh_bucket_keys(
             bits_cols.append(F.when(dot(_c(vec_col), h) >= 0, F.lit("1")).otherwise(F.lit("0")))
         keys.append(F.concat(F.lit(f"{t}:"), *bits_cols))
     return F.array(*keys)
+
+
+def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8):
+    """Arrow-batched signature UDF: one (batch x dim) @ (dim x T*B)
+    matmul per batch, signs packed to 'table:bits' keys. Identical
+    hyperplanes (and hence keys) to :func:`lsh_bucket_keys`."""
+    H = np.array(
+        [_hyperplane(dim, t, b) for t in range(num_tables) for b in range(bits)]
+    ).T  # dim x (tables*bits)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _keys(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        S = V @ H >= 0  # n x (tables*bits)
+        out = []
+        for row in S:
+            out.append(
+                [
+                    f"{t}:" + "".join("1" if x else "0" for x in row[t * bits : (t + 1) * bits])
+                    for t in range(num_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return _keys
 
 
 def lsh_ann_topk(
@@ -145,13 +176,17 @@ def lsh_ann_topk(
     corpus; recall grows with num_tables, precision of pruning with
     bits. Rescoring is exact cosine on candidates only.
     """
-    keys = lsh_bucket_keys(vec_col, dim, num_tables, bits)
+    keys_udf = lsh_bucket_keys_udf(dim, num_tables, bits)
     c_keyed = corpus.select(
-        _c(corpus_id).alias(corpus_id), _c(vec_col).alias("_cvec"), F.explode(keys).alias("bkey")
+        _c(corpus_id).alias(corpus_id),
+        _c(vec_col).alias("_cvec"),
+        F.explode(keys_udf(_c(vec_col))).alias("bkey"),
     )
     q_keyed = F.broadcast(
         queries.select(
-            _c(query_id).alias(query_id), _c(vec_col).alias("_qvec"), F.explode(keys).alias("bkey")
+            _c(query_id).alias(query_id),
+            _c(vec_col).alias("_qvec"),
+            F.explode(keys_udf(_c(vec_col))).alias("bkey"),
         )
     )
     cand = (
@@ -183,23 +218,37 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "c_id",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids,
-    per-row argmax — one scan, no shuffle). Persist the result
-    partitioned by centroid to get IVF list locality on disk."""
-    cents = F.broadcast(
-        centroids.select(_c(centroid_id).alias("_cid"), _c(vec_col).alias("_cent"))
+    """Assign each vector to its nearest centroid — one scan, NO
+    shuffle: the centroid set is by construction tiny (k lists), so it
+    ships to executors inside an Arrow-vectorized argmax UDF (one
+    (batch x dim) @ (dim x k) matmul per batch). Ties break to the
+    lowest centroid id. Persist the result partitioned by centroid to
+    get IVF list locality on disk.
+
+    The previous form (crossJoin + row_number window) shuffled n*k rows
+    on corpus_id — a plan that dies at 100 TB; assignment is a per-row
+    map and should cost exactly one corpus scan."""
+    rows = sorted(
+        centroids.select(_c(centroid_id).alias("c"), _c(vec_col).alias("v")).collect(),
+        key=lambda r: r["c"],
     )
-    scored = corpus.crossJoin(cents).select(
+    if not rows:
+        raise ValueError("ivf_assign: centroid set is empty")
+    cids = [r["c"] for r in rows]
+    C = np.array([r["v"] for r in rows], dtype=np.float64)  # k x dim
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @F.pandas_udf(T.LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = Vn @ Cn.T  # n x k; argmax takes the FIRST max -> lowest c_id on ties
+        return pd.Series([cids[i] for i in np.argmax(sims, axis=1)])
+
+    return corpus.select(
         _c(corpus_id).alias(corpus_id),
         _c(vec_col).alias(vec_col),
-        F.col("_cid"),
-        cosine_similarity(_c(vec_col), F.col("_cent")).alias("_sim"),
-    )
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("_sim"), F.col("_cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(corpus_id, vec_col, F.col("_cid").alias(centroid_id))
+        _assign(_c(vec_col)).alias(centroid_id),
     )
 
 

@@ -412,10 +412,8 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     Mitzenmacher) — per-row expressions, no shuffle, one digest
     amortized over all 8 hash functions."""
     docs = load_table(spark, sf, "documents")
-    signed = DD.with_minhash(docs, "text", num_hashes=_MH_HASHES, shingle_n=3, out="mh_sig")
-    return signed.select(
-        "doc_id",
-        *[F.element_at("mh_sig", k + 1).alias(f"mh{k}") for k in range(_MH_HASHES)],
+    return DD.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=_MH_HASHES, shingle_n=3
     ).orderBy("doc_id")
 
 
@@ -498,6 +496,84 @@ kept AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
+"""
+
+
+# --- C13: SimHash (64-bit, exposed as 4x16-bit bands) ---------------------
+
+def q_simhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash of the token set as 4 x 16-bit band keys (the exact keys
+    simhash_candidates buckets on). Per-row expression, no shuffle; the
+    oracle recomputes every bit vote in SQL, so the full 64-bit
+    signature is value-checked."""
+    docs = load_table(spark, sf, "documents")
+    sig = DD.simhash64("text")
+    out = docs.select("doc_id", sig.alias("sig"))
+    return out.selectExpr(
+        "doc_id",
+        *[f"cast(shiftrightunsigned(sig, {16 * b}) & 65535 as int) as band{b}" for b in range(4)],
+    ).orderBy("doc_id")
+
+
+def _simhash_vote_sql(bit: int) -> str:
+    nib = f"('0x' || substr(md5(t), {bit // 4 + 1}, 1))::INT"
+    return (
+        f"list_sum([CASE WHEN (({nib} >> {3 - bit % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END FOR t IN toks])"
+    )
+
+
+def _simhash_band_sql(b: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_simhash_vote_sql(16 * b + i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"({bits})::INT AS band{b}"
+
+
+ORACLE["q_simhash_bands"] = f"""
+WITH toked AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+)
+SELECT doc_id,
+       {", ".join(_simhash_band_sql(b) for b in range(4))}
+FROM toked
+ORDER BY doc_id
+"""
+
+
+# --- B11/A19: key-addressed upsert ----------------------------------------
+
+def q_upsert_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge semantics of the reference's key-addressed re-upload
+    (``db_utils.py:54,169``): updates overwrite same-key rows, new keys
+    insert, untouched rows survive — one broadcast anti-join + union."""
+    from data_ingestion_tool_bakasura__spark.operators.upsert import upsert_by_key
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    updates = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("updated:"), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("upd").alias("source"),
+    ).unionByName(
+        spark.createDataFrame([(1000000, "brand new", "upd")], "doc_id long, text string, source string")
+    )
+    merged = upsert_by_key(docs, updates, key="doc_id")
+    return merged.select("doc_id", F.md5("text").alias("text_hash"), "source").orderBy("doc_id")
+
+
+ORACLE["q_upsert_by_key"] = """
+WITH updates AS (
+  SELECT doc_id, 'updated:' || doc_id::VARCHAR AS text, 'upd' AS source
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 1000000, 'brand new', 'upd'
+)
+SELECT doc_id, md5(text) AS text_hash, source FROM updates
+UNION ALL
+SELECT d.doc_id, md5(d.text), d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM updates)
+ORDER BY doc_id
 """
 
 
