@@ -37,6 +37,10 @@ HEADLINE = [
     "q_cosine_topk_batch",     # brute-force vector top-k (batched)
     "q_lsh_ann_topk",          # ANN vector top-k
     "q_ingest_pipeline",       # full ingest (chunk+dedup+embed)
+    "q_simhash_bands",         # 64-bit SimHash signatures
+    "q_doc_assembly",          # binary -> pages -> OCR gate -> assembly
+    "q_stream_tumbling_hourly",  # real Structured Streaming replay
+    "q_value_zscore",          # applyInPandas grouped-map
 ]
 
 

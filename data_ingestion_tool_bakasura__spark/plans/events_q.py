@@ -221,6 +221,55 @@ ORDER BY user_id
 """
 
 
+# --- C18 grouped-map + grouped-agg pandas UDFs ----------------------------
+
+def q_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """applyInPandas grouped-map: per-event-type z-score of value
+    (N rows in, N rows out), SQL-checked via window avg/stddev_pop."""
+    from data_ingestion_tool_bakasura__spark.operators.grouped import zscore_within_group
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    z = zscore_within_group(ev, "event_type", "value")
+    return z.select("event_id", "event_type", F.round("zscore", 6).alias("zscore")).orderBy(
+        "event_id"
+    )
+
+
+ORACLE["q_value_zscore"] = """
+SELECT event_id, event_type,
+       round(CASE WHEN stddev_pop(value) OVER w = 0 THEN 0.0
+                  ELSE (value - avg(value) OVER w) / stddev_pop(value) OVER w
+             END, 6) AS zscore
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""
+
+
+def q_geomean_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (geometric mean of positive values) beside
+    built-in aggregates in one groupBy."""
+    from data_ingestion_tool_bakasura__spark.operators.grouped import geometric_mean
+
+    ev = load_table(spark, sf, "events")
+    # GROUPED_AGG pandas UDFs cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) -> two aggregations, one join.
+    geo = ev.groupBy("event_type").agg(F.round(geometric_mean("value"), 6).alias("geo_mean"))
+    cnt = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return geo.join(cnt, "event_type").orderBy("event_type")
+
+
+ORACLE["q_geomean_by_type"] = """
+SELECT event_type,
+       round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6) AS geo_mean,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -97,7 +97,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("lbl").alias("label"),
             F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.5)
+        .filter(F.col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")
     )
 
@@ -107,7 +107,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
 ORDER BY id_a, id_b
 """
 
@@ -189,6 +189,36 @@ ORDER BY vec_id
 
 
 # --- approximate paths (no SQL oracle; recall-tested in tests/) -----------
+
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """C18 applyInPandas: per-label embedding centroid (numpy mean per
+    group), exploded to (label, dim_idx, value) so DuckDB can recompute
+    it with unnest-with-ordinality — the grouped-map UDF value-checked
+    in SQL."""
+    from data_ingestion_tool_bakasura__spark.operators.grouped import centroid_per_group
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = centroid_per_group(emb, "label", "embedding", dim=64)
+    return cents.select(
+        "label",
+        "n_members",
+        F.posexplode("centroid").alias("dim_idx", "value"),
+    ).select(
+        "label", "n_members", "dim_idx", F.round("value", 6).alias("value")
+    ).orderBy("label", "dim_idx")
+
+
+ORACLE["q_label_centroids"] = """
+SELECT label,
+       count(*) AS n_members,
+       i - 1 AS dim_idx,
+       round(avg(embedding[i]), 6) AS value
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+GROUP BY label, i
+ORDER BY label, dim_idx
+"""
+
 
 def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN top-3 for five queries — the 100 TB scan-pruning

