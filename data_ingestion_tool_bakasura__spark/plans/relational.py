@@ -707,6 +707,103 @@ ORDER BY l_returnflag
 """
 
 
+# --- C4/C5 correlated aggregate subquery (TPC-H Q17 shape) ----------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Lineitems below 40% of their part's average quantity (TPC-H Q17
+    shape). The correlated scalar subquery decorrelates to an
+    aggregate + equi-join — the per-part avg is computed ONCE over the
+    fact table (one shuffle on partkey), not per outer row."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(avg_q, "l_partkey")
+        .join(part.filter(F.col("p_brand") == "Brand#1"), li.l_partkey == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE["q_small_quantity_revenue"] = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+WHERE l.l_quantity < 0.4 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+# --- C4 EXISTS / NOT EXISTS subqueries (SQL layer) ------------------------
+
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS / NOT EXISTS through the SQL entry point — Catalyst
+    rewrites to semi/anti joins (same plans as q_customers_with_orders,
+    proving the SQL layer and the DataFrame layer converge)."""
+    from data_ingestion_tool_bakasura__spark.sources.readers import register_fixture_views
+
+    register_fixture_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               count_if(has_order) AS n_with_orders
+        FROM (
+          SELECT c_mktsegment,
+                 EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+          FROM customer c
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+ORACLE["q_exists_subquery"] = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(*) FILTER (WHERE EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders
+FROM customer c
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- C5 exact percentiles --------------------------------------------------
+
+def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per returnflag (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). At 100 TB use
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — exact
+    percentile keeps per-group value buffers."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q_price_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -65,6 +65,27 @@ ORDER BY user_id, session_start
 """
 
 
+def q_stream_sliding_1h_30m(spark: SparkSession, sf: str) -> DataFrame:
+    ev = SW.stream_events(spark, sf)
+    out = SW.replay_to_table(SW.sliding_agg(ev), spark, mode="complete")
+    return out.orderBy("window_start")
+
+
+ORACLE["q_stream_sliding_1h_30m"] = """
+WITH grid AS (
+  SELECT unnest(range(TIMESTAMP '2023-12-31 23:30:00',
+                      TIMESTAMP '2024-02-01 00:00:00',
+                      INTERVAL 30 MINUTE)) AS window_start
+)
+SELECT g.window_start, count(*) AS n_events, round(avg(e.value), 6) AS avg_value
+FROM events e
+JOIN grid g
+  ON e.ts >= g.window_start AND e.ts < g.window_start + INTERVAL 60 MINUTE
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
 def q_stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stateful dedup; output projected to the key set
     (which physical duplicate survives is replay-order-dependent, the

@@ -1,0 +1,64 @@
+"""Scale-pattern tests: salted joins equal plain joins; bucketed tables
+co-locate joins (no Exchange in the plan) — the SURVEY §2.C4 shuffle-
+minimization story, asserted on actual physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators.skew import salted_join, split_hot_keys
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    fact = li.withColumnRenamed("l_orderkey", "k")
+    dim = orders.withColumnRenamed("o_orderkey", "k")
+    plain = fact.join(dim, "k").groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
+    )
+    salted = salted_join(fact, dim, "k", num_salts=4).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_split_hot_keys_partitions_exactly(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    hot, cold, hot_keys = split_hot_keys(ev, "user_id", hot_threshold=100)
+    assert hot.count() + cold.count() == ev.count()
+    # every hot key really exceeds the threshold, every cold key doesn't
+    hk = {r["user_id"] for r in hot_keys.collect()}
+    freqs = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert all(freqs[k] > 100 for k in hk)
+    assert all(n <= 100 for k, n in freqs.items() if k not in hk)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Both sides bucketed on the join key -> SortMergeJoin with NO
+    Exchange above either scan (the co-located-join contract that makes
+    repeated 100 TB fact-fact joins affordable). Uses the default
+    warehouse dir (warehouse.dir is a static conf); tables dropped after."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("ord_b")
+    joined = (
+        spark.table("li_b")
+        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_totalprice") > 0)
+    )
+    # disable broadcast so the planner must choose SMJ, then prove the
+    # bucketing removed both shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
