@@ -343,3 +343,69 @@ def simhash_candidates(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components) + canonical selection
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc id in the component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one groupBy
+    per round, converges in O(component diameter) rounds — near-dup
+    clusters are shallow in practice, so typically 2-4). Lineage is cut
+    with localCheckpoint per round so the plan doesn't grow with the
+    iteration count (the classic iterative-algorithm trap at scale).
+    Alternating-min-label is the standard Spark/GraphX-free CC pattern
+    for corpus dedup: no driver-side state beyond one convergence count
+    per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus dedup resolution: drop every non-canonical member of each
+    duplicate cluster (canonical = cluster_id = min id, deterministic).
+    Docs not in any cluster are singletons and survive. One broadcast-
+    friendly join against the (small) cluster table."""
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(losers, on=id_col, how="left_anti")

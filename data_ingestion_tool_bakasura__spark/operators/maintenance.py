@@ -1,0 +1,73 @@
+"""Table maintenance (the operational side of A19/C2 at 100 TB).
+
+Streaming ingest (`streaming/pipeline.py`) appends one parquet file set
+per micro-batch — after a week of 1-minute batches a table is 10k tiny
+files and every scan pays 10k footer reads + tasks. `compact` rewrites
+a table to right-sized files; `table_file_stats` measures when it's
+needed. With a lakehouse format this is OPTIMIZE/auto-compaction; on
+plain parquet it's an atomic rewrite-and-swap (write to _compact_tmp,
+then swap) so readers never see a partial table.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
+
+
+def table_file_stats(spark: SparkSession, path: str) -> dict:
+    """File-level health of a parquet table: count, bytes, avg size."""
+    files = [
+        (r["file_path"], r["file_size"])
+        for r in spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file_path"),
+        )
+        .distinct()
+        .withColumn("file_size", F.lit(None))
+        .collect()
+    ]
+    # sizes via filesystem (input_file_name gives paths; cheap local stat)
+    sizes = []
+    for p, _ in files:
+        local = p.removeprefix("file://")
+        if os.path.exists(local):
+            sizes.append(os.path.getsize(local))
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "avg_bytes": (total // len(sizes)) if sizes else 0,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ``path`` with right-sized files; returns before/after
+    stats. Atomic via tmp-dir swap. Row content is preserved exactly;
+    only the file layout changes."""
+    before = table_file_stats(spark, path)
+    df = spark.read.parquet(path)
+    n_out = max(1, math.ceil(max(before["total_bytes"], 1) / target_file_bytes))
+    tmp = path.rstrip("/") + "_compact_tmp"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    # swap: readers of `path` see old-or-new, never partial
+    old = path.rstrip("/") + "_compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    after = table_file_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n_out}

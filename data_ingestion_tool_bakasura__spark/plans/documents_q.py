@@ -593,6 +593,68 @@ ORDER BY doc_id
 """
 
 
+# --- C13: duplicate clusters (connected components over LSH pairs) --------
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash candidate pairs -> connected components -> (doc_id,
+    cluster_id). Iterative min-label propagation on Spark; the oracle
+    recomputes the SAME components with a recursive CTE (transitive
+    closure), so the iterative algorithm is value-checked end-to-end."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_candidates(
+        docs, "text", "doc_id",
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3, max_bucket_size=100,
+    )
+    return DD.dedup_clusters(pairs).orderBy("doc_id")
+
+
+ORACLE["q_dedup_clusters"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           END) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+       {_mh_sql_exprs()}
+  FROM sh
+),
+keys AS (
+{_band_keys_sql()}
+),
+ok AS (
+  SELECT bkey FROM keys GROUP BY bkey HAVING count(*) <= 100
+),
+kept AS (
+  SELECT k.doc_id, k.bkey FROM keys k JOIN ok USING (bkey)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  WITH RECURSIVE w(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT w.src, e.dst FROM w JOIN edges e ON w.dst = e.src
+  )
+  SELECT * FROM w
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM walk
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
 # --- B11/A19: key-addressed upsert ----------------------------------------
 
 def q_upsert_by_key(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Compaction test + hypothesis property tests for the pure text
+functions (SURVEY §5.5): chunk reassembly covers the source, normalize
+idempotence, sanitize output alphabet, chunker window contract."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions.text import chunk_text_py
+from data_ingestion_tool_bakasura__spark.operators.maintenance import compact, table_file_stats
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+# -- compaction -------------------------------------------------------------
+
+
+def test_compact_preserves_rows_and_merges_files(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    p = str(tmp_path / "frag")
+    # simulate micro-batch fragmentation: 30 tiny appends
+    for i in range(30):
+        docs.filter(F.col("doc_id") % 30 == i).coalesce(1).write.mode("append").parquet(p)
+    before = table_file_stats(spark, p)
+    want = sorted(map(tuple, spark.read.parquet(p).collect()))
+    report = compact(spark, p)
+    got = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert got == want
+    assert report["after"]["n_files"] < before["n_files"]
+    assert report["after"]["total_bytes"] > 0
+
+
+# -- hypothesis properties (pure python, no Spark in the loop) --------------
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), whitelist_characters="\n.!"),
+    max_size=2000,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_chunks_cover_source_tokens(s):
+    """Every non-space character run of the normalized source appears in
+    some chunk (no content loss)."""
+    norm = re.sub(r"\s+", " ", s).strip()
+    chunks = chunk_text_py(norm, chunk_size=50, chunk_overlap=10)
+    joined = " ".join(chunks)
+    for word in norm.split(" "):
+        if word:
+            assert word in joined
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_chunk_size_contract(s):
+    norm = re.sub(r"\s+", " ", s).strip()
+    for c in chunk_text_py(norm, chunk_size=50, chunk_overlap=10):
+        assert c == c.strip() and c != ""
+        # recursive splitter may overflow size only when a single token
+        # exceeds the window (unsplittable unit)
+        assert len(c) <= 50 or " " not in c
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=500))
+def test_normalize_idempotent(s):
+    once = re.sub(r"\s+", " ", s).strip()
+    assert re.sub(r"\s+", " ", once).strip() == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_sanitize_alphabet(s):
+    out = re.sub(r"[^a-zA-Z0-9_\-=]", "_", s)
+    assert re.fullmatch(r"[a-zA-Z0-9_\-=]*", out)
