@@ -104,6 +104,30 @@ ORDER BY user_id, event_type
 """
 
 
+def q_stream_click_purchase_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: purchases
+    matched to same-user clicks within the previous 30 minutes; append
+    mode (stream-stream inner joins emit immutable rows)."""
+    joined = SW.stream_stream_join_clicks_purchases(spark, sf)
+    out = SW.replay_to_table(joined, spark, mode="append")
+    return out.select("user_id", "purchase_id", "click_id").orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+ORACLE["q_stream_click_purchase_join"] = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+ORDER BY user_id, purchase_id, click_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -129,6 +129,47 @@ def stream_dedup_keys(ev: DataFrame, keys: list[str], watermark: str = "2 hours"
     )
 
 
+def stream_stream_join_clicks_purchases(
+    spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to SAME-USER clicks
+    in the preceding ``horizon`` (click_ts <= purchase_ts < click_ts +
+    horizon). Both sides carry watermarks, so Spark bounds the join
+    state: a buffered click can be dropped once the other stream's
+    watermark passes click_ts + horizon — without the time-range
+    condition the state would grow with the whole stream.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_ts", "click_ts"
+    )
+
+
 def replay_to_table(
     sdf: DataFrame,
     spark: SparkSession,

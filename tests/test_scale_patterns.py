@@ -36,6 +36,25 @@ def test_split_hot_keys_partitions_exactly(spark):
     assert all(n <= 100 for k, n in freqs.items() if k not in hk)
 
 
+def test_flagship_plans_hold(spark):
+    """Plan-shape regression guard (PLANS.md contract): dimension joins
+    stay broadcast, filters stay pushed to the parquet scan."""
+    from data_ingestion_tool_bakasura__spark.plans.catalog import QUERIES
+
+    plan_q5 = (
+        QUERIES["q_region_revenue"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_q5.count("BroadcastHashJoin") >= 3, plan_q5[:2000]
+
+    plan_fp = (
+        QUERIES["q_filter_project"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan_fp
+    assert "EqualTo(lang,en)" in plan_fp, plan_fp[:2000]
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """Both sides bucketed on the join key -> SortMergeJoin with NO
     Exchange above either scan (the co-located-join contract that makes
