@@ -499,6 +499,38 @@ ORDER BY id_a, id_b
 """
 
 
+# --- C12: higher-order array functions showcase ---------------------------
+
+def q_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """transform / filter / aggregate / slice / array_join over the
+    token array — the C12 higher-order surface in one query, all
+    JVM-side expressions."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    long_toks = F.filter(toks, lambda t: F.length(t) > 3)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(long_toks).alias("n_long_tokens"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)), "-"
+        ).alias("first3_upper"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_array_ops"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_filter(tk, x -> len(x) > 3)) AS n_long_tokens,
+       list_sum(list_transform(tk, x -> len(x)))::INT AS total_chars,
+       array_to_string(list_transform(tk[1:3], x -> upper(x)), '-') AS first3_upper
+FROM t
+ORDER BY doc_id
+"""
+
+
 # --- C16/B10: TF-IDF scoring + rerank -------------------------------------
 
 _TFIDF_TERMS = ("data", "hash", "scan")

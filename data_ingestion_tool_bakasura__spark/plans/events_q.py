@@ -221,6 +221,51 @@ ORDER BY user_id
 """
 
 
+# --- C6 retention-style consecutive-activity windows ----------------------
+
+def q_user_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity continuity: distinct active hours + how many
+    were immediately consecutive (lag over the per-user hour sequence).
+    One shuffle on user_id serving both the distinct and the window."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    hours = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    marked = hours.withColumn(
+        "consec",
+        F.when(
+            F.col("h") == F.lag("h").over(w) + F.expr("INTERVAL 1 HOUR"), 1
+        ).otherwise(0),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_active_hours"),
+            F.sum("consec").alias("n_consecutive"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q_user_retention"] = """
+WITH hours AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+  FROM events WHERE user_id < 50
+),
+marked AS (
+  SELECT user_id,
+         CASE WHEN h = lag(h) OVER (PARTITION BY user_id ORDER BY h) + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS consec
+  FROM hours
+)
+SELECT user_id, count(*) AS n_active_hours, sum(consec) AS n_consecutive
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- C18 grouped-map + grouped-agg pandas UDFs ----------------------------
 
 def q_value_zscore(spark: SparkSession, sf: str) -> DataFrame:

@@ -75,17 +75,16 @@ ORDER BY l_returnflag, l_linestatus
 # --- C7 top-k: global orderBy+limit ---------------------------------------
 
 def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from data_ingestion_tool_bakasura__spark.operators.topk import global_topk
+
     o = load_table(spark, sf, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            "o_custkey",
-            F.round("o_totalprice", 2).alias("total_price"),
-            "o_orderstatus",
-        )
-        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
-        .limit(10)
+    projected = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderstatus",
     )
+    return global_topk(projected, [F.desc("total_price"), F.asc("o_orderkey")], 10)
 
 
 ORACLE["q_top_orders"] = """
@@ -223,13 +222,14 @@ ORDER BY c_custkey
 # --- C6 window functions ---------------------------------------------------
 
 def q_top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    from data_ingestion_tool_bakasura__spark.operators.topk import grouped_topk
+
     orders = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    top3 = grouped_topk(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
     )
     return (
-        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 3)
+        top3.withColumn("rnk", F.col("rnk").cast("bigint"))
         .filter(F.col("o_custkey") < 100)
         .select(
             "o_custkey",
