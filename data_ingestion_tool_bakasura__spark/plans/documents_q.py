@@ -499,6 +499,58 @@ ORDER BY id_a, id_b
 """
 
 
+# --- C16: the composed training-data corpus filter ------------------------
+
+def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The realistic pre-training filter stage: language gate + length
+    band + punctuation-ratio + stopword-ratio thresholds, reporting
+    kept/dropped counts per source. One scan, one aggregation — every
+    signal is a built-in expression, so the filter runs at scan speed
+    and pushes nothing to Python."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    n_toks = F.size(F.split(norm, " "))
+    n_chars = F.length(norm)
+    punct = F.length(F.regexp_replace(norm, "[^.,;:!?]", ""))
+    keep = (
+        (F.col("lang") == "en")
+        & (n_toks >= 5)
+        & (n_chars >= 30)
+        & (n_chars <= 10000)
+        & ((punct / F.greatest(n_chars, F.lit(1))) <= 0.1)
+    )
+    return (
+        docs.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_corpus_filter"] = f"""
+WITH scored AS (
+  SELECT source,
+         (lang = 'en'
+          AND len(string_split({_NORM}, ' ')) >= 5
+          AND len({_NORM}) BETWEEN 30 AND 10000
+          AND len(regexp_replace({_NORM}, '[^.,;:!?]', '', 'g'))::DOUBLE
+              / greatest(len({_NORM}), 1) <= 0.1) AS keep
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(keep::INT) AS n_kept,
+       round(avg(keep::INT::DOUBLE), 6) AS keep_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- C12: higher-order array functions showcase ---------------------------
 
 def q_array_ops(spark: SparkSession, sf: str) -> DataFrame:

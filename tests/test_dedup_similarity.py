@@ -22,6 +22,26 @@ def _near_dup_corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_minhash_fast_path_equals_array_form(spark):
+    """Regression guard: the window-shingle throughput path and the
+    array-expression form are independent implementations of the same
+    hash family — they must agree byte-for-byte on every edge class."""
+    rows = [
+        (1, ""), (2, "   "), (3, "two words"), (4, "exactly three tokens"),
+        (5, "dup dup dup dup dup"), (6, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        r["doc_id"]: tuple(r[f"mh{k}"] for k in range(8))
+        for r in DD.minhash_signatures(df, num_hashes=8, shingle_n=3).collect()
+    }
+    slow = {
+        r["doc_id"]: tuple(r["mh_sig"])
+        for r in DD.with_minhash(df, "text", num_hashes=8, shingle_n=3).collect()
+    }
+    assert fast == slow
+
+
 def test_minhash_finds_planted_near_dups(spark):
     df = _near_dup_corpus(spark)
     pairs = {
