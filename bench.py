@@ -41,6 +41,10 @@ HEADLINE = [
     "q_doc_assembly",          # binary -> pages -> OCR gate -> assembly
     "q_stream_tumbling_hourly",  # real Structured Streaming replay
     "q_value_zscore",          # applyInPandas grouped-map
+    "q_dedup_clusters",        # connected components over LSH pairs
+    "q_tfidf_topdocs",         # TF-IDF ranked search
+    "q_corpus_filter",         # composed pre-training corpus gate
+    "q_small_quantity_revenue",  # correlated aggregate (Q17 shape)
 ]
 
 

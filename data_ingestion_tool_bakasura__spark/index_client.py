@@ -53,7 +53,12 @@ class IndexClient:
             return False
 
     def table(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception as e:
+            raise RuntimeError(
+                f"index table not found at {self.path!r}: call initialize() first"
+            ) from e
 
     def ping(self) -> bool:
         """EP3 health check: 1 row through the embed provider; False on

@@ -27,7 +27,11 @@ def centroid_per_group(
     dim: int | None = None,
 ) -> DataFrame:
     """Per-group embedding centroid via applyInPandas: (group, centroid
-    array<double>, n_members). One numpy mean per group."""
+    array<double>, n_members). One numpy mean per group.
+
+    ``dim`` only short-circuits the schema-inference ``first()`` probe;
+    it is NOT validated against the data — output length always follows
+    the actual vectors."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     schema = T.StructType(

@@ -145,6 +145,10 @@ def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _keys(vecs: pd.Series) -> pd.Series:
         V = np.array(vecs.tolist(), dtype=np.float64)
+        if V.size and V.shape[1] != H.shape[0]:
+            raise ValueError(
+                f"lsh_bucket_keys_udf: vectors are {V.shape[1]}-d but dim={H.shape[0]}"
+            )
         S = V @ H >= 0  # n x (tables*bits)
         out = []
         for row in S:
