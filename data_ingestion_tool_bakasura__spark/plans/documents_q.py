@@ -681,7 +681,7 @@ ORDER BY doc_id
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash candidate pairs -> connected components -> (doc_id,
-    cluster_id). Iterative min-label propagation on Spark; the oracle
+    cluster_id). Partition-local union-find + contraction on Spark; the oracle
     recomputes the SAME components with a recursive CTE (transitive
     closure), so the iterative algorithm is value-checked end-to-end."""
     docs = load_table(spark, sf, "documents")

@@ -19,9 +19,9 @@ def test_chain_and_ring_components(spark):
 
 
 def test_long_chain_converges(spark):
-    n = 40  # diameter >> typical; still must converge within max_iter
+    n = 40  # diameter >> typical; still must converge within few contraction levels
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
-    got = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters(pairs, max_iter=50).collect()}
+    got = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters(pairs, max_levels=5).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
 
 

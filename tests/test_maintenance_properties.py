@@ -50,8 +50,12 @@ def test_chunks_cover_source_tokens(s):
     chunks = chunk_text_py(norm, chunk_size=50, chunk_overlap=10)
     joined = " ".join(chunks)
     for word in norm.split(" "):
-        if word:
+        if word and len(word) <= 50:
             assert word in joined
+        elif word:
+            # words longer than the window are hard-split across chunks
+            # (unsplittable unit, LangChain fidelity) — chars still covered
+            assert word in joined.replace(" ", "")
 
 
 @settings(max_examples=200, deadline=None)
