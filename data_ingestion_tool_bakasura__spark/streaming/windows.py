@@ -175,6 +175,7 @@ def replay_to_table(
     spark: SparkSession,
     mode: str = "complete",
     name: str | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a bounded streaming query to completion (availableNow) into a
     memory sink and return the result as a batch DataFrame.
@@ -185,16 +186,38 @@ def replay_to_table(
     immutable). Memory-sink results are driver-resident — this is a test
     /verification harness, not a production sink (use foreachBatch /
     parquet sinks from `pipeline` for real output paths).
+
+    Every stateful operator keeps one state store per shuffle partition,
+    and a state store is not free (provider, snapshot and commit files
+    per micro-batch) — a bounded local replay over fixture data wants a
+    handful, not the session's batch-sized setting (measured: the
+    stream-stream join replay drops ~3x). ``shuffle_partitions``
+    temporarily overrides the session conf for the replay, then restores
+    it; pass None to keep the session setting (a production stream sizes
+    this to its real key cardinality and executor count — the partition
+    count is baked into the checkpoint at first start).
     """
+    import os
+
     name = name or f"replay_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a bounded replay's checkpoint needs no durability — prefer tmpfs
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, saved)
     return spark.table(name)
