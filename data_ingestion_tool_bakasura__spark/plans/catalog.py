@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_bakasura__spark.plans import (
+    curation_q,
     documents_q,
     events_q,
     multimodal_q,
@@ -26,7 +27,7 @@ from data_ingestion_tool_bakasura__spark.plans import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vectors_q):
+for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vectors_q, curation_q):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
 

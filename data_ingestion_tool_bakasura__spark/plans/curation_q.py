@@ -1,0 +1,184 @@
+"""Corpus-curation queries (C16 training-pipeline extensions): hash
+splits, stratified sampling, token-budget selection, contamination.
+
+All membership decisions are md5-hash buckets (operators/sampling.py) —
+reproducible across engines, so every query here has an exact DuckDB
+oracle (bucket parity: ``conv(substr(md5(s),1,13),16,10)`` ==
+``('0x' || substr(md5(s),1,13))::BIGINT``, 52 bits, overflow-free).
+
+The reference has no sampling surface (nothing to cite); these follow
+the mandated LLM-corpus extension list in BASELINE.json / the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+#: DuckDB twin of sampling.hash_bucket
+def _bucket_sql(salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+        f" % {SP.N_BUCKETS}"
+    )
+
+
+# --- deterministic train/val/test split -----------------------------------
+
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """90/5/5 split assignment, aggregated per (split, lang) so the
+    oracle checks both the thresholds and the assignment function."""
+    docs = load_table(spark, sf, "documents")
+    split = SP.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE["q_hash_split"] = f"""
+WITH b AS (
+  SELECT lang, n_chars, {_bucket_sql('split')} AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM b GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+# --- stratified (per-language) subsampling --------------------------------
+
+_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+_DEFAULT_RATE = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing: keep all English, half German, a quarter French,
+    10% of everything else — one CASE threshold, membership by id hash."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        SP.stratified_hash_sample(docs, "doc_id", "lang", _RATES, _DEFAULT_RATE)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_stratified_sample"] = f"""
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source, {_bucket_sql('sample')} AS bucket FROM documents)
+WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                         WHEN 'fr' THEN 2500 ELSE 1000 END
+ORDER BY doc_id
+"""
+
+
+# --- token-budget curation ------------------------------------------------
+
+_BUDGET = 20_000
+
+
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Highest-quality documents whose cumulative whitespace-token count
+    fits a 20k training budget (C4/Gopher-style curation cut)."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        TS.quality_score("text").alias("quality"),
+        TS.n_tokens_ws("text").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        SP.token_budget_select(docs, "quality", "n_tokens", _BUDGET, "doc_id")
+        .orderBy(F.desc("quality"), "doc_id")
+    )
+
+
+_SW = "('the','a','of','and','to','in','is','for','on','with')"
+
+ORACLE["q_token_budget"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> lower(x) IN {_SW})) AS n_sw,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tok AS n_tokens,
+         round(0.5 * least(n_chars / 1000.0, 1.0)
+             + 0.5 * least((CASE WHEN n_tok = 0 THEN 0.0 ELSE n_sw / n_tok::DOUBLE END) * 5.0, 1.0)
+             - 0.25 * least((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars::DOUBLE END) * 5.0, 1.0),
+               6) AS quality
+  FROM t
+)
+SELECT doc_id, quality, n_tokens
+FROM (
+  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+WHERE cum <= {_BUDGET}
+ORDER BY quality DESC, doc_id
+"""
+
+
+# --- benchmark contamination ----------------------------------------------
+
+_PROBE_CUT = 9_800  # top 2% of 'bench' buckets form the held-out probe set
+_NGRAM = 8
+
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination scan: corpus documents sharing any word 8-gram
+    with the (hash-held-out) benchmark probe set, with overlap sizes.
+    The probe side is broadcast; the corpus side never shuffles before
+    the per-doc aggregation."""
+    docs = load_table(spark, sf, "documents")
+    bucket = SP.hash_bucket("doc_id", "bench")
+    corpus = docs.filter(bucket < _PROBE_CUT)
+    probe = docs.filter(bucket >= _PROBE_CUT)
+    return (
+        SP.ngram_overlap(corpus, probe, "text", "doc_id", n=_NGRAM)
+        .orderBy("doc_id")
+    )
+
+
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+ORACLE["q_contamination"] = f"""
+WITH b AS (
+  SELECT doc_id, {_bucket_sql('bench')} AS bucket, {_TOKS} AS tk FROM documents
+), g AS (
+  SELECT doc_id, bucket,
+         unnest(list_distinct(
+           CASE WHEN len(tk) < {_NGRAM} THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+{_NGRAM - 1}], ' ')
+                      FOR i IN range(1, len(tk) - {_NGRAM - 2})]
+           END)) AS gram
+  FROM b
+)
+SELECT c.doc_id AS doc_id,
+       count(DISTINCT c.gram) AS n_shared_grams,
+       count(DISTINCT p.doc_id) AS n_probe_docs
+FROM (SELECT * FROM g WHERE bucket < {_PROBE_CUT}) c
+JOIN (SELECT * FROM g WHERE bucket >= {_PROBE_CUT}) p ON c.gram = p.gram
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,64 @@
+"""Corpus sampling/curation operator tests: split determinism and
+proportions, stratified rates, token-budget greedy cut, n-gram
+contamination on planted overlaps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = SP.hash_split(docs, "doc_id", w).groupBy("split").count().collect()
+    b = SP.hash_split(docs, "doc_id", w).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # pure function of id
+    counts = {r["split"]: r["count"] for r in a}
+    n = sum(counts.values())
+    assert n == docs.count()  # total partition, no loss/dup
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1  # statistical, id-hash
+
+
+def test_hash_split_disjoint_from_sample_salt(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    s1 = {r["doc_id"] for r in SP.hash_sample(docs, "doc_id", 0.3, salt="a").collect()}
+    s2 = {r["doc_id"] for r in SP.hash_sample(docs, "doc_id", 0.3, salt="b").collect()}
+    assert s1 != s2  # different salts give independent samples
+
+
+def test_stratified_rates(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = SP.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    want_en = docs.filter(F.col("lang") == "en").count()
+    assert got.get("en") == want_en  # rate 1.0 keeps everything
+    assert "de" not in got  # rate 0.0 drops everything
+    other = docs.filter(~F.col("lang").isin("en", "de")).count()
+    assert 0 < sum(v for k, v in got.items() if k != "en") < other
+
+
+def test_token_budget_greedy_and_bounded(spark):
+    rows = [(i, float(10 - i), 100) for i in range(10)]  # quality 10..1, 100 tok each
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+    out = SP.token_budget_select(df, "quality", "n_tokens", 350, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]  # top-3 fit in 350
+    total = sum(r["n_tokens"] for r in out)
+    assert total <= 350
+
+
+def test_ngram_overlap_planted(spark):
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(1, f"prefix {shared} suffix words here"), (2, "totally unrelated text " * 4)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(100, f"intro {shared} outro")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in SP.ngram_overlap(corpus, probe, n=8).collect()}
+    assert 1 in got and 2 not in got
+    assert got[1]["n_shared_grams"] >= 1 and got[1]["n_probe_docs"] == 1
