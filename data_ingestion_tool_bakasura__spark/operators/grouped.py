@@ -29,9 +29,10 @@ def centroid_per_group(
     """Per-group embedding centroid via applyInPandas: (group, centroid
     array<double>, n_members). One numpy mean per group.
 
-    ``dim`` only short-circuits the schema-inference ``first()`` probe;
-    it is NOT validated against the data — output length always follows
-    the actual vectors."""
+    ``dim`` short-circuits the schema-inference ``first()`` probe and is
+    enforced inside the UDF: a group containing a vector of any other
+    length (or a null) fails that task with a ValueError naming the
+    group, instead of silently emitting a wrong-length centroid."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     schema = T.StructType(
@@ -43,7 +44,16 @@ def centroid_per_group(
     )
 
     def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        try:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        except ValueError:  # ragged lengths fail ndarray construction
+            V = np.empty(0)
+        if V.ndim != 2 or V.shape[1] != dim:
+            raise ValueError(
+                f"centroid_per_group(dim={dim}): group "
+                f"{pdf[group_col].iloc[0]!r} has ragged, null, or "
+                f"wrong-dimension {vec_col!r} vectors"
+            )
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],

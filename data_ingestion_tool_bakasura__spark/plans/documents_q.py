@@ -12,7 +12,7 @@ reproduce signatures in ANSI SQL via ('0x' || substr(md5, ...))::BIGINT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_bakasura__spark.functions import text as TX
@@ -591,22 +591,25 @@ _TFIDF_TERMS = ("data", "hash", "scan")
 def q_tfidf_topdocs(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF relevance for a fixed query-term set, top 20 docs.
 
-    ONE tokenize+explode pass: per-(doc,term) counts give TF, and the
-    per-term document frequency falls out of the same table (count of
-    (doc,term) rows per term) — no second corpus scan. The df side is
-    tiny and broadcast; final ordering is TakeOrderedAndProject. This is
-    the scored-search/rerank stage (B10) as plain relational algebra."""
+    ONE tokenize+explode pass over the text: per-(doc,term) counts give
+    TF, and the per-term document frequency is a window count over that
+    same tiny tf table (partitionBy term) — NOT a second corpus scan and
+    NOT a self-join on a recomputed subtree. The corpus size N is a lazy
+    1-row broadcast scalar whose count aggregate prunes to zero columns
+    (parquet footer metadata, no text bytes). Final ordering is
+    TakeOrderedAndProject. This is the scored-search/rerank stage (B10)
+    as plain relational algebra, one text scan total."""
     docs = load_table(spark, sf, "documents")
-    n_docs = docs.count()
+    n = docs.groupBy().agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tk"),
     ).filter(F.col("tk").isin(*_TFIDF_TERMS))
     tf = toks.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("tk").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_t), "tk")
-        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("tk")))
+        .join(F.broadcast(n))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("tfidf"))
     )
