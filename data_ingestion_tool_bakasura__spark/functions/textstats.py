@@ -96,10 +96,14 @@ def lang_guess(col: Column | str) -> Column:
     """
     c = _c(col)
     toks = tokens_ws(c)
-    hits = [
-        F.size(F.filter(toks, lambda t, sw=sw: F.lower(t).isin(*sw))).alias(lang)
-        for lang, sw in STOPWORDS.items()
-    ]
+
+    # closure factory: the filter lambda must take exactly one arg —
+    # `lambda t, sw=sw:` reads as an (element, index) lambda to
+    # PySpark's arity introspection and binds sw to the index Column
+    def _hits(sw: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+
+    hits = [_hits(sw).alias(lang) for lang, sw in STOPWORDS.items()]
     best = F.greatest(*hits)
     guess = F.lit("und")
     # later languages win ties deterministically in reverse declaration order

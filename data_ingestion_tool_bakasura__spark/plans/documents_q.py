@@ -314,6 +314,52 @@ ORDER BY lang
 """
 
 
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled ``lang`` column, as a
+    confusion matrix (labeled, guessed, n_docs): the oracle exercises
+    the full stopword-hit argmax including 'und' fallback and the
+    later-language tie-break. `lang_guess` is a pure Column expression —
+    one scan, no UDF, pipelines with the corpus-filter pass."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("lang", TS.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "guess")
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of textstats.lang_guess, generated from the same
+    STOPWORDS dict so query and oracle cannot drift."""
+    hit_cols = ", ".join(
+        "len(list_filter(tk, x -> lower(x) IN ({}))) AS {}".format(
+            ", ".join(f"'{w}'" for w in sw), lang
+        )
+        for lang, sw in TS.STOPWORDS.items()
+    )
+    langs = list(TS.STOPWORDS)
+    best = f"greatest({', '.join(langs)})"
+    # later declaration order wins ties (matches the Spark when-chain)
+    branches = " ".join(f"WHEN {lang} = {best} THEN '{lang}'" for lang in reversed(langs))
+    return f"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), h AS (
+  SELECT lang, {hit_cols} FROM t
+)
+SELECT lang,
+       CASE WHEN {best} = 0 THEN 'und' {branches} END AS guess,
+       count(*) AS n_docs
+FROM h
+GROUP BY lang, guess
+ORDER BY lang, guess
+"""
+
+
+ORACLE["q_lang_id"] = _lang_id_sql()
+
+
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint (md5 of 128-char normalized prefix) +
     distinct-fingerprint count per source."""

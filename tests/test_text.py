@@ -122,3 +122,20 @@ def test_chunk_golden_boundaries():
     # sentence separator respected: chunks start at sentence starts
     assert chunks[0].startswith("The quick")
     assert all(c[0].isupper() or c[0].islower() for c in chunks)
+
+
+def test_lang_guess(spark):
+    from data_ingestion_tool_bakasura__spark.functions.textstats import lang_guess
+
+    cases = [
+        ("the cat sat on the mat and looked at the dog", "en"),
+        ("el perro y el gato en la casa con los ninos", "es"),
+        ("der hund und die katze sind in den garten mit", "de"),
+        ("le chien et le chat dans les jardins pour un", "fr"),
+        ("zzz qqq xxx", "und"),  # zero stopword hits
+        ("", "und"),
+        ("la de en un", "fr"),  # en/es/fr tie -> latest declared of the tied wins
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r["g"] for r in df.select(lang_guess("text").alias("g")).collect()]
+    assert got == [want for _, want in cases]
