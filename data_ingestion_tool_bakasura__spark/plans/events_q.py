@@ -315,6 +315,39 @@ ORDER BY event_type
 """
 
 
+_EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def q_pivot_daily_value(spark: SparkSession, sf: str) -> DataFrame:
+    """The pivot OPERATOR (vs q_user_event_matrix's hand-rolled
+    conditional aggregates): daily avg value per event type as columns.
+    Pivot values are passed EXPLICITLY — without them Spark runs an
+    extra distinct-values job over the whole input and caps cardinality
+    at `spark.sql.pivotMaxValues`; with them the pivot compiles to the
+    same single-shuffle conditional-aggregate plan as the hand-rolled
+    form, which is why it is safe at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.avg("value"), 6))
+        .orderBy("day")
+    )
+
+
+ORACLE["q_pivot_daily_value"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
+       round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+       round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS error,
+       round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

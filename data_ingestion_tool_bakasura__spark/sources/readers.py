@@ -93,6 +93,12 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     return spark.read.text(path, wholetext=whole)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (built-in, columnar): same pushdown/pruning contract
+    as parquet — predicates and column selection reach the scan."""
+    return spark.read.options(**options).orc(path)
+
+
 def read_stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic stream source for tests (`rate` format)."""
     return (

@@ -52,3 +52,22 @@ def test_partitioned_parquet_write_prunes(spark, tmp_path):
     assert back.count() == want
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or want == back.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from data_ingestion_tool_bakasura__spark.sources.readers import read_orc
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    p = str(tmp_path / "nation_orc")
+    src.write.orc(p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # predicate + projection reach the ORC scan
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" in plan
