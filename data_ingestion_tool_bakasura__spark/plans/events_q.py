@@ -315,6 +315,41 @@ ORDER BY event_type
 """
 
 
+def q_json_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """The three JSON-parse APIs cross-checked on the same field
+    (C12): `from_json` (schema-ful struct, the scale path — one parse,
+    typed access), `json_tuple` (generator, multi-field single parse),
+    `get_json_object` (per-path). Identical sums per event_type prove
+    value agreement; the oracle pins them all to DuckDB."""
+    ev = load_table(spark, sf, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.json_tuple("props", "k"),
+    ).withColumnRenamed("c0", "k_tuple")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k_struct").alias("sum_struct"),
+            F.sum("k_path").alias("sum_path"),
+            F.sum(F.col("k_tuple").cast("int")).alias("sum_tuple"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_json_variants"] = """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_struct,
+       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_path,
+       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_tuple
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 _EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
 
 

@@ -292,17 +292,26 @@ def q_order_gaps(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderdate"), F.lag("o_orderdate").over(w)
         ).alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_orderkey"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
 ORACLE["q_order_gaps"] = """
 SELECT o_custkey, o_orderkey, o_orderdate,
        datediff('day',
-                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                lag(o_orderdate) OVER w,
                 o_orderdate)::INTEGER AS days_since_prev,
-       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+       lead(o_orderkey) OVER w AS next_orderkey,
+       first_value(o_orderkey) OVER w AS first_orderkey,
+       last_value(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey
 FROM orders
 WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
