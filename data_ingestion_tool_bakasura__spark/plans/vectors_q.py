@@ -220,6 +220,28 @@ ORDER BY label, dim_idx
 """
 
 
+def q_label_centroids_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION centroid path (PLANS.md hot-spot note): pure
+    built-ins — posexplode to (label, dim_idx, value), one hash
+    aggregate on (label, dim_idx). No Arrow transfer, no one-group-in-
+    memory constraint: whale labels distribute across partitions because
+    the aggregation key includes dim_idx. Same oracle as the
+    applyInPandas form, so the two paths are differentially checked."""
+    emb = load_table(spark, sf, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        exploded.groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("v"), 6).alias("value"))
+        .join(F.broadcast(n), "label")
+        .select("label", "n_members", "dim_idx", "value")
+        .orderBy("label", "dim_idx")
+    )
+
+
+ORACLE["q_label_centroids_builtin"] = ORACLE["q_label_centroids"]
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN top-3 for five queries — the 100 TB scan-pruning
     path. Recall vs exact checked in tests; driver records rows-only."""
