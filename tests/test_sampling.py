@@ -62,3 +62,37 @@ def test_ngram_overlap_planted(spark):
     got = {r["doc_id"]: r for r in SP.ngram_overlap(corpus, probe, n=8).collect()}
     assert 1 in got and 2 not in got
     assert got[1]["n_shared_grams"] >= 1 and got[1]["n_probe_docs"] == 1
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    """Cross-engine reproducibility pin: the Spark bucket expression
+    equals a pure-Python md5 reference for arbitrary unicode ids
+    (hypothesis-generated). The DuckDB twin is oracle-checked separately;
+    this pins the definition itself."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_bucket(doc_id: str, salt: str = "split") -> int:
+        h = hashlib.md5(f"{salt}:{doc_id}".encode("utf-8")).hexdigest()
+        return int(h[:13], 16) % SP.N_BUCKETS
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=1, max_size=40).filter(lambda s: "\x00" not in s),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    def check(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+        got = {
+            r["doc_id"]: r["b"]
+            for r in df.select("doc_id", SP.hash_bucket("doc_id").alias("b")).collect()
+        }
+        assert got == {i: py_bucket(i) for i in ids}
+
+    check()
