@@ -128,6 +128,34 @@ ORDER BY user_id, purchase_id, click_id
 """
 
 
+def q_stream_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join + streaming aggregation: the events
+    stream joined to the static customer dimension (broadcast, stateless
+    — no watermark buffering, unlike stream-stream), aggregated per
+    (nation, event_type). Oracle is the equivalent batch join."""
+    from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+    ev = SW.stream_events(spark, sf).withColumnRenamed("user_id", "c_custkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    enriched = SW.stream_static_enrich(ev, cust, "c_custkey")
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = SW.replay_to_table(agg, spark, mode="complete")
+    return out.orderBy("c_nationkey", "event_type")
+
+
+ORACLE["q_stream_enriched_nation"] = """
+SELECT c.c_nationkey AS c_nationkey, e.event_type,
+       count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY c_nationkey, event_type
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

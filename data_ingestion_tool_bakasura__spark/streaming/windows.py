@@ -170,6 +170,22 @@ def stream_stream_join_clicks_purchases(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) dimension
+    table. The static side is broadcast — each micro-batch probes the
+    dim map-side, no shuffle of the stream and NO join state (unlike
+    stream-stream joins, the static side is re-resolvable per batch, so
+    nothing is buffered against a watermark). The canonical 100 TB/day
+    pattern: key the stream once, broadcast the dimension, aggregate
+    after."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def replay_to_table(
     sdf: DataFrame,
     spark: SparkSession,
