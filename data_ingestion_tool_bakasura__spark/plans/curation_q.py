@@ -177,6 +177,103 @@ ORDER BY doc_id
 """
 
 
+# --- the composed curation pipeline ---------------------------------------
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end corpus curation pass, one lazy plan: quality
+    filter (en + length band + punct ratio, scan-speed expressions) →
+    exact dedup on md5(normalized text) (keep lowest doc_id; one
+    hash aggregation) → drop benchmark members and any doc sharing a
+    word 8-gram with them (broadcast probe, anti-join) → deterministic
+    90/5/5 hash split → per-(split, source) accounting. This is the
+    shape a production pre-training run executes nightly; every stage
+    is a relational op Catalyst can reorder/push, and the only wide
+    exchanges are the dedup aggregation and the final accounting."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    n_chars = F.length(norm)
+    punct = F.length(F.regexp_replace(norm, "[^.,;:!?]", ""))
+    keep = (
+        (F.col("lang") == "en")
+        & (F.size(F.split(norm, " ")) >= 5)
+        & (n_chars >= 30)
+        & (n_chars <= 10000)
+        & ((punct / F.greatest(n_chars, F.lit(1))) <= 0.1)
+    )
+    filtered = docs.filter(keep).withColumn("norm", norm)
+
+    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    bench_bucket = SP.hash_bucket("doc_id", "bench")
+    corpus = deduped.filter(bench_bucket < _PROBE_CUT)
+    probe = docs.filter(SP.hash_bucket("doc_id", "bench") >= _PROBE_CUT)
+    contaminated = SP.ngram_overlap(corpus, probe, "text", "doc_id", n=_NGRAM).select("doc_id")
+    clean = corpus.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    split = SP.hash_split(clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("norm", " ")).cast("bigint")).alias("sum_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+_PIPE_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+ORACLE["q_curation_pipeline"] = f"""
+WITH filtered AS (
+  SELECT doc_id, source, {_PIPE_NORM} AS norm, text
+  FROM documents
+  WHERE lang = 'en'
+    AND len(string_split({_PIPE_NORM}, ' ')) >= 5
+    AND len({_PIPE_NORM}) BETWEEN 30 AND 10000
+    AND len(regexp_replace({_PIPE_NORM}, '[^.,;:!?]', '', 'g'))::DOUBLE
+        / greatest(len({_PIPE_NORM}), 1) <= 0.1
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+), corpus AS (
+  SELECT * FROM deduped WHERE {_bucket_sql('bench')} < {_PROBE_CUT}
+), probe_grams AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(tk) < {_NGRAM} THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+{_NGRAM - 1}], ' ')
+                      FOR i IN range(1, len(tk) - {_NGRAM - 2})]
+           END)) AS gram
+  FROM (SELECT string_split({_PIPE_NORM}, ' ') AS tk
+        FROM documents WHERE {_bucket_sql('bench')} >= {_PROBE_CUT})
+), corpus_grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(tk) < {_NGRAM} THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+{_NGRAM - 1}], ' ')
+                      FOR i IN range(1, len(tk) - {_NGRAM - 2})]
+           END)) AS gram
+  FROM (SELECT doc_id, string_split(norm, ' ') AS tk FROM corpus)
+), contaminated AS (
+  SELECT DISTINCT c.doc_id FROM corpus_grams c JOIN probe_grams p ON c.gram = p.gram
+), clean AS (
+  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CASE WHEN {_bucket_sql('split')} < 9000 THEN 'train'
+            WHEN {_bucket_sql('split')} < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       sum(len(string_split(norm, ' ')))::BIGINT AS sum_tokens
+FROM clean
+GROUP BY 1, 2
+ORDER BY split, source
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
