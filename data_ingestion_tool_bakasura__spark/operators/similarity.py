@@ -193,16 +193,17 @@ def lsh_ann_topk(
             F.explode(keys_udf(_c(vec_col))).alias("bkey"),
         )
     )
-    cand = (
-        c_keyed.join(q_keyed, on="bkey")
-        .select(query_id, corpus_id, "_cvec", "_qvec")
-        .distinct()
-    )
-    scored = cand.select(
+    # score map-side BEFORE deduplicating candidates: a pair that matches
+    # in several tables is rescored (<= num_tables x ~2*dim flops) but the
+    # dedup exchange then carries only (q_id, vec_id, cos_sim) scalar rows
+    # instead of two dim-length vectors per row — at 100 TB the shuffle
+    # bytes dominate, not the dot products
+    cand = c_keyed.join(q_keyed, on="bkey").select(
         query_id,
         corpus_id,
         F.round(cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
     )
+    scored = cand.groupBy(query_id, corpus_id).agg(F.first("cos_sim").alias("cos_sim"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
