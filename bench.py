@@ -45,6 +45,7 @@ HEADLINE = [
     "q_tfidf_topdocs",         # TF-IDF ranked search
     "q_corpus_filter",         # composed pre-training corpus gate
     "q_small_quantity_revenue",  # correlated aggregate (Q17 shape)
+    "q_curation_pipeline",     # filter -> dedup -> decontaminate -> split
 ]
 
 
