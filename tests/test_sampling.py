@@ -96,3 +96,23 @@ def test_hash_bucket_matches_python_md5(spark):
         assert got == {i: py_bucket(i) for i in ids}
 
     check()
+
+
+def test_edge_cases_empty_and_degenerate(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # empty corpus: every operator returns an empty result, no errors
+    assert SP.hash_sample(empty, "doc_id", 0.5).count() == 0
+    assert SP.hash_split(empty, "doc_id", {"train": 1.0}).count() == 0
+    assert SP.ngram_overlap(empty, empty, n=8).count() == 0
+    # single-split weight 1.0: everything lands in that split
+    docs = spark.createDataFrame([(i, "x") for i in range(20)], "doc_id long, text string")
+    out = SP.hash_split(docs, "doc_id", {"all": 1.0})
+    assert out.filter(F.col("split") != "all").count() == 0
+    # rate 0 and 1 are exact, not statistical
+    assert SP.hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert SP.hash_sample(docs, "doc_id", 1.0).count() == 20
+    # invalid weights rejected eagerly
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        SP.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
