@@ -177,6 +177,68 @@ ORDER BY doc_id
 """
 
 
+# --- cross-document repeated spans (substring-level dedup signal) ---------
+
+_SPAN_N = 20
+
+
+def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication signal (the Lee et al. train-dedup
+    shape at word granularity): word 20-grams occurring in MORE THAN ONE
+    document, reported per source as (n_docs_with_repeats,
+    n_repeated_grams). The gram table is (md5(gram), doc_id) — hashing
+    keeps the shuffle row ~48 B regardless of span length; the two
+    aggregations (per-gram doc count, then per-source rollup) are the
+    only exchanges. Whole-doc dedup misses these partial overlaps;
+    this is the scan that catches boilerplate and quotation reuse."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    # word_ngrams is already distinct per doc, so (doc_id, gh) rows are
+    # unique and a plain window count(*) per gh IS the distinct doc
+    # count — ONE gram explode, one shuffle on gh, no recomputed subtree
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(SP.word_ngrams("text", _SPAN_N)).alias("gram"),
+    ).select("doc_id", "source", F.md5("gram").alias("gh"))
+    nd = F.count("*").over(Window.partitionBy("gh"))
+    return (
+        grams.withColumn("nd", nd)
+        .filter(F.col("nd") > 1)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_with_repeats"),
+            F.countDistinct("gh").alias("n_repeated_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_repeated_spans"] = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         md5(unnest(list_distinct(
+           CASE WHEN len(tk) < {_SPAN_N} THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+{_SPAN_N - 1}], ' ')
+                      FOR i IN range(1, len(tk) - {_SPAN_N - 2})]
+           END))) AS gh
+  FROM (SELECT doc_id, source,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents)
+), dup AS (
+  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+  WHERE nd > 1
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs_with_repeats,
+       count(DISTINCT gh) AS n_repeated_grams
+FROM g JOIN dup USING (gh)
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- the composed curation pipeline ---------------------------------------
 
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
