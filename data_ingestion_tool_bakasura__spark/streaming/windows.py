@@ -191,7 +191,7 @@ def replay_to_table(
     spark: SparkSession,
     mode: str = "complete",
     name: str | None = None,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a bounded streaming query to completion (availableNow) into a
     memory sink and return the result as a batch DataFrame.
