@@ -813,6 +813,59 @@ ORDER BY l_returnflag
 """
 
 
+# --- C4 multi-EXISTS decorrelation (TPC-H Q21 shape) ----------------------
+
+def q_lone_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order ("late" = shipped >60 days after order date;
+    the fixture has no receipt/commit dates). The textbook form is a
+    correlated EXISTS + NOT EXISTS pair — the oracle runs exactly that.
+    Here both quantifiers decorrelate into ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers), then an equi-join
+    back: a single shuffle on orderkey replaces two correlated
+    re-scans of lineitem, which is the difference between O(orders)
+    subquery executions and one pass at 100 TB."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.date_add("o_orderdate", 60)
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    qual = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+    )
+    return (
+        qual.join(F.broadcast(sup), qual.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+ORACLE["q_lone_late_supplier"] = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
