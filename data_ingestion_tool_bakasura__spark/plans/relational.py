@@ -866,6 +866,87 @@ ORDER BY numwait DESC, s_name
 """
 
 
+# --- C4/C5 scalar-subquery argmax (TPC-H Q15 shape) -----------------------
+
+def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape: the supplier(s) whose 1995-H1 revenue equals the
+    maximum over all suppliers. The scalar subquery (global max over a
+    derived aggregate) is a 1-row broadcast joined lazily — the revenue
+    aggregate is computed ONCE and reused for both the argmax and the
+    filter, no second scan of lineitem. Revenue is rounded to cents
+    before the max-compare so the equality is engine-stable."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-07-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q_top_revenue_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- C4 anti-join + scalar average (TPC-H Q22 shape) ----------------------
+
+def q_rich_inactive_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 shape: customers with above-average (positive) balance with no order
+    since 1999, rolled up per market segment. The scalar average is
+    a lazy 1-row broadcast; "inactive" is a left_anti join on the keys of recent orders (no NOT IN null traps, no per-row subquery)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q_rich_inactive_customers"] = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
