@@ -202,10 +202,15 @@ ORDER BY c_mktsegment
 
 
 def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """left_anti: customers with no URGENT order (every fixture customer
+    has SOME order, so the unrestricted anti-join matched vacuously on
+    empty — caught by check_oracle's empty-result warning)."""
     cust = load_table(spark, sf, "customer")
-    orders = load_table(spark, sf, "orders")
+    urgent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
@@ -214,7 +219,8 @@ def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_customers_without_orders"] = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """
 

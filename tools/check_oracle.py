@@ -80,7 +80,10 @@ def main() -> int:
                 print(f"     cols spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(cs)} rows, {t_spark:.1f}s)")
+            # 0 == 0 is a vacuous match — loudly flag it so a query whose
+            # filter silently selects nothing can't hide behind a PASS
+            empty = " [WARN: EMPTY RESULT — vacuous match]" if not cs else ""
+            print(f"PASS {name} ({len(cs)} rows, {t_spark:.1f}s){empty}")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
