@@ -726,15 +726,25 @@ ORDER BY l_returnflag
 
 def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Lineitems below 40% of their part's average quantity (TPC-H Q17
-    shape). The correlated scalar subquery decorrelates to an
-    aggregate + equi-join — the per-part avg is computed ONCE over the
-    fact table (one shuffle on partkey), not per outer row."""
+    shape). The correlated scalar subquery decorrelates to a window
+    average per partkey — NOT an aggregate-plus-self-join, which would
+    scan lineitem twice (DataFrame branches share no subtrees). The
+    brand filter prunes via broadcast semi-join BEFORE the window (the
+    per-part average only needs that part's rows, and brand selects
+    whole parts), so the plan is: one pruned fact scan, one shuffle on
+    partkey, one global agg."""
     li = load_table(spark, sf, "lineitem")
-    part = load_table(spark, sf, "part")
-    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    brand_parts = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    pruned = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(avg_q, "l_partkey")
-        .join(part.filter(F.col("p_brand") == "Brand#1"), li.l_partkey == F.col("p_partkey"))
+        pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
