@@ -88,3 +88,12 @@ def geometric_mean(v: pd.Series) -> float:
     (use inside ``groupBy(...).agg(geometric_mean(col))``)."""
     x = v[v > 0]
     return float(np.exp(np.log(x).mean())) if len(x) else 0.0
+
+
+@F.pandas_udf(T.LongType())
+def pandas_count(v: pd.Series) -> int:
+    """GROUPED_AGG row count (nulls included). Exists because a pandas
+    GROUPED_AGG UDF cannot share an aggregation with JVM aggregates
+    (INVALID_PANDAS_UDF_PLACEMENT) — pairing it with another pandas UDF
+    keeps a mixed result to ONE aggregation instead of agg+agg+join."""
+    return len(v)

@@ -250,7 +250,14 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     90/5/5 hash split → per-(split, source) accounting. This is the
     shape a production pre-training run executes nightly; every stage
     is a relational op Catalyst can reorder/push, and the only wide
-    exchanges are the dedup aggregation and the final accounting."""
+    exchanges are the dedup aggregation and the final accounting.
+
+    Scale note: the deduped-corpus subtree feeds both the gram explode
+    and the kept-rows anti-join, and DataFrame branches share no
+    subtrees — at fixture scale recomputing it is cheaper than a cache,
+    but a 100 TB run materializes the deduped corpus to parquet between
+    stages (as production pipelines do anyway for restartability) so
+    the dedup window runs once."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf, "documents")

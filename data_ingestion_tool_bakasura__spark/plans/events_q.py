@@ -297,12 +297,20 @@ def q_geomean_by_type(spark: SparkSession, sf: str) -> DataFrame:
     built-in aggregates in one groupBy."""
     from data_ingestion_tool_bakasura__spark.operators.grouped import geometric_mean
 
+    from data_ingestion_tool_bakasura__spark.operators.grouped import pandas_count
+
     ev = load_table(spark, sf, "events")
     # GROUPED_AGG pandas UDFs cannot share an agg with JVM aggregates
-    # (INVALID_PANDAS_UDF_PLACEMENT) -> two aggregations, one join.
-    geo = ev.groupBy("event_type").agg(F.round(geometric_mean("value"), 6).alias("geo_mean"))
-    cnt = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    return geo.join(cnt, "event_type").orderBy("event_type")
+    # (INVALID_PANDAS_UDF_PLACEMENT), but two pandas UDFs can — one
+    # aggregation, one scan, no join-back of a recomputed subtree.
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(geometric_mean("value"), 6).alias("geo_mean"),
+            pandas_count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
 
 
 ORACLE["q_geomean_by_type"] = """
