@@ -50,7 +50,7 @@ WITH b AS (
 SELECT CASE WHEN bucket < 9000 THEN 'train'
             WHEN bucket < 9500 THEN 'val'
             ELSE 'test' END AS split,
-       lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM b GROUP BY 1, 2 ORDER BY split, lang
 """
 

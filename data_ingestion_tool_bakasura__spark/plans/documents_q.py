@@ -589,7 +589,7 @@ WITH scored AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(keep::INT) AS n_kept,
+       CAST(sum(keep::INT) AS BIGINT) AS n_kept,
        round(avg(keep::INT::DOUBLE), 6) AS keep_rate
 FROM scored
 GROUP BY source

@@ -259,7 +259,8 @@ marked AS (
               THEN 1 ELSE 0 END AS consec
   FROM hours
 )
-SELECT user_id, count(*) AS n_active_hours, sum(consec) AS n_consecutive
+SELECT user_id, count(*) AS n_active_hours,
+       CAST(sum(consec) AS BIGINT) AS n_consecutive
 FROM marked
 GROUP BY user_id
 ORDER BY user_id
@@ -349,9 +350,9 @@ def q_json_variants(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["q_json_variants"] = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_struct,
-       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_path,
-       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_tuple
+       CAST(sum(json_extract_string(props, '$.k')::INTEGER) AS BIGINT) AS sum_struct,
+       CAST(sum(json_extract_string(props, '$.k')::INTEGER) AS BIGINT) AS sum_path,
+       CAST(sum(json_extract_string(props, '$.k')::INTEGER) AS BIGINT) AS sum_tuple
 FROM events
 GROUP BY event_type
 ORDER BY event_type

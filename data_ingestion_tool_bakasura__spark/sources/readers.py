@@ -42,10 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` is set; convert via integer
     division to microseconds (a double division would lose precision at
     1e18 ns magnitudes).
+
+    The conf is set here (runtime-settable) rather than relying on the
+    session builder, so the reader works under ANY caller-provided
+    SparkSession — without it the events scan dies with
+    ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS))``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

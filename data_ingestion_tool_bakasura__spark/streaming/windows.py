@@ -45,6 +45,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # Runtime-settable; makes the nanos-ts scan work under any caller
+    # session (the batch reader does the same in load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     stage = os.path.join(
         tempfile.gettempdir(), "bakasura_stream_stage", sf_dir.strip("/").replace("/", "_")

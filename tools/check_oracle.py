@@ -69,6 +69,18 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        # Driver-hash parity: the driver hashes values dtype-sensitively,
+        # so int64 8 vs float64 8.0 (DuckDB HUGEINT fetched as float)
+        # mismatches even though Python == treats them equal. Flag any
+        # numeric-kind drift per column (i/u vs f) loudly.
+        kinds = {}
+        for c in sorted(set(sdf.columns) & set(odf.columns)):
+            ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+            norm = lambda k: "i" if k in "iu" else k
+            if norm(ks) != norm(ko):
+                kinds[c] = (str(sdf[c].dtype), str(odf[c].dtype))
+        if kinds:
+            print(f"WARN {name}: dtype drift (spark vs duckdb): {kinds}")
         cs, co = canon(sdf), canon(odf)
         if len(cs) != len(co):
             print(f"FAIL {name}: row count spark={len(cs)} duckdb={len(co)}")
