@@ -48,6 +48,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-settable; makes the nanos-ts scan work under any caller
     # session (the batch reader does the same in load_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
     stage = os.path.join(
         tempfile.gettempdir(), "bakasura_stream_stage", sf_dir.strip("/").replace("/", "_")
