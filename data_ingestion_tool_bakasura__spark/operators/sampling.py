@@ -89,19 +89,84 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
 
 
 def token_budget_select(df: DataFrame, score_col: str, token_col: str,
-                        budget: int, tiebreak_col: str) -> DataFrame:
+                        budget: int, tiebreak_col: str,
+                        n_buckets: int | None = None) -> DataFrame:
     """Highest-scored rows whose cumulative token count fits ``budget``
-    (corpus curation under a training-token budget). One global sort
-    (range-partitioned at scale) + running sum; (score desc, tiebreak)
-    makes selection deterministic."""
+    (corpus curation under a training-token budget), deterministic in
+    (score desc, tiebreak) order.
+
+    Scale design — a naive ``sum() OVER (ORDER BY score)`` is a
+    single-partition window (the whole corpus in one task). Instead, a
+    two-phase distributed prefix sum:
+
+    1. approx score quantiles define value-based buckets (bucket is a
+       pure monotone function of score, so equal scores always share a
+       bucket and (bucket asc, score desc, tiebreak) IS the global
+       order);
+    2. a column-pruned pass computes per-bucket token totals -> driver
+       (``n_buckets`` scalars) -> cumulative offsets, and buckets whose
+       offset already exceeds the budget are dropped BEFORE the heavy
+       pass (at scale only the winning prefix of the corpus is ever
+       sorted);
+    3. the cumulative sum is a per-bucket window (hash-partitioned
+       exchange, one task per bucket) plus the broadcast offset.
+
+    Caveat: heavily-quantized scores collapse quantile boundaries, so a
+    single over-popular score value degrades that one bucket to one
+    task (never worse than the naive plan).
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    score = F.col(score_col)
+    bounds: list[float] = []
+    if n_buckets > 1:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.stat.approxQuantile(score_col, probs, 0.001)),
+                        reverse=True)
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        # number of boundaries strictly above this score: 0 = top bucket
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(b > score, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    d = df.withColumn("_tb_bucket", bucket)
+
+    # Phase 2: per-bucket totals. Catalyst prunes this branch to
+    # (score, token) columns; recomputing the pruned lineage is the
+    # documented price of a prefix sum without caching 100 TB.
+    totals = {
+        r["_tb_bucket"]: r["t"]
+        for r in d.groupBy("_tb_bucket").agg(F.sum(token_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b] or 0
+    keep = [b for b, off in offsets.items() if off < budget]
+    if not keep:
+        return df.filter(F.lit(False))
+    max_keep = max(keep)
+    off_df = spark.createDataFrame(
+        [(int(b), int(offsets[b])) for b in keep],
+        "_tb_bucket int, _tb_off bigint",
+    )
+
+    # Phase 3: local running sum per bucket + broadcast offset.
     w = (
-        Window.orderBy(F.col(score_col).desc(), F.col(tiebreak_col))
+        Window.partitionBy("_tb_bucket")
+        .orderBy(score.desc(), F.col(tiebreak_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("_cum_tokens", F.sum(token_col).over(w))
-        .filter(F.col("_cum_tokens") <= budget)
-        .drop("_cum_tokens")
+        d.filter(F.col("_tb_bucket") <= max_keep)
+        .withColumn("_tb_cum", F.sum(token_col).over(w))
+        .join(F.broadcast(off_df), "_tb_bucket")
+        .filter(F.col("_tb_off") + F.col("_tb_cum") <= budget)
+        .drop("_tb_bucket", "_tb_cum", "_tb_off")
     )
 
 

@@ -81,3 +81,33 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_token_budget_no_single_partition_window(spark):
+    """token_budget_select's cumulative sum must be a per-bucket window
+    (hash-partitioned exchange), never Exchange SinglePartition — the
+    classic global-window scale-killer (VERDICT r01 #3)."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import token_budget_select
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("score"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    sel = token_budget_select(docs, "score", "n_tok", budget=5_000, tiebreak_col="doc_id")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(_tb_bucket" in plan, plan[:2000]
+
+    # values still equal the naive global-order prefix selection
+    import itertools
+
+    rows = docs.orderBy(F.desc("score"), "doc_id").collect()
+    cum, want = 0, set()
+    for r in rows:
+        cum += r["n_tok"]
+        if cum > 5_000:
+            break
+        want.add(r["doc_id"])
+    got = {r["doc_id"] for r in sel.collect()}
+    assert got == want
