@@ -4,8 +4,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count() materializes the full
-plan) after a warm-up of the session; per-query wall time is recorded.
+Each query is executed to completion via the `noop` sink (count() would
+let Catalyst prune expensive projected columns that nothing aggregates
+over, under-measuring e.g. embedding columns); per-query wall time is
+recorded after a session warm-up.
 """
 
 from __future__ import annotations
@@ -55,13 +57,17 @@ def main() -> None:
     spark = get_spark("bakasura-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(df) -> None:
+        # noop sink: full computation of every output column, no I/O
+        df.write.format("noop").mode("overwrite").save()
+
     # warm-up: JVM + parquet footer caches, not measured
-    QUERIES["q_top_orders"](spark, sf_dir).count()
+    materialize(QUERIES["q_top_orders"](spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        materialize(QUERIES[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)

@@ -315,7 +315,8 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash64(col: str) -> Column:
-    """64-bit SimHash of the whitespace tokens as a bigint.
+    """64-bit SimHash of the whitespace tokens as a bigint (semantic
+    reference form — see :func:`simhash64_agg` for the fast path).
 
     Each distinct token votes +1/-1 per bit using bits of md5(token)
     (bit b of a token = bit (3 - b%4) of hex nibble b/4); the signature
@@ -323,6 +324,11 @@ def simhash64(col: str) -> Column:
     of higher-order functions — per-row, no shuffle, no UDF. Takes a
     column NAME (SQL shift/conv need expression-typed shift amounts,
     which the Python Column API doesn't accept).
+
+    Cost caveat: nested higher-order functions get no whole-stage
+    codegen and this form re-evaluates md5(token) once PER BIT (64x).
+    Fine for a handful of rows; for corpus-scale signatures use
+    :func:`simhash64_agg`, which computes each digest once.
     """
     toks = (
         f"array_distinct(split(trim(regexp_replace({col}, '\\\\s+', ' ')), ' '))"
@@ -341,6 +347,46 @@ def simhash64(col: str) -> Column:
     return F.expr(packed)
 
 
+def simhash64_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out: str = "sig"
+) -> DataFrame:
+    """(id, sig) with the SAME 64-bit SimHash as :func:`simhash64`, via
+    the aggregation fast path: explode distinct tokens, ONE md5 + 16
+    nibble extractions per token (flat codegen-able projection; Spark's
+    subexpression elimination shares the digest), then 64 map-side
+    partial bit-count sums per doc. The exchange carries 65 ints per
+    (doc, partition) — O(docs), not O(tokens) — the same
+    explode->flat-columns->partial-agg shape as the MinHash path, which
+    measured ~7x faster than the nested higher-order expression."""
+    toks = F.array_distinct(
+        F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    )
+    ex = df.select(_c(id_col).alias("_id"), F.explode(toks).alias("t")).withColumn(
+        "h", F.md5("t")
+    )
+    nib = [
+        F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
+        for i in range(16)
+    ]
+    ex = ex.select("_id", *nib)
+    # vote for bit b is +1 when bit (3 - b%4) of nibble b//4 is set else -1;
+    # sum(vote) > 0  <=>  2 * count(bit set) > count(tokens)
+    bit_sums = [
+        F.sum(F.shiftright(F.col(f"n{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("_id").agg(F.count("*").alias("_nt"), *bit_sums)
+    packed = F.lit(0).cast("bigint")
+    for b in range(64):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"c{b}") * 2 > F.col("_nt"),
+                F.expr(f"shiftleft(cast(1 as bigint), {b})"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return agg.select("_id", packed.alias(out))
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
 ) -> DataFrame:
@@ -349,13 +395,12 @@ def simhash_candidates(
     (Hamming distance <= 64/bands * (bands-1) guaranteed coverage for
     small distances, standard pigeonhole argument)."""
     width = 64 // bands
-    sig = simhash64(text_col)
     band_expr = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> concat(cast(b as string), ':', "
         f"cast(shiftrightunsigned(sig, cast(b as int) * {width}) & {(1 << width) - 1} "
         f"as string)))"
     )
-    keyed = df.select(_c(id_col).alias("_id"), sig.alias("sig")).select(
+    keyed = simhash64_agg(df, text_col, id_col, out="sig").select(
         "_id", F.explode(band_expr).alias("bkey")
     )
     a, b = keyed.alias("a"), keyed.alias("b")

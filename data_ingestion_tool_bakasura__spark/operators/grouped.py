@@ -85,9 +85,11 @@ def zscore_within_group(
 @F.pandas_udf(T.DoubleType())
 def geometric_mean(v: pd.Series) -> float:
     """GROUPED_AGG pandas UDF: exp(mean(log(x))) over positive values
-    (use inside ``groupBy(...).agg(geometric_mean(col))``)."""
+    (use inside ``groupBy(...).agg(geometric_mean(col))``). A group
+    with no positive values yields NULL — matching SQL
+    ``exp(avg(ln(x)) FILTER (WHERE x > 0))`` semantics, not 0.0."""
     x = v[v > 0]
-    return float(np.exp(np.log(x).mean())) if len(x) else 0.0
+    return float(np.exp(np.log(x).mean())) if len(x) else None
 
 
 @F.pandas_udf(T.LongType())

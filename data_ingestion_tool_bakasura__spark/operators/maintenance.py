@@ -22,20 +22,28 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
 
 
 def table_file_stats(spark: SparkSession, path: str) -> dict:
-    """File-level health of a parquet table: count, bytes, avg size."""
+    """File-level health of a parquet table: count, bytes, avg size.
+
+    Only local (``file://`` / bare) paths are supported: sizes come from
+    a filesystem stat. A remote path would silently yield zeros — and
+    zeros feed ``compact``'s output-file count — so it is an error, not
+    a guess. (On a real cluster use the Hadoop FileSystem listing.)
+    """
     files = [
-        (r["file_path"], r["file_size"])
+        r["file_path"]
         for r in spark.read.parquet(path)
-        .select(
-            F.input_file_name().alias("file_path"),
-        )
+        .select(F.input_file_name().alias("file_path"))
         .distinct()
-        .withColumn("file_size", F.lit(None))
         .collect()
     ]
+    remote = [p for p in files if "://" in p and not p.startswith("file:")]
+    if remote:
+        raise ValueError(
+            f"table_file_stats only stats local paths; got remote files like {remote[0]!r}"
+        )
     # sizes via filesystem (input_file_name gives paths; cheap local stat)
     sizes = []
-    for p, _ in files:
+    for p in files:
         local = p.removeprefix("file://")
         if os.path.exists(local):
             sizes.append(os.path.getsize(local))
@@ -54,8 +62,16 @@ def compact(
     partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` with right-sized files; returns before/after
-    stats. Atomic via tmp-dir swap. Row content is preserved exactly;
-    only the file layout changes."""
+    stats. Row content is preserved exactly; only the file layout
+    changes.
+
+    Swap discipline: the rewrite lands in ``_compact_tmp``; the swap is
+    two renames with a try/except that restores the original directory
+    if the second rename fails, and the old copy is deleted only after
+    the new path reads back. The swap is near-atomic, not atomic — a
+    hard crash between the two renames can leave ``path`` briefly
+    missing with data intact in ``_compact_old`` (a true atomic swap
+    needs a lakehouse table format or ``renameat2``-style exchange)."""
     before = table_file_stats(spark, path)
     df = spark.read.parquet(path)
     n_out = max(1, math.ceil(max(before["total_bytes"], 1) / target_file_bytes))
@@ -64,10 +80,15 @@ def compact(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    # swap: readers of `path` see old-or-new, never partial
     old = path.rstrip("/") + "_compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # restore: the table must never stay missing
+        raise
+    # verify the new layout reads before dropping the old copy
+    spark.read.parquet(path).schema
     shutil.rmtree(old)
     after = table_file_stats(spark, path)
     return {"before": before, "after": after, "target_files": n_out}

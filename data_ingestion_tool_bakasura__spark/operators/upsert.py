@@ -15,16 +15,29 @@ with a real lakehouse format.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def upsert_by_key(current: DataFrame, updates: DataFrame, key: str = "id") -> DataFrame:
     """Return the post-merge state of ``current`` with ``updates`` applied.
 
-    Updates deduped on key first (last-writer-wins needs an explicit
-    order; we keep the max over remaining columns for determinism).
+    Updates deduped on key first. Last-writer-wins needs an explicit
+    order, so the kept row is the lexicographic max over the remaining
+    columns (``dropDuplicates`` keeps an arbitrary row — that would make
+    conflicting-batch merges nondeterministic across retries).
     """
-    upd = updates.dropDuplicates([key])
+    others = [c for c in updates.columns if c != key]
+    if others:
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc_nulls_last() for c in others]
+        )
+        upd = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        upd = updates.dropDuplicates([key])
     survivors = current.join(F.broadcast(upd.select(key)), on=key, how="left_anti")
     return survivors.unionByName(upd)

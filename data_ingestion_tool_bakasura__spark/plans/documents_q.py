@@ -687,12 +687,14 @@ LIMIT 20
 
 def q_simhash_bands(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash of the token set as 4 x 16-bit band keys (the exact keys
-    simhash_candidates buckets on). Per-row expression, no shuffle; the
+    simhash_candidates buckets on). Aggregation fast path: one md5 per
+    token + 64 map-side partial bit sums (the exchange is O(docs)); the
     oracle recomputes every bit vote in SQL, so the full 64-bit
     signature is value-checked."""
     docs = load_table(spark, sf, "documents")
-    sig = DD.simhash64("text")
-    out = docs.select("doc_id", sig.alias("sig"))
+    out = DD.simhash64_agg(docs, "text", "doc_id", out="sig").withColumnRenamed(
+        "_id", "doc_id"
+    )
     return out.selectExpr(
         "doc_id",
         *[f"cast(shiftrightunsigned(sig, {16 * b}) & 65535 as int) as band{b}" for b in range(4)],

@@ -125,3 +125,17 @@ def test_ivf_partitions_cover_corpus(spark):
     assigned = SIM.ivf_assign(emb, cents)
     assert assigned.count() == emb.count()
     assert assigned.select("c_id").distinct().count() <= 8
+
+
+def test_simhash_agg_equals_expression_form(spark):
+    """simhash64_agg (fast path) must produce bit-identical signatures
+    to the simhash64 reference expression."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    ref = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", DD.simhash64("text").alias("sig")).collect()
+    }
+    fast = {
+        r["_id"]: r["sig"] for r in DD.simhash64_agg(docs, "text", "doc_id").collect()
+    }
+    assert fast == ref
