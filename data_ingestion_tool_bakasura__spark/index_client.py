@@ -21,6 +21,10 @@ dedup probe is an anti-join, not a racy check-then-write.
 
 from __future__ import annotations
 
+import contextlib
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,18 +73,55 @@ class IndexClient:
 
     # -- ingest ------------------------------------------------------------
 
+    @contextlib.contextmanager
+    def _writer_lock(self, timeout: float = 120.0, stale: float = 600.0):
+        """Serialize probe+append across concurrent writers.
+
+        The reference's probe-then-upload races under two writers
+        (``db_utils.py:135-169``) — the one bug SURVEY §7 pledges not to
+        replicate. Plain parquet has no transaction log, so mutual
+        exclusion is explicit: an atomic ``os.mkdir`` lock next to the
+        table (POSIX mkdir either creates or fails — no TOCTOU), with
+        stale-lock breaking for crashed writers. Local-filesystem scope
+        by design; on a cluster this becomes a lakehouse transactional
+        MERGE (Delta/Iceberg), not a bigger lock.
+        """
+        lock = self.path.rstrip("/") + ".lock"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                with contextlib.suppress(OSError):
+                    if time.time() - os.path.getmtime(lock) > stale:
+                        os.rmdir(lock)
+                        continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire writer lock {lock!r}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
+
     def store(self, index_rows: DataFrame) -> int:
         """Dedup-checked append (A18+A19, batched): drops rows whose
-        text_hash already exists, appends the rest; returns rows added."""
-        fresh = index_rows.join(
-            self.table().select("text_hash").distinct(), on="text_hash", how="left_anti"
-        ).cache()
-        n = fresh.count()
-        if n:
-            fresh.select([f.name for f in INDEX_SCHEMA.fields]).write.mode("append").parquet(
-                self.path
-            )
-        fresh.unpersist()
+        text_hash already exists, appends the rest; returns rows added.
+        The probe and append run under :meth:`_writer_lock`, so two
+        concurrent ``store`` calls cannot both pass the probe and write
+        duplicate keys."""
+        with self._writer_lock():
+            fresh = index_rows.join(
+                self.table().select("text_hash").distinct(), on="text_hash", how="left_anti"
+            ).cache()
+            n = fresh.count()
+            if n:
+                fresh.select([f.name for f in INDEX_SCHEMA.fields]).write.mode("append").parquet(
+                    self.path
+                )
+            fresh.unpersist()
         return n
 
     # -- query surface (B1-B7) ---------------------------------------------

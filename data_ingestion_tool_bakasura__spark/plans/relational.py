@@ -904,6 +904,13 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
     )
     return (
+        # CARDINALITY ASSUMPTION: this whole-frame window runs over the
+        # ALREADY-AGGREGATED per-supplier rows (one row per supplier —
+        # ~10k at sf1, bounded by the supplier dimension), so the single
+        # partition it collapses to holds a dimension's worth of 16-byte
+        # rows, not fact data. Do NOT copy this pattern onto an
+        # unaggregated input — there it is the single-task scale-killer
+        # (see token_budget_select for the distributed alternative).
         rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy()))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)

@@ -53,3 +53,36 @@ def test_search_surface(spark, tmp_path):
 
 def test_ping(spark, tmp_path):
     assert IndexClient(spark, str(tmp_path / "idx3"), embedding_dim=8).ping() is True
+
+
+def test_concurrent_store_no_duplicate_keys(spark, tmp_path):
+    """Two writers storing overlapping batches CONCURRENTLY must not
+    both pass the dedup probe (the reference's check-then-upload race,
+    db_utils.py:135-169): the writer lock serializes probe+append, so
+    the final table has unique text_hash values."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    client = IndexClient(spark, str(tmp_path / "idx_cc"), embedding_dim=8)
+    client.initialize()
+    batches = [_rows(spark, 0, 25), _rows(spark, 5, 30)]
+    with ThreadPoolExecutor(2) as ex:
+        added = list(ex.map(client.store, batches))
+    t = client.table()
+    assert t.count() == t.select("text_hash").distinct().count()
+    assert sum(added) == t.count()
+
+
+def test_writer_lock_breaks_stale_lock(spark, tmp_path):
+    """A lock left behind by a crashed writer must not wedge ingestion
+    forever: locks older than `stale` seconds are broken."""
+    import os
+    import time as _t
+
+    client = IndexClient(spark, str(tmp_path / "idx_stale"), embedding_dim=8)
+    client.initialize()
+    lock = str(tmp_path / "idx_stale").rstrip("/") + ".lock"
+    os.mkdir(lock)
+    old = _t.time() - 10_000
+    os.utime(lock, (old, old))
+    assert client.store(_rows(spark, 0, 5)) > 0  # acquires by breaking stale lock
+    assert not os.path.exists(lock)
