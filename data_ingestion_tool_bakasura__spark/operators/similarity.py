@@ -134,10 +134,18 @@ def lsh_bucket_keys(
     return F.array(*keys)
 
 
-def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8):
+def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8, probes: int = 0):
     """Arrow-batched signature UDF: one (batch x dim) @ (dim x T*B)
     matmul per batch, signs packed to 'table:bits' keys. Identical
-    hyperplanes (and hence keys) to :func:`lsh_bucket_keys`."""
+    hyperplanes (and hence keys) to :func:`lsh_bucket_keys`.
+
+    ``probes`` > 0 enables query-directed multi-probe (Lv et al.,
+    VLDB'07): per table, also emit the ``probes`` keys with ONE
+    lowest-|margin| bit flipped — the bits a true near neighbor is most
+    likely to disagree on. This is the efSearch-style recall knob: use
+    it on the (broadcast) QUERY side only, so the corpus index keeps one
+    key per table and the extra work scales with queries, not corpus.
+    """
     H = np.array(
         [_hyperplane(dim, t, b) for t in range(num_tables) for b in range(bits)]
     ).T  # dim x (tables*bits)
@@ -149,15 +157,24 @@ def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8):
             raise ValueError(
                 f"lsh_bucket_keys_udf: vectors are {V.shape[1]}-d but dim={H.shape[0]}"
             )
-        S = V @ H >= 0  # n x (tables*bits)
+        P = V @ H  # n x (tables*bits) raw margins; sign = bucket bit
         out = []
-        for row in S:
-            out.append(
-                [
-                    f"{t}:" + "".join("1" if x else "0" for x in row[t * bits : (t + 1) * bits])
-                    for t in range(num_tables)
-                ]
-            )
+        for row in P:
+            keys = []
+            for t in range(num_tables):
+                block = row[t * bits : (t + 1) * bits]
+                base = block >= 0
+                keys.append(
+                    f"{t}:" + "".join("1" if x else "0" for x in base)
+                )
+                if probes:
+                    for b in np.argsort(np.abs(block))[:probes]:
+                        flipped = base.copy()
+                        flipped[b] = not flipped[b]
+                        keys.append(
+                            f"{t}:" + "".join("1" if x else "0" for x in flipped)
+                        )
+            out.append(keys)
         return pd.Series(out)
 
     return _keys
@@ -173,12 +190,15 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     num_tables: int = 4,
     bits: int = 8,
+    probes: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates = bucket-key equi-join, then exact rescore.
 
     Scan fraction ~ sum of matching-bucket sizes instead of the full
-    corpus; recall grows with num_tables, precision of pruning with
-    bits. Rescoring is exact cosine on candidates only.
+    corpus; recall grows with num_tables and ``probes`` (query-side
+    multi-probe), precision of pruning with bits. Rescoring is exact
+    cosine on candidates only. See ANN.md for the measured
+    recall-vs-scan-fraction table behind the defaults.
     """
     keys_udf = lsh_bucket_keys_udf(dim, num_tables, bits)
     c_keyed = corpus.select(
@@ -186,11 +206,12 @@ def lsh_ann_topk(
         _c(vec_col).alias("_cvec"),
         F.explode(keys_udf(_c(vec_col))).alias("bkey"),
     )
+    probe_udf = lsh_bucket_keys_udf(dim, num_tables, bits, probes=probes)
     q_keyed = F.broadcast(
         queries.select(
             _c(query_id).alias(query_id),
             _c(vec_col).alias("_qvec"),
-            F.explode(keys_udf(_c(vec_col))).alias("bkey"),
+            F.explode(probe_udf(_c(vec_col))).alias("bkey"),
         )
     )
     # score map-side BEFORE deduplicating candidates: a pair that matches

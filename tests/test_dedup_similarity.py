@@ -139,3 +139,51 @@ def test_simhash_agg_equals_expression_form(spark):
         r["_id"]: r["sig"] for r in DD.simhash64_agg(docs, "text", "doc_id").collect()
     }
     assert fast == ref
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Query-directed multi-probe (probes>0) must not lose candidates:
+    probed buckets are a superset of base buckets, so recall is
+    monotone in `probes`; on this corpus it strictly improves."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.cosine_topk_batch(emb, queries, k=5).collect()
+    }
+
+    def recall(probes):
+        ann = {
+            (r["q_id"], r["vec_id"])
+            for r in SIM.lsh_ann_topk(
+                emb, queries, dim=64, k=5, num_tables=8, bits=6, probes=probes
+            ).collect()
+        }
+        return len(ann & exact) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0
+    assert r4 >= 0.5, f"multi-probe recall too low: {r4}"
+
+
+def test_lsh_ann_recovers_planted_high_cos_neighbor(spark):
+    """The curation regime ANN.md sizes the defaults for: a planted
+    cos>=0.98 neighbor must be retrieved at the default (4 tables,
+    8 bits) config."""
+    import numpy as np
+
+    rng = [float(x) for x in np.cos(np.arange(64))]  # deterministic base vector
+    near = list(rng)
+    near[0] += 0.1  # tiny perturbation: cosine ~0.999
+    rows = [(0, rng), (1, near)] + [
+        (i, [float(x) for x in np.cos(np.arange(64) * i + 7)]) for i in range(2, 200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("q_id"), "embedding")
+    got = {
+        r["vec_id"]
+        for r in SIM.lsh_ann_topk(emb.filter("vec_id > 0"), q, dim=64, k=3).collect()
+    }
+    assert 1 in got
