@@ -972,6 +972,440 @@ ORDER BY c_mktsegment
 """
 
 
+# --- C4/C5/C10 nation-flow revenue (TPC-H Q7 shape) -----------------------
+
+def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 shape: bilateral revenue flow between two nations by ship
+    year. Fact scan joins two broadcast dimension chains (supplier->
+    nation, orders->customer->nation); the nation-pair filter lands
+    after both broadcasts, the date filter is pushed to the scan. One
+    agg exchange on (supp_nation, cust_nation, year)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    pair = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .drop("n_nationkey")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat.withColumnRenamed("n_name", "cust_nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        pair.filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE["q_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INTEGER AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- C5 conditional-share aggregate (TPC-H Q8 shape) ----------------------
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 shape: NATION_3 suppliers' share of PROMO-part revenue sold to
+    ASIA customers, per order year. The share is one conditional
+    aggregate (sum(case)/sum), NOT a join of two aggregations — a single
+    agg exchange after an all-broadcast dimension chain."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE["q_market_share"] = """
+SELECT year(o_orderdate)::INTEGER AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- C5 profit rollup by nation/year (TPC-H Q9 shape) ---------------------
+
+def q_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 shape adapted to the fixture schema (no partsupp table, so
+    supply cost is proxied as 60% of p_retailprice): profit per supplier
+    nation per order year over STANDARD-type parts. The p_type filter
+    prunes the broadcast part dim BEFORE the fact join."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type", "p_retailprice")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE["q_profit_by_nation"] = """
+SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+# --- C5 two-level conditional counts (TPC-H Q12 shape) --------------------
+
+def q_ship_delay_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shape adapted (no l_shipmode column): orders bucketed by
+    ship delay (days from order to ship), counting high- vs low-priority
+    line items per class. CASE-sum conditional counts — one scan-side
+    join + one agg exchange."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    cls = (
+        F.when(delay <= 30, "fast")
+        .when(delay <= 90, "normal")
+        .otherwise("slow")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(cls.alias("delay_class"))
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+ORACLE["q_ship_delay_classes"] = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+            ELSE 'slow' END AS delay_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY delay_class
+ORDER BY delay_class
+"""
+
+
+# --- C4/C5 left-join count distribution (TPC-H Q13 shape) -----------------
+
+def q_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts INCLUDING
+    zero-order customers (left outer join, count of non-null keys, then
+    a second aggregation over the counts). Two agg exchanges; the second
+    input is one row per customer."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE["q_order_count_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- C5 conditional-revenue ratio (TPC-H Q14 shape) -----------------------
+
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 shape: PROMO parts' percentage of revenue in one quarter.
+    One conditional aggregate over the date-pruned fact scan with a
+    broadcast part dim; single output row."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+ORACLE["q_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+"""
+
+
+# --- C5 distinct-count by attributes (TPC-H Q16 shape) --------------------
+
+def q_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 shape adapted (no partsupp table: supplier-part pairs come
+    from shipped line items): distinct suppliers per (brand, size band)
+    excluding one brand. countDistinct after a broadcast dim join; the
+    distinct is the only wide exchange."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+                )
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+ORACLE["q_supplier_part_counts"] = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# --- C4/C5 group-having semi-join (TPC-H Q18 shape) -----------------------
+
+def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 300, with their
+    customers. ONE lineitem aggregation serves both the HAVING filter
+    and the output quantity (the textbook IN-subquery would scan
+    lineitem twice — Spark shares no subtrees across DataFrame
+    branches); qualifying orders are tiny, so the joins broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE["q_large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+# --- C3 disjunctive pushdown predicates (TPC-H Q19 shape) -----------------
+
+def q_brand_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape: revenue under an OR of (brand, size, quantity-band)
+    predicate groups. The part-side conjuncts prune the broadcast dim;
+    the common l_quantity bounds are scan predicates. Single-row output."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    g1 = (
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(g1 | g2 | g3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+ORACLE["q_brand_quantity_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- C4 relative-threshold semi-join (TPC-H Q20 shape) --------------------
+
+def q_top_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape adapted (no partsupp): suppliers whose 1996 shipped
+    quantity of SMALL-type parts exceeds the cross-supplier average.
+    The scalar average is a whole-frame window over the per-supplier
+    aggregate (dimension cardinality — same bounded pattern as Q15,
+    see the cardinality comment there); the final step is a broadcast
+    semi-join into the supplier dim."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    sq = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(part.filter(F.col("p_type") == "SMALL")),
+              li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    picked = (
+        sq.withColumn("avg_qty", F.avg("qty").over(Window.partitionBy()))
+        .filter(F.col("qty") > F.col("avg_qty"))
+        .select("l_suppkey", "qty")
+    )
+    return (
+        sup.join(F.broadcast(picked), sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q_top_shippers"] = """
+WITH sq AS (
+  SELECT l_suppkey, round(sum(l_quantity), 2) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM sq WHERE qty > (SELECT avg(qty) FROM sq))
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
