@@ -825,6 +825,186 @@ ORDER BY doc_id
 """
 
 
+# --- B8/B10: Okapi BM25 + hybrid RRF fusion -------------------------------
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topdocs(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) for the fixed query-term set, top 20.
+
+    Same one-explode discipline as q_tfidf_topdocs, with the doc length
+    carried THROUGH the explode (``dl`` is projected before explode and
+    re-aggregated with first()), so tf, df and dl all come from one text
+    scan; N and avgdl are a second, 1-row aggregate scan broadcast to
+    the scorer. df is a window count over the tiny (doc,term) table."""
+    docs = load_table(spark, sf, "documents")
+    toks_arr = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    stats = F.broadcast(
+        docs.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg(F.size(toks_arr)).alias("avgdl"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.size(toks_arr).alias("dl"), F.explode(toks_arr).alias("tk")
+    ).filter(F.col("tk").isin(*_TFIDF_TERMS))
+    tf = toks.groupBy("doc_id", "tk").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("tk")))
+        .join(stats)
+        .withColumn("w", idf * F.col("tf") * (_BM25_K1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+_BM25_SQL = f"""
+WITH stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(len({_TOKS}))::DOUBLE AS avgdl FROM documents
+),
+toks AS (
+  SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS tk FROM documents
+),
+tf AS (
+  SELECT doc_id, tk, count(*) AS tf, first(dl) AS dl FROM toks
+  WHERE tk IN ('data', 'hash', 'scan') GROUP BY doc_id, tk
+),
+df_t AS (
+  SELECT tk, count(*) AS df FROM tf GROUP BY tk
+)
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / stats.avgdl))), 6)
+           AS bm25
+FROM tf JOIN df_t USING (tk) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+ORACLE["q_bm25_topdocs"] = f"""
+{_BM25_SQL}
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with exact-cosine
+    vector ranking (query = embedding of vec_id 0; embeddings align
+    1:1 with doc_id) by Reciprocal Rank Fusion, k=60 — the semantic
+    rerank stage (B10, ``db_utils.py:112-118``) as relational algebra.
+
+    Scale shape: each leg is cut to its top-100 FIRST via orderBy+limit
+    (TakeOrderedAndProject — distributed partial top-k), so the
+    rank-assignment window runs over <=100 rows per leg (bounded by the
+    cut, not the corpus) and the fusion join is a tiny full-outer."""
+    from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity
+
+    # lexical leg: same one-scan BM25 plan as q_bm25_topdocs, cut to 100
+    docs = load_table(spark, sf, "documents")
+    toks_arr = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    stats = F.broadcast(
+        docs.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg(F.size(toks_arr)).alias("avgdl"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.size(toks_arr).alias("dl"), F.explode(toks_arr).alias("tk")
+    ).filter(F.col("tk").isin(*_TFIDF_TERMS))
+    tf = toks.groupBy("doc_id", "tk").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("tk")))
+        .join(stats)
+        .withColumn("w", idf * F.col("tf") * (_BM25_K1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+    )
+    # rank over the bounded top-100 (not the corpus)
+    bm_ranked = bm.withColumn(
+        "r_bm",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+    ).select("doc_id", "r_bm")
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    )
+    vec = (
+        emb.crossJoin(qv)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity("embedding", "_qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(100)
+    )
+    vec_ranked = vec.withColumn(
+        "r_vec",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), "doc_id")),
+    ).select("doc_id", "r_vec")
+
+    fused = (
+        bm_ranked.join(vec_ranked, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .select("doc_id", "rrf")
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+ORACLE["q_hybrid_rrf"] = f"""
+WITH bm_scored AS (
+{_BM25_SQL}
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+  FROM bm_scored ORDER BY bm25 DESC, doc_id LIMIT 100
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+  ) ORDER BY cos_sim DESC, doc_id LIMIT 100
+)
+SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+       round(COALESCE(1.0 / (60 + r_bm), 0) + COALESCE(1.0 / (60 + r_vec), 0), 6) AS rrf
+FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
