@@ -48,6 +48,10 @@ HEADLINE = [
     "q_corpus_filter",         # composed pre-training corpus gate
     "q_small_quantity_revenue",  # correlated aggregate (Q17 shape)
     "q_curation_pipeline",     # filter -> dedup -> decontaminate -> split
+    "q_token_budget",          # distributed two-phase prefix sum
+    "q_bm25_topdocs",          # one-scan Okapi BM25
+    "q_hybrid_rrf",            # BM25 + vector-cosine RRF fusion
+    "q_volume_shipping",       # Q7 bilateral nation-flow join chain
 ]
 
 

@@ -90,7 +90,8 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
 
 def token_budget_select(df: DataFrame, score_col: str, token_col: str,
                         budget: int, tiebreak_col: str,
-                        n_buckets: int | None = None) -> DataFrame:
+                        n_buckets: int | None = None,
+                        checkpoint: bool = True) -> DataFrame:
     """Highest-scored rows whose cumulative token count fits ``budget``
     (corpus curation under a training-token budget), deterministic in
     (score desc, tiebreak) order.
@@ -114,8 +115,18 @@ def token_budget_select(df: DataFrame, score_col: str, token_col: str,
     Caveat: heavily-quantized scores collapse quantile boundaries, so a
     single over-popular score value degrades that one bucket to one
     task (never worse than the naive plan).
+
+    ``checkpoint`` (default on) localCheckpoints ``df`` first so the
+    quantile, totals and window passes read materialized scalars
+    instead of recomputing the scoring lineage three times (measured
+    21s -> ~3s at sf0.1 when the score is regexp-derived). PROJECT
+    BEFORE CALLING: everything in ``df`` is materialized, so pass only
+    (id, score, tokens)-shaped columns — at corpus scale that is tens
+    of bytes per row, which is exactly what you'd persist anyway.
     """
     spark = df.sparkSession
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     score = F.col(score_col)

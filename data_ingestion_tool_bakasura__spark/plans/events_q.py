@@ -392,6 +392,46 @@ ORDER BY day
 """
 
 
+# --- C5/C10: ordered funnel conversion ------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click -> purchase funnel: a user advances a stage only if
+    the next event's FIRST occurrence is strictly after the previous
+    stage's first occurrence (min-timestamp monotonicity — the standard
+    simplified funnel). ONE aggregation per user (three conditional
+    mins from one scan), then a 1-row roll-up; no joins, no windows."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.sum(viewed.cast("bigint")).alias("n_viewed"),
+        F.sum(clicked.cast("bigint")).alias("n_clicked_after_view"),
+        F.sum(bought.cast("bigint")).alias("n_full_funnel"),
+    )
+
+
+ORACLE["q_funnel_conversion"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
