@@ -1406,6 +1406,233 @@ ORDER BY s_suppkey
 """
 
 
+# --- C3/C5: TPC-H Q6 shape — forecast revenue change ----------------------
+
+def q_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 shape: one-row revenue-change forecast over a year of
+    discount-band, low-quantity lineitems. The whole query is a scan
+    with every predicate pushed to the parquet footers and a single
+    partial->final aggregate — the canonical 'filters reach the scan'
+    probe (PushedFilters shows the date/discount/quantity range)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        # Decimal sum: a single global sum over ~1% of lineitem is the
+        # worst case for double summation-order drift at cent rounding
+        # (see q_returned_items); decimal is order-independent.
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ),
+                2,
+            ).cast("double").alias("forecast_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE["q_revenue_forecast"] = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS forecast_revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- C4/C6: TPC-H Q2 shape — per-part min-cost supplier -------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 shape (no partsupp fixture, so offers come from lineitem): for
+    each small part, the EUROPE supplier with the lowest observed unit
+    price. Per-group argmin is a row_number window partitioned by
+    partkey — a hash exchange on the group key, never a global sort; the
+    supplier/nation/region chain collapses to one broadcast before the
+    fact scan, so the only wide ops are that window exchange and the
+    final top-100 (TakeOrderedAndProject). Unit price is rounded to 6
+    decimals on BOTH sides before ranking, with suppkey as tiebreak, so
+    the argmin is engine-stable."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_size")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf, "region")
+    eu_sup = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg.filter(F.col("r_name") == "EUROPE"),
+              nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        li.join(F.broadcast(part.filter(F.col("p_size") <= 15)),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "s_suppkey", "s_name",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "s_suppkey")
+    return (
+        offers.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE["q_min_cost_supplier"] = """
+WITH eu_sup AS (
+  SELECT s_suppkey, s_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT p_partkey, s_suppkey, s_name,
+         round(l_extendedprice / l_quantity, 6) AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN eu_sup ON l_suppkey = s_suppkey
+  WHERE p_size <= 15
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_price, s_suppkey) AS rn
+  FROM offers
+)
+SELECT p_partkey, s_suppkey, s_name, unit_price
+FROM ranked WHERE rn = 1
+ORDER BY p_partkey LIMIT 100
+"""
+
+
+# --- C5/C7: TPC-H Q10 shape — returned-item lost revenue ------------------
+
+def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. The 100 TB plan aggregates BEFORE touching any dimension:
+    fact-fact join (lineitem R-flag x quarter orders) -> per-customer
+    agg -> top-20 via TakeOrderedAndProject -> only then are the 20
+    survivor rows broadcast against customer and nation, so the
+    dimension joins see 20 rows, not the corpus. Deterministic order:
+    revenue desc, custkey asc."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1995-04-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        # Exact decimal arithmetic: the per-customer sum lands on .xx5
+        # boundaries at sf0.01, where double summation ORDER flips a
+        # round-to-cents result between engines. Decimal sums are
+        # order-independent; round, then cast back for stable hashing.
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
+    )
+    return (
+        cust.join(F.broadcast(rev), cust.c_custkey == rev.o_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+    )
+
+
+ORACLE["q_returned_items"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+              AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  GROUP BY o_custkey
+  ORDER BY revenue DESC, o_custkey LIMIT 20
+)
+SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+"""
+
+
+# --- C5: TPC-H Q11 shape — part value concentration -----------------------
+
+def q_part_value_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 shape (lineitem as the value ledger): parts supplied by
+    NATION_1 whose shipped value exceeds 0.1% of that nation's total.
+    The global threshold is a whole-frame window sum over the ALREADY-
+    AGGREGATED per-part rows (one row per part — bounded by the part
+    dimension; see q_top_revenue_supplier for the cardinality-assumption
+    discipline), which costs one narrow exchange instead of duplicating
+    the fact-scan lineage into a scalar-subquery branch."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1_sup = (
+        sup.join(nat.filter(F.col("n_name") == "NATION_1"),
+                 sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(n1_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    return (
+        per_part.withColumn(
+            "_total", F.sum("part_value").over(Window.partitionBy()))
+        .filter(F.col("part_value") > 0.001 * F.col("_total"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE["q_part_value_concentration"] = """
+WITH per_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM (SELECT *, sum(part_value) OVER () AS total FROM per_part)
+WHERE part_value > 0.001 * total
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
