@@ -80,7 +80,21 @@ def compact(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = path.rstrip("/") + "_compact_old"
+    swap_directory(spark, path, tmp)
+    after = table_file_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n_out}
+
+
+def swap_directory(spark: SparkSession, path: str, tmp: str) -> None:
+    """Replace table directory ``path`` with ``tmp`` (near-atomic swap).
+
+    Two renames with a restore-on-failure guard; the displaced copy is
+    deleted only after the new path reads back. A hard crash between
+    the renames can leave ``path`` briefly missing with data intact in
+    ``*_swap_old`` (a true atomic exchange needs a lakehouse format or
+    ``renameat2``). Shared by ``compact`` and the streaming upsert sink.
+    """
+    old = path.rstrip("/") + "_swap_old"
     os.rename(path, old)
     try:
         os.rename(tmp, path)
@@ -90,5 +104,3 @@ def compact(
     # verify the new layout reads before dropping the old copy
     spark.read.parquet(path).schema
     shutil.rmtree(old)
-    after = table_file_stats(spark, path)
-    return {"before": before, "after": after, "target_files": n_out}

@@ -1005,6 +1005,90 @@ LIMIT 10
 """
 
 
+# --- C16: intra-document repetition filter (Gopher-style) -----------------
+
+def q_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition signals used by training-corpus quality
+    gates (Gopher/MassiveText-style 'repetition removal'): the fraction
+    of occurrences claimed by the single most frequent word, and the
+    duplicate-trigram fraction (1 - distinct/total trigrams). Trigrams
+    come from the same window-lead pattern as the MinHash shingles
+    (operators/dedup.py minhash_signatures) — one explode, two
+    lead columns, no array materialization. The tokenized frame feeds
+    two aggregations (word counts, trigram counts); Spark re-derives the
+    cheap split lineage for each branch — at corpus scale you'd
+    localCheckpoint the token frame exactly like token_budget_select
+    checkpoints its scored projection. Thresholds (0.12 / 0.01) sit at
+    ~p80 of the fixture distribution so both keep and drop are
+    exercised."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", TX.normalize_text("text").alias("t"))
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "w"))
+
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        words.withColumn("w1", F.lead("w", 1).over(wl))
+        .withColumn("w2", F.lead("w", 2).over(wl))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("tri"))
+    )
+    tri_stats = (
+        tri.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tri"), F.count("*").alias("n_tri_distinct"))
+    )
+    w_stats = (
+        words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_word_count"))
+    )
+    topf = F.col("top_word_count") / F.col("n_words")
+    dupf = F.coalesce(
+        F.lit(1.0) - F.col("n_tri_distinct") / F.col("n_tri"), F.lit(0.0))
+    return (
+        w_stats.join(tri_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(topf, 6).alias("top_word_frac"),
+            F.round(dupf, 6).alias("dup_trigram_frac"),
+            ((topf <= 0.12) & (dupf <= 0.01)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_repetition_filter"] = f"""
+WITH idx AS (
+  SELECT doc_id, {_TOKS} AS ws, len({_TOKS}) AS n FROM documents
+), words AS (
+  SELECT doc_id, ws[i] AS w FROM idx
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(n) FROM idx))) AS i) g
+  WHERE i <= n
+), tri AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri FROM idx
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(n) FROM idx))) AS i) g
+  WHERE i + 2 <= n
+), w_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_word_count
+  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+), t_stats AS (
+  SELECT doc_id, sum(c) AS n_tri, count(*) AS n_tri_distinct
+  FROM (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY doc_id, tri)
+  GROUP BY doc_id
+)
+SELECT w.doc_id, n_words,
+       round(top_word_count / n_words::DOUBLE, 6) AS top_word_frac,
+       round(COALESCE(1 - n_tri_distinct / n_tri::DOUBLE, 0.0), 6) AS dup_trigram_frac,
+       (top_word_count / n_words::DOUBLE <= 0.12
+        AND COALESCE(1 - n_tri_distinct / n_tri::DOUBLE, 0.0) <= 0.01) AS keep
+FROM w_stats w LEFT JOIN t_stats t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -93,3 +93,52 @@ def test_incremental_ingest_two_waves(spark, tmp_path):
     # cross-batch dedup: no text_hash appears twice in the streamed index
     dup = streamed.groupBy("text_hash").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_streaming_upsert_two_waves_and_replay(spark, tmp_path):
+    """Key-addressed streaming upsert: two waves with overlapping keys
+    converge to one row per key with the same winners as a batch-mode
+    merge, and replaying wave two (fresh checkpoint, same files) leaves
+    the table unchanged — the idempotence that makes restart-replays
+    exactly-once at the output."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30).select(
+        F.col("doc_id").alias("id"), "text", "source"
+    ).cache()
+    wave1 = docs.filter(F.col("id") < 20).withColumn("version", F.lit(1))
+    # wave2 rewrites ids 10-19 with new text and adds 20-29
+    wave2 = docs.filter(F.col("id") >= 10).withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    ).withColumn("version", F.lit(2))
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    from data_ingestion_tool_bakasura__spark.operators.upsert import upsert_by_key
+
+    wave1.coalesce(1).write.mode("append").parquet(landing)
+    SP.start_streaming_upsert(
+        SP.stream_documents(spark, landing, wave1.schema), table, key="id",
+        order_by=["version"], checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    wave2.coalesce(1).write.mode("append").parquet(landing)
+    SP.start_streaming_upsert(
+        SP.stream_documents(spark, landing, wave1.schema), table, key="id",
+        order_by=["version"], checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    got = spark.read.parquet(table)
+    want = upsert_by_key(wave1, wave2, key="id", order_by=["version"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+    # replay from a FRESH checkpoint (simulates lost offsets): ALL files
+    # re-read as ONE micro-batch — winner election must be grouping-
+    # insensitive (version order, not batch order), converging to the
+    # identical table with no duplicate keys
+    SP.start_streaming_upsert(
+        SP.stream_documents(spark, landing, wave1.schema), table, key="id",
+        order_by=["version"], checkpoint=str(tmp_path / "ckpt_replay"),
+    ).awaitTermination()
+    replayed = spark.read.parquet(table)
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, want.collect()))
