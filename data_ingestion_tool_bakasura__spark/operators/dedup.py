@@ -205,6 +205,35 @@ def lsh_band_keys(sig: Column | str, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(``_id``, ``bkey``) band-bucket rows — the PERSISTED state of
+    incremental near-dup (write this once per corpus, then dedup each
+    increment against it with :func:`minhash_lsh_increment` instead of
+    re-hashing 100 TB of text). One row per (doc, band); ``bkey``
+    prefixes the band ordinal so buckets never collide across bands."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col).alias("_id"), F.explode(band_keys).alias("bkey"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -226,22 +255,7 @@ def minhash_lsh_candidates(
     scale they are noise, and the self-join inside one is O(bucket^2),
     so the cap is what keeps worst-case cost linear in corpus size.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    keyed = sigs.select(
-        F.col(id_col).alias("_id"), F.explode(band_keys).alias("bkey")
-    )
+    keyed = lsh_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
     if max_bucket_size is not None:
         big = (
             keyed.groupBy("bkey")
@@ -258,6 +272,75 @@ def minhash_lsh_candidates(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_lsh_increment(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs touching at least one NEW document,
+    probed against a persisted :func:`lsh_band_index` — the
+    daily-increment dedup path. The corpus text is never re-read: only
+    its (id, band-key) index rows are, and only the buckets the
+    increment actually hits (the index side is semi-joined on the
+    increment's distinct keys, broadcast because an increment's key set
+    is small by assumption). Cost scales with |new| + matched buckets.
+
+    Batch parity (proven in tests): with ``max_bucket_size=None``,
+    the result equals a full :func:`minhash_lsh_candidates` recompute
+    over corpus+new restricted to pairs with a new member. With a cap,
+    bucket sizes are counted over index+new COMBINED — the same
+    populations a full recompute would count — but note the cap is not
+    monotone: a bucket crossing the cap only after the increment keeps
+    its historical corpus-internal pairs while a from-scratch recompute
+    would drop them.
+
+    Returns (id_a, id_b), id_a < id_b, distinct.
+    """
+    new_keyed = lsh_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    if max_bucket_size is not None:
+        combined = (
+            index.groupBy("bkey").agg(F.count("*").alias("_ci"))
+            .join(
+                new_keyed.groupBy("bkey").agg(F.count("*").alias("_cn")),
+                on="bkey",
+                how="full_outer",
+            )
+            .filter(
+                F.coalesce(F.col("_ci"), F.lit(0)) + F.coalesce(F.col("_cn"), F.lit(0))
+                > max_bucket_size
+            )
+            .select("bkey")
+        )
+        new_keyed = new_keyed.join(F.broadcast(combined), on="bkey", how="left_anti")
+        index = index.join(F.broadcast(combined), on="bkey", how="left_anti")
+    probe_keys = new_keyed.select("bkey").distinct()
+    idx_hit = index.join(F.broadcast(probe_keys), on="bkey", how="left_semi")
+    cross = (
+        idx_hit.select("bkey", F.col("_id").alias("_old"))
+        .join(new_keyed.select("bkey", F.col("_id").alias("_new")), on="bkey")
+        .filter(F.col("_old") != F.col("_new"))
+        .select(
+            F.least("_old", "_new").alias("id_a"),
+            F.greatest("_old", "_new").alias("id_b"),
+        )
+    )
+    a = new_keyed.alias("a")
+    b = new_keyed.alias("b")
+    within = (
+        a.join(b, on="bkey")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    return cross.unionByName(within).distinct()
 
 
 def jaccard_pairs(

@@ -545,6 +545,65 @@ ORDER BY id_a, id_b
 """
 
 
+# --- C13: incremental near-dup (increment vs persisted band index) --------
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The daily-increment dedup path: every 5th doc arrives as the
+    increment and is probed against the band index of the other 80% —
+    corpus text is never re-hashed, only its (id, band-key) index rows
+    for buckets the increment hits (operators/dedup.py
+    minhash_lsh_increment; parity with a full recompute proven in
+    test_dedup_similarity.py). Same hash family / banding / cap as
+    q_minhash_lsh_candidates, so the oracle is that query's SQL
+    restricted to pairs touching an increment doc."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = DD.lsh_band_index(
+        corpus, "text", "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3
+    )
+    return DD.minhash_lsh_increment(
+        new,
+        index,
+        "text",
+        "doc_id",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        max_bucket_size=100,
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE["q_incremental_dedup"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           END) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+       {_mh_sql_exprs()}
+  FROM sh
+),
+keys AS (
+{_band_keys_sql()}
+),
+ok AS (
+  SELECT bkey FROM keys GROUP BY bkey HAVING count(*) <= 100
+),
+kept AS (
+  SELECT k.doc_id, k.bkey FROM keys k JOIN ok USING (bkey)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+ORDER BY id_a, id_b
+"""
+
+
 # --- C16: the composed training-data corpus filter ------------------------
 
 def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:

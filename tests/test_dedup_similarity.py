@@ -187,3 +187,55 @@ def test_lsh_ann_recovers_planted_high_cos_neighbor(spark):
         for r in SIM.lsh_ann_topk(emb.filter("vec_id > 0"), q, dim=64, k=3).collect()
     }
     assert 1 in got
+
+
+def test_lsh_increment_matches_batch_restriction(spark):
+    """Incremental near-dup parity theorem: with no bucket cap, probing
+    an increment against the persisted band index yields EXACTLY the
+    pairs a full recompute over corpus+new produces that touch a new
+    doc — and the corpus-only pairs are exactly the rest. The increment
+    never re-reads corpus text, so this is the 100 TB daily-dedup path."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120).cache()
+    split = 80
+    corpus = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(docs, max_bucket_size=None).collect()
+    }
+    old = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(corpus, max_bucket_size=None).collect()
+    }
+    index = DD.lsh_band_index(corpus)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_increment(new, index, max_bucket_size=None).collect()
+    }
+    touching_new = {p for p in full if p[0] >= split or p[1] >= split}
+    assert inc == touching_new
+    assert old == full - touching_new
+
+
+def test_lsh_increment_combined_cap(spark):
+    """With a cap, increment bucket sizes are counted over index+new
+    combined — its pairs must match the full recompute's new-touching
+    pairs under the same cap (cap-crossing buckets drop on both sides)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120).cache()
+    split = 80
+    corpus = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    cap = 3  # small enough that real buckets cross it
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(docs, max_bucket_size=cap).collect()
+    }
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_increment(
+            new, DD.lsh_band_index(corpus), max_bucket_size=cap
+        ).collect()
+    }
+    assert inc == {p for p in full if p[0] >= split or p[1] >= split}
