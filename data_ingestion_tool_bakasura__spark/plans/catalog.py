@@ -85,17 +85,20 @@ _PRIORITY = [
     "q_token_budget",
     "q_repeated_spans",
     "q_curation_pipeline",
-    # strongest re-confirmations: relational + documents
+    # strongest re-confirmations: relational + documents. Two r01-green
+    # witnesses (q_top_orders: B4 also held by q_top3...; q_fulltext_
+    # score: B8 also held by q_tfidf_topdocs) ceded their slots to the
+    # round-2 marquee ops so the checked prefix covers them.
     "q_pricing_summary",
     "q_region_revenue",
-    "q_top_orders",
+    "q_incremental_dedup",      # C13 increment-vs-index (round 2)
     "q_top3_orders_per_customer",
     "q_exact_dedup",
     "q_minhash_signatures",
     "q_minhash_lsh_candidates",
     "q_simhash_bands",
     "q_dedup_clusters",
-    "q_fulltext_score",
+    "q_repetition_filter",      # C16 Gopher-style repetition (round 2)
     "q_tfidf_topdocs",
 ]
 
