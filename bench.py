@@ -52,6 +52,7 @@ HEADLINE = [
     "q_bm25_topdocs",          # one-scan Okapi BM25
     "q_hybrid_rrf",            # BM25 + vector-cosine RRF fusion
     "q_volume_shipping",       # Q7 bilateral nation-flow join chain
+    "q_incremental_dedup",     # increment probed vs persisted LSH index
 ]
 
 

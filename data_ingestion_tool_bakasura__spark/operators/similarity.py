@@ -180,6 +180,30 @@ def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8, probes: in
     return _keys
 
 
+def ann_index(
+    corpus: DataFrame,
+    dim: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """(id, vector, bucket-key) rows — the PERSISTABLE corpus side of
+    LSH ANN. Hash the corpus once, write this partitioned by ``bkey``
+    prefix, and probe each query batch (or vector increment) against it
+    with :func:`lsh_ann_topk_indexed` instead of re-hashing 100 TB of
+    embeddings per search. Hyperplanes are seeded deterministically
+    (``_hyperplane``), so an index built today matches keys computed at
+    probe time with the same (dim, num_tables, bits). New vectors
+    append incrementally: hashing is per-row, no global state."""
+    keys_udf = lsh_bucket_keys_udf(dim, num_tables, bits)
+    return corpus.select(
+        _c(corpus_id).alias(corpus_id),
+        _c(vec_col).alias("_cvec"),
+        F.explode(keys_udf(_c(vec_col))).alias("bkey"),
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,12 +224,29 @@ def lsh_ann_topk(
     cosine on candidates only. See ANN.md for the measured
     recall-vs-scan-fraction table behind the defaults.
     """
-    keys_udf = lsh_bucket_keys_udf(dim, num_tables, bits)
-    c_keyed = corpus.select(
-        _c(corpus_id).alias(corpus_id),
-        _c(vec_col).alias("_cvec"),
-        F.explode(keys_udf(_c(vec_col))).alias("bkey"),
+    c_keyed = ann_index(corpus, dim, corpus_id, vec_col, num_tables, bits)
+    return lsh_ann_topk_indexed(
+        c_keyed, queries, dim, k, corpus_id, query_id, vec_col,
+        num_tables, bits, probes,
     )
+
+
+def lsh_ann_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+    bits: int = 8,
+    probes: int = 0,
+) -> DataFrame:
+    """ANN top-k against a prebuilt (possibly parquet-persisted)
+    :func:`ann_index` — the search path that never re-hashes the
+    corpus. ``index`` must carry (corpus_id, ``_cvec``, ``bkey``) built
+    with the SAME (dim, num_tables, bits)."""
     probe_udf = lsh_bucket_keys_udf(dim, num_tables, bits, probes=probes)
     q_keyed = F.broadcast(
         queries.select(
@@ -219,7 +260,7 @@ def lsh_ann_topk(
     # dedup exchange then carries only (q_id, vec_id, cos_sim) scalar rows
     # instead of two dim-length vectors per row — at 100 TB the shuffle
     # bytes dominate, not the dot products
-    cand = c_keyed.join(q_keyed, on="bkey").select(
+    cand = index.join(q_keyed, on="bkey").select(
         query_id,
         corpus_id,
         F.round(cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),

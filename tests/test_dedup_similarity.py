@@ -239,3 +239,31 @@ def test_lsh_increment_combined_cap(spark):
         ).collect()
     }
     assert inc == {p for p in full if p[0] >= split or p[1] >= split}
+
+
+def test_ann_index_persists_and_probes_identically(spark, tmp_path):
+    """The persisted-index search path: ann_index written to parquet,
+    read back, probed with lsh_ann_topk_indexed — must return exactly
+    what the one-shot lsh_ann_topk returns (deterministic seeded
+    hyperplanes make index-time and probe-time keys agree), so a 100 TB
+    corpus is hashed once, not per search."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+
+    direct = sorted(
+        map(tuple, SIM.lsh_ann_topk(corpus, queries, dim=64, k=3).collect())
+    )
+    p = str(tmp_path / "ann_index")
+    SIM.ann_index(corpus, dim=64).write.parquet(p)
+    via_index = sorted(
+        map(
+            tuple,
+            SIM.lsh_ann_topk_indexed(
+                spark.read.parquet(p), queries, dim=64, k=3
+            ).collect(),
+        )
+    )
+    assert direct == via_index

@@ -81,3 +81,48 @@ def test_normalize_idempotent(s):
 def test_sanitize_alphabet(s):
     out = re.sub(r"[^a-zA-Z0-9_\-=]", "_", s)
     assert re.fullmatch(r"[a-zA-Z0-9_\-=]*", out)
+
+
+# -- upsert merge grouping-insensitivity ------------------------------------
+
+
+def test_upsert_grouping_insensitive_under_version_order(spark):
+    """With order_by=[version] and batch order consistent with version
+    order (the CDC case: each batch's rows carry its sequence number),
+    every grouping of the batch stream merges to the same final table:
+    ((b1+b2)+b3) == (b1+(b2+b3)) == one combined batch. This is the
+    invariant that makes streaming-upsert replays safe when a lost
+    checkpoint regroups micro-batches (see start_streaming_upsert).
+    Within-batch key conflicts resolve by the remaining-column tiebreak,
+    so the test plants them deliberately."""
+    import random
+
+    from data_ingestion_tool_bakasura__spark.operators.upsert import upsert_by_key
+
+    rng = random.Random(7)
+    batches = []
+    for v in (1, 2, 3):
+        rows = [
+            (rng.randrange(20), v, f"p{rng.randrange(1000):03d}")
+            for _ in range(30)  # ~30 rows over 20 keys -> conflicts
+        ]
+        batches.append(
+            spark.createDataFrame(rows, "id long, version int, payload string")
+        )
+    b1, b2, b3 = batches
+    empty = b1.limit(0)
+
+    def merge(cur, upd):
+        return upsert_by_key(cur, upd, key="id", order_by=["version"])
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    seq = rows(merge(merge(merge(empty, b1), b2), b3))
+    right = rows(merge(merge(empty, b1), b2.unionByName(b3)))
+    left = rows(merge(merge(empty, b1.unionByName(b2)), b3))
+    combined = rows(merge(empty, b1.unionByName(b2).unionByName(b3)))
+    assert seq == right == left == combined
+    # exactly one row per key survives
+    keys = [r[0] for r in combined]
+    assert len(keys) == len(set(keys))
