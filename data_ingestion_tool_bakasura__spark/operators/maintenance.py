@@ -104,3 +104,32 @@ def swap_directory(spark: SparkSession, path: str, tmp: str) -> None:
     # verify the new layout reads before dropping the old copy
     spark.read.parquet(path).schema
     shutil.rmtree(old)
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout — the 100 TB data-layout story.
+
+    Scans that filter on ``partition_cols`` prune whole directories
+    before any I/O (``PartitionFilters`` in the plan; pruned partitions
+    cost zero reads — at a 1000-day events table, a one-day query reads
+    1/1000th of the files). ``sort_cols`` additionally clusters rows
+    inside each partition's files so parquet row-group min/max stats
+    prune *within* the partition for secondary predicates.
+
+    The repartition-by-partition-cols before the write is what keeps
+    the file count sane: without it every task writes a file into
+    every partition directory (tasks x partitions small files); with it
+    each partition's rows land in one task. Skewed partitions can be
+    split by adding a salt column to the repartition (see
+    operators/skew.py).
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*(list(partition_cols) + list(sort_cols)))
+    out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
