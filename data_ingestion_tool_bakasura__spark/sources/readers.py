@@ -98,6 +98,47 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return r.json(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json_with_errors(
+    spark: SparkSession, path: str, schema, **options
+) -> tuple[DataFrame, DataFrame]:
+    """JSON source with a per-record error channel: returns
+    ``(good, bad)`` where ``bad`` carries the raw text of every
+    malformed line. The reference's per-file try/except isolation
+    (SURVEY A3, ``embedding_utils.py``) done Spark-first: PERMISSIVE
+    parse keeps the job alive at 100 TB — one corrupt line among
+    billions must cost one quarantined row, not a failed stage — and
+    the quarantine is a DataFrame you can count, sample, and land next
+    to the table for replay.
+
+    The caller's ``schema`` must NOT declare ``_corrupt_record``; it is
+    added here. Formulation: ``text`` scan + ``from_json`` rather than
+    the raw-JSON reader's corrupt-record column — Spark disallows
+    querying that column without caching the whole parse
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and caching
+    the input is exactly what you can't do at 100 TB. ``from_json``
+    keeps the parse lazy, per-row, and the quarantine carries the raw
+    line verbatim.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, **options}
+    parsed = spark.read.text(path).select(
+        "value", F.from_json("value", full, opts).alias("_r")
+    )
+    good = parsed.filter(F.col(f"_r.{CORRUPT_COL}").isNull()).select("_r.*").drop(
+        CORRUPT_COL
+    )
+    bad = parsed.filter(F.col(f"_r.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias("raw")
+    )
+    return good, bad
+
+
 def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     return spark.read.text(path, wholetext=whole)
 

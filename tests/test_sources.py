@@ -71,3 +71,31 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" in plan
+
+
+def test_read_json_with_errors_quarantines_bad_lines(spark, tmp_path):
+    """One malformed line among good ones: the good frame parses fully,
+    the bad frame carries exactly the raw corrupt text, nothing raises.
+    (Spark requires the corrupt-record query shape used here: the
+    filter/drop on the corrupt column happens AFTER a full-schema
+    parse, never a corrupt-column-only projection.)"""
+    from pyspark.sql import types as T
+
+    from data_ingestion_tool_bakasura__spark.sources.readers import (
+        read_json_with_errors,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "alpha"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "text": "beta"}\n'
+        '{"id": "NaN-ish", "text": 3}\n'  # type mismatch -> corrupt too
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, bad = read_json_with_errors(spark, str(p), schema)
+    assert sorted(map(tuple, good.collect())) == [(1, "alpha"), (2, "beta")]
+    raws = sorted(r["raw"] for r in bad.collect())
+    assert raws == ['{"id": "NaN-ish", "text": 3}', "{this is not json}"]
