@@ -133,3 +133,40 @@ def write_partitioned(
     if sort_cols:
         out = out.sortWithinPartitions(*(list(partition_cols) + list(sort_cols)))
     out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys,
+    key_col: str = "id",
+) -> dict:
+    """Targeted delete (the right-to-be-forgotten / takedown op): remove
+    every row whose ``key_col`` is in ``keys`` from the parquet table at
+    ``path``, via anti-join rewrite + the shared near-atomic swap.
+
+    ``keys`` is a DataFrame with ``key_col`` (or an iterable of values,
+    wrapped here). The delete set is broadcast — takedown lists are
+    small against a 100 TB table, and the rewrite is one scan + write.
+    With a partitioned layout, restricting the rewrite to partitions
+    that can contain the keys (filter before ``write_partitioned``)
+    turns this into a partial rewrite; on a lakehouse format it would
+    be a MERGE DELETE. Returns row counts before/after/deleted.
+    """
+    from pyspark.sql import DataFrame
+
+    if not isinstance(keys, DataFrame):
+        vals = list(keys)
+        if not vals:
+            return {"n_before": spark.read.parquet(path).count(), "n_after": None,
+                    "n_deleted": 0}
+        kind = "string" if isinstance(vals[0], str) else "long"
+        keys = spark.createDataFrame([(k,) for k in vals], f"{key_col} {kind}")
+    cur = spark.read.parquet(path)
+    n_before = cur.count()
+    kept = cur.join(F.broadcast(keys.select(key_col)), on=key_col, how="left_anti")
+    tmp = path.rstrip("/") + "_delete_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    swap_directory(spark, path, tmp)
+    n_after = spark.read.parquet(path).count()
+    return {"n_before": n_before, "n_after": n_after, "n_deleted": n_before - n_after}

@@ -126,3 +126,20 @@ def test_upsert_grouping_insensitive_under_version_order(spark):
     # exactly one row per key survives
     keys = [r[0] for r in combined]
     assert len(keys) == len(set(keys))
+
+
+def test_delete_keys_removes_exactly_the_keys(spark, tmp_path):
+    """Targeted delete: exactly the listed keys disappear, everything
+    else survives byte-for-byte, and the op reports honest counts."""
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import delete_keys
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    p = str(tmp_path / "tbl")
+    docs.write.parquet(p)
+    gone = [3, 7, 11]
+    report = delete_keys(spark, p, gone, key_col="doc_id")
+    after = spark.read.parquet(p)
+    assert report["n_deleted"] == 3
+    assert after.filter(F.col("doc_id").isin(gone)).count() == 0
+    want = sorted(map(tuple, docs.filter(~F.col("doc_id").isin(gone)).collect()))
+    assert sorted(map(tuple, after.collect())) == want
