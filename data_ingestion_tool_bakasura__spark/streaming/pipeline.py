@@ -137,10 +137,101 @@ def start_streaming_upsert(
     return writer.start()
 
 
+def start_streaming_near_dedup(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 100,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously NEAR-deduplicated corpus: each arriving batch is
+    probed against the persisted LSH band index
+    (``operators.dedup.minhash_lsh_increment``); docs near-duplicating
+    the corpus are dropped, within-batch near-dup groups keep their
+    min-id canonical (first-arrival-wins across batches, min-id within
+    a batch — deterministic), and ONLY the survivors' text + band keys
+    are appended to ``corpus_path`` / ``index_path``.
+
+    This is the streaming closure of the incremental-dedup path: corpus
+    text is never re-hashed — per batch the work is hashing the batch
+    plus joining the buckets it touches, so a year of daily increments
+    costs a year of increments, not 365 corpus re-scans. LSH is
+    approximate: candidate recall (hence dedup recall) follows the
+    banding parameters; pipe candidates through ``jaccard_pairs`` before
+    dropping if exact verification is required.
+
+    The corpus/index appends are idempotent per micro-batch only at the
+    key level (a replayed batch's docs all near-duplicate their own
+    first delivery, so they drop) — the strongest claim plain parquet
+    append supports.
+    """
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        lsh_band_index,
+        minhash_lsh_increment,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="neardedup_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        have_index = os.path.exists(index_path.removeprefix("file://"))
+        index = (
+            spark.read.parquet(index_path)
+            if have_index
+            else batch_df.limit(0).sparkSession.createDataFrame(
+                [], "_id long, bkey string"
+            )
+        )
+        pairs = minhash_lsh_increment(
+            batch_df, index, text_col, id_col,
+            num_hashes, bands, shingle_n, max_bucket_size,
+        ).localCheckpoint(eager=True)
+        new_ids = batch_df.select(F.col(id_col))
+        # drop: any new doc paired with a CORPUS doc (id not in batch),
+        # and any new doc paired with a smaller-id new doc (min-id keeps)
+        dup_vs_corpus = (
+            pairs.join(new_ids, pairs.id_a == new_ids[id_col], "left_anti")
+            .select(F.col("id_b").alias(id_col))
+            .unionByName(
+                pairs.join(new_ids, pairs.id_b == new_ids[id_col], "left_anti")
+                .select(F.col("id_a").alias(id_col))
+            )
+        )
+        both_new = pairs.join(
+            new_ids.select(F.col(id_col).alias("id_a")), on="id_a", how="left_semi"
+        ).join(new_ids.select(F.col(id_col).alias("id_b")), on="id_b", how="left_semi")
+        dup_in_batch = both_new.select(F.greatest("id_a", "id_b").alias(id_col))
+        drop = dup_vs_corpus.unionByName(dup_in_batch).distinct()
+        survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
+        survivors.write.mode("append").parquet(corpus_path)
+        lsh_band_index(
+            survivors, text_col, id_col, num_hashes, bands, shingle_n
+        ).write.mode("append").parquet(index_path)
+
+    writer = docs_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "IngestConfig",
     "dedup_against_index",
     "start_incremental_ingest",
+    "start_streaming_near_dedup",
     "start_streaming_upsert",
     "stream_documents",
 ]

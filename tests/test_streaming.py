@@ -142,3 +142,43 @@ def test_streaming_upsert_two_waves_and_replay(spark, tmp_path):
     ).awaitTermination()
     replayed = spark.read.parquet(table)
     assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_near_dedup_three_waves(spark, tmp_path):
+    """Continuously near-deduplicated corpus: later waves' near- and
+    exact duplicates of already-landed docs are dropped by probing the
+    persisted band index; within one wave the min-id copy survives.
+    Corpus text is never re-hashed — only the index rows are read."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark query engines and shuffles"
+    third = "structured streaming joins watermarks and stateful aggregation notes"
+    waves = [
+        [(1, base), (3, other)],
+        # 2 near-dups 1 (cross-wave); 5 is new; 7 exact-dups 5 within-wave
+        [(2, base.replace("today", "tomorrow")), (5, third), (7, third)],
+        # 4 exact-dups 1; 6 near-dups 5
+        [(4, base), (6, third.replace("notes", "memo"))],
+    ]
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    for rows in waves:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        SP.start_streaming_near_dedup(
+            SP.stream_documents(
+                spark, landing, spark.read.parquet(landing).schema
+            ),
+            corpus,
+            index,
+            num_hashes=16,
+            bands=8,  # 2-row bands: candidate prob ~1 at J>=0.8
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 3, 5]
+    # the index holds exactly the survivors' band rows
+    idx_ids = {r["_id"] for r in spark.read.parquet(index).collect()}
+    assert idx_ids == {1, 3, 5}
