@@ -139,6 +139,37 @@ def read_json_with_errors(
     return good, bad
 
 
+def read_csv_with_errors(
+    spark: SparkSession, path: str, schema, header: bool = False, **options
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_json_with_errors`: ``(good, bad)`` via a
+    text scan + ``from_csv`` in PERMISSIVE mode — same lazy quarantine
+    contract, same reason for avoiding the raw reader's corrupt column.
+    With ``header=True`` the header line is dropped by value match (a
+    text scan has no header notion; the match is exact, so a data row
+    identical to the header — necessarily all-string — would also drop).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, **options}
+    lines = spark.read.text(path)
+    if header:
+        hdr = ",".join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != hdr)
+    parsed = lines.select(
+        "value", F.from_csv("value", full.simpleString(), opts).alias("_r")
+    )
+    good = parsed.filter(F.col(f"_r.{CORRUPT_COL}").isNull()).select("_r.*").drop(
+        CORRUPT_COL
+    )
+    bad = parsed.filter(F.col(f"_r.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias("raw")
+    )
+    return good, bad
+
+
 def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     return spark.read.text(path, wholetext=whole)
 

@@ -99,3 +99,45 @@ def test_read_json_with_errors_quarantines_bad_lines(spark, tmp_path):
     assert sorted(map(tuple, good.collect())) == [(1, "alpha"), (2, "beta")]
     raws = sorted(r["raw"] for r in bad.collect())
     assert raws == ['{"id": "NaN-ish", "text": 3}', "{this is not json}"]
+
+
+def test_read_csv_with_errors_quarantines_bad_lines(spark, tmp_path):
+    """CSV error channel: a type-mismatched row quarantines with its raw
+    line; good rows parse; the header is dropped."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_tool_bakasura__spark.sources.readers import (
+        read_csv_with_errors,
+    )
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,qty\n1,10\nnot-a-number,20\n3,thirty\n4,40\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    good, bad = read_csv_with_errors(spark, str(p), schema, header=True)
+    assert sorted(map(tuple, good.collect())) == [(1, 10), (4, 40)]
+    assert sorted(r["raw"] for r in bad.collect()) == ["3,thirty", "not-a-number,20"]
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Schema drift across landed batches (a later producer added a
+    column): mergeSchema=true reads the union schema with nulls for
+    early files, and unionByName(allowMissingColumns=True) is the
+    frame-level equivalent for in-flight merges — both standard drift
+    answers a long-lived ingest needs."""
+    p = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "a")], "id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    )
+    old.write.mode("append").parquet(p)
+    new.write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+    framed = old.unionByName(new, allowMissingColumns=True)
+    assert {r["id"]: r["lang"] for r in framed.collect()} == rows
