@@ -221,3 +221,97 @@ def ngram_overlap(corpus: DataFrame, probe: DataFrame, text_col: str = "text",
             F.countDistinct("probe_id").alias("n_probe_docs"),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fpp: float = 1e-5,
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination as a MAP, not a join: build a Bloom
+    filter over the probe (benchmark) n-gram hashes driver-side, ship
+    the bit array to executors, and flag corpus docs whose grams hit it.
+
+    vs :func:`ngram_overlap` (broadcast gram-string join): the corpus
+    side sees zero join machinery — one explode + one vectorized
+    membership test — and the broadcast is the bit array (~3 B/gram at
+    the default fpp) instead of gram strings (~50 B/gram), so a 100M-gram
+    benchmark ships ~300 MB, not ~5 GB. Gram hashing is JVM-side
+    ``xxhash64`` on BOTH sides (identical values by construction), the
+    membership test is numpy bit math over the whole Arrow batch —
+    no per-row Python.
+
+    Contract: NO false negatives (every doc sharing an n-gram with the
+    probe is flagged). ``fpp`` is PER-GRAM and COMPOUNDS to the doc
+    level: a doc's flag is an OR over its grams, so doc-level FP ≈
+    grams_per_doc × fpp — size ``fpp`` ≈ target_doc_fp / typical grams
+    per doc (the 1e-5 default gives ~0.3% doc FP at 300-gram docs for
+    ~3 B/gram of filter). Route flagged docs to the exact
+    :func:`ngram_overlap` verifier when over-dropping matters.
+
+    The probe gram-hash collect is bounded by the benchmark size —
+    the same boundedness assumption ngram_overlap's broadcast makes.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _gram_hashes(df: DataFrame, *keep: str) -> DataFrame:
+        # explode must be its own projection (generators can't nest
+        # inside expressions), then hash JVM-side
+        return df.select(*keep, F.explode(word_ngrams(text_col, n)).alias("_g")).select(
+            *keep, F.xxhash64("_g").alias("h")
+        )
+
+    hashes = np.array(
+        [r["h"] for r in _gram_hashes(probe).distinct().collect()],
+        dtype=np.int64,
+    )
+    n_items = max(1, len(hashes))
+    m_bits = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+
+    def _positions(h: "np.ndarray") -> "np.ndarray":
+        # Kirsch-Mitzenmacher double hashing over the xxhash64 value;
+        # uint64 arithmetic, modulo the bit-array size per probe index
+        u = h.astype(np.uint64)
+        h1 = u & np.uint64(0xFFFFFFFF)
+        h2 = (u >> np.uint64(32)) | np.uint64(1)  # odd -> full cycle
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(k)]
+        )  # k x n
+
+    for pos in _positions(hashes) if len(hashes) else []:
+        np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+
+    # registered hint-free: under `from __future__ import annotations`
+    # with function-local pandas, pandas_udf can't resolve the string
+    # type hints (UNSUPPORTED_SIGNATURE)
+    def _might_contain_fn(h):
+        arr = h.to_numpy(dtype=np.int64)
+        if not len(arr):
+            return pd.Series([], dtype=bool)
+        pos = _positions(arr)  # k x n
+        hit = np.ones(len(arr), dtype=bool)
+        for row in pos:
+            hit &= (bits[(row >> 3).astype(np.int64)] & (1 << (row & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit)
+
+    _might_contain = F.pandas_udf(_might_contain_fn, T.BooleanType())
+
+    flagged = (
+        _gram_hashes(corpus, id_col)
+        .select(id_col, _might_contain("h").alias("_hit"))
+        .groupBy(id_col)
+        .agg(F.max("_hit").alias(flag_col))
+    )
+    return corpus.join(flagged, on=id_col, how="left").withColumn(
+        flag_col, F.coalesce(F.col(flag_col), F.lit(False))
+    )

@@ -156,6 +156,94 @@ ORDER BY c_nationkey, event_type
 """
 
 
+# --- C13/C17: streaming near-dedup (one-batch replay) ---------------------
+
+def q_stream_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The continuously-deduplicated-corpus pipeline replayed over the
+    documents fixture as ONE availableNow micro-batch: survivors are
+    every doc not LSH-paired with a smaller-id doc (min-id canonical —
+    within a single batch the drop rule is exactly `greatest(pair)`, so
+    the oracle is the batch LSH-pairs SQL minus its id_b set). Uses the
+    same hash family / banding / bucket cap as q_minhash_lsh_candidates.
+    """
+    import os
+    import tempfile
+
+    from data_ingestion_tool_bakasura__spark.plans.documents_q import (
+        _MH_BANDS,
+        _MH_HASHES,
+    )
+    from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
+
+    src = os.path.join(sf, "documents.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "bakasura_docs_stage",
+        sf.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    scratch = tempfile.mkdtemp(prefix="neardedup_q_")
+    corpus = os.path.join(scratch, "corpus")
+    index = os.path.join(scratch, "index")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    SP.start_streaming_near_dedup(
+        stream,
+        corpus,
+        index,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        checkpoint=os.path.join(scratch, "ckpt"),
+    ).awaitTermination()
+    return spark.read.parquet(corpus).select("doc_id").orderBy("doc_id")
+
+
+def _near_dedup_oracle() -> str:
+    from data_ingestion_tool_bakasura__spark.plans.documents_q import (
+        _TOKS,
+        _band_keys_sql,
+        _mh_sql_exprs,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           END) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+       {_mh_sql_exprs()}
+  FROM sh
+),
+keys AS (
+{_band_keys_sql()}
+),
+ok AS (
+  SELECT bkey FROM keys GROUP BY bkey HAVING count(*) <= 100
+),
+kept AS (
+  SELECT k.doc_id, k.bkey FROM keys k JOIN ok USING (bkey)
+),
+drops AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY doc_id
+"""
+
+
+ORACLE["q_stream_near_dedup"] = _near_dedup_oracle()
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -116,3 +116,24 @@ def test_edge_cases_empty_and_degenerate(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         SP.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom decontamination contract: every doc that truly shares an
+    8-gram with the probe is flagged (no false negatives — the planted
+    probe IS a subset of the corpus), and false positives stay near the
+    configured per-gram rate compounded per doc (fpp=1e-5 over ~300-gram
+    docs -> ~0.3%% doc-level FP; bound allows 3 of 95)."""
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100).cache()
+    probe = docs.filter(F.col("doc_id") % 20 == 3)  # 5 planted benchmark docs
+
+    exact = {
+        r["doc_id"]
+        for r in SP.ngram_overlap(docs, probe, n=8).select("doc_id").collect()
+    }
+    out = SP.bloom_decontaminate(docs, probe, n=8, fpp=1e-5)
+    flagged = {r["doc_id"] for r in out.filter(F.col("contaminated")).collect()}
+    assert exact <= flagged  # no false negatives
+    assert len(flagged - exact) <= 3, flagged - exact
