@@ -315,3 +315,37 @@ def bloom_decontaminate(
     return corpus.join(flagged, on=id_col, how="left").withColumn(
         flag_col, F.coalesce(F.col(flag_col), F.lit(False))
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    target_shares: dict[str, float],
+) -> dict[str, float]:
+    """Per-stratum sampling rates that rebalance a corpus to target
+    token SHARES while keeping as many tokens as possible (water-
+    filling: the binding stratum — smallest actual/target ratio — keeps
+    rate 1.0, every other stratum downsamples to match its share).
+
+    Driver-side math over one tiny aggregate (|strata| rows collected);
+    feed the result to :func:`stratified_hash_sample` for the actual
+    (deterministic, single-scan) sampling pass. Strata absent from
+    ``target_shares`` get rate 0 (dropped) — list every stratum you
+    want kept. Shares must sum to ~1.
+    """
+    total_share = sum(target_shares.values())
+    if abs(total_share - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total_share}")
+    actual = {
+        r["s"]: r["tok"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_col).alias("tok"))
+        .collect()
+    }
+    missing = [s for s in target_shares if s not in actual or not actual[s]]
+    if missing:
+        raise ValueError(f"target strata absent from corpus: {missing}")
+    # binding stratum: the one that runs out first at its target share
+    scale = min(actual[s] / share for s, share in target_shares.items())
+    return {s: min(1.0, share * scale / actual[s]) for s, share in target_shares.items()}

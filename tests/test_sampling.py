@@ -137,3 +137,29 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     flagged = {r["doc_id"] for r in out.filter(F.col("contaminated")).collect()}
     assert exact <= flagged  # no false negatives
     assert len(flagged - exact) <= 3, flagged - exact
+
+
+def test_mixture_rates_hits_target_token_shares(spark):
+    """Water-filling mixture: after stratified sampling at the computed
+    rates, per-source token shares land near the targets, the binding
+    stratum keeps rate 1.0, and nothing upsamples (all rates <= 1)."""
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .withColumn("n_tok", F.size(F.split(F.trim("text"), " ")))
+        .withColumn("bucket", F.col("doc_id") % 3)  # 3 pseudo-sources
+        .withColumn("bucket", F.concat(F.lit("s"), F.col("bucket")))
+        .cache()
+    )
+    target = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+    rates = SP.mixture_rates(docs, "bucket", "n_tok", target)
+    assert max(rates.values()) == 1.0 and all(0 < r <= 1 for r in rates.values())
+    sampled = SP.stratified_hash_sample(docs, "doc_id", "bucket", rates)
+    got = {
+        r["bucket"]: r["tok"]
+        for r in sampled.groupBy("bucket").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    total = sum(got.values())
+    for s, share in target.items():
+        assert abs(got[s] / total - share) < 0.08, (s, got[s] / total, share)
