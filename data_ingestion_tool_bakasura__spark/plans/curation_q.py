@@ -343,6 +343,73 @@ ORDER BY split, source
 """
 
 
+# --- C19: corpus mixing to target token shares (water-filling) ------------
+
+_MIX_SHARES = {"src0": 0.2, "src1": 0.4, "src2": 0.4}
+
+
+def q_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Rebalance three sources to target char-weight shares, fully lazy
+    (the collect-free twin of operators/sampling.mixture_rates): the
+    water-filling scale is a whole-frame window min over the PER-SOURCE
+    aggregate (3 rows — the documented bounded-cardinality pattern),
+    each source's keep-rate becomes a hash-bucket threshold, and
+    membership is the same md5 bucket as every sampling op — so the
+    whole mixture is one deterministic plan DuckDB can replay."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("source").isin(*_MIX_SHARES))
+        .select("doc_id", "source", "n_chars")
+    )
+    share = F.when(F.col("source") == "src0", F.lit(0.2)).when(
+        F.col("source") == "src1", F.lit(0.4)
+    ).otherwise(F.lit(0.4))
+    tot = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("double").alias("tok"))
+        .withColumn("share", share)
+    )
+    from pyspark.sql import Window
+
+    # whole-frame window over 3 aggregated rows (cardinality = |sources|)
+    sc = tot.withColumn("scale", F.min(F.col("tok") / F.col("share")).over(Window.partitionBy()))
+    rates = sc.select(
+        "source",
+        F.round(F.least(F.lit(1.0), F.col("share") * F.col("scale") / F.col("tok")) * SP.N_BUCKETS)
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    return (
+        docs.join(F.broadcast(rates), on="source")
+        .filter(SP.hash_bucket("doc_id", "mix") < F.col("thresh"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_source_mixture"] = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+),
+tot AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tok,
+         CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.4 ELSE 0.4 END AS share
+  FROM d GROUP BY source
+),
+sc AS (SELECT *, min(tok / share) OVER () AS scale FROM tot),
+r AS (
+  SELECT source,
+         CAST(round(least(1.0, share * scale / tok) * {SP.N_BUCKETS}) AS BIGINT) AS thresh
+  FROM sc
+)
+SELECT doc_id, source
+FROM d JOIN r USING (source)
+WHERE {_bucket_sql('mix')} < thresh
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
