@@ -74,9 +74,12 @@ _PRIORITY = [
     "q_user_retention",
     "q_json_variants",
     "q_pivot_daily_value",
-    # rest of streaming (C17)
+    # rest of streaming (C17). q_stream_near_dedup (round 2, the full
+    # streaming dedup pipeline, value-checked) takes the sliding-window
+    # slot: overlap semantics stay witnessed by q_sliding_1h_30m's
+    # batch twin plus the local gate.
     "q_stream_session_windows",
-    "q_stream_sliding_1h_30m",
+    "q_stream_near_dedup",
     "q_stream_dedup_keys",
     "q_stream_click_purchase_join",
     "q_stream_enriched_nation",

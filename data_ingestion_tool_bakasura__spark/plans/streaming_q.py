@@ -156,6 +156,47 @@ ORDER BY c_nationkey, event_type
 """
 
 
+# --- C17/C18: streaming funnel (stateful per-user mins) -------------------
+
+def q_stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of q_funnel_conversion: the per-user conditional
+    mins run INSIDE the stream (complete-mode aggregation — per-user
+    state is one row of three timestamps; at production scale bound the
+    key space with a watermarked window or state TTL), and only the
+    1-row funnel rollup happens on the replayed result."""
+    ev = SW.stream_events(spark, sf)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    out = SW.replay_to_table(per_user, spark, mode="complete")
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return out.agg(
+        F.sum(viewed.cast("bigint")).alias("n_viewed"),
+        F.sum(clicked.cast("bigint")).alias("n_clicked_after_view"),
+        F.sum(bought.cast("bigint")).alias("n_full_funnel"),
+    )
+
+
+ORACLE["q_stream_funnel"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_funnel
+FROM per_user
+"""
+
+
 # --- C13/C17: streaming near-dedup (one-batch replay) ---------------------
 
 def q_stream_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
