@@ -329,3 +329,67 @@ def pick_seed_centroids(
         .orderBy(F.md5(F.col("c_id").cast("string")), F.col("c_id"))
         .limit(n)
     )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "c_id",
+) -> DataFrame:
+    """IVF search over :func:`ivf_assign` output: each query probes its
+    ``nprobe`` nearest centroid LISTS and rescores exact cosine inside
+    them only. ``assigned`` is the persisted corpus (persist it
+    partitioned by ``centroid_id`` for list locality on disk); the join
+    on the centroid id means the corpus is touched only on probed lists
+    — with balanced lists the scan fraction is ~``nprobe``/n_lists, the
+    IVF recall/scan dial. With ``nprobe`` >= n_lists the result equals
+    :func:`cosine_topk_batch` exactly (same rescoring and tiebreak —
+    tested). Centroids are collected driver-side (tiny by construction,
+    same contract as ivf_assign); each corpus vector lives in exactly
+    one list, so no candidate dedup is needed."""
+    rows = sorted(
+        centroids.select(_c(centroid_id).alias("c"), _c(vec_col).alias("v")).collect(),
+        key=lambda r: r["c"],
+    )
+    if not rows:
+        raise ValueError("ivf_topk: centroid set is empty")
+    cids = [r["c"] for r in rows]
+    C = np.array([r["v"] for r in rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    np_eff = min(nprobe, len(cids))
+
+    def _probe_fn(vecs):
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        if not len(V):
+            return pd.Series([], dtype=object)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = Vn @ Cn.T  # n x k_lists
+        # argsort on (-sim, index): stable lowest-c_id tiebreak
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :np_eff]
+        return pd.Series([[cids[i] for i in row] for row in order])
+
+    _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.LongType()))
+
+    q_probed = queries.select(
+        _c(query_id).alias(query_id),
+        _c(vec_col).alias("_qvec"),
+        F.explode(_probe(_c(vec_col))).alias(centroid_id),
+    )
+    cand = assigned.join(F.broadcast(q_probed), on=centroid_id)
+    scored = cand.select(
+        query_id,
+        F.col(corpus_id),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -267,3 +267,30 @@ def test_ann_index_persists_and_probes_identically(spark, tmp_path):
         )
     )
     assert direct == via_index
+
+
+def test_ivf_topk_exact_at_full_probe_and_partial_recall(spark):
+    """IVF search contract: probing ALL lists reproduces exact
+    cosine_topk_batch byte-for-byte (same rescoring + tiebreak);
+    probing 1 of 4 lists still finds a useful fraction while touching
+    ~1/4 of the corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = SIM.pick_seed_centroids(corpus, 4)
+    assigned = SIM.ivf_assign(corpus, cents)
+
+    exact = sorted(map(tuple, SIM.cosine_topk_batch(corpus, queries, k=3).collect()))
+    full = sorted(
+        map(tuple, SIM.ivf_topk(assigned, cents, queries, k=3, nprobe=4).collect())
+    )
+    assert full == exact
+
+    part = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.ivf_topk(assigned, cents, queries, k=3, nprobe=1).collect()
+    }
+    recall = len(set(map(lambda t: (t[0], t[1]), exact)) & part) / len(exact)
+    assert recall >= 0.25, recall
