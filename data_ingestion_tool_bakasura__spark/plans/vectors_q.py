@@ -272,6 +272,32 @@ def q_ivf_assignments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- C14: IVF search, value-checked via the full-probe equality -----------
+
+def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-3 at FULL probe (nprobe = n_lists): exercises the whole
+    IVF machinery — centroid assignment UDF, query probe UDF, list
+    equi-join, exact rescore — under a plain exact-search oracle, which
+    is sound because full probe provably equals cosine_topk_batch (the
+    contract proven in test_dedup_similarity.py; same rescoring and
+    tiebreak). The partial-probe scan/recall dial is exercised by the
+    same test at nprobe=1."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = SIM.pick_seed_centroids(corpus, 8)
+    assigned = SIM.ivf_assign(corpus, cents)
+    out = SIM.ivf_topk(
+        assigned, cents, queries, k=3, nprobe=8, corpus_id="vec_id", query_id="q_id"
+    )
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_ivf_search"] = ORACLE["q_cosine_topk_batch"]
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
