@@ -82,9 +82,14 @@ class IndexClient:
         replicate. Plain parquet has no transaction log, so mutual
         exclusion is explicit: an atomic ``os.mkdir`` lock next to the
         table (POSIX mkdir either creates or fails — no TOCTOU), with
-        stale-lock breaking for crashed writers. Local-filesystem scope
-        by design; on a cluster this becomes a lakehouse transactional
-        MERGE (Delta/Iceberg), not a bigger lock.
+        stale-lock breaking for crashed writers. The break itself is
+        atomic too: a stale lock is ``os.rename``d to a unique name
+        first, so exactly one waiter wins the rename and removes it —
+        two waiters passing the staleness check concurrently cannot
+        each rmdir/re-mkdir and end up both holding the lock.
+        Local-filesystem scope by design; on a cluster this becomes a
+        lakehouse transactional MERGE (Delta/Iceberg), not a bigger
+        lock.
         """
         lock = self.path.rstrip("/") + ".lock"
         deadline = time.monotonic() + timeout
@@ -95,7 +100,11 @@ class IndexClient:
             except FileExistsError:
                 with contextlib.suppress(OSError):
                     if time.time() - os.path.getmtime(lock) > stale:
-                        os.rmdir(lock)
+                        # atomic break: only the waiter whose rename wins
+                        # may clean up; losers get ENOENT and re-loop
+                        trash = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        os.rename(lock, trash)
+                        os.rmdir(trash)
                         continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"could not acquire writer lock {lock!r}")

@@ -93,8 +93,21 @@ def swap_directory(spark: SparkSession, path: str, tmp: str) -> None:
     the renames can leave ``path`` briefly missing with data intact in
     ``*_swap_old`` (a true atomic exchange needs a lakehouse format or
     ``renameat2``). Shared by ``compact`` and the streaming upsert sink.
+
+    Crash recovery: a leftover ``*_swap_old`` from a prior interrupted
+    swap is removed at entry — once ``path`` exists again it is by
+    contract the live copy and the old directory is superseded, but its
+    presence would fail this swap's first rename with ENOTEMPTY and
+    wedge all table maintenance until manual cleanup.
     """
     old = path.rstrip("/") + "_swap_old"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            # crashed between the two renames: the displaced copy is the
+            # only copy — restore it rather than deleting data
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
     os.rename(path, old)
     try:
         os.rename(tmp, path)

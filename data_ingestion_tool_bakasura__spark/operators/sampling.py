@@ -332,20 +332,27 @@ def mixture_rates(
     feed the result to :func:`stratified_hash_sample` for the actual
     (deterministic, single-scan) sampling pass. Strata absent from
     ``target_shares`` get rate 0 (dropped) — list every stratum you
-    want kept. Shares must sum to ~1.
+    want kept; an explicit share of 0 likewise means "drop this
+    stratum" (rate 0, excluded from the water-filling min so it cannot
+    divide by zero). Shares must be >= 0 and sum to ~1.
     """
     total_share = sum(target_shares.values())
     if abs(total_share - 1.0) > 1e-9:
         raise ValueError(f"target shares must sum to 1, got {total_share}")
+    if any(share < 0 for share in target_shares.values()):
+        raise ValueError("target shares must be >= 0")
+    kept = {s: share for s, share in target_shares.items() if share > 0}
     actual = {
         r["s"]: r["tok"]
         for r in df.groupBy(F.col(strata_col).alias("s"))
         .agg(F.sum(token_col).alias("tok"))
         .collect()
     }
-    missing = [s for s in target_shares if s not in actual or not actual[s]]
+    missing = [s for s in kept if s not in actual or not actual[s]]
     if missing:
         raise ValueError(f"target strata absent from corpus: {missing}")
     # binding stratum: the one that runs out first at its target share
-    scale = min(actual[s] / share for s, share in target_shares.items())
-    return {s: min(1.0, share * scale / actual[s]) for s, share in target_shares.items()}
+    scale = min(actual[s] / share for s, share in kept.items())
+    rates = {s: min(1.0, share * scale / actual[s]) for s, share in kept.items()}
+    rates.update({s: 0.0 for s in target_shares if s not in kept})
+    return rates

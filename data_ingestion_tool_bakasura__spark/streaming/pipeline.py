@@ -166,10 +166,19 @@ def start_streaming_near_dedup(
     banding parameters; pipe candidates through ``jaccard_pairs`` before
     dropping if exact verification is required.
 
-    The corpus/index appends are idempotent per micro-batch only at the
-    key level (a replayed batch's docs all near-duplicate their own
-    first delivery, so they drop) — the strongest claim plain parquet
-    append supports.
+    Replay-idempotent by exact id: each batch is first anti-joined
+    against the corpus on ``id_col``, so a micro-batch replayed after a
+    crash (or a partial failure between the two appends) contributes no
+    second copy of an already-indexed doc. The LSH near-dup check alone
+    would NOT catch this — ``minhash_lsh_increment`` drops self-pairs by
+    id, so a replayed doc does not near-duplicate its own first
+    delivery. The guard is one column-pruned scan of corpus ids per
+    batch, the same order of work as the band-index probe itself.
+    Residual window: a crash between the corpus append and the index
+    append replays with the corpus row present (guard drops it), leaving
+    the doc's band keys unindexed; it remains deduped itself but won't
+    catch FUTURE near-dups against it — the conservative side of the
+    tradeoff plain parquet append supports.
     """
     from data_ingestion_tool_bakasura__spark.operators.dedup import (
         lsh_band_index,
@@ -184,7 +193,15 @@ def start_streaming_near_dedup(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        # exact-id replay guard: docs already in the corpus (a replayed
+        # micro-batch after crash/restart) are dropped up front — the
+        # near-dup check below can't do this, it ignores self-id pairs
+        if os.path.exists(corpus_path.removeprefix("file://")):
+            indexed = spark.read.parquet(corpus_path).select(F.col(id_col))
+            batch_df = batch_df.join(indexed, on=id_col, how="left_anti")
         batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
         have_index = os.path.exists(index_path.removeprefix("file://"))
         index = (
             spark.read.parquet(index_path)

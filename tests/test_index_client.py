@@ -86,3 +86,27 @@ def test_writer_lock_breaks_stale_lock(spark, tmp_path):
     os.utime(lock, (old, old))
     assert client.store(_rows(spark, 0, 5)) > 0  # acquires by breaking stale lock
     assert not os.path.exists(lock)
+
+
+def test_concurrent_stale_break_single_winner(spark, tmp_path):
+    """Two writers racing to break the SAME stale lock must not both end
+    up holding it (the rmdir/re-mkdir race): the rename-based break lets
+    exactly one waiter clean up, so concurrent stores over a planted
+    stale lock still serialize — unique text_hash values at the end."""
+    import os
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    client = IndexClient(spark, str(tmp_path / "idx_race"), embedding_dim=8)
+    client.initialize()
+    lock = str(tmp_path / "idx_race").rstrip("/") + ".lock"
+    os.mkdir(lock)
+    old = _t.time() - 10_000
+    os.utime(lock, (old, old))
+    batches = [_rows(spark, 0, 25), _rows(spark, 5, 30)]
+    with ThreadPoolExecutor(2) as ex:
+        added = list(ex.map(client.store, batches))
+    t = client.table()
+    assert t.count() == t.select("text_hash").distinct().count()
+    assert sum(added) == t.count()
+    assert not os.path.exists(lock)

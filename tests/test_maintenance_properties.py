@@ -33,6 +33,32 @@ def test_compact_preserves_rows_and_merges_files(spark, tmp_path):
     assert report["after"]["total_bytes"] > 0
 
 
+def test_swap_directory_recovers_from_prior_crash(spark, tmp_path):
+    """A leftover *_swap_old (prior crash between the two renames) must
+    not wedge the next swap with EEXIST; and when the crash left `path`
+    missing, the displaced copy is restored, not deleted."""
+    import os
+
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import swap_directory
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(20)
+    p = str(tmp_path / "tbl")
+    docs.write.parquet(p)
+    # case 1: superseded _swap_old left behind, live path present
+    docs.limit(5).write.parquet(p + "_swap_old")
+    docs.limit(10).write.parquet(p + "_tmp1")
+    swap_directory(spark, p, p + "_tmp1")
+    assert spark.read.parquet(p).count() == 10
+    assert not os.path.exists(p + "_swap_old")
+    # case 2: crash window — path missing, data stranded in _swap_old;
+    # the stranded copy is restored and then swapped out normally
+    os.rename(p, p + "_swap_old")
+    docs.limit(7).write.parquet(p + "_tmp2")
+    swap_directory(spark, p, p + "_tmp2")
+    assert spark.read.parquet(p).count() == 7
+    assert not os.path.exists(p + "_swap_old")
+
+
 # -- hypothesis properties (pure python, no Spark in the loop) --------------
 
 _text = st.text(

@@ -163,3 +163,23 @@ def test_mixture_rates_hits_target_token_shares(spark):
     total = sum(got.values())
     for s, share in target.items():
         assert abs(got[s] / total - share) < 0.08, (s, got[s] / total, share)
+
+
+def test_mixture_rates_zero_share_drops_stratum(spark):
+    """An explicit 0 target share means 'drop this stratum' (rate 0.0),
+    not ZeroDivisionError; negative shares are a clear error."""
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .withColumn("n_tok", F.size(F.split(F.trim("text"), " ")))
+        .withColumn("bucket", F.concat(F.lit("s"), F.col("doc_id") % 3))
+        .cache()
+    )
+    rates = SP.mixture_rates(docs, "bucket", "n_tok", {"s0": 0.6, "s1": 0.4, "s2": 0.0})
+    assert rates["s2"] == 0.0
+    assert max(rates.values()) == 1.0 and all(0 <= r <= 1 for r in rates.values())
+    with pytest.raises(ValueError, match=">= 0"):
+        SP.mixture_rates(docs, "bucket", "n_tok", {"s0": 1.1, "s1": -0.1})

@@ -182,3 +182,18 @@ def test_streaming_near_dedup_three_waves(spark, tmp_path):
     # the index holds exactly the survivors' band rows
     idx_ids = {r["_id"] for r in spark.read.parquet(index).collect()}
     assert idx_ids == {1, 3, 5}
+
+    # checkpoint-loss replay: every landing file re-read as one batch.
+    # The LSH probe alone would NOT drop docs 1/3/5 (self-id pairs are
+    # ignored), so without the exact-id guard they'd be appended twice.
+    SP.start_streaming_near_dedup(
+        SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+        corpus,
+        index,
+        num_hashes=16,
+        bands=8,
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    ).awaitTermination()
+    replayed = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in replayed.collect()) == [1, 3, 5]
+    assert replayed.count() == 3  # no duplicate rows, not just unique ids
