@@ -153,6 +153,7 @@ def delete_keys(
     path: str,
     keys,
     key_col: str = "id",
+    count_rows: bool = False,
 ) -> dict:
     """Targeted delete (the right-to-be-forgotten / takedown op): remove
     every row whose ``key_col`` is in ``keys`` from the parquet table at
@@ -160,26 +161,38 @@ def delete_keys(
 
     ``keys`` is a DataFrame with ``key_col`` (or an iterable of values,
     wrapped here). The delete set is broadcast — takedown lists are
-    small against a 100 TB table, and the rewrite is one scan + write.
+    small against a 100 TB table, and the rewrite is ONE scan + one
+    write. Before/after row counts are gated behind ``count_rows``
+    (default off): each count is an extra full-table scan, and a 100 TB
+    takedown should not pay 3x its cost for a return value. With
+    ``count_rows=False`` the counts come back None.
+
     With a partitioned layout, restricting the rewrite to partitions
     that can contain the keys (filter before ``write_partitioned``)
     turns this into a partial rewrite; on a lakehouse format it would
-    be a MERGE DELETE. Returns row counts before/after/deleted.
+    be a MERGE DELETE.
     """
     from pyspark.sql import DataFrame
 
     if not isinstance(keys, DataFrame):
         vals = list(keys)
         if not vals:
-            return {"n_before": spark.read.parquet(path).count(), "n_after": None,
-                    "n_deleted": 0}
+            return {
+                "n_before": spark.read.parquet(path).count() if count_rows else None,
+                "n_after": None,
+                "n_deleted": 0,
+            }
         kind = "string" if isinstance(vals[0], str) else "long"
         keys = spark.createDataFrame([(k,) for k in vals], f"{key_col} {kind}")
     cur = spark.read.parquet(path)
-    n_before = cur.count()
+    n_before = cur.count() if count_rows else None
     kept = cur.join(F.broadcast(keys.select(key_col)), on=key_col, how="left_anti")
     tmp = path.rstrip("/") + "_delete_tmp"
     kept.write.mode("overwrite").parquet(tmp)
     swap_directory(spark, path, tmp)
-    n_after = spark.read.parquet(path).count()
-    return {"n_before": n_before, "n_after": n_after, "n_deleted": n_before - n_after}
+    n_after = spark.read.parquet(path).count() if count_rows else None
+    return {
+        "n_before": n_before,
+        "n_after": n_after,
+        "n_deleted": (n_before - n_after) if count_rows else None,
+    }

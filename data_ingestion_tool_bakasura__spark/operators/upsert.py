@@ -7,10 +7,13 @@ this environment, the same semantics compose from set operations:
     merged = updates ∪ (current ⟕anti updates on key)
 
 i.e. every current row whose key is NOT updated survives, every update
-row wins. One anti-join (broadcast when the update batch is small — the
-common case: incremental batches vs a huge base table) + union; writing
-partitioned-by-key-bucket means unchanged partitions could be skipped
-with a real lakehouse format.
+row wins. One anti-join + union; the update-key side is broadcast only
+when the caller vouches the batch is small (``updates_small``, the
+default — incremental batches vs a huge base table), otherwise join
+strategy is left to AQE/statistics so a large backfill merge degrades
+to a shuffled join instead of OOMing the executors on a forced
+broadcast. Writing partitioned-by-key-bucket means unchanged partitions
+could be skipped with a real lakehouse format.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ def upsert_by_key(
     updates: DataFrame,
     key: str = "id",
     order_by: list[str] | None = None,
+    updates_small: bool = True,
 ) -> DataFrame:
     """Return the post-merge state of ``current`` with ``updates`` applied.
 
@@ -39,6 +43,11 @@ def upsert_by_key(
     checkpoint-loss replays that regroup batches need ``order_by``.
     Remaining columns break ties under ``order_by`` so the result is
     fully deterministic even for duplicate versions.
+
+    ``updates_small=False`` drops the broadcast hint on the update-key
+    side of the anti-join — pass it for bulk backfills whose key set
+    won't fit in driver/executor memory; AQE then picks the join
+    strategy from runtime sizes.
     """
     others = [c for c in updates.columns if c != key]
     if order_by:
@@ -54,5 +63,8 @@ def upsert_by_key(
         )
     else:
         upd = updates.dropDuplicates([key])
-    survivors = current.join(F.broadcast(upd.select(key)), on=key, how="left_anti")
+    upd_keys = upd.select(key)
+    if updates_small:
+        upd_keys = F.broadcast(upd_keys)
+    survivors = current.join(upd_keys, on=key, how="left_anti")
     return survivors.unionByName(upd)

@@ -323,7 +323,20 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 
 
 def q_rank_dense_ntile(spark: SparkSession, sf: str) -> DataFrame:
-    """rank / dense_rank / ntile / percent_rank over part prices."""
+    """rank / dense_rank / ntile / percent_rank over part prices.
+
+    CARDINALITY: the unpartitioned window is the operator under test —
+    global ntile/percent_rank semantics REQUIRE a total order, so Spark
+    plans a single-partition window (the plan's Exchange SinglePartition
+    is inherent, not an accident). At 100 TB this query shape is only
+    valid as written when the windowed relation fits one task; the scale
+    path is either (a) partition the window (see q_top3_orders_per_
+    customer: per-group rank shuffles by key and scales), or (b) global
+    APPROXIMATE quantiles via approx_percentile / percentile_approx,
+    which aggregates with partial combines instead of sorting. Kept
+    as-is because the global-total-order functions themselves are the
+    capability being value-checked here.
+    """
     part = load_table(spark, sf, "part")
     w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (

@@ -156,16 +156,45 @@ def test_upsert_grouping_insensitive_under_version_order(spark):
 
 def test_delete_keys_removes_exactly_the_keys(spark, tmp_path):
     """Targeted delete: exactly the listed keys disappear, everything
-    else survives byte-for-byte, and the op reports honest counts."""
+    else survives byte-for-byte; counts are opt-in (an extra 2 scans)
+    and honest when requested."""
     from data_ingestion_tool_bakasura__spark.operators.maintenance import delete_keys
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
     p = str(tmp_path / "tbl")
     docs.write.parquet(p)
     gone = [3, 7, 11]
+    # default: no stats scans — the op is one scan + one write
     report = delete_keys(spark, p, gone, key_col="doc_id")
+    assert report == {"n_before": None, "n_after": None, "n_deleted": None}
     after = spark.read.parquet(p)
-    assert report["n_deleted"] == 3
     assert after.filter(F.col("doc_id").isin(gone)).count() == 0
     want = sorted(map(tuple, docs.filter(~F.col("doc_id").isin(gone)).collect()))
     assert sorted(map(tuple, after.collect())) == want
+    # opt-in counts on a second takedown (keys already gone -> 0 deleted)
+    report2 = delete_keys(spark, p, gone, key_col="doc_id", count_rows=True)
+    assert report2["n_deleted"] == 0 and report2["n_before"] == report2["n_after"]
+
+
+def test_upsert_large_updates_no_forced_broadcast(spark):
+    """updates_small=False must not force-broadcast the update keys: with
+    auto-broadcast disabled the merge plan contains no broadcast join on
+    the anti-join side (a backfill batch degrades to a shuffled join
+    instead of OOMing); the default hint path still broadcasts."""
+    from data_ingestion_tool_bakasura__spark.operators.upsert import upsert_by_key
+
+    current = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    updates = spark.range(500, 1500).selectExpr("id", "id * 3 AS v")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = upsert_by_key(current, updates, updates_small=False)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        small = upsert_by_key(current, updates)  # default: hint honored
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small, plan_small
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # same result either way
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
