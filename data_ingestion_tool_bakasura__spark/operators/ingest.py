@@ -152,8 +152,14 @@ def ingest_documents(
     doc_col: str = "doc_id",
     filename_col: str | None = None,
     cfg: IngestConfig | None = None,
+    ingest_ts: Column | None = None,
 ) -> DataFrame:
-    """Full EP1 pipeline as one lazy plan; returns new index rows."""
+    """Full EP1 pipeline as one lazy plan; returns new index rows.
+
+    ``ingest_ts`` (A22) is forwarded to :func:`build_index_rows`;
+    production passes ``F.current_timestamp()``, tests/oracles a fixed
+    epoch so the run is reproducible.
+    """
     cfg = cfg or IngestConfig()
     if filename_col is None:
         docs = docs.withColumn("filename", F.concat(F.lit("doc_"), F.col(doc_col).cast("string")))
@@ -162,7 +168,7 @@ def ingest_documents(
         docs.select(doc_col, filename_col), on=doc_col, how="inner"
     )
     deduped = dedup_against_index(chunks, index)
-    return build_index_rows(deduped, filename_col, cfg)
+    return build_index_rows(deduped, filename_col, cfg, ingest_ts=ingest_ts)
 
 
 def ingest_accounting(index_rows: DataFrame) -> DataFrame:

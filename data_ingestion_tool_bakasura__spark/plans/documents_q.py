@@ -1148,6 +1148,100 @@ ORDER BY doc_id
 """
 
 
+# --- full ingest composition, oracle-able twin ----------------------------
+
+def q_ingest_pipeline_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole EP1 ingest pipeline, value-checked end to end: normalize
+    (A12) -> fixed-window chunk (A13 contract) -> md5 (A14) -> dedup
+    keep-first (A18) -> key synthesis (A15/A16) -> epoch->UTC timestamp
+    (A22) -> JSON metadata (A23) -> per-file accounting (A20), with the
+    embedding (A17) reduced to its SQL-checkable invariants: dimension
+    and unit L2 norm of the hash-embedding (the vector VALUES are only
+    reachable by running md5 expansion; the recursive-chunker twin
+    ``q_ingest_pipeline`` covers them rows-only + golden tests).
+
+    Reference semantics: per-chunk loop at ``main.py:290-346``,
+    accounting ``main.py:232-238,352-358``, epoch conversion
+    ``db_utils.py:160-163`` (UTC done right, not the local-time bug).
+    """
+    from data_ingestion_tool_bakasura__spark.operators.ingest import (
+        IngestConfig,
+        ingest_accounting,
+        ingest_documents,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    rows = ingest_documents(
+        docs,
+        cfg=IngestConfig(embedding_dim=16, use_recursive_chunker=False),
+        ingest_ts=F.timestamp_seconds(F.lit(1_700_000_000)),
+    )
+    acct = ingest_accounting(rows)
+    return (
+        rows.withColumn("emb_dim", F.size("content_vector"))
+        .withColumn(
+            "emb_norm",
+            F.round(
+                F.sqrt(F.aggregate("content_vector", F.lit(0.0), lambda a, x: a + x * x)),
+                4,
+            ),
+        )
+        .drop("content_vector")
+        .join(acct, on="filename")
+        .orderBy("id")
+    )
+
+
+ORACLE["q_ingest_pipeline_fixed"] = f"""
+WITH n AS (
+  SELECT doc_id, 'doc_' || doc_id::VARCHAR AS filename, {_NORM} AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, filename, t,
+         1 + ceil(greatest(length(t) - 400, 0) / 300.0)::INT AS n_win
+  FROM n
+),
+c AS (
+  SELECT doc_id, filename, i - 1 AS chunk_id,
+         substr(t, (i - 1) * 300 + 1, 400) AS content
+  FROM w, range(1, 10000) r(i)
+  WHERE i <= n_win
+),
+h AS (
+  SELECT doc_id, filename, chunk_id, content, md5(content) AS text_hash
+  FROM c WHERE trim(content) <> ''
+),
+d AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY text_hash ORDER BY doc_id, filename, chunk_id) AS rn
+  FROM h
+),
+k AS (SELECT filename, chunk_id, content, text_hash FROM d WHERE rn = 1),
+rows_ AS (
+  SELECT regexp_replace(filename || '_' || chunk_id::VARCHAR,
+                        '[^a-zA-Z0-9_\\-=]', '_', 'g') AS id,
+         content, filename, chunk_id::INT AS chunk_id, text_hash,
+         TIMESTAMP '2023-11-14 22:13:20' AS timestamp,
+         'text' AS file_type,
+         0 AS page_number,
+         '{{"filename":"' || filename || '","chunk_id":' || chunk_id::VARCHAR
+           || ',"timestamp":"2023-11-14T22:13:20.000Z","text_hash":"'
+           || text_hash || '","page_number":0}}' AS metadata,
+         16 AS emb_dim,
+         1.0 AS emb_norm
+  FROM k
+),
+acct AS (
+  SELECT filename, count(*) AS n_chunks, 0 AS n_errors
+  FROM k GROUP BY filename
+)
+SELECT r.*, a.n_chunks, a.n_errors
+FROM rows_ r JOIN acct a USING (filename)
+ORDER BY id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
