@@ -112,7 +112,7 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
 
 
 def lsh_bucket_keys(
-    vec_col: Column | str, dim: int, num_tables: int = 4, bits: int = 8
+    vec_col: Column | str, dim: int, num_tables: int = 8, bits: int = 6
 ) -> Column:
     """array of ``num_tables`` bucket keys: 'table:signbits'.
 
@@ -134,7 +134,7 @@ def lsh_bucket_keys(
     return F.array(*keys)
 
 
-def lsh_bucket_keys_udf(dim: int, num_tables: int = 4, bits: int = 8, probes: int = 0):
+def lsh_bucket_keys_udf(dim: int, num_tables: int = 8, bits: int = 6, probes: int = 0):
     """Arrow-batched signature UDF: one (batch x dim) @ (dim x T*B)
     matmul per batch, signs packed to 'table:bits' keys. Identical
     hyperplanes (and hence keys) to :func:`lsh_bucket_keys`.
@@ -185,8 +185,8 @@ def ann_index(
     dim: int,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
-    num_tables: int = 4,
-    bits: int = 8,
+    num_tables: int = 8,
+    bits: int = 6,
 ) -> DataFrame:
     """(id, vector, bucket-key) rows — the PERSISTABLE corpus side of
     LSH ANN. Hash the corpus once, write this partitioned by ``bkey``
@@ -212,9 +212,9 @@ def lsh_ann_topk(
     corpus_id: str = "vec_id",
     query_id: str = "q_id",
     vec_col: str = "embedding",
-    num_tables: int = 4,
-    bits: int = 8,
-    probes: int = 0,
+    num_tables: int = 8,
+    bits: int = 6,
+    probes: int = 2,
 ) -> DataFrame:
     """ANN top-k: candidates = bucket-key equi-join, then exact rescore.
 
@@ -239,9 +239,9 @@ def lsh_ann_topk_indexed(
     corpus_id: str = "vec_id",
     query_id: str = "q_id",
     vec_col: str = "embedding",
-    num_tables: int = 4,
-    bits: int = 8,
-    probes: int = 0,
+    num_tables: int = 8,
+    bits: int = 6,
+    probes: int = 2,
 ) -> DataFrame:
     """ANN top-k against a prebuilt (possibly parquet-persisted)
     :func:`ann_index` — the search path that never re-hashes the

@@ -108,6 +108,26 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_lsh_ann_default_config_recall_floor(spark):
+    """ANN.md contract: the DEFAULT config (8 tables, 6 bits, 2 probes)
+    measured recall@10 = 0.673 on the adversarial near-isotropic
+    fixture (tools/ann_tuning.py). Hyperplanes are deterministically
+    seeded, so the floor is reproducible; assert >= 0.6 here so a
+    default regression is caught."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.limit(15).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.cosine_topk_batch(emb, queries, k=10).collect()
+    }
+    ann = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.lsh_ann_topk(emb, queries, dim=64, k=10).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.6, f"default-config recall below ANN.md floor: {recall}"
+
+
 def test_cosine_top1_self(spark):
     """Property: a vector's nearest neighbor (including itself) is itself."""
     emb = load_table(spark, SF_SMOKE, "embeddings")
@@ -169,9 +189,10 @@ def test_lsh_multiprobe_improves_recall(spark):
 
 
 def test_lsh_ann_recovers_planted_high_cos_neighbor(spark):
-    """The curation regime ANN.md sizes the defaults for: a planted
-    cos>=0.98 neighbor must be retrieved at the default (4 tables,
-    8 bits) config."""
+    """Curation regime: a planted cos>=0.98 neighbor must be retrieved
+    at the default (8 tables, 6 bits, 2 probes) config — per-table hit
+    rate ~(1-theta/pi)^6 ~ 0.67, miss probability over 8 tables+probes
+    < 1e-4."""
     import numpy as np
 
     rng = [float(x) for x in np.cos(np.arange(64))]  # deterministic base vector
