@@ -53,6 +53,11 @@ HEADLINE = [
     "q_hybrid_rrf",            # BM25 + vector-cosine RRF fusion
     "q_volume_shipping",       # Q7 bilateral nation-flow join chain
     "q_incremental_dedup",     # increment probed vs persisted LSH index
+    "q_ivf_search",            # IVF probe-side vector search
+    "q_source_mixture",        # corpus mixture water-filling (in-plan)
+    "q_stream_funnel",         # streaming stateful funnel
+    "q_repeated_spans",        # intra-doc repeated n-gram spans
+    "q_stream_near_dedup",     # streaming near-dedup over band index
 ]
 
 
