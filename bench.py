@@ -72,15 +72,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warm-up: JVM + parquet footer caches, not measured
-    materialize(QUERIES["q_top_orders"](spark, sf_dir))
+    try:
+        materialize(QUERIES["q_top_orders"](spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
-    times: dict[str, float] = {}
+    # Per-query error isolation: one broken query must not zero out the
+    # whole suite's numbers — record its error and keep measuring.
+    times: dict[str, float | dict[str, str]] = {}
+    n_ok = 0
     for name in HEADLINE:
         t0 = time.time()
-        materialize(QUERIES[name](spark, sf_dir))
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            times[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
         times[name] = round(time.time() - t0, 3)
+        n_ok += 1
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(t for t in times.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {
@@ -88,10 +100,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "n_ok": n_ok,
+                "n_err": len(HEADLINE) - n_ok,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+    sys.exit(0 if n_ok > 0 else 1)
 
 
 if __name__ == "__main__":

@@ -577,12 +577,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     level_maps = []
     for _ in range(max_levels):
         local = edges.mapInPandas(_uf_partition_cc(node_t), schema=out_schema)
-        agg = local.groupBy("node").agg(
-            F.min("root").alias("mroot"), F.collect_set("root").alias("roots")
+        # ONE checkpoint per level: the union-find + agg materializes
+        # once, and both the level map (node -> min local root) and the
+        # quotient edges are cheap projections of the materialized agg.
+        # (Checkpointing the projections separately would run the
+        # mapInPandas union-find twice per level.)
+        agg = (
+            local.groupBy("node")
+            .agg(F.min("root").alias("mroot"), F.collect_set("root").alias("roots"))
+            .localCheckpoint()
         )
-        # node -> min of its local roots; extra roots become quotient edges
-        level_map = agg.select("node", F.col("mroot").alias("root")).localCheckpoint()
-        level_maps.append(level_map)
+        level_maps.append(agg.select("node", F.col("mroot").alias("root")))
         edges = (
             agg.select(F.explode("roots").alias("src"), F.col("mroot").alias("dst"))
             .filter(F.col("src") != F.col("dst"))

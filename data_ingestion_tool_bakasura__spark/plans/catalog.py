@@ -33,80 +33,81 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-3 rotation: the 22
-#: catalog queries that never had a driver row in r01/r02 (all
-#: value-checkable, all green in the local 110-query gate) lead, so
-#: every catalog query earns a driver-green row across rounds; the
-#: remaining slots are driver-green sentinels from r01/r02 spanning
-#: every domain module, one per operator family. Rows-only queries
-#: (q_ingest_pipeline, q_lsh_ann_topk, q_ivf_assignments) sit past the
-#: checked window — their semantics are held by dedicated tests
-#: (test_ingest, ANN.md recall contract, IVF full-probe==exact) and by
-#: the oracle-able twins leading here (q_ingest_pipeline_fixed,
-#: q_ivf_search). Every name must exist in a module's QUERIES
-#: (asserted below) so a rename can't silently drop a query.
+#: prefix of ``queries()`` in iteration order. Round-5 rotation: the 5
+#: streaming queries that errored in round 4 on the fixture's
+#: TIMESTAMP_NTZ ts encoding lead (the normalize_event_ts fix must be
+#: driver-proven), followed by the full streaming family and sentinels
+#: spanning every domain module, one per operator family — so one
+#: driver window re-certifies the repaired surface AND every family.
+#: Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
+#: q_ivf_assignments) sit past the checked window — their semantics are
+#: held by dedicated tests (test_ingest, ANN.md recall contract, IVF
+#: full-probe==exact) and by the oracle-able twins leading here
+#: (q_ingest_pipeline_fixed, q_ivf_search). Every name must exist in a
+#: module's QUERIES (asserted below) so a rename can't silently drop a
+#: query.
 _PRIORITY = [
-    # --- never driver-checked before r03: marquee round-2 ops ---
-    "q_ivf_search",             # IVF probe search; full-probe==exact contract
-    "q_bm25_topdocs",           # BM25 ranking (B10)
-    "q_hybrid_rrf",             # hybrid BM25+vector RRF fusion (B10)
-    "q_ingest_pipeline_fixed",  # oracle-able ingest twin (A17/A20/A22)
-    "q_source_mixture",         # corpus mixture water-filling
-    "q_stream_funnel",          # streaming funnel (C17)
-    "q_funnel_conversion",      # batch funnel twin (C5)
-    "q_stream_sliding_1h_30m",  # streaming sliding window (C17)
-    # --- never driver-checked before r03: relational TPC-H shapes ---
-    "q_volume_shipping",
-    "q_market_share",
-    "q_profit_by_nation",
-    "q_ship_delay_classes",
-    "q_order_count_distribution",
-    "q_promo_revenue",
-    "q_supplier_part_counts",
-    "q_large_volume_customers",
-    "q_brand_quantity_revenue",
-    "q_top_shippers",
-    "q_revenue_forecast",
-    "q_min_cost_supplier",
-    "q_returned_items",
-    "q_part_value_concentration",
-    # --- driver-green sentinels (r01/r02), one per family ---
-    # vectors (B9/C14)
-    "q_cosine_topk_batch",
-    "q_embedding_near_dup",
-    # events (C12/C17/C18)
+    # --- r4 ERR on TIMESTAMP_NTZ, repaired by normalize_event_ts ---
+    "q_stream_tumbling_hourly",
+    "q_stream_sliding_1h_30m",
+    "q_stream_session_windows",
+    "q_stream_dedup_keys",
+    "q_stream_click_purchase_join",
+    # --- rest of the streaming family (C17), re-certified post-fix ---
+    "q_stream_enriched_nation",
+    "q_stream_funnel",
+    "q_stream_near_dedup",
+    # --- batch twins of the repaired streams (C10/C17 semantics) ---
     "q_tumbling_hourly",
+    "q_sliding_1h_30m",
+    "q_session_windows",
+    "q_event_dedup",
+    # --- events (C12/C18) ---
     "q_value_zscore",
     "q_geomean_by_type",
     "q_user_retention",
-    # streaming (C17)
-    "q_stream_tumbling_hourly",
-    "q_stream_near_dedup",
-    "q_stream_session_windows",
-    # multimodal (A3-A11/C15)
-    "q_page_extract",
-    "q_doc_assembly",
-    # curation (sampling/decontamination)
+    "q_asof_click_error",
+    # --- vectors (B9/C14) ---
+    "q_cosine_topk_batch",
+    "q_ivf_search",
+    "q_embedding_near_dup",
+    # --- dedup family (C13) ---
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_simhash_bands",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    # --- documents / search (B8/B10/B11/C16) ---
+    "q_bm25_topdocs",
+    "q_hybrid_rrf",
+    "q_tfidf_topdocs",
+    "q_corpus_filter",
+    "q_upsert_by_key",
+    "q_fulltext_score",
+    # --- curation (sampling/decontamination) ---
     "q_hash_split",
     "q_contamination",
     "q_token_budget",
     "q_stratified_sample",
     "q_curation_pipeline",
-    # documents (B8/B11/C16)
-    "q_upsert_by_key",
-    "q_corpus_filter",
-    "q_tfidf_topdocs",
-    # dedup family (C13)
-    "q_exact_dedup",
-    "q_incremental_dedup",
-    "q_minhash_lsh_candidates",
-    "q_simhash_bands",
-    "q_dedup_clusters",
-    # relational core (C4-C7)
+    "q_source_mixture",
+    "q_repeated_spans",
+    # --- ingest (A17/A20/A22) ---
+    "q_ingest_pipeline_fixed",
+    # --- multimodal (A3-A11/C15) ---
+    "q_page_extract",
+    "q_doc_assembly",
+    # --- relational core (C4-C7 TPC-H shapes) ---
     "q_pricing_summary",
-    "q_asof_click_error",
-    "q_exists_subquery",
+    "q_region_revenue",
+    "q_shipping_priority",
     "q_top3_orders_per_customer",
+    "q_rollup_returns",
+    "q_ship_within_30d",
+    "q_exists_subquery",
+    "q_min_cost_supplier",
+    "q_funnel_conversion",
+    "q_volume_shipping",
 ]
 
 

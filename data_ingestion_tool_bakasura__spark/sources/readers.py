@@ -35,29 +35,52 @@ FIXTURE_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to ``TimestampType`` regardless of
+    how the parquet logical type surfaced in this Spark session.
 
-    Nanosecond parquet timestamps (events.ts) arrive as long when
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set; convert via integer
-    division to microseconds (a double division would lose precision at
-    1e18 ns magnitudes).
+    Fixture generators have shipped ``ts`` under three encodings, and a
+    watermark (`withWatermark`) accepts only ``TIMESTAMP``:
 
-    The conf is set here (runtime-settable) rather than relying on the
-    session builder, so the reader works under ANY caller-provided
-    SparkSession — without it the events scan dies with
-    ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS))``.
+    - ``INT64 (TIMESTAMP(NANOS))`` read as ``LongType`` under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — integer-divide to
+      microseconds (a double division would lose precision at 1e18 ns
+      magnitudes) and rebuild with ``timestamp_micros``.
+    - ``timestamp[us]`` without a timezone read as ``TIMESTAMP_NTZ`` —
+      cast to ``TIMESTAMP``; under the pinned UTC session timezone the
+      wall-clock values are preserved, matching the DuckDB oracle's
+      naive-timestamp semantics.
+    - ``TIMESTAMP`` (LTZ) — passthrough.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is normalized to ``TimestampType`` for every encoding
+    the fixture has shipped under (see :func:`normalize_event_ts`).
+
+    The confs are set here (runtime-settable) rather than relying on the
+    session builder, so the reader works under ANY caller-provided
+    SparkSession — without ``nanosAsLong`` a nanos-encoded events scan
+    dies with ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS))``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamp semantics (window starts, date_format) are defined in
     # UTC — also runtime-settable, so pin it for caller sessions too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -43,7 +43,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from pyspark.sql import types as T
+    from ..sources.readers import normalize_event_ts
 
     # Runtime-settable; makes the nanos-ts scan work under any caller
     # session (the batch reader does the same in load_table).
@@ -60,9 +60,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = spark.read.parquet(src)
     sdf = spark.readStream.schema(batch.schema).parquet(stage)
-    if isinstance(sdf.schema["ts"].dataType, T.LongType):
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    # ts must land as TIMESTAMP whatever the fixture's parquet logical
+    # type is — withWatermark rejects LONG and TIMESTAMP_NTZ alike.
+    return normalize_event_ts(sdf)
 
 
 def tumbling_agg(ev: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -224,7 +224,9 @@ def replay_to_table(
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=ckpt_base)
     conf_key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(conf_key)
+    # default-arg form: a bare session with no explicit setting must not
+    # raise here (restoring to "200" == restoring Spark's own default)
+    saved = spark.conf.get(conf_key, "200")
     if shuffle_partitions is not None:
         spark.conf.set(conf_key, str(shuffle_partitions))
     try:
