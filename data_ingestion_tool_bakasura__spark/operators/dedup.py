@@ -283,6 +283,7 @@ def minhash_lsh_increment(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 100,
+    new_keyed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs touching at least one NEW document,
     probed against a persisted :func:`lsh_band_index` — the
@@ -291,6 +292,13 @@ def minhash_lsh_increment(
     increment actually hits (the index side is semi-joined on the
     increment's distinct keys, broadcast because an increment's key set
     is small by assumption). Cost scales with |new| + matched buckets.
+
+    ``new_keyed`` lets a caller that already holds the increment's
+    ``lsh_band_index`` rows (e.g. the streaming sink, which also appends
+    them to the persisted index) pass them in so the MinHash pass over
+    the increment text runs once, not once per consumer. When given, it
+    must be the UNCAPPED index of exactly ``new_docs`` under the same
+    hash family / banding; ``new_docs`` and ``text_col`` are then unused.
 
     Batch parity (proven in tests): with ``max_bucket_size=None``,
     the result equals a full :func:`minhash_lsh_candidates` recompute
@@ -303,9 +311,10 @@ def minhash_lsh_increment(
 
     Returns (id_a, id_b), id_a < id_b, distinct.
     """
-    new_keyed = lsh_band_index(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    if new_keyed is None:
+        new_keyed = lsh_band_index(
+            new_docs, text_col, id_col, num_hashes, bands, shingle_n
+        )
     if max_bucket_size is not None:
         combined = (
             index.groupBy("bkey").agg(F.count("*").alias("_ci"))

@@ -210,9 +210,17 @@ def start_streaming_near_dedup(
                 [], "_id long, bkey string"
             )
         )
+        # Hash the batch ONCE: these uncapped band keys feed both the
+        # near-dup probe (which applies the bucket cap internally) and,
+        # filtered to survivors, the index append — without this the
+        # MinHash pass over the batch text ran twice per micro-batch.
+        batch_keys = lsh_band_index(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n
+        ).localCheckpoint(eager=True)
         pairs = minhash_lsh_increment(
             batch_df, index, text_col, id_col,
             num_hashes, bands, shingle_n, max_bucket_size,
+            new_keyed=batch_keys,
         ).localCheckpoint(eager=True)
         new_ids = batch_df.select(F.col(id_col))
         # drop: any new doc paired with a CORPUS doc (id not in batch),
@@ -232,8 +240,12 @@ def start_streaming_near_dedup(
         drop = dup_vs_corpus.unionByName(dup_in_batch).distinct()
         survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
         survivors.write.mode("append").parquet(corpus_path)
-        lsh_band_index(
-            survivors, text_col, id_col, num_hashes, bands, shingle_n
+        # survivors' index rows = the already-computed batch keys minus
+        # the dropped docs (no second MinHash pass over the text)
+        batch_keys.join(
+            F.broadcast(drop.select(F.col(id_col).alias("_id"))),
+            on="_id",
+            how="left_anti",
         ).write.mode("append").parquet(index_path)
 
     writer = docs_stream.writeStream.foreachBatch(_sink).option(
