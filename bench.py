@@ -58,6 +58,9 @@ HEADLINE = [
     "q_stream_funnel",         # streaming stateful funnel
     "q_repeated_spans",        # intra-doc repeated n-gram spans
     "q_stream_near_dedup",     # streaming near-dedup over band index
+    "q_pii_redaction",         # regexp-cascade PII scrub (map-only)
+    "q_sequence_packing",      # concat-and-cut shards (2-phase prefix sum)
+    "q_embedding_quantize",    # int8 max-abs vector quantization
 ]
 
 

@@ -317,6 +317,72 @@ def bloom_decontaminate(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    order_salt: str = "pack",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-cut training-shard assignment: documents are laid out
+    in a seeded deterministic shuffle order (md5 hash of the salted id —
+    the standard "shuffle the corpus before packing" step), token counts
+    are prefix-summed over that order, and each doc is assigned the
+    fixed-capacity shard containing its FIRST token:
+
+        shard_id = floor(exclusive_cumsum(tokens) / capacity)
+        pack_pos = exclusive_cumsum(tokens) % capacity
+
+    This is the sharding rule of concatenate-then-cut sequence packing
+    (docs spanning a boundary overflow into the next shard, exactly as
+    a token stream cut every ``capacity`` tokens would); downstream
+    per-shard writers group by ``shard_id``.
+
+    Scale design — the naive form is ``sum() OVER (ORDER BY hash)``, a
+    single-partition global window. Instead the same two-phase
+    distributed prefix sum as :func:`token_budget_select`: the first
+    two hex chars of the order hash define 256 value buckets that are
+    MONOTONE in the sort order, so per-bucket token totals (256 scalars
+    to the driver) give exact bucket offsets, and the cumulative sum is
+    a per-bucket window (hash-partitioned exchange, one task per
+    bucket) plus the broadcast offset. No global sort, no driver-side
+    data beyond 256 numbers.
+
+    Deterministic: order is (hash, id) — reproducible across retries,
+    partitioning and engine versions, and exactly reproducible in SQL
+    (``md5(salt || ':' || id)`` is bit-identical in the DuckDB oracle).
+    """
+    spark = df.sparkSession
+    h = F.md5(F.concat(F.lit(order_salt), F.lit(":"), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    d = df.withColumn("_pk_h", h).withColumn("_pk_b", bucket)
+    totals = {
+        r["_pk_b"]: r["t"]
+        for r in d.groupBy("_pk_b").agg(F.sum(token_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b] or 0
+    off_df = spark.createDataFrame(
+        [(int(b), int(off)) for b, off in offsets.items()],
+        "_pk_b int, _pk_off bigint",
+    )
+    w = (
+        Window.partitionBy("_pk_b")
+        .orderBy("_pk_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl = F.col("_pk_off") + F.sum(token_col).over(w) - F.col(token_col)
+    return (
+        d.join(F.broadcast(off_df), "_pk_b")
+        .withColumn("shard_id", F.floor(excl / F.lit(capacity)))
+        .withColumn("pack_pos", excl % F.lit(capacity))
+        .drop("_pk_h", "_pk_b", "_pk_off")
+    )
+
+
 def mixture_rates(
     df: DataFrame,
     strata_col: str,

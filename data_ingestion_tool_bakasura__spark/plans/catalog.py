@@ -105,6 +105,11 @@ _PRIORITY = [
     "q_rollup_returns",
     "q_ship_within_30d",
     "q_exists_subquery",
+    # --- new in r5 (curation/vector extensions), need driver rows ---
+    "q_pii_redaction",
+    "q_sequence_packing",
+    "q_embedding_quantize",
+    # --- relational sentinels with r3/r4 driver-green rows ---
     "q_min_cost_supplier",
     "q_funnel_conversion",
     "q_volume_shipping",

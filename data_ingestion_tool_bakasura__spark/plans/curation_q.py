@@ -410,6 +410,137 @@ ORDER BY doc_id
 """
 
 
+# --- C16 extension: PII redaction -----------------------------------------
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over the corpus (functions/redact.py). The fixture text
+    is digit-free, so deterministic PII is synthesized per doc — email
+    for doc_id % 3 != 0, phone for % 4 != 0, IPv4 for % 5 != 0, SSN for
+    % 7 == 0 — with the identical string expression in the oracle; the
+    per-source aggregate then checks both the per-pattern match counts
+    (taken on the original text) and the cascade-redacted lengths."""
+    from data_ingestion_tool_bakasura__spark.functions import redact as RD
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+
+    def when_mod(m: int, eq: bool, *parts) -> F.Column:
+        cond = (did % m == 0) if eq else (did % m != 0)
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            when_mod(3, False, F.lit(" contact user"), did.cast("string"),
+                     F.lit("@mail.example.com")),
+            when_mod(4, False, F.lit(" call +1 555-01"),
+                     F.lpad((did % 100).cast("string"), 2, "0")),
+            when_mod(5, False, F.lit(" host 10.2."),
+                     (did % 256).cast("string"), F.lit(".7")),
+            when_mod(7, True, F.lit(" ssn 123-45-6789")),
+        ),
+    )
+    red = RD.redact_pii(salted, "text")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pii_email").alias("n_email"),
+            F.sum("n_pii_phone").alias("n_phone"),
+            F.sum("n_pii_ipv4").alias("n_ipv4"),
+            F.sum("n_pii_ssn").alias("n_ssn"),
+            F.sum(F.length("text")).alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_pii_redaction"] = r"""
+WITH salted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 <> 0
+                 THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 <> 0
+                 THEN ' host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         AS text
+  FROM documents
+),
+red AS (
+  SELECT source, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\+\d(?:[\- ]?\d){7,}')) AS n_phone,
+         len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII:email]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[PII:ssn]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII:ipv4]', 'g'),
+           '\+\d(?:[\- ]?\d){7,}', '[PII:phone]', 'g') AS redacted
+  FROM salted
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+       CAST(sum(len(redacted)) AS BIGINT) AS redacted_chars
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+# --- C16 extension: sequence packing (concat-and-cut shards) --------------
+
+def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard assignment (operators/sampling.py pack_sequences):
+    seeded-shuffle order, 1000-token shard capacity, per-shard stats.
+    ``first_pos`` > 0 marks shards whose opening tokens belong to a doc
+    that started in the previous shard — the concat-and-cut overflow."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("tok")
+    )
+    packed = SP.pack_sequences(toks, "tok", capacity=1000)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("shard_tokens"),
+            F.min("pack_pos").alias("first_pos"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+ORACLE["q_sequence_packing"] = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tok,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tok,
+         CAST(COALESCE(SUM(tok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+  FROM t
+)
+SELECT excl // 1000 AS shard_id, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS shard_tokens,
+       CAST(min(excl % 1000) AS BIGINT) AS first_pos
+FROM c GROUP BY 1 ORDER BY shard_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -298,6 +298,56 @@ def q_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_ivf_search"] = ORACLE["q_cosine_topk_batch"]
 
 
+# --- C14 extension: int8 embedding quantization ---------------------------
+
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector max-abs int8 quantization (operators/similarity.py
+    quantize_embeddings): scale, signed/absolute code sums and the
+    saturation count per vector — integer outputs, so the oracle check
+    is exact (both engines widen float32 -> double before the divide,
+    and a rounding flip would need an exact .5 tie in double, which
+    random data never hits)."""
+    emb = load_table(spark, sf, "embeddings")
+    q = SIM.quantize_embeddings(emb)
+    qv = F.col("q_embedding")
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda a, v: a + v.cast("bigint")
+        ).alias("sum_q"),
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda a, v: a + F.abs(v.cast("bigint"))
+        ).alias("l1_q"),
+        F.size(F.filter(qv, lambda v: F.abs(v.cast("int")) == F.lit(127)))
+        .cast("bigint")
+        .alias("n_sat"),
+    ).orderBy("vec_id")
+
+
+ORACLE["q_embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(x, v -> CAST(round(v / scale) AS BIGINT)) END AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS q_scale,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS l1_q,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+FROM q ORDER BY vec_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -1,0 +1,101 @@
+"""Round-5 curation extensions: PII redaction, sequence packing, int8
+embedding quantization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingestion_tool_bakasura__spark.functions.redact import redact_pii
+from data_ingestion_tool_bakasura__spark.operators.sampling import pack_sequences
+from data_ingestion_tool_bakasura__spark.operators.similarity import (
+    quantize_embeddings,
+)
+
+
+def test_redact_pii_counts_and_cascade(spark):
+    rows = [
+        (1, "mail me at a.b+x@foo.co or b@bar.org thanks"),
+        (2, "server 192.168.0.1 and 10.0.255.3 up"),
+        (3, "call +1 555-0100  123 ok"),
+        (4, "ssn 123-45-6789 file"),
+        (5, "clean text, no identifiers here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_pii_email"] == 2 and "[PII:email]" in out[1]["text"]
+    assert "@" not in out[1]["text"].replace("[PII:email]", "")
+    assert out[2]["n_pii_ipv4"] == 2
+    assert out[2]["text"] == "server [PII:ipv4] and [PII:ipv4] up"
+    assert out[3]["n_pii_phone"] == 1
+    # the phone match must stop at the double-space boundary (at most
+    # one separator between digits), leaving both input spaces behind
+    assert out[3]["text"] == "call [PII:phone]  123 ok"
+    assert out[4]["n_pii_ssn"] == 1 and "[PII:ssn]" in out[4]["text"]
+    assert out[5]["text"] == rows[4][1]
+    assert all(out[5][f"n_pii_{t}"] == 0 for t in ("email", "ssn", "ipv4", "phone"))
+
+
+def test_redact_pii_ipv4_wins_over_phone(spark):
+    # cascade order: the IPv4 is consumed before the phone rule runs,
+    # so a '+'-prefixed run next to an IP cannot swallow it
+    df = spark.createDataFrame(
+        [(1, "+1 555-0100 host 10.2.3.7")], "doc_id int, text string"
+    )
+    r = redact_pii(df, "text").collect()[0]
+    assert r["text"] == "[PII:phone] host [PII:ipv4]"
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 400)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, tok int").repartition(7)
+    cap = 1000
+    got = {
+        r["doc_id"]: (r["shard_id"], r["pack_pos"])
+        for r in pack_sequences(df, "tok", cap).collect()
+    }
+    # naive reference: single global cumsum in seeded-hash order
+    import hashlib
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(f"pack:{r[0]}".encode()).hexdigest(), r[0]))
+    acc = 0
+    for doc_id, tok in order:
+        assert got[doc_id] == (acc // cap, acc % cap), doc_id
+        acc += tok
+    assert len(got) == len(rows)
+
+
+def test_pack_sequences_shard_invariants(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(i, 300) for i in range(20)], "doc_id long, tok int")
+    out = {r["doc_id"]: r for r in pack_sequences(df, "tok", 1000).collect()}
+    order = sorted(range(20), key=lambda i: hashlib.md5(f"pack:{i}".encode()).hexdigest())
+    # fixed 300-token docs: the k-th doc in shuffle order starts at
+    # token 300k -> shard 300k // 1000, offset 300k % 1000
+    for k, doc_id in enumerate(order):
+        assert out[doc_id]["shard_id"] == (300 * k) // 1000
+        assert out[doc_id]["pack_pos"] == (300 * k) % 1000
+
+
+def test_quantize_embeddings_roundtrip_and_zero(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert r1["q_scale"] == pytest.approx(1.0 / 127.0)
+    # reconstruction error bounded by scale/2 per element
+    for orig, q in zip(rows[0][1], r1["q_embedding"]):
+        assert abs(q * r1["q_scale"] - orig) <= r1["q_scale"] / 2 + 1e-9
+    # max-abs element saturates exactly
+    assert min(r1["q_embedding"]) == -127
+    r2 = out[2]
+    assert r2["q_scale"] == 0.0 and list(r2["q_embedding"]) == [0, 0, 0, 0]
+    assert out[3]["q_embedding"][0] == 127
