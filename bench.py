@@ -61,6 +61,7 @@ HEADLINE = [
     "q_pii_redaction",         # regexp-cascade PII scrub (map-only)
     "q_sequence_packing",      # concat-and-cut shards (2-phase prefix sum)
     "q_embedding_quantize",    # int8 max-abs vector quantization
+    "q_quantized_rerank",      # int8 candidate scan + exact rerank
 ]
 
 

@@ -109,6 +109,7 @@ _PRIORITY = [
     "q_pii_redaction",
     "q_sequence_packing",
     "q_embedding_quantize",
+    "q_quantized_rerank",
     # --- relational sentinels with r3/r4 driver-green rows ---
     "q_min_cost_supplier",
     "q_funnel_conversion",

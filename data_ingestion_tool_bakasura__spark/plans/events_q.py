@@ -293,6 +293,27 @@ ORDER BY event_id
 """
 
 
+def q_value_zscore_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """Built-in twin of q_value_zscore (avg/stddev_pop over a
+    partitionBy window — one shuffle, whole-stage codegen, no Arrow
+    hop): the production path for plain per-group z-scores, mirroring
+    the q_label_centroids_builtin precedent; the applyInPandas form
+    stays as the C18 grouped-map gate (PLANS.md hot-spot note)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise((F.col("value") - mu) / sd)
+    return ev.select(
+        "event_id", "event_type", F.round(z, 6).alias("zscore")
+    ).orderBy("event_id")
+
+
+ORACLE["q_value_zscore_builtin"] = ORACLE["q_value_zscore"]
+
+
 def q_geomean_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """GROUPED_AGG pandas UDF (geometric mean of positive values) beside
     built-in aggregates in one groupBy."""

@@ -348,6 +348,32 @@ FROM q ORDER BY vec_id
 """
 
 
+def q_quantized_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage top-3 (int8 candidate scan + exact rerank,
+    operators/similarity.py quantized_rerank_topk) on the same
+    query/corpus split as q_cosine_topk_batch. The oracle is the EXACT
+    scan's SQL: with a 50-candidate shortlist for k=3, the rerank must
+    recover the exact answer (equality contract also asserted in
+    test_dedup_similarity), so the driver value-check doubles as a
+    per-run recall proof."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.quantized_rerank_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        k=3,
+        shortlist=50,
+        corpus_id="vec_id",
+        query_id="q_id",
+    )
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_quantized_rerank"] = ORACLE["q_cosine_topk_batch"]
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -315,3 +315,29 @@ def test_ivf_topk_exact_at_full_probe_and_partial_recall(spark):
     }
     recall = len(set(map(lambda t: (t[0], t[1]), exact)) & part) / len(exact)
     assert recall >= 0.25, recall
+
+
+def test_quantized_rerank_equals_exact(spark):
+    """Two-stage quantized top-k contract: int8 candidate scan with a
+    50-wide shortlist + exact rerank reproduces exact cosine_topk_batch
+    byte-for-byte (same rounding + tiebreak) — the contract that lets
+    q_quantized_rerank reuse the exact scan's oracle. Also checks the
+    shortlist dial: a shortlist of exactly k degrades gracefully to
+    whatever the quantized ranking says (still k rows per query)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = sorted(map(tuple, SIM.cosine_topk_batch(corpus, queries, k=3).collect()))
+    rerank = sorted(
+        map(
+            tuple,
+            SIM.quantized_rerank_topk(corpus, queries, k=3, shortlist=50).collect(),
+        )
+    )
+    assert rerank == exact
+
+    narrow = SIM.quantized_rerank_topk(corpus, queries, k=3, shortlist=3)
+    per_q = {r["q_id"] for r in narrow.collect()}
+    assert narrow.count() == 3 * len(per_q)
