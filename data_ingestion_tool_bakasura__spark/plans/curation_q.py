@@ -186,11 +186,16 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-level duplication signal (the Lee et al. train-dedup
     shape at word granularity): word 20-grams occurring in MORE THAN ONE
     document, reported per source as (n_docs_with_repeats,
-    n_repeated_grams). The gram table is (md5(gram), doc_id) — hashing
-    keeps the shuffle row ~48 B regardless of span length; the two
-    aggregations (per-gram doc count, then per-source rollup) are the
-    only exchanges. Whole-doc dedup misses these partial overlaps;
-    this is the scan that catches boilerplate and quotation reuse."""
+    n_repeated_grams). The gram table is (xxhash64(gram), doc_id) — an
+    8-byte shuffle key regardless of span length (vs ~120 B raw grams
+    or 32 B md5 hex), and xxhash64 is the cheap non-crypto JVM hash;
+    the two aggregations (per-gram doc count, then per-source rollup)
+    are the only exchanges. The hash never reaches the output — only
+    DISTINCT COUNTS do — so the oracle counts raw gram strings and the
+    results agree unless xxhash64 collides on this corpus (~1e-8 at 1M
+    grams, deterministic, value-checked per round by the driver gate).
+    Whole-doc dedup misses these partial overlaps; this is the scan
+    that catches boilerplate and quotation reuse."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf, "documents")
@@ -201,7 +206,7 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(SP.word_ngrams("text", _SPAN_N)).alias("gram"),
-    ).select("doc_id", "source", F.md5("gram").alias("gh"))
+    ).select("doc_id", "source", F.xxhash64("gram").alias("gh"))
     nd = F.count("*").over(Window.partitionBy("gh"))
     return (
         grams.withColumn("nd", nd)
@@ -218,11 +223,11 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_repeated_spans"] = f"""
 WITH g AS (
   SELECT doc_id, source,
-         md5(unnest(list_distinct(
+         unnest(list_distinct(
            CASE WHEN len(tk) < {_SPAN_N} THEN [array_to_string(tk, ' ')]
                 ELSE [array_to_string(tk[i:i+{_SPAN_N - 1}], ' ')
                       FOR i IN range(1, len(tk) - {_SPAN_N - 2})]
-           END))) AS gh
+           END)) AS gh
   FROM (SELECT doc_id, source,
                string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
         FROM documents)
