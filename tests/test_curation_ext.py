@@ -99,3 +99,36 @@ def test_quantize_embeddings_roundtrip_and_zero(spark):
     r2 = out[2]
     assert r2["q_scale"] == 0.0 and list(r2["q_embedding"]) == [0, 0, 0, 0]
     assert out[3]["q_embedding"][0] == 127
+
+
+def test_repeated_spans_planted_boilerplate(spark, tmp_path):
+    """q_repeated_spans semantics on planted data: two docs share a
+    25-token boilerplate run (-> 6 repeated 20-grams), a third is
+    unique; also guards the xxhash64 gram-key path against the raw-gram
+    oracle definition (counts must agree)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_tool_bakasura__spark.plans.curation_q import (
+        q_repeated_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(25))
+    rows = [
+        (1, "web", boiler + " alpha beta gamma"),
+        (2, "web", boiler + " delta epsilon zeta"),
+        (3, "books", " ".join(f"u{i}" for i in range(40))),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+    out = {r["source"]: r for r in q_repeated_spans(spark, sf_dir).collect()}
+    assert list(out) == ["web"]
+    assert out["web"]["n_docs_with_repeats"] == 2
+    assert out["web"]["n_repeated_grams"] == 6
