@@ -77,6 +77,21 @@ def main() -> int:
                     f"| {tables} | {bits} | {probes} | {recall:.3f} | {mean_c:.0f} "
                     f"| {max_c} | {mean_c / n_corpus:.3f} |"
                 )
+
+    # quantized two-stage rerank: recall@k vs shortlist width (the only
+    # dial; at shortlist >> k the equality contract makes recall 1.0,
+    # narrower shortlists show how fast int8 candidate ranking decays)
+    print()
+    print("| rerank shortlist | recall@k |")
+    print("|---|---|")
+    for shortlist in sorted({k, 2 * k, 5 * k, 50}):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in S.quantized_rerank_topk(
+                emb, queries, k=k, shortlist=shortlist
+            ).collect()
+        }
+        print(f"| {shortlist} | {len(got & exact) / len(exact):.3f} |")
     return 0
 
 
