@@ -8,6 +8,13 @@ Each query is executed to completion via the `noop` sink (count() would
 let Catalyst prune expensive projected columns that nothing aggregates
 over, under-measuring e.g. embedding columns); per-query wall time is
 recorded after a session warm-up.
+
+Per-query failures are isolated: a failing query records
+``{"err": ...}`` under its name and the JSON line still emits. When
+``n_err > 0`` the headline ``value`` sums the SUCCESSFUL queries only —
+it is comparable across runs only when ``n_err == 0``; consumers must
+check ``n_err`` (equivalently ``partial``) before reading ``value`` as
+a suite total (ADVICE r5).
 """
 
 from __future__ import annotations
@@ -42,7 +49,9 @@ HEADLINE = [
     "q_simhash_bands",         # 64-bit SimHash signatures
     "q_doc_assembly",          # binary -> pages -> OCR gate -> assembly
     "q_stream_tumbling_hourly",  # real Structured Streaming replay
-    "q_value_zscore",          # applyInPandas grouped-map
+    "q_value_zscore_builtin",  # windowed z-score (production path; the
+                               # applyInPandas twin stays as the catalog's
+                               # C18 grouped-map gate — PLANS.md hot spots)
     "q_dedup_clusters",        # connected components over LSH pairs
     "q_tfidf_topdocs",         # TF-IDF ranked search
     "q_corpus_filter",         # composed pre-training corpus gate
@@ -106,6 +115,7 @@ def main() -> None:
                 "queries": times,
                 "n_ok": n_ok,
                 "n_err": len(HEADLINE) - n_ok,
+                "partial": n_ok < len(HEADLINE),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -50,6 +50,11 @@ def redact_pii(
 
     Counts are taken on the ORIGINAL text per pattern (order-
     independent, oracle-friendly); replacement is the ordered cascade.
+    Because counts see the pre-cascade text while earlier patterns may
+    consume characters later patterns would also match (digit runs
+    shared between ssn/ipv4/phone shapes), ``sum(n_pii_*)`` can exceed
+    the number of ``[PII:*]`` tokens actually emitted — the counts are
+    per-pattern match totals, not a token audit.
     Adds ``{out_col}`` (default overwrites ``text_col``) and, with
     ``count=True``, one ``n_pii_<tag>`` int column per pattern.
     """

@@ -341,21 +341,38 @@ def pack_sequences(
 
     Scale design — the naive form is ``sum() OVER (ORDER BY hash)``, a
     single-partition global window. Instead the same two-phase
-    distributed prefix sum as :func:`token_budget_select`: the first
-    two hex chars of the order hash define 256 value buckets that are
-    MONOTONE in the sort order, so per-bucket token totals (256 scalars
-    to the driver) give exact bucket offsets, and the cumulative sum is
-    a per-bucket window (hash-partitioned exchange, one task per
-    bucket) plus the broadcast offset. No global sort, no driver-side
-    data beyond 256 numbers.
+    distributed prefix sum as :func:`token_budget_select`: the leading
+    32 bits of the order hash, scaled to ``n_buckets`` value ranges
+    that are MONOTONE in the sort order (the bucket id is a
+    non-decreasing function of the hash-prefix value, so bucket
+    boundaries cut the global order into contiguous runs — a plain
+    ``pmod`` bucket would NOT be monotone and would break the prefix
+    sum's exactness). Per-bucket token totals (``n_buckets`` scalars to
+    the driver) give exact bucket offsets, and the cumulative sum is a
+    per-bucket window (hash-partitioned exchange, one task per bucket)
+    plus the broadcast offset. No global sort, no driver-side data
+    beyond ``n_buckets`` numbers.
+
+    ``n_buckets`` is the scale lever: per-task window state is
+    ~corpus_rows/n_buckets, so grow it with the corpus (the driver
+    round-trip stays tiny). At the default 256 the bucket id equals the
+    historical first-two-hex-chars derivation bit-for-bit. Shard
+    assignment is INDEPENDENT of ``n_buckets`` (buckets only partition
+    the prefix-sum work; the cumulative order is the same), asserted in
+    test_sampling.
 
     Deterministic: order is (hash, id) — reproducible across retries,
     partitioning and engine versions, and exactly reproducible in SQL
     (``md5(salt || ':' || id)`` is bit-identical in the DuckDB oracle).
     """
+    if not 1 <= n_buckets <= 1 << 20:
+        raise ValueError(f"n_buckets must be in [1, 2^20], got {n_buckets}")
     spark = df.sparkSession
     h = F.md5(F.concat(F.lit(order_salt), F.lit(":"), F.col(id_col).cast("string")))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    # monotone bucket: leading 32 hash bits scaled into n_buckets ranges
+    # (hv * n in [0, 2^52) — no bigint overflow)
+    hv = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    bucket = F.floor(hv * n_buckets / F.lit(4294967296)).cast("int")
     d = df.withColumn("_pk_h", h).withColumn("_pk_b", bucket)
     totals = {
         r["_pk_b"]: r["t"]

@@ -452,27 +452,30 @@ def quantized_rerank_topk(
     Same scale contract as :func:`cosine_topk_batch`: one corpus scan
     regardless of query count, broadcast queries, per-query window
     top-k with map-side partial rank (WindowGroupLimit) in both stages.
+
+    Internal columns are ``_qz_``-prefixed so a corpus that already
+    carries e.g. ``q_embedding`` is never clobbered (ADVICE r5).
     """
-    qz = quantize_embeddings(corpus, vec_col)
+    qz = quantize_embeddings(corpus, vec_col, q_col="_qz_emb", scale_col="_qz_scale")
     q = F.broadcast(
-        queries.select(_c(query_id).alias("_qid"), _c(vec_col).alias("_qvec"))
+        queries.select(_c(query_id).alias("_qz_qid"), _c(vec_col).alias("_qz_qvec"))
     )
     scored = qz.crossJoin(q).select(
-        F.col("_qid").alias(query_id),
+        F.col("_qz_qid").alias(query_id),
         _c(corpus_id).alias(corpus_id),
         _c(vec_col).alias(vec_col),
-        F.col("_qvec"),
-        cosine_similarity(F.col("q_embedding"), F.col("_qvec")).alias("_qcos"),
+        F.col("_qz_qvec"),
+        cosine_similarity(F.col("_qz_emb"), F.col("_qz_qvec")).alias("_qz_qcos"),
     )
-    w1 = Window.partitionBy(query_id).orderBy(F.desc("_qcos"), _c(corpus_id))
+    w1 = Window.partitionBy(query_id).orderBy(F.desc("_qz_qcos"), _c(corpus_id))
     short = (
-        scored.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= shortlist)
+        scored.withColumn("_qz_r1", F.row_number().over(w1))
+        .filter(F.col("_qz_r1") <= shortlist)
     )
     rer = short.select(
         query_id,
         corpus_id,
-        F.round(cosine_similarity(_c(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        F.round(cosine_similarity(_c(vec_col), F.col("_qz_qvec")), 6).alias("cos_sim"),
     )
     w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), _c(corpus_id))
     return (

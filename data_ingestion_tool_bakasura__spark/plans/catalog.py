@@ -33,31 +33,36 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-5 rotation: the 5
-#: streaming queries that errored in round 4 on the fixture's
-#: TIMESTAMP_NTZ ts encoding lead (the normalize_event_ts fix must be
-#: driver-proven), followed by the full streaming family and sentinels
-#: spanning every domain module, one per operator family — so one
-#: driver window re-certifies the repaired surface AND every family.
-#: Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
-#: q_ivf_assignments) sit past the checked window — their semantics are
-#: held by dedicated tests (test_ingest, ANN.md recall contract, IVF
-#: full-probe==exact) and by the oracle-able twins leading here
-#: (q_ingest_pipeline_fixed, q_ivf_search). Every name must exist in a
-#: module's QUERIES (asserted below) so a rename can't silently drop a
-#: query.
+#: prefix of ``queries()`` in iteration order. Round-6 rotation
+#: (r5 verdict #1): the two queries that have NEVER sat inside a
+#: checked window lead (q_quantized_rerank, q_value_zscore_builtin —
+#: both added late in r5 at positions 51+), followed by the new r6
+#: stateful-surface query and the two queries whose implementation
+#: changed this round (pack_sequences n_buckets wiring; the rerank's
+#: internal-column rename), then one sentinel per operator family so a
+#: single driver window still certifies every family. Rows-only
+#: queries (q_ingest_pipeline, q_lsh_ann_topk, q_ivf_assignments) sit
+#: past the checked window — their semantics are held by dedicated
+#: tests (test_ingest, ANN.md recall contract, IVF full-probe==exact)
+#: and by the oracle-able twins leading here (q_ingest_pipeline_fixed,
+#: q_ivf_search). Every name must exist in a module's QUERIES
+#: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
-    # --- r4 ERR on TIMESTAMP_NTZ, repaired by normalize_event_ts ---
+    # --- never driver-checked before r6 + changed/new this round ---
+    "q_quantized_rerank",        # r5 pos 51; impl touched (col rename)
+    "q_value_zscore_builtin",    # never rotated in before
+    "q_stream_running_stats",    # NEW r6: applyInPandasWithState oracle
+    "q_sequence_packing",        # re-certify after n_buckets wiring
+    # --- streaming family (C17) ---
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",
     "q_stream_session_windows",
     "q_stream_dedup_keys",
     "q_stream_click_purchase_join",
-    # --- rest of the streaming family (C17), re-certified post-fix ---
     "q_stream_enriched_nation",
     "q_stream_funnel",
     "q_stream_near_dedup",
-    # --- batch twins of the repaired streams (C10/C17 semantics) ---
+    # --- batch twins (C10/C17 semantics) ---
     "q_tumbling_hourly",
     "q_sliding_1h_30m",
     "q_session_windows",
@@ -71,6 +76,7 @@ _PRIORITY = [
     "q_cosine_topk_batch",
     "q_ivf_search",
     "q_embedding_near_dup",
+    "q_embedding_quantize",
     # --- dedup family (C13) ---
     "q_exact_dedup",
     "q_minhash_lsh_candidates",
@@ -92,6 +98,7 @@ _PRIORITY = [
     "q_curation_pipeline",
     "q_source_mixture",
     "q_repeated_spans",
+    "q_pii_redaction",
     # --- ingest (A17/A20/A22) ---
     "q_ingest_pipeline_fixed",
     # --- multimodal (A3-A11/C15) ---
@@ -102,15 +109,11 @@ _PRIORITY = [
     "q_region_revenue",
     "q_shipping_priority",
     "q_top3_orders_per_customer",
+    # ---------- 50-query window boundary ----------
+    # relational sentinels below all carry r3/r4/r5 driver-green rows
     "q_rollup_returns",
     "q_ship_within_30d",
     "q_exists_subquery",
-    # --- new in r5 (curation/vector extensions), need driver rows ---
-    "q_pii_redaction",
-    "q_sequence_packing",
-    "q_embedding_quantize",
-    "q_quantized_rerank",
-    # --- relational sentinels with r3/r4 driver-green rows ---
     "q_min_cost_supplier",
     "q_funnel_conversion",
     "q_volume_shipping",

@@ -197,6 +197,50 @@ FROM per_user
 """
 
 
+# --- C17/C18: applyInPandasWithState custom stateful operator -------------
+
+def q_stream_running_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The GroupState surface (streaming/stateful.py running_user_stats,
+    applyInPandasWithState) under a value oracle: per-user running
+    (count, sum, high-water-mark breaks) with the fold pinned to
+    event_id order, replayed availableNow in update mode. The final
+    state per user (max_by on the monotone n_events) must equal the
+    batch grouped aggregate + running-max window — C17's last
+    previously-uncertified corner (r5 verdict #4)."""
+    from data_ingestion_tool_bakasura__spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    ev = SW.stream_events(spark, sf).filter(F.col("user_id") < 30)
+    out = SW.replay_to_table(
+        running_user_stats(ev, order_col="event_id"), spark, mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.expr("max_by(sum_value, n_events)"), 2).alias("sum_value"),
+            F.expr("max_by(n_new_highs, n_events)").alias("n_new_highs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q_stream_running_stats"] = """
+WITH ranked AS (
+  SELECT user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events WHERE user_id < 30
+)
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(sum(CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_highs
+FROM ranked GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- C13/C17: streaming near-dedup (one-batch replay) ---------------------
 
 def q_stream_near_dedup(spark: SparkSession, sf: str) -> DataFrame:

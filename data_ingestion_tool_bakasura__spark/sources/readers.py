@@ -49,12 +49,15 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     - ``timestamp[us]`` without a timezone read as ``TIMESTAMP_NTZ`` —
       cast to ``TIMESTAMP``; under the pinned UTC session timezone the
       wall-clock values are preserved, matching the DuckDB oracle's
-      naive-timestamp semantics.
+      naive-timestamp semantics. The UTC pin is set HERE (not only in
+      :func:`load_table`) so a direct caller on a non-UTC session can't
+      silently shift wall clocks through the NTZ->LTZ cast.
     - ``TIMESTAMP`` (LTZ) — passthrough.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))

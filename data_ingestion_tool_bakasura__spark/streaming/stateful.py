@@ -37,31 +37,57 @@ RUNNING_SCHEMA = T.StructType(
 _STATE_SCHEMA = "n_events LONG, sum_value DOUBLE, max_value DOUBLE, n_new_highs LONG"
 
 
-def _update_user(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, s, mx, highs = state.get if state.exists else (0, 0.0, float("-inf"), 0)
-    for pdf in pdfs:
-        for v in pdf["value"].astype(float):
-            n += 1
-            s += v
-            if v > mx:
-                mx = v
-                highs += 1
-    state.update((n, s, mx, highs))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)], "n_new_highs": [highs]}
-    )
+def _make_update_user(order_col: str | None):
+    def _update_user(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s, mx, highs = state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        if order_col:
+            frames = [f for f in pdfs if len(f)]
+            chunks = (
+                [pd.concat(frames, ignore_index=True).sort_values(order_col)]
+                if frames
+                else []
+            )
+        else:
+            chunks = pdfs
+        for pdf in chunks:
+            for v in pdf["value"].astype(float):
+                n += 1
+                s += v
+                if v > mx:
+                    mx = v
+                    highs += 1
+        state.update((n, s, mx, highs))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)], "n_new_highs": [highs]}
+        )
+
+    return _update_user
 
 
-def running_user_stats(events: DataFrame) -> DataFrame:
+def running_user_stats(events: DataFrame, order_col: str | None = None) -> DataFrame:
     """Streaming per-user running stats with explicit GroupState; emits
-    the current state once per user per micro-batch (update mode)."""
+    the current state once per user per micro-batch (update mode).
+
+    ``order_col`` pins the fold order WITHIN each micro-batch (the rows
+    a grouped-state UDF receives arrive in shuffle order, which is not
+    deterministic): with e.g. ``order_col="event_id"`` the running-max
+    counter ``n_new_highs`` becomes a pure function of the data — on a
+    single-batch replay it equals the batch window expression ``value >
+    max(value) OVER (... ORDER BY event_id ... UNBOUNDED PRECEDING AND
+    1 PRECEDING)``, which is how the driver oracle value-checks this
+    operator (plans/streaming_q.py q_stream_running_stats). Across
+    micro-batches the fold remains arrival-ordered per batch — the
+    honest streaming semantics. Sorting is per-(key, batch) in the
+    Arrow-side pandas slice (tiny), not a shuffle.
+    """
+    cols = ["user_id", "value"] + ([order_col] if order_col else [])
     return (
-        events.select("user_id", "value")
+        events.select(*cols)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user,
+            _make_update_user(order_col),
             outputStructType=RUNNING_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

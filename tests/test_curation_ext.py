@@ -81,6 +81,45 @@ def test_pack_sequences_shard_invariants(spark):
         assert out[doc_id]["pack_pos"] == (300 * k) % 1000
 
 
+def test_pack_sequences_n_buckets_is_wired(spark):
+    """The n_buckets scale lever must (a) actually change how many
+    prefix-sum buckets exist and (b) leave shard assignment untouched
+    (buckets only partition the work, never the order)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 400)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, tok int").repartition(7)
+    base = {
+        r["doc_id"]: (r["shard_id"], r["pack_pos"])
+        for r in pack_sequences(df, "tok", 1000).collect()
+    }
+    for nb in (7, 1024):
+        got = {
+            r["doc_id"]: (r["shard_id"], r["pack_pos"])
+            for r in pack_sequences(df, "tok", 1000, n_buckets=nb).collect()
+        }
+        assert got == base, f"shard assignment changed under n_buckets={nb}"
+    # bucket populations: replicate the internal derivation and check the
+    # lever really yields ~nb distinct buckets (2000 uniform hashes fill
+    # far more than 256 of 1024 ranges; a silently-ignored parameter
+    # would cap at 256)
+    h = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    hv = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    n_distinct = {
+        nb: df.select(
+            F.floor(hv * nb / F.lit(4294967296)).alias("b")
+        ).distinct().count()
+        for nb in (256, 1024)
+    }
+    assert n_distinct[256] <= 256
+    assert n_distinct[1024] > 256
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "tok", 1000, n_buckets=0)
+
+
 def test_quantize_embeddings_roundtrip_and_zero(spark):
     rows = [
         (1, [0.5, -1.0, 0.25, 0.0]),

@@ -36,3 +36,35 @@ def test_stateful_running_stats_equal_batch(spark):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-3
+
+
+def test_stateful_new_highs_pinned_to_event_id_order(spark):
+    """With order_col the high-water-mark counter is a pure function of
+    the data: it must equal the batch running-max window in event_id
+    order (the q_stream_running_stats oracle contract)."""
+    stream = SW.stream_events(spark, SF_SMOKE).filter(F.col("user_id") < 25)
+    out = SW.replay_to_table(
+        running_user_stats(stream, order_col="event_id"), spark, mode="update"
+    )
+    final = (
+        out.withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events"))))
+        .filter(F.col("_rn") == 1)
+    )
+    got = {r["user_id"]: r["n_new_highs"] for r in final.collect()}
+    batch = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id") < 25)
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max("value").over(w)
+    want = {
+        r["user_id"]: r["n_new_highs"]
+        for r in batch.withColumn(
+            "hi", (prev.isNull() | (F.col("value") > prev)).cast("long")
+        )
+        .groupBy("user_id")
+        .agg(F.sum("hi").alias("n_new_highs"))
+        .collect()
+    }
+    assert got == want
