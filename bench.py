@@ -63,6 +63,7 @@ HEADLINE = [
     "q_volume_shipping",       # Q7 bilateral nation-flow join chain
     "q_incremental_dedup",     # increment probed vs persisted LSH index
     "q_ivf_search",            # IVF probe-side vector search
+    "q_ivf_kmeans_search",     # IVF fit: maxmin init + Lloyd iterations
     "q_source_mixture",        # corpus mixture water-filling (in-plan)
     "q_stream_funnel",         # streaming stateful funnel
     "q_repeated_spans",        # intra-doc repeated n-gram spans

@@ -331,6 +331,135 @@ def pick_seed_centroids(
     )
 
 
+def maxmin_seed_centroids(
+    corpus: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 8192,
+) -> DataFrame:
+    """Deterministic farthest-first (max-min) seeding: start from the
+    md5-first vector, then greedily add the vector with the LARGEST
+    cosine distance to its nearest already-chosen seed (ties -> lowest
+    id). The k-center init: it structurally cannot place two seeds
+    inside one tight cluster (the second would have min-distance ~0),
+    which is the local optimum plain hash seeding + Lloyd cannot escape
+    (two seeds in one cluster -> two half-lists there and two true
+    clusters merged elsewhere — observed on planted fixtures, pinned by
+    test_kmeans_centroids_recover_planted_clusters).
+
+    Cost: ONE scan (TakeOrdered of the ``sample_cap`` md5-first rows),
+    then the n-step greedy runs driver-side in numpy over that bounded
+    sample — seeding needs a representative sample, not the corpus, the
+    same boundedness contract as :func:`ivf_assign`'s centroid collect.
+    A naive distributed form (one argmax scan per seed) costs n full
+    scans and is strictly worse at any scale.
+    """
+    rows = (
+        corpus.select(_c(id_col).alias("c_id"), _c(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("c_id").cast("string")), F.col("c_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("maxmin_seed_centroids: corpus is empty")
+    ids = np.array([r["c_id"] for r in rows])
+    V = np.array([r["v"] for r in rows], dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    chosen = [0]  # md5-first row seeds the traversal
+    mind = 1.0 - Vn @ Vn[0]
+    for _ in range(min(n, len(rows)) - 1):
+        dmax = mind.max()
+        if dmax <= 0.0:
+            break  # fewer distinct directions than requested seeds
+        at_max = np.flatnonzero(mind == dmax)
+        best = int(at_max[np.argmin(ids[at_max])])  # ties -> lowest id
+        chosen.append(best)
+        mind = np.minimum(mind, 1.0 - Vn @ Vn[best])
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in V[i]]) for i in chosen],
+        f"c_id long, {vec_col} array<double>",
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "maxmin",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids as pure DataFrame ops (r5 verdict #5
+    — hash-picked seeds give unbalanced lists, and balanced lists are
+    what make ``nprobe/n_lists`` an honest scan-fraction dial):
+
+    - init: ``"maxmin"`` (default) = :func:`maxmin_seed_centroids`
+      farthest-first traversal — avoids the two-seeds-in-one-cluster
+      local optimum Lloyd cannot escape; ``"seed"`` =
+      :func:`pick_seed_centroids` (cheaper: no distance math).
+    - per iteration, ONE Spark job: assign each row with the same Arrow
+      matmul-argmax as :func:`ivf_assign` (map-side, no shuffle of
+      vectors) and hash-aggregate per-dimension means on (c_id,
+      dim_idx) — the exchange carries O(n_lists x dim) partial sums,
+      not the corpus. The n x dim means come back to the driver (the
+      same tiny-by-contract collect as ivf_assign's centroid ship) and
+      the next iteration's matmul uses them directly — no per-iteration
+      join/checkpoint plumbing.
+
+    Lists that lose every member keep their previous centroid
+    (deterministic, no reseeding). At 100 TB fit on a
+    :func:`~..operators.sampling.hash_sample` of the corpus — k-means
+    needs a representative sample, not every row; assignment of the
+    full corpus happens once, after the fit.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if init == "maxmin":
+        seed_df = maxmin_seed_centroids(corpus, n, id_col, vec_col)
+    elif init == "seed":
+        seed_df = pick_seed_centroids(corpus, n, id_col, vec_col)
+    else:
+        raise ValueError(f"init must be 'maxmin' or 'seed', got {init!r}")
+    rows = sorted(seed_df.collect(), key=lambda r: r["c_id"])
+    cids = [r["c_id"] for r in rows]
+    C = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        cids_i, Cn_i = list(cids), Cn  # bind per-iteration for the closure
+
+        @F.pandas_udf(T.LongType())
+        def _assign(vecs: pd.Series) -> pd.Series:
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            if not len(V):
+                return pd.Series([], dtype="int64")
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            return pd.Series([cids_i[i] for i in np.argmax(Vn @ Cn_i.T, axis=1)])
+
+        stats = (
+            # two-step: UDF assignment in its own projection BELOW the
+            # generator, so the matmul runs once per row, not once per
+            # exploded element
+            corpus.select(_assign(_c(vec_col)).alias("_kc"), _c(vec_col).alias("_kv"))
+            .select("_kc", F.posexplode("_kv").alias("_kp", "_kx"))
+            .groupBy("_kc", "_kp")
+            .agg(F.avg("_kx").alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in stats:
+            means.setdefault(r["_kc"], {})[r["_kp"]] = r["m"]
+        for i, cid in enumerate(cids):
+            if cid in means:
+                C[i] = [means[cid][p] for p in range(C.shape[1])]
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
+        f"c_id long, {vec_col} array<double>",
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -75,6 +75,7 @@ _PRIORITY = [
     # --- vectors (B9/C14) ---
     "q_cosine_topk_batch",
     "q_ivf_search",
+    "q_ivf_kmeans_search",       # NEW r6: Lloyd-refined centroids
     "q_embedding_near_dup",
     "q_embedding_quantize",
     # --- dedup family (C13) ---
@@ -108,9 +109,9 @@ _PRIORITY = [
     "q_pricing_summary",
     "q_region_revenue",
     "q_shipping_priority",
-    "q_top3_orders_per_customer",
     # ---------- 50-query window boundary ----------
     # relational sentinels below all carry r3/r4/r5 driver-green rows
+    "q_top3_orders_per_customer",
     "q_rollup_returns",
     "q_ship_within_30d",
     "q_exists_subquery",

@@ -317,6 +317,51 @@ def test_ivf_topk_exact_at_full_probe_and_partial_recall(spark):
     assert recall >= 0.25, recall
 
 
+def test_kmeans_centroids_recover_planted_clusters(spark):
+    """Lloyd refinement contract on planted clusters: after 3
+    iterations the fitted centroids separate well-spaced clusters
+    perfectly (every member's nearest centroid is its own cluster's),
+    while full-probe search over kmeans centroids still equals the
+    exact scan — the invariant that keeps q_ivf_search's oracle sound
+    for ANY centroid set."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = [i % 4 for i in range(120)]
+    vecs = centers[labels] + 0.05 * rng.standard_normal((120, 16))
+    df = spark.createDataFrame(
+        [(i, labels[i], [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    cents = SIM.kmeans_centroids(df, 4, iters=3)
+    assigned = SIM.ivf_assign(df, cents)
+    # purity: each fitted list contains exactly one planted cluster
+    rows = assigned.join(df.select("vec_id", "label"), "vec_id").collect()
+    by_list: dict = {}
+    for r in rows:
+        by_list.setdefault(r["c_id"], set()).add(r["label"])
+    assert len(by_list) == 4
+    assert all(len(s) == 1 for s in by_list.values()), by_list
+    # full-probe equality holds with kmeans centroids too
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 3)
+    kc = SIM.kmeans_centroids(corpus, 4, iters=2)
+    kass = SIM.ivf_assign(corpus, kc)
+    exact = sorted(
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in SIM.cosine_topk_batch(corpus, queries, k=3).collect()
+    )
+    full = sorted(
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in SIM.ivf_topk(kass, kc, queries, k=3, nprobe=4).collect()
+    )
+    assert full == exact
+
+
 def test_quantized_rerank_equals_exact(spark):
     """Two-stage quantized top-k contract: int8 candidate scan with a
     50-wide shortlist + exact rerank reproduces exact cosine_topk_batch

@@ -8,10 +8,17 @@ harness measures both sides of the trade against exact brute-force
 ground truth so the defaults in ``ANN.md`` are pinned by data, not
 vibes. Usage:
 
-    python tools/ann_tuning.py [sf_dir] [k]
+    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh]
 
-Prints a markdown table: config -> recall@k, mean/max candidates per
-query, scan fraction.
+With ``clustered`` the corpus/queries are a deterministic
+mixture-of-Gaussians embedding fixture (10 unit-sphere centers,
+sigma=0.25 — the shape real embedding corpora have) instead of the
+near-isotropic sf fixture; ANN.md publishes both tables. ``ivf`` /
+``lsh`` restrict to one section (default: both + rerank).
+
+Prints markdown tables: LSH config -> recall@k, mean/max candidates per
+query, scan fraction; IVF seed-vs-kmeans centroids -> list balance and
+recall@k per nprobe; quantized-rerank shortlist -> recall@k.
 """
 
 from __future__ import annotations
@@ -21,9 +28,65 @@ import sys
 from pyspark.sql import functions as F
 
 
+def clustered_fixture(spark, n_corpus: int = 500, n_queries: int = 15,
+                      dim: int = 64, n_clusters: int = 10, sigma: float = 0.12):
+    """Deterministic mixture-of-Gaussians embeddings: cluster centers
+    uniform on the unit sphere, members = center + N(0, sigma^2). Seeded
+    rng -> bit-reproducible across runs. sigma=0.12 at dim=64 puts the
+    mean top-10 cosine at ~0.62 (measured) — the moderately-clustered
+    regime of real embedding corpora, vs 0.31 on the near-isotropic sf
+    fixture; sigma=0.25 would drown the unit centers (noise norm
+    sigma*sqrt(dim)=2) and reproduce the isotropic case."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    total = n_corpus + n_queries
+    labels = rng.integers(0, n_clusters, size=total)
+    vecs = centers[labels] + sigma * rng.standard_normal((total, dim))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(total)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.filter(F.col("vec_id") >= n_queries), (
+        df.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+
+
+def ivf_table(S, emb, queries, exact, k: int, n_lists: int = 8) -> None:
+    """Seed vs Lloyd-refined centroids: list balance + recall@k/nprobe."""
+    import statistics
+
+    print(f"\nIVF (n_lists={n_lists}):")
+    print("| centroids | list sizes min/max | balance cv | "
+          + " | ".join(f"recall@{k} np={p}" for p in (1, 2, 4, n_lists)) + " |")
+    print("|---|---|---|" + "---|" * 4)
+    for name, cents in (
+        ("md5 seeds", S.pick_seed_centroids(emb, n_lists)),
+        ("kmeans x3", S.kmeans_centroids(emb, n_lists, iters=3)),
+    ):
+        assigned = S.ivf_assign(emb, cents).localCheckpoint(eager=True)
+        sizes = [r["n"] for r in assigned.groupBy("c_id").agg(F.count("*").alias("n")).collect()]
+        sizes += [0] * (n_lists - len(sizes))  # empty lists count
+        cv = statistics.pstdev(sizes) / statistics.mean(sizes)
+        recs = []
+        for nprobe in (1, 2, 4, n_lists):
+            got = {
+                (r["q_id"], r["vec_id"])
+                for r in S.ivf_topk(assigned, cents, queries, k=k, nprobe=nprobe).collect()
+            }
+            recs.append(f"{len(got & exact) / len(exact):.3f}")
+        print(
+            f"| {name} | {min(sizes)}/{max(sizes)} | {cv:.3f} | " + " | ".join(recs) + " |"
+        )
+
+
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = sys.argv[1:]
+    sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
+    k = int(next((a for a in args if a.isdigit()), "10"))
+    clustered = "clustered" in args
+    sections = {a for a in args if a in ("ivf", "lsh")} or {"ivf", "lsh", "rerank"}
 
     sys.path.insert(0, "/root/repo")
     from data_ingestion_tool_bakasura__spark.operators import similarity as S
@@ -32,19 +95,29 @@ def main() -> int:
 
     spark = get_spark("ann-tuning")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, sf, "embeddings")
+    if clustered:
+        emb, queries = clustered_fixture(spark)
+        emb = emb.localCheckpoint(eager=True)
+        queries = queries.localCheckpoint(eager=True)
+    else:
+        emb = load_table(spark, sf, "embeddings")
+        queries = emb.orderBy("vec_id").limit(15).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
     dim = len(emb.select("embedding").first()["embedding"])
     n_corpus = emb.count()
-    queries = emb.orderBy("vec_id").limit(15).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
 
     exact = {
         (r["q_id"], r["vec_id"])
         for r in S.cosine_topk_batch(emb, queries, k=k).collect()
     }
 
-    print(f"corpus={n_corpus} dim={dim} queries=15 k={k} sf={sf}")
+    src = "clustered MoG fixture" if clustered else sf
+    print(f"corpus={n_corpus} dim={dim} queries=15 k={k} source={src}")
+    if "ivf" in sections:
+        ivf_table(S, emb, queries, exact, k)
+    if "lsh" not in sections:
+        return 0
     print("| tables | bits | probes | recall@k | mean cand/query | max cand/query | scan frac |")
     print("|---|---|---|---|---|---|---|")
     for tables in (2, 4, 8):
@@ -81,6 +154,8 @@ def main() -> int:
     # quantized two-stage rerank: recall@k vs shortlist width (the only
     # dial; at shortlist >> k the equality contract makes recall 1.0,
     # narrower shortlists show how fast int8 candidate ranking decays)
+    if "rerank" not in sections:
+        return 0
     print()
     print("| rerank shortlist | recall@k |")
     print("|---|---|")
