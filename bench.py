@@ -72,6 +72,8 @@ HEADLINE = [
     "q_sequence_packing",      # concat-and-cut shards (2-phase prefix sum)
     "q_embedding_quantize",    # int8 max-abs vector quantization
     "q_quantized_rerank",      # int8 candidate scan + exact rerank
+    "q_winnow_fingerprints",   # winnowing sketch (sliding-window min)
+    "q_pq_rerank",             # PQ codes + ADC scan + exact rerank
 ]
 
 

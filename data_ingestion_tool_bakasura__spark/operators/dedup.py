@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -400,6 +400,82 @@ def jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the rolling-hash fingerprinting the brief's text-
+    analysis surface calls for): hash every word ``shingle_n``-gram,
+    slide a ``window``-gram window over the hash sequence, keep each
+    window's MINIMUM hash. Output is the fingerprint SET — distinct
+    (id_col, fp) rows.
+
+    Why winnowing over "every k-th gram" sampling:
+
+    - coverage guarantee: any token run of >= window + shingle_n - 1
+      tokens shared by two docs contributes at least one SHARED
+      fingerprint — long overlaps cannot be silently missed;
+    - density bound: expected sketch size ~ 2/(window+1) of the gram
+      count, position-independent (robust to insertions/deletions
+      upstream of the match, unlike stride sampling).
+
+    Conventions: docs shorter than ``shingle_n`` tokens fingerprint
+    their whole normalized text (the engine's MinHash shingle
+    convention); docs with fewer than ``window`` grams emit the min
+    over all their grams (the frame truncates — one window). Hash =
+    leading 52 bits of md5(shingle), the same DuckDB-reproducible
+    family as MinHash (``('0x' || substr(md5(s),1,13))::BIGINT``).
+
+    Scale: shingles via the same lead()-window codegen path as
+    :func:`minhash_signatures`; the sliding min is a per-doc window
+    over positions reusing that exchange; the closing distinct is a
+    map-side-combinable aggregate. Shuffle O(tokens), no UDF.
+    """
+    norm = normalize_text(text_col)
+    toks = df.select(
+        _c(id_col).alias("_id"), F.posexplode(F.split(norm, " ")).alias("_pos", "_tok")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", i).over(w) for i in range(1, shingle_n)]
+    gram = toks.select(
+        "_id",
+        "_pos",
+        F.concat_ws(" ", F.col("_tok"), *leads).alias("_sh"),
+        (leads[-1] if leads else F.col("_tok")).alias("_last"),
+    )
+    long_sh = gram.filter(F.col("_last").isNotNull()).select("_id", "_pos", "_sh")
+    short_sh = (
+        df.select(_c(id_col).alias("_id"), norm.alias("_sh"))
+        .filter(F.size(F.split(F.col("_sh"), " ")) < shingle_n)
+        .select("_id", F.lit(0).alias("_pos"), "_sh")
+    )
+    gh = long_sh.unionByName(short_sh).select(
+        "_id",
+        "_pos",
+        F.conv(F.substring(F.md5("_sh"), 1, 13), 16, 10).cast("bigint").alias("_h"),
+    )
+    w_min = Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, window - 1)
+    w_cnt = Window.partitionBy("_id")
+    return (
+        gh.select(
+            "_id",
+            F.col("_pos"),
+            F.min("_h").over(w_min).alias("_wmin"),
+            F.count("*").over(w_cnt).alias("_g"),
+        )
+        # valid window starts: 0..max(n_grams - window, 0); the frame
+        # truncates at the partition end for the short-doc case
+        .filter(F.col("_pos") <= F.greatest(F.col("_g") - window, F.lit(0)))
+        .select(F.col("_id").alias(id_col), F.col("_wmin").alias("fp"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

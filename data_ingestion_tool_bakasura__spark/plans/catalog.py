@@ -76,6 +76,7 @@ _PRIORITY = [
     "q_cosine_topk_batch",
     "q_ivf_search",
     "q_ivf_kmeans_search",       # NEW r6: Lloyd-refined centroids
+    "q_pq_rerank",               # NEW r6: product quantization + ADC
     "q_embedding_near_dup",
     "q_embedding_quantize",
     # --- dedup family (C13) ---
@@ -90,7 +91,7 @@ _PRIORITY = [
     "q_tfidf_topdocs",
     "q_corpus_filter",
     "q_upsert_by_key",
-    "q_fulltext_score",
+    "q_winnow_fingerprints",     # NEW r6: SIGMOD'03 winnowing sketch
     # --- curation (sampling/decontamination) ---
     "q_hash_split",
     "q_contamination",
@@ -108,9 +109,12 @@ _PRIORITY = [
     # --- relational core (C4-C7 TPC-H shapes) ---
     "q_pricing_summary",
     "q_region_revenue",
-    "q_shipping_priority",
     # ---------- 50-query window boundary ----------
-    # relational sentinels below all carry r3/r4/r5 driver-green rows
+    # everything below carries an r1-r5 driver-green row; in-window
+    # family reps above cover B8 (bm25/rrf/tfidf), C4 (region_revenue,
+    # asof, stream join) and C5 (pricing_summary)
+    "q_fulltext_score",
+    "q_shipping_priority",
     "q_top3_orders_per_customer",
     "q_rollup_returns",
     "q_ship_within_30d",

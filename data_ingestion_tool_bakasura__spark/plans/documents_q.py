@@ -382,6 +382,56 @@ ORDER BY source
 """
 
 
+# --- C16: winnowing fingerprints (rolling-hash local sketch) --------------
+
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint sketch per document (operators/dedup.py
+    winnow_fingerprints: 3-gram md5 hashes, 4-gram sliding window, keep
+    per-window minima — Schleimer et al. SIGMOD'03): sketch size, sum
+    and min of the selected 52-bit hashes. The sum/min value-check
+    pins the exact selected SET, not just its cardinality."""
+    docs = load_table(spark, sf, "documents")
+    fps = DD.winnow_fingerprints(docs, "text", "doc_id", shingle_n=3, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.sum("fp").alias("sum_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_winnow_fingerprints"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+         END AS sh
+  FROM toks
+),
+hl AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 13))::BIGINT FOR s IN sh] AS hl
+  FROM sh
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct([list_min(hl[i:i+3])
+                        FOR i IN range(1, greatest(len(hl) - 4, 0) + 2)]) AS fps
+  FROM hl
+)
+SELECT doc_id,
+       len(fps) AS n_fp,
+       CAST(list_sum(fps) AS BIGINT) AS sum_fp,
+       CAST(list_min(fps) AS BIGINT) AS min_fp
+FROM fp
+ORDER BY doc_id
+"""
+
+
 # --- C16: term frequency (tokenize + explode + agg) -----------------------
 
 def q_term_frequency(spark: SparkSession, sf: str) -> DataFrame:

@@ -399,6 +399,36 @@ def q_quantized_rerank(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_quantized_rerank"] = ORACLE["q_cosine_topk_batch"]
 
 
+def q_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization two-stage top-3 (operators/similarity.py
+    pq_train/pq_encode/pq_adc_rerank_topk: 8 subspaces x 32 codes = 8
+    bytes/vector, ADC candidate scan + exact float rerank) on the
+    q_cosine_topk_batch split. Oracle = the exact scan's SQL. The
+    shortlist is 200 (~40% of the sf0.01 corpus): this fixture is PQ's
+    adversarial case — near-isotropic vectors, so true-cosine gaps are
+    tiny and the worst ADC rank of a true top-3 item is 49 (sf0.01) /
+    140 (sf0.001), measured; 200 gives deterministic margin and the
+    driver value-check then re-proves the whole train/encode/ADC
+    pipeline every run. Clustered corpora need only ~5x k (ANN.md
+    recall tables)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.pq_adc_rerank_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        k=3,
+        shortlist=200,
+        corpus_id="vec_id",
+        query_id="q_id",
+    )
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_pq_rerank"] = ORACLE["q_cosine_topk_batch"]
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -317,6 +317,73 @@ def test_ivf_topk_exact_at_full_probe_and_partial_recall(spark):
     assert recall >= 0.25, recall
 
 
+def test_pq_rerank_equals_exact_and_codes_are_bytes(spark):
+    """PQ two-stage contract: ADC shortlist + exact rerank reproduces
+    exact cosine_topk_batch byte-for-byte (the q_pq_rerank oracle
+    contract; shortlist 200 because this isotropic fixture is PQ's
+    adversarial case — worst measured ADC rank of a true top-3 item is
+    140 of 495 here, and the pipeline is deterministic so the margin is
+    fixed, not probabilistic), and pq_encode emits exactly m one-byte
+    codes per vector within the tinyint code range."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = sorted(map(tuple, SIM.cosine_topk_batch(corpus, queries, k=3).collect()))
+    got = sorted(
+        map(
+            tuple,
+            SIM.pq_adc_rerank_topk(corpus, queries, k=3, shortlist=200).collect(),
+        )
+    )
+    assert got == exact
+    books = SIM.pq_train(corpus, m=8, n_codes=32)
+    enc = SIM.pq_encode(corpus, books)
+    rows = enc.select("pq_code").collect()
+    assert all(len(r["pq_code"]) == 8 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r["pq_code"])
+    # determinism: same corpus -> identical codebooks
+    again = sorted(map(tuple, SIM.pq_train(corpus, m=8, n_codes=32).collect()))
+    assert again == sorted(map(tuple, books.collect()))
+
+
+def test_winnow_fingerprints_match_reference_and_cover_shared_runs(spark):
+    """winnow_fingerprints equals a direct python transcription of the
+    winnowing algorithm (per-window minima of 52-bit md5 gram hashes),
+    and the SIGMOD'03 coverage guarantee holds: docs sharing a token
+    run of >= window + shingle_n - 1 tokens share >= 1 fingerprint."""
+    import hashlib
+
+    def ref_fp(text: str, n: int = 3, w: int = 4) -> set:
+        toks = " ".join(text.split()).strip().split(" ")
+        if len(toks) < n:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+        return {min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)}
+
+    shared = "one shared run of exactly six tokens"  # 6 >= 4 + 3 - 1
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2, "tiny doc"),
+        (3, f"alpha beta {shared} gamma delta epsilon"),
+        (4, f"completely different prefix then {shared} and another tail"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {i: set() for i, _ in docs}
+    for r in DD.winnow_fingerprints(df).collect():
+        got[r["doc_id"]].add(r["fp"])
+    for i, t in docs:
+        assert got[i] == ref_fp(t), f"doc {i}"
+    assert got[3] & got[4], "coverage guarantee violated on planted shared run"
+    assert not (got[1] & got[2])
+    # density bound sanity: sketch is a small fraction of the gram count
+    n_grams_1 = len(docs[0][1].split()) - 2
+    assert len(got[1]) <= n_grams_1
+
+
 def test_kmeans_centroids_recover_planted_clusters(spark):
     """Lloyd refinement contract on planted clusters: after 3
     iterations the fitted centroids separate well-spaced clusters

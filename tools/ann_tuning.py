@@ -167,6 +167,23 @@ def main() -> int:
             ).collect()
         }
         print(f"| {shortlist} | {len(got & exact) / len(exact):.3f} |")
+
+    # PQ ADC + rerank: recall@k vs shortlist per codebook size (8
+    # subspaces; 16/32 codes = 8 bytes either way — n_codes is free
+    # fidelity until the tinyint cap)
+    print()
+    print("| pq n_codes | shortlist | recall@k |")
+    print("|---|---|---|")
+    for n_codes in (16, 32):
+        books = S.pq_train(emb, m=8, n_codes=n_codes)
+        for shortlist in sorted({k, 2 * k, 5 * k, 50, 100}):
+            got = {
+                (r["q_id"], r["vec_id"])
+                for r in S.pq_adc_rerank_topk(
+                    emb, queries, k=k, shortlist=shortlist, codebooks=books
+                ).collect()
+            }
+            print(f"| {n_codes} | {shortlist} | {len(got & exact) / len(exact):.3f} |")
     return 0
 
 
