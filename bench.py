@@ -74,6 +74,7 @@ HEADLINE = [
     "q_quantized_rerank",      # int8 candidate scan + exact rerank
     "q_winnow_fingerprints",   # winnowing sketch (sliding-window min)
     "q_pq_rerank",             # PQ codes + ADC scan + exact rerank
+    "q_ivfadc_search",         # IVF x PQ composition (billion-scale layout)
 ]
 
 

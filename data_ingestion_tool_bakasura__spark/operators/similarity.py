@@ -739,6 +739,126 @@ def pq_adc_rerank_topk(
     )
 
 
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_lists: int = 8,
+    shortlist: int = 200,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI'11 §V — the billion-scale layout):
+    IVF coarse pruning x PQ fine ranking x exact rerank, composed from
+    this module's parts.
+
+    1. coarse: :func:`kmeans_centroids` + :func:`ivf_assign` put every
+       vector in one of ``n_lists`` lists; a query touches only its
+       ``nprobe`` nearest lists (scan fraction ~ nprobe/n_lists with
+       fitted centroids — measured in ANN.md).
+    2. fine: candidates in probed lists are ranked by PQ-ADC over
+       8-byte codes (:func:`pq_train`/:func:`pq_encode`) — the probed
+       lists can stay executor-resident at 100 TB because they are 32x
+       smaller than the floats. (Codes quantize raw vectors, not
+       residuals — keeps codebooks list-independent and reusable by the
+       flat :func:`pq_adc_rerank_topk`; the residual variant is a
+       fidelity upgrade, not a structural change.)
+    3. exact: the per-query ``shortlist`` is reranked in float cosine
+       with :func:`cosine_topk_batch`'s rounding + tiebreak, so at
+       full probe with a generous shortlist the result EQUALS the
+       exact scan — the oracle contract (tested; q_ivfadc_search).
+
+    Scale shape: one corpus scan (assign + encode are map-only); the
+    candidate exchange carries (corpus_id, query, adc_score) scalars;
+    floats are re-read only for shortlist ids via broadcast semi-join.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_lists, iters=iters,
+                                     id_col=corpus_id, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m=m, n_codes=n_codes, iters=iters,
+                             id_col=corpus_id, vec_col=vec_col)
+    assigned = ivf_assign(corpus, centroids, corpus_id, vec_col, "c_id")
+    encoded = pq_encode(assigned, codebooks, vec_col).select(
+        corpus_id, "c_id", "pq_code"
+    )
+
+    C = _pq_codebook_np(codebooks)
+    mm, nn, sub = C.shape
+    Cf = np.where(np.isfinite(C), C, 0.0)
+    q_rows = sorted(
+        queries.select(_c(query_id).alias("_q"), _c(vec_col).alias("_v")).collect(),
+        key=lambda r: r["_q"],
+    )
+    if not q_rows:
+        raise ValueError("ivfadc_topk: query set is empty")
+    qids = [r["_q"] for r in q_rows]
+    qpos = {q: i for i, q in enumerate(qids)}
+    Q = np.array([r["_v"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    LUT = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Q), mm, sub), Cf)
+
+    # probe: nearest nprobe centroid lists per query (same math as ivf_topk)
+    c_rows = sorted(centroids.collect(), key=lambda r: r["c_id"])
+    cids = [r["c_id"] for r in c_rows]
+    CC = np.array([r[vec_col] for r in c_rows], dtype=np.float64)
+    CCn = CC / np.maximum(np.linalg.norm(CC, axis=1, keepdims=True), 1e-300)
+    np_eff = min(nprobe, len(cids))
+    sims = Qn @ CCn.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :np_eff]
+    spark = corpus.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [(q, int(cids[c])) for qi, q in enumerate(qids) for c in order[qi]]
+        ).toDF(query_id, "c_id")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(qs: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(qs):
+            return pd.Series([], dtype=float)
+        qi = qs.map(qpos).to_numpy(dtype=np.int64)
+        Cd = np.array(codes.tolist(), dtype=np.int64)  # n x m
+        return pd.Series(LUT[qi[:, None], np.arange(mm)[None, :], Cd].sum(axis=1))
+
+    cand = encoded.join(probes, on="c_id").select(
+        query_id, corpus_id, _adc(_c(query_id), F.col("pq_code")).alias("_adc")
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.desc("_adc"), _c(corpus_id))
+    short = (
+        cand.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= shortlist)
+        .select(query_id, corpus_id)
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(q, [float(x) for x in Q[i]]) for i, q in enumerate(qids)]
+        ).toDF(query_id, "_qvec")
+    )
+    rer = (
+        corpus.join(F.broadcast(short), on=corpus_id)
+        .join(qdf, on=query_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine_similarity(_c(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), _c(corpus_id))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -77,6 +77,7 @@ _PRIORITY = [
     "q_ivf_search",
     "q_ivf_kmeans_search",       # NEW r6: Lloyd-refined centroids
     "q_pq_rerank",               # NEW r6: product quantization + ADC
+    "q_ivfadc_search",           # NEW r6: IVF x PQ composition
     "q_embedding_near_dup",
     "q_embedding_quantize",
     # --- dedup family (C13) ---
@@ -108,11 +109,11 @@ _PRIORITY = [
     "q_doc_assembly",
     # --- relational core (C4-C7 TPC-H shapes) ---
     "q_pricing_summary",
-    "q_region_revenue",
     # ---------- 50-query window boundary ----------
     # everything below carries an r1-r5 driver-green row; in-window
-    # family reps above cover B8 (bm25/rrf/tfidf), C4 (region_revenue,
-    # asof, stream join) and C5 (pricing_summary)
+    # family reps above cover B8 (bm25/rrf/tfidf), C4 (asof + stream
+    # join) and C5 (pricing_summary)
+    "q_region_revenue",
     "q_fulltext_score",
     "q_shipping_priority",
     "q_top3_orders_per_customer",

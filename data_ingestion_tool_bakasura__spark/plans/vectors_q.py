@@ -429,6 +429,35 @@ def q_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_pq_rerank"] = ORACLE["q_cosine_topk_batch"]
 
 
+def q_ivfadc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC composition (operators/similarity.py ivfadc_topk: Lloyd
+    IVF coarse pruning x PQ-ADC fine ranking over 8-byte codes x exact
+    float rerank — the standard billion-scale ANN layout) at FULL probe
+    with the measured-margin shortlist, under the exact scan's oracle:
+    sound because full probe + exact rerank provably equals
+    cosine_topk_batch for ANY centroid/codebook set (contract-tested).
+    The partial-probe scan/recall dial is exercised in the same test
+    and measured in ANN.md."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.ivfadc_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        k=3,
+        nprobe=8,
+        n_lists=8,
+        shortlist=200,
+        corpus_id="vec_id",
+        query_id="q_id",
+    )
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_ivfadc_search"] = ORACLE["q_cosine_topk_batch"]
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

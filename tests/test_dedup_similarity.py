@@ -348,6 +348,35 @@ def test_pq_rerank_equals_exact_and_codes_are_bytes(spark):
     assert again == sorted(map(tuple, books.collect()))
 
 
+def test_ivfadc_full_probe_equals_exact_partial_prunes(spark):
+    """IVFADC contract: full probe + generous shortlist reproduces the
+    exact scan byte-for-byte (the q_ivfadc_search oracle); partial
+    probe still returns k rows per query and a sane recall while
+    touching ~nprobe/n_lists of the corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = sorted(map(tuple, SIM.cosine_topk_batch(corpus, queries, k=3).collect()))
+    full = sorted(
+        map(
+            tuple,
+            SIM.ivfadc_topk(
+                corpus, queries, k=3, nprobe=8, n_lists=8, shortlist=200
+            ).collect(),
+        )
+    )
+    assert full == exact
+    part = SIM.ivfadc_topk(
+        corpus, queries, k=3, nprobe=2, n_lists=8, shortlist=100
+    ).collect()
+    assert len(part) == 15  # 5 queries x k=3 — probed lists cover enough
+    ex = {(a, b) for a, b, _ in exact}
+    got = {(r["q_id"], r["vec_id"]) for r in part}
+    assert len(got & ex) / len(ex) >= 0.2
+
+
 def test_winnow_fingerprints_match_reference_and_cover_shared_runs(spark):
     """winnow_fingerprints equals a direct python transcription of the
     winnowing algorithm (per-window minima of 52-bit md5 gram hashes),
