@@ -109,6 +109,56 @@ def test_sanitize_alphabet(s):
     assert re.fullmatch(r"[a-zA-Z0-9_\-=]*", out)
 
 
+# -- winnowing fingerprint properties (pure-python mirror) ------------------
+
+def _winnow_ref(tokens: list[str], n: int = 3, w: int = 4) -> set:
+    """Direct transcription of operators/dedup.py winnow_fingerprints
+    semantics over a token list (the Spark==python equality is pinned in
+    test_dedup_similarity; here we property-check the algorithm)."""
+    import hashlib
+
+    if not tokens:
+        tokens = [""]
+    if len(tokens) < n:
+        grams = [" ".join(tokens)]
+    else:
+        grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+    return {min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)}
+
+
+_words = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=1, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words)
+def test_winnow_sketch_bounds(toks):
+    """Sketch is non-empty, no larger than the window-start count, and
+    every fingerprint is a real gram hash (subset property)."""
+    import hashlib
+
+    fps = _winnow_ref(toks)
+    g = max(len(toks) - 2, 1)
+    assert 1 <= len(fps) <= max(g - 4, 0) + 1
+    if len(toks) < 3:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    all_h = {int(hashlib.md5(x.encode()).hexdigest()[:13], 16) for x in grams}
+    assert fps <= all_h
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words, _words, st.lists(st.text(alphabet="ghijk", min_size=1, max_size=5), min_size=6, max_size=12))
+def test_winnow_coverage_guarantee(prefix, suffix, shared):
+    """SIGMOD'03 guarantee: any shared run of >= w + n - 1 = 6 tokens
+    yields at least one shared fingerprint, regardless of what
+    surrounds it (position-shift robustness)."""
+    a = prefix + shared + suffix
+    b = list(reversed(suffix)) + shared + list(reversed(prefix))
+    assert _winnow_ref(a) & _winnow_ref(b)
+
+
 # -- upsert merge grouping-insensitivity ------------------------------------
 
 
