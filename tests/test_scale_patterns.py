@@ -113,6 +113,37 @@ def test_token_budget_no_single_partition_window(spark):
     assert got == want
 
 
+def test_r6_vector_text_plans_have_no_scale_killers(spark):
+    """Plan-shape guard for the round-6 operators: the winnowing and
+    sequence-packing windows must be hash-partitioned (never Exchange
+    SinglePartition), and the PQ/IVFADC two-stage searches must ship
+    their small sides as broadcasts with no shuffled join of two large
+    inputs (stage-1 exchanges carry scalar score rows only)."""
+    from data_ingestion_tool_bakasura__spark.operators.dedup import winnow_fingerprints
+    from data_ingestion_tool_bakasura__spark.operators.sampling import pack_sequences
+    from data_ingestion_tool_bakasura__spark.plans.catalog import QUERIES
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wf = winnow_fingerprints(docs)
+    plan = wf._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("tok"))
+    ps = pack_sequences(toks, "tok", capacity=1000, n_buckets=64)
+    plan = ps._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(_pk_b" in plan, plan[:2000]
+
+    for qname in ("q_pq_rerank", "q_ivfadc_search"):
+        plan = (
+            QUERIES[qname](spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, (qname, plan[:2000])
+        assert "CartesianProduct" not in plan, (qname, plan[:2000])
+        assert "SinglePartition" not in plan, (qname, plan[:2000])
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Partition pruning proof on the physical layout: a one-day filter
     over a date-partitioned events table must (a) carry the predicate
