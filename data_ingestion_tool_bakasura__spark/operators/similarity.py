@@ -558,14 +558,23 @@ def pq_train(
     if not rows:
         raise ValueError("pq_train: corpus is empty")
     V = np.array([r["_v"] for r in rows], dtype=np.float64)
-    dim = V.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if V.shape[1] % m:
+        raise ValueError(f"dim {V.shape[1]} not divisible by m={m}")
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-    sub = dim // m
+    return corpus.sparkSession.createDataFrame(
+        _fit_pq_codebooks(Vn, m, n_codes, iters),
+        "subspace int, code int, centroid array<double>",
+    )
+
+
+def _fit_pq_codebooks(X_all: "np.ndarray", m: int, n_codes: int, iters: int):
+    """Per-subspace k-means over a driver-side sample matrix:
+    farthest-first init + Lloyd, deterministic; returns the codebook
+    relation rows (subspace, code, centroid)."""
+    sub = X_all.shape[1] // m
     out = []
     for j in range(m):
-        X = Vn[:, j * sub : (j + 1) * sub]
+        X = X_all[:, j * sub : (j + 1) * sub]
         k_eff = min(n_codes, len(X))
         # farthest-first init (L2 in the subspace), then Lloyd
         cents = [X[0]]
@@ -588,8 +597,53 @@ def pq_train(
         out.extend(
             (j, c, [float(x) for x in C[c]]) for c in range(len(C))
         )
-    spark = corpus.sparkSession
-    return spark.createDataFrame(out, "subspace int, code int, centroid array<double>")
+    return out
+
+
+def pq_train_residual(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 8192,
+) -> DataFrame:
+    """Residual PQ codebooks — the classic IVFADC fine quantizer
+    (TPAMI'11 §V): codes quantize r = x_norm - centroid(assigned(x))
+    instead of x_norm. Residuals are centered near zero with far
+    smaller spread than raw vectors, so the same code budget buys a
+    finer grid exactly where the probed list's vectors live; measured
+    recall deltas in ANN.md. Same bounded-sample, deterministic
+    training contract as :func:`pq_train`."""
+    if n_codes > 128:
+        raise ValueError("n_codes > 128 does not fit the tinyint code column")
+    rows = (
+        corpus.select(_c(id_col).alias("_id"), _c(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train_residual: corpus is empty")
+    V = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if V.shape[1] % m:
+        raise ValueError(f"dim {V.shape[1]} not divisible by m={m}")
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    c_rows = sorted(centroids.collect(), key=lambda r: r["c_id"])
+    CC = np.array([r[vec_col] for r in c_rows], dtype=np.float64)
+    CCn = CC / np.maximum(np.linalg.norm(CC, axis=1, keepdims=True), 1e-300)
+    assign = np.argmax(Vn @ CCn.T, axis=1)  # same tiebreak as ivf_assign
+    # residual against the RAW centroid (the reconstruction anchor —
+    # the list mean), not the normalized direction used for the argmax:
+    # subtracting the unit vector adds a radial error component that
+    # inflates |r| (measured: it erases the residual-PQ gain entirely)
+    R = Vn - CC[assign]
+    return corpus.sparkSession.createDataFrame(
+        _fit_pq_codebooks(R, m, n_codes, iters),
+        "subspace int, code int, centroid array<double>",
+    )
 
 
 def _pq_codebook_np(codebooks: DataFrame) -> "np.ndarray":
@@ -739,6 +793,46 @@ def pq_adc_rerank_topk(
     )
 
 
+def pq_encode_residual(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector's IVF residual (x_norm - its nearest
+    centroid) to ``m`` one-byte codes against residual codebooks
+    (:func:`pq_train_residual`). The internal assignment reproduces
+    :func:`ivf_assign` exactly (same normalization, same first-max
+    tiebreak), so codes and list placement always agree. Map-only."""
+    C = _pq_codebook_np(codebooks)
+    m, n, sub = C.shape
+    Cf = np.where(np.isfinite(C), C, 0.0)
+    bias = np.where(
+        np.isfinite(C).all(axis=2), -0.5 * (Cf * Cf).sum(axis=2), -np.inf
+    )
+    c_rows = sorted(centroids.collect(), key=lambda r: r["c_id"])
+    CC = np.array([r[vec_col] for r in c_rows], dtype=np.float64)
+    CCn = CC / np.maximum(np.linalg.norm(CC, axis=1, keepdims=True), 1e-300)
+
+    @F.pandas_udf(T.ArrayType(T.ByteType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        if not len(V):
+            return pd.Series([], dtype=object)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        # argmax on the normalized direction (= ivf_assign), residual
+        # against the raw centroid (see pq_train_residual)
+        R = Vn - CC[np.argmax(Vn @ CCn.T, axis=1)]
+        codes = np.empty((len(V), m), dtype=np.int8)
+        for j in range(m):
+            X = R[:, j * sub : (j + 1) * sub]
+            codes[:, j] = np.argmax(X @ Cf[j].T + bias[j], axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return corpus.withColumn(code_col, _enc(_c(vec_col)))
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -754,6 +848,7 @@ def ivfadc_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI'11 §V — the billion-scale layout):
     IVF coarse pruning x PQ fine ranking x exact rerank, composed from
@@ -764,16 +859,22 @@ def ivfadc_topk(
        ``nprobe`` nearest lists (scan fraction ~ nprobe/n_lists with
        fitted centroids — measured in ANN.md).
     2. fine: candidates in probed lists are ranked by PQ-ADC over
-       8-byte codes (:func:`pq_train`/:func:`pq_encode`) — the probed
-       lists can stay executor-resident at 100 TB because they are 32x
-       smaller than the floats. (Codes quantize raw vectors, not
-       residuals — keeps codebooks list-independent and reusable by the
-       flat :func:`pq_adc_rerank_topk`; the residual variant is a
-       fidelity upgrade, not a structural change.)
+       8-byte codes — the probed lists can stay executor-resident at
+       100 TB because they are 32x smaller than the floats. With
+       ``residual=True`` (classic IVFADC) the codes quantize
+       r = x_norm - centroid(list) instead of x_norm
+       (:func:`pq_train_residual`/:func:`pq_encode_residual`): the ADC
+       score becomes q·centroid (a per-(query, probed-list) scalar
+       attached to the broadcast probe pairs) + the same LUT sum over
+       the residual codes — identical plan shape, finer grid where the
+       list's vectors actually live (measured recall deltas in
+       ANN.md). ``residual=False`` keeps codebooks list-independent
+       and reusable by the flat :func:`pq_adc_rerank_topk`.
     3. exact: the per-query ``shortlist`` is reranked in float cosine
        with :func:`cosine_topk_batch`'s rounding + tiebreak, so at
        full probe with a generous shortlist the result EQUALS the
-       exact scan — the oracle contract (tested; q_ivfadc_search).
+       exact scan for ANY centroid/codebook set — the oracle contract
+       (tested; q_ivfadc_search).
 
     Scale shape: one corpus scan (assign + encode are map-only); the
     candidate exchange carries (corpus_id, query, adc_score) scalars;
@@ -783,12 +884,22 @@ def ivfadc_topk(
         centroids = kmeans_centroids(corpus, n_lists, iters=iters,
                                      id_col=corpus_id, vec_col=vec_col)
     if codebooks is None:
-        codebooks = pq_train(corpus, m=m, n_codes=n_codes, iters=iters,
-                             id_col=corpus_id, vec_col=vec_col)
+        if residual:
+            codebooks = pq_train_residual(corpus, centroids, m=m,
+                                          n_codes=n_codes, iters=iters,
+                                          id_col=corpus_id, vec_col=vec_col)
+        else:
+            codebooks = pq_train(corpus, m=m, n_codes=n_codes, iters=iters,
+                                 id_col=corpus_id, vec_col=vec_col)
     assigned = ivf_assign(corpus, centroids, corpus_id, vec_col, "c_id")
-    encoded = pq_encode(assigned, codebooks, vec_col).select(
-        corpus_id, "c_id", "pq_code"
-    )
+    if residual:
+        encoded = pq_encode_residual(assigned, centroids, codebooks, vec_col).select(
+            corpus_id, "c_id", "pq_code"
+        )
+    else:
+        encoded = pq_encode(assigned, codebooks, vec_col).select(
+            corpus_id, "c_id", "pq_code"
+        )
 
     C = _pq_codebook_np(codebooks)
     mm, nn, sub = C.shape
@@ -814,10 +925,19 @@ def ivfadc_topk(
     sims = Qn @ CCn.T
     order = np.argsort(-sims, axis=1, kind="stable")[:, :np_eff]
     spark = corpus.sparkSession
+    # residual scoring: q.x_norm = q.raw_centroid(list) + q.residual,
+    # so the exact first term rides the (tiny) broadcast probe pairs as
+    # `_bias` (raw centroid — the residual's reconstruction anchor;
+    # probe ORDER still uses the normalized direction, = ivf_topk)
+    sims_raw = Qn @ CC.T
     probes = F.broadcast(
         spark.createDataFrame(
-            [(q, int(cids[c])) for qi, q in enumerate(qids) for c in order[qi]]
-        ).toDF(query_id, "c_id")
+            [
+                (q, int(cids[c]), float(sims_raw[qi, c]) if residual else 0.0)
+                for qi, q in enumerate(qids)
+                for c in order[qi]
+            ]
+        ).toDF(query_id, "c_id", "_bias")
     )
 
     @F.pandas_udf(T.DoubleType())
@@ -829,7 +949,9 @@ def ivfadc_topk(
         return pd.Series(LUT[qi[:, None], np.arange(mm)[None, :], Cd].sum(axis=1))
 
     cand = encoded.join(probes, on="c_id").select(
-        query_id, corpus_id, _adc(_c(query_id), F.col("pq_code")).alias("_adc")
+        query_id,
+        corpus_id,
+        (_adc(_c(query_id), F.col("pq_code")) + F.col("_bias")).alias("_adc"),
     )
     w1 = Window.partitionBy(query_id).orderBy(F.desc("_adc"), _c(corpus_id))
     short = (
