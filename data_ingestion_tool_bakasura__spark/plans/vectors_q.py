@@ -404,22 +404,25 @@ def q_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     pq_train/pq_encode/pq_adc_rerank_topk: 8 subspaces x 32 codes = 8
     bytes/vector, ADC candidate scan + exact float rerank) on the
     q_cosine_topk_batch split. Oracle = the exact scan's SQL. The
-    shortlist is 200 (~40% of the sf0.01 corpus): this fixture is PQ's
+    shortlist is max(200, 40% of the corpus): this fixture is PQ's
     adversarial case — near-isotropic vectors, so true-cosine gaps are
-    tiny and the worst ADC rank of a true top-3 item is 49 (sf0.01) /
-    140 (sf0.001), measured; 200 gives deterministic margin and the
+    tiny and the worst ADC rank of a true top-3 item is ~10-28% of the
+    corpus at every measured scale (49/495 at sf0.01, 140/495 at
+    sf0.001, >200/1995 at sf0.1 — a FIXED shortlist silently loses its
+    margin as sf grows; caught by an sf0.1 spot-check in round 6). The
     driver value-check then re-proves the whole train/encode/ADC
-    pipeline every run. Clustered corpora need only ~5x k (ANN.md
+    pipeline every run; real clustered corpora need only ~5x k (ANN.md
     recall tables)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
+    corpus = emb.filter(F.col("vec_id") >= 5)
     out = SIM.pq_adc_rerank_topk(
-        emb.filter(F.col("vec_id") >= 5),
+        corpus,
         queries,
         k=3,
-        shortlist=200,
+        shortlist=max(200, int(0.4 * corpus.count())),
         corpus_id="vec_id",
         query_id="q_id",
     )
@@ -442,18 +445,21 @@ def q_ivfadc_search(spark: SparkSession, sf: str) -> DataFrame:
     see ANN.md "residual" note), so the raw path keeps the 4x
     deterministic margin for the driver gate; the residual path is
     contract-tested at its own measured margin. Partial-probe
-    scan/recall is measured in ANN.md."""
+    scan/recall is measured in ANN.md. Shortlist scales as
+    max(200, 40% of corpus) — same scale-proportional margin rationale
+    as q_pq_rerank (a fixed 200 loses the margin at sf0.1)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
+    corpus = emb.filter(F.col("vec_id") >= 5)
     out = SIM.ivfadc_topk(
-        emb.filter(F.col("vec_id") >= 5),
+        corpus,
         queries,
         k=3,
         nprobe=8,
         n_lists=8,
-        shortlist=200,
+        shortlist=max(200, int(0.4 * corpus.count())),
         corpus_id="vec_id",
         query_id="q_id",
     )
