@@ -402,6 +402,76 @@ def jaccard_pairs(
     return out
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Sub-document exact dedup — the C4/RefinedWeb curation step that
+    document-level dedup misses (boilerplate paragraphs repeated across
+    otherwise-distinct pages): split each doc on ``sep``, keep only the
+    CANONICAL occurrence of every normalized paragraph corpus-wide
+    (lowest (doc_id, position) wins), and reassemble each doc's
+    surviving paragraphs in their original order.
+
+    Output: ``df`` with ``out_col`` (default: overwrite ``text_col``)
+    plus ``n_paras`` / ``n_dropped`` accounting columns. Comparison is
+    on the whitespace-normalized paragraph; the ORIGINAL paragraph text
+    is what gets reassembled. Whitespace-only paragraphs are never
+    dropped (they are formatting, not content). Deterministic and
+    idempotent (a second pass drops nothing — tested).
+
+    Scale: posexplode -> md5 -> ONE window ranked on the paragraph hash
+    (hash-partitioned exchange, O(paragraphs) rows of (id, pos, hash))
+    -> per-doc reassembly aggregate. No UDF, no driver state. Skewed
+    boilerplate (one paragraph in millions of docs) lands one hash
+    partition with many rows — row_number over it is a sort within one
+    task's partition, bounded by AQE skew splitting; the reassembly agg
+    is partial+final.
+    """
+    out_col = out_col or text_col
+    norm = normalize_text("_para")
+    paras = df.select(
+        _c(id_col).alias("_id"), F.posexplode(F.split(_c(text_col), sep)).alias("_pos", "_para")
+    ).withColumn("_norm", norm)
+    w = Window.partitionBy("_h").orderBy("_id", "_pos")
+    # whitespace-only paragraphs get a per-row key (always rank 1 =
+    # kept) — a shared sentinel would funnel every empty paragraph in
+    # the corpus into ONE window partition
+    ranked = paras.withColumn(
+        "_h",
+        F.when(F.col("_norm") != "", F.md5("_norm")).otherwise(
+            F.concat_ws(":", F.lit("_empty"), F.col("_id"), F.col("_pos"))
+        ),
+    ).withColumn("_rn", F.row_number().over(w))
+    rebuilt = (
+        ranked.withColumn("_keep", F.col("_rn") == 1)
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_para"))
+                        )
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("_rebuilt"),
+            F.count("*").alias("n_paras"),
+            F.sum((~F.col("_keep")).cast("int")).alias("n_dropped"),
+        )
+    )
+    keep_cols = [df[c] for c in df.columns if c != out_col]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"])
+        .select(*keep_cols, F.col("_rebuilt").alias(out_col), "n_paras", "n_dropped")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -86,10 +86,10 @@ _PRIORITY = [
     "q_simhash_bands",
     "q_dedup_clusters",
     "q_incremental_dedup",
+    "q_paragraph_dedup",         # NEW r6: C4-style sub-document dedup
     # --- documents / search (B8/B10/B11/C16) ---
     "q_bm25_topdocs",
     "q_hybrid_rrf",
-    "q_tfidf_topdocs",
     "q_corpus_filter",
     "q_upsert_by_key",
     "q_winnow_fingerprints",     # NEW r6: SIGMOD'03 winnowing sketch
@@ -97,7 +97,6 @@ _PRIORITY = [
     "q_hash_split",
     "q_contamination",
     "q_token_budget",
-    "q_stratified_sample",
     "q_curation_pipeline",
     "q_source_mixture",
     "q_repeated_spans",
@@ -109,11 +108,13 @@ _PRIORITY = [
     "q_doc_assembly",
     # --- relational core (C4-C7 TPC-H shapes) ---
     "q_pricing_summary",
+    "q_region_revenue",
     # ---------- 50-query window boundary ----------
     # everything below carries an r1-r5 driver-green row; in-window
-    # family reps above cover B8 (bm25/rrf/tfidf), C4 (asof + stream
-    # join) and C5 (pricing_summary)
-    "q_region_revenue",
+    # family reps above cover B8 (bm25/rrf), C4 (region_revenue, asof,
+    # stream join), C5 (pricing_summary), sampling (hash_split)
+    "q_tfidf_topdocs",
+    "q_stratified_sample",
     "q_fulltext_score",
     "q_shipping_priority",
     "q_top3_orders_per_customer",

@@ -432,6 +432,47 @@ ORDER BY doc_id
 """
 
 
+# --- C13: sub-document (paragraph) dedup ----------------------------------
+
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style sub-document dedup (operators/dedup.py
+    dedup_paragraphs): canonical-occurrence paragraph dedup + in-order
+    reassembly. The fixture's docs are single-paragraph (no '\\n\\n'),
+    so here the operator degenerates to doc granularity — the driver
+    row still value-checks the whole explode -> canonical-rank ->
+    reassembly machinery (kept-text length pins the rebuilt string);
+    multi-paragraph semantics, whitespace handling and idempotence are
+    pinned by test_dedup_paragraphs_canonical_reassembly_and_idempotence."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.dedup_paragraphs(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_dropped",
+        F.length("text").cast("long").alias("n_chars_kept"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_paragraph_dedup"] = f"""
+WITH p AS (
+  SELECT doc_id, text, {_NORM} AS norm FROM documents
+),
+r AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY CASE WHEN norm = '' THEN 'E' || CAST(doc_id AS VARCHAR)
+                             ELSE md5(norm) END
+           ORDER BY doc_id) AS rn
+  FROM p
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_paras,
+       CAST(CASE WHEN rn = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_dropped,
+       CAST(len(CASE WHEN rn = 1 THEN text ELSE '' END) AS BIGINT) AS n_chars_kept
+FROM r ORDER BY doc_id
+"""
+
+
 # --- C16: term frequency (tokenize + explode + agg) -----------------------
 
 def q_term_frequency(spark: SparkSession, sf: str) -> DataFrame:

@@ -317,6 +317,34 @@ def test_ivf_topk_exact_at_full_probe_and_partial_recall(spark):
     assert recall >= 0.25, recall
 
 
+def test_dedup_paragraphs_canonical_reassembly_and_idempotence(spark):
+    """C4/RefinedWeb sub-document dedup: duplicated paragraphs survive
+    only at their canonical (lowest doc_id, pos) site, original text
+    and order are preserved for survivors, whitespace paragraphs are
+    kept, and a second pass is a no-op."""
+    boiler = "subscribe to our newsletter today"
+    docs = [
+        (1, f"unique alpha\n\n{boiler}\n\nunique beta"),
+        (2, f"{boiler}\n\nunique gamma\n\n{boiler}"),
+        (3, f"unique delta\n\n \n\nunique epsilon"),
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.dedup_paragraphs(df).collect()}
+    assert out[1]["text"] == docs[0][1]  # canonical site keeps everything
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "unique gamma"  # both boiler copies dropped
+    assert out[2]["n_dropped"] == 2 and out[2]["n_paras"] == 3
+    assert out[3]["text"] == docs[2][1]  # whitespace paragraph survives
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 1
+    # idempotence: re-running drops nothing further
+    once = DD.dedup_paragraphs(df).select("doc_id", "text")
+    twice = {r["doc_id"]: r for r in DD.dedup_paragraphs(once).collect()}
+    for i in (1, 2, 3, 4):
+        assert twice[i]["text"] == out[i]["text"]
+        assert twice[i]["n_dropped"] == 0
+
+
 def test_pq_rerank_equals_exact_and_codes_are_bytes(spark):
     """PQ two-stage contract: ADC shortlist + exact rerank reproduces
     exact cosine_topk_batch byte-for-byte (the q_pq_rerank oracle
