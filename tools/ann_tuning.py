@@ -8,17 +8,19 @@ harness measures both sides of the trade against exact brute-force
 ground truth so the defaults in ``ANN.md`` are pinned by data, not
 vibes. Usage:
 
-    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh]
+    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh] [ivfadc]
 
 With ``clustered`` the corpus/queries are a deterministic
 mixture-of-Gaussians embedding fixture (10 unit-sphere centers,
-sigma=0.25 — the shape real embedding corpora have) instead of the
-near-isotropic sf fixture; ANN.md publishes both tables. ``ivf`` /
-``lsh`` restrict to one section (default: both + rerank).
+calibrated sigma — the shape real embedding corpora have) instead of
+the near-isotropic sf fixture; ANN.md publishes both tables. ``ivf``
+/ ``lsh`` / ``ivfadc`` restrict to one section (default: ivf + lsh +
+rerank; ``ivfadc`` reproduces ANN.md's raw-vs-residual PQ table).
 
 Prints markdown tables: LSH config -> recall@k, mean/max candidates per
 query, scan fraction; IVF seed-vs-kmeans centroids -> list balance and
-recall@k per nprobe; quantized-rerank shortlist -> recall@k.
+recall@k per nprobe; quantized-rerank / PQ shortlist -> recall@k;
+IVFADC raw-vs-residual codes -> recall@k per (nprobe, shortlist).
 """
 
 from __future__ import annotations
@@ -86,7 +88,9 @@ def main() -> int:
     sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
     k = int(next((a for a in args if a.isdigit()), "10"))
     clustered = "clustered" in args
-    sections = {a for a in args if a in ("ivf", "lsh")} or {"ivf", "lsh", "rerank"}
+    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc")} or {
+        "ivf", "lsh", "rerank"
+    }
 
     sys.path.insert(0, "/root/repo")
     from data_ingestion_tool_bakasura__spark.operators import similarity as S
@@ -116,6 +120,24 @@ def main() -> int:
     print(f"corpus={n_corpus} dim={dim} queries=15 k={k} source={src}")
     if "ivf" in sections:
         ivf_table(S, emb, queries, exact, k)
+    if "ivfadc" in sections:
+        cents = S.kmeans_centroids(emb, 8, iters=2)
+        print("\nIVFADC raw vs residual PQ codes (n_lists=8):")
+        print("| codes | np=1 sl=50 | np=2 sl=15 | np=2 sl=25 | np=2 sl=50 |")
+        print("|---|---|---|---|---|")
+        for residual in (False, True):
+            recs = []
+            for nprobe, sl in ((1, 50), (2, 15), (2, 25), (2, 50)):
+                got = {
+                    (r["q_id"], r["vec_id"])
+                    for r in S.ivfadc_topk(
+                        emb, queries, k=k, nprobe=nprobe, shortlist=sl,
+                        centroids=cents, residual=residual,
+                    ).collect()
+                }
+                recs.append(f"{len(got & exact) / len(exact):.3f}")
+            name = "residual" if residual else "raw"
+            print(f"| {name} | " + " | ".join(recs) + " |")
     if "lsh" not in sections:
         return 0
     print("| tables | bits | probes | recall@k | mean cand/query | max cand/query | scan frac |")
