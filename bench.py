@@ -75,6 +75,7 @@ HEADLINE = [
     "q_winnow_fingerprints",   # winnowing sketch (sliding-window min)
     "q_pq_rerank",             # PQ codes + ADC scan + exact rerank
     "q_ivfadc_search",         # IVF x PQ composition (billion-scale layout)
+    "q_paragraph_dedup",       # sub-document dedup + canonical reassembly
 ]
 
 
