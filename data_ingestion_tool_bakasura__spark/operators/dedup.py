@@ -548,6 +548,47 @@ def winnow_fingerprints(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """MOSS-style overlap candidates from winnowing sketches: doc pairs
+    sharing at least ``min_shared`` fingerprints, with the shared count
+    -> (id_a, id_b, n_shared). The coverage guarantee makes this the
+    cross-doc long-overlap detector: any shared token run of
+    >= window + shingle_n - 1 tokens forces >= 1 shared fingerprint,
+    so real plagiarism/boilerplate overlaps cannot score 0.
+
+    vs :func:`jaccard_pairs` (exact, joins on every distinct gram):
+    the join here is on the SKETCH — ~2/(window+1) of the grams — so
+    the self-join input shrinks ~3x at the defaults while keeping the
+    guarantee. ``max_bucket`` drops fingerprints shared by more than
+    that many docs (universal boilerplate) before the quadratic
+    per-bucket pairing, the same worst-case-linear cap as the LSH
+    banding path.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, shingle_n, window)
+    ok = fps.groupBy("fp").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") <= max_bucket
+    )
+    kept = fps.join(ok.select("fp"), "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

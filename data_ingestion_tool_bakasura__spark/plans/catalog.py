@@ -66,7 +66,6 @@ _PRIORITY = [
     "q_tumbling_hourly",
     "q_sliding_1h_30m",
     "q_session_windows",
-    "q_event_dedup",
     # --- events (C12/C18) ---
     "q_value_zscore",
     "q_geomean_by_type",
@@ -87,6 +86,7 @@ _PRIORITY = [
     "q_dedup_clusters",
     "q_incremental_dedup",
     "q_paragraph_dedup",         # NEW r6: C4-style sub-document dedup
+    "q_winnow_pairs",            # NEW r6: MOSS-style sketch-join pairs
     # --- documents / search (B8/B10/B11/C16) ---
     "q_bm25_topdocs",
     "q_hybrid_rrf",
@@ -112,7 +112,9 @@ _PRIORITY = [
     # ---------- 50-query window boundary ----------
     # everything below carries an r1-r5 driver-green row; in-window
     # family reps above cover B8 (bm25/rrf), C4 (region_revenue, asof,
-    # stream join), C5 (pricing_summary), sampling (hash_split)
+    # stream join), C5 (pricing_summary), sampling (hash_split),
+    # event dedup (streaming twin q_stream_dedup_keys in-window)
+    "q_event_dedup",
     "q_tfidf_topdocs",
     "q_stratified_sample",
     "q_fulltext_score",

@@ -473,6 +473,53 @@ FROM r ORDER BY doc_id
 """
 
 
+# --- C13: winnowing overlap candidates (MOSS-style) -----------------------
+
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc overlap candidates from the winnowing sketch
+    (operators/dedup.py winnow_candidate_pairs): pairs sharing >= 2
+    fingerprints with the shared count — the sketch-join sibling of
+    q_jaccard_pairs (joins ~2/(w+1) of the grams, coverage-guaranteed
+    for runs >= w + n - 1 tokens)."""
+    docs = load_table(spark, sf, "documents")
+    return DD.winnow_candidate_pairs(
+        docs, "text", "doc_id", shingle_n=3, window=4, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE["q_winnow_pairs"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+         END AS sh
+  FROM toks
+),
+hl AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 13))::BIGINT FOR s IN sh] AS hl
+  FROM sh
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct([list_min(hl[i:i+3])
+                        FOR i IN range(1, greatest(len(hl) - 4, 0) + 2)])) AS fp
+  FROM hl
+),
+ok AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100
+),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 # --- C16: term frequency (tokenize + explode + agg) -----------------------
 
 def q_term_frequency(spark: SparkSession, sf: str) -> DataFrame:

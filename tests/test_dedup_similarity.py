@@ -317,6 +317,32 @@ def test_ivf_topk_exact_at_full_probe_and_partial_recall(spark):
     assert recall >= 0.25, recall
 
 
+def test_winnow_candidate_pairs_find_planted_overlap(spark):
+    """MOSS-style sketch join: docs sharing a long token run must pair
+    (coverage guarantee at min_shared=1); unrelated docs must not; the
+    max_bucket cap drops universal-boilerplate fingerprints."""
+    shared = "a long planted overlap run of nine whole tokens"
+    rows = [
+        (1, f"first document prefix {shared} and its own ending words"),
+        (2, f"other beginning text {shared} completely different tail"),
+        (3, "nothing in common with anything else at all here truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in DD.winnow_candidate_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # boilerplate cap: a fingerprint shared by every doc is dropped
+    # when max_bucket < corpus size, killing the pair explosion
+    many = [(i, f"unique{i} words {shared} tail{i}") for i in range(10)]
+    dfm = spark.createDataFrame(many, "doc_id long, text string")
+    capped = DD.winnow_candidate_pairs(dfm, min_shared=1, max_bucket=5).collect()
+    uncapped = DD.winnow_candidate_pairs(dfm, min_shared=1, max_bucket=100).collect()
+    assert len(uncapped) > len(capped)
+
+
 def test_dedup_paragraphs_canonical_reassembly_and_idempotence(spark):
     """C4/RefinedWeb sub-document dedup: duplicated paragraphs survive
     only at their canonical (lowest doc_id, pos) site, original text
