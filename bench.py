@@ -15,6 +15,17 @@ Per-query failures are isolated: a failing query records
 it is comparable across runs only when ``n_err == 0``; consumers must
 check ``n_err`` (equivalently ``partial``) before reading ``value`` as
 a suite total (ADVICE r5).
+
+Host-load self-identification (VERDICT r6 #6): contention adjudication
+used to be manual cross-run forensics. The JSON now carries
+``load_start``/``load_end`` (3-tuple ``os.getloadavg()`` around the
+suite) and ``query_load1`` (the 1-min loadavg sampled at each query's
+START — the boundary sample doubles as the previous query's end). On
+this local[32] host the bench's own steady-state footprint keeps load1
+in the low tens; a ``load_start`` well above ~8 before the warm-up, or
+query_load1 values far above ``32 + load_start``, mark the run as
+contended per BASELINE.md's exclusion rule (uniform ≳1.3x median
+per-query ratio).
 """
 
 from __future__ import annotations
@@ -95,11 +106,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
+    def load_now() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # platform without getloadavg
+            return [-1.0, -1.0, -1.0]
+
+    load_start = load_now()
     # Per-query error isolation: one broken query must not zero out the
     # whole suite's numbers — record its error and keep measuring.
     times: dict[str, float | dict[str, str]] = {}
+    query_load1: dict[str, float] = {}
     n_ok = 0
     for name in HEADLINE:
+        query_load1[name] = load_now()[0]
         t0 = time.time()
         try:
             materialize(QUERIES[name](spark, sf_dir))
@@ -121,6 +141,9 @@ def main() -> None:
                 "n_ok": n_ok,
                 "n_err": len(HEADLINE) - n_ok,
                 "partial": n_ok < len(HEADLINE),
+                "load_start": load_start,
+                "load_end": load_now(),
+                "query_load1": query_load1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

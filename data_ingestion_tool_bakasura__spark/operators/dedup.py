@@ -420,8 +420,11 @@ def dedup_paragraphs(
     plus ``n_paras`` / ``n_dropped`` accounting columns. Comparison is
     on the whitespace-normalized paragraph; the ORIGINAL paragraph text
     is what gets reassembled. Whitespace-only paragraphs are never
-    dropped (they are formatting, not content). Deterministic and
-    idempotent (a second pass drops nothing — tested).
+    dropped (they are formatting, not content). Docs whose text is NULL
+    pass through unchanged with ``n_paras = n_dropped = 0`` — split(NULL)
+    explodes to no rows, so an inner join would silently drop the doc
+    (ADVICE r6). Deterministic and idempotent (a second pass drops
+    nothing — tested).
 
     Scale: posexplode -> md5 -> ONE window ranked on the paragraph hash
     (hash-partitioned exchange, O(paragraphs) rows of (id, pos, hash))
@@ -466,9 +469,17 @@ def dedup_paragraphs(
         )
     )
     keep_cols = [df[c] for c in df.columns if c != out_col]
+    # left join: a NULL-text doc has no exploded rows, hence no rebuilt
+    # aggregate — keep it (text passthrough, zeroed accounting) instead
+    # of silently losing it to an inner join
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["_id"])
-        .select(*keep_cols, F.col("_rebuilt").alias(out_col), "n_paras", "n_dropped")
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .select(
+            *keep_cols,
+            F.coalesce(F.col("_rebuilt"), df[text_col]).alias(out_col),
+            F.coalesce(F.col("n_paras"), F.lit(0).cast("long")).alias("n_paras"),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
+        )
     )
 
 

@@ -305,7 +305,7 @@ def ivf_assign(
     C = np.array([r["v"] for r in rows], dtype=np.float64)  # k x dim
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(centroids.schema[centroid_id].dataType)
     def _assign(vecs: pd.Series) -> pd.Series:
         V = np.array(vecs.tolist(), dtype=np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
@@ -328,6 +328,17 @@ def pick_seed_centroids(
         corpus.select(_c(id_col).alias("c_id"), _c(vec_col).alias(vec_col))
         .orderBy(F.md5(F.col("c_id").cast("string")), F.col("c_id"))
         .limit(n)
+    )
+
+
+def _centroid_schema(corpus: DataFrame, id_col: str, vec_col: str) -> T.StructType:
+    """Centroid-frame schema with ``c_id`` typed as the corpus id column
+    (non-numeric ids round-trip instead of crashing on int() coercion)."""
+    return T.StructType(
+        [
+            T.StructField("c_id", corpus.schema[id_col].dataType),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
     )
 
 
@@ -363,7 +374,7 @@ def maxmin_seed_centroids(
     )
     if not rows:
         raise ValueError("maxmin_seed_centroids: corpus is empty")
-    ids = np.array([r["c_id"] for r in rows])
+    ids = [r["c_id"] for r in rows]
     V = np.array([r["v"] for r in rows], dtype=np.float64)
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
     chosen = [0]  # md5-first row seeds the traversal
@@ -373,13 +384,15 @@ def maxmin_seed_centroids(
         if dmax <= 0.0:
             break  # fewer distinct directions than requested seeds
         at_max = np.flatnonzero(mind == dmax)
-        best = int(at_max[np.argmin(ids[at_max])])  # ties -> lowest id
+        best = min((int(j) for j in at_max), key=lambda j: ids[j])  # ties -> lowest id
         chosen.append(best)
         mind = np.minimum(mind, 1.0 - Vn @ Vn[best])
     spark = corpus.sparkSession
+    # preserve the id column's original type (ADVICE r6: int() coercion
+    # crashed on non-numeric ids, inconsistent with pick_seed_centroids)
     return spark.createDataFrame(
-        [(int(ids[i]), [float(x) for x in V[i]]) for i in chosen],
-        f"c_id long, {vec_col} array<double>",
+        [(ids[i], [float(x) for x in V[i]]) for i in chosen],
+        _centroid_schema(corpus, id_col, vec_col),
     )
 
 
@@ -426,15 +439,16 @@ def kmeans_centroids(
     cids = [r["c_id"] for r in rows]
     C = np.array([r[vec_col] for r in rows], dtype=np.float64)
     spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
         cids_i, Cn_i = list(cids), Cn  # bind per-iteration for the closure
 
-        @F.pandas_udf(T.LongType())
+        @F.pandas_udf(id_type)
         def _assign(vecs: pd.Series) -> pd.Series:
             V = np.array(vecs.tolist(), dtype=np.float64)
             if not len(V):
-                return pd.Series([], dtype="int64")
+                return pd.Series([], dtype="object")
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             return pd.Series([cids_i[i] for i in np.argmax(Vn @ Cn_i.T, axis=1)])
 
@@ -448,15 +462,15 @@ def kmeans_centroids(
             .agg(F.avg("_kx").alias("m"))
             .collect()
         )
-        means: dict[int, dict[int, float]] = {}
+        means: dict[object, dict[int, float]] = {}
         for r in stats:
             means.setdefault(r["_kc"], {})[r["_kp"]] = r["m"]
         for i, cid in enumerate(cids):
             if cid in means:
                 C[i] = [means[cid][p] for p in range(C.shape[1])]
     return spark.createDataFrame(
-        [(int(cid), [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
-        f"c_id long, {vec_col} array<double>",
+        [(cid, [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
+        _centroid_schema(corpus, id_col, vec_col),
     )
 
 

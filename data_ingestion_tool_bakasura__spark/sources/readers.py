@@ -47,17 +47,29 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
       microseconds (a double division would lose precision at 1e18 ns
       magnitudes) and rebuild with ``timestamp_micros``.
     - ``timestamp[us]`` without a timezone read as ``TIMESTAMP_NTZ`` —
-      cast to ``TIMESTAMP``; under the pinned UTC session timezone the
-      wall-clock values are preserved, matching the DuckDB oracle's
-      naive-timestamp semantics. The UTC pin is set HERE (not only in
-      :func:`load_table`) so a direct caller on a non-UTC session can't
-      silently shift wall clocks through the NTZ->LTZ cast.
+      cast to ``TIMESTAMP``; under a UTC session timezone the wall-clock
+      values are preserved, matching the DuckDB oracle's naive-timestamp
+      semantics. The cast resolves the session timezone at EXECUTION
+      time (the plan is lazy), so this function cannot fix a non-UTC
+      session by temporarily setting the conf here — it validates
+      instead and raises, rather than silently mutating the caller's
+      global session timezone (ADVICE r6) or silently shifting wall
+      clocks. :func:`load_table` pins UTC before calling; a direct
+      caller on a deliberately non-UTC session must opt in the same way.
     - ``TIMESTAMP`` (LTZ) — passthrough.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "normalize_event_ts: event-time semantics are defined under a UTC "
+            f"session timezone, but spark.sql.session.timeZone={tz!r}. Set it "
+            "to 'UTC' (load_table does this) before normalizing — the NTZ cast "
+            "resolves the timezone at execution time, so a non-UTC session "
+            "would silently shift wall clocks."
+        )
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))

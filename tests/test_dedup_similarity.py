@@ -371,6 +371,49 @@ def test_dedup_paragraphs_canonical_reassembly_and_idempotence(spark):
         assert twice[i]["n_dropped"] == 0
 
 
+def test_dedup_paragraphs_null_text_passthrough(spark):
+    """ADVICE r6: split(NULL) explodes to zero rows, so an inner join
+    silently dropped NULL-text docs. They must pass through with zeroed
+    accounting, and real docs must dedup exactly as before."""
+    boiler = "repeated boilerplate paragraph"
+    docs = [
+        (1, f"unique alpha\n\n{boiler}"),
+        (2, None),
+        (3, boiler),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.dedup_paragraphs(df).collect()}
+    assert set(out) == {1, 2, 3}  # the NULL-text doc is NOT lost
+    assert out[2]["text"] is None
+    assert out[2]["n_paras"] == 0 and out[2]["n_dropped"] == 0
+    assert out[1]["text"] == docs[0][1] and out[1]["n_dropped"] == 0
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+
+
+def test_centroids_preserve_string_ids(spark):
+    """ADVICE r6: maxmin/kmeans centroid frames hardcoded `c_id long`,
+    crashing on non-numeric id columns. The id column's type must round
+    trip through seeding, Lloyd refinement, and ivf_assign."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"doc-{i:03d}", [float(x) for x in rng.standard_normal(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    seeds = SIM.maxmin_seed_centroids(df, 4, id_col="vec_id")
+    assert seeds.schema["c_id"].dataType.typeName() == "string"
+    assert seeds.count() == 4
+    cents = SIM.kmeans_centroids(df, 4, iters=2, id_col="vec_id")
+    assert cents.schema["c_id"].dataType.typeName() == "string"
+    assigned = SIM.ivf_assign(df, cents, corpus_id="vec_id")
+    assert assigned.schema["c_id"].dataType.typeName() == "string"
+    cid_set = {r["c_id"] for r in cents.collect()}
+    assert {r["c_id"] for r in assigned.collect()} <= cid_set
+    assert assigned.count() == 40
+
+
 def test_pq_rerank_equals_exact_and_codes_are_bytes(spark):
     """PQ two-stage contract: ADC shortlist + exact rerank reproduces
     exact cosine_topk_batch byte-for-byte (the q_pq_rerank oracle

@@ -95,3 +95,25 @@ def test_stream_events_watermarkable_all_encodings(spark, encoded_dirs):
         (dt.datetime(2024, 1, 1, 1, 0), "click", 1, 3.0),
         (dt.datetime(2024, 1, 1, 1, 0), "purchase", 1, 10.0),
     ]
+
+
+def test_normalize_event_ts_rejects_non_utc_session(spark, encoded_dirs):
+    """ADVICE r6: normalize_event_ts used to silently overwrite the
+    session timezone to UTC — a global side effect. It now validates
+    and raises on a non-UTC session (the NTZ cast resolves the tz at
+    execution time, so a temporary set/restore would be wrong too)."""
+    from data_ingestion_tool_bakasura__spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    raw = spark.read.parquet(os.path.join(encoded_dirs["ntz"], "events.parquet"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="UTC"):
+            normalize_event_ts(raw)
+        # the caller's deliberately-set timezone is NOT mutated
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert isinstance(normalize_event_ts(raw).schema["ts"].dataType, T.TimestampType)

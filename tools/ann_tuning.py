@@ -8,14 +8,15 @@ harness measures both sides of the trade against exact brute-force
 ground truth so the defaults in ``ANN.md`` are pinned by data, not
 vibes. Usage:
 
-    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh] [ivfadc]
+    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh] [ivfadc] [rerank]
 
 With ``clustered`` the corpus/queries are a deterministic
 mixture-of-Gaussians embedding fixture (10 unit-sphere centers,
 calibrated sigma — the shape real embedding corpora have) instead of
 the near-isotropic sf fixture; ANN.md publishes both tables. ``ivf``
-/ ``lsh`` / ``ivfadc`` restrict to one section (default: ivf + lsh +
-rerank; ``ivfadc`` reproduces ANN.md's raw-vs-residual PQ table).
+/ ``lsh`` / ``ivfadc`` / ``rerank`` restrict to exactly those sections
+(default: ivf + lsh + rerank; ``ivfadc`` reproduces ANN.md's
+raw-vs-residual PQ table).
 
 Prints markdown tables: LSH config -> recall@k, mean/max candidates per
 query, scan fraction; IVF seed-vs-kmeans centroids -> list balance and
@@ -88,7 +89,8 @@ def main() -> int:
     sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
     k = int(next((a for a in args if a.isdigit()), "10"))
     clustered = "clustered" in args
-    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc")} or {
+    # explicit tokens select exactly those sections; no token -> default set
+    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank")} or {
         "ivf", "lsh", "rerank"
     }
 
@@ -138,74 +140,72 @@ def main() -> int:
                 recs.append(f"{len(got & exact) / len(exact):.3f}")
             name = "residual" if residual else "raw"
             print(f"| {name} | " + " | ".join(recs) + " |")
-    if "lsh" not in sections:
-        return 0
-    print("| tables | bits | probes | recall@k | mean cand/query | max cand/query | scan frac |")
-    print("|---|---|---|---|---|---|---|")
-    for tables in (2, 4, 8):
-        for bits in (6, 8, 10):
-            for probes in (0, 2, 4):
-                ann = {
-                    (r["q_id"], r["vec_id"])
-                    for r in S.lsh_ann_topk(
-                        emb, queries, dim=dim, k=k,
-                        num_tables=tables, bits=bits, probes=probes,
-                    ).collect()
-                }
-                recall = len(ann & exact) / len(exact)
-                # candidate set size per query (pre-rescore): bucket-join matches
-                keys_udf = S.lsh_bucket_keys_udf(dim, tables, bits)
-                probe_udf = S.lsh_bucket_keys_udf(dim, tables, bits, probes=probes)
-                ck = emb.select("vec_id", F.explode(keys_udf("embedding")).alias("bkey"))
-                qk = queries.select(
-                    F.col("q_id"), F.explode(probe_udf("embedding")).alias("bkey")
-                )
-                cand = (
-                    ck.join(F.broadcast(qk), "bkey")
-                    .groupBy("q_id")
-                    .agg(F.countDistinct("vec_id").alias("n"))
-                    .agg(F.avg("n").alias("mean"), F.max("n").alias("mx"))
-                    .first()
-                )
-                mean_c, max_c = cand["mean"] or 0.0, cand["mx"] or 0
-                print(
-                    f"| {tables} | {bits} | {probes} | {recall:.3f} | {mean_c:.0f} "
-                    f"| {max_c} | {mean_c / n_corpus:.3f} |"
-                )
+    if "lsh" in sections:
+        print("| tables | bits | probes | recall@k | mean cand/query | max cand/query | scan frac |")
+        print("|---|---|---|---|---|---|---|")
+        for tables in (2, 4, 8):
+            for bits in (6, 8, 10):
+                for probes in (0, 2, 4):
+                    ann = {
+                        (r["q_id"], r["vec_id"])
+                        for r in S.lsh_ann_topk(
+                            emb, queries, dim=dim, k=k,
+                            num_tables=tables, bits=bits, probes=probes,
+                        ).collect()
+                    }
+                    recall = len(ann & exact) / len(exact)
+                    # candidate set size per query (pre-rescore): bucket-join matches
+                    keys_udf = S.lsh_bucket_keys_udf(dim, tables, bits)
+                    probe_udf = S.lsh_bucket_keys_udf(dim, tables, bits, probes=probes)
+                    ck = emb.select("vec_id", F.explode(keys_udf("embedding")).alias("bkey"))
+                    qk = queries.select(
+                        F.col("q_id"), F.explode(probe_udf("embedding")).alias("bkey")
+                    )
+                    cand = (
+                        ck.join(F.broadcast(qk), "bkey")
+                        .groupBy("q_id")
+                        .agg(F.countDistinct("vec_id").alias("n"))
+                        .agg(F.avg("n").alias("mean"), F.max("n").alias("mx"))
+                        .first()
+                    )
+                    mean_c, max_c = cand["mean"] or 0.0, cand["mx"] or 0
+                    print(
+                        f"| {tables} | {bits} | {probes} | {recall:.3f} | {mean_c:.0f} "
+                        f"| {max_c} | {mean_c / n_corpus:.3f} |"
+                    )
 
-    # quantized two-stage rerank: recall@k vs shortlist width (the only
-    # dial; at shortlist >> k the equality contract makes recall 1.0,
-    # narrower shortlists show how fast int8 candidate ranking decays)
-    if "rerank" not in sections:
-        return 0
-    print()
-    print("| rerank shortlist | recall@k |")
-    print("|---|---|")
-    for shortlist in sorted({k, 2 * k, 5 * k, 50}):
-        got = {
-            (r["q_id"], r["vec_id"])
-            for r in S.quantized_rerank_topk(
-                emb, queries, k=k, shortlist=shortlist
-            ).collect()
-        }
-        print(f"| {shortlist} | {len(got & exact) / len(exact):.3f} |")
-
-    # PQ ADC + rerank: recall@k vs shortlist per codebook size (8
-    # subspaces; 16/32 codes = 8 bytes either way — n_codes is free
-    # fidelity until the tinyint cap)
-    print()
-    print("| pq n_codes | shortlist | recall@k |")
-    print("|---|---|---|")
-    for n_codes in (16, 32):
-        books = S.pq_train(emb, m=8, n_codes=n_codes)
-        for shortlist in sorted({k, 2 * k, 5 * k, 50, 100}):
+    if "rerank" in sections:
+        # quantized two-stage rerank: recall@k vs shortlist width (the only
+        # dial; at shortlist >> k the equality contract makes recall 1.0,
+        # narrower shortlists show how fast int8 candidate ranking decays)
+        print()
+        print("| rerank shortlist | recall@k |")
+        print("|---|---|")
+        for shortlist in sorted({k, 2 * k, 5 * k, 50}):
             got = {
                 (r["q_id"], r["vec_id"])
-                for r in S.pq_adc_rerank_topk(
-                    emb, queries, k=k, shortlist=shortlist, codebooks=books
+                for r in S.quantized_rerank_topk(
+                    emb, queries, k=k, shortlist=shortlist
                 ).collect()
             }
-            print(f"| {n_codes} | {shortlist} | {len(got & exact) / len(exact):.3f} |")
+            print(f"| {shortlist} | {len(got & exact) / len(exact):.3f} |")
+
+        # PQ ADC + rerank: recall@k vs shortlist per codebook size (8
+        # subspaces; 16/32 codes = 8 bytes either way — n_codes is free
+        # fidelity until the tinyint cap)
+        print()
+        print("| pq n_codes | shortlist | recall@k |")
+        print("|---|---|---|")
+        for n_codes in (16, 32):
+            books = S.pq_train(emb, m=8, n_codes=n_codes)
+            for shortlist in sorted({k, 2 * k, 5 * k, 50, 100}):
+                got = {
+                    (r["q_id"], r["vec_id"])
+                    for r in S.pq_adc_rerank_topk(
+                        emb, queries, k=k, shortlist=shortlist, codebooks=books
+                    ).collect()
+                }
+                print(f"| {n_codes} | {shortlist} | {len(got & exact) / len(exact):.3f} |")
     return 0
 
 
