@@ -33,87 +33,109 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-6 rotation
-#: (r5 verdict #1): the two queries that have NEVER sat inside a
-#: checked window lead (q_quantized_rerank, q_value_zscore_builtin —
-#: both added late in r5 at positions 51+), followed by the new r6
-#: stateful-surface query and the two queries whose implementation
-#: changed this round (pack_sequences n_buckets wiring; the rerank's
-#: internal-column rename), then one sentinel per operator family so a
-#: single driver window still certifies every family. Rows-only
-#: queries (q_ingest_pipeline, q_lsh_ann_topk, q_ivf_assignments) sit
-#: past the checked window — their semantics are held by dedicated
-#: tests (test_ingest, ANN.md recall contract, IVF full-probe==exact)
-#: and by the oracle-able twins leading here (q_ingest_pipeline_fixed,
+#: prefix of ``queries()`` in iteration order. Round-7 rotation
+#: (r6 verdict #2): 45 catalog queries' newest driver-green row dated
+#: from r1/r2 while their underlying operators were rewritten after r2
+#: (xxhash64 shuffle keys, agg fast paths, textstats/vector kernels) —
+#: 30 of the stalest rotate into the window this round, prioritized by
+#: impl-file churn. They are joined by the queries whose implementation
+#: changed THIS round (paragraph-dedup NULL-text left join + multi-
+#: paragraph oracle, typed centroid ids through kmeans/ivf_assign,
+#: upsert MERGE seam) and one sentinel per operator family so a single
+#: driver window still certifies every family. Rows-only queries
+#: (q_ingest_pipeline, q_lsh_ann_topk, q_ivf_assignments) sit past the
+#: checked window — their semantics are held by dedicated tests
+#: (test_ingest, ANN.md recall contract, IVF full-probe==exact) and by
+#: the oracle-able twins in-window (q_ingest_pipeline_fixed,
 #: q_ivf_search). Every name must exist in a module's QUERIES
 #: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
-    # --- never driver-checked before r6 + changed/new this round ---
-    "q_quantized_rerank",        # r5 pos 51; impl touched (col rename)
-    "q_value_zscore_builtin",    # never rotated in before
-    "q_stream_running_stats",    # NEW r6: applyInPandasWithState oracle
-    "q_sequence_packing",        # re-certify after n_buckets wiring
-    # --- streaming family (C17) ---
+    # --- impl changed this round: re-certify first ---
+    "q_paragraph_dedup",         # NULL-text left join + multi-para oracle
+    "q_ivf_kmeans_search",       # typed centroid ids (ADVICE r6)
+    "q_ivf_search",              # ivf_assign UDF return type derivation
+    "q_ivfadc_search",           # composition over the above
+    "q_pq_rerank",               # shares the centroid/codebook path
+    "q_upsert_by_key",           # MERGE seam (r6 verdict #7)
+    # --- stale r1/r2 evidence rotated in (r6 verdict #2) ---
+    "q_token_stats",             # r1; textstats rewritten r2+
+    "q_minhash_signatures",      # r2; xxhash64 + window-shingle path
+    "q_jaccard_pairs",           # r1; gram key rewrite
+    "q_cosine_topk",             # r2; single-query exact scan
+    "q_json_variants",           # r2
+    "q_fingerprints",            # r1; rolling-hash fingerprints
+    "q_lang_id",                 # r1; n-gram language heuristic
+    "q_quality_scores",          # r1
+    "q_term_frequency",          # r1
+    "q_vector_norms",            # r2
+    "q_l2_centroid_dist",        # r2
+    "q_label_centroids",         # r2; applyInPandas C18 gate
+    "q_label_centroids_builtin", # r2; production twin
+    "q_normalize_hash",          # r1; A12/A14 semantics
+    "q_chunk_explode",           # r1; A13 fixed chunker
+    "q_chunk_keys",              # r1; A15 key sanitize
+    "q_small_quantity_revenue",  # r1; correlated agg (Q17 shape)
+    "q_math_funcs",              # r1
+    "q_string_funcs",            # r1
+    "q_nation_setops",           # r1
+    "q_rank_dense_ntile",        # r1
+    "q_running_revenue",         # r1
+    "q_price_percentiles",       # r1
+    "q_pivot_daily_value",       # r2
+    "q_cube_orders",             # r1
+    "q_grouping_sets",           # r1
+    "q_json_props",              # r2
+    "q_array_ops",               # r1
+    "q_doc_stats",               # r1
+    "q_lang_facet",              # r1
+    # --- family sentinels (r4-r6 green; keep one per family fresh) ---
+    "q_stream_running_stats",    # C17/C18 stateful sentinel
+    "q_stream_near_dedup",       # C17 x C13 composition
+    "q_stream_funnel",           # C17 stateful funnel
+    "q_tumbling_hourly",         # C10 batch twin
+    "q_value_zscore",            # C18 grouped-map gate
+    "q_asof_click_error",        # C4 as-of join
+    "q_cosine_topk_batch",       # B9 exact baseline (oracle anchor)
+    "q_exact_dedup",             # C13 exact
+    "q_minhash_lsh_candidates",  # C13 near-dup
+    "q_bm25_topdocs",            # B8/B10 search
+    "q_curation_pipeline",       # C16 composition
+    "q_ingest_pipeline_fixed",   # A17/A20/A22 ingest
+    "q_doc_assembly",            # A3-A11/C15 multimodal
+    "q_pricing_summary",         # C5 relational core
+    # ---------- 50-query window boundary ----------
+    # everything below carries an r4-r6 driver-green row; in-window
+    # reps above cover every SURVEY §2 family
+    "q_region_revenue",
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",
     "q_stream_session_windows",
     "q_stream_dedup_keys",
     "q_stream_click_purchase_join",
     "q_stream_enriched_nation",
-    "q_stream_funnel",
-    "q_stream_near_dedup",
-    # --- batch twins (C10/C17 semantics) ---
-    "q_tumbling_hourly",
     "q_sliding_1h_30m",
     "q_session_windows",
-    # --- events (C12/C18) ---
-    "q_value_zscore",
     "q_geomean_by_type",
     "q_user_retention",
-    "q_asof_click_error",
-    # --- vectors (B9/C14) ---
-    "q_cosine_topk_batch",
-    "q_ivf_search",
-    "q_ivf_kmeans_search",       # NEW r6: Lloyd-refined centroids
-    "q_pq_rerank",               # NEW r6: product quantization + ADC
-    "q_ivfadc_search",           # NEW r6: IVF x PQ composition
+    "q_value_zscore_builtin",
+    "q_quantized_rerank",
+    "q_sequence_packing",
     "q_embedding_near_dup",
     "q_embedding_quantize",
-    # --- dedup family (C13) ---
-    "q_exact_dedup",
-    "q_minhash_lsh_candidates",
     "q_simhash_bands",
     "q_dedup_clusters",
     "q_incremental_dedup",
-    "q_paragraph_dedup",         # NEW r6: C4-style sub-document dedup
-    "q_winnow_pairs",            # NEW r6: MOSS-style sketch-join pairs
-    # --- documents / search (B8/B10/B11/C16) ---
-    "q_bm25_topdocs",
+    "q_winnow_pairs",
+    "q_winnow_fingerprints",
     "q_hybrid_rrf",
     "q_corpus_filter",
-    "q_upsert_by_key",
-    "q_winnow_fingerprints",     # NEW r6: SIGMOD'03 winnowing sketch
-    # --- curation (sampling/decontamination) ---
     "q_hash_split",
     "q_contamination",
     "q_token_budget",
-    "q_curation_pipeline",
     "q_source_mixture",
     "q_repeated_spans",
     "q_pii_redaction",
-    # --- ingest (A17/A20/A22) ---
-    "q_ingest_pipeline_fixed",
-    # --- multimodal (A3-A11/C15) ---
     "q_page_extract",
-    "q_doc_assembly",
-    # --- relational core (C4-C7 TPC-H shapes) ---
-    "q_pricing_summary",
-    "q_region_revenue",
-    # ---------- 50-query window boundary ----------
-    # everything below carries an r1-r5 driver-green row; in-window
-    # family reps above cover B8 (bm25/rrf), C4 (region_revenue, asof,
-    # stream join), C5 (pricing_summary), sampling (hash_split),
-    # event dedup (streaming twin q_stream_dedup_keys in-window)
     "q_event_dedup",
     "q_tfidf_topdocs",
     "q_stratified_sample",
@@ -126,6 +148,8 @@ _PRIORITY = [
     "q_min_cost_supplier",
     "q_funnel_conversion",
     "q_volume_shipping",
+    # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
+    "q_hnsw_topk",               # NEW r7: sharded executor-local HNSW
 ]
 
 

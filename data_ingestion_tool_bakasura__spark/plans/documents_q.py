@@ -434,17 +434,37 @@ ORDER BY doc_id
 
 # --- C13: sub-document (paragraph) dedup ----------------------------------
 
+#: Cross-doc repeated paragraph planted into every synthesized doc —
+#: the C4 boilerplate case (same literal on the oracle side).
+_PARA_BOILER = "Subscribe to our newsletter for updates."
+
+
 def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4/RefinedWeb-style sub-document dedup (operators/dedup.py
     dedup_paragraphs): canonical-occurrence paragraph dedup + in-order
-    reassembly. The fixture's docs are single-paragraph (no '\\n\\n'),
-    so here the operator degenerates to doc granularity — the driver
-    row still value-checks the whole explode -> canonical-rank ->
-    reassembly machinery (kept-text length pins the rebuilt string);
-    multi-paragraph semantics, whitespace handling and idempotence are
-    pinned by test_dedup_paragraphs_canonical_reassembly_and_idempotence."""
+    reassembly. The fixture's docs are single-paragraph, so the query
+    SYNTHESIZES the interesting case (r6 verdict #3): each doc becomes
+    three paragraphs — its own text, a boilerplate paragraph repeated
+    across EVERY doc, and a whitespace-variant of its own text. The
+    operator must then (a) keep the boilerplate only at its canonical
+    (lowest doc_id, pos) site, (b) drop the whitespace twin everywhere
+    (same normalized form, higher pos), (c) keep original text at its
+    canonical doc and drop it at exact-dup docs, and (d) reassemble
+    survivors in order — so n_dropped > 0 corpus-wide and the rebuilt
+    length pins the reassembled string. Whitespace handling and
+    idempotence are additionally pinned by
+    test_dedup_paragraphs_canonical_reassembly_and_idempotence."""
     docs = load_table(spark, sf, "documents")
-    out = DD.dedup_paragraphs(docs.select("doc_id", "text"))
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit(_PARA_BOILER),
+            F.concat(F.lit("  "), F.col("text")),
+        ).alias("text"),
+    )
+    out = DD.dedup_paragraphs(synth)
     return out.select(
         "doc_id",
         "n_paras",
@@ -454,22 +474,45 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE["q_paragraph_dedup"] = f"""
-WITH p AS (
-  SELECT doc_id, text, {_NORM} AS norm FROM documents
+WITH s AS (
+  SELECT doc_id,
+         concat_ws(chr(10) || chr(10), text, '{_PARA_BOILER}',
+                   '  ' || text) AS synth
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(string_split(synth, chr(10) || chr(10))) AS para,
+         generate_subscripts(string_split(synth, chr(10) || chr(10)), 1) AS pos
+  FROM s
+),
+n AS (
+  SELECT doc_id, pos, para,
+         trim(regexp_replace(para, '\\s+', ' ', 'g')) AS norm
+  FROM p
 ),
 r AS (
-  SELECT doc_id, text,
+  SELECT doc_id, pos, para,
          row_number() OVER (
-           PARTITION BY CASE WHEN norm = '' THEN 'E' || CAST(doc_id AS VARCHAR)
+           PARTITION BY CASE WHEN norm = '' THEN 'E:' || doc_id || ':' || pos
                              ELSE md5(norm) END
-           ORDER BY doc_id) AS rn
-  FROM p
+           ORDER BY doc_id, pos) AS rn
+  FROM n
+),
+g AS (
+  SELECT doc_id,
+         count(*) AS n_paras,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                             chr(10) || chr(10) ORDER BY pos), '') AS rebuilt
+  FROM r GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(1 AS BIGINT) AS n_paras,
-       CAST(CASE WHEN rn = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_dropped,
-       CAST(len(CASE WHEN rn = 1 THEN text ELSE '' END) AS BIGINT) AS n_chars_kept
-FROM r ORDER BY doc_id
+SELECT d.doc_id,
+       CAST(coalesce(g.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(g.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(len(g.rebuilt) AS BIGINT) AS n_chars_kept
+FROM documents d LEFT JOIN g USING (doc_id)
+ORDER BY doc_id
 """
 
 

@@ -259,6 +259,30 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
 
 
+def q_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded executor-local HNSW ANN top-3 (operators/hnsw.py) at the
+    reference's own index config — m=4, efConstruction=400,
+    efSearch=500 (``db_utils.py:96-102``), the knobs the reference
+    declares but never queries. One graph per partition, per-shard
+    top-k, exact merge. Recall-vs-exact and determinism are pinned by
+    tests + ANN.md's serving table; driver records rows-only (beam
+    search is not SQL-expressible)."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import hnsw_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return hnsw_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        k=3,
+        m=4,
+        ef_construction=400,
+        ef_search=500,
+    ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
 def q_ivf_assignments(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse assignment: 8 deterministic seed centroids, nearest-
     centroid partition per vector (rows-only check + tests)."""

@@ -8,7 +8,7 @@ harness measures both sides of the trade against exact brute-force
 ground truth so the defaults in ``ANN.md`` are pinned by data, not
 vibes. Usage:
 
-    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh] [ivfadc] [rerank]
+    python tools/ann_tuning.py [sf_dir] [k] [clustered] [ivf] [lsh] [ivfadc] [rerank] [hnsw]
 
 With ``clustered`` the corpus/queries are a deterministic
 mixture-of-Gaussians embedding fixture (10 unit-sphere centers,
@@ -90,7 +90,7 @@ def main() -> int:
     k = int(next((a for a in args if a.isdigit()), "10"))
     clustered = "clustered" in args
     # explicit tokens select exactly those sections; no token -> default set
-    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank")} or {
+    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank", "hnsw")} or {
         "ivf", "lsh", "rerank"
     }
 
@@ -140,6 +140,25 @@ def main() -> int:
                 recs.append(f"{len(got & exact) / len(exact):.3f}")
             name = "residual" if residual else "raw"
             print(f"| {name} | " + " | ".join(recs) + " |")
+    if "hnsw" in sections:
+        from data_ingestion_tool_bakasura__spark.operators.hnsw import hnsw_topk
+
+        print("\nHNSW (sharded executor-local; reference config m=4 efC=400):")
+        print("| m | ef_search | n_shards | recall@k |")
+        print("|---|---|---|---|")
+        for hm, efc in ((4, 400), (8, 100)):
+            for ef in (k, 4 * k, 16 * k, 500):
+                for shards in (4, 16):
+                    got = {
+                        (r["q_id"], r["vec_id"])
+                        for r in hnsw_topk(
+                            emb, queries, k=k, m=hm, ef_construction=efc,
+                            ef_search=ef, n_shards=shards,
+                        ).collect()
+                    }
+                    print(f"| {hm} (efC={efc}) | {ef} | {shards} "
+                          f"| {len(got & exact) / len(exact):.3f} |")
+
     if "lsh" in sections:
         print("| tables | bits | probes | recall@k | mean cand/query | max cand/query | scan frac |")
         print("|---|---|---|---|---|---|---|")
