@@ -1,8 +1,8 @@
 """Key-addressed upsert (A19/B11).
 
 Azure Search upserts by document key (``db_utils.py:54,169``): a
-re-upload with the same ``id`` overwrites. Without Delta's MERGE in
-this environment, the same semantics compose from set operations:
+re-upload with the same ``id`` overwrites. The same semantics compose
+from set operations:
 
     merged = updates ∪ (current ⟕anti updates on key)
 
@@ -12,13 +12,21 @@ when the caller vouches the batch is small (``updates_small``, the
 default — incremental batches vs a huge base table), otherwise join
 strategy is left to AQE/statistics so a large backfill merge degrades
 to a shuffled join instead of OOMing the executors on a forced
-broadcast. Writing partitioned-by-key-bucket means unchanged partitions
-could be skipped with a real lakehouse format.
+broadcast.
+
+**Sink form** (:func:`upsert_into_path`, r6 verdict #7): the parquet
+fallback materializes the merged table and near-atomically swaps it in
+— a FULL table rewrite per batch, right for dimension/index tables,
+the dominant cost of the B11 path at 100 TB. When ``delta-spark`` is
+importable and the target is a Delta table, the same call issues a
+true ``MERGE INTO`` instead — O(touched files) rewrite + transactional
+commit — behind the same import-gated seam pattern as the optional
+PDF/OCR/embedding providers (multimodal/extract.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -49,22 +57,119 @@ def upsert_by_key(
     won't fit in driver/executor memory; AQE then picks the join
     strategy from runtime sizes.
     """
-    others = [c for c in updates.columns if c != key]
-    if order_by:
-        others = list(order_by) + [c for c in others if c not in order_by]
-    if others:
-        w = Window.partitionBy(key).orderBy(
-            *[F.col(c).desc_nulls_last() for c in others]
-        )
-        upd = (
-            updates.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    else:
-        upd = updates.dropDuplicates([key])
+    upd = elect_winners(updates, key=key, order_by=order_by)
     upd_keys = upd.select(key)
     if updates_small:
         upd_keys = F.broadcast(upd_keys)
     survivors = current.join(upd_keys, on=key, how="left_anti")
     return survivors.unionByName(upd)
+
+
+def elect_winners(
+    updates: DataFrame, key: str = "id", order_by: list[str] | None = None
+) -> DataFrame:
+    """One winning row per key from ``updates`` — the election half of
+    :func:`upsert_by_key`, shared with the Delta MERGE path (MERGE
+    requires a unique source key: two source rows matching one target
+    row is a runtime error, so winners must be elected first either
+    way, and sharing the code keeps both engines' semantics identical).
+    """
+    others = [c for c in updates.columns if c != key]
+    if order_by:
+        others = list(order_by) + [c for c in others if c not in order_by]
+    if not others:
+        return updates.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc_nulls_last() for c in others]
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _delta_table_or_none(spark: SparkSession, table_path: str):
+    """The Delta seam: a DeltaTable handle when delta-spark is importable
+    AND ``table_path`` already holds a Delta table, else None. Import
+    failure is a normal outcome in this environment (no pip installs),
+    exercised by ``test_upsert_seam.py``."""
+    try:
+        from delta.tables import DeltaTable  # optional dep, import-gated
+    except ImportError:
+        return None
+    try:
+        if DeltaTable.isDeltaTable(spark, table_path):
+            return DeltaTable.forPath(spark, table_path)
+    except Exception:
+        return None
+    return None
+
+
+def upsert_into_path(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str = "id",
+    order_by: list[str] | None = None,
+    updates_small: bool = True,
+    use_delta: bool | None = None,
+) -> str:
+    """MERGE ``updates`` into the table at ``table_path`` and return the
+    engine used (``"delta"`` or ``"parquet"``) — the sink form of
+    :func:`upsert_by_key` with identical winner election on both paths.
+
+    - **Delta path** (``use_delta=None`` auto-detects; ``True``
+      requires it): ``MERGE INTO`` via ``whenMatchedUpdateAll`` /
+      ``whenNotMatchedInsertAll`` — rewrites only touched files and
+      commits transactionally; at 100 TB this is the difference between
+      O(batch ∩ files) and O(table) per batch.
+    - **Parquet fallback**: read current, :func:`upsert_by_key`,
+      materialize to a tmp dir (the plan reads ``table_path`` — writing
+      in place would overwrite its own input mid-scan), then
+      near-atomic :func:`~.maintenance.swap_directory`.
+
+    First batch (no table yet): winners are written directly on either
+    path, so within-batch key conflicts resolve identically.
+    """
+    import os
+
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+        swap_directory,
+    )
+
+    if use_delta is None or use_delta:
+        dt = _delta_table_or_none(spark, table_path)
+        if use_delta and dt is None:
+            raise ImportError(
+                "upsert_into_path(use_delta=True): delta-spark is not "
+                "importable in this environment (or the target is not a "
+                "Delta table). Install delta-spark and write the table "
+                "with format('delta') first, or drop use_delta for the "
+                "parquet fallback."
+            )
+        if dt is not None:
+            upd = elect_winners(updates, key=key, order_by=order_by)
+            (
+                dt.alias("t")
+                .merge(upd.alias("u"), f"t.`{key}` = u.`{key}`")
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return "delta"
+
+    if os.path.exists(table_path.removeprefix("file://")):
+        current = spark.read.parquet(table_path)
+        merged = upsert_by_key(
+            current, updates, key=key, order_by=order_by,
+            updates_small=updates_small,
+        )
+        tmp = table_path.rstrip("/") + "_upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_directory(spark, table_path, tmp)
+    else:
+        elect_winners(updates, key=key, order_by=order_by).write.mode(
+            "overwrite"
+        ).parquet(table_path)
+    return "parquet"

@@ -96,38 +96,25 @@ def start_streaming_upsert(
     one batch), pass ``order_by`` — a version/sequence column — so
     winner election is grouping-insensitive; see ``upsert_by_key``.
 
-    Scale notes: the merged table is fully rewritten per batch — right
-    for dimension/index tables (the upsert target), wrong for fact
-    streams (use ``start_incremental_ingest``'s append path there). The
-    batch side of the anti-join is broadcast (see upsert_by_key); the
-    rewrite cost is one table scan + write, independent of batch count.
+    Scale notes: on the parquet path the merged table is fully
+    rewritten per batch — right for dimension/index tables (the upsert
+    target), wrong for fact streams (use ``start_incremental_ingest``'s
+    append path there); the batch side of the anti-join is broadcast
+    (see upsert_by_key). When delta-spark is importable and the target
+    is a Delta table, ``upsert_into_path`` upgrades each micro-batch to
+    a transactional ``MERGE INTO`` that rewrites only touched files —
+    the 100 TB form of this sink (r6 verdict #7).
     """
-    from data_ingestion_tool_bakasura__spark.operators.maintenance import (
-        swap_directory,
+    from data_ingestion_tool_bakasura__spark.operators.upsert import (
+        upsert_into_path,
     )
-    from data_ingestion_tool_bakasura__spark.operators.upsert import upsert_by_key
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="upsert_ckpt_")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        import os
-
-        if os.path.exists(table_path.removeprefix("file://")):
-            current = spark.read.parquet(table_path)
-            merged = upsert_by_key(current, batch_df, key=key, order_by=order_by)
-            tmp = table_path.rstrip("/") + "_upsert_tmp"
-            # Materialize the merge BEFORE touching the live table: the
-            # merged plan reads table_path, so writing in place would
-            # overwrite its own input mid-scan.
-            merged.write.mode("overwrite").parquet(tmp)
-            swap_directory(spark, table_path, tmp)
-        else:
-            # first batch: merge against an empty current with the same
-            # schema so within-batch key conflicts resolve identically
-            upsert_by_key(
-                batch_df.limit(0), batch_df, key=key, order_by=order_by
-            ).write.mode("overwrite").parquet(table_path)
+        upsert_into_path(
+            batch_df.sparkSession, table_path, batch_df, key=key, order_by=order_by
+        )
 
     writer = updates_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -1,0 +1,91 @@
+"""upsert_into_path engine seam (A19/B11, r6 verdict #7).
+
+Both engines — Delta MERGE and the parquet anti-join + swap fallback —
+must produce identical post-merge state. delta-spark is not installed
+in this environment (no pip installs), so the Delta branch is held by
+the same gate-assertion pattern as the optional PDF/OCR providers: the
+seam must report unavailability correctly, raise loudly on explicit
+``use_delta=True``, and the fallback must match ``upsert_by_key``
+batch-for-batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_tool_bakasura__spark.operators.upsert import (
+    _delta_table_or_none,
+    elect_winners,
+    upsert_by_key,
+    upsert_into_path,
+)
+
+_W1 = [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]
+_W2 = [(2, 2, "B"), (3, 1, "c2"), (4, 1, "d")]
+_SCHEMA = "id long, version long, payload string"
+
+
+def _state(spark, path):
+    return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+
+def test_parquet_fallback_matches_upsert_by_key(spark, tmp_path):
+    """Two waves through the sink == the logical merge of the same
+    waves; engine reported as parquet (delta absent here)."""
+    p = str(tmp_path / "tbl")
+    w1 = spark.createDataFrame(_W1, _SCHEMA)
+    w2 = spark.createDataFrame(_W2, _SCHEMA)
+    assert upsert_into_path(spark, p, w1, key="id", order_by=["version"]) == "parquet"
+    assert upsert_into_path(spark, p, w2, key="id", order_by=["version"]) == "parquet"
+    want = sorted(
+        map(tuple, upsert_by_key(w1, w2, key="id", order_by=["version"]).collect())
+    )
+    assert _state(spark, p) == want
+
+
+def test_first_batch_elects_within_batch_winners(spark, tmp_path):
+    """A first batch with an internal key conflict must resolve with
+    the same winner election as the merge path."""
+    p = str(tmp_path / "tbl")
+    batch = spark.createDataFrame(
+        [(1, 2, "new"), (1, 1, "old"), (2, 1, "x")], _SCHEMA
+    )
+    upsert_into_path(spark, p, batch, key="id", order_by=["version"])
+    assert _state(spark, p) == [(1, 2, "new"), (2, 1, "x")]
+    want = sorted(
+        map(tuple, elect_winners(batch, key="id", order_by=["version"]).collect())
+    )
+    assert _state(spark, p) == want
+
+
+def test_delta_gate_reports_unavailable_and_raises_on_request(spark, tmp_path):
+    """The seam itself: no delta-spark here -> auto-detect returns None
+    and falls back silently; an EXPLICIT use_delta=True must raise with
+    guidance instead of silently writing parquet."""
+    p = str(tmp_path / "tbl")
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark unexpectedly present; gate test is for absence")
+    except ImportError:
+        pass
+    assert _delta_table_or_none(spark, p) is None
+    w1 = spark.createDataFrame(_W1, _SCHEMA)
+    with pytest.raises(ImportError, match="delta-spark"):
+        upsert_into_path(spark, p, w1, key="id", use_delta=True)
+    # auto mode falls back cleanly after the failed probe
+    assert upsert_into_path(spark, p, w1, key="id") == "parquet"
+
+
+def test_merge_replay_idempotent(spark, tmp_path):
+    """Re-applying the same batch converges to the same state — the
+    exactly-once-output-by-idempotence contract the streaming sink
+    relies on after a checkpoint replay."""
+    p = str(tmp_path / "tbl")
+    w1 = spark.createDataFrame(_W1, _SCHEMA)
+    w2 = spark.createDataFrame(_W2, _SCHEMA)
+    upsert_into_path(spark, p, w1, key="id", order_by=["version"])
+    upsert_into_path(spark, p, w2, key="id", order_by=["version"])
+    first = _state(spark, p)
+    upsert_into_path(spark, p, w2, key="id", order_by=["version"])  # replay
+    assert _state(spark, p) == first
