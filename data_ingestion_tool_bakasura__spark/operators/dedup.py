@@ -483,6 +483,187 @@ def dedup_paragraphs(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup with actual text surgery — the Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    step at word-``n``-gram granularity: every word ``n``-gram keeps
+    exactly ONE canonical occurrence corpus-wide (lowest (doc_id,
+    position) wins); every other occurrence's token span is cut out of
+    its document. Overlapping duplicated spans merge (gaps-and-islands)
+    before removal, so a long repeated run is removed once as one span,
+    not ``run - n + 1`` times. q_repeated_spans *counts* this signal;
+    this operator *applies* it.
+
+    Fixed-``n``-gram spans approximate the paper's suffix-array maximal
+    repeated substrings: any duplicated run of >= ``n`` words is
+    removed exactly (its grams tile the run and the islands merge);
+    runs shorter than ``n`` are below the duplication threshold by
+    construction. Tokenization is whitespace-normalized words; surgery
+    is at token granularity, so the cleaned text is the kept tokens
+    re-joined with single spaces.
+
+    Returns one row per input doc keyed by ``id_col``:
+    ``cleaned`` (the post-surgery text), ``n_spans`` (merged removed
+    islands), ``n_tokens_removed``, ``n_tokens_kept``. Docs with NULL
+    text clean to ``''``; docs whose every occurrence is canonical come
+    back unchanged. Idempotent: a second pass removes nothing (every
+    surviving gram occurrence is the canonical one — tested).
+
+    Scale: tokenization is a map; grams come from ONE ordered window
+    over (doc, pos) (no second explode — the frame IS the gram);
+    canonical ranking is one hash exchange on the 8-byte xxhash64 gram
+    key, O(grams) rows of scalars; island-merge + reassembly are
+    per-doc windows/aggregates (exchange on doc_id). No UDF, no driver
+    state, no all-pairs stage — the same shuffle profile that already
+    holds for q_repeated_spans, plus the per-doc surgery. Boilerplate
+    skew (one gram in millions of docs) concentrates one hash
+    partition; row_number over it is a single-task sort bounded by AQE
+    skew splitting, and only (id, pos) scalars sit in that partition.
+    """
+    tok = df.select(
+        _c(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " ")), " ")
+        ).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")  # NULL/empty text splits to [''] — not a token
+    wg = Window.partitionBy("_id").orderBy("_pos").rowsBetween(Window.currentRow, n - 1)
+    grams = (
+        tok.select(
+            "_id",
+            F.col("_pos").alias("_st"),
+            F.count("*").over(wg).alias("_cnt"),
+            F.xxhash64(F.array_join(F.collect_list("_tok").over(wg), " ")).alias("_gh"),
+        )
+        .filter(F.col("_cnt") == n)
+        .select("_id", "_st", (F.col("_st") + n - 1).alias("_en"), "_gh")
+    )
+    # canonical occurrence per gram: lowest (doc, start) — kept; the
+    # rest are the duplicated spans to cut
+    dup = (
+        grams.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_gh").orderBy("_id", "_st"))
+        )
+        .filter(F.col("_rn") > 1)
+        .select("_id", "_st", "_en")
+    )
+    # gaps-and-islands merge of overlapping/adjacent spans per doc:
+    # a span opens a new island iff it starts past every prior span's end
+    wprev = Window.partitionBy("_id").orderBy("_st").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.partitionBy("_id").orderBy("_st")
+    merged = (
+        dup.withColumn(
+            "_new", (F.col("_st") > F.coalesce(F.max("_en").over(wprev), F.lit(-1))).cast("int")
+        )
+        .withColumn("_isl", F.sum("_new").over(wrun))
+        .groupBy("_id", "_isl")
+        .agg(F.min("_st").alias("_st"), F.max("_en").alias("_en"))
+    )
+    removed = merged.select("_id", F.explode(F.sequence("_st", "_en")).alias("_pos"))
+    clean = (
+        tok.join(removed, ["_id", "_pos"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("cleaned"),
+            F.count("*").alias("n_tokens_kept"),
+        )
+    )
+    spans = merged.groupBy("_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("_en") - F.col("_st") + 1).alias("n_tokens_removed"),
+    )
+    ids = df.select(_c(id_col).alias("_id")).distinct()
+    return (
+        ids.join(clean, "_id", "left")
+        .join(spans, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_tokens_removed", F.lit(0).cast("long")).alias("n_tokens_removed"),
+            F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias("n_tokens_kept"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column. Cluster the space
+    (caller supplies the centroid frame — :func:`~.similarity
+    .pick_seed_centroids` for a deterministic bootstrap,
+    :func:`~.similarity.kmeans_centroids` for refined lists), assign
+    each vector to its nearest centroid, and within each cluster mark
+    a vector as a duplicate iff some LOWER-id cluster-mate has cosine
+    similarity >= ``eps`` to it (the same lowest-id-witness semantics
+    as the LSH/embedding near-dup family here — the witness need not
+    itself survive).
+
+    Returns one decision row per corpus vector: ``(id_col, c_id,
+    is_dup, dup_of, max_sim)`` where ``dup_of`` is the LOWEST witness
+    id and ``max_sim`` the best witness similarity (NULL for kept
+    rows). Filter ``~is_dup`` for the pruned corpus.
+
+    Similarities round to ``round_dp`` decimals before both the
+    centroid argmax and the eps test, so the decisions are
+    reproducible across engines/retries (near-ties become exact ties
+    broken by id — see :func:`~.similarity.ivf_assign`).
+
+    Scale: assignment is the map-only Arrow matmul (no shuffle); the
+    pair stage is a self-join ON THE CLUSTER ID — the whole point of
+    SemDeDup is that clustering bounds the candidate set, so the join
+    exchanges O(corpus) vectors once and each cluster compares
+    (cluster_size)^2 pairs locally. Size ``n_lists`` so clusters fit a
+    task (paper uses ~sqrt(n) clusters); a degenerate cluster is a
+    skew key AQE splits. No driver state beyond the tiny centroid set.
+    """
+    from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity
+    from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        corpus, centroids, corpus_id=id_col, vec_col=vec_col, round_dp=round_dp
+    )
+    a = assigned.select(
+        F.col("c_id"), F.col(id_col).alias("_sd_ida"), F.col(vec_col).alias("_sd_va")
+    )
+    b = assigned.select(
+        F.col("c_id"), F.col(id_col).alias("_sd_idb"), F.col(vec_col).alias("_sd_vb")
+    )
+    wit = (
+        a.join(b, "c_id")
+        .filter(F.col("_sd_ida") < F.col("_sd_idb"))
+        .withColumn("_sd_sim", F.round(cosine_similarity("_sd_va", "_sd_vb"), round_dp))
+        .filter(F.col("_sd_sim") >= eps)
+        .groupBy("_sd_idb")
+        .agg(F.min("_sd_ida").alias("dup_of"), F.max("_sd_sim").alias("max_sim"))
+    )
+    return assigned.join(
+        wit, assigned[id_col] == wit["_sd_idb"], "left"
+    ).select(
+        assigned[id_col],
+        "c_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        "max_sim",
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

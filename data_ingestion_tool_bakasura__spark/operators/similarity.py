@@ -284,6 +284,7 @@ def ivf_assign(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "c_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid — one scan, NO
     shuffle: the centroid set is by construction tiny (k lists), so it
@@ -291,6 +292,14 @@ def ivf_assign(
     (batch x dim) @ (dim x k) matmul per batch). Ties break to the
     lowest centroid id. Persist the result partitioned by centroid to
     get IVF list locality on disk.
+
+    ``round_dp`` rounds similarities to that many decimals BEFORE the
+    argmax: numpy's blocked dot product sums in a different order than
+    a sequential engine, so two near-equal centroids can rank
+    differently across engines by ~1 ulp. Rounding turns near-ties
+    into exact ties broken identically (lowest centroid id) —
+    :func:`~.dedup.semantic_dedup` uses this to stay value-comparable
+    with a sequential-sum SQL oracle. IVF recall is insensitive to it.
 
     The previous form (crossJoin + row_number window) shuffled n*k rows
     on corpus_id — a plan that dies at 100 TB; assignment is a per-row
@@ -310,6 +319,8 @@ def ivf_assign(
         V = np.array(vecs.tolist(), dtype=np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         sims = Vn @ Cn.T  # n x k; argmax takes the FIRST max -> lowest c_id on ties
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
         return pd.Series([cids[i] for i in np.argmax(sims, axis=1)])
 
     return corpus.select(

@@ -50,6 +50,9 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: q_ivf_search). Every name must exist in a module's QUERIES
 #: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
+    # --- NEW this round: certify first ---
+    "q_substring_dedup",         # Lee et al. span surgery (C13 sub-doc)
+    "q_semantic_dedup",          # SemDeDup cluster-cosine prune (C13/C14)
     # --- impl changed this round: re-certify first ---
     "q_paragraph_dedup",         # NULL-text left join + multi-para oracle
     "q_ivf_kmeans_search",       # typed centroid ids (ADVICE r6)
@@ -86,8 +89,6 @@ _PRIORITY = [
     "q_grouping_sets",           # r1
     "q_json_props",              # r2
     "q_array_ops",               # r1
-    "q_doc_stats",               # r1
-    "q_lang_facet",              # r1
     # --- family sentinels (r4-r6 green; keep one per family fresh) ---
     "q_stream_running_stats",    # C17/C18 stateful sentinel
     "q_stream_near_dedup",       # C17 x C13 composition
@@ -106,6 +107,8 @@ _PRIORITY = [
     # ---------- 50-query window boundary ----------
     # everything below carries an r4-r6 driver-green row; in-window
     # reps above cover every SURVEY §2 family
+    "q_doc_stats",               # rotated-out this round for the two new C13 ops (r1 evidence + trivial facet impl)
+    "q_lang_facet",              # ditto
     "q_region_revenue",
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",

@@ -546,6 +546,93 @@ FROM c GROUP BY 1 ORDER BY shard_id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level dedup with surgery (Lee et al. 2022 shape):
+    every duplicated word {n}-gram keeps one canonical occurrence
+    corpus-wide; the other occurrences' token spans are cut out after
+    gaps-and-islands merging. Where q_repeated_spans COUNTS the
+    duplicated-gram signal, this applies it and value-checks the full
+    result — span count, tokens removed/kept, and the md5 of each
+    cleaned document — against an oracle that re-derives the same
+    canonical ranking, island merge and token surgery in SQL."""
+    from data_ingestion_tool_bakasura__spark.operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf, "documents")
+    out = remove_repeated_spans(docs, n=_SPAN_N)
+    return (
+        docs.select("doc_id", "source")
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_spans",
+            "n_tokens_removed",
+            "n_tokens_kept",
+            F.md5("cleaned").alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_substring_dedup"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+  WHERE tk[i] <> ''
+), g AS (
+  SELECT doc_id, i - 1 AS st, i + {_SPAN_N - 2} AS en,
+         array_to_string(tk[i:i+{_SPAN_N - 1}], ' ') AS gh
+  FROM d, LATERAL (SELECT unnest(range(1, len(tk) - {_SPAN_N - 2})) AS i)
+  WHERE len(tk) >= {_SPAN_N}
+), dup AS (
+  SELECT doc_id, st, en FROM (
+    SELECT doc_id, st, en,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, st) AS rn
+    FROM g)
+  WHERE rn > 1
+), isl AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+), merged AS (
+  SELECT doc_id, island, min(st) AS st, max(en) AS en
+  FROM (SELECT doc_id, st, en,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY st) AS island
+        FROM isl)
+  GROUP BY doc_id, island
+), removed AS (
+  SELECT doc_id, unnest(range(st, en + 1)) AS pos FROM merged
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+), clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         count(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id
+), sp AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(en - st + 1) AS n_tokens_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sp.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(coalesce(clean.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       md5(coalesce(clean.cleaned, '')) AS clean_hash
+FROM d
+LEFT JOIN clean ON d.doc_id = clean.doc_id
+LEFT JOIN sp ON d.doc_id = sp.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

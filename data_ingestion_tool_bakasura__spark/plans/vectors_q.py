@@ -493,6 +493,45 @@ def q_ivfadc_search(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_ivfadc_search"] = ORACLE["q_cosine_topk_batch"]
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) decision table over the embeddings
+    fixture: 8 deterministic seed clusters (md5-first corpus vectors,
+    the SQL-expressible bootstrap), then within-cluster cosine >= 0.30
+    with lowest-id-witness semantics. One row per vector: cluster,
+    is_dup flag, lowest witness and best witness similarity — the full
+    prune decision, value-checked (assignment argmax, pair stage and
+    witness aggregation all reproduced in the DuckDB oracle)."""
+    from data_ingestion_tool_bakasura__spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = SIM.pick_seed_centroids(emb, 8)
+    return semantic_dedup(emb, cents, eps=0.30).orderBy("vec_id")
+
+
+ORACLE["q_semantic_dedup"] = """
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), assign AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+), wit AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of,
+         max(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)) AS max_sim
+  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.30
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.c_id, w.dup_of IS NOT NULL AS is_dup, w.dup_of, w.max_sim
+FROM assign s LEFT JOIN wit w ON s.vec_id = w.vec_id
+ORDER BY s.vec_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -1,0 +1,138 @@
+"""remove_repeated_spans (Lee et al. substring surgery) and
+semantic_dedup (SemDeDup cluster-cosine prune) unit tests: planted
+duplicates, canonical-keeps-first, island merging, idempotence, NULL
+handling, witness semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators import dedup as DD
+from data_ingestion_tool_bakasura__spark.operators import similarity as SIM
+
+
+def _span_corpus(spark):
+    run = "w1 w2 w3 w4 w5"  # 5-token span shared verbatim
+    rows = [
+        (1, f"alpha beta {run} gamma delta"),          # canonical (lowest doc, pos)
+        (2, f"intro {run} outro words here"),          # dup -> span cut
+        (3, f"{run} and then {run} trailing"),         # two dup occurrences
+        (4, "totally unrelated text with no overlap"),  # untouched
+        (5, None),                                      # NULL text
+        (6, f"x {run} y {run} z"),                      # dup twice, non-adjacent
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _result_map(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_remove_repeated_spans_planted(spark):
+    out = _result_map(DD.remove_repeated_spans(_span_corpus(spark), n=5))
+    # canonical occurrence (doc 1) keeps its text verbatim
+    assert out[1]["cleaned"] == "alpha beta w1 w2 w3 w4 w5 gamma delta"
+    assert out[1]["n_spans"] == 0 and out[1]["n_tokens_removed"] == 0
+    # doc 2's single occurrence is cut
+    assert out[2]["cleaned"] == "intro outro words here"
+    assert out[2]["n_spans"] == 1 and out[2]["n_tokens_removed"] == 5
+    # doc 3: BOTH its occurrences are duplicates of doc 1's canonical
+    assert out[3]["cleaned"] == "and then trailing"
+    assert out[3]["n_spans"] == 2 and out[3]["n_tokens_removed"] == 10
+    # untouched doc
+    assert out[4]["cleaned"] == "totally unrelated text with no overlap"
+    # NULL text cleans to '' with zeroed accounting
+    assert out[5]["cleaned"] == "" and out[5]["n_spans"] == 0
+    assert out[5]["n_tokens_kept"] == 0
+    # two disjoint islands in one doc
+    assert out[6]["cleaned"] == "x y z"
+    assert out[6]["n_spans"] == 2
+    # kept + removed partitions the token count
+    assert out[2]["n_tokens_kept"] == 4
+    for d in (1, 2, 3, 4, 6):
+        assert len(out[d]["cleaned"].split(" ")) == out[d]["n_tokens_kept"]
+
+
+def test_remove_repeated_spans_overlap_merges_to_one_island(spark):
+    # 7-token repeated run with n=5 -> 3 overlapping dup grams in doc 2
+    # must merge into ONE island covering the whole run
+    run = "r1 r2 r3 r4 r5 r6 r7"
+    df = spark.createDataFrame(
+        [(1, f"a {run} b"), (2, f"c {run} d")], "doc_id long, text string"
+    )
+    out = _result_map(DD.remove_repeated_spans(df, n=5))
+    assert out[2]["n_spans"] == 1
+    assert out[2]["n_tokens_removed"] == 7
+    assert out[2]["cleaned"] == "c d"
+    assert out[1]["cleaned"] == f"a {run} b"
+
+
+def test_remove_repeated_spans_idempotent(spark):
+    """A second pass over the cleaned corpus removes nothing: every
+    surviving gram occurrence is canonical."""
+    first = DD.remove_repeated_spans(_span_corpus(spark), n=5).select(
+        "doc_id", F.col("cleaned").alias("text")
+    )
+    second = _result_map(DD.remove_repeated_spans(first, text_col="text", n=5))
+    assert all(v["n_tokens_removed"] == 0 for v in second.values())
+    firsts = {r["doc_id"]: r["text"] for r in first.collect()}
+    assert all(second[d]["cleaned"] == firsts[d] for d in firsts)
+
+
+def test_remove_repeated_spans_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "")], "doc_id long, text string"
+    )
+    out = _result_map(DD.remove_repeated_spans(df, n=5))
+    # both below gram length -> no grams -> untouched even though equal
+    assert out[1]["cleaned"] == "tiny doc" and out[2]["cleaned"] == "tiny doc"
+    assert out[3]["cleaned"] == ""
+
+
+def _vec(seed, bump=0.0):
+    v = [0.0] * 8
+    v[seed] = 1.0
+    v[(seed + 1) % 8] = bump
+    return v
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    # two tight clusters (axes 0 and 4) + one singleton direction
+    rows = [
+        (10, _vec(0)),            # cluster A canonical
+        (11, _vec(0, 0.05)),      # near-dup of 10
+        (12, _vec(0, 0.10)),      # near-dup of 10
+        (20, _vec(4)),            # cluster B canonical
+        (21, _vec(4, 0.08)),      # near-dup of 20
+        (30, _vec(2)),            # lone direction: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(4)), (2, _vec(2))],
+        "c_id long, embedding array<double>",
+    )
+    dec = {r["vec_id"]: r.asDict() for r in DD.semantic_dedup(df, cents, eps=0.9).collect()}
+    assert not dec[10]["is_dup"] and not dec[20]["is_dup"] and not dec[30]["is_dup"]
+    assert dec[11]["is_dup"] and dec[11]["dup_of"] == 10
+    assert dec[12]["is_dup"] and dec[12]["dup_of"] == 10
+    assert dec[21]["is_dup"] and dec[21]["dup_of"] == 20
+    # witnesses stay within the cluster: 21 never points at 10/11/12
+    assert dec[21]["dup_of"] not in (10, 11, 12)
+    # kept rows carry NULL witness fields
+    assert dec[30]["dup_of"] is None and dec[30]["max_sim"] is None
+
+
+def test_semantic_dedup_eps_dial(spark):
+    """Raising eps strictly shrinks the dropped set (monotone dial)."""
+    rows = [(i, _vec(i % 4, 0.03 * (i // 4))) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = SIM.pick_seed_centroids(df, 4)
+    drops = {}
+    for eps in (0.8, 0.95, 0.999999):
+        dec = DD.semantic_dedup(df, cents, eps=eps)
+        drops[eps] = {r["vec_id"] for r in dec.filter("is_dup").collect()}
+    assert drops[0.999999] <= drops[0.95] <= drops[0.8]
+    # exact duplicates (same direction, bump 0) always drop at any eps:
+    # ids 0..3 are canonicals; their exact twins at bump 0 don't exist
+    # here, so just assert the top eps only keeps >= the canonical count
+    assert len(drops[0.8]) >= len(drops[0.999999])
