@@ -626,42 +626,59 @@ def semantic_dedup(
     broken by id — see :func:`~.similarity.ivf_assign`).
 
     Scale: assignment is the map-only Arrow matmul (no shuffle); the
-    pair stage is a self-join ON THE CLUSTER ID — the whole point of
-    SemDeDup is that clustering bounds the candidate set, so the join
-    exchanges O(corpus) vectors once and each cluster compares
-    (cluster_size)^2 pairs locally. Size ``n_lists`` so clusters fit a
-    task (paper uses ~sqrt(n) clusters); a degenerate cluster is a
-    skew key AQE splits. No driver state beyond the tiny centroid set.
+    pair stage is ONE exchange of the corpus on the cluster id into a
+    grouped-map UDF that does the whole cluster's pairwise comparison
+    as a single numpy matmul — the paper's own per-cluster kernel (a
+    banded self-join form cost 3 corpus scans + 5 UDF evals + 500k
+    per-pair JVM aggregates; this is one scan, one shuffle, one GEMM
+    per cluster). The whole point of SemDeDup is that clustering
+    bounds the candidate set: size ``n_lists`` so a cluster's vectors
+    fit a task (paper uses ~sqrt(n) clusters); a degenerate whale
+    cluster is the operator's documented limit, same as the paper's.
+    No driver state beyond the tiny centroid set.
     """
-    from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity
+    import numpy as np
+
     from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_assign
 
     assigned = ivf_assign(
         corpus, centroids, corpus_id=id_col, vec_col=vec_col, round_dp=round_dp
     )
-    a = assigned.select(
-        F.col("c_id"), F.col(id_col).alias("_sd_ida"), F.col(vec_col).alias("_sd_va")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("c_id", centroids.schema["c_id"].dataType),
+            T.StructField("is_dup", T.BooleanType()),
+            T.StructField("dup_of", corpus.schema[id_col].dataType),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
     )
-    b = assigned.select(
-        F.col("c_id"), F.col(id_col).alias("_sd_idb"), F.col(vec_col).alias("_sd_vb")
-    )
-    wit = (
-        a.join(b, "c_id")
-        .filter(F.col("_sd_ida") < F.col("_sd_idb"))
-        .withColumn("_sd_sim", F.round(cosine_similarity("_sd_va", "_sd_vb"), round_dp))
-        .filter(F.col("_sd_sim") >= eps)
-        .groupBy("_sd_idb")
-        .agg(F.min("_sd_ida").alias("dup_of"), F.max("_sd_sim").alias("max_sim"))
-    )
-    return assigned.join(
-        wit, assigned[id_col] == wit["_sd_idb"], "left"
-    ).select(
-        assigned[id_col],
-        "c_id",
-        F.col("dup_of").isNotNull().alias("is_dup"),
-        "dup_of",
-        "max_sim",
-    )
+
+    def _decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = np.round(Vn @ Vn.T, round_dp)
+        m = len(ids)
+        # witnesses live in the strict upper triangle: row i < col j
+        W = np.triu(S >= eps, k=1)
+        hit = W.any(axis=0)
+        first = W.argmax(axis=0)  # first True row = lowest witness id (id-sorted)
+        best = np.where(W, S, -np.inf).max(axis=0, initial=-np.inf)
+        dup_of = [ids[first[j]] if hit[j] else None for j in range(m)]
+        max_sim = [float(best[j]) if hit[j] else None for j in range(m)]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "c_id": pdf["c_id"].iloc[0],
+                "is_dup": [d is not None for d in dup_of],
+                "dup_of": dup_of,
+                "max_sim": max_sim,
+            }
+        )
+
+    return assigned.groupBy("c_id").applyInPandas(_decide, out_schema)
 
 
 def winnow_fingerprints(
