@@ -31,6 +31,10 @@ from pyspark.sql import Window
 
 from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
 
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 #: bucket granularity — rates are exact multiples of 1/10000
 N_BUCKETS = 10_000
 
@@ -439,3 +443,115 @@ def mixture_rates(
     rates = {s: min(1.0, share * scale / actual[s]) for s, share in kept.items()}
     rates.update({s: 0.0 for s in target_shares if s not in kept})
     return rates
+
+
+def char_trigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document language-model quality score, the CCNet/KenLM
+    perplexity-filter shape: train a character-trigram unigram LM on a
+    corpus (MLE counts, no smoothing needed when scoring the training
+    corpus itself — every trigram is observed) and score each document
+    by its average negative log-likelihood. Low NLL = the doc looks
+    like the corpus; outlier-high NLL = boilerplate, binary junk, or
+    off-distribution text — the standard cheap proxy for "is this
+    natural language like my reference corpus" used before expensive
+    filters.
+
+    ``model``: optional pre-trained counts frame ``(tri, c)`` from
+    :func:`char_trigram_counts` — pass the reference-corpus model to
+    score a DIFFERENT corpus (unseen trigrams then get NULL logprob
+    and are dropped from the average; the ``n_scored``/``n_tri``
+    columns expose the out-of-vocabulary gap). Default: self-scoring.
+
+    Text is lowercased and whitespace-normalized first, so the model
+    sees content, not formatting. Returns one row per doc:
+    ``(id_col, n_tri, n_scored, nll)`` with ``nll`` rounded to 6
+    decimals (cross-engine float contract); docs with < 3 chars score
+    NULL with ``n_tri = 0``.
+
+    Scale: trigram explode is a generator map (O(chars) rows of
+    3-char strings); the model is ONE map-side-combine aggregation on
+    the trigram (tiny domain: <= |alphabet|^3 keys); scoring joins
+    doc-trigrams to the model on the trigram key — a shuffle join
+    whose build side is the model (broadcastable: the count table is
+    bounded by the trigram domain, not the corpus) — then one per-doc
+    aggregation. The corpus-total normalizer is a 1-row broadcast.
+    No UDF anywhere; every expression is codegen.
+    """
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
+    )
+    tri = (
+        df.select(_c(id_col).alias("_id"), norm.alias("_t"))
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not
+                    # empty — guard short docs explicitly
+                    "CASE WHEN length(_t) >= 3"
+                    " THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("tri"),
+        )
+    )
+    if model is None:
+        model = tri.groupBy("tri").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c").alias("_n"))
+    scored = (
+        tri.join(F.broadcast(model), "tri", "left")
+        .crossJoin(F.broadcast(total))
+        .select("_id", (F.log("c") - F.log("_n")).alias("_lp"))
+    )
+    return (
+        df.select(_c(id_col).alias("_id"))
+        .distinct()
+        .join(
+            scored.groupBy("_id").agg(
+                F.count("*").alias("n_tri"),
+                F.count("_lp").alias("n_scored"),
+                F.round(-F.avg("_lp"), 6).alias("nll"),
+            ),
+            "_id",
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+            F.coalesce("n_scored", F.lit(0).cast("long")).alias("n_scored"),
+            "nll",
+        )
+    )
+
+
+def char_trigram_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The trainable half of :func:`char_trigram_nll`: corpus trigram
+    counts ``(tri, c)`` over lowercased whitespace-normalized text.
+    Persist this once per reference corpus and pass it as ``model`` to
+    score incoming batches at 100 TB without re-aggregating."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
+    )
+    return (
+        df.select(norm.alias("_t"))
+        .select(
+            F.explode(
+                F.expr(
+                    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not
+                    # empty — guard short docs explicitly
+                    "CASE WHEN length(_t) >= 3"
+                    " THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("tri")
+        )
+        .groupBy("tri")
+        .agg(F.count("*").alias("c"))
+    )

@@ -633,6 +633,50 @@ ORDER BY d.doc_id
 """
 
 
+def q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity filter signal: char-trigram unigram
+    LM trained on the corpus (MLE counts), each doc scored by average
+    negative log-likelihood. The model aggregation, 1-row total
+    normalizer, model join and per-doc average are all re-derived in
+    the DuckDB oracle, value-checked to 6 decimals."""
+    docs = load_table(spark, sf, "documents")
+    out = SP.char_trigram_nll(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(out, "doc_id")
+        .select("doc_id", "source", "n_tri", "n_scored", "nll")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_lm_quality"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         unnest([substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS tri
+  FROM d
+), model AS (
+  SELECT tri, count(*) AS c FROM tg GROUP BY tri
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM model
+), sc AS (
+  SELECT t.doc_id, count(*) AS n_tri, count(m.c) AS n_scored,
+         round(-avg(ln(m.c) - ln((SELECT n FROM tot))), 6) AS nll
+  FROM tg t LEFT JOIN model m USING (tri)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(sc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(sc.n_scored, 0) AS BIGINT) AS n_scored,
+       sc.nll
+FROM d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

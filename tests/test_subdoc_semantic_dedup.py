@@ -136,3 +136,48 @@ def test_semantic_dedup_eps_dial(spark):
     # ids 0..3 are canonicals; their exact twins at bump 0 don't exist
     # here, so just assert the top eps only keeps >= the canonical count
     assert len(drops[0.8]) >= len(drops[0.999999])
+
+
+def test_char_trigram_nll_self_scoring(spark):
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "abcabc"), (2, "abc"), (3, "xy"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in SP.char_trigram_nll(df).collect()}
+    # doc 1: abca? trigrams of 'abcabc' = abc,bca,cab,abc -> 4; doc 2: abc -> 1
+    assert out[1]["n_tri"] == 4 and out[2]["n_tri"] == 1
+    # self-scoring: every trigram observed
+    assert all(v["n_scored"] == v["n_tri"] for v in out.values())
+    # short/NULL docs: no trigrams, NULL score
+    assert out[3]["n_tri"] == 0 and out[3]["nll"] is None
+    assert out[4]["n_tri"] == 0 and out[4]["nll"] is None
+    # hand-check doc 2: corpus counts abc=3, bca=1, cab=1, total=5
+    # nll(doc2) = -ln(3/5)
+    assert abs(out[2]["nll"] - (-math.log(3 / 5))) < 1e-6
+    # doc 1 mixes the frequent and rare grams -> higher nll than pure-abc doc
+    expect1 = -(2 * math.log(3 / 5) + math.log(1 / 5) + math.log(1 / 5)) / 4
+    assert abs(out[1]["nll"] - expect1) < 1e-6
+
+
+def test_char_trigram_nll_pretrained_model_oov(spark):
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+
+    ref = spark.createDataFrame([(1, "abcabcabc")], "doc_id long, text string")
+    model = SP.char_trigram_counts(ref)
+    probe = spark.createDataFrame(
+        [(10, "abc"), (11, "zzz"), (12, "abczzz")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in SP.char_trigram_nll(probe, model=model).collect()
+    }
+    # in-vocab doc scores on all grams
+    assert out[10]["n_scored"] == out[10]["n_tri"] == 1
+    # fully OOV doc: no scored grams, NULL nll — the OOV gap is visible
+    assert out[11]["n_tri"] == 1 and out[11]["n_scored"] == 0
+    assert out[11]["nll"] is None
+    # mixed doc: OOV grams drop from the average, counts expose it
+    assert out[12]["n_tri"] == 4 and 0 < out[12]["n_scored"] < 4
