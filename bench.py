@@ -87,6 +87,9 @@ HEADLINE = [
     "q_pq_rerank",             # PQ codes + ADC scan + exact rerank
     "q_ivfadc_search",         # IVF x PQ composition (billion-scale layout)
     "q_paragraph_dedup",       # sub-document dedup + canonical reassembly
+    "q_substring_dedup",       # repeated-span surgery (Lee et al. shape)
+    "q_semantic_dedup",        # SemDeDup per-cluster GEMM prune
+    "q_lm_quality",            # char-trigram LM perplexity filter
 ]
 
 

@@ -563,35 +563,36 @@ def remove_repeated_spans(
         .groupBy("_id", "_isl")
         .agg(F.min("_st").alias("_st"), F.max("_en").alias("_en"))
     )
-    removed = merged.select("_id", F.explode(F.sequence("_st", "_en")).alias("_pos"))
-    clean = (
-        tok.join(removed, ["_id", "_pos"], "left_anti")
-        .groupBy("_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-                    lambda s: s["_tok"],
-                ),
-                " ",
-            ).alias("cleaned"),
-            F.count("*").alias("n_tokens_kept"),
-        )
+    # doc-level assembly: one row per doc on each side, islands applied
+    # to the token array with higher-order fns — no removed-positions
+    # explode, no anti-join, and `merged` is consumed exactly once (a
+    # third text scan otherwise reappears via a spans-accounting agg)
+    tok_agg = tok.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("_pos", "_tok"))).alias("_toks")
     )
-    spans = merged.groupBy("_id").agg(
+    isl_agg = merged.groupBy("_id").agg(
+        F.collect_list(F.struct("_st", "_en")).alias("_cut"),
         F.count("*").alias("n_spans"),
         F.sum(F.col("_en") - F.col("_st") + 1).alias("n_tokens_removed"),
     )
     ids = df.select(_c(id_col).alias("_id")).distinct()
+    kept = F.filter(
+        F.coalesce("_toks", F.array()),
+        lambda t: ~F.exists(
+            F.coalesce("_cut", F.array()),
+            lambda s: (t["_pos"] >= s["_st"]) & (t["_pos"] <= s["_en"]),
+        ),
+    )
     return (
-        ids.join(clean, "_id", "left")
-        .join(spans, "_id", "left")
+        ids.join(tok_agg, "_id", "left")
+        .join(isl_agg, "_id", "left")
+        .withColumn("_kept", kept)
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.array_join(F.transform("_kept", lambda t: t["_tok"]), " ").alias("cleaned"),
             F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
             F.coalesce("n_tokens_removed", F.lit(0).cast("long")).alias("n_tokens_removed"),
-            F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias("n_tokens_kept"),
+            F.size("_kept").cast("long").alias("n_tokens_kept"),
         )
     )
 
