@@ -682,6 +682,98 @@ def semantic_dedup(
     return assigned.groupBy("c_id").applyInPandas(_decide, out_schema)
 
 
+def semantic_dedup_increment(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    new_assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup decisions for an INCREMENT probed against a persisted
+    seen-vector index — the daily-batch / streaming closure of
+    :func:`semantic_dedup`, same shape as
+    :func:`minhash_lsh_increment`: the corpus is never re-compared
+    against itself; per increment the work is assigning the new
+    vectors plus one GEMM per touched cluster against that cluster's
+    indexed members.
+
+    ``index`` holds EVERY previously-seen vector ``(id_col, c_id,
+    vec_col)`` — kept AND dropped: in SemDeDup a witness need not
+    itself survive (1~2, 2~3, 1!~3 still drops 3 via the dropped 2),
+    so a survivors-only index would silently diverge from the batch
+    operator. A new vector is a duplicate iff some indexed cluster-mate
+    (any id — it was seen first) or some LOWER-id new cluster-mate has
+    cosine >= ``eps``. First-seen-wins across increments; with
+    id-ordered arrival this equals the batch decision exactly
+    (parity-tested). ``new_assigned`` lets the streaming sink reuse the
+    increment's assignment (it also appends those rows to the index)
+    so the argmax UDF runs once per micro-batch.
+
+    Returns the same decision frame as :func:`semantic_dedup`, for the
+    NEW vectors only. Only clusters the increment touches are read
+    from the index (broadcast semi-join on the increment's cluster
+    ids), so cost scales with |new| + matched cluster members.
+    """
+    import numpy as np
+
+    from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_assign
+
+    if new_assigned is None:
+        new_assigned = ivf_assign(
+            new_vecs, centroids, corpus_id=id_col, vec_col=vec_col, round_dp=round_dp
+        )
+    probe = new_assigned.select("c_id").distinct()
+    idx_hit = index.join(F.broadcast(probe), "c_id", "left_semi")
+    both = idx_hit.select(id_col, vec_col, "c_id").withColumn(
+        "_prior", F.lit(True)
+    ).unionByName(new_assigned.select(id_col, vec_col, "c_id").withColumn("_prior", F.lit(False)))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, new_vecs.schema[id_col].dataType),
+            T.StructField("c_id", centroids.schema["c_id"].dataType),
+            T.StructField("is_dup", T.BooleanType()),
+            T.StructField("dup_of", new_vecs.schema[id_col].dataType),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
+    )
+
+    def _decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        prior = pdf[pdf["_prior"]]
+        new = pdf[~pdf["_prior"]]
+        order = new[id_col].to_numpy().argsort(kind="stable")
+        new_ids = new[id_col].to_numpy()[order]
+        mp, mn = len(prior), len(new)
+        all_ids = list(prior[id_col]) + list(new_ids)
+        V = np.array(list(prior[vec_col]) + list(new[vec_col].to_numpy()[order]), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = np.round(Vn @ Vn[mp:].T, round_dp)  # (mp+mn) x mn
+        # eligibility: every prior row witnesses every new column; a new
+        # row witnesses only strictly-higher-id new columns
+        E = np.ones((mp + mn, mn), dtype=bool)
+        E[mp:, :] = np.triu(np.ones((mn, mn), dtype=bool), k=1)
+        W = (S >= eps) & E
+        dup_of, max_sim = [None] * mn, [None] * mn
+        for j in range(mn):
+            rows = np.flatnonzero(W[:, j])
+            if len(rows):
+                dup_of[j] = min(all_ids[r] for r in rows)
+                max_sim[j] = float(S[rows, j].max())
+        return pd.DataFrame(
+            {
+                id_col: new_ids,
+                "c_id": pdf["c_id"].iloc[0],
+                "is_dup": [d is not None for d in dup_of],
+                "dup_of": dup_of,
+                "max_sim": max_sim,
+            }
+        )
+
+    return both.groupBy("c_id").applyInPandas(_decide, out_schema)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

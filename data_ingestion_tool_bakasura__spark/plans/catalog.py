@@ -54,6 +54,7 @@ _PRIORITY = [
     "q_substring_dedup",         # Lee et al. span surgery (C13 sub-doc)
     "q_semantic_dedup",          # SemDeDup cluster-cosine prune (C13/C14)
     "q_lm_quality",              # char-trigram LM perplexity filter (C16)
+    "q_stream_semantic_dedup",   # streaming SemDeDup foreachBatch closure
     # --- impl changed this round: re-certify first ---
     "q_paragraph_dedup",         # NULL-text left join + multi-para oracle
     "q_ivf_kmeans_search",       # typed centroid ids (ADVICE r6)
@@ -88,7 +89,6 @@ _PRIORITY = [
     "q_pivot_daily_value",       # r2
     "q_cube_orders",             # r1
     "q_grouping_sets",           # r1
-    "q_json_props",              # r2
     # --- family sentinels (r4-r6 green; keep one per family fresh) ---
     "q_stream_running_stats",    # C17/C18 stateful sentinel
     "q_stream_near_dedup",       # C17 x C13 composition
@@ -110,6 +110,7 @@ _PRIORITY = [
     "q_doc_stats",               # rotated-out this round for the three new ops (r1 evidence + trivial facet impl)
     "q_lang_facet",              # ditto
     "q_array_ops",               # ditto (r1 evidence, expression-only impl)
+    "q_json_props",              # ditto (r2 evidence, expression-only impl)
     "q_region_revenue",
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",

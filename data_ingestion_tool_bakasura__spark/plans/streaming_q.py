@@ -329,6 +329,58 @@ ORDER BY doc_id
 ORACLE["q_stream_near_dedup"] = _near_dedup_oracle()
 
 
+def q_stream_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SemDeDup replayed over the embeddings fixture as ONE
+    availableNow micro-batch: within a single batch the incremental
+    decisions are exactly the batch ``semantic_dedup`` decisions
+    (first-seen == lowest id), so the oracle is q_semantic_dedup's SQL
+    verbatim — certifying the whole foreachBatch path (assign-once,
+    index bootstrap, per-cluster GEMM probe, decision append) at the
+    driver, not just in tests."""
+    import os
+    import tempfile
+
+    from data_ingestion_tool_bakasura__spark.operators.similarity import (
+        pick_seed_centroids,
+    )
+    from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
+
+    src = os.path.join(sf, "embeddings.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "bakasura_vecs_stage",
+        sf.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    scratch = tempfile.mkdtemp(prefix="semdedup_q_")
+    emb = spark.read.parquet(src)
+    cents = pick_seed_centroids(emb, 8)
+    schema = emb.schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    SP.start_streaming_semantic_dedup(
+        stream,
+        cents,
+        os.path.join(scratch, "decisions"),
+        os.path.join(scratch, "index"),
+        eps=0.30,
+        checkpoint=os.path.join(scratch, "ckpt"),
+    ).awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(scratch, "decisions"))
+        .select("vec_id", "c_id", "is_dup", "dup_of", "max_sim")
+        .orderBy("vec_id")
+    )
+
+
+# one-batch replay == batch semantics: share q_semantic_dedup's oracle
+from data_ingestion_tool_bakasura__spark.plans import vectors_q as _VQ
+
+ORACLE["q_stream_semantic_dedup"] = _VQ.ORACLE["q_semantic_dedup"]
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -243,11 +243,95 @@ def start_streaming_near_dedup(
     return writer.start()
 
 
+def start_streaming_semantic_dedup(
+    vecs_stream: DataFrame,
+    centroids: DataFrame,
+    decisions_path: str,
+    index_path: str,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming SemDeDup: each arriving micro-batch of vectors is
+    assigned to the (offline-fitted, static) centroid set ONCE, probed
+    against the persisted seen-vector index via
+    ``operators.dedup.semantic_dedup_increment`` — one GEMM per touched
+    cluster — and then (a) its decision rows append to
+    ``decisions_path`` and (b) its assigned ``(id, c_id, vec)`` rows
+    append to ``index_path``. First-seen-wins across batches, min-id
+    within a batch; with id-ordered arrival the decisions equal the
+    batch :func:`~..operators.dedup.semantic_dedup` exactly
+    (parity-tested). The index stores every seen vector — kept AND
+    dropped — because a SemDeDup witness need not itself survive.
+
+    Replay-idempotent by exact id: the batch is anti-joined against
+    the index ids first, so a replayed micro-batch (crash between the
+    two appends) contributes no duplicate decisions or index rows.
+    Residual window: a crash between the decisions append and the
+    index append replays the batch with decisions already recorded —
+    the guard keys on the INDEX (appended last), so the replay
+    re-emits those decisions; consumers of ``decisions_path`` should
+    dedupe on ``id_col``, the usual at-least-once append contract.
+
+    Scale: the corpus is never re-compared; a year of daily
+    increments costs a year of assignments + cluster-local GEMMs.
+    Centroids are fit once offline (kmeans on a sample — see
+    ``kmeans_centroids``), exactly SemDeDup's serving shape.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        semantic_dedup_increment,
+    )
+    from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_assign
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="semdedup_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        have_index = os.path.exists(index_path.removeprefix("file://"))
+        if have_index:
+            seen = spark.read.parquet(index_path).select(F.col(id_col))
+            batch_df = batch_df.join(seen, on=id_col, how="left_anti")
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        # assign ONCE: these rows feed both the probe and the index append
+        assigned = ivf_assign(
+            batch_df, centroids, corpus_id=id_col, vec_col=vec_col, round_dp=round_dp
+        ).localCheckpoint(eager=True)
+        index = (
+            spark.read.parquet(index_path)
+            if have_index
+            else assigned.limit(0)
+        )
+        decisions = semantic_dedup_increment(
+            batch_df, index, centroids, eps,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            new_assigned=assigned,
+        )
+        decisions.write.mode("append").parquet(decisions_path)
+        assigned.write.mode("append").parquet(index_path)
+
+    writer = vecs_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "IngestConfig",
     "dedup_against_index",
     "start_incremental_ingest",
     "start_streaming_near_dedup",
+    "start_streaming_semantic_dedup",
     "start_streaming_upsert",
     "stream_documents",
 ]

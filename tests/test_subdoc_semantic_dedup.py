@@ -181,3 +181,66 @@ def test_char_trigram_nll_pretrained_model_oov(spark):
     assert out[11]["nll"] is None
     # mixed doc: OOV grams drop from the average, counts expose it
     assert out[12]["n_tri"] == 4 and 0 < out[12]["n_scored"] < 4
+
+
+def test_semantic_dedup_increment_wave_parity(spark):
+    """Id-ordered waves through semantic_dedup_increment reproduce the
+    batch semantic_dedup decisions exactly — including dups whose
+    witness was itself dropped (the index keeps every seen vector)."""
+    rows = [(i, _vec(i % 3, 0.02 * i)) for i in range(18)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = SIM.pick_seed_centroids(df, 3)
+    batch = {r["vec_id"]: r.asDict() for r in DD.semantic_dedup(df, cents, eps=0.9).collect()}
+
+    waves = [df.filter(f"vec_id < 6"), df.filter("vec_id >= 6 and vec_id < 12"), df.filter("vec_id >= 12")]
+    index = None
+    inc: dict[int, dict] = {}
+    for w in waves:
+        from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_assign
+
+        assigned = ivf_assign(w, cents, round_dp=6)
+        idx = index if index is not None else assigned.limit(0)
+        dec = DD.semantic_dedup_increment(w, idx, cents, eps=0.9)
+        inc.update({r["vec_id"]: r.asDict() for r in dec.collect()})
+        index = idx.unionByName(assigned) if index is not None else assigned
+        index = index.localCheckpoint(eager=True)
+    assert set(inc) == set(batch)
+    for k in batch:
+        assert inc[k] == batch[k], (k, inc[k], batch[k])
+
+
+def test_streaming_semantic_dedup_two_waves(spark, tmp_path):
+    from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
+
+    rows1 = [(1, _vec(0)), (2, _vec(0, 0.03)), (3, _vec(4))]
+    rows2 = [(4, _vec(0, 0.06)), (5, _vec(2)), (6, _vec(2, 0.02)), (7, _vec(2, 0.04))]
+    all_rows = spark.createDataFrame(rows1 + rows2, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(4)), (2, _vec(2))], "c_id long, embedding array<double>"
+    )
+    landing = str(tmp_path / "landing")
+    decisions = str(tmp_path / "decisions")
+    index = str(tmp_path / "index")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)\
+            .write.mode("append").parquet(landing)
+        SP.start_streaming_semantic_dedup(
+            SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+            cents, decisions, index, eps=0.9,
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination()
+
+    dec = {r["vec_id"]: r.asDict() for r in spark.read.parquet(decisions).collect()}
+    batch = {r["vec_id"]: r.asDict() for r in DD.semantic_dedup(all_rows, cents, eps=0.9).collect()}
+    assert dec == batch  # id-ordered arrival == batch decisions
+    # index holds EVERY seen vector (kept and dropped)
+    assert {r["vec_id"] for r in spark.read.parquet(index).collect()} == set(range(1, 8))
+
+    # checkpoint-loss replay: the exact-id guard keeps decisions unique
+    SP.start_streaming_semantic_dedup(
+        SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+        cents, decisions, index, eps=0.9,
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    ).awaitTermination()
+    assert spark.read.parquet(decisions).count() == 7
+    assert spark.read.parquet(index).count() == 7
