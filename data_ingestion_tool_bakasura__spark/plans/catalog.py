@@ -37,12 +37,15 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: (r6 verdict #2): 45 catalog queries' newest driver-green row dated
 #: from r1/r2 while their underlying operators were rewritten after r2
 #: (xxhash64 shuffle keys, agg fast paths, textstats/vector kernels) —
-#: 30 of the stalest rotate into the window this round, prioritized by
-#: impl-file churn. They are joined by the queries whose implementation
-#: changed THIS round (paragraph-dedup NULL-text left join + multi-
-#: paragraph oracle, typed centroid ids through kmeans/ivf_assign,
-#: upsert MERGE seam) and one sentinel per operator family so a single
-#: driver window still certifies every family. Rows-only queries
+#: 26 of the stalest rotate into the window this round, prioritized by
+#: impl-file churn (q_doc_stats / q_lang_facet / q_array_ops /
+#: q_json_props, trivial expression-only impls, yield their slots to
+#: the four NEW r7 queries and sit first past the boundary). They are
+#: joined by the queries whose implementation changed THIS round
+#: (paragraph-dedup NULL-text left join + multi-paragraph oracle,
+#: typed centroid ids through kmeans/ivf_assign, upsert MERGE seam)
+#: and one sentinel per operator family so a single driver window
+#: still certifies every family. Rows-only queries
 #: (q_ingest_pipeline, q_lsh_ann_topk, q_ivf_assignments) sit past the
 #: checked window — their semantics are held by dedicated tests
 #: (test_ingest, ANN.md recall contract, IVF full-probe==exact) and by
@@ -111,6 +114,7 @@ _PRIORITY = [
     "q_lang_facet",              # ditto
     "q_array_ops",               # ditto (r1 evidence, expression-only impl)
     "q_json_props",              # ditto (r2 evidence, expression-only impl)
+    "q_lm_quality_xcorpus",      # NEW r7: pretrained-model seam twin of in-window q_lm_quality
     "q_region_revenue",
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",

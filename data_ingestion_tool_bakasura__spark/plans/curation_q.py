@@ -677,6 +677,56 @@ ORDER BY d.doc_id
 """
 
 
+def q_lm_quality_xcorpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus LM scoring — the 100 TB serving shape of
+    q_lm_quality: the trigram model is trained on a REFERENCE slice
+    (source = 'src0') and every document is scored against it, so
+    out-of-vocabulary grams drop from the average and surface as
+    n_scored < n_tri (fully-OOV docs score NULL). Exercises the
+    pretrained-model seam and the operator's left-join path end-to-end
+    at the driver."""
+    docs = load_table(spark, sf, "documents")
+    model = SP.char_trigram_counts(docs.filter(F.col("source") == "src0"))
+    out = SP.char_trigram_nll(docs, model=model)
+    return (
+        docs.select("doc_id", "source")
+        .join(out, "doc_id")
+        .select("doc_id", "source", "n_tri", "n_scored", "nll")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_lm_quality_xcorpus"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         unnest([substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS tri
+  FROM d
+), model AS (
+  SELECT tri, count(*) AS c FROM (
+    SELECT unnest([substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS tri
+    FROM d WHERE source = 'src0'
+  ) GROUP BY tri
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM model
+), sc AS (
+  SELECT t.doc_id, count(*) AS n_tri, count(m.c) AS n_scored,
+         round(-avg(ln(m.c) - ln((SELECT n FROM tot))), 6) AS nll
+  FROM tg t LEFT JOIN model m USING (tri)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(sc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(sc.n_scored, 0) AS BIGINT) AS n_scored,
+       sc.nll
+FROM d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
