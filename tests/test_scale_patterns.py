@@ -195,3 +195,49 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     except Exception:
         raised = True
     assert raised, "full scan should have hit the corrupted partition"
+
+
+def test_r7_curation_plans_have_no_scale_killers(spark):
+    """Plan-shape guard for the round-7 operators.
+
+    - semantic_dedup: exactly ONE corpus scan (the first cut had 3 —
+      the whole point of the grouped-map rewrite), one hash exchange
+      on the cluster id, no join of two large sides, no
+      SinglePartition anywhere.
+    - remove_repeated_spans: every window hash-partitioned (gram
+      ranking on the hash, island merge on the doc) — never a global
+      window; no CartesianProduct.
+    - char_trigram_nll: the model join must be a BroadcastHashJoin
+      (count table bounded by the trigram domain, not the corpus) and
+      the only SinglePartition exchange is the 1-row total normalizer.
+    """
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        remove_repeated_spans,
+        semantic_dedup,
+    )
+    from data_ingestion_tool_bakasura__spark.operators.sampling import char_trigram_nll
+    from data_ingestion_tool_bakasura__spark.operators.similarity import (
+        pick_seed_centroids,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    sd = semantic_dedup(emb, pick_seed_centroids(emb, 4), eps=0.3)
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(c_id" in plan, plan[:2000]
+
+    rs = remove_repeated_spans(docs, n=8)
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "hashpartitioning(_gh" in plan, plan[:2000]
+
+    lm = char_trigram_nll(docs)
+    plan = lm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the only SinglePartition is the 1-row corpus-total aggregation
+    assert plan.count("SinglePartition") <= 1, plan[:2000]

@@ -244,3 +244,23 @@ def test_streaming_semantic_dedup_two_waves(spark, tmp_path):
     ).awaitTermination()
     assert spark.read.parquet(decisions).count() == 7
     assert spark.read.parquet(index).count() == 7
+
+
+def test_semantic_dedup_kmeans_composition_and_string_ids(spark):
+    """semantic_dedup composes with Lloyd-refined centroids, and the
+    decision schema derives from the corpus id type (string ids
+    round-trip through assignment, witness and dup_of)."""
+    rows = [(f"doc-{i:02d}", _vec(i % 2, 0.04 * (i // 2))) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = SIM.kmeans_centroids(df, 2, iters=2)
+    dec = DD.semantic_dedup(df, cents, eps=0.9)
+    assert dict(dec.dtypes)["vec_id"] == "string"
+    assert dict(dec.dtypes)["dup_of"] == "string"
+    got = {r["vec_id"]: r.asDict() for r in dec.collect()}
+    assert len(got) == 10
+    # lexicographically-first member of each direction survives
+    assert not got["doc-00"]["is_dup"] and not got["doc-01"]["is_dup"]
+    # every dropped row's witness precedes it lexicographically
+    for k, v in got.items():
+        if v["is_dup"]:
+            assert v["dup_of"] < k
