@@ -525,23 +525,8 @@ def remove_repeated_spans(
     partition; row_number over it is a single-task sort bounded by AQE
     skew splitting, and only (id, pos) scalars sit in that partition.
     """
-    tok = df.select(
-        _c(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " ")), " ")
-        ).alias("_pos", "_tok"),
-    ).filter(F.col("_tok") != "")  # NULL/empty text splits to [''] — not a token
-    wg = Window.partitionBy("_id").orderBy("_pos").rowsBetween(Window.currentRow, n - 1)
-    grams = (
-        tok.select(
-            "_id",
-            F.col("_pos").alias("_st"),
-            F.count("*").over(wg).alias("_cnt"),
-            F.xxhash64(F.array_join(F.collect_list("_tok").over(wg), " ")).alias("_gh"),
-        )
-        .filter(F.col("_cnt") == n)
-        .select("_id", "_st", (F.col("_st") + n - 1).alias("_en"), "_gh")
-    )
+    tok = _span_tokens(df, text_col, id_col)
+    grams = _span_grams(tok, n)
     # canonical occurrence per gram: lowest (doc, start) — kept; the
     # rest are the duplicated spans to cut
     dup = (
@@ -551,7 +536,48 @@ def remove_repeated_spans(
         .filter(F.col("_rn") > 1)
         .select("_id", "_st", "_en")
     )
-    # gaps-and-islands merge of overlapping/adjacent spans per doc:
+    return _apply_span_surgery(df, tok, dup, id_col)
+
+
+def _span_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _pos, _tok): whitespace-normalized word tokens with doc
+    positions. NULL/empty text splits to [''] — filtered, not a token."""
+    return df.select(
+        _c(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " ")), " ")
+        ).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+
+
+def _span_grams(tok: DataFrame, n: int) -> DataFrame:
+    """(_id, _st, _en, _gh): word n-grams as token-index intervals with
+    an 8-byte xxhash64 key, from ONE ordered window (the frame IS the
+    gram — no second explode); tail partials dropped."""
+    wg = Window.partitionBy("_id").orderBy("_pos").rowsBetween(Window.currentRow, n - 1)
+    return (
+        tok.select(
+            "_id",
+            F.col("_pos").alias("_st"),
+            F.count("*").over(wg).alias("_cnt"),
+            F.xxhash64(F.array_join(F.collect_list("_tok").over(wg), " ")).alias("_gh"),
+        )
+        .filter(F.col("_cnt") == n)
+        .select("_id", "_st", (F.col("_st") + n - 1).alias("_en"), "_gh")
+    )
+
+
+def _apply_span_surgery(
+    df: DataFrame, tok: DataFrame, dup: DataFrame, id_col: str
+) -> DataFrame:
+    """Merge the duplicated spans per doc (gaps-and-islands) and cut
+    them out of the token stream; one output row per input doc.
+
+    Doc-level assembly: one row per doc on each side, islands applied
+    to the token array with higher-order fns — no removed-positions
+    explode, no anti-join, and the merged-island frame is consumed
+    exactly once (a third text scan otherwise reappears via a
+    spans-accounting agg)."""
     # a span opens a new island iff it starts past every prior span's end
     wprev = Window.partitionBy("_id").orderBy("_st").rowsBetween(Window.unboundedPreceding, -1)
     wrun = Window.partitionBy("_id").orderBy("_st")
@@ -563,10 +589,6 @@ def remove_repeated_spans(
         .groupBy("_id", "_isl")
         .agg(F.min("_st").alias("_st"), F.max("_en").alias("_en"))
     )
-    # doc-level assembly: one row per doc on each side, islands applied
-    # to the token array with higher-order fns — no removed-positions
-    # explode, no anti-join, and `merged` is consumed exactly once (a
-    # third text scan otherwise reappears via a spans-accounting agg)
     tok_agg = tok.groupBy("_id").agg(
         F.array_sort(F.collect_list(F.struct("_pos", "_tok"))).alias("_toks")
     )
@@ -595,6 +617,63 @@ def remove_repeated_spans(
             F.size("_kept").cast("long").alias("n_tokens_kept"),
         )
     )
+
+
+def span_gram_index(
+    df: DataFrame, n: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The persistable half of the substring-dedup increment: the
+    DISTINCT word-n-gram hashes (``gh``) a corpus has ever exhibited.
+    Append each increment's index (computed on its PRE-surgery text) and
+    :func:`remove_repeated_spans_increment` never re-tokenizes the
+    corpus. 8 bytes per distinct gram — the same growth contract as
+    ``lsh_band_index``."""
+    return (
+        _span_grams(_span_tokens(df, text_col, id_col), n)
+        .select(F.col("_gh").alias("gh"))
+        .distinct()
+    )
+
+
+def remove_repeated_spans_increment(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-span surgery for an INCREMENT probed against a
+    persisted :func:`span_gram_index` — the third dedup family's
+    incremental closure (LSH: ``minhash_lsh_increment``; semantic:
+    ``semantic_dedup_increment``). A new doc's n-gram span is cut iff
+    its hash was seen in ANY prior increment (the canonical occurrence
+    is in the corpus) or a lower-(doc, pos) occurrence exists within
+    this increment. First-seen-wins; with doc-id-ordered arrival the
+    cleaned output equals the batch :func:`remove_repeated_spans` run
+    over corpus+increment, restricted to the increment (parity-tested).
+
+    Corpus text is never re-tokenized: per increment the work is the
+    increment's own gram pass plus one semi/anti-join against the
+    8-byte-per-gram index — a year of daily increments costs a year of
+    increments. Same output columns as the batch operator.
+    """
+    tok = _span_tokens(new_docs, text_col, id_col)
+    grams = _span_grams(tok, n)
+    seen = index.select(F.col("gh").alias("_gh"), F.lit(True).alias("_seen"))
+    # ONE pass over the increment's grams: left-join the seen flag, then
+    # rank every occurrence per gram. Seen-before grams are cut entirely
+    # (the corpus holds the canonical, so their rank is irrelevant);
+    # fresh grams cut all but the lowest-(doc, pos) occurrence. Fusing
+    # the former semi+anti pair halves the gram-subtree evaluations.
+    dup = (
+        grams.join(seen.distinct(), "_gh", "left")
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_gh").orderBy("_id", "_st"))
+        )
+        .filter(F.col("_seen").isNotNull() | (F.col("_rn") > 1))
+        .select("_id", "_st", "_en")
+    )
+    return _apply_span_surgery(new_docs, tok, dup, id_col)
 
 
 def semantic_dedup(

@@ -115,6 +115,7 @@ _PRIORITY = [
     "q_array_ops",               # ditto (r1 evidence, expression-only impl)
     "q_json_props",              # ditto (r2 evidence, expression-only impl)
     "q_lm_quality_xcorpus",      # NEW r7: pretrained-model seam twin of in-window q_lm_quality
+    "q_substring_dedup_incr",    # NEW r7: gram-index increment twin of in-window q_substring_dedup
     "q_region_revenue",
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",

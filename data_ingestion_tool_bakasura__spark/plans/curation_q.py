@@ -677,6 +677,35 @@ ORDER BY d.doc_id
 """
 
 
+def q_substring_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """The substring-surgery INCREMENT path at the driver: docs with
+    id < 250 are the 'corpus' (only their 8-byte gram index is built),
+    docs >= 250 are the increment probed against it. Because arrival is
+    id-ordered, the incremental result equals the batch surgery over
+    the whole corpus restricted to the increment — so the oracle is
+    q_substring_dedup's SQL with that restriction, value-checking the
+    semi/anti-join index probe and the within-increment ranking."""
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        remove_repeated_spans_increment,
+        span_gram_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    idx = span_gram_index(docs.filter(F.col("doc_id") < 250), n=_SPAN_N)
+    out = remove_repeated_spans_increment(
+        docs.filter(F.col("doc_id") >= 250), idx, n=_SPAN_N
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(out, "doc_id")
+        .select(
+            "doc_id", "source", "n_spans", "n_tokens_removed", "n_tokens_kept",
+            F.md5("cleaned").alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_lm_quality_xcorpus(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus LM scoring — the 100 TB serving shape of
     q_lm_quality: the trigram model is trained on a REFERENCE slice
@@ -695,6 +724,10 @@ def q_lm_quality_xcorpus(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+ORACLE["q_substring_dedup_incr"] = ORACLE["q_substring_dedup"].replace(
+    "ORDER BY d.doc_id", "WHERE d.doc_id >= 250 ORDER BY d.doc_id"
+)
 
 ORACLE["q_lm_quality_xcorpus"] = """
 WITH d AS (

@@ -326,12 +326,89 @@ def start_streaming_semantic_dedup(
     return writer.start()
 
 
+def start_streaming_span_dedup(
+    docs_stream: DataFrame,
+    cleaned_path: str,
+    index_path: str,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming substring-span surgery — the third dedup family's
+    streaming closure (LSH: ``start_streaming_near_dedup``; semantic:
+    ``start_streaming_semantic_dedup``): each arriving micro-batch is
+    probed against the persisted :func:`~..operators.dedup
+    .span_gram_index` (spans whose n-gram was EVER seen get cut;
+    within the batch the lowest-(doc, pos) occurrence is canonical),
+    the cleaned docs append to ``cleaned_path``, and the batch's
+    PRE-surgery gram hashes append to ``index_path`` — pre-surgery so
+    a later doc repeating a span this batch canonically introduced is
+    still caught. Corpus text is never re-tokenized; the index grows
+    8 bytes per distinct gram.
+
+    Replay-idempotent by exact id against the CLEANED table (appended
+    last): a replayed micro-batch is dropped before probing. Residual
+    window: a crash between the index append and the cleaned append
+    replays with the batch's own grams indexed — its spans would cut
+    against themselves — so the index append goes LAST; the converse
+    crash (cleaned landed, index not) leaves the batch's novel grams
+    unindexed for future batches, the conservative side of plain
+    parquet append (same contract as the LSH sink).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        remove_repeated_spans_increment,
+        span_gram_index,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="spandedup_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(cleaned_path.removeprefix("file://")):
+            done = spark.read.parquet(cleaned_path).select(F.col(id_col))
+            batch_df = batch_df.join(done, on=id_col, how="left_anti")
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        have_index = os.path.exists(index_path.removeprefix("file://"))
+        index = (
+            spark.read.parquet(index_path)
+            if have_index
+            else spark.createDataFrame([], "gh long")
+        )
+        cleaned = remove_repeated_spans_increment(
+            batch_df, index, n=n, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        # pre-surgery grams; the anti-join keeps the index append-only
+        # on distinct hashes (no duplicate gh rows across batches)
+        new_grams = span_gram_index(batch_df, n=n, text_col=text_col, id_col=id_col)
+        new_grams = new_grams.join(
+            index.select(F.col("gh")), on="gh", how="left_anti"
+        ).localCheckpoint(eager=True)
+        cleaned.write.mode("append").parquet(cleaned_path)
+        new_grams.write.mode("append").parquet(index_path)
+
+    writer = docs_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "IngestConfig",
     "dedup_against_index",
     "start_incremental_ingest",
     "start_streaming_near_dedup",
     "start_streaming_semantic_dedup",
+    "start_streaming_span_dedup",
     "start_streaming_upsert",
     "stream_documents",
 ]

@@ -264,3 +264,79 @@ def test_semantic_dedup_kmeans_composition_and_string_ids(spark):
     for k, v in got.items():
         if v["is_dup"]:
             assert v["dup_of"] < k
+
+
+def test_remove_repeated_spans_increment_wave_parity(spark):
+    """Doc-id-ordered waves through the gram-index increment reproduce
+    the batch surgery exactly on the increment docs; the corpus text is
+    never re-tokenized (only its 8-byte gram index is read)."""
+    run = "w1 w2 w3 w4 w5"
+    run2 = "z1 z2 z3 z4 z5"
+    wave1 = [(1, f"alpha beta {run} gamma"), (2, f"{run2} solo here")]
+    wave2 = [(3, f"intro {run} outro"), (4, f"pre {run2} post {run2} tail"),
+             (5, "fresh new content no overlap"), (6, f"a {run} b {run2} c")]
+    all_df = spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+    batch = {r["doc_id"]: r.asDict()
+             for r in DD.remove_repeated_spans(all_df, n=5).collect()}
+
+    df1 = spark.createDataFrame(wave1, "doc_id long, text string")
+    df2 = spark.createDataFrame(wave2, "doc_id long, text string")
+    idx1 = DD.span_gram_index(df1, n=5)
+    out1 = {r["doc_id"]: r.asDict()
+            for r in DD.remove_repeated_spans_increment(
+                df1, idx1.limit(0), n=5).collect()}
+    out2 = {r["doc_id"]: r.asDict()
+            for r in DD.remove_repeated_spans_increment(df2, idx1, n=5).collect()}
+    got = {**out1, **out2}
+    assert got == batch
+    # sanity on the interesting rows: doc 3's run cut vs corpus, doc 4
+    # cut twice vs corpus, doc 6 loses both runs
+    assert got[3]["cleaned"] == "intro outro"
+    assert got[4]["cleaned"] == "pre post tail" and got[4]["n_spans"] == 2
+    assert got[6]["cleaned"] == "a b c"
+    # index growth: appending wave2's index makes a LATER wave-3 doc
+    # repeating wave-2-only content get cut (the corpus holds canon)
+    idx2 = idx1.unionByName(DD.span_gram_index(df2, n=5)).distinct()
+    df3 = spark.createDataFrame(
+        [(7, "prefix fresh new content no overlap suffix")], "doc_id long, text string"
+    )
+    out3 = {r["doc_id"]: r.asDict()
+            for r in DD.remove_repeated_spans_increment(df3, idx2, n=5).collect()}
+    assert out3[7]["n_spans"] == 1  # doc 5's 5-gram arrived in wave 2
+    assert out3[7]["cleaned"] == "prefix suffix"
+
+
+def test_streaming_span_dedup_two_waves(spark, tmp_path):
+    from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
+
+    run = "s1 s2 s3 s4 s5"
+    wave1 = [(1, f"head {run} tail"), (2, "nothing shared at all here")]
+    wave2 = [(3, f"pre {run} post"), (4, f"{run} twice {run} end")]
+    all_df = spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+    batch = {r["doc_id"]: r["cleaned"]
+             for r in DD.remove_repeated_spans(all_df, n=5).collect()}
+
+    landing = str(tmp_path / "landing")
+    cleaned = str(tmp_path / "cleaned")
+    index = str(tmp_path / "index")
+    for rows in (wave1, wave2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)\
+            .write.mode("append").parquet(landing)
+        SP.start_streaming_span_dedup(
+            SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+            cleaned, index, n=5, checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination()
+
+    got = {r["doc_id"]: r["cleaned"] for r in spark.read.parquet(cleaned).collect()}
+    assert got == batch  # id-ordered arrival == batch surgery
+    assert got[3] == "pre post" and got[4] == "twice end"
+
+    # checkpoint-loss replay: exact-id guard -> no duplicate rows, and
+    # crucially no self-cut (docs would clean to '' without the guard)
+    SP.start_streaming_span_dedup(
+        SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+        cleaned, index, n=5, checkpoint=str(tmp_path / "ckpt_replay"),
+    ).awaitTermination()
+    replayed = spark.read.parquet(cleaned)
+    assert replayed.count() == 4
+    assert {r["doc_id"]: r["cleaned"] for r in replayed.collect()} == batch
