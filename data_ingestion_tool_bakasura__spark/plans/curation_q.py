@@ -706,6 +706,117 @@ def q_substring_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_deep_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 capstone composition, one lazy plan: substring-span
+    surgery (remove_repeated_spans) -> char-trigram LM self-scoring of
+    the POST-surgery text (the model trains on what survives, the
+    CCNet ordering) -> per-source accounting (docs cut, tokens removed,
+    average NLL, docs flagged above 5.38 nats). Proves the new
+    operators compose lazily — Catalyst sees one tree; nothing
+    materializes between stages — and the whole chain is value-checked
+    against a single DuckDB oracle that re-derives surgery, model and
+    rollup in SQL."""
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    cleaned = remove_repeated_spans(docs, n=_SPAN_N)
+    scored = SP.char_trigram_nll(cleaned, text_col="cleaned", id_col="doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(cleaned.select("doc_id", "n_spans", "n_tokens_removed"), "doc_id")
+        .join(scored.select("doc_id", "nll"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0)).alias("n_docs_cut"),
+            F.sum("n_tokens_removed").cast("bigint").alias("tokens_removed"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.sum(F.when(F.col("nll") > 5.38, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_deep_clean_pipeline"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+  WHERE tk[i] <> ''
+), g AS (
+  SELECT doc_id, i - 1 AS st, i + {_SPAN_N - 2} AS en,
+         array_to_string(tk[i:i+{_SPAN_N - 1}], ' ') AS gh
+  FROM d, LATERAL (SELECT unnest(range(1, len(tk) - {_SPAN_N - 2})) AS i)
+  WHERE len(tk) >= {_SPAN_N}
+), dup AS (
+  SELECT doc_id, st, en FROM (
+    SELECT doc_id, st, en,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, st) AS rn
+    FROM g)
+  WHERE rn > 1
+), isl AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+), merged AS (
+  SELECT doc_id, island, min(st) AS st, max(en) AS en
+  FROM (SELECT doc_id, st, en,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY st) AS island
+        FROM isl)
+  GROUP BY doc_id, island
+), removed AS (
+  SELECT doc_id, unnest(range(st, en + 1)) AS pos FROM merged
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+), clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+), sp AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(en - st + 1) AS n_tokens_removed
+  FROM merged GROUP BY doc_id
+), cdoc AS (
+  SELECT d.doc_id, d.source,
+         lower(trim(regexp_replace(coalesce(clean.cleaned, ''), '\\s+', ' ', 'g'))) AS ct,
+         coalesce(sp.n_spans, 0) AS n_spans,
+         coalesce(sp.n_tokens_removed, 0) AS n_tokens_removed
+  FROM d
+  LEFT JOIN clean ON d.doc_id = clean.doc_id
+  LEFT JOIN sp ON d.doc_id = sp.doc_id
+), tg AS (
+  SELECT doc_id,
+         unnest([substr(ct, i, 3) FOR i IN range(1, greatest(len(ct) - 2, 0) + 1)]) AS tri
+  FROM cdoc
+), model AS (
+  SELECT tri, count(*) AS c FROM tg GROUP BY tri
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM model
+), sc AS (
+  SELECT t.doc_id, round(-avg(ln(m.c) - ln((SELECT n FROM tot))), 6) AS nll
+  FROM tg t LEFT JOIN model m USING (tri)
+  GROUP BY t.doc_id
+)
+SELECT cdoc.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cdoc.n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+       CAST(sum(cdoc.n_tokens_removed) AS BIGINT) AS tokens_removed,
+       round(avg(sc.nll), 6) AS avg_nll,
+       CAST(sum(CASE WHEN sc.nll > 5.38 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM cdoc LEFT JOIN sc ON cdoc.doc_id = sc.doc_id
+GROUP BY cdoc.source
+ORDER BY cdoc.source
+"""
+
+
 def q_lm_quality_xcorpus(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus LM scoring — the 100 TB serving shape of
     q_lm_quality: the trigram model is trained on a REFERENCE slice
