@@ -683,6 +683,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column. Cluster the space
@@ -713,9 +714,16 @@ def semantic_dedup(
     per-pair JVM aggregates; this is one scan, one shuffle, one GEMM
     per cluster). The whole point of SemDeDup is that clustering
     bounds the candidate set: size ``n_lists`` so a cluster's vectors
-    fit a task (paper uses ~sqrt(n) clusters); a degenerate whale
-    cluster is the operator's documented limit, same as the paper's.
-    No driver state beyond the tiny centroid set.
+    fit a task (paper uses ~sqrt(n) clusters). ``max_cluster_size``
+    guards the degenerate whale cluster the same way the LSH family's
+    ``max_bucket_size`` guards boilerplate buckets: clusters over the
+    cap are salted into ceil(size/cap) deterministic md5-style
+    sub-groups (xxhash64 of the id) and pairs are only compared WITHIN
+    a sub-group — a documented recall trade (cross-sub near-dups are
+    missed) that bounds task memory at cap^2 similarities. It costs
+    one extra assignment pass for the size lookup, so leave it None
+    unless the centroid fit genuinely cannot balance the lists.
+    No driver state beyond the tiny centroid set + per-cluster sizes.
     """
     import numpy as np
 
@@ -758,7 +766,22 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("c_id").applyInPandas(_decide, out_schema)
+    group_cols = ["c_id"]
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError(f"max_cluster_size must be >= 1, got {max_cluster_size}")
+        sizes = assigned.groupBy("c_id").agg(F.count("*").alias("_sz"))
+        nsub = F.greatest(F.ceil(F.col("_sz") / max_cluster_size), F.lit(1))
+        assigned = (
+            assigned.join(F.broadcast(sizes), "c_id")
+            .withColumn(
+                "_sub",
+                F.pmod(F.xxhash64(_c(id_col).cast("string")), nsub).cast("int"),
+            )
+            .drop("_sz")
+        )
+        group_cols = ["c_id", "_sub"]
+    return assigned.groupBy(*group_cols).applyInPandas(_decide, out_schema)
 
 
 def semantic_dedup_increment(

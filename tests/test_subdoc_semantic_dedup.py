@@ -340,3 +340,31 @@ def test_streaming_span_dedup_two_waves(spark, tmp_path):
     replayed = spark.read.parquet(cleaned)
     assert replayed.count() == 4
     assert {r["doc_id"]: r["cleaned"] for r in replayed.collect()} == batch
+
+
+def test_semantic_dedup_whale_cluster_cap(spark):
+    """max_cluster_size salts an oversized cluster into deterministic
+    sub-groups: memory bounds at cap^2 per task, each sub-group keeps
+    one canonical of an all-identical whale, and the capped drop set is
+    a subset of the uncapped one (the trade loses only cross-sub
+    pairs, it never invents duplicates)."""
+    rows = [(i, _vec(0)) for i in range(12)] + [(100, _vec(4))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(4))], "c_id long, embedding array<double>"
+    )
+    full = {r["vec_id"] for r in DD.semantic_dedup(df, cents, eps=0.99)
+            .filter("is_dup").collect()}
+    assert full == set(range(1, 12))  # one canonical of the whale
+    capped_df = DD.semantic_dedup(df, cents, eps=0.99, max_cluster_size=4)
+    capped = {r["vec_id"] for r in capped_df.filter("is_dup").collect()}
+    # 12 identical vectors over ceil(12/4)=3 sub-groups: each non-empty
+    # sub-group keeps exactly one -> 9..11 dropped, and only ever a
+    # subset of the uncapped drops
+    assert capped <= full and 12 - 3 <= len(capped) <= 11
+    # determinism: same salt -> same decisions
+    again = {r["vec_id"] for r in DD.semantic_dedup(df, cents, eps=0.99,
+             max_cluster_size=4).filter("is_dup").collect()}
+    assert again == capped
+    # the singleton cluster is untouched either way
+    assert 100 not in capped and 100 not in full
