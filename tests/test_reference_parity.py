@@ -1,0 +1,132 @@
+"""Randomized whole-corpus parity: the r7 operators vs direct Python
+reference implementations (the winnow-test precedent — an independent
+oracle beyond the planted fixtures and the DuckDB SQL). One seeded
+corpus rich in collisions, one Spark job per operator."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from data_ingestion_tool_bakasura__spark.operators import dedup as DD
+
+
+def _random_corpus(seed=7, n_docs=40, alphabet=4, max_len=40):
+    rng = random.Random(seed)
+    toks = [f"t{i}" for i in range(alphabet)]
+    rows = []
+    for d in range(n_docs):
+        ln = rng.randrange(0, max_len + 1)
+        rows.append((d, " ".join(rng.choice(toks) for _ in range(ln)) if ln else ""))
+    return rows
+
+
+def _ref_surgery(rows, n):
+    toks = {d: t.split() if t else [] for d, t in rows}
+    first: dict[tuple, tuple] = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for i in range(len(tk) - n + 1):
+            first.setdefault(tuple(tk[i : i + n]), (d, i))
+    out = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        spans = [
+            (i, i + n - 1)
+            for i in range(len(tk) - n + 1)
+            if first[tuple(tk[i : i + n])] != (d, i)
+        ]
+        merged: list[list[int]] = []
+        for st, en in spans:  # already sorted by st
+            if merged and st <= merged[-1][1] + 0:  # overlap only (match operator)
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        removed = {i for st, en in merged for i in range(st, en + 1)}
+        kept = [tk[i] for i in range(len(tk)) if i not in removed]
+        out[d] = (
+            " ".join(kept),
+            len(merged),
+            sum(en - st + 1 for st, en in merged),
+            len(kept),
+        )
+    return out
+
+
+def test_remove_repeated_spans_matches_python_reference(spark):
+    rows = _random_corpus()
+    n = 4
+    want = _ref_surgery(rows, n)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_spans"], r["n_tokens_removed"], r["n_tokens_kept"])
+        for r in DD.remove_repeated_spans(df, n=n).collect()
+    }
+    assert got == want
+    # the random corpus must actually exercise the operator
+    assert sum(v[1] for v in want.values()) > 10
+
+
+def _ref_semantic(rows, cents, eps, dp=6):
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cids = [i for i, _ in cents]
+    assign = {}
+    for vid, v in rows:
+        vn = np.array(v) / max(np.linalg.norm(v), 1e-300)
+        sims = np.round(vn @ Cn.T, dp)
+        assign[vid] = cids[int(np.argmax(sims))]  # first max -> lowest c_id
+    out = {}
+    for vid, v in rows:
+        wit = []
+        vn = np.array(v) / max(np.linalg.norm(v), 1e-300)
+        for wid, w in rows:
+            if wid >= vid or assign[wid] != assign[vid]:
+                continue
+            wn = np.array(w) / max(np.linalg.norm(w), 1e-300)
+            s = round(float(vn @ wn), dp)
+            if s >= eps:
+                wit.append((wid, s))
+        if wit:
+            out[vid] = (assign[vid], True, min(w for w, _ in wit), max(s for _, s in wit))
+        else:
+            out[vid] = (assign[vid], False, None, None)
+    return out
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [0.0] * 6
+        base[rng.randrange(6)] = 1.0
+        v = [x + rng.uniform(-0.2, 0.2) for x in base]
+        rows.append((i, v))
+    cents = [(k, [1.0 if j == k else 0.0 for j in range(6)]) for k in range(6)]
+    eps = 0.9
+    want = _ref_semantic(rows, cents, eps)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "c_id long, embedding array<double>")
+    got = {}
+    for r in DD.semantic_dedup(df, cdf, eps=eps).collect():
+        ms = r["max_sim"]
+        got[r["vec_id"]] = (
+            r["c_id"],
+            r["is_dup"],
+            r["dup_of"],
+            round(ms, 6) if ms is not None else None,
+        )
+    # float tolerance on max_sim: both sides round to 6dp but numpy
+    # matmul vs per-pair dot may differ in the last ulp pre-rounding
+    assert set(got) == set(want)
+    for k in want:
+        gc, gd, gw, gs = got[k]
+        wc, wd, ww, ws = want[k]
+        assert (gc, gd, gw) == (wc, wd, ww), (k, got[k], want[k])
+        if ws is None:
+            assert gs is None
+        else:
+            assert gs is not None and math.isclose(gs, ws, abs_tol=2e-6), (k, gs, ws)
+    assert sum(1 for v in want.values() if v[1]) > 10  # non-vacuous
