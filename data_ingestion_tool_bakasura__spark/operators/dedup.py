@@ -525,6 +525,8 @@ def remove_repeated_spans(
     partition; row_number over it is a single-task sort bounded by AQE
     skew splitting, and only (id, pos) scalars sit in that partition.
     """
+    if n < 2:
+        raise ValueError(f"remove_repeated_spans: n must be >= 2, got {n}")
     tok = _span_tokens(df, text_col, id_col)
     grams = _span_grams(tok, n)
     # canonical occurrence per gram: lowest (doc, start) — kept; the
@@ -657,6 +659,8 @@ def remove_repeated_spans_increment(
     8-byte-per-gram index — a year of daily increments costs a year of
     increments. Same output columns as the batch operator.
     """
+    if n < 2:
+        raise ValueError(f"remove_repeated_spans_increment: n must be >= 2, got {n}")
     tok = _span_tokens(new_docs, text_col, id_col)
     grams = _span_grams(tok, n)
     seen = index.select(F.col("gh").alias("_gh"), F.lit(True).alias("_seen"))

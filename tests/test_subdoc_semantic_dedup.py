@@ -368,3 +368,14 @@ def test_semantic_dedup_whale_cluster_cap(spark):
     assert again == capped
     # the singleton cluster is untouched either way
     assert 100 not in capped and 100 not in full
+
+
+def test_remove_repeated_spans_rejects_degenerate_n(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for n in (0, 1, -3):
+        with pytest.raises(ValueError):
+            DD.remove_repeated_spans(df, n=n)
+        with pytest.raises(ValueError):
+            DD.remove_repeated_spans_increment(df, DD.span_gram_index(df, n=5), n=n)

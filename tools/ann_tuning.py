@@ -84,13 +84,60 @@ def ivf_table(S, emb, queries, exact, k: int, n_lists: int = 8) -> None:
         )
 
 
+def semdedup_table(S, DD, emb, eps_list=(0.8, 0.9)) -> None:
+    """SemDeDup boundary-miss measurement: pair recall (true near-dup
+    pairs co-clustered) and drop recall (vectors the cluster-local
+    operator drops vs the all-pairs ground-truth drops) per n_lists.
+    Quantifies ANN.md's 'n_lists is a memory/recall dial' claim."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    Sim = np.round(Vn @ Vn.T, 6)
+    order = np.argsort(ids)
+    for eps in eps_list:
+        iu = np.triu_indices(len(ids), k=1)
+        hit = Sim[iu] >= eps
+        truth_pairs = {
+            (min(ids[a], ids[b]), max(ids[a], ids[b]))
+            for a, b in zip(iu[0][hit], iu[1][hit])
+        }
+        # ground-truth drops: b with ANY lower-id witness, cluster-free
+        gt_drop = set()
+        for a, b in truth_pairs:
+            gt_drop.add(b)
+        if not truth_pairs:
+            print(f"\neps={eps}: no true near-dup pairs at this threshold")
+            continue
+        print(f"\n| n_lists | true pairs (eps={eps}) | pair recall | drop recall |")
+        print("|---|---|---|---|")
+        for n_lists in (4, 8, 16, 32):
+            cents = S.kmeans_centroids(emb, n_lists, iters=2)
+            assign = {
+                r["vec_id"]: r["c_id"]
+                for r in S.ivf_assign(emb, cents, round_dp=6)
+                .select("vec_id", "c_id").collect()
+            }
+            co = sum(1 for a, b in truth_pairs if assign[a] == assign[b])
+            drops = {
+                r["vec_id"]
+                for r in DD.semantic_dedup(emb, cents, eps=eps)
+                .filter("is_dup").collect()
+            }
+            pr = co / len(truth_pairs)
+            dr = len(drops & gt_drop) / len(gt_drop) if gt_drop else 1.0
+            print(f"| {n_lists} | {len(truth_pairs)} | {pr:.3f} | {dr:.3f} |")
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
     k = int(next((a for a in args if a.isdigit()), "10"))
     clustered = "clustered" in args
     # explicit tokens select exactly those sections; no token -> default set
-    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank", "hnsw")} or {
+    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank", "hnsw", "semdedup")} or {
         "ivf", "lsh", "rerank"
     }
 
@@ -159,6 +206,12 @@ def main() -> int:
                     print(f"| {hm} (efC={efc}) | {ef} | {shards} "
                           f"| {len(got & exact) / len(exact):.3f} |")
 
+    if "semdedup" in sections:
+        from data_ingestion_tool_bakasura__spark.operators import dedup as DD
+
+        # thresholds matched to each fixture's similarity regime
+        # (clustered MoG: mean top-10 cos ~0.62; sf fixture: ~0.31)
+        semdedup_table(S, DD, emb, eps_list=(0.6, 0.7) if clustered else (0.3, 0.4))
     if "lsh" in sections:
         print("| tables | bits | probes | recall@k | mean cand/query | max cand/query | scan frac |")
         print("|---|---|---|---|---|---|---|")
