@@ -130,3 +130,47 @@ def test_semantic_dedup_matches_python_reference(spark):
         else:
             assert gs is not None and math.isclose(gs, ws, abs_tol=2e-6), (k, gs, ws)
     assert sum(1 for v in want.values() if v[1]) > 10  # non-vacuous
+
+
+def _ref_trigram_nll(rows):
+    import collections
+
+    tris = {}
+    for d, t in rows:
+        norm = " ".join((t or "").split()).lower()
+        tris[d] = [norm[i : i + 3] for i in range(len(norm) - 2)]
+    counts = collections.Counter(g for gs in tris.values() for g in gs)
+    total = sum(counts.values())
+    out = {}
+    for d, gs in tris.items():
+        if not gs:
+            out[d] = (0, 0, None)
+        else:
+            nll = -sum(math.log(counts[g] / total) for g in gs) / len(gs)
+            out[d] = (len(gs), len(gs), round(nll, 6))
+    return out
+
+
+def test_char_trigram_nll_matches_python_reference(spark):
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+
+    rng = random.Random(23)
+    alphabet = "abcd "
+    rows = [
+        (d, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40))))
+        for d in range(40)
+    ]
+    want = _ref_trigram_nll(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tri"], r["n_scored"], r["nll"])
+        for r in SP.char_trigram_nll(df).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][:2] == want[d][:2], (d, got[d], want[d])
+        if want[d][2] is None:
+            assert got[d][2] is None
+        else:
+            assert math.isclose(got[d][2], want[d][2], abs_tol=2e-6), (d, got[d], want[d])
+    assert sum(1 for v in want.values() if v[2] is not None) > 20  # non-vacuous
