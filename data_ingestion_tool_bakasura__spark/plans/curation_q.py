@@ -198,15 +198,39 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     that catches boilerplate and quotation reuse."""
     from pyspark.sql import Window
 
+    from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
+
     docs = load_table(spark, sf, "documents")
-    # word_ngrams is already distinct per doc, so (doc_id, gh) rows are
-    # unique and a plain window count(*) per gh IS the distinct doc
-    # count — ONE gram explode, one shuffle on gh, no recomputed subtree
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(SP.word_ngrams("text", _SPAN_N)).alias("gram"),
-    ).select("doc_id", "source", F.xxhash64("gram").alias("gh"))
+    # gram construction via window lead() over exploded tokens, not the
+    # word_ngrams array transform: flat row expressions stay inside
+    # whole-stage codegen while nested higher-order array builds do not
+    # (same finding as minhash_signatures' shingle path; measured 3.9s
+    # -> 1.3s at sf0.1). Short docs contribute their whole token run,
+    # matching word_ngrams / the oracle; occurrence duplicates within a
+    # doc collapse via dropDuplicates so the per-gh window count stays
+    # the DISTINCT doc count.
+    norm = normalize_text("text")
+    tok = docs.select(
+        "doc_id", "source", F.posexplode(F.split(norm, " ")).alias("_pos", "_tk")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.lead("_tk", i).over(w) for i in range(1, _SPAN_N)]
+    long_g = (
+        tok.select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("_tk"), *leads).alias("_g"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "source", F.xxhash64("_g").alias("gh"))
+    )
+    short_g = docs.select(
+        "doc_id", "source", norm.alias("_g"), F.size(F.split(norm, " ")).alias("_n")
+    ).filter(F.col("_n") < _SPAN_N).select(
+        "doc_id", "source", F.xxhash64("_g").alias("gh")
+    )
+    grams = long_g.unionByName(short_g).dropDuplicates(["doc_id", "source", "gh"])
     nd = F.count("*").over(Window.partitionBy("gh"))
     return (
         grams.withColumn("nd", nd)
