@@ -209,8 +209,11 @@ def ngram_overlap(corpus: DataFrame, probe: DataFrame, text_col: str = "text",
     small by definition and broadcast, so the corpus side never
     shuffles — the gram explode is map-side and the only aggregation is
     the per-doc count."""
-    c_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    # _spread: the gram explode is the expensive map — on a single-split
+    # fixture scan it runs one task; the guard is a no-op at production
+    # split counts (see char_trigram_nll)
+    c_grams = _spread(corpus.select(F.col(id_col), _c(text_col).alias("_t"))).select(
+        F.col(id_col), F.explode(word_ngrams("_t", n)).alias("gram")
     )
     p_grams = (
         probe.select(F.explode(word_ngrams(text_col, n)).alias("gram"),
