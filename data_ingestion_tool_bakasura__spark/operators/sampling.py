@@ -572,3 +572,35 @@ def char_trigram_counts(
         .groupBy("tri")
         .agg(F.count("*").alias("c"))
     )
+
+
+def temperature_shares(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    alpha: float,
+) -> dict[str, float]:
+    """Temperature re-balanced target shares (the multilingual-
+    pretraining standard, Conneau et al. 2019, arXiv:1911.02116 §3.1):
+    share_s = n_s^alpha / sum_t n_t^alpha over per-stratum token
+    counts. ``alpha = 1`` keeps natural proportions, ``alpha -> 0``
+    approaches uniform; the published sweet spot for low-resource
+    upweighting is ~0.3-0.7. Raises on alpha < 0 or an empty corpus.
+
+    Driver-side over the same tiny |strata|-row aggregate as
+    :func:`mixture_rates`; feed the result straight into
+    ``mixture_rates`` + ``stratified_hash_sample`` for the actual
+    deterministic single-scan sampling pass."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    actual = {
+        r["s"]: r["tok"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_col).alias("tok"))
+        .collect()
+        if r["tok"]
+    }
+    if not actual:
+        raise ValueError("temperature_shares: corpus has no tokens")
+    z = sum(n**alpha for n in actual.values())
+    return {s: n**alpha / z for s, n in actual.items()}

@@ -117,6 +117,7 @@ _PRIORITY = [
     "q_lm_quality_xcorpus",      # NEW r7: pretrained-model seam twin of in-window q_lm_quality
     "q_substring_dedup_incr",    # NEW r7: gram-index increment twin of in-window q_substring_dedup
     "q_deep_clean_pipeline",     # NEW r7: surgery -> LM-score composition (one lazy plan)
+    "q_temperature_mixture",     # NEW r7: in-plan n^alpha mixing rates (Conneau et al.)
     "q_region_revenue",
     "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",

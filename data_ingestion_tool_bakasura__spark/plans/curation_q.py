@@ -730,6 +730,63 @@ def q_substring_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.3
+
+
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-rebalanced corpus mixing, fully IN-PLAN (the
+    collect-free twin of temperature_shares + mixture_rates): per-source
+    whitespace-token counts -> n^alpha shares (Conneau et al. 2019,
+    alpha=0.3) -> water-filling rates (binding source keeps rate 1,
+    everything else downsamples to match its temperature share).
+    Two 1-row broadcast normalizers over a |sources|-row aggregate —
+    no driver round-trip, so the same plan runs inside a larger
+    pipeline. Value-checked: counts, shares and rates to 6 decimals."""
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TS.n_tokens_ws("text")).cast("double").alias("n")
+    )
+    z = per.agg(F.sum(F.pow("n", F.lit(_TEMP_ALPHA))).alias("z"))
+    t1 = per.crossJoin(F.broadcast(z)).withColumn(
+        "share", F.pow("n", F.lit(_TEMP_ALPHA)) / F.col("z")
+    )
+    scale = t1.agg(F.min(F.col("n") / F.col("share")).alias("scale"))
+    return (
+        t1.crossJoin(F.broadcast(scale))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.round("share", 6).alias("share"),
+            F.round(
+                F.least(F.lit(1.0), F.col("share") * F.col("scale") / F.col("n")), 6
+            ).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_temperature_mixture"] = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+              AS DOUBLE) AS n
+  FROM documents GROUP BY source
+), z AS (
+  SELECT sum(pow(n, {_TEMP_ALPHA})) AS z FROM per
+), t1 AS (
+  SELECT source, n, pow(n, {_TEMP_ALPHA}) / (SELECT z FROM z) AS share FROM per
+), sc AS (
+  SELECT min(n / share) AS scale FROM t1
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       round(share, 6) AS share,
+       round(least(1.0, share * (SELECT scale FROM sc) / n), 6) AS rate
+FROM t1
+ORDER BY source
+"""
+
+
 def q_deep_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Round-7 capstone composition, one lazy plan: substring-span
     surgery (remove_repeated_spans) -> char-trigram LM self-scoring of

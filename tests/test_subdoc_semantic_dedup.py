@@ -379,3 +379,29 @@ def test_remove_repeated_spans_rejects_degenerate_n(spark):
             DD.remove_repeated_spans(df, n=n)
         with pytest.raises(ValueError):
             DD.remove_repeated_spans_increment(df, DD.span_gram_index(df, n=5), n=n)
+
+
+def test_temperature_shares_dial(spark):
+    """alpha=1 reproduces natural proportions, alpha=0 is uniform, and
+    lowering alpha strictly flattens (low-resource share grows)."""
+    import math
+
+    from data_ingestion_tool_bakasura__spark.operators import sampling as SP
+
+    rows = [("big", 900), ("mid", 90), ("small", 10)]
+    df = spark.createDataFrame(rows, "src string, tok long")
+    nat = SP.temperature_shares(df, "src", "tok", alpha=1.0)
+    assert math.isclose(nat["big"], 0.9) and math.isclose(nat["small"], 0.01)
+    uni = SP.temperature_shares(df, "src", "tok", alpha=0.0)
+    assert all(math.isclose(v, 1 / 3) for v in uni.values())
+    t = SP.temperature_shares(df, "src", "tok", alpha=0.3)
+    assert nat["small"] < t["small"] < uni["small"]
+    assert uni["big"] < t["big"] < nat["big"]
+    assert math.isclose(sum(t.values()), 1.0)
+    # composes with mixture_rates: shares are a valid target dict
+    rates = SP.mixture_rates(df, "src", "tok", t)
+    assert max(rates.values()) == 1.0 and all(0 < r <= 1 for r in rates.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        SP.temperature_shares(df, "src", "tok", alpha=-0.1)
