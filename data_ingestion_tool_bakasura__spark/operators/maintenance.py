@@ -196,3 +196,38 @@ def delete_keys(
         "n_after": n_after,
         "n_deleted": (n_before - n_after) if count_rows else None,
     }
+
+
+def write_clustered(
+    df,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Stats-clustered parquet write — the plain-parquet analog of
+    Delta's OPTIMIZE ZORDER for a single clustering dimension set:
+    range-repartition on ``cluster_cols`` (each output file owns a
+    contiguous key range) then sort within partitions (each ROW GROUP's
+    min/max stats cover a narrow slice). Point/range predicates on the
+    cluster columns then skip whole row groups in the parquet reader
+    (PushedFilters + footer stats), and file ranges are pairwise
+    near-disjoint so a future file-stats-aware reader skips whole
+    files. Contrast ``write_partitioned``: directory partitioning
+    prunes at PLAN time but needs low-cardinality columns; clustering
+    handles high-cardinality keys (timestamps, ids) where a directory
+    per value would melt the namenode. The footer-disjointness contract
+    is asserted by test_maintenance_properties via pyarrow metadata.
+
+    Scale: one range exchange (samples the key distribution) + local
+    sorts — the same cost as a global orderBy write, which is what a
+    clustered table IS. Re-cluster after heavy appends with
+    ``compact`` + this writer."""
+    if not cluster_cols:
+        raise ValueError("write_clustered: cluster_cols must be non-empty")
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -248,3 +248,47 @@ def test_upsert_large_updates_no_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     # same result either way
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_write_clustered_disjoint_footer_stats(spark, tmp_path):
+    """write_clustered produces files whose parquet footer min/max
+    ranges on the cluster column are pairwise near-disjoint (each file
+    owns a contiguous slice — the mechanism behind row-group/file
+    skipping), while a plain unsorted write overlaps almost totally.
+    Rows survive byte-for-byte."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import write_clustered
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    want = ev.count()
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # event_id is column 0
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return sorted(out)
+
+    plain = str(tmp_path / "plain")
+    ev.repartition(8).write.parquet(plain)
+    clustered = str(tmp_path / "clustered")
+    write_clustered(ev, clustered, ["event_id"], n_files=8)
+
+    assert spark.read.parquet(clustered).count() == want
+    r = ranges(clustered)
+    assert len(r) >= 4
+    # contiguous ownership: each file's min exceeds the previous file's max
+    overlaps = sum(1 for (a, b), (c, d) in zip(r, r[1:]) if c <= b)
+    assert overlaps == 0, r
+    # the plain write overlaps nearly everywhere (hash round-robin)
+    rp = ranges(plain)
+    overlaps_plain = sum(1 for (a, b), (c, d) in zip(rp, rp[1:]) if c <= b)
+    assert overlaps_plain >= len(rp) - 2, rp
