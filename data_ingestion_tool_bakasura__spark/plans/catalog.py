@@ -33,93 +33,92 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-7 rotation
-#: (r6 verdict #2): 45 catalog queries' newest driver-green row dated
-#: from r1/r2 while their underlying operators were rewritten after r2
-#: (xxhash64 shuffle keys, agg fast paths, textstats/vector kernels) —
-#: 26 of the stalest rotate into the window this round, prioritized by
-#: impl-file churn (q_doc_stats / q_lang_facet / q_array_ops /
-#: q_json_props, trivial expression-only impls, yield their slots to
-#: the four NEW r7 queries and sit first past the boundary). They are
-#: joined by the queries whose implementation changed THIS round
-#: (paragraph-dedup NULL-text left join + multi-paragraph oracle,
-#: typed centroid ids through kmeans/ivf_assign, upsert MERGE seam)
-#: and one sentinel per operator family so a single driver window
-#: still certifies every family. Rows-only queries
-#: (q_ingest_pipeline, q_lsh_ann_topk, q_ivf_assignments) sit past the
-#: checked window — their semantics are held by dedicated tests
-#: (test_ingest, ANN.md recall contract, IVF full-probe==exact) and by
-#: the oracle-able twins in-window (q_ingest_pipeline_fixed,
-#: q_ivf_search). Every name must exist in a module's QUERIES
+#: prefix of ``queries()`` in iteration order. Round-8 rotation
+#: (r7 verdict #1 + BASELINE.md rotation ledger): lead with the four
+#: queries that have NO driver row ever (landed past the r7 boundary),
+#: then the 19 remaining rows whose newest driver evidence dates from
+#: r1/r2, then the three re-entrants whose gram path was rewritten late
+#: r7 (window-lead shingles + the ngram_overlap spread guard), then
+#: q_lm_quality whose model join is re-gated THIS round (size-gated
+#: broadcast, r7 verdict #3). That retires ALL r1/r2 evidence. The
+#: remaining slots take the 15 rows still carrying r4 evidence, one
+#: sentinel per operator family that would otherwise have no in-window
+#: representative (streaming / vectors / multimodal / C18 grouped-map —
+#: all r6), and the four oldest r5 rows, filling the 50 exactly.
+#: After this window lands, every oracle-able catalog query's newest
+#: driver row is r4+ and the deepest remaining staleness is five r5
+#: rows. Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
+#: q_ivf_assignments, q_hnsw_topk) sit past the checked window — their
+#: semantics are held by dedicated tests (test_ingest, ANN.md recall
+#: contracts, IVF full-probe==exact, HNSW exact-recall/determinism) and
+#: by oracle-able twins. Every name must exist in a module's QUERIES
 #: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
-    # --- NEW this round: certify first ---
-    "q_substring_dedup",         # Lee et al. span surgery (C13 sub-doc)
-    "q_semantic_dedup",          # SemDeDup cluster-cosine prune (C13/C14)
-    "q_lm_quality",              # char-trigram LM perplexity filter (C16)
-    "q_stream_semantic_dedup",   # streaming SemDeDup foreachBatch closure
-    # --- impl changed this round: re-certify first ---
-    "q_paragraph_dedup",         # NULL-text left join + multi-para oracle
-    "q_ivf_kmeans_search",       # typed centroid ids (ADVICE r6)
-    "q_ivf_search",              # ivf_assign UDF return type derivation
-    "q_ivfadc_search",           # composition over the above
-    "q_pq_rerank",               # shares the centroid/codebook path
-    "q_upsert_by_key",           # MERGE seam (r6 verdict #7)
-    # --- stale r1/r2 evidence rotated in (r6 verdict #2) ---
-    "q_token_stats",             # r1; textstats rewritten r2+
-    "q_minhash_signatures",      # r2; xxhash64 + window-shingle path
-    "q_jaccard_pairs",           # r1; gram key rewrite
-    "q_cosine_topk",             # r2; single-query exact scan
-    "q_json_variants",           # r2
-    "q_fingerprints",            # r1; rolling-hash fingerprints
-    "q_lang_id",                 # r1; n-gram language heuristic
-    "q_quality_scores",          # r1
-    "q_term_frequency",          # r1
-    "q_vector_norms",            # r2
-    "q_l2_centroid_dist",        # r2
-    "q_label_centroids",         # r2; applyInPandas C18 gate
-    "q_label_centroids_builtin", # r2; production twin
-    "q_normalize_hash",          # r1; A12/A14 semantics
-    "q_chunk_explode",           # r1; A13 fixed chunker
-    "q_chunk_keys",              # r1; A15 key sanitize
-    "q_small_quantity_revenue",  # r1; correlated agg (Q17 shape)
-    "q_math_funcs",              # r1
-    "q_string_funcs",            # r1
-    "q_nation_setops",           # r1
-    "q_rank_dense_ntile",        # r1
-    "q_running_revenue",         # r1
-    "q_price_percentiles",       # r1
-    "q_pivot_daily_value",       # r2
-    "q_cube_orders",             # r1
-    "q_grouping_sets",           # r1
-    # --- family sentinels (r4-r6 green; keep one per family fresh) ---
-    "q_stream_running_stats",    # C17/C18 stateful sentinel
-    "q_stream_near_dedup",       # C17 x C13 composition
-    "q_stream_funnel",           # C17 stateful funnel
-    "q_tumbling_hourly",         # C10 batch twin
-    "q_value_zscore",            # C18 grouped-map gate
-    "q_asof_click_error",        # C4 as-of join
-    "q_cosine_topk_batch",       # B9 exact baseline (oracle anchor)
-    "q_exact_dedup",             # C13 exact
-    "q_minhash_lsh_candidates",  # C13 near-dup
-    "q_bm25_topdocs",            # B8/B10 search
-    "q_curation_pipeline",       # C16 composition
-    "q_ingest_pipeline_fixed",   # A17/A20/A22 ingest
-    "q_doc_assembly",            # A3-A11/C15 multimodal
-    "q_pricing_summary",         # C5 relational core
+    # --- no driver row ever (landed past the r7 boundary): certify first ---
+    "q_temperature_mixture",     # XLM-R n^alpha mixture rates (Conneau et al.)
+    "q_deep_clean_pipeline",     # surgery -> LM-score composition (one lazy plan)
+    "q_substring_dedup_incr",    # gram-index increment twin of q_substring_dedup
+    "q_lm_quality_xcorpus",      # pretrained-model seam twin of q_lm_quality
+    # --- last r1/r2-evidence rows (rotation ledger; retires the backlog) ---
+    "q_doc_stats",               # r1
+    "q_lang_facet",              # r1
+    "q_array_ops",               # r1
+    "q_json_props",              # r2
+    "q_filter_project",          # r1
+    "q_fulltext_match",          # r1
+    "q_distinct_stats",          # r1
+    "q_top_orders",              # r1
+    "q_price_buckets",           # r1
+    "q_orders_by_month",         # r1
+    "q_order_gaps",              # r1
+    "q_customers_with_orders",   # r1
+    "q_customers_without_orders",# r1
+    "q_top_revenue_supplier",    # r1
+    "q_orders_above_cust_avg",   # r1
+    "q_rich_inactive_customers", # r1
+    "q_lone_late_supplier",      # r1
+    "q_user_event_matrix",       # r2
+    "q_repetition_filter",       # r2
+    # --- impl changed late r7 / this round: re-certify ---
+    "q_repeated_spans",          # lead()-window shingle rewrite (late r7)
+    "q_contamination",           # ngram_overlap spread guard (late r7)
+    "q_curation_pipeline",       # composition over ngram_overlap (late r7)
+    "q_lm_quality",              # size-gated model join (r7 verdict #3, this round)
+    # --- r4-evidence rows (oldest remaining after the r1/r2 backlog) ---
+    "q_supplier_part_counts",
+    "q_promo_revenue",
+    "q_ship_delay_classes",
+    "q_returned_items",
+    "q_order_count_distribution",
+    "q_top_shippers",
+    "q_market_share",
+    "q_revenue_forecast",
+    "q_profit_by_nation",
+    "q_brand_quantity_revenue",
+    "q_part_value_concentration",
+    "q_large_volume_customers",
+    "q_min_cost_supplier",
+    "q_funnel_conversion",
+    "q_volume_shipping",
+    # --- family sentinels (families otherwise unrepresented in-window; r6) ---
+    "q_stream_tumbling_hourly",  # C17 streaming sentinel
+    "q_quantized_rerank",        # B9/C14 vector sentinel (quantize+rerank)
+    "q_page_extract",            # A3-A10/C15 multimodal sentinel
+    "q_value_zscore_builtin",    # C6/C18 production twin sentinel
+    # --- oldest r5 rows (fill to 50) ---
+    "q_exists_subquery",         # C4 EXISTS join shape
+    "q_stratified_sample",       # sampling family
+    "q_event_dedup",             # C13 on events
+    "q_fulltext_score",          # B8 scoring
     # ---------- 50-query window boundary ----------
-    # everything below carries an r4-r6 driver-green row; in-window
+    # everything below carries an r5-r7 driver-green row; in-window
     # reps above cover every SURVEY §2 family
-    "q_doc_stats",               # rotated-out this round for the three new ops (r1 evidence + trivial facet impl)
-    "q_lang_facet",              # ditto
-    "q_array_ops",               # ditto (r1 evidence, expression-only impl)
-    "q_json_props",              # ditto (r2 evidence, expression-only impl)
-    "q_lm_quality_xcorpus",      # NEW r7: pretrained-model seam twin of in-window q_lm_quality
-    "q_substring_dedup_incr",    # NEW r7: gram-index increment twin of in-window q_substring_dedup
-    "q_deep_clean_pipeline",     # NEW r7: surgery -> LM-score composition (one lazy plan)
-    "q_temperature_mixture",     # NEW r7: in-plan n^alpha mixing rates (Conneau et al.)
+    "q_tfidf_topdocs",           # r5
+    "q_shipping_priority",       # r5
+    "q_top3_orders_per_customer",# r5
+    "q_rollup_returns",          # r5
+    "q_ship_within_30d",         # r5
     "q_region_revenue",
-    "q_stream_tumbling_hourly",
     "q_stream_sliding_1h_30m",
     "q_stream_session_windows",
     "q_stream_dedup_keys",
@@ -129,8 +128,6 @@ _PRIORITY = [
     "q_session_windows",
     "q_geomean_by_type",
     "q_user_retention",
-    "q_value_zscore_builtin",
-    "q_quantized_rerank",
     "q_sequence_packing",
     "q_embedding_near_dup",
     "q_embedding_quantize",
@@ -142,26 +139,60 @@ _PRIORITY = [
     "q_hybrid_rrf",
     "q_corpus_filter",
     "q_hash_split",
-    "q_contamination",
     "q_token_budget",
     "q_source_mixture",
-    "q_repeated_spans",
     "q_pii_redaction",
-    "q_page_extract",
-    "q_event_dedup",
-    "q_tfidf_topdocs",
-    "q_stratified_sample",
-    "q_fulltext_score",
-    "q_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_rollup_returns",
-    "q_ship_within_30d",
-    "q_exists_subquery",
-    "q_min_cost_supplier",
-    "q_funnel_conversion",
-    "q_volume_shipping",
+    # --- fresh r7 evidence (previous window) ---
+    "q_substring_dedup",
+    "q_semantic_dedup",
+    "q_stream_semantic_dedup",
+    "q_paragraph_dedup",
+    "q_ivf_kmeans_search",
+    "q_ivf_search",
+    "q_ivfadc_search",
+    "q_pq_rerank",
+    "q_upsert_by_key",
+    "q_token_stats",
+    "q_minhash_signatures",
+    "q_jaccard_pairs",
+    "q_cosine_topk",
+    "q_json_variants",
+    "q_fingerprints",
+    "q_lang_id",
+    "q_quality_scores",
+    "q_term_frequency",
+    "q_vector_norms",
+    "q_l2_centroid_dist",
+    "q_label_centroids",
+    "q_label_centroids_builtin",
+    "q_normalize_hash",
+    "q_chunk_explode",
+    "q_chunk_keys",
+    "q_small_quantity_revenue",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_nation_setops",
+    "q_rank_dense_ntile",
+    "q_running_revenue",
+    "q_price_percentiles",
+    "q_pivot_daily_value",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_stream_running_stats",
+    "q_stream_near_dedup",
+    "q_stream_funnel",
+    "q_tumbling_hourly",
+    "q_value_zscore",
+    "q_asof_click_error",
+    "q_cosine_topk_batch",
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_bm25_topdocs",
+    "q_ingest_pipeline_fixed",
+    "q_doc_assembly",
+    "q_pricing_summary",
     # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
-    "q_hnsw_topk",               # NEW r7: sharded executor-local HNSW
+    "q_hnsw_topk",               # sharded executor-local HNSW
 ]
 
 
