@@ -1,8 +1,20 @@
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line on stdout:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+Truncation-proofing (VERDICT r7 #2): the round driver records only the
+last 2000 characters of stdout, and the r7 verbose single-line JSON
+(~3.5 KB with ``query_load1``) lost its head to that window — the
+per-query evidence survived but ``metric``/``value`` and half the times
+did not parse. Now stdout carries exactly ONE compact line (2-decimal
+times, no intra-token spaces, sized to fit a 2000-char tail capture;
+``load_start``/``load_end`` are dropped first if a grown suite ever
+pushes it over ~1900 chars), while the full verbose payload
+(3-decimal times, per-query 1-min loadavg) goes to stderr AND to
+``BENCH_detail_last.json`` next to this file
+(``$SPARK_GRAFT_BENCH_DETAIL`` overrides the path).
 
 Each query is executed to completion via the `noop` sink (count() would
 let Catalyst prune expensive projected columns that nothing aggregates
@@ -134,23 +146,43 @@ def main() -> None:
         n_ok += 1
 
     total = round(sum(t for t in times.values() if isinstance(t, float)), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "n_ok": n_ok,
-                "n_err": len(HEADLINE) - n_ok,
-                "partial": n_ok < len(HEADLINE),
-                "load_start": load_start,
-                "load_end": load_now(),
-                "query_load1": query_load1,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    detail = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "n_ok": n_ok,
+        "n_err": len(HEADLINE) - n_ok,
+        "partial": n_ok < len(HEADLINE),
+        "load_start": load_start,
+        "load_end": load_now(),
+        "query_load1": query_load1,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full verbose payload: stderr + sidecar file (never the captured stdout).
+    print(json.dumps(detail), file=sys.stderr)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"),
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: detail sidecar not written: {exc}", file=sys.stderr)
+
+    # stdout: ONE compact line sized to survive a 2000-char tail capture.
+    compact = dict(detail)
+    compact["queries"] = {
+        n: (round(t, 2) if isinstance(t, float) else {"err": t["err"][:80]})
+        for n, t in times.items()
+    }
+    del compact["query_load1"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # grown suite: shed the load samples before the times
+        del compact["load_start"], compact["load_end"]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     sys.exit(0 if n_ok > 0 else 1)
 
 
