@@ -36,8 +36,13 @@ def tokens_ws(col: Column | str) -> Column:
 
 
 def n_tokens_ws(col: Column | str) -> Column:
-    """Whitespace token count; 0 for blank text."""
-    t = F.trim(_c(col))
+    """Whitespace token count; 0 for blank or NULL text.
+
+    NULL must coalesce to '' BEFORE the split: ``size(split(NULL))``
+    is -1 under Spark's legacy ``sizeOfNull`` while SQL oracles
+    exclude NULL from SUM — a silent -1-per-NULL-doc divergence
+    (ADVICE r7)."""
+    t = F.trim(F.coalesce(_c(col), F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 

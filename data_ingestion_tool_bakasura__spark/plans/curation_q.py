@@ -105,7 +105,7 @@ _SW = "('the','a','of','and','to','in','is','for','on','with')"
 ORACLE["q_token_budget"] = f"""
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                          x -> lower(x) IN {_SW})) AS n_sw,
@@ -200,7 +200,11 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
 
     from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
 
-    docs = load_table(spark, sf, "documents")
+    # NULL-text docs emit NO grams on either side: the oracle's
+    # string_split(NULL) unnests to zero rows, while Spark's short_g
+    # would otherwise see size(split(NULL)) = -1 < N and hand every
+    # NULL-text doc the constant xxhash64(NULL) "gram" (ADVICE r7).
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     # gram construction via window lead() over exploded tokens, not the
     # word_ngrams array transform: flat row expressions stay inside
     # whole-stage codegen while nested higher-order array builds do not
@@ -768,7 +772,7 @@ def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_temperature_mixture"] = f"""
 WITH per AS (
   SELECT source,
-         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
               AS DOUBLE) AS n
   FROM documents GROUP BY source

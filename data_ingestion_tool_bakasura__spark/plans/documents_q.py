@@ -246,7 +246,7 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["q_token_stats"] = f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
+       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
        length(text) AS n_chars_actual,
@@ -273,7 +273,7 @@ _SW = "('the','a','of','and','to','in','is','for','on','with')"
 ORACLE["q_quality_scores"] = f"""
 WITH t AS (
   SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                          x -> lower(x) IN {_SW})) AS n_sw,

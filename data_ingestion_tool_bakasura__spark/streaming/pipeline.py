@@ -349,13 +349,14 @@ def start_streaming_span_dedup(
     8 bytes per distinct gram.
 
     Replay-idempotent by exact id against the CLEANED table (appended
-    last): a replayed micro-batch is dropped before probing. Residual
-    window: a crash between the index append and the cleaned append
-    replays with the batch's own grams indexed — its spans would cut
-    against themselves — so the index append goes LAST; the converse
-    crash (cleaned landed, index not) leaves the batch's novel grams
-    unindexed for future batches, the conservative side of plain
-    parquet append (same contract as the LSH sink).
+    FIRST): a replayed micro-batch is dropped before probing. The
+    index append goes LAST because the opposite order is the dangerous
+    one — with the index landing first, a crash before the cleaned
+    append would replay the batch with its own grams already indexed,
+    and its spans would cut against themselves. The residual window of
+    the actual order (cleaned landed, index not) merely leaves the
+    batch's novel grams unindexed for future batches, the conservative
+    side of plain parquet append (same contract as the LSH sink).
     """
     import os
 

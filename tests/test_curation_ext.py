@@ -171,3 +171,35 @@ def test_repeated_spans_planted_boilerplate(spark, tmp_path):
     assert list(out) == ["web"]
     assert out["web"]["n_docs_with_repeats"] == 2
     assert out["web"]["n_repeated_grams"] == 6
+
+
+def test_null_text_is_inert_in_token_and_gram_paths(spark, tmp_path):
+    """ADVICE r7: NULL text must contribute 0 tokens (not legacy
+    sizeOfNull's -1) and must emit NO grams (not a shared
+    xxhash64(NULL) constant) so Spark stays in lockstep with the SQL
+    oracles if NULL-text fixtures ever appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+    from data_ingestion_tool_bakasura__spark.plans.curation_q import q_repeated_spans
+
+    df = spark.createDataFrame([("a b c",), (None,), ("",)], ["text"])
+    got = [r[0] for r in df.select(TS.n_tokens_ws("text")).collect()]
+    assert got == [3, 0, 0]
+
+    boiler = " ".join(f"b{i}" for i in range(25))
+    rows = [(1, "web", boiler), (2, "web", boiler), (3, "web", None), (4, "web", None)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in q_repeated_spans(spark, str(tmp_path)).collect()}
+    # the two NULL docs must NOT register as sharing a gram; only the
+    # planted boilerplate pair does (6 distinct 20-grams in 25 tokens)
+    assert out["web"]["n_docs_with_repeats"] == 2
+    assert out["web"]["n_repeated_grams"] == 6
