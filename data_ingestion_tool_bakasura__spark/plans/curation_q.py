@@ -807,7 +807,13 @@ def q_deep_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     cleaned = remove_repeated_spans(docs, n=_SPAN_N)
-    scored = SP.char_trigram_nll(cleaned, text_col="cleaned", id_col="doc_id")
+    # broadcast_model=True: caller-asserted small trigram domain keeps
+    # the composition a single lazy tree (the auto gate would run its
+    # size-estimate job at plan-build time); q_lm_quality exercises
+    # the auto gate on the same corpus
+    scored = SP.char_trigram_nll(
+        cleaned, text_col="cleaned", id_col="doc_id", broadcast_model=True
+    )
     return (
         docs.select("doc_id", "source")
         .join(cleaned.select("doc_id", "n_spans", "n_tokens_removed"), "doc_id")
