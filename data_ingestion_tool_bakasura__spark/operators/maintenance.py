@@ -202,7 +202,8 @@ def write_clustered(
     df,
     path: str,
     cluster_cols: list[str],
-    n_files: int = 8,
+    n_files: int | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
     mode: str = "overwrite",
 ) -> None:
     """Stats-clustered parquet write — the plain-parquet analog of
@@ -222,9 +223,24 @@ def write_clustered(
     Scale: one range exchange (samples the key distribution) + local
     sorts — the same cost as a global orderBy write, which is what a
     clustered table IS. Re-cluster after heavy appends with
-    ``compact`` + this writer."""
+    ``compact`` + this writer.
+
+    ``n_files`` defaults to size-derived (VERDICT r7 #7): Catalyst's
+    ``sizeInBytes`` estimate for the plan divided by
+    ``target_file_bytes``, like ``compact``. For the scan-rooted
+    frames re-clustering actually operates on, the estimate IS the sum
+    of input file sizes; for derived plans it is a heuristic —
+    callers with better knowledge pass ``n_files`` explicitly. An
+    unknown estimate (Catalyst's Long.Max default) falls back to the
+    cluster's default parallelism rather than one-file-per-exabyte."""
     if not cluster_cols:
         raise ValueError("write_clustered: cluster_cols must be non-empty")
+    if n_files is None:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < est < 2**60:
+            n_files = max(1, math.ceil(est / target_file_bytes))
+        else:
+            n_files = df.sparkSession.sparkContext.defaultParallelism
     (
         df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
         .sortWithinPartitions(*cluster_cols)

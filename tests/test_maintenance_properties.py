@@ -292,3 +292,48 @@ def test_write_clustered_disjoint_footer_stats(spark, tmp_path):
     rp = ranges(plain)
     overlaps_plain = sum(1 for (a, b), (c, d) in zip(rp, rp[1:]) if c <= b)
     assert overlaps_plain >= len(rp) - 2, rp
+
+
+def test_write_clustered_size_derived_file_count(spark, tmp_path):
+    """VERDICT r7 #7: with n_files omitted, write_clustered derives the
+    file count from Catalyst's size estimate / target_file_bytes (for
+    a scan-rooted frame the estimate is the sum of input file sizes,
+    so the derivation matches compact's). Disjoint footer ownership
+    must hold at the computed count too."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+        table_file_stats,
+        write_clustered,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    nbytes = table_file_stats(spark, src)["total_bytes"]
+    target = max(1, nbytes // 5)  # force ~5 output files from a tiny fixture
+
+    out = str(tmp_path / "clustered")
+    write_clustered(spark.read.parquet(src), out, ["event_id"], target_file_bytes=target)
+
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == math.ceil(nbytes / target)
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "event_id"
+        )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    ranges.sort()
+    assert sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c <= b) == 0, ranges
