@@ -26,10 +26,20 @@ Scale shape:
   with HNSW recall r, and the merge is exact over shard answers, so
   corpus-wide recall ≈ r (misses are independent across shards). The
   ``ANN.md`` serving table measures this against exact scan.
-- **Persistence**: the graph is rebuilt per run. At 100 TB the build is
-  one corpus scan (amortize by checkpointing the assignment like the
-  LSH band index); the per-shard graphs themselves are executor-local
-  state and deliberately never shuffled.
+- **Persistence** (r7 verdict #4): :func:`hnsw_index` serializes each
+  shard's graph to plain rows — one row per node carrying its
+  normalized vector, level and per-layer neighbor lists as ordinals —
+  so the build is paid ONCE per corpus and
+  :func:`hnsw_topk_indexed` serves any number of query batches from
+  the parquet-persisted graph without re-inserting a single vector
+  (the same build-once/query-many closure as
+  ``similarity.lsh_ann_topk_indexed``). The one-shot
+  :func:`hnsw_topk` with default ``n_shards=None`` stays fully fused
+  (build+search in one task, no vector ever crosses the wire); with
+  an explicit ``n_shards`` it builds the IDENTICAL per-shard graphs
+  as ``hnsw_index`` (same xxhash64 shard assignment), which is what
+  makes the persisted path exactly parity-testable against the
+  inline one.
 
 Algorithm (public knowledge — Malkov & Yashunin, TPAMI 2018; the
 SELECT-SIMPLE neighbor heuristic): multi-layer graph, geometric level
@@ -210,17 +220,18 @@ def hnsw_topk(
     ``ef_construction`` (build beam), ``ef_search`` (query beam —
     recall dial, cf. efSearch=500 at ``db_utils.py:101``). Recall vs
     the dials is measured in ``ANN.md`` (tools/ann_tuning.py hnsw).
+
+    ``n_shards=None`` (default) builds one graph per NATURAL input
+    partition — fully fused, no extra exchange, the one-shot path.
+    An explicit ``n_shards`` groups by the deterministic
+    :func:`_shard_expr` assignment instead, building exactly the
+    graphs :func:`hnsw_index` persists — parity between this and
+    :func:`hnsw_topk_indexed` over a parquet roundtrip is what
+    test_hnsw pins.
     """
-    q_rows = queries.select(_c(query_id).alias("q"), _c(vec_col).alias("v")).collect()
-    if not q_rows:
-        raise ValueError("hnsw_topk: query set is empty")
-    q_ids = [r["q"] for r in q_rows]
-    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_ids, Q = _collect_queries(queries, query_id, vec_col, "hnsw_topk")
 
     src = corpus.select(_c(corpus_id).alias(corpus_id), _c(vec_col).alias(vec_col))
-    if n_shards is not None:
-        src = src.repartition(n_shards, corpus_id)
-
     id_field = src.schema[corpus_id]
     q_field = queries.schema[query_id]
     out_schema = (
@@ -228,30 +239,202 @@ def hnsw_topk(
         f"{corpus_id} {id_field.dataType.simpleString()}, cos_sim double"
     )
 
-    def _shard_search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids: list = []
-        mats: list[np.ndarray] = []
-        for b in batches:  # materialize THIS partition only
-            if len(b):
-                ids.extend(b[corpus_id].tolist())
-                mats.append(np.array(b[vec_col].tolist(), dtype=np.float64))
-        if not ids:
-            return
-        index = LocalHNSW(m=m, ef_construction=ef_construction).fit(
-            ids, np.vstack(mats)
-        )
+    def _answer(index: LocalHNSW, ids: list) -> pd.DataFrame:
         out_q, out_id, out_s = [], [], []
         for qi, qv in zip(q_ids, Q):
             for sim, row in index.search(qv, k, ef_search):
                 out_q.append(qi)
                 out_id.append(ids[row])
                 out_s.append(round(sim, 6))
-        yield pd.DataFrame({query_id: out_q, corpus_id: out_id, "cos_sim": out_s})
+        return pd.DataFrame({query_id: out_q, corpus_id: out_id, "cos_sim": out_s})
 
-    shard_hits = src.mapInPandas(_shard_search, schema=out_schema)
+    if n_shards is not None:
+
+        def _grouped_build_search(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[corpus_id].tolist()
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            index = LocalHNSW(m=m, ef_construction=ef_construction).fit(ids, vecs)
+            return _answer(index, ids)
+
+        shard_hits = (
+            src.withColumn("_shard", _shard_expr(corpus_id, n_shards))
+            .groupBy("_shard")
+            .applyInPandas(_grouped_build_search, schema=out_schema)
+        )
+    else:
+
+        def _shard_search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids: list = []
+            mats: list[np.ndarray] = []
+            for b in batches:  # materialize THIS partition only
+                if len(b):
+                    ids.extend(b[corpus_id].tolist())
+                    mats.append(np.array(b[vec_col].tolist(), dtype=np.float64))
+            if not ids:
+                return
+            index = LocalHNSW(m=m, ef_construction=ef_construction).fit(
+                ids, np.vstack(mats)
+            )
+            yield _answer(index, ids)
+
+        shard_hits = src.mapInPandas(_shard_search, schema=out_schema)
+
+    return _merge_shard_hits(shard_hits, query_id, corpus_id, k)
+
+
+# ---------------------------------------------------------------------------
+# persisted shard index (build once, query many) — r7 verdict #4
+# ---------------------------------------------------------------------------
+
+
+def _collect_queries(queries: DataFrame, query_id: str, vec_col: str, who: str):
+    q_rows = queries.select(_c(query_id).alias("q"), _c(vec_col).alias("v")).collect()
+    if not q_rows:
+        raise ValueError(f"{who}: query set is empty")
+    return [r["q"] for r in q_rows], np.array([r["v"] for r in q_rows], dtype=np.float64)
+
+
+def _merge_shard_hits(shard_hits: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return (
         shard_hits.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _shard_expr(corpus_id: str, n_shards: int) -> Column:
+    """Deterministic shard id: ``pmod(xxhash64(str(id)), n_shards)``.
+    The SAME expression drives ``hnsw_topk(n_shards=...)`` and
+    :func:`hnsw_index`, so the fused and persisted paths build
+    identical graphs."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return F.pmod(F.xxhash64(_c(corpus_id).cast("string")), F.lit(n_shards)).cast("int")
+
+
+def _graph_rows(index: LocalHNSW):
+    """Serialize a fitted graph: one tuple per node of
+    ``(ord, orig_pos, level, per-layer neighbor ordinals)``.
+
+    ``ord`` is the node's insertion rank (``fit`` inserts in
+    sorted-by-(str(id)) order), the stable on-disk identity that
+    neighbor lists reference — in-memory row positions do not survive
+    a parquet roundtrip. Neighbor LIST ORDER is preserved exactly:
+    beam admission in ``_search_layer`` evolves with iteration order,
+    so a reordered adjacency could answer differently."""
+    order = sorted(range(len(index.ids)), key=lambda i: (str(index.ids[i]), i))
+    ord_of = {node: j for j, node in enumerate(order)}
+    for j, node in enumerate(order):
+        lvl = index.levels[j]  # levels[] is insertion-ordered == ord order
+        nbrs = [
+            [ord_of[nb] for nb in index.adj[layer].get(node, [])]
+            for layer in range(lvl + 1)
+        ]
+        yield j, node, lvl, nbrs
+
+
+def _graph_from_pdf(pdf: pd.DataFrame, id_col: str) -> LocalHNSW:
+    """Rebuild an executor-local graph from persisted rows — array
+    assembly only, no re-insertion: the O(n · efC · log n) build cost
+    is paid once at :func:`hnsw_index` time."""
+    pdf = pdf.sort_values("ord")
+    g = LocalHNSW()
+    g.vn = np.array(pdf["vec"].tolist(), dtype=np.float64)
+    g.ids = pdf[id_col].tolist()
+    levels = pdf["level"].to_numpy()
+    g.levels = [int(x) for x in levels]
+    max_lvl = int(levels.max())
+    g.adj = [{} for _ in range(max_lvl + 1)]
+    for j, nbrs in enumerate(pdf["nbrs"]):
+        for layer, lst in enumerate(nbrs):
+            g.adj[layer][j] = [int(x) for x in lst]
+    # entry point = first node (in insertion order) to reach the final
+    # top layer: _insert only moves the entry when a NEW max level
+    # appears, so min-ord-at-max-level reproduces it exactly
+    g.entry = int(np.flatnonzero(levels == max_lvl)[0])
+    return g
+
+
+def hnsw_index(
+    corpus: DataFrame,
+    m: int = 8,
+    ef_construction: int = 100,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Build the persistable sharded HNSW graph: one row per node —
+    ``(shard, ord, vec_id, level, vec, nbrs)`` with ``vec`` the
+    L2-normalized vector and ``nbrs`` the per-layer neighbor-ordinal
+    lists. Write to parquet (partition or bucket by ``shard``) and
+    serve any number of query batches with :func:`hnsw_topk_indexed`
+    — the build-once/query-many closure every other ANN family here
+    already has (cf. ``lsh_ann_topk_indexed``).
+
+    Scale: ONE exchange of the corpus vectors (the groupBy-shard
+    hash), then each task builds its shard's graph in memory and
+    emits it as plain rows; the index is O(corpus) rows carrying the
+    vector plus ~``(m .. 2m) x (levels+1)`` int ordinals each. At
+    serve time no vector ever moves again.
+    """
+    src = corpus.select(
+        _c(corpus_id).alias(corpus_id), _c(vec_col).alias(vec_col)
+    ).withColumn("shard", _shard_expr(corpus_id, n_shards))
+    id_t = src.schema[corpus_id].dataType.simpleString()
+    out_schema = (
+        f"shard int, ord int, {corpus_id} {id_t}, level int, "
+        "vec array<double>, nbrs array<array<int>>"
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[corpus_id].tolist()
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        g = LocalHNSW(m=m, ef_construction=ef_construction).fit(ids, vecs)
+        rows = list(_graph_rows(g))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * len(rows),
+                "ord": [r[0] for r in rows],
+                corpus_id: [ids[r[1]] for r in rows],
+                "level": [r[2] for r in rows],
+                "vec": [g.vn[r[1]].tolist() for r in rows],
+                "nbrs": [r[3] for r in rows],
+            }
+        )
+
+    return src.groupBy("shard").applyInPandas(_build, schema=out_schema)
+
+
+def hnsw_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int = 64,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a prebuilt (possibly parquet-persisted)
+    :func:`hnsw_index` — the serving path that never re-inserts a
+    vector. ``index`` must carry the :func:`hnsw_index` schema built
+    with the SAME m/ef_construction the caller tuned for; ``ef_search``
+    stays a query-time recall dial. Answers are identical to
+    ``hnsw_topk(corpus, ..., n_shards=<build n_shards>)``."""
+    q_ids, Q = _collect_queries(queries, query_id, vec_col, "hnsw_topk_indexed")
+    id_t = index.schema[corpus_id].dataType.simpleString()
+    q_t = queries.schema[query_id].dataType.simpleString()
+    out_schema = f"{query_id} {q_t}, {corpus_id} {id_t}, cos_sim double"
+
+    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = _graph_from_pdf(pdf, corpus_id)
+        out_q, out_id, out_s = [], [], []
+        for qi, qv in zip(q_ids, Q):
+            for sim, row in g.search(qv, k, ef_search):
+                out_q.append(qi)
+                out_id.append(g.ids[row])
+                out_s.append(round(sim, 6))
+        return pd.DataFrame({query_id: out_q, corpus_id: out_id, "cos_sim": out_s})
+
+    shard_hits = index.groupBy("shard").applyInPandas(_search, schema=out_schema)
+    return _merge_shard_hits(shard_hits, query_id, corpus_id, k)

@@ -131,3 +131,80 @@ def test_hnsw_empty_queries_raise(spark):
     corpus, queries = _fixture(spark)
     with pytest.raises(ValueError, match="query set is empty"):
         hnsw_topk(corpus, queries.filter(F.lit(False)))
+
+
+def test_hnsw_index_roundtrip_parity_and_query_many(spark, tmp_path):
+    """r7 verdict #4: the persisted shard index must answer EXACTLY like
+    the fused build (same xxhash64 shard assignment, same graphs), and
+    must serve multiple query batches from ONE build — the
+    build-once/query-many closure mirroring lsh_ann_topk_indexed."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_topk_indexed,
+    )
+
+    corpus, queries = _fixture(spark)
+    cfg = dict(m=4, ef_construction=400)
+
+    path = str(tmp_path / "hnsw_index")
+    hnsw_index(corpus, n_shards=4, **cfg).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    fused = sorted(
+        map(tuple, hnsw_topk(corpus, queries, k=3, ef_search=500, n_shards=4, **cfg).collect())
+    )
+    served = sorted(map(tuple, hnsw_topk_indexed(persisted, queries, k=3, ef_search=500).collect()))
+    assert served == fused
+    # determinism of the persisted path across reads
+    again = sorted(
+        map(tuple, hnsw_topk_indexed(spark.read.parquet(path), queries, k=3, ef_search=500).collect())
+    )
+    assert again == served
+
+    # second query batch against the SAME persisted graph — no rebuild
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 9)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    served2 = sorted(map(tuple, hnsw_topk_indexed(persisted, q2, k=3, ef_search=500).collect()))
+    fused2 = sorted(
+        map(tuple, hnsw_topk(corpus, q2, k=3, ef_search=500, n_shards=4, **cfg).collect())
+    )
+    assert served2 == fused2
+    # self-hit: every in-corpus query's top hit is itself at sim 1
+    top = {t[0]: t for t in served2 if t[2] == 1.0 and t[0] == t[1]}
+    assert set(top) == {5, 6, 7, 8}
+
+
+def test_hnsw_index_string_ids_and_ef_dial(spark, tmp_path):
+    """The persisted path preserves id typing (string ids) and keeps
+    ef_search as a pure query-time dial on the SAME stored graph."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_topk_indexed,
+    )
+
+    corpus, queries = _fixture(spark)
+    scorpus = corpus.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    idx = hnsw_index(scorpus, m=4, ef_construction=64, n_shards=3)
+    path = str(tmp_path / "s_idx")
+    idx.write.parquet(path)
+    persisted = spark.read.parquet(path)
+    out = hnsw_topk_indexed(persisted, queries, k=2, ef_search=64).collect()
+    assert out and all(r["vec_id"].startswith("doc-") for r in out)
+
+    # wider beam on the same stored graph recalls at least as much of
+    # the exact answer (recall is monotone in ef_search)
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.cosine_topk_batch(corpus, queries, k=2).collect()
+    }
+    def hits(ef):
+        got = {
+            (r["q_id"], int(r["vec_id"][4:]))
+            for r in hnsw_topk_indexed(persisted, queries, k=2, ef_search=ef).collect()
+        }
+        return len(got & exact)
+    assert hits(500) >= hits(8)
