@@ -1,0 +1,120 @@
+"""Real-provider smoke tests behind the import gates (r7 verdict #5).
+
+The multimodal/embedding providers ship as import-gated seams with
+deterministic stubs (the oracle needs determinism; the container has
+no PDF/vision libs). These tests prove the seams are not stub-only
+fictions: the REAL PyMuPDF path runs end-to-end against a tiny PDF
+generated in-test by a pure-Python writer wherever ``fitz`` exists
+(reference behavior: ``embedding_utils.py:123-173``), and the parts
+that don't need the dependency — seam-signature parity and the gate's
+failure mode — run everywhere.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import inspect
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.multimodal import extract as MX
+
+_HAVE_FITZ = importlib.util.find_spec("fitz") is not None
+
+
+def _tiny_pdf(page_texts: list[str]) -> bytes:
+    """Minimal valid PDF 1.4 (uncompressed streams, computed xref):
+    one Helvetica text line per page. Pure Python so the test can
+    generate its own fixture wherever it runs."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    n_pages = len(page_texts)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, text in enumerate(page_texts):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        stream = f"BT /F1 12 Tf 72 720 Td ({esc(text)}) Tj ET".encode()
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def test_provider_seams_share_one_signature():
+    """The real providers must be drop-in for the stubs: identical
+    parameter lists, so `extract_pages(parser=...)` accepts either
+    without adapters. Runs with or without the optional deps."""
+    assert inspect.signature(MX.stub_parse_pages) == inspect.signature(
+        MX.real_pdf_parse_pages
+    )
+    pdf = _tiny_pdf(["alpha", "beta"])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+
+
+@pytest.mark.skipif(_HAVE_FITZ, reason="fitz present: the gate opens instead")
+def test_real_pdf_gate_raises_cleanly_without_fitz():
+    with pytest.raises(NotImplementedError):
+        MX.real_pdf_parse_pages(_tiny_pdf(["x"]))
+
+
+@pytest.mark.skipif(not _HAVE_FITZ, reason="PyMuPDF not installed")
+def test_real_pdf_parse_to_ingest_e2e(spark, tmp_path):
+    """Where fitz exists: in-test PDF -> real_pdf_parse_pages ->
+    extract_to_documents -> ingest_documents, asserting page counts,
+    extracted text and chunk/vector shape — the full reference leg
+    (embedding_utils.py:123-173) on the real provider."""
+    from data_ingestion_tool_bakasura__spark.operators.ingest import (
+        IngestConfig,
+        ingest_documents,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+    pdf = _tiny_pdf(["alpha page one", "beta page two"])
+    # direct provider contract first: list of (text, tables, image)
+    pages = MX.real_pdf_parse_pages(pdf)
+    assert len(pages) == 2
+    assert "alpha page one" in pages[0][0] and "beta page two" in pages[1][0]
+    assert isinstance(pages[0][2], (bytes, bytearray)) and len(pages[0][2]) > 0
+
+    (tmp_path / "a.pdf").write_bytes(pdf)
+    (tmp_path / "b.pdf").write_bytes(_tiny_pdf(["gamma solo"]))
+    raw = read_binary_files(spark, str(tmp_path), glob="*.pdf")
+    docs = MX.extract_to_documents(raw, parser=MX.real_pdf_parse_pages)
+    got = {r["doc_id"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(got) == {"a.pdf", "b.pdf"}
+    assert got["a.pdf"]["n_pages"] == 2 and got["b.pdf"]["n_pages"] == 1
+    assert "alpha page one" in got["a.pdf"]["text"]
+
+    rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
+    assert rows.count() >= 2
+    assert rows.filter(F.size("content_vector") != 8).count() == 0
