@@ -96,7 +96,9 @@ class LocalHNSW:
         self.ml = 1.0 / math.log(m + 1)
         self.vn: np.ndarray | None = None
         self.ids: list = []
-        self.levels: list[int] = []
+        self.levels: list[int] = []          # per INSERTION rank
+        self.insert_order: list[int] = []    # node index per insertion rank
+        self.level_of: dict[int, int] = {}   # node index -> level
         # adj[layer][node] -> list[node]; layers grow on demand
         self.adj: list[dict[int, list[int]]] = []
         self.entry: int | None = None
@@ -157,11 +159,35 @@ class LocalHNSW:
             self._insert(node)
         return self
 
+    def extend(self, ids: list, vecs: np.ndarray) -> "LocalHNSW":
+        """True incremental insertion into an existing (possibly
+        reloaded) graph: new nodes wire into the current structure via
+        the normal insert path — existing nodes are re-linked only
+        where a new neighbor displaces one under the degree cap. The
+        resulting graph is NOT byte-identical to a from-scratch build
+        over the union (HNSW is insertion-order-dependent — the same
+        caveat every incremental HNSW implementation carries); it IS
+        deterministic for a given wave sequence (md5 levels, sorted
+        within-wave insertion, (dist, id) tie-breaks)."""
+        if not len(ids):
+            return self
+        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        add = (vecs / norms).astype(np.float64)
+        base = len(self.ids)
+        self.vn = add if self.vn is None else np.vstack([self.vn, add])
+        self.ids.extend(ids)
+        order = sorted(range(len(ids)), key=lambda i: (str(ids[i]), i))
+        for j in order:
+            self._insert(base + j)
+        return self
+
     def _insert(self, node: int) -> None:
         lvl = int(-math.log(_hash_unit(str(self.ids[node]))) * self.ml)
         while len(self.adj) <= lvl:
             self.adj.append({})
         self.levels.append(lvl)
+        self.insert_order.append(node)
+        self.level_of[node] = lvl
         q = self.vn[node]
         if self.entry is None:
             self.entry = node
@@ -317,16 +343,18 @@ def _graph_rows(index: LocalHNSW):
     """Serialize a fitted graph: one tuple per node of
     ``(ord, orig_pos, level, per-layer neighbor ordinals)``.
 
-    ``ord`` is the node's insertion rank (``fit`` inserts in
-    sorted-by-(str(id)) order), the stable on-disk identity that
-    neighbor lists reference — in-memory row positions do not survive
-    a parquet roundtrip. Neighbor LIST ORDER is preserved exactly:
-    beam admission in ``_search_layer`` evolves with iteration order,
-    so a reordered adjacency could answer differently."""
-    order = sorted(range(len(index.ids)), key=lambda i: (str(index.ids[i]), i))
+    ``ord`` is the node's INSERTION rank (``fit`` inserts in
+    sorted-by-(str(id)) order; ``extend`` appends later waves after
+    it), the stable on-disk identity that neighbor lists reference —
+    in-memory row positions do not survive a parquet roundtrip, and
+    the entry point is re-derived at load as the first-inserted node
+    at the top layer. Neighbor LIST ORDER is preserved exactly: beam
+    admission in ``_search_layer`` evolves with iteration order, so a
+    reordered adjacency could answer differently."""
+    order = index.insert_order
     ord_of = {node: j for j, node in enumerate(order)}
     for j, node in enumerate(order):
-        lvl = index.levels[j]  # levels[] is insertion-ordered == ord order
+        lvl = index.level_of[node]
         nbrs = [
             [ord_of[nb] for nb in index.adj[layer].get(node, [])]
             for layer in range(lvl + 1)
@@ -344,6 +372,8 @@ def _graph_from_pdf(pdf: pd.DataFrame, id_col: str) -> LocalHNSW:
     g.ids = pdf[id_col].tolist()
     levels = pdf["level"].to_numpy()
     g.levels = [int(x) for x in levels]
+    g.insert_order = list(range(len(g.ids)))  # ord order IS insertion order
+    g.level_of = {j: int(x) for j, x in enumerate(levels)}
     max_lvl = int(levels.max())
     g.adj = [{} for _ in range(max_lvl + 1)]
     for j, nbrs in enumerate(pdf["nbrs"]):
@@ -404,6 +434,81 @@ def hnsw_index(
         )
 
     return src.groupBy("shard").applyInPandas(_build, schema=out_schema)
+
+
+def hnsw_index_increment(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    m: int = 8,
+    ef_construction: int = 100,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Insert a wave of new vectors into a persisted :func:`hnsw_index`
+    WITHOUT rebuilding untouched shards: returns the full replacement
+    rows for exactly the shards that receive new vectors (swap them in
+    with a partitioned dynamic overwrite, or union with the untouched
+    shards' rows). ``m``/``ef_construction``/``n_shards`` must match
+    the original build — the shard expression and graph parameters are
+    part of the index's identity, same contract as
+    ``lsh_ann_topk_indexed``'s (dim, num_tables, bits).
+
+    Scale: the increment is hashed once on the shard id; untouched
+    shards are pruned by a broadcast semi-join on the (tiny) touched-
+    shard set before any index row is deserialized. Within a touched
+    shard the existing graph is rebuilt by array assembly and the new
+    nodes pay normal O(log n) insertions — NOT a from-scratch refit
+    (the amortization LSH/span/seen-vector indexes already have).
+    Insertion-order caveat: the incremented graph is a valid HNSW but
+    not byte-identical to a full rebuild over the union — inherent to
+    the algorithm; determinism for a given wave sequence IS guaranteed
+    and tested.
+    """
+    newv = new_vectors.select(
+        _c(corpus_id).alias(corpus_id), _c(vec_col).alias(vec_col)
+    ).withColumn("shard", _shard_expr(corpus_id, n_shards))
+    touched = newv.select("shard").distinct()
+    old_touched = index.join(F.broadcast(touched), "shard", "semi")
+
+    id_t = index.schema[corpus_id].dataType.simpleString()
+    out_schema = (
+        f"shard int, ord int, {corpus_id} {id_t}, level int, "
+        "vec array<double>, nbrs array<array<int>>"
+    )
+
+    def _extend(old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(
+            (new_pdf if len(new_pdf) else old_pdf)["shard"].iloc[0]
+        )
+        if len(old_pdf):
+            g = _graph_from_pdf(old_pdf, corpus_id)
+        else:  # brand-new shard (possible when the old corpus was tiny)
+            g = LocalHNSW(m=m, ef_construction=ef_construction)
+        g.m, g.m0, g.ef_c = m, 2 * m, max(ef_construction, m + 1)
+        g.ml = 1.0 / math.log(m + 1)
+        if len(new_pdf):
+            g.extend(
+                new_pdf[corpus_id].tolist(),
+                np.array(new_pdf[vec_col].tolist(), dtype=np.float64),
+            )
+        rows = list(_graph_rows(g))
+        return pd.DataFrame(
+            {
+                "shard": [shard] * len(rows),
+                "ord": [r[0] for r in rows],
+                corpus_id: [g.ids[r[1]] for r in rows],
+                "level": [r[2] for r in rows],
+                "vec": [g.vn[r[1]].tolist() for r in rows],
+                "nbrs": [r[3] for r in rows],
+            }
+        )
+
+    return (
+        old_touched.groupBy("shard")
+        .cogroup(newv.groupBy("shard"))
+        .applyInPandas(_extend, schema=out_schema)
+    )
 
 
 def hnsw_topk_indexed(

@@ -208,3 +208,57 @@ def test_hnsw_index_string_ids_and_ef_dial(spark, tmp_path):
         }
         return len(got & exact)
     assert hits(500) >= hits(8)
+
+
+def test_hnsw_index_increment_touched_shards_only(spark, tmp_path):
+    """Incremental insert (r8): only shards receiving vectors are
+    returned; untouched shard rows stay byte-identical on disk; new
+    ids are servable alongside old ones; and the increment is
+    deterministic for a given wave."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        _shard_expr,
+        hnsw_index,
+        hnsw_index_increment,
+        hnsw_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") < 490)
+    new = emb.filter(F.col("vec_id") >= 490).limit(3)
+    cfg = dict(m=8, ef_construction=100)
+
+    path = str(tmp_path / "idx")
+    hnsw_index(old, n_shards=8, **cfg).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    inc = hnsw_index_increment(persisted, new, n_shards=8, **cfg)
+    touched = {
+        r["shard"]
+        for r in new.select(_shard_expr("vec_id", 8).alias("shard")).distinct().collect()
+    }
+    inc_rows = inc.collect()
+    assert {r["shard"] for r in inc_rows} == touched
+    assert len(touched) < 8  # some shards genuinely untouched
+    # replacement rows = every old row of the touched shards + the wave
+    n_old_touched = persisted.filter(F.col("shard").isin(*touched)).count()
+    assert len(inc_rows) == n_old_touched + 3
+    new_ids = {r["vec_id"] for r in new.collect()}
+    assert new_ids <= {r["vec_id"] for r in inc_rows}
+
+    # determinism of the wave
+    again = hnsw_index_increment(persisted, new, n_shards=8, **cfg).collect()
+    key = lambda r: (r["shard"], r["ord"])
+    assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
+        map(tuple, inc_rows), key=lambda t: t[:2]
+    )
+
+    # swapped-in index serves old AND new: every new vector self-hits
+    merged = persisted.filter(~F.col("shard").isin(*touched)).unionByName(inc)
+    q = new.select(F.col("vec_id").alias("q_id"), "embedding")
+    got = hnsw_topk_indexed(merged, q, k=1, ef_search=200).collect()
+    assert {(r["q_id"], r["vec_id"], r["cos_sim"]) for r in got} == {
+        (i, i, 1.0) for i in new_ids
+    }
+    q_old = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    got_old = hnsw_topk_indexed(merged, q_old, k=1, ef_search=200).collect()
+    assert {(r["q_id"], r["vec_id"]) for r in got_old} == {(i, i) for i in range(3)}
