@@ -137,7 +137,7 @@ def main() -> int:
     k = int(next((a for a in args if a.isdigit()), "10"))
     clustered = "clustered" in args
     # explicit tokens select exactly those sections; no token -> default set
-    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank", "hnsw", "semdedup")} or {
+    sections = {a for a in args if a in ("ivf", "lsh", "ivfadc", "rerank", "hnsw", "semdedup", "amortize")} or {
         "ivf", "lsh", "rerank"
     }
 
@@ -205,6 +205,52 @@ def main() -> int:
                     }
                     print(f"| {hm} (efC={efc}) | {ef} | {shards} "
                           f"| {len(got & exact) / len(exact):.3f} |")
+
+    if "amortize" in sections:
+        import tempfile
+        import time
+
+        from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+            hnsw_index,
+            hnsw_topk,
+            hnsw_topk_indexed,
+        )
+
+        cfg = dict(m=8, ef_construction=100)
+        print("\nHNSW build amortization (m=8 efC=100, 8 shards, ef=4k):")
+        with tempfile.TemporaryDirectory() as td:
+            path = td + "/hnsw_idx"
+            t0 = time.time()
+            hnsw_index(emb, n_shards=8, **cfg).write.parquet(path)
+            build_s = time.time() - t0
+            fused_t, serve_t = [], []
+            fused = served = None
+            for _ in range(3):
+                t = time.time()
+                fused = {
+                    (r["q_id"], r["vec_id"])
+                    for r in hnsw_topk(
+                        emb, queries, k=k, ef_search=4 * k, n_shards=8, **cfg
+                    ).collect()
+                }
+                fused_t.append(time.time() - t)
+            for _ in range(3):
+                t = time.time()
+                served = {
+                    (r["q_id"], r["vec_id"])
+                    for r in hnsw_topk_indexed(
+                        spark.read.parquet(path), queries, k=k, ef_search=4 * k
+                    ).collect()
+                }
+                serve_t.append(time.time() - t)
+            assert served == fused, "persisted path diverged from fused"
+            fm, sm = sorted(fused_t)[1], sorted(serve_t)[1]
+            print(f"| build+persist | {build_s:.2f}s (once) |")
+            print(f"| fused batch (rebuilds graphs) | {fm:.2f}s |")
+            print(f"| served batch (parquet graphs) | {sm:.2f}s |")
+            if fm > sm:
+                print(f"| breakeven | {build_s / (fm - sm):.1f} query batches |")
+            print("| parity | exact (served == fused) |")
 
     if "semdedup" in sections:
         from data_ingestion_tool_bakasura__spark.operators import dedup as DD
