@@ -102,6 +102,7 @@ HEADLINE = [
     "q_substring_dedup",       # repeated-span surgery (Lee et al. shape)
     "q_semantic_dedup",        # SemDeDup per-cluster GEMM prune
     "q_lm_quality",            # char-trigram LM perplexity filter
+    "q_quality_classifier",    # CCNet-shape logistic quality filter
 ]
 
 

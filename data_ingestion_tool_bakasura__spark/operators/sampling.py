@@ -640,3 +640,92 @@ def temperature_shares(
         raise ValueError("temperature_shares: corpus has no tokens")
     z = sum(n**alpha for n in actual.values())
     return {s: n**alpha / z for s, n in actual.items()}
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classification (the CCNet fastText-filter shape)
+# ---------------------------------------------------------------------------
+
+#: Documented prior for :func:`quality_classifier_score` — a linear
+#: model over the five deterministic features, hand-pinned to favor
+#: mid-length, stopword-bearing, low-punctuation, low-digit prose.
+#: Replace with trained weights (same keys) to serve a real model;
+#: `_bias` is the intercept.
+DEFAULT_QUALITY_WEIGHTS = {
+    "_bias": -1.0,
+    "len_norm": 2.0,          # length saturating at 1000 chars
+    "stopword_ratio": 3.0,    # natural prose carries stopwords
+    "punct_ratio": -4.0,      # punctuation soup
+    "word_len_dev": -1.0,     # |mean word length - 5| / 5
+    "digit_ratio": -2.0,      # tables / serial dumps
+}
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filter, the CCNet second-stage shape
+    (Wenzek et al. 2020 use a fastText classifier after the LM
+    perplexity filter): a logistic model over deterministic,
+    SQL-expressible text features, scored entirely in-plan.
+
+    The model is the SEAM, not the ceiling: train any linear
+    classifier offline (fastText's own supervised mode reduces to
+    logistic regression over averaged features; scikit-learn on a
+    labeled sample; anything) and pass its ``weights`` — scoring stays
+    one codegen projection, no UDF, no model broadcast (five
+    coefficients fold into the expression as literals). Contrast the
+    embedding/OCR providers, which need per-row Python: a LINEAR
+    model's serving path belongs in the plan.
+
+    Features (all NULL-safe — NULL text scores like empty text):
+
+    - ``len_norm``: ``least(n_chars/1000, 1)``
+    - ``stopword_ratio``, ``punct_ratio``: textstats definitions
+    - ``word_len_dev``: ``|mean word length - 5| / 5`` (0 when empty)
+    - ``digit_ratio``: digit chars / chars (0 when empty)
+
+    Returns ``(id_col, len_norm, stopword_ratio, punct_ratio,
+    word_len_dev, digit_ratio, q_score, keep)`` with ``q_score =
+    sigmoid(w·x + bias)`` rounded to 6 decimals and ``keep = q_score
+    >= threshold``. One scan, one projection; the filter pushes to the
+    scan when composed (``.filter("keep")``).
+    """
+    from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+
+    w = dict(DEFAULT_QUALITY_WEIGHTS)
+    if weights:
+        unknown = set(weights) - set(w)
+        if unknown:
+            raise ValueError(f"unknown quality weights: {sorted(unknown)}")
+        w.update(weights)
+
+    t = F.coalesce(_c(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_tok = TS.n_tokens_ws(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    feats = {
+        "len_norm": F.least(n_chars.cast("double") / F.lit(1000.0), F.lit(1.0)),
+        "stopword_ratio": TS.stopword_ratio(t),
+        "punct_ratio": TS.punct_ratio(t),
+        "word_len_dev": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            F.abs(nonspace.cast("double") / n_tok - F.lit(5.0)) / F.lit(5.0)
+        ),
+        "digit_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / n_chars
+        ),
+    }
+    z = F.lit(float(w["_bias"]))
+    for name, col in feats.items():
+        z = z + F.lit(float(w[name])) * col
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        _c(id_col).alias(id_col),
+        *[F.round(col, 6).alias(name) for name, col in feats.items()],
+        score.alias("q_score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

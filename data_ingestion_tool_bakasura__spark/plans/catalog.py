@@ -54,11 +54,12 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: by oracle-able twins. Every name must exist in a module's QUERIES
 #: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
-    # --- no driver row ever (landed past the r7 boundary): certify first ---
+    # --- no driver row ever (r7-late + NEW r8): certify first ---
     "q_temperature_mixture",     # XLM-R n^alpha mixture rates (Conneau et al.)
     "q_deep_clean_pipeline",     # surgery -> LM-score composition (one lazy plan)
     "q_substring_dedup_incr",    # gram-index increment twin of q_substring_dedup
     "q_lm_quality_xcorpus",      # pretrained-model seam twin of q_lm_quality
+    "q_quality_classifier",      # NEW r8: CCNet-shape logistic quality filter
     # --- last r1/r2-evidence rows (rotation ledger; retires the backlog) ---
     "q_doc_stats",               # r1
     "q_lang_facet",              # r1
@@ -109,10 +110,10 @@ _PRIORITY = [
     "q_exists_subquery",         # C4 EXISTS join shape
     "q_stratified_sample",       # sampling family
     "q_event_dedup",             # C13 on events
-    "q_fulltext_score",          # B8 scoring
     # ---------- 50-query window boundary ----------
     # everything below carries an r5-r7 driver-green row; in-window
     # reps above cover every SURVEY §2 family
+    "q_fulltext_score",          # r5 (yielded its slot to q_quality_classifier)
     "q_tfidf_topdocs",           # r5
     "q_shipping_priority",       # r5
     "q_top3_orders_per_customer",# r5

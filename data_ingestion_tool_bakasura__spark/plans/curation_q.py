@@ -791,6 +791,68 @@ ORDER BY source
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering, the CCNet second-stage shape
+    (Wenzek et al. 2020 run a fastText classifier after the LM
+    perplexity filter): a logistic model over five deterministic text
+    features, scored entirely in-plan — one scan, one codegen
+    projection, the coefficients folded in as literals. Features,
+    sigmoid and keep-flag are all re-derived in the DuckDB oracle and
+    value-checked to 6 decimals. The weights parameter is the
+    pretrained-model seam (any offline-trained linear classifier
+    serves through the same expression)."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        _spread,
+        quality_classifier_score,
+    )
+
+    # the operator itself is a pure exchange-free projection (plan
+    # test); the fixture parquet is ONE split, so the regexp-heavy
+    # features would run on one core without the scale-up guard
+    # (a no-op at production split counts)
+    docs = _spread(load_table(spark, sf, "documents"))
+    return quality_classifier_score(docs).orderBy("doc_id")
+
+
+ORACLE["q_quality_classifier"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                         x -> lower(x) IN {_SW})) AS n_sw,
+         length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS n_digit
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         least(n_chars / 1000.0, 1.0) AS len_norm,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE n_sw / n_tok::DOUBLE END AS stopword_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars::DOUBLE END AS punct_ratio,
+         CASE WHEN n_tok = 0 THEN 0.0
+              ELSE abs(n_nonspace / n_tok::DOUBLE - 5.0) / 5.0 END AS word_len_dev,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars::DOUBLE END AS digit_ratio
+  FROM f
+), z AS (
+  SELECT *, -1.0 + 2.0 * len_norm + 3.0 * stopword_ratio - 4.0 * punct_ratio
+            - 1.0 * word_len_dev - 2.0 * digit_ratio AS zz
+  FROM x
+)
+SELECT doc_id,
+       round(len_norm, 6) AS len_norm,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(word_len_dev, 6) AS word_len_dev,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(1.0 / (1.0 + exp(-zz)), 6) AS q_score,
+       round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS keep
+FROM z
+ORDER BY doc_id
+"""
+
+
 def q_deep_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Round-7 capstone composition, one lazy plan: substring-span
     surgery (remove_repeated_spans) -> char-trigram LM self-scoring of

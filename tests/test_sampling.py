@@ -183,3 +183,45 @@ def test_mixture_rates_zero_share_drops_stratum(spark):
     assert max(rates.values()) == 1.0 and all(0 <= r <= 1 for r in rates.values())
     with pytest.raises(ValueError, match=">= 0"):
         SP.mixture_rates(docs, "bucket", "n_tok", {"s0": 1.1, "s1": -0.1})
+
+
+def test_quality_classifier_seam_and_null_safety(spark):
+    """r8: logistic quality scoring is a pure projection (no exchange,
+    no UDF), the weights seam validates its keys and changes the
+    decision boundary, and NULL text scores exactly like empty text."""
+    import math
+
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        DEFAULT_QUALITY_WEIGHTS,
+        quality_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs on."),
+            (2, "000 111 222 333 444 555 666 777 888 999"),
+            (3, None),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in quality_classifier_score(df).collect()}
+    # prose beats the digit dump; NULL == empty, and both score the
+    # pure-bias sigmoid
+    assert out[1]["q_score"] > out[2]["q_score"]
+    assert out[3] == {**out[4], "doc_id": 3}
+    assert out[3]["q_score"] == round(1 / (1 + math.exp(1.0)), 6)
+    assert out[3]["keep"] is False
+
+    # trained-weights seam: a strong positive bias flips every keep
+    flipped = quality_classifier_score(df, weights={"_bias": 10.0})
+    assert all(r["keep"] for r in flipped.collect())
+    with pytest.raises(ValueError, match="unknown quality weights"):
+        quality_classifier_score(df, weights={"not_a_feature": 1.0})
+
+    # plan shape: one projection over the scan — nothing moves
+    plan = quality_classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:1500]
