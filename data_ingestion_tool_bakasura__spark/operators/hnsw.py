@@ -511,6 +511,72 @@ def hnsw_index_increment(
     )
 
 
+def hnsw_index_delete(
+    index: DataFrame,
+    keys: DataFrame,
+    m: int = 8,
+    ef_construction: int = 100,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Remove vectors from a persisted :func:`hnsw_index` (the
+    vector-index leg of the takedown path — ``maintenance.delete_keys``
+    covers plain tables): returns replacement rows for exactly the
+    shards that contain a deleted key; untouched shards are pruned by
+    a broadcast semi-join and never deserialized.
+
+    Touched shards REBUILD their graph from the surviving rows'
+    stored vectors (no corpus re-scan) rather than tombstoning:
+    deleted nodes would otherwise keep absorbing graph degree and
+    beam budget forever, and a tombstone filter makes top-k
+    under-return without over-searching. Exact-deletion cost is
+    bounded to the touched shards — at production shard counts a
+    takedown list touches a handful. ``keys`` is a DataFrame carrying
+    ``corpus_id`` (or an iterable of values). A shard whose every
+    vector is deleted vanishes from the output (write the returned
+    rows with dynamic partition overwrite and the partition empties).
+    """
+    from pyspark.sql import SparkSession
+
+    if not isinstance(keys, DataFrame):
+        vals = list(keys)
+        spark = SparkSession.getActiveSession()
+        kind = "string" if vals and isinstance(vals[0], str) else "long"
+        keys = spark.createDataFrame(
+            [(k,) for k in vals], f"{corpus_id} {kind}"
+        )
+    keys = keys.select(_c(corpus_id).alias(corpus_id)).distinct()
+    touched = (
+        index.join(F.broadcast(keys), corpus_id, "semi").select("shard").distinct()
+    )
+    survivors = index.join(F.broadcast(touched), "shard", "semi").join(
+        F.broadcast(keys), corpus_id, "anti"
+    )
+
+    id_t = index.schema[corpus_id].dataType.simpleString()
+    out_schema = (
+        f"shard int, ord int, {corpus_id} {id_t}, level int, "
+        "vec array<double>, nbrs array<array<int>>"
+    )
+
+    def _rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[corpus_id].tolist()
+        vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        g = LocalHNSW(m=m, ef_construction=ef_construction).fit(ids, vecs)
+        rows = list(_graph_rows(g))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * len(rows),
+                "ord": [r[0] for r in rows],
+                corpus_id: [ids[r[1]] for r in rows],
+                "level": [r[2] for r in rows],
+                "vec": [g.vn[r[1]].tolist() for r in rows],
+                "nbrs": [r[3] for r in rows],
+            }
+        )
+
+    return survivors.groupBy("shard").applyInPandas(_rebuild, schema=out_schema)
+
+
 def hnsw_topk_indexed(
     index: DataFrame,
     queries: DataFrame,

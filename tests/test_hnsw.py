@@ -262,3 +262,49 @@ def test_hnsw_index_increment_touched_shards_only(spark, tmp_path):
     q_old = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
     got_old = hnsw_topk_indexed(merged, q_old, k=1, ef_search=200).collect()
     assert {(r["q_id"], r["vec_id"]) for r in got_old} == {(i, i) for i in range(3)}
+
+
+def test_hnsw_index_delete_rebuilds_touched_shards(spark, tmp_path):
+    """r8 takedown leg: deleted vectors vanish from search, only shards
+    containing a deleted key are returned (rebuilt from stored
+    vectors — no corpus re-scan), and the operation is deterministic."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        _shard_expr,
+        hnsw_index,
+        hnsw_index_delete,
+        hnsw_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cfg = dict(m=8, ef_construction=100)
+    path = str(tmp_path / "idx")
+    hnsw_index(emb, n_shards=8, **cfg).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    doomed = [7, 11, 13]
+    out = hnsw_index_delete(persisted, doomed, **cfg)
+    rows = out.collect()
+    touched = {
+        r["shard"]
+        for r in spark.createDataFrame([(i,) for i in doomed], "vec_id long")
+        .select(_shard_expr("vec_id", 8).alias("shard")).distinct().collect()
+    }
+    assert {r["shard"] for r in rows} == touched and len(touched) < 8
+    got_ids = {r["vec_id"] for r in rows}
+    assert not (got_ids & set(doomed))
+    n_before = persisted.filter(F.col("shard").isin(*touched)).count()
+    assert len(rows) == n_before - len(doomed)
+
+    # determinism
+    again = hnsw_index_delete(persisted, doomed, **cfg).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    # swapped-in index: deleted ids unreachable, survivors still self-hit
+    merged = persisted.filter(~F.col("shard").isin(*touched)).unionByName(out)
+    q = emb.filter(F.col("vec_id").isin(7, 11, 13, 20)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    hits = hnsw_topk_indexed(merged, q, k=1, ef_search=200).collect()
+    by_q = {r["q_id"]: r["vec_id"] for r in hits}
+    assert by_q[20] == 20
+    assert all(by_q[i] not in doomed for i in doomed)
