@@ -6,6 +6,7 @@ corpus rich in collisions, one Spark job per operator."""
 from __future__ import annotations
 
 import math
+import re
 import random
 
 import numpy as np
@@ -174,3 +175,63 @@ def test_char_trigram_nll_matches_python_reference(spark):
         else:
             assert math.isclose(got[d][2], want[d][2], abs_tol=2e-6), (d, got[d], want[d])
     assert sum(1 for v in want.values() if v[2] is not None) > 20  # non-vacuous
+
+
+def _ref_quality_classifier(rows):
+    """Direct Python re-implementation of quality_classifier_score's
+    five features + sigmoid (weights = DEFAULT_QUALITY_WEIGHTS)."""
+    sw = {"the", "a", "of", "and", "to", "in", "is", "for", "on", "with"}
+    punct = set(".,;:!?")
+    out = {}
+    for d, t in rows:
+        t = t or ""
+        n_chars = len(t)
+        # Spark's trim (and DuckDB's) strips SPACES only, so text made
+        # of tabs/newlines is non-empty post-trim and splits into
+        # empty-string tokens — both engines agree on this quirk and
+        # the reference must mirror it, not Python's .strip()
+        trimmed = t.strip(" ")
+        toks = re.split(r"\s+", trimmed) if trimmed else []
+        n_tok = len(toks)
+        n_sw = sum(1 for x in toks if x.lower() in sw)
+        n_punct = sum(1 for ch in t if ch in punct)
+        nonspace = len(re.sub(r"\s", "", t))
+        n_digit = sum(1 for ch in t if ch.isdigit() and ch.isascii())
+        len_norm = min(n_chars / 1000.0, 1.0)
+        sw_r = n_sw / n_tok if n_tok else 0.0
+        p_r = n_punct / n_chars if n_chars else 0.0
+        dev = abs(nonspace / n_tok - 5.0) / 5.0 if n_tok else 0.0
+        d_r = n_digit / n_chars if n_chars else 0.0
+        z = -1.0 + 2.0 * len_norm + 3.0 * sw_r - 4.0 * p_r - 1.0 * dev - 2.0 * d_r
+        score = round(1.0 / (1.0 + math.exp(-z)), 6)
+        out[d] = (round(len_norm, 6), round(sw_r, 6), round(p_r, 6),
+                  round(dev, 6), round(d_r, 6), score, score >= 0.5)
+    return out
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        quality_classifier_score,
+    )
+
+    rng = random.Random(31)
+    words = ["the", "fox", "of", "runs", "42", "x9", "to", "graph", "!!", "a.b,c"]
+    rows = [
+        (d, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30))))
+        for d in range(50)
+    ] + [(50, None), (51, ""), (52, "  \t \n ")]
+    want = _ref_quality_classifier(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["len_norm"], r["stopword_ratio"], r["punct_ratio"],
+            r["word_len_dev"], r["digit_ratio"], r["q_score"], r["keep"],
+        )
+        for r in quality_classifier_score(df).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        for gi, wi in zip(got[d][:6], want[d][:6]):
+            assert math.isclose(gi, wi, abs_tol=2e-6), (d, got[d], want[d])
+        assert got[d][6] == want[d][6], (d, got[d], want[d])
+    assert len({v[6] for v in want.values()}) == 2  # both decisions occur
