@@ -692,8 +692,11 @@ def quality_classifier_score(
     Returns ``(id_col, len_norm, stopword_ratio, punct_ratio,
     word_len_dev, digit_ratio, q_score, keep)`` with ``q_score =
     sigmoid(w·x + bias)`` rounded to 6 decimals and ``keep = q_score
-    >= threshold``. One scan, one projection; the filter pushes to the
-    scan when composed (``.filter("keep")``).
+    >= threshold``. One scan, one projection; a composed
+    ``.filter("keep")`` evaluates scan-side in the same stage (the
+    predicate is computed, so it cannot become a parquet footer
+    filter, but nothing shuffles to apply it). Stateless, so it runs
+    unchanged on a streaming DataFrame (tested).
     """
     from data_ingestion_tool_bakasura__spark.functions import textstats as TS
 

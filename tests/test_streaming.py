@@ -197,3 +197,24 @@ def test_streaming_near_dedup_three_waves(spark, tmp_path):
     replayed = spark.read.parquet(corpus)
     assert sorted(r["doc_id"] for r in replayed.collect()) == [1, 3, 5]
     assert replayed.count() == 3  # no duplicate rows, not just unique ids
+
+
+def test_stream_quality_classifier_equals_batch(spark, tmp_path):
+    """Stateless curation operators run unchanged on a stream (r8): the
+    logistic quality filter over a file-stream replay equals its batch
+    output row-for-row — no windows, no state store, append mode."""
+    import os
+
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stage = str(tmp_path / "docs_in")
+    os.makedirs(stage)
+    os.symlink(os.path.join(SF_SMOKE, "documents.parquet"),
+               os.path.join(stage, "documents.parquet"))
+    sdf = spark.readStream.schema(docs.schema).parquet(stage)
+    got = SW.replay_to_table(quality_classifier_score(sdf), spark, mode="append")
+    want = quality_classifier_score(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
