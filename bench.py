@@ -103,6 +103,7 @@ HEADLINE = [
     "q_semantic_dedup",        # SemDeDup per-cluster GEMM prune
     "q_lm_quality",            # char-trigram LM perplexity filter
     "q_quality_classifier",    # CCNet-shape logistic quality filter
+    "q_image_near_dup",        # banded aHash image near-dup (C15 x C13)
 ]
 
 

@@ -210,3 +210,130 @@ def audio_features(df: DataFrame, id_col: str = "media_id", media_col: str = "me
 
     src = df.select(F.col(id_col).alias("_id"), F.col(media_col).alias("_media"))
     return src.mapInPandas(_feat, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hashing + near-dup (the multimodal dedup flagship)
+# ---------------------------------------------------------------------------
+
+AHASH_BITS = 64
+
+
+def ahash64_udf():
+    """Average-hash (aHash) of an image payload as a 64-char '0'/'1'
+    string — the classic perceptual fingerprint (mean-threshold bits
+    over an 8x8 luma downsample; public domain technique, cf. the
+    pHash family).
+
+    Decode stand-in, per the container's no-codec-libs rule: the
+    payload string is cut into 64 equal CHARACTER blocks (tail beyond
+    64*L ignored, L = max(1, len//64)) and "luma" pixel i is the first
+    byte of md5(block_i). Near-identical payloads differ in few blocks
+    -> few pixels -> small Hamming distance, which is exactly the
+    structure aHash exploits on real pixels; a real deployment swaps
+    the block-digest loop for PIL decode + 8x8 resize behind this same
+    UDF signature. Kept as a REAL Arrow-batched pandas UDF (the
+    production seam point); the arithmetic is deliberately
+    SQL-mirrorable (md5 over substrings), so q_image_near_dup is
+    value-checked against DuckDB end-to-end.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _ahash(payload: pd.Series) -> pd.Series:
+        out = []
+        for s in payload:
+            if s is None:
+                out.append(None)
+                continue
+            n = len(s)
+            L = max(1, n // AHASH_BITS)
+            px = [
+                hashlib.md5(s[i * L : i * L + L].encode("utf-8")).digest()[0]
+                for i in range(AHASH_BITS)
+            ]
+            mean = sum(px) / AHASH_BITS
+            out.append("".join("1" if p > mean else "0" for p in px))
+        return pd.Series(out)
+
+    return _ahash
+
+
+def image_near_dup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_hamming: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded aHash + exact Hamming
+    verify — the image-side twin of SimHash text dedup, and the op a
+    multimodal training corpus needs at scale (screenshot/thumbnail/
+    re-encode duplicates survive exact byte dedup).
+
+    Candidate generation is an equi-join on (band_index, band_bits):
+    two 64-bit hashes within Hamming distance ``max_hamming`` share at
+    least one identical 16-bit band whenever ``max_hamming < bands``
+    holds per the pigeonhole bound — with the default 8 > 4 the band
+    join is a high-recall heuristic, not a guarantee (same trade as
+    multi-band LSH; raise ``bands`` for a guarantee). Verification is
+    exact Hamming on candidates only. Exchanges carry (id, 16-char
+    band) and (id, id, distance) scalar rows — never payloads. Run
+    exact byte dedup FIRST: byte-identical images share all bands and
+    an n-identical cluster would emit n^2/2 candidate pairs.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row
+    per pair.
+
+    ``checkpoint`` (default on) localCheckpoints the (id, hash) table
+    before the self-join — without it both join branches re-decode and
+    re-hash every payload (Spark does not CSE across self-join
+    branches; measured 3.5s -> 1.9s at sf0.1). The checkpointed table
+    is 65 bytes/row — it is exactly the hash INDEX a production
+    pipeline would persist to parquet and band-join incrementally,
+    the ``ann_index`` pattern. Pass False to stay fully lazy (e.g.
+    streaming foreachBatch composition).
+    """
+    band_w = AHASH_BITS // bands
+    h = df.select(
+        F.col(id_col).alias("_id"), ahash64_udf()(F.col(payload_col)).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    if checkpoint:
+        h = h.localCheckpoint(eager=True)
+    b = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.substring("_h", i * band_w + 1, band_w).alias("bv"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_h", "bb.bi", "bb.bv")
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["bi", "bv"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._h").alias("ha"),
+            F.col("y._h").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0,"
+        " (acc, i) -> acc + IF(substring(ha, i, 1) <> substring(hb, i, 1), 1, 0))"
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -109,3 +109,34 @@ def test_audio_features(spark):
     r = MM.audio_features(df).first()
     assert r["duration_s"] == 2.0 and r["sample_rate"] == 16000
     assert r["byte_energy"] > 0
+
+
+def test_image_near_dup_planted_pairs(spark):
+    """r8 C15 x C13: banded aHash finds the perturbed twin and the
+    byte-identical copy, ignores unrelated payloads and NULLs, and
+    reports distance 0 for exact duplicates."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        ahash64_udf,
+        image_near_dup,
+    )
+
+    base = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base),                      # exact duplicate -> hamming 0
+        (3, "Z" + base[1:]),            # one-block perturbation -> near dup
+        (4, "IMG1|8|8|1|" + "completely different payload contents here " * 8),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(df, "media_id", "payload", max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and 0 < got[(1, 3)] <= 8
+    assert all(4 not in pair and 5 not in pair for pair in got)
+
+    # hash shape + determinism
+    h = df.filter("payload is not null").select(ahash64_udf()("payload").alias("h")).collect()
+    assert all(len(r["h"]) == 64 and set(r["h"]) <= {"0", "1"} for r in h)
