@@ -337,7 +337,7 @@ def q_geomean_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["q_geomean_by_type"] = """
 SELECT event_type,
-       round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6) AS geo_mean,
+       round(exp(avg(CASE WHEN value > 0 THEN ln(value) END)), 6) AS geo_mean,
        count(*) AS n
 FROM events
 GROUP BY event_type

@@ -1122,9 +1122,16 @@ def q_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    # Exact decimal arithmetic (the q_returned_items lesson, caught at
+    # sf0.1 by the full-scale oracle sweep: one nation-year's double
+    # sum landed a cent apart between engines on summation order).
+    # Decimal sums are order-independent; round, then cast back.
     profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        - F.lit("0.6").cast("decimal(18,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
     )
     return (
         li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
@@ -1133,15 +1140,18 @@ def q_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 ORACLE["q_profit_by_nation"] = """
 SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      - CAST('0.6' AS DECIMAL(18,2))
+                        * CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
