@@ -168,3 +168,60 @@ class IndexClient:
         if top is not None:
             t = t.limit(top)
         return t
+
+    # -- relevance search (B8/B9/B10: the leg the reference delegates
+    # -- to Azure Search scoring / the VectorizedQuery it never issues)
+
+    def search_text(self, query: str, k: int = 10) -> DataFrame:
+        """Full-text relevance (B8): whitespace-tokenized query terms
+        scored by one-scan Okapi BM25 over ``content``
+        (case-insensitive). Returns (id, content, filename, bm25)."""
+        from data_ingestion_tool_bakasura__spark.functions.ranking import bm25_topk
+
+        terms = [t for t in query.split() if t]
+        hits = bm25_topk(self.table(), terms, k=k, id_col="id", text_col="content")
+        return (
+            hits.join(self.table().select("id", "content", "filename"), "id")
+            .select("id", "content", "filename", "bm25")
+            .orderBy(F.desc("bm25"), "id")
+        )
+
+    def search_vector(self, query: str, k: int = 10) -> DataFrame:
+        """Vector KNN (B9) — the query the reference CONFIGURES but
+        never issues (``VectorizedQuery`` imported, never called,
+        ``db_utils.py:24``): embed the query text with the same
+        provider that built the index, exact cosine top-k over
+        ``content_vector``. Returns (id, content, filename, cos_sim)."""
+        from data_ingestion_tool_bakasura__spark.operators.similarity import cosine_topk
+
+        qv = E.hash_embed_py(query, self.embedding_dim)
+        hits = cosine_topk(
+            self.table(), qv, k=k, id_col="id", vec_col="content_vector"
+        )
+        return (
+            hits.join(self.table().select("id", "content", "filename"), "id")
+            .select("id", "content", "filename", "cos_sim")
+            .orderBy(F.desc("cos_sim"), "id")
+        )
+
+    def search_hybrid(self, query: str, k: int = 10) -> DataFrame:
+        """Hybrid retrieval (B10): BM25 and vector legs each cut to
+        their bounded top-(4k) first, fused by Reciprocal Rank Fusion
+        (k=60). Returns (id, content, filename, rrf)."""
+        from pyspark.sql import Window
+
+        from data_ingestion_tool_bakasura__spark.functions.ranking import rrf_fuse
+
+        cut = max(4 * k, 20)
+        bm = self.search_text(query, k=cut).withColumn(
+            "r_bm", F.row_number().over(Window.orderBy(F.desc("bm25"), "id"))
+        )
+        vec = self.search_vector(query, k=cut).withColumn(
+            "r_vec", F.row_number().over(Window.orderBy(F.desc("cos_sim"), "id"))
+        )
+        fused = rrf_fuse(bm, vec, "id", rank_a="r_bm", rank_b="r_vec", topn=k)
+        return (
+            fused.join(self.table().select("id", "content", "filename"), "id")
+            .select("id", "content", "filename", "rrf")
+            .orderBy(F.desc("rrf"), "id")
+        )

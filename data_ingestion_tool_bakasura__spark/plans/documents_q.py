@@ -1073,39 +1073,17 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 def q_bm25_topdocs(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 (k1=1.2, b=0.75) for the fixed query-term set, top 20.
 
-    Same one-explode discipline as q_tfidf_topdocs, with the doc length
-    carried THROUGH the explode (``dl`` is projected before explode and
-    re-aggregated with first()), so tf, df and dl all come from one text
-    scan; N and avgdl are a second, 1-row aggregate scan broadcast to
-    the scorer. df is a window count over the tiny (doc,term) table."""
+    Delegates to the reusable :func:`~..functions.ranking.bm25_topk`
+    (extracted round 8 so IndexClient.search_text shares the exact
+    scorer): one-explode discipline with the doc length carried
+    THROUGH the explode, so tf, df and dl all come from one text scan;
+    N and avgdl are a 1-row broadcast; df is a window count over the
+    tiny (doc, term) table. ``lowercase=False`` keeps the original
+    case-sensitive oracle semantics."""
+    from data_ingestion_tool_bakasura__spark.functions.ranking import bm25_topk
+
     docs = load_table(spark, sf, "documents")
-    toks_arr = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-    stats = F.broadcast(
-        docs.agg(
-            F.count("*").cast("double").alias("n_docs"),
-            F.avg(F.size(toks_arr)).alias("avgdl"),
-        )
-    )
-    toks = docs.select(
-        "doc_id", F.size(toks_arr).alias("dl"), F.explode(toks_arr).alias("tk")
-    ).filter(F.col("tk").isin(*_TFIDF_TERMS))
-    tf = toks.groupBy("doc_id", "tk").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("tk")))
-        .join(stats)
-        .withColumn("w", idf * F.col("tf") * (_BM25_K1 + 1) / denom)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("bm25"))
-    )
-    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    return bm25_topk(docs, _TFIDF_TERMS, k=20, lowercase=False)
 
 
 _BM25_SQL = f"""
@@ -1147,39 +1125,18 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: each leg is cut to its top-100 FIRST via orderBy+limit
     (TakeOrderedAndProject — distributed partial top-k), so the
     rank-assignment window runs over <=100 rows per leg (bounded by the
-    cut, not the corpus) and the fusion join is a tiny full-outer."""
+    cut, not the corpus) and the fusion join is a tiny full-outer.
+    Delegates the BM25 leg and the RRF fuse to ``functions.ranking``
+    (extracted round 8; IndexClient.search_hybrid shares them)."""
+    from data_ingestion_tool_bakasura__spark.functions.ranking import (
+        bm25_topk,
+        rrf_fuse,
+    )
     from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity
 
     # lexical leg: same one-scan BM25 plan as q_bm25_topdocs, cut to 100
     docs = load_table(spark, sf, "documents")
-    toks_arr = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-    stats = F.broadcast(
-        docs.agg(
-            F.count("*").cast("double").alias("n_docs"),
-            F.avg(F.size(toks_arr)).alias("avgdl"),
-        )
-    )
-    toks = docs.select(
-        "doc_id", F.size(toks_arr).alias("dl"), F.explode(toks_arr).alias("tk")
-    ).filter(F.col("tk").isin(*_TFIDF_TERMS))
-    tf = toks.groupBy("doc_id", "tk").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    bm = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("tk")))
-        .join(stats)
-        .withColumn("w", idf * F.col("tf") * (_BM25_K1 + 1) / denom)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(100)
-    )
+    bm = bm25_topk(docs, _TFIDF_TERMS, k=100, lowercase=False)
     # rank over the bounded top-100 (not the corpus)
     bm_ranked = bm.withColumn(
         "r_bm",
@@ -1205,19 +1162,10 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("cos_sim"), "doc_id")),
     ).select("doc_id", "r_vec")
 
-    fused = (
-        bm_ranked.join(vec_ranked, "doc_id", "full_outer")
-        .withColumn(
-            "rrf",
-            F.round(
-                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
-                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
-                6,
-            ),
-        )
-        .select("doc_id", "rrf")
-    )
-    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+    return rrf_fuse(
+        bm_ranked, vec_ranked, "doc_id", rank_a="r_bm", rank_b="r_vec",
+        k=60, topn=10,
+    ).select("doc_id", "rrf")
 
 
 ORACLE["q_hybrid_rrf"] = f"""

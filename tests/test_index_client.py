@@ -110,3 +110,37 @@ def test_concurrent_stale_break_single_winner(spark, tmp_path):
     assert t.count() == t.select("text_hash").distinct().count()
     assert sum(added) == t.count()
     assert not os.path.exists(lock)
+
+
+def test_relevance_search_three_modes(spark, tmp_path):
+    """r8: BM25 / vector-KNN / hybrid-RRF over the ingest index — the
+    search leg the reference configures (HNSW, VectorizedQuery) but
+    never issues. A planted distinctive chunk must top the lexical
+    ranking for its own terms; vector search against a chunk's own
+    text must self-hit at cos 1.0 (hash embeddings are deterministic);
+    the hybrid fuse must surface a doc ranked by either leg."""
+    from pyspark.sql import functions as F
+
+    client = IndexClient(spark, str(tmp_path / "idx_rel"), embedding_dim=8)
+    client.initialize()
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 30").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == 7,
+            F.lit("zanzibar quokka zanzibar quokka unique marker text"),
+        ).otherwise(F.col("text")).alias("text"),
+        "source", "lang",
+    )
+    client.store(ingest_documents(docs, cfg=IngestConfig(embedding_dim=8)))
+
+    top = client.search_text("zanzibar quokka", k=5).collect()
+    assert top and "zanzibar" in top[0]["content"]
+    assert all("bm25" in r.asDict() for r in top)
+
+    probe = client.table().filter("content like '%zanzibar%'").first()
+    vec = client.search_vector(probe["content"], k=3).collect()
+    assert vec[0]["id"] == probe["id"] and vec[0]["cos_sim"] == 1.0
+
+    hyb = client.search_hybrid("zanzibar quokka", k=5).collect()
+    assert any("zanzibar" in r["content"] for r in hyb)
+    assert all(r["rrf"] > 0 for r in hyb)

@@ -1,0 +1,106 @@
+"""End-to-end pipeline CLI — the reference's user journey as commands.
+
+The reference is an interactive app: upload files -> extract pages ->
+chunk -> embed -> upsert into a search index -> show stats
+(``main.py:227-391``). This CLI is that journey over the Spark engine,
+plus the search leg the reference configures but never issues:
+
+    python tools/pipeline_cli.py ingest <src_dir> <index_dir> [--glob '*'] [--dim 64]
+    python tools/pipeline_cli.py search <index_dir> "query text" [--mode text|vector|hybrid] [-k 10]
+    python tools/pipeline_cli.py stats <index_dir>
+
+``ingest`` is incremental and dedup-checked (same batch twice adds 0
+chunks — the reference's text_hash probe, done as one anti-join);
+``search`` modes map to BM25 (B8), exact vector cosine (B9) and
+RRF-hybrid (B10). Output is JSON lines on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pipeline_cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ing = sub.add_parser("ingest", help="extract -> chunk -> embed -> index")
+    p_ing.add_argument("src_dir")
+    p_ing.add_argument("index_dir")
+    p_ing.add_argument("--glob", default=None, help="e.g. '*.txt'")
+    p_ing.add_argument("--dim", type=int, default=64, help="embedding dim")
+
+    p_sea = sub.add_parser("search", help="query the index")
+    p_sea.add_argument("index_dir")
+    p_sea.add_argument("query")
+    p_sea.add_argument("--mode", choices=("text", "vector", "hybrid"), default="hybrid")
+    p_sea.add_argument("-k", type=int, default=10)
+
+    p_sta = sub.add_parser("stats", help="index stats + per-file facet")
+    p_sta.add_argument("index_dir")
+
+    args = ap.parse_args(argv)
+
+    from data_ingestion_tool_bakasura__spark.index_client import IndexClient
+    from data_ingestion_tool_bakasura__spark.session import get_spark
+
+    spark = get_spark("pipeline-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "ingest":
+        from data_ingestion_tool_bakasura__spark.multimodal.extract import (
+            extract_to_documents,
+        )
+        from data_ingestion_tool_bakasura__spark.operators.ingest import (
+            IngestConfig,
+            ingest_documents,
+        )
+        from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+        client = IndexClient(spark, args.index_dir, embedding_dim=args.dim)
+        client.initialize()
+        raw = read_binary_files(spark, args.src_dir, glob=args.glob)
+        docs = extract_to_documents(raw)
+        rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
+        n_new = client.store(rows)
+        print(json.dumps({"event": "ingested", "new_chunks": n_new, **client.stats()}))
+        return 0
+
+    client = IndexClient(spark, args.index_dir)
+    first = client.table().select("content_vector").first()
+    if first and first["content_vector"] is not None:
+        # the query must embed at the same dim the index was built with
+        client.embedding_dim = len(first["content_vector"])
+    if args.cmd == "stats":
+        print(json.dumps(client.stats()))
+        for r in client.document_stats().collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    fn = {
+        "text": client.search_text,
+        "vector": client.search_vector,
+        "hybrid": client.search_hybrid,
+    }[args.mode]
+    score_col = {"text": "bm25", "vector": "cos_sim", "hybrid": "rrf"}[args.mode]
+    for r in fn(args.query, k=args.k).collect():
+        print(
+            json.dumps(
+                {
+                    "id": r["id"],
+                    "filename": r["filename"],
+                    score_col: r[score_col],
+                    "content": (r["content"] or "")[:120],
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
