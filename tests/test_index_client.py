@@ -144,3 +144,41 @@ def test_relevance_search_three_modes(spark, tmp_path):
     hyb = client.search_hybrid("zanzibar quokka", k=5).collect()
     assert any("zanzibar" in r["content"] for r in hyb)
     assert all(r["rrf"] > 0 for r in hyb)
+
+
+def test_pipeline_cli_journey(spark, tmp_path, capsys):
+    """The CLI drives the full reference journey in-process: ingest ->
+    dedup re-ingest (0 new) -> text/vector/hybrid search -> stats."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_cli
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha notes about zanzibar quokka research")
+    (src / "b.txt").write_text("beta notes about spark shuffles and joins")
+    idx = str(tmp_path / "idx")
+
+    def run(*argv):
+        rc = pipeline_cli.main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()
+        return rc, [json.loads(ln) for ln in out if ln.startswith("{")]
+
+    rc, out = run("ingest", str(src), idx, "--glob", "*.txt", "--dim", "16")
+    assert rc == 0 and out[0]["new_chunks"] == 2 and out[0]["document_count"] == 2
+    rc, out = run("ingest", str(src), idx, "--glob", "*.txt", "--dim", "16")
+    assert out[0]["new_chunks"] == 0  # dedup probe holds across runs
+
+    rc, out = run("search", idx, "zanzibar quokka", "--mode", "text", "-k", "2")
+    assert "zanzibar" in out[0]["content"] and out[0]["bm25"] > 0
+    # vector self-hit: query with a chunk's exact stored content
+    stored = spark.read.parquet(idx).filter("content like '%spark shuffles%'").first()
+    rc, out = run("search", idx, stored["content"], "--mode", "vector", "-k", "1")
+    assert out[0]["id"] == stored["id"] and out[0]["cos_sim"] == 1.0
+    rc, out = run("search", idx, "spark shuffles", "--mode", "hybrid", "-k", "2")
+    assert out and all(o["rrf"] > 0 for o in out)
+
+    rc, out = run("stats", idx)
+    assert out[0] == {"document_count": 2, "unique_files": 2}
