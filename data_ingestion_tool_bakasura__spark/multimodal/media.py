@@ -248,6 +248,10 @@ def ahash64_udf():
             if s is None:
                 out.append(None)
                 continue
+            if isinstance(s, (bytes, bytearray)):
+                # binary frames/payloads: latin-1 round-trips every byte,
+                # keeping block boundaries byte-exact
+                s = bytes(s).decode("latin-1")
             n = len(s)
             L = max(1, n // AHASH_BITS)
             px = [
@@ -336,4 +340,70 @@ def image_near_dup(
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def video_near_dup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_k: int = 2,
+    min_jaccard: float = 0.5,
+    max_videos_per_frame: int = 50,
+) -> DataFrame:
+    """Near-duplicate video pairs by shot-fingerprint Jaccard — the
+    standard video-dedup shape (re-encodes, trims and overlays share
+    most sampled frames even when no two files share a byte): sample
+    every k-th frame, perceptual-hash each frame
+    (:func:`ahash64_udf`), treat a video as its SET of frame hashes,
+    and score candidate pairs by Jaccard over those sets.
+
+    Scale shape: candidates come from an equi-join on the frame hash —
+    two videos meet only if they share at least one hashed frame, so
+    the join is bucketed by content, never all-pairs. Frame hashes
+    seen in more than ``max_videos_per_frame`` videos (black frames,
+    station idents — the boilerplate buckets) are dropped from
+    CANDIDATE GENERATION and from the set sizes symmetrically, the
+    same oversized-bucket cap as MinHash LSH; exchanges carry
+    (video_id, 64-char hash) and (id, id, counts) rows, never frames.
+
+    Returns ``(id_a, id_b, shared, n_a, n_b, jaccard)`` with
+    ``id_a < id_b`` and ``jaccard`` rounded to 6 decimals.
+    """
+    frames = sample_frames(df, every_k=every_k, id_col=id_col, media_col=media_col)
+    fh = (
+        frames.select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
+        .filter(F.col("fh").isNotNull())
+        .distinct()
+    )
+    # boilerplate cap: drop hashes shared by too many videos (both from
+    # candidates AND from sizes, keeping jaccard self-consistent)
+    hot = (
+        fh.groupBy("fh")
+        .agg(F.countDistinct("video_id").alias("nv"))
+        .filter(F.col("nv") > max_videos_per_frame)
+        .select("fh")
+    )
+    fh = fh.join(F.broadcast(hot), "fh", "left_anti").localCheckpoint(eager=True)
+    sizes = fh.groupBy("video_id").agg(F.count("*").alias("n"))
+    shared = (
+        fh.alias("a")
+        .join(fh.alias("b"), "fh")
+        .filter(F.col("a.video_id") < F.col("b.video_id"))
+        .groupBy(
+            F.col("a.video_id").alias("id_a"), F.col("b.video_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("video_id", "id_a").withColumnRenamed("n", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("video_id", "id_b").withColumnRenamed("n", "n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
     )

@@ -140,3 +140,45 @@ def test_image_near_dup_planted_pairs(spark):
     # hash shape + determinism
     h = df.filter("payload is not null").select(ahash64_udf()("payload").alias("h")).collect()
     assert all(len(r["h"]) == 64 and set(r["h"]) <= {"0", "1"} for r in h)
+
+
+def test_video_near_dup_shot_fingerprints(spark):
+    """r8: shot-fingerprint video dedup — a re-encode sharing 5 of 6
+    sampled frames pairs at jaccard 5/7; a disjoint video does not
+    pair; a boilerplate frame present in EVERY video is capped out of
+    candidate generation and set sizes."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import video_near_dup
+
+    import hashlib
+
+    def vid(frames):
+        return b"VID1|24|%d|" % len(frames) + b"\x00".join(frames)
+
+    def frame(seed):
+        # pseudorandom, deterministic, zero-free (VID1 splits on \\x00),
+        # long enough that distinct frames get distinct aHashes (short
+        # near-identical byte strings can legitimately share a
+        # perceptual hash — that is the operator working as intended)
+        d = hashlib.sha256(seed).digest()
+        return bytes((b % 255) + 1 for b in d) * 8
+
+    f = [frame(b"frame-%d" % i) for i in range(8)]
+    black = frame(b"black")
+    rows = [
+        ("A", vid([f[0], f[1], f[2], f[3], f[4], f[5], black])),
+        ("B", vid([f[0], f[1], f[2], f[3], f[4], f[6], black])),  # 5 of 6 shared
+        ("C", vid([f[7], frame(b"unique-c"), black])),
+        ("D", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in video_near_dup(
+            df, every_k=1, min_jaccard=0.5, max_videos_per_frame=2
+        ).collect()
+    }
+    assert set(got) == {("A", "B")}
+    ab = got[("A", "B")]
+    # the black frame (in 3 > 2 videos) is capped from sizes too: 6+6 frames
+    assert (ab["shared"], ab["n_a"], ab["n_b"]) == (5, 6, 6)
+    assert abs(ab["jaccard"] - 5 / 7) < 1e-6
