@@ -407,3 +407,85 @@ def video_near_dup(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
     )
+
+
+def image_hash_index(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The persistable half of :func:`image_near_dup`: ``(media_id,
+    ahash)`` rows, 65 bytes each — write once per corpus, band-join
+    increments against it forever (the ``ann_index`` /
+    ``span_gram_index`` pattern; images are hashed exactly once)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        ahash64_udf()(F.col(payload_col)).alias("ahash"),
+    ).filter(F.col("ahash").isNotNull())
+
+
+def image_near_dup_increment(
+    index: DataFrame,
+    new_images: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Probe a wave of NEW images against a persisted
+    :func:`image_hash_index` (plus each other): only the wave is
+    hashed; the corpus contributes its 65-byte hash rows. Pairs are
+    (id_a, id_b, hamming) where id_b is always the new image and id_a
+    is its earlier (index) or lexicographically-smaller within-wave
+    witness — union the returned wave hashes into the index afterwards
+    (append-only, same contract as ``minhash_lsh_increment``)."""
+    band_w = AHASH_BITS // bands
+    new_h = image_hash_index(
+        new_images, id_col=id_col, payload_col=payload_col
+    ).localCheckpoint(eager=True)
+
+    def banded(h: DataFrame) -> DataFrame:
+        return h.select(
+            F.col("media_id").alias("_id"),
+            F.col("ahash").alias("_h"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.substring("ahash", i * band_w + 1, band_w).alias("bv"),
+                    )
+                    for i in range(bands)
+                ])
+            ).alias("bb"),
+        ).select("_id", "_h", "bb.bi", "bb.bv")
+
+    probe = banded(new_h)
+
+    def pair_cols(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._h").alias("ha"),
+            F.col("y._h").alias("hb"),
+        )
+
+    # old-vs-new: every index hit witnesses the new image
+    base = pair_cols(
+        banded(index).alias("x").join(probe.alias("y"), ["bi", "bv"]).filter(
+            F.col("x._id") != F.col("y._id")
+        )
+    )
+    # new-vs-new: smaller id witnesses, as in the batch operator
+    wave = pair_cols(
+        probe.alias("x").join(probe.alias("y"), ["bi", "bv"]).filter(
+            F.col("x._id") < F.col("y._id")
+        )
+    )
+    pairs = base.unionByName(wave).dropDuplicates(["id_a", "id_b"])
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0,"
+        " (acc, i) -> acc + IF(substring(ha, i, 1) <> substring(hb, i, 1), 1, 0))"
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

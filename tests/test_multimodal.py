@@ -182,3 +182,42 @@ def test_video_near_dup_shot_fingerprints(spark):
     # the black frame (in 3 > 2 videos) is capped from sizes too: 6+6 frames
     assert (ab["shared"], ab["n_a"], ab["n_b"]) == (5, 6, 6)
     assert abs(ab["jaccard"] - 5 / 7) < 1e-6
+
+
+def test_image_near_dup_incremental_wave_parity(spark, tmp_path):
+    """r8 incremental closure: hashing the corpus once and probing a
+    wave against the persisted hash index yields exactly the batch
+    operator's NEW pairs (pairs involving at least one wave image);
+    corpus payloads are never re-hashed (the probe reads the 65-byte
+    index rows only)."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        image_hash_index,
+        image_near_dup,
+        image_near_dup_increment,
+    )
+
+    base = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
+    other = "IMG1|8|8|1|" + "completely different payload contents here " * 8
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "media_id long, payload string"
+    )
+    wave = spark.createDataFrame(
+        [(10, base), (11, "Z" + base[1:]), (12, "IMG1|8|8|1|" + "unrelated new " * 20)],
+        "media_id long, payload string",
+    )
+
+    path = str(tmp_path / "img_idx")
+    image_hash_index(corpus).write.parquet(path)
+    inc = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_increment(spark.read.parquet(path), wave).collect()
+    }
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(corpus.unionByName(wave), max_hamming=8).collect()
+    }
+    new_batch_pairs = {p: h for p, h in batch.items() if p[0] >= 10 or p[1] >= 10}
+    assert inc == new_batch_pairs
+    assert (1, 10) in inc and inc[(1, 10)] == 0  # exact dup across the seam
+    assert (1, 11) in inc and 0 < inc[(1, 11)] <= 8
