@@ -290,7 +290,11 @@ def image_near_dup(
     an n-identical cluster would emit n^2/2 candidate pairs.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row
-    per pair.
+    per pair. Payload-agnostic: the hash accepts string OR binary
+    columns, so the same operator dedups audio payloads (AUD1 bytes)
+    or any other opaque blob — only videos need the frame-set
+    treatment (:func:`video_near_dup`), because trims/re-encodes
+    change the container bytes wholesale.
 
     ``checkpoint`` (default on) localCheckpoints the (id, hash) table
     before the self-join — without it both join branches re-decode and

@@ -221,3 +221,28 @@ def test_image_near_dup_incremental_wave_parity(spark, tmp_path):
     assert inc == new_batch_pairs
     assert (1, 10) in inc and inc[(1, 10)] == 0  # exact dup across the seam
     assert (1, 11) in inc and 0 < inc[(1, 11)] <= 8
+
+
+def test_audio_near_dup_via_payload_hash(spark):
+    """The perceptual-hash dedup is payload-agnostic: binary AUD1
+    payloads pair exactly like image payloads (exact dup at 0, a
+    small corruption within the Hamming budget, distinct audio out)."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import image_near_dup
+
+    samples = bytes(range(1, 200)) * 4
+    a = b"AUD1|16000|796|" + samples
+    corrupt = b"AUD1|16000|796|" + b"\x7f" + samples[1:]
+    rows = [
+        ("a1", a),
+        ("a2", a),
+        ("a3", corrupt),
+        ("a4", b"AUD1|16000|100|" + bytes(reversed(samples))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(df, "media_id", "media", max_hamming=8).collect()
+    }
+    assert got[("a1", "a2")] == 0
+    assert ("a1", "a3") in got and got[("a1", "a3")] <= 8
+    assert all("a4" not in p for p in got)
