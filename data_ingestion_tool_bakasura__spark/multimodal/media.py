@@ -237,32 +237,32 @@ def ahash64_udf():
     SQL-mirrorable (md5 over substrings), so q_image_near_dup is
     value-checked against DuckDB end-to-end.
     """
-    import hashlib
-
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _ahash(payload: pd.Series) -> pd.Series:
-        out = []
-        for s in payload:
-            if s is None:
-                out.append(None)
-                continue
-            if isinstance(s, (bytes, bytearray)):
-                # binary frames/payloads: latin-1 round-trips every byte,
-                # keeping block boundaries byte-exact
-                s = bytes(s).decode("latin-1")
-            n = len(s)
-            L = max(1, n // AHASH_BITS)
-            px = [
-                hashlib.md5(s[i * L : i * L + L].encode("utf-8")).digest()[0]
-                for i in range(AHASH_BITS)
-            ]
-            mean = sum(px) / AHASH_BITS
-            out.append("".join("1" if p > mean else "0" for p in px))
-        return pd.Series(out)
+        return pd.Series([None if s is None else ahash64_py(s) for s in payload])
 
     return _ahash
+
+
+def ahash64_py(s) -> str:
+    """The pure scalar core of :func:`ahash64_udf` (also what the
+    property tests drive): 64-char '0'/'1' mean-threshold hash over
+    the block-digest pixels. Accepts str or bytes (latin-1 decode
+    keeps block boundaries byte-exact)."""
+    import hashlib
+
+    if isinstance(s, (bytes, bytearray)):
+        s = bytes(s).decode("latin-1")
+    n = len(s)
+    L = max(1, n // AHASH_BITS)
+    px = [
+        hashlib.md5(s[i * L : i * L + L].encode("utf-8")).digest()[0]
+        for i in range(AHASH_BITS)
+    ]
+    mean = sum(px) / AHASH_BITS
+    return "".join("1" if p > mean else "0" for p in px)
 
 
 def image_near_dup(

@@ -337,3 +337,45 @@ def test_write_clustered_size_derived_file_count(spark, tmp_path):
             ranges.append((lo, hi))
     ranges.sort()
     assert sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c <= b) == 0, ranges
+
+
+# -- r8 perceptual-hash properties (pure python, no Spark in the loop) ------
+
+from data_ingestion_tool_bakasura__spark.multimodal.media import ahash64_py
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.text(max_size=400), st.binary(max_size=400)))
+def test_ahash_shape_and_determinism(payload):
+    h = ahash64_py(payload)
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    assert ahash64_py(payload) == h
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_ahash_bytes_equal_latin1_text(payload):
+    """The binary-acceptance contract image/video/audio dedup rely on:
+    hashing raw bytes == hashing their latin-1 text form, so string
+    payload columns and binary media columns land in one hash space."""
+    assert ahash64_py(payload) == ahash64_py(payload.decode("latin-1"))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=128, max_size=400), st.integers(min_value=0, max_value=127))
+def test_ahash_oracle_arithmetic_parity(s, flip_at):
+    """ahash64_py must equal the DuckDB-oracle arithmetic the
+    q_image_near_dup SQL re-derives (md5 of fixed character blocks,
+    first byte as pixel, strict mean threshold) — checked here by an
+    independent re-derivation, including after a single-char edit."""
+    import hashlib
+
+    def oracle(t):
+        L = max(1, len(t) // 64)
+        px = [hashlib.md5(t[i * L:i * L + L].encode()).digest()[0] for i in range(64)]
+        m = sum(px) / 64.0
+        return "".join("1" if p > m else "0" for p in px)
+
+    assert ahash64_py(s) == oracle(s)
+    edited = s[:flip_at] + ("X" if s[flip_at] != "X" else "Y") + s[flip_at + 1:]
+    assert ahash64_py(edited) == oracle(edited)
