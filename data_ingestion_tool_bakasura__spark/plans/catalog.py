@@ -35,9 +35,9 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: Catalog iteration order. External correctness harnesses check a
 #: prefix of ``queries()`` in iteration order. Round-8 rotation
 #: (r7 verdict #1 + BASELINE.md rotation ledger; evidence computed by
-#: tools/rotation.py): lead with the six queries that have NO driver
-#: row ever (four landed past the r7 boundary; q_quality_classifier
-#: and q_image_near_dup are NEW this round), then the 19 remaining
+#: tools/rotation.py): lead with the seven queries that have NO driver
+#: row ever (four landed past the r7 boundary; q_quality_classifier,
+#: q_image_near_dup and q_corpus_report are NEW this round), then the 19 remaining
 #: rows whose newest driver evidence dates from r1/r2, then the three
 #: re-entrants whose gram path was rewritten late r7 (window-lead
 #: shingles + the ngram_overlap spread guard), then q_lm_quality whose
@@ -46,9 +46,9 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: 15 rows still carrying r4 evidence, one sentinel per operator
 #: family that would otherwise have no in-window representative
 #: (streaming / vectors / multimodal / C18 grouped-map — all r6), and
-#: the two oldest r5 rows, filling the 50 exactly.
+#: the oldest r5 row, filling the 50 exactly.
 #: After this window lands, every oracle-able catalog query's newest
-#: driver row is r4+ and the deepest remaining staleness is seven r5
+#: driver row is r4+ and the deepest remaining staleness is eight r5
 #: rows. Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
 #: q_ivf_assignments, q_hnsw_topk) sit past the checked window — their
 #: semantics are held by dedicated tests (test_ingest, ANN.md recall
@@ -63,6 +63,7 @@ _PRIORITY = [
     "q_lm_quality_xcorpus",      # pretrained-model seam twin of q_lm_quality
     "q_quality_classifier",      # NEW r8: CCNet-shape logistic quality filter
     "q_image_near_dup",          # NEW r8: banded aHash image near-dup (C15 x C13)
+    "q_corpus_report",           # NEW r8: one-scan dataset-card accounting
     # --- last r1/r2-evidence rows (rotation ledger; retires the backlog) ---
     "q_doc_stats",               # r1
     "q_lang_facet",              # r1
@@ -111,10 +112,10 @@ _PRIORITY = [
     "q_value_zscore_builtin",    # C6/C18 production twin sentinel
     # --- oldest r5 rows (fill to 50) ---
     "q_exists_subquery",         # C4 EXISTS join shape
-    "q_stratified_sample",       # sampling family
     # ---------- 50-query window boundary ----------
     # everything below carries an r5-r7 driver-green row; in-window
     # reps above cover every SURVEY §2 family
+    "q_stratified_sample",       # r5 (yielded its slot to q_corpus_report)
     "q_event_dedup",             # r5 (yielded its slot to q_image_near_dup)
     "q_fulltext_score",          # r5 (yielded its slot to q_quality_classifier)
     "q_tfidf_topdocs",           # r5

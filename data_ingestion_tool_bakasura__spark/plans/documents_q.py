@@ -1371,6 +1371,68 @@ ORDER BY id
 """
 
 
+
+
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card accounting in ONE scan + one 1-row aggregation —
+    the report a corpus pipeline publishes after every run: volume
+    (docs/tokens/chars), integrity (NULL-text count), exact-dup rate
+    via countDistinct(md5(text)), diversity (langs/sources) and mean
+    heuristic quality. The three distinct-aggregates share a single
+    aggregation (Catalyst's Expand, 3 rows per input — still one scan,
+    one exchange of partial maps); every column is re-derived in the
+    DuckDB oracle to 6 decimals."""
+    docs = load_table(spark, sf, "documents")
+    t = F.coalesce("text", F.lit(""))
+    return (
+        docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+            F.sum(TS.n_tokens_ws("text")).cast("bigint").alias("n_tokens"),
+            F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+            F.countDistinct(F.md5(t)).alias("n_distinct_texts"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg(TS.quality_score("text")), 6).alias("avg_quality"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6),
+        )
+    )
+
+
+ORACLE["q_corpus_report"] = f"""
+WITH t AS (
+  SELECT text, lang, source,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                         x -> lower(x) IN {_SW})) AS n_sw,
+         length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(coalesce(text, '')) AS nc
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         count(DISTINCT md5(coalesce(text, ''))) AS n_distinct_texts,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         round(avg(round(0.5 * least(nc / 1000.0, 1.0)
+             + 0.5 * least((CASE WHEN n_tok = 0 THEN 0.0 ELSE n_sw / n_tok::DOUBLE END) * 5.0, 1.0)
+             - 0.25 * least((CASE WHEN nc = 0 THEN 0.0 ELSE n_punct / nc::DOUBLE END) * 5.0, 1.0), 6)), 6)
+           AS avg_quality
+  FROM t
+)
+SELECT n_docs, n_null_text, n_tokens, n_chars, n_distinct_texts,
+       n_langs, n_sources, avg_quality,
+       round(1 - n_distinct_texts / n_docs::DOUBLE, 6) AS dup_rate
+FROM agg
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
