@@ -281,10 +281,18 @@ def image_near_dup(
     Candidate generation is an equi-join on (band_index, band_bits):
     two 64-bit hashes within Hamming distance ``max_hamming`` share at
     least one identical 16-bit band whenever ``max_hamming < bands``
-    holds per the pigeonhole bound — with the default 8 > 4 the band
-    join is a high-recall heuristic, not a guarantee (same trade as
-    multi-band LSH; raise ``bands`` for a guarantee). Verification is
-    exact Hamming on candidates only. Exchanges carry (id, 16-char
+    (pigeonhole). With the defaults (4 bands, budget 8) recall is
+    GUARANTEED through distance 3 and measured 0.90 / 0.74 / 0.58 /
+    0.44 / 0.33 at distances 4-8 (uniform flip model; table in
+    ANN.md) — which is the right trade because measured aHash
+    near-dups CONCENTRATE in the guaranteed-or-near region (a
+    single-char edit lands at d <= 4, mean 0.8; corrupting a 5%
+    contiguous span lands at mean 2.8, p99 = 7), while a band narrow
+    enough to guarantee d = 8 on a 64-bit code would admit ~7%+ of
+    ALL pairs as candidates. Heavier-corruption regimes should raise
+    ``bands`` knowingly (cost table in ANN.md) rather than trust a
+    false guarantee. Verification is exact Hamming on candidates
+    only. Exchanges carry (id, 16-char
     band) and (id, id, distance) scalar rows — never payloads. Run
     exact byte dedup FIRST: byte-identical images share all bands and
     an n-identical cluster would emit n^2/2 candidate pairs.
