@@ -235,3 +235,50 @@ def test_quality_classifier_matches_python_reference(spark):
             assert math.isclose(gi, wi, abs_tol=2e-6), (d, got[d], want[d])
         assert got[d][6] == want[d][6], (d, got[d], want[d])
     assert len({v[6] for v in want.values()}) == 2  # both decisions occur
+
+
+def test_image_near_dup_matches_python_reference(spark):
+    """Third independent implementation of the banded-aHash pipeline
+    (the DuckDB oracle is the second): randomized payload corpus with
+    planted exact/near/far structure, pairs and distances must match a
+    direct Python banding + Hamming re-derivation exactly."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        ahash64_py,
+        image_near_dup,
+    )
+
+    rng = random.Random(41)
+    alphabet = "abcdefgh "
+    payloads = {}
+    for i in range(30):
+        payloads[i] = "".join(rng.choice(alphabet) for _ in range(rng.randrange(80, 600)))
+    for i in range(30, 40):  # planted twins of 0..9: one-char edits
+        src = payloads[i - 30]
+        j = rng.randrange(len(src))
+        payloads[i] = src[:j] + "Z" + src[j + 1:]
+    payloads[40] = payloads[0]  # exact duplicate
+
+    def ref_pairs(bands=4, max_hamming=8):
+        hashes = {i: ahash64_py(s) for i, s in payloads.items()}
+        out = {}
+        ids = sorted(hashes)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                ha, hb = hashes[a], hashes[b]
+                if not any(ha[k * 16:(k + 1) * 16] == hb[k * 16:(k + 1) * 16] for k in range(bands)):
+                    continue
+                d = sum(x != y for x, y in zip(ha, hb))
+                if d <= max_hamming:
+                    out[(a, b)] = d
+        return out
+
+    df = spark.createDataFrame(list(payloads.items()), "media_id long, payload string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(df, "media_id", "payload").collect()
+    }
+    want = ref_pairs()
+    assert got == want
+    assert (0, 40) in want and want[(0, 40)] == 0
+    assert sum(1 for (a, b) in want if b == a + 30) >= 7  # most twins surface
