@@ -124,3 +124,27 @@ def fingerprint(col: Column | str, prefix_len: int = 128) -> Column:
     duplicates without hashing whole multi-MB docs."""
     c = _c(col)
     return F.md5(F.substring(F.trim(F.regexp_replace(c, r"\s+", " ")), 1, prefix_len))
+
+
+def corpus_report(df, text_col: str = "text"):
+    """Dataset-card accounting in ONE scan + one 1-row aggregation:
+    volume (docs/tokens/chars), integrity (NULL-text count), exact-dup
+    rate via countDistinct(md5(text)), diversity (langs/sources when
+    present) and mean heuristic quality. The catalog's
+    q_corpus_report delegates here and value-checks every column vs
+    DuckDB; tools/curate_cli.py publishes it per run."""
+    t = F.coalesce(_c(text_col), F.lit(""))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(_c(text_col).isNull().cast("long")).alias("n_null_text"),
+        F.sum(n_tokens_ws(text_col)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.countDistinct(F.md5(t)).alias("n_distinct_texts"),
+    ]
+    for col in ("lang", "source"):
+        if col in df.columns:
+            aggs.append(F.countDistinct(col).alias(f"n_{col}s"))
+    aggs.append(F.round(F.avg(quality_score(text_col)), 6).alias("avg_quality"))
+    return df.agg(*aggs).withColumn(
+        "dup_rate", F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6)
+    )

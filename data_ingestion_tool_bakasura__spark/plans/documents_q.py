@@ -1383,23 +1383,7 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     one exchange of partial maps); every column is re-derived in the
     DuckDB oracle to 6 decimals."""
     docs = load_table(spark, sf, "documents")
-    t = F.coalesce("text", F.lit(""))
-    return (
-        docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
-            F.sum(TS.n_tokens_ws("text")).cast("bigint").alias("n_tokens"),
-            F.sum(F.length(t)).cast("bigint").alias("n_chars"),
-            F.countDistinct(F.md5(t)).alias("n_distinct_texts"),
-            F.countDistinct("lang").alias("n_langs"),
-            F.countDistinct("source").alias("n_sources"),
-            F.round(F.avg(TS.quality_score("text")), 6).alias("avg_quality"),
-        )
-        .withColumn(
-            "dup_rate",
-            F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6),
-        )
-    )
+    return TS.corpus_report(docs)
 
 
 ORACLE["q_corpus_report"] = f"""

@@ -225,3 +225,32 @@ def test_quality_classifier_seam_and_null_safety(spark):
     plan = quality_classifier_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:1500]
+
+
+def test_curate_cli_journey(spark, tmp_path, capsys):
+    """r8: the curation CLI composes the certified operators end-to-end
+    (report card, surgery -> LM gate -> quality gate -> hash splits ->
+    partitioned write) with consistent accounting."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = curate_cli.main(["report", src])
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and card["n_docs"] == 500 and card["n_tokens"] > 0
+
+    out = str(tmp_path / "cur")
+    rc = curate_cli.main(["run", src, out, "--nll-max", "9.9"])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and d["n_in"] == 500
+    assert d["n_kept"] == sum(d["splits"].values()) > 0
+    assert d["card_out"]["n_docs"] == d["n_kept"]
+    # written corpus is readable, split-partitioned, and matches counts
+    got = spark.read.parquet(out + "/corpus")
+    assert got.count() == d["n_kept"]
+    assert set(r["split"] for r in got.select("split").distinct().collect()) == set(
+        d["splits"]
+    )

@@ -1,0 +1,130 @@
+"""Training-corpus curation as a CLI — the second user journey
+(tools/pipeline_cli.py is the RAG/index journey; this is the
+LLM-pretraining one): the README's curation quickstart as commands
+over a parquet documents table with (doc_id, text[, source, lang]).
+
+    python tools/curate_cli.py report <docs_parquet>
+    python tools/curate_cli.py run <docs_parquet> <out_dir> \\
+        [--span-n 20] [--nll-max 5.38] [--min-quality 0.25] \\
+        [--splits train=0.9,val=0.05,test=0.05]
+
+``run`` executes substring-span surgery (Lee et al. shape) ->
+char-trigram LM self-scoring of the POST-surgery text (CCnet
+ordering; size-gated model join) -> logistic quality classification
+-> deterministic hash splits, writes the surviving docs partitioned
+by split under <out_dir>/corpus, and prints JSON accounting: input
+and output dataset cards plus per-stage drop counts. Every operator
+in the chain is oracle-certified in the catalog; the CLI only
+composes them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _report_row(df) -> dict:
+    from data_ingestion_tool_bakasura__spark.functions.textstats import corpus_report
+
+    return corpus_report(df).first().asDict()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="curate_cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_rep = sub.add_parser("report", help="one-row dataset card")
+    p_rep.add_argument("docs")
+
+    p_run = sub.add_parser("run", help="surgery -> LM filter -> quality -> splits")
+    p_run.add_argument("docs")
+    p_run.add_argument("out_dir")
+    p_run.add_argument("--span-n", type=int, default=20)
+    p_run.add_argument("--nll-max", type=float, default=5.38)
+    p_run.add_argument("--min-quality", type=float, default=0.25)
+    p_run.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.session import get_spark
+
+    spark = get_spark("curate-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.docs)
+
+    if args.cmd == "report":
+        print(json.dumps(_report_row(docs), default=str))
+        return 0
+
+    from data_ingestion_tool_bakasura__spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        char_trigram_nll,
+        hash_split,
+        quality_classifier_score,
+    )
+
+    weights = {}
+    for part in args.splits.split(","):
+        name, w = part.split("=")
+        weights[name] = float(w)
+
+    card_in = _report_row(docs)
+
+    cleaned = remove_repeated_spans(docs, n=args.span_n).localCheckpoint(eager=True)
+    scored = char_trigram_nll(cleaned, text_col="cleaned", id_col="doc_id")
+    quality = quality_classifier_score(
+        cleaned, text_col="cleaned", id_col="doc_id", threshold=args.min_quality
+    )
+    # surgery emits only (doc_id, cleaned, accounting) — join the
+    # passthrough metadata back from the source table
+    meta_cols = [c for c in ("source", "lang") if c in docs.columns]
+    merged = cleaned.select("doc_id", F.col("cleaned").alias("text"))
+    if meta_cols:
+        merged = merged.join(docs.select("doc_id", *meta_cols), "doc_id")
+    merged = merged.join(scored.select("doc_id", "nll"), "doc_id").join(
+        quality.select("doc_id", "q_score", "keep"), "doc_id"
+    )
+    # unscoreable docs (< 3 chars post-surgery) fail the LM gate
+    kept = merged.filter(
+        F.col("keep") & F.col("nll").isNotNull() & (F.col("nll") <= args.nll_max)
+    )
+    out = hash_split(kept, "doc_id", weights).localCheckpoint(eager=True)
+
+    corpus_path = os.path.join(args.out_dir, "corpus")
+    out.write.partitionBy("split").mode("overwrite").parquet(corpus_path)
+
+    n_in = card_in["n_docs"]
+    n_kept = out.count()
+    n_lm_drop = merged.filter(
+        F.col("nll").isNull() | (F.col("nll") > args.nll_max)
+    ).count()
+    n_q_drop = merged.filter(~F.col("keep")).count()
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({
+        "event": "curated",
+        "out": corpus_path,
+        "n_in": n_in,
+        "n_kept": n_kept,
+        "dropped_by_lm": n_lm_drop,
+        "dropped_by_quality": n_q_drop,
+        "splits": per_split,
+        "card_in": card_in,
+        "card_out": _report_row(out),
+    }, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
