@@ -144,7 +144,10 @@ def corpus_report(df, text_col: str = "text"):
     for col in ("lang", "source"):
         if col in df.columns:
             aggs.append(F.countDistinct(col).alias(f"n_{col}s"))
-    aggs.append(F.round(F.avg(quality_score(text_col)), 6).alias("avg_quality"))
+    # score the COALESCED text so NULL-text docs count as quality 0.0 in
+    # the average (matching the `t` expression above and the q_corpus_report
+    # DuckDB oracle) instead of being silently skipped by avg's NULL rule
+    aggs.append(F.round(F.avg(quality_score(t)), 6).alias("avg_quality"))
     return df.agg(*aggs).withColumn(
         "dup_rate", F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6)
     )

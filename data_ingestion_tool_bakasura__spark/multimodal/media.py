@@ -265,6 +265,55 @@ def ahash64_py(s) -> str:
     return "".join("1" if p > mean else "0" for p in px)
 
 
+def _banded(h: DataFrame, bands: int, id_col: str = "_id", hash_col: str = "_h") -> DataFrame:
+    """Explode an (id, 64-char hash) table into one row per (id, hash,
+    band ordinal, band substring) — the candidate-join key table shared
+    by the batch and incremental image near-dup paths."""
+    band_w = AHASH_BITS // bands
+    return h.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.substring(F.col(hash_col), i * band_w + 1, band_w).alias("bv"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_h", "bb.bi", "bb.bv")
+
+
+def _oversized_bands(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(bi, bv) keys whose bucket exceeds the cap — the boilerplate
+    buckets (blank/solid/logo images that hash identically without
+    being byte-identical). The few oversized keys broadcast."""
+    return (
+        banded.groupBy("bi", "bv")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
+def image_band_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """The dropped-bucket accounting for :func:`image_near_dup`'s cap:
+    ``(bi, bv, n_members)`` for every band bucket that WOULD be dropped
+    at the given cap. Run this when the pair counts look suspiciously
+    low — each returned row is a boilerplate cluster whose ~n^2/2
+    within-bucket pairs the cap refused to emit."""
+    h = image_hash_index(df, id_col=id_col, payload_col=payload_col)
+    return _oversized_bands(
+        _banded(h, bands, "media_id", "ahash"), max_bucket_size
+    ).orderBy(F.desc("n_members"), "bi", "bv")
+
+
 def image_near_dup(
     df: DataFrame,
     id_col: str = "media_id",
@@ -272,6 +321,7 @@ def image_near_dup(
     bands: int = 4,
     max_hamming: int = 8,
     checkpoint: bool = True,
+    max_bucket_size: int | None = 100,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded aHash + exact Hamming
     verify — the image-side twin of SimHash text dedup, and the op a
@@ -297,6 +347,18 @@ def image_near_dup(
     exact byte dedup FIRST: byte-identical images share all bands and
     an n-identical cluster would emit n^2/2 candidate pairs.
 
+    ``max_bucket_size`` (r8 verdict #2) is the guard byte dedup can NOT
+    provide: aHash-identical-but-byte-different boilerplate (blank
+    pages, solid thumbnails, logos re-encoded at different quality)
+    shares every band, and one 10^6-member bucket would emit ~5x10^11
+    candidates before the Hamming filter. Buckets over the cap are
+    dropped before the self-join via a broadcast anti-join on the few
+    oversized (band, bits) keys — the ``minhash_lsh_candidates``
+    precedent — keeping worst-case cost linear in corpus size; capped
+    output is always a subset of uncapped (property-tested). Audit
+    what a cap dropped with :func:`image_band_stats`; recall effect
+    quantified in ANN.md. ``None`` disables.
+
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row
     per pair. Payload-agnostic: the hash accepts string OR binary
     columns, so the same operator dedups audio payloads (AUD1 bytes)
@@ -313,25 +375,15 @@ def image_near_dup(
     the ``ann_index`` pattern. Pass False to stay fully lazy (e.g.
     streaming foreachBatch composition).
     """
-    band_w = AHASH_BITS // bands
     h = df.select(
         F.col(id_col).alias("_id"), ahash64_udf()(F.col(payload_col)).alias("_h")
     ).filter(F.col("_h").isNotNull())
     if checkpoint:
         h = h.localCheckpoint(eager=True)
-    b = h.select(
-        "_id",
-        "_h",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("bi"),
-                    F.substring("_h", i * band_w + 1, band_w).alias("bv"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("_id", "_h", "bb.bi", "bb.bv")
+    b = _banded(h, bands)
+    if max_bucket_size is not None:
+        big = _oversized_bands(b, max_bucket_size).select("bi", "bv")
+        b = b.join(F.broadcast(big), ["bi", "bv"], "left_anti")
     pairs = (
         b.alias("x")
         .join(b.alias("y"), ["bi", "bv"])
@@ -441,6 +493,7 @@ def image_near_dup_increment(
     payload_col: str = "payload",
     bands: int = 4,
     max_hamming: int = 8,
+    max_bucket_size: int | None = 100,
 ) -> DataFrame:
     """Probe a wave of NEW images against a persisted
     :func:`image_hash_index` (plus each other): only the wave is
@@ -448,28 +501,37 @@ def image_near_dup_increment(
     (id_a, id_b, hamming) where id_b is always the new image and id_a
     is its earlier (index) or lexicographically-smaller within-wave
     witness — union the returned wave hashes into the index afterwards
-    (append-only, same contract as ``minhash_lsh_increment``)."""
-    band_w = AHASH_BITS // bands
-    new_h = image_hash_index(
-        new_images, id_col=id_col, payload_col=payload_col
-    ).localCheckpoint(eager=True)
+    (append-only, same contract as ``minhash_lsh_increment``).
 
-    def banded(h: DataFrame) -> DataFrame:
-        return h.select(
-            F.col("media_id").alias("_id"),
-            F.col("ahash").alias("_h"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("bi"),
-                        F.substring("ahash", i * band_w + 1, band_w).alias("bv"),
-                    )
-                    for i in range(bands)
-                ])
-            ).alias("bb"),
-        ).select("_id", "_h", "bb.bi", "bb.bv")
+    The append-only contract is enforced (r8 ADVICE): wave ids already
+    present in the index are dropped by an anti-join before pairing, so
+    a replayed wave is a no-op and a pair can never surface twice in
+    mirrored (a, b)/(b, a) order across the two join legs.
 
-    probe = banded(new_h)
+    ``max_bucket_size`` mirrors :func:`image_near_dup`'s boilerplate
+    cap; bucket sizes are counted over index+wave COMBINED (the same
+    populations a full recompute would see — the
+    ``minhash_lsh_increment`` precedent). ``None`` disables."""
+    idx_ids = index.select(F.col("media_id")).distinct()
+    new_h = (
+        image_hash_index(new_images, id_col=id_col, payload_col=payload_col)
+        .join(idx_ids, "media_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    idx_banded = _banded(index, bands, "media_id", "ahash")
+    probe = _banded(new_h, bands, "media_id", "ahash")
+    if max_bucket_size is not None:
+        combined = (
+            idx_banded.select("bi", "bv")
+            .unionAll(probe.select("bi", "bv"))
+            .groupBy("bi", "bv")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_bucket_size)
+            .select("bi", "bv")
+        )
+        idx_banded = idx_banded.join(F.broadcast(combined), ["bi", "bv"], "left_anti")
+        probe = probe.join(F.broadcast(combined), ["bi", "bv"], "left_anti")
 
     def pair_cols(joined: DataFrame) -> DataFrame:
         return joined.select(
@@ -479,11 +541,11 @@ def image_near_dup_increment(
             F.col("y._h").alias("hb"),
         )
 
-    # old-vs-new: every index hit witnesses the new image
+    # old-vs-new: every index hit witnesses the new image (wave ids are
+    # disjoint from index ids after the anti-join, so no self-pairs and
+    # no mirrored duplicates against the within-wave leg)
     base = pair_cols(
-        banded(index).alias("x").join(probe.alias("y"), ["bi", "bv"]).filter(
-            F.col("x._id") != F.col("y._id")
-        )
+        idx_banded.alias("x").join(probe.alias("y"), ["bi", "bv"])
     )
     # new-vs-new: smaller id witnesses, as in the batch operator
     wave = pair_cols(

@@ -183,6 +183,13 @@ class LocalHNSW:
 
     def _insert(self, node: int) -> None:
         lvl = int(-math.log(_hash_unit(str(self.ids[node]))) * self.ml)
+        # max level BEFORE this insert — read before growing self.adj, so
+        # a level-raising node correctly promotes itself to entry below
+        # (the paper's Algorithm 1 step 17; reading len(adj)-1 AFTER the
+        # growth made that branch unreachable and let upper layers search
+        # from a low-level entry, accreting back-links above nodes'
+        # nominal levels that serialization then dropped — r8 ADVICE)
+        prev_max = len(self.adj) - 1
         while len(self.adj) <= lvl:
             self.adj.append({})
         self.levels.append(lvl)
@@ -194,11 +201,10 @@ class LocalHNSW:
             for layer in range(lvl + 1):
                 self.adj[layer][node] = []
             return
-        max_level = len(self.adj) - 1
         ep = self.entry
-        if max_level > lvl:
-            ep = self._descend(q, ep, max_level, lvl)
-        for layer in range(min(lvl, max_level), -1, -1):
+        if prev_max > lvl:
+            ep = self._descend(q, ep, prev_max, lvl)
+        for layer in range(min(lvl, prev_max), -1, -1):
             found = self._search_layer(q, [ep], self.ef_c, layer)
             cap = self.m0 if layer == 0 else self.m
             nbs = [i for _, i in found[: self.m]]
@@ -210,7 +216,10 @@ class LocalHNSW:
                     lst.sort(key=lambda j: (self._dist(self.vn[nb], j), j))
                     del lst[cap:]
             ep = found[0][1]
-        if lvl > max_level:
+        # new top layers hold only this node (no peers exist up there yet)
+        for layer in range(prev_max + 1, lvl + 1):
+            self.adj[layer][node] = []
+        if lvl > prev_max:
             self.entry = node
 
     # -- query -------------------------------------------------------------
@@ -353,6 +362,17 @@ def _graph_rows(index: LocalHNSW):
     reordered adjacency could answer differently."""
     order = index.insert_order
     ord_of = {node: j for j, node in enumerate(order)}
+    # serialization completeness guard: _insert maintains the invariant
+    # that a node only has adjacency at layers <= its nominal level (the
+    # entry promotion fix); if that ever breaks, dropping layers here
+    # would silently change persisted-path answers — fail loudly instead
+    for layer, layer_adj in enumerate(index.adj):
+        for node in layer_adj:
+            if index.level_of[node] < layer:
+                raise AssertionError(
+                    f"hnsw serialize: node {node} (level "
+                    f"{index.level_of[node]}) has adjacency at layer {layer}"
+                )
     for j, node in enumerate(order):
         lvl = index.level_of[node]
         nbrs = [
@@ -380,8 +400,9 @@ def _graph_from_pdf(pdf: pd.DataFrame, id_col: str) -> LocalHNSW:
         for layer, lst in enumerate(nbrs):
             g.adj[layer][j] = [int(x) for x in lst]
     # entry point = first node (in insertion order) to reach the final
-    # top layer: _insert only moves the entry when a NEW max level
-    # appears, so min-ord-at-max-level reproduces it exactly
+    # top layer: _insert promotes the entry exactly when a node's level
+    # exceeds the previous max (so the entry is always the min-ord node
+    # at the final max level), and rows are sorted by ord here
     g.entry = int(np.flatnonzero(levels == max_lvl)[0])
     return g
 
@@ -470,6 +491,17 @@ def hnsw_index_increment(
     ).withColumn("shard", _shard_expr(corpus_id, n_shards))
     touched = newv.select("shard").distinct()
     old_touched = index.join(F.broadcast(touched), "shard", "semi")
+    # replay idempotence (r8 ADVICE): a wave id already in the index hashes
+    # to the same shard as its existing copy, so without this guard extend()
+    # would insert a second node with the same id (same md5 level) and
+    # hnsw_topk_indexed could return one vec_id twice in a single top-k.
+    # Anti-join the wave against the touched shards' (shard, id) pairs —
+    # cheap: the scan prunes to two scalar columns of only-touched shards.
+    # A shard whose wave rows are ALL duplicates re-emits its graph rows
+    # unchanged, so full-wave replay returns a byte-identical index.
+    newv = newv.join(
+        old_touched.select("shard", corpus_id), ["shard", corpus_id], "anti"
+    )
 
     id_t = index.schema[corpus_id].dataType.simpleString()
     out_schema = (

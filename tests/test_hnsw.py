@@ -55,6 +55,32 @@ def test_local_hnsw_deterministic_build():
     assert a.entry == b.entry
 
 
+def test_local_hnsw_entry_promotion_and_layer_invariant():
+    """r8 ADVICE (high): a node whose level exceeds the previous max
+    must become the new entry point (the paper's Algorithm 1 step 17),
+    and no node may accrete adjacency above its nominal level — that is
+    the invariant that makes `_graph_rows`' per-level serialization and
+    `_graph_from_pdf`'s min-ord-at-max-level entry derivation faithful."""
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((200, 8))
+    idx = LocalHNSW(m=4, ef_construction=40).fit(list(range(200)), V)
+    max_lvl = len(idx.adj) - 1
+    assert max_lvl >= 1, "fixture must produce a multi-level graph"
+    # entry is the FIRST-INSERTED node at the final max level
+    first_at_max = next(
+        n for n in idx.insert_order if idx.level_of[n] == max_lvl
+    )
+    assert idx.entry == first_at_max
+    assert idx.level_of[idx.entry] == max_lvl
+    # with 200 md5-levelled nodes the first-inserted node is (almost
+    # surely) NOT at the max level — the promotion actually fired
+    assert idx.level_of[idx.insert_order[0]] < max_lvl
+    # layer invariant: adjacency never exceeds a node's nominal level
+    for layer, layer_adj in enumerate(idx.adj):
+        for node in layer_adj:
+            assert idx.level_of[node] >= layer, (node, layer)
+
+
 def test_hnsw_topk_recall_and_determinism(spark):
     """Sharded HNSW at the reference's config (m=4, efC=400, ef=500)
     must reproduce exact top-3 on the smoke fixture (per-shard beams
@@ -176,6 +202,48 @@ def test_hnsw_index_roundtrip_parity_and_query_many(spark, tmp_path):
     assert set(top) == {5, 6, 7, 8}
 
 
+def test_hnsw_index_roundtrip_parity_low_ef_clustered(spark, tmp_path):
+    """r8 ADVICE (high) regression pin: parity between the fused and
+    persisted paths at a LOW beam (ef_search=8) on clustered vectors —
+    the regime where any graph difference (wrong entry point, dropped
+    back-links) changes answers instead of being masked by an
+    effectively-exhaustive beam. Before the entry-promotion fix this
+    diverged for ~28% of queries on exactly this shape."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_topk_indexed,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((6, 16)) * 5.0
+    pts = np.vstack(
+        [centers[c] + rng.standard_normal((100, 16)) for c in range(6)]
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = centers + rng.standard_normal((6, 16)) * 0.5
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in qv[i]]) for i in range(6)],
+        "q_id long, embedding array<double>",
+    )
+    cfg = dict(m=4, ef_construction=40)
+
+    path = str(tmp_path / "clustered_idx")
+    hnsw_index(corpus, n_shards=4, **cfg).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    for ef in (8, 16):
+        fused = sorted(map(tuple, hnsw_topk(
+            corpus, queries, k=5, ef_search=ef, n_shards=4, **cfg
+        ).collect()))
+        served = sorted(map(tuple, hnsw_topk_indexed(
+            persisted, queries, k=5, ef_search=ef
+        ).collect()))
+        assert served == fused, f"roundtrip parity broke at ef_search={ef}"
+
+
 def test_hnsw_index_string_ids_and_ef_dial(spark, tmp_path):
     """The persisted path preserves id typing (string ids) and keeps
     ef_search as a pure query-time dial on the SAME stored graph."""
@@ -262,6 +330,57 @@ def test_hnsw_index_increment_touched_shards_only(spark, tmp_path):
     q_old = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
     got_old = hnsw_topk_indexed(merged, q_old, k=1, ef_search=200).collect()
     assert {(r["q_id"], r["vec_id"]) for r in got_old} == {(i, i) for i in range(3)}
+
+
+def test_hnsw_index_increment_replay_idempotent(spark, tmp_path):
+    """r8 ADVICE (low): replaying a wave whose ids are already in the
+    index must be a no-op — the duplicate guard anti-joins the wave
+    against the touched shards' (shard, id) pairs, so no id is ever
+    inserted twice and the returned shard rows are byte-identical to
+    the persisted ones. A mixed wave inserts only the genuinely new."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_index_increment,
+        hnsw_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") < 490)
+    wave = emb.filter(F.col("vec_id") >= 485).limit(8)  # 5 dup + 3 new
+    cfg = dict(m=8, ef_construction=100)
+
+    path = str(tmp_path / "idx")
+    hnsw_index(old, n_shards=8, **cfg).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    # full-replay wave (every id already indexed): output rows must be
+    # byte-identical to the persisted rows of the touched shards
+    replay = emb.filter((F.col("vec_id") >= 485) & (F.col("vec_id") < 490))
+    out = hnsw_index_increment(persisted, replay, n_shards=8, **cfg)
+    out_rows = sorted(map(tuple, out.collect()))
+    touched = {t[0] for t in out_rows}
+    before = sorted(map(tuple, persisted.filter(
+        F.col("shard").isin(*touched)).collect()))
+    assert out_rows == before
+
+    # mixed wave: only the 3 new ids are inserted, each exactly once
+    mixed = hnsw_index_increment(persisted, wave, n_shards=8, **cfg)
+    mixed_rows = mixed.collect()
+    ids = [r["vec_id"] for r in mixed_rows]
+    assert len(ids) == len(set(ids)), "an id was inserted twice"
+    new_ids = {r["vec_id"] for r in wave.collect() if r["vec_id"] >= 490}
+    assert new_ids <= set(ids)
+    t2 = {r["shard"] for r in mixed_rows}
+    n_old_t2 = persisted.filter(F.col("shard").isin(*t2)).count()
+    assert len(mixed_rows) == n_old_t2 + len(new_ids)
+
+    # serving the swapped-in index never returns one vec_id twice per query
+    merged = persisted.filter(~F.col("shard").isin(*t2)).unionByName(mixed)
+    q = wave.select(F.col("vec_id").alias("q_id"), "embedding")
+    hits = hnsw_topk_indexed(merged, q, k=5, ef_search=200).collect()
+    from collections import Counter
+    per_q = Counter((r["q_id"], r["vec_id"]) for r in hits)
+    assert max(per_q.values()) == 1
 
 
 def test_hnsw_index_delete_rebuilds_touched_shards(spark, tmp_path):

@@ -223,6 +223,94 @@ def test_image_near_dup_incremental_wave_parity(spark, tmp_path):
     assert (1, 11) in inc and 0 < inc[(1, 11)] <= 8
 
 
+def test_image_near_dup_band_cap_subset_and_accounting(spark):
+    """r8 verdict #2: the oversized-band cap. aHash-identical-but-
+    byte-different boilerplate (identical leading 64 blocks, differing
+    ignored tails) forms one bucket per band; with the cap those
+    buckets are dropped BEFORE the self-join, capped output is a strict
+    subset of uncapped, genuine near-dups outside the bucket survive,
+    and image_band_stats surfaces exactly the dropped buckets."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        image_band_stats,
+        image_near_dup,
+    )
+
+    head = "x" * 64  # L=1 -> only the first 64 chars are hashed
+    boiler = [(i, head + f"tail-{i}") for i in range(12)]  # byte-distinct
+    real = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
+    rows = boiler + [(100, real), (101, "Z" + real[1:])]
+    df = spark.createDataFrame(rows, "media_id long, payload string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup(df, max_bucket_size=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup(df, max_bucket_size=5).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in capped           # genuine near-dup survives
+    assert all(a >= 100 for a, _ in capped)  # boilerplate pairs dropped
+    assert {(a, b) for a, b in uncapped if a < 12} == {
+        (a, b) for a in range(12) for b in range(a + 1, 12)
+    }  # uncapped really did emit the n^2/2 cluster
+
+    stats = image_band_stats(df, max_bucket_size=5).collect()
+    assert len(stats) == 4  # the cluster shares all 4 bands
+    assert all(r["n_members"] == 12 for r in stats)
+    assert image_band_stats(df, max_bucket_size=50).count() == 0
+
+
+def test_image_near_dup_increment_replay_and_cap(spark, tmp_path):
+    """r8 ADVICE: wave ids already in the index are anti-joined away —
+    a replayed wave emits no pairs (and thus no mirrored (a,b)/(b,a)
+    duplicates across the two join legs); the combined-count band cap
+    mirrors the batch operator."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        image_hash_index,
+        image_near_dup_increment,
+    )
+
+    base = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "IMG1|8|8|1|" + "something else entirely here " * 10)],
+        "media_id long, payload string",
+    )
+    path = str(tmp_path / "img_idx")
+    image_hash_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+
+    # full replay: every wave id already indexed -> zero pairs
+    assert image_near_dup_increment(idx, corpus).count() == 0
+
+    # mixed wave: the replayed id contributes nothing; the new near-dup
+    # pairs once, in canonical order, with its index witness
+    wave = spark.createDataFrame(
+        [(1, base), (10, "Z" + base[1:])], "media_id long, payload string"
+    )
+    got = [(r["id_a"], r["id_b"]) for r in image_near_dup_increment(idx, wave).collect()]
+    assert sorted(got) == [(1, 10)] and len(got) == len(set(got))
+
+    # combined-count cap: an index bucket of 4 + wave of 3 crosses a cap
+    # of 5, so the wave pairs nothing despite each side being under-cap
+    head = "y" * 64
+    bidx = spark.createDataFrame(
+        [(i, head + f"t{i}") for i in range(4)], "media_id long, payload string"
+    )
+    bpath = str(tmp_path / "boiler_idx")
+    image_hash_index(bidx).write.parquet(bpath)
+    bwave = spark.createDataFrame(
+        [(20 + i, head + f"w{i}") for i in range(3)], "media_id long, payload string"
+    )
+    assert image_near_dup_increment(
+        spark.read.parquet(bpath), bwave, max_bucket_size=5
+    ).count() == 0
+    assert image_near_dup_increment(
+        spark.read.parquet(bpath), bwave, max_bucket_size=None
+    ).count() == 4 * 3 + 3  # cross + within-wave
+
+
 def test_audio_near_dup_via_payload_hash(spark):
     """The perceptual-hash dedup is payload-agnostic: binary AUD1
     payloads pair exactly like image payloads (exact dup at 0, a

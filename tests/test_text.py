@@ -139,3 +139,28 @@ def test_lang_guess(spark):
     df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
     got = [r["g"] for r in df.select(lang_guess("text").alias("g")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_corpus_report_null_text_semantics(spark):
+    """r8 ADVICE (medium): NULL-text docs are counted in avg_quality as
+    quality 0.0 over the coalesced empty string (matching the
+    q_corpus_report DuckDB oracle), not silently skipped by avg's NULL
+    rule — pinned here because the parquet fixtures carry no NULL text."""
+    from data_ingestion_tool_bakasura__spark.functions.textstats import (
+        corpus_report,
+        quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    txt = "the quick brown fox jumps over the lazy dog and the cat"
+    df = spark.createDataFrame([(txt,), (None,)], "text string")
+    r = corpus_report(df).first()
+    assert r["n_docs"] == 2 and r["n_null_text"] == 1
+    q_txt = (
+        spark.range(1)
+        .select(quality_score(F.lit(txt)).alias("q"))
+        .first()["q"]
+    )
+    # empty string scores exactly 0.0, so the average halves
+    assert abs(r["avg_quality"] - round(q_txt / 2, 6)) <= 1e-6
+    assert r["n_chars"] == len(txt) and r["n_distinct_texts"] == 2
