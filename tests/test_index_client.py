@@ -182,3 +182,56 @@ def test_pipeline_cli_journey(spark, tmp_path, capsys):
 
     rc, out = run("stats", idx)
     assert out[0] == {"document_count": 2, "unique_files": 2}
+
+    # ANN leg (r8 verdict #5): persist the HNSW artifact, then serve
+    # the same self-hit query from the stored graph instead of a scan
+    rc, out = run("build-ann", idx, "--kind", "hnsw")
+    assert rc == 0 and out[0]["event"] == "ann_built" and out[0]["n_rows"] == 2
+    rc, out = run(
+        "search", idx, stored["content"], "--mode", "vector",
+        "--index", "hnsw", "-k", "1",
+    )
+    assert out[0]["id"] == stored["id"] and out[0]["cos_sim"] == 1.0
+
+
+def test_ann_serving_mode_parity(spark, tmp_path):
+    """r8 verdict #5: search_vector(index=...) serves from the
+    persisted ANN artifacts. At full dials (exhaustive beam / all
+    lists probed / corpus-wide shortlist) every mode must equal the
+    exact scan row-for-row on the fixture index; a missing artifact
+    raises with a build_ann pointer; the manifest records build params
+    and row count (the staleness signal)."""
+    import pytest
+
+    client = IndexClient(spark, str(tmp_path / "idx_ann"), embedding_dim=8)
+    client.initialize()
+    client.store(_rows(spark, 0, 60))
+    n = client.stats()["document_count"]
+
+    with pytest.raises(RuntimeError, match="build_ann"):
+        client.search_vector("anything", index="hnsw").collect()
+    with pytest.raises(ValueError, match="unknown ANN kind"):
+        client.build_ann("flat")
+
+    m_h = client.build_ann("hnsw", m=8, ef_construction=100, n_shards=4)
+    m_i = client.build_ann("ivf", n_lists=4, iters=2)
+    m_p = client.build_ann("pq", pq_m=4, n_codes=8, iters=2)
+    assert m_h["n_rows"] == m_i["n_rows"] == m_p["n_rows"] == n
+    assert client.ann_manifest("hnsw")["params"]["n_shards"] == 4
+    assert client.ann_manifest("ivf")["params"]["n_lists"] == 4
+
+    probe = client.table().select("content").first()["content"]
+    key = lambda df: [(r["id"], r["cos_sim"]) for r in df.collect()]
+    exact = key(client.search_vector(probe, k=5))
+    assert exact[0][1] == 1.0  # self-hit sanity
+    assert key(client.search_vector(probe, k=5, index="hnsw", ef_search=500)) == exact
+    assert key(client.search_vector(probe, k=5, index="ivf", nprobe=4)) == exact
+    assert key(client.search_vector(probe, k=5, index="pq", shortlist=n)) == exact
+
+    # hybrid composes through the same dial
+    hyb = client.search_hybrid(probe, k=5, index="hnsw", ef_search=500).collect()
+    assert hyb and all(r["rrf"] > 0 for r in hyb)
+
+    # narrow dials still return k well-formed rows (recall, not crash)
+    narrow = client.search_vector(probe, k=5, index="hnsw", ef_search=8).collect()
+    assert len(narrow) == 5 and all(r["cos_sim"] <= 1.0 for r in narrow)

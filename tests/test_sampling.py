@@ -227,6 +227,72 @@ def test_quality_classifier_seam_and_null_safety(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:1500]
 
 
+def test_fit_quality_weights_planted_separation(spark):
+    """r8 verdict #4: the weights seam gets a producer. A planted
+    linearly-separable labeled set (prose=1 vs digit/punct soup=0) must
+    fit weights that (a) carry the right signs, (b) classify the
+    training set perfectly when round-tripped through
+    quality_classifier_score, and (c) generalize to a held-out pair.
+    Label validation raises on single-class and non-0/1 labels."""
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        DEFAULT_QUALITY_WEIGHTS,
+        fit_quality_weights,
+        quality_classifier_score,
+    )
+
+    prose = [
+        "The quick brown fox jumps over the lazy dog and then runs on home.",
+        "She walked to the market in the morning and bought some fresh bread.",
+        "A long time ago in a land far away there lived an old storyteller.",
+        "He said that the weather would improve before the end of the week.",
+        "The committee agreed to meet again after lunch on the same day.",
+        "Many readers found the first chapter of the novel slow but rewarding.",
+    ]
+    soup = [
+        "000 111 222 333 444 555 666 777 888 999",
+        "!!! ??? ;;; ::: ,,, ... !!! ??? ;;; :::",
+        "9381 1142 5531 0091 8123 4457 6678 2210",
+        "x9!z8?q7;w6:e5,r4.t3!y2?u1;i0:",
+        "12,34;56:78!90?12,34;56:78!90?",
+        "#### 0000 #### 1111 #### 2222 ####",
+    ]
+    labeled = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(prose)]
+        + [(100 + i, t, 0) for i, t in enumerate(soup)],
+        "doc_id long, text string, label int",
+    )
+    w = fit_quality_weights(labeled)
+    assert set(w) == set(DEFAULT_QUALITY_WEIGHTS)
+    assert w["stopword_ratio"] > 0 and w["punct_ratio"] < 0 and w["digit_ratio"] < 0
+
+    scored = {
+        r["doc_id"]: r["keep"]
+        for r in quality_classifier_score(labeled, weights=w).collect()
+    }
+    assert all(scored[i] for i in range(len(prose)))
+    assert not any(scored[100 + i] for i in range(len(soup)))
+
+    held_out = spark.createDataFrame(
+        [(1, "The old dog sat by the door and waited for the children to come."),
+         (2, "77 88 99 !! ?? ;; :: 11 22 33 44 55")],
+        "doc_id long, text string",
+    )
+    ho = {r["doc_id"]: r["keep"]
+          for r in quality_classifier_score(held_out, weights=w).collect()}
+    assert ho[1] and not ho[2]
+
+    with pytest.raises(ValueError, match="both classes"):
+        fit_quality_weights(labeled.filter("label = 1"))
+    with pytest.raises(ValueError, match="both classes"):
+        fit_quality_weights(
+            labeled.withColumn("label", F.col("label") * 2)
+        )
+    with pytest.raises(ValueError, match="empty labeled set"):
+        fit_quality_weights(labeled.filter("label = 7"))
+
+
 def test_curate_cli_journey(spark, tmp_path, capsys):
     """r8: the curation CLI composes the certified operators end-to-end
     (report card, surgery -> LM gate -> quality gate -> hash splits ->

@@ -6,13 +6,18 @@ chunk -> embed -> upsert into a search index -> show stats
 plus the search leg the reference configures but never issues:
 
     python tools/pipeline_cli.py ingest <src_dir> <index_dir> [--glob '*'] [--dim 64]
-    python tools/pipeline_cli.py search <index_dir> "query text" [--mode text|vector|hybrid] [-k 10]
+    python tools/pipeline_cli.py build-ann <index_dir> [--kind hnsw|ivf|pq]
+    python tools/pipeline_cli.py search <index_dir> "query text" [--mode text|vector|hybrid] [--index exact|hnsw|ivf|pq] [-k 10]
     python tools/pipeline_cli.py stats <index_dir>
 
 ``ingest`` is incremental and dedup-checked (same batch twice adds 0
 chunks — the reference's text_hash probe, done as one anti-join);
-``search`` modes map to BM25 (B8), exact vector cosine (B9) and
-RRF-hybrid (B10). Output is JSON lines on stdout.
+``search`` modes map to BM25 (B8), vector KNN (B9) and RRF-hybrid
+(B10). ``build-ann`` persists an ANN artifact once, after which
+``--index hnsw|ivf|pq`` serves vector/hybrid queries from the stored
+structure instead of scanning the corpus — the reference's
+serve-from-HNSW-index shape (db_utils.py:93-110). Output is JSON
+lines on stdout.
 """
 
 from __future__ import annotations
@@ -35,10 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--glob", default=None, help="e.g. '*.txt'")
     p_ing.add_argument("--dim", type=int, default=64, help="embedding dim")
 
+    p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
+    p_ann.add_argument("index_dir")
+    p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq"), default="hnsw")
+
     p_sea = sub.add_parser("search", help="query the index")
     p_sea.add_argument("index_dir")
     p_sea.add_argument("query")
     p_sea.add_argument("--mode", choices=("text", "vector", "hybrid"), default="hybrid")
+    p_sea.add_argument(
+        "--index", choices=("exact", "hnsw", "ivf", "pq"), default="exact",
+        help="vector-leg retrieval path (non-exact needs build-ann first)",
+    )
     p_sea.add_argument("-k", type=int, default=10)
 
     p_sta = sub.add_parser("stats", help="index stats + per-file facet")
@@ -82,13 +95,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict(), default=str))
         return 0
 
-    fn = {
-        "text": client.search_text,
-        "vector": client.search_vector,
-        "hybrid": client.search_hybrid,
-    }[args.mode]
+    if args.cmd == "build-ann":
+        manifest = client.build_ann(args.kind)
+        print(json.dumps({"event": "ann_built", **manifest}))
+        return 0
+
+    if args.mode == "text":
+        fn = lambda q, k: client.search_text(q, k=k)
+    elif args.mode == "vector":
+        fn = lambda q, k: client.search_vector(q, k=k, index=args.index)
+    else:
+        fn = lambda q, k: client.search_hybrid(q, k=k, index=args.index)
     score_col = {"text": "bm25", "vector": "cos_sim", "hybrid": "rrf"}[args.mode]
-    for r in fn(args.query, k=args.k).collect():
+    for r in fn(args.query, args.k).collect():
         print(
             json.dumps(
                 {
