@@ -13,12 +13,15 @@ Reference semantics re-expressed (file:line into /root/reference/):
 - error isolation: ``main.py:360-366`` (A3/O6) — the extractor never
   throws; failures become an ``error`` column (dead-letter pattern).
 
-Providers: the container has no PyMuPDF/vision SDK, so the default
-provider parses a deterministic plain-bytes format (UTF-8, form-feed
-page breaks, ``TABLE|``-prefixed table rows); a real PDF provider slots
-into the same interface behind an import-try. All downstream plumbing
-(schemas, Arrow batching, OCR gating, tagging, assembly) is identical
-for both.
+Providers (one shared signature, three implementations): the default
+``stub_parse_pages`` parses a deterministic plain-bytes format (UTF-8,
+form-feed page breaks, ``TABLE|``-prefixed table rows — the oracle
+needs determinism); ``minipdf_parse_pages`` is a stdlib-only REAL-PDF
+text extractor (classic xref PDFs, FlateDecode, Tj/TJ/'/" strings) so
+a real-bytes path runs in dependency-free environments; and
+``real_pdf_parse_pages`` is the full PyMuPDF provider behind an
+import-try. All downstream plumbing (schemas, Arrow batching, OCR
+gating, tagging, assembly) is identical for all three.
 
 Scale notes (100 TB of raw docs):
 - extraction is `mapInPandas` over the binary column: stateless, no
@@ -104,6 +107,156 @@ def real_pdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             image = page.get_pixmap().tobytes()
             pages.append((text, tables, image))
     return pages  # pragma: no cover
+
+
+def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
+    """Pure-Python PDF text extractor (r8 verdict #6): the third
+    provider, stdlib-only (``re`` + ``zlib``), so a REAL-bytes PDF
+    parse path runs ungated in environments without PyMuPDF — the
+    perpetual test skip becomes a pass, and deployments get a
+    zero-dependency fallback between ``stub_parse_pages`` (synthetic
+    format) and ``real_pdf_parse_pages`` (full fitz).
+
+    Supported subset, stated honestly: classic cross-referenced PDFs
+    with per-page content streams, uncompressed or FlateDecode, text
+    shown via Tj / TJ / ' / " with literal ``(...)`` (escape + octal)
+    or hex ``<...>`` strings in byte-width encodings (latin-1 decode —
+    Type1/WinAnsi-style fonts). Out of scope and surfaced as missing
+    text rather than wrong text: CID/Type0 composite fonts needing a
+    ToUnicode CMap, object streams (ObjStm), encryption. Tables are
+    not detected (returned empty); the page image is the md5 stand-in
+    (no rasterizer), same as the stub. Reference leg being replaced:
+    ``embedding_utils.py:123-173``.
+
+    Raises on non-PDF bytes — :func:`extract_pages` dead-letters it.
+    """
+    import re
+    import zlib
+
+    if not content.lstrip()[:5].startswith(b"%PDF-"):
+        raise ValueError("not a PDF: missing %PDF- header")
+
+    objs: dict[int, bytes] = {}
+    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", content, re.S):
+        objs[int(m.group(1))] = m.group(2)
+
+    def stream_of(body: bytes) -> bytes | None:
+        sm = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
+        if sm is None:
+            return None
+        data = sm.group(1)
+        if b"/FlateDecode" in body[: sm.start()]:
+            data = zlib.decompress(data)
+        return data
+
+    def _pdf_string(tok: bytes) -> str:
+        if tok.startswith(b"<"):
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            return bytes.fromhex(hx.decode("ascii", "replace")).decode("latin-1")
+        out, i, depth = [], 1, 1  # tok[0] == b'('
+        while i < len(tok) - 0 and depth:
+            c = tok[i : i + 1]
+            if c == b"\\" and i + 1 < len(tok):
+                nxt = tok[i + 1 : i + 2]
+                esc = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b",
+                       b"f": "\f", b"(": "(", b")": ")", b"\\": "\\"}
+                if nxt in esc:
+                    out.append(esc[nxt]); i += 2
+                elif nxt.isdigit():  # octal \ddd
+                    oct_m = re.match(rb"\\([0-7]{1,3})", tok[i:])
+                    out.append(chr(int(oct_m.group(1), 8))); i += 1 + len(oct_m.group(1))
+                else:
+                    i += 1  # line continuation / unknown escape
+            elif c == b"(":
+                depth += 1; out.append("("); i += 1
+            elif c == b")":
+                depth -= 1
+                if depth:
+                    out.append(")")
+                i += 1
+            else:
+                out.append(c.decode("latin-1")); i += 1
+        return "".join(out)
+
+    STR = rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>"
+
+    def text_of(stream: bytes) -> str:
+        parts: list[str] = []
+        for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
+            segs: list[str] = []
+            # show ops in order: (s) Tj | (s) ' | (s) " | [ ... ] TJ | T*
+            for m in re.finditer(
+                rb"(%s)\s*(Tj|'|\")|\[((?:%s|[^\]])*)\]\s*TJ|T\*" % (STR, STR),
+                block, re.S,
+            ):
+                if m.group(1) is not None:
+                    if m.group(2) in (b"'", b'"') and segs:
+                        segs.append("\n")
+                    segs.append(_pdf_string(m.group(1)))
+                elif m.group(3) is not None:
+                    segs.extend(_pdf_string(s) for s in re.findall(STR, m.group(3)))
+                else:  # T*
+                    segs.append("\n")
+            if segs:
+                parts.append("".join(segs))
+        return "\n".join(parts)
+
+    # page order from the /Pages tree when present; else object order
+    page_nums = [n for n, b in objs.items()
+                 if re.search(rb"/Type\s*/Page\b(?!s)", b)]
+    pages_obj = next(
+        (b for b in objs.values() if re.search(rb"/Type\s*/Pages\b", b)), None
+    )
+    if pages_obj is not None:
+        kids_m = re.search(rb"/Kids\s*\[(.*?)\]", pages_obj, re.S)
+        if kids_m:
+            order = [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", kids_m.group(1))]
+            page_nums = [n for n in order if n in objs] or sorted(page_nums)
+    else:
+        page_nums = sorted(page_nums)
+
+    pages: list[tuple[str, list[str], bytes]] = []
+    for pn in page_nums:
+        refs = re.findall(rb"/Contents\s*(?:\[(.*?)\]|(\d+)\s+\d+\s+R)", objs[pn], re.S)
+        streams: list[bytes] = []
+        for arr, single in refs:
+            nums = [int(single)] if single else [
+                int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", arr)
+            ]
+            for n in nums:
+                s = stream_of(objs.get(n, b""))
+                if s is not None:
+                    streams.append(s)
+        raw = b"\n".join(streams)
+        text = text_of(raw)
+        image = b"IMG:" + hashlib.md5(raw).hexdigest().encode()
+        pages.append((text, [], image))
+
+    if not pages:  # degraded fallback: any text-bearing stream is a page
+        for n in sorted(objs):
+            s = stream_of(objs[n])
+            if s and b"BT" in s:
+                t = text_of(s)
+                if t:
+                    pages.append((t, [], b"IMG:" + hashlib.md5(s).hexdigest().encode()))
+    return pages
+
+
+def auto_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
+    """Content-sniffing dispatch: ``%PDF-`` bytes go to the best
+    available PDF provider (PyMuPDF when importable, else the stdlib
+    :func:`minipdf_parse_pages`); anything else parses as the
+    plain-bytes stub format. This is what the pipeline CLI ingests
+    with, so a directory mixing .txt and real .pdf files works
+    end-to-end without flags."""
+    if content.lstrip()[:5].startswith(b"%PDF-"):
+        try:
+            return real_pdf_parse_pages(content)
+        except NotImplementedError:
+            return minipdf_parse_pages(content)
+    return stub_parse_pages(content)
 
 
 def stub_ocr(image: bytes) -> str:

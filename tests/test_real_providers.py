@@ -5,9 +5,11 @@ deterministic stubs (the oracle needs determinism; the container has
 no PDF/vision libs). These tests prove the seams are not stub-only
 fictions: the REAL PyMuPDF path runs end-to-end against a tiny PDF
 generated in-test by a pure-Python writer wherever ``fitz`` exists
-(reference behavior: ``embedding_utils.py:123-173``), and the parts
-that don't need the dependency — seam-signature parity and the gate's
-failure mode — run everywhere.
+(reference behavior: ``embedding_utils.py:123-173``); the stdlib-only
+``minipdf_parse_pages`` provider (r8 verdict #6) runs the real-bytes
+PDF leg UNGATED everywhere — only the fitz-specific e2e remains a
+conditional skip; and seam-signature parity and the gate's failure
+mode run everywhere.
 """
 
 from __future__ import annotations
@@ -87,6 +89,73 @@ def test_real_pdf_gate_raises_cleanly_without_fitz():
         MX.real_pdf_parse_pages(_tiny_pdf(["x"]))
 
 
+def test_minipdf_parses_real_pdf_bytes_ungated(spark, tmp_path):
+    """r8 verdict #6: SOME real-bytes PDF path must run everywhere —
+    minipdf_parse_pages is stdlib-only (re + zlib), so this e2e leg is
+    NOT skipped in fitz-less environments: in-test PDF (uncompressed
+    AND FlateDecode variants, escape sequences, TJ arrays, hex
+    strings) -> extract_to_documents -> ingest_documents."""
+    import re
+    import zlib
+
+    from data_ingestion_tool_bakasura__spark.operators.ingest import (
+        IngestConfig,
+        ingest_documents,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+    pdf = _tiny_pdf(["alpha page one", "beta (two) with \\ backslash"])
+    pages = MX.minipdf_parse_pages(pdf)
+    assert [p[0] for p in pages] == [
+        "alpha page one", "beta (two) with \\ backslash"
+    ]
+    assert all(isinstance(p[2], (bytes, bytearray)) and p[2] for p in pages)
+
+    # FlateDecode variant: same text through zlib-compressed streams
+    def compress_streams(b: bytes) -> bytes:
+        out, pos = bytearray(), 0
+        for m in re.finditer(rb"<< /Length \d+ >>\nstream\n(.*?)\nendstream", b, re.S):
+            comp = zlib.compress(m.group(1))
+            out += b[pos:m.start()]
+            out += (b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(comp), comp))
+            pos = m.end()
+        out += b[pos:]
+        return bytes(out)
+
+    assert [p[0] for p in MX.minipdf_parse_pages(compress_streams(pdf))] == [
+        p[0] for p in pages
+    ]
+
+    # TJ array with kerning numbers, hex string, T* line break
+    tj = pdf.replace(
+        b"(alpha page one) Tj",
+        b"[(al) -120 (pha) 30 <2070616765>] TJ T* (one) Tj",
+    )
+    assert MX.minipdf_parse_pages(tj)[0][0] == "alpha page\none"
+
+    # non-PDF bytes raise -> dead-letter channel downstream
+    with pytest.raises(ValueError, match="not a PDF"):
+        MX.minipdf_parse_pages(b"plain text, no header")
+
+    # the full Spark leg, ungated
+    (tmp_path / "a.pdf").write_bytes(pdf)
+    (tmp_path / "b.pdf").write_bytes(compress_streams(_tiny_pdf(["gamma solo"])))
+    (tmp_path / "poison.pdf").write_bytes(b"not really a pdf")
+    raw = read_binary_files(spark, str(tmp_path), glob="*.pdf")
+    page_rows = MX.extract_pages(raw, parser=MX.minipdf_parse_pages)
+    dead = MX.dead_letters(page_rows).collect()
+    assert len(dead) == 1 and dead[0]["path"].endswith("poison.pdf")
+    docs = MX.extract_to_documents(raw, parser=MX.minipdf_parse_pages)
+    got = {r["doc_id"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert got["a.pdf"]["n_pages"] == 2 and got["b.pdf"]["n_pages"] == 1
+    assert "alpha page one" in got["a.pdf"]["text"]
+    assert "gamma solo" in got["b.pdf"]["text"]
+    rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
+    assert rows.count() >= 2
+    assert rows.filter(F.size("content_vector") != 8).count() == 0
+
+
 @pytest.mark.skipif(not _HAVE_FITZ, reason="PyMuPDF not installed")
 def test_real_pdf_parse_to_ingest_e2e(spark, tmp_path):
     """Where fitz exists: in-test PDF -> real_pdf_parse_pages ->
@@ -118,3 +187,33 @@ def test_real_pdf_parse_to_ingest_e2e(spark, tmp_path):
     rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
     assert rows.count() >= 2
     assert rows.filter(F.size("content_vector") != 8).count() == 0
+
+
+def test_auto_parse_dispatch(spark, tmp_path):
+    """auto_parse_pages sniffs the payload: %PDF- bytes route to the
+    best available PDF provider, everything else to the stub format —
+    so one CLI ingest handles a mixed .txt/.pdf source directory."""
+    pdf = _tiny_pdf(["delta page"])
+    assert MX.auto_parse_pages(pdf)[0][0] == "delta page"
+    txt = b"plain text page\fsecond page\nTABLE|x|y"
+    pages = MX.auto_parse_pages(txt)
+    assert len(pages) == 2 and pages[1][1] == ["x y"]
+
+    # through the CLI: a mixed directory ingests both formats
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_cli
+
+    src = tmp_path / "mixed"
+    src.mkdir()
+    (src / "notes.txt").write_text("plain text about orbital mechanics and fuel")
+    (src / "paper.pdf").write_bytes(_tiny_pdf(["pdf text about orbital mechanics"]))
+    rc = pipeline_cli.main(
+        ["ingest", str(src), str(tmp_path / "mixed_idx"), "--dim", "8"]
+    )
+    assert rc == 0
+    stored = spark.read.parquet(str(tmp_path / "mixed_idx"))
+    contents = " ".join(r["content"] for r in stored.collect())
+    assert "pdf text about orbital" in contents and "plain text about orbital" in contents

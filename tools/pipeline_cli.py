@@ -67,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "ingest":
         from data_ingestion_tool_bakasura__spark.multimodal.extract import (
+            auto_parse_pages,
             extract_to_documents,
         )
         from data_ingestion_tool_bakasura__spark.operators.ingest import (
@@ -78,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         client = IndexClient(spark, args.index_dir, embedding_dim=args.dim)
         client.initialize()
         raw = read_binary_files(spark, args.src_dir, glob=args.glob)
-        docs = extract_to_documents(raw)
+        docs = extract_to_documents(raw, parser=auto_parse_pages)
         rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
         n_new = client.store(rows)
         print(json.dumps({"event": "ingested", "new_chunks": n_new, **client.stats()}))
