@@ -12,9 +12,12 @@ did not parse. Now stdout carries exactly ONE compact line (2-decimal
 times, no intra-token spaces, sized to fit a 2000-char tail capture;
 ``load_start``/``load_end`` are dropped first if a grown suite ever
 pushes it over ~1900 chars), while the full verbose payload
-(3-decimal times, per-query 1-min loadavg) goes to stderr AND to
+(3-decimal times, per-query 1-min loadavg) goes ONLY to
 ``BENCH_detail_last.json`` next to this file
-(``$SPARK_GRAFT_BENCH_DETAIL`` overrides the path).
+(``$SPARK_GRAFT_BENCH_DETAIL`` overrides the path;
+``SPARK_GRAFT_BENCH_VERBOSE=1`` additionally echoes it to stderr —
+off by default so the driver's tail capture holds exactly one JSON
+payload, r8 verdict #7).
 
 Each query is executed to completion via the `noop` sink (count() would
 let Catalyst prune expensive projected columns that nothing aggregates
@@ -161,8 +164,12 @@ def main() -> None:
         "query_load1": query_load1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Full verbose payload: stderr + sidecar file (never the captured stdout).
-    print(json.dumps(detail), file=sys.stderr)
+    # Full verbose payload: sidecar file only (r8 verdict #7 — echoing it
+    # to stderr interleaved a truncated fragment ahead of the parseable
+    # stdout line in the driver's tail capture; opt back in with
+    # SPARK_GRAFT_BENCH_VERBOSE=1 for interactive runs).
+    if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+        print(json.dumps(detail), file=sys.stderr)
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"),

@@ -33,96 +33,36 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-8 rotation
-#: (r7 verdict #1 + BASELINE.md rotation ledger; evidence computed by
-#: tools/rotation.py): lead with the seven queries that have NO driver
-#: row ever (four landed past the r7 boundary; q_quality_classifier,
-#: q_image_near_dup and q_corpus_report are NEW this round), then the 19 remaining
-#: rows whose newest driver evidence dates from r1/r2, then the three
-#: re-entrants whose gram path was rewritten late r7 (window-lead
-#: shingles + the ngram_overlap spread guard), then q_lm_quality whose
-#: model join is re-gated THIS round (size-gated broadcast, r7 verdict
-#: #3). That retires ALL r1/r2 evidence. The remaining slots take the
-#: 15 rows still carrying r4 evidence, one sentinel per operator
-#: family that would otherwise have no in-window representative
-#: (streaming / vectors / multimodal / C18 grouped-map — all r6), and
-#: the oldest r5 row, filling the 50 exactly.
-#: After this window lands, every oracle-able catalog query's newest
-#: driver row is r4+ and the deepest remaining staleness is eight r5
-#: rows. Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
+#: prefix of ``queries()`` in iteration order. Round-9 rotation
+#: (r8 verdict #1; evidence computed by ``python tools/rotation.py``):
+#: lead with the three queries whose implementation changed this round
+#: (the image-near-dup band cap, the corpus-report NULL-quality fix,
+#: the quality-classifier feature refactor), then the eight oldest-
+#: evidence r5 rows, then the ENTIRE r6 block oldest-first (24 rows),
+#: then the head of the r7 block (15 rows) — filling the 50 exactly.
+#: After this window lands the oldest driver evidence anywhere in the
+#: catalog is r7, and rotation becomes a steady-state two-round cycle.
+#: Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
 #: q_ivf_assignments, q_hnsw_topk) sit past the checked window — their
 #: semantics are held by dedicated tests (test_ingest, ANN.md recall
-#: contracts, IVF full-probe==exact, HNSW exact-recall/determinism) and
+#: contracts, IVF full-probe==exact, HNSW fused==persisted parity) and
 #: by oracle-able twins. Every name must exist in a module's QUERIES
 #: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
-    # --- no driver row ever (r7-late + NEW r8): certify first ---
-    "q_temperature_mixture",     # XLM-R n^alpha mixture rates (Conneau et al.)
-    "q_deep_clean_pipeline",     # surgery -> LM-score composition (one lazy plan)
-    "q_substring_dedup_incr",    # gram-index increment twin of q_substring_dedup
-    "q_lm_quality_xcorpus",      # pretrained-model seam twin of q_lm_quality
-    "q_quality_classifier",      # NEW r8: CCNet-shape logistic quality filter
-    "q_image_near_dup",          # NEW r8: banded aHash image near-dup (C15 x C13)
-    "q_corpus_report",           # NEW r8: one-scan dataset-card accounting
-    # --- last r1/r2-evidence rows (rotation ledger; retires the backlog) ---
-    "q_doc_stats",               # r1
-    "q_lang_facet",              # r1
-    "q_array_ops",               # r1
-    "q_json_props",              # r2
-    "q_filter_project",          # r1
-    "q_fulltext_match",          # r1
-    "q_distinct_stats",          # r1
-    "q_top_orders",              # r1
-    "q_price_buckets",           # r1
-    "q_orders_by_month",         # r1
-    "q_order_gaps",              # r1
-    "q_customers_with_orders",   # r1
-    "q_customers_without_orders",# r1
-    "q_top_revenue_supplier",    # r1
-    "q_orders_above_cust_avg",   # r1
-    "q_rich_inactive_customers", # r1
-    "q_lone_late_supplier",      # r1
-    "q_user_event_matrix",       # r2
-    "q_repetition_filter",       # r2
-    # --- impl changed late r7 / this round: re-certify ---
-    "q_repeated_spans",          # lead()-window shingle rewrite (late r7)
-    "q_contamination",           # ngram_overlap spread guard (late r7)
-    "q_curation_pipeline",       # composition over ngram_overlap (late r7)
-    "q_lm_quality",              # size-gated model join (r7 verdict #3, this round)
-    # --- r4-evidence rows (oldest remaining after the r1/r2 backlog) ---
-    "q_supplier_part_counts",
-    "q_promo_revenue",
-    "q_ship_delay_classes",
-    "q_returned_items",
-    "q_order_count_distribution",
-    "q_top_shippers",
-    "q_market_share",
-    "q_revenue_forecast",
-    "q_profit_by_nation",
-    "q_brand_quantity_revenue",
-    "q_part_value_concentration",
-    "q_large_volume_customers",
-    "q_min_cost_supplier",
-    "q_funnel_conversion",
-    "q_volume_shipping",
-    # --- family sentinels (families otherwise unrepresented in-window; r6) ---
-    "q_stream_tumbling_hourly",  # C17 streaming sentinel
-    "q_quantized_rerank",        # B9/C14 vector sentinel (quantize+rerank)
-    "q_page_extract",            # A3-A10/C15 multimodal sentinel
-    "q_value_zscore_builtin",    # C6/C18 production twin sentinel
-    # --- oldest r5 rows (fill to 50) ---
-    "q_exists_subquery",         # C4 EXISTS join shape
-    # ---------- 50-query window boundary ----------
-    # everything below carries an r5-r7 driver-green row; in-window
-    # reps above cover every SURVEY §2 family
-    "q_stratified_sample",       # r5 (yielded its slot to q_corpus_report)
-    "q_event_dedup",             # r5 (yielded its slot to q_image_near_dup)
-    "q_fulltext_score",          # r5 (yielded its slot to q_quality_classifier)
-    "q_tfidf_topdocs",           # r5
-    "q_shipping_priority",       # r5
-    "q_top3_orders_per_customer",# r5
-    "q_rollup_returns",          # r5
-    "q_ship_within_30d",         # r5
+    # --- impl changed in round 9: re-certify first ---
+    "q_image_near_dup",  # oversized-band cap parameter added (r8 verdict #2)
+    "q_corpus_report",  # avg_quality NULL-text semantics fix (r8 ADVICE)
+    "q_quality_classifier",  # features refactored onto _quality_feature_cols
+    # --- the eight r5-evidence rows (oldest remaining; rotation ledger) ---
+    "q_stratified_sample",
+    "q_event_dedup",
+    "q_fulltext_score",
+    "q_tfidf_topdocs",
+    "q_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_rollup_returns",
+    "q_ship_within_30d",
+    # --- the r6 block, oldest-first (retires all r6 evidence) ---
     "q_region_revenue",
     "q_stream_sliding_1h_30m",
     "q_stream_session_windows",
@@ -147,7 +87,7 @@ _PRIORITY = [
     "q_token_budget",
     "q_source_mixture",
     "q_pii_redaction",
-    # --- fresh r7 evidence (previous window) ---
+    # --- r7 block head, oldest-first (fills the window to 50) ---
     "q_substring_dedup",
     "q_semantic_dedup",
     "q_stream_semantic_dedup",
@@ -163,6 +103,56 @@ _PRIORITY = [
     "q_cosine_topk",
     "q_json_variants",
     "q_fingerprints",
+    # ---------- 50-query window boundary ----------
+    # everything below carries an r7/r8 driver-green row; in-window
+    # reps above cover every SURVEY §2 family
+    "q_temperature_mixture",
+    "q_deep_clean_pipeline",
+    "q_substring_dedup_incr",
+    "q_lm_quality_xcorpus",
+    "q_doc_stats",
+    "q_lang_facet",
+    "q_array_ops",
+    "q_json_props",
+    "q_filter_project",
+    "q_fulltext_match",
+    "q_distinct_stats",
+    "q_top_orders",
+    "q_price_buckets",
+    "q_orders_by_month",
+    "q_order_gaps",
+    "q_customers_with_orders",
+    "q_customers_without_orders",
+    "q_top_revenue_supplier",
+    "q_orders_above_cust_avg",
+    "q_rich_inactive_customers",
+    "q_lone_late_supplier",
+    "q_user_event_matrix",
+    "q_repetition_filter",
+    "q_repeated_spans",
+    "q_contamination",
+    "q_curation_pipeline",
+    "q_lm_quality",
+    "q_supplier_part_counts",
+    "q_promo_revenue",
+    "q_ship_delay_classes",
+    "q_returned_items",
+    "q_order_count_distribution",
+    "q_top_shippers",
+    "q_market_share",
+    "q_revenue_forecast",
+    "q_profit_by_nation",
+    "q_brand_quantity_revenue",
+    "q_part_value_concentration",
+    "q_large_volume_customers",
+    "q_min_cost_supplier",
+    "q_funnel_conversion",
+    "q_volume_shipping",
+    "q_stream_tumbling_hourly",
+    "q_quantized_rerank",
+    "q_page_extract",
+    "q_value_zscore_builtin",
+    "q_exists_subquery",
     "q_lang_id",
     "q_quality_scores",
     "q_term_frequency",
@@ -193,11 +183,11 @@ _PRIORITY = [
     "q_exact_dedup",
     "q_minhash_lsh_candidates",
     "q_bm25_topdocs",
+    # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
     "q_ingest_pipeline_fixed",
     "q_doc_assembly",
     "q_pricing_summary",
-    # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
-    "q_hnsw_topk",               # sharded executor-local HNSW
+    "q_hnsw_topk",
 ]
 
 
