@@ -18,6 +18,8 @@ the final ranking is orderBy+limit -> TakeOrderedAndProject
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,4 +114,68 @@ def rrf_fuse(
         both.withColumn("rrf", score)
         .orderBy(F.desc("rrf"), F.col(id_col))
         .limit(topn)
+    )
+
+
+def default_rerank_scorer(query: str, texts) -> "object":
+    """Deterministic cross-encoder stand-in (the pluggable-provider
+    pattern of `functions/embed.py`): query-term coverage blended with
+    in-order bigram continuity — crude, but rank-meaningful and
+    bit-reproducible, so the rerank seam is testable without a model.
+    Signature is the seam contract: ``(query: str, texts: pd.Series)
+    -> pd.Series[float]`` — a real cross-encoder (e.g. any
+    sentence-pair scorer) drops in unchanged."""
+    q = query.lower().split()
+    qset = set(q)
+    bigrams = [f"{a} {b}" for a, b in zip(q, q[1:])]
+
+    def _score(t) -> float:
+        toks = (t or "").lower().split()
+        if not toks or not qset:
+            return 0.0
+        coverage = len(qset & set(toks)) / len(qset)
+        joined = " ".join(toks)
+        cont = (
+            sum(1 for bg in bigrams if bg in joined) / len(bigrams)
+            if bigrams else 0.0
+        )
+        return round(0.7 * coverage + 0.3 * cont, 6)
+
+    return texts.map(_score)
+
+
+def cross_rerank(
+    candidates: DataFrame,
+    query: str,
+    scorer=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    score_col: str = "rerank",
+) -> DataFrame:
+    """Second-stage semantic rerank over a BOUNDED candidate list —
+    the reference's ``SemanticConfiguration`` shape (``db_utils.py:
+    112-118``: Azure reranks the fused top-50 with a cross-encoder,
+    never the corpus). ``candidates`` must already be a cut top-N
+    (RRF fusion, BM25, or ANN output); the scorer runs as ONE
+    Arrow-batched pandas UDF over those N rows only, so the expensive
+    pairwise model is O(candidates), not O(corpus) — the stage-2 cost
+    model every production reranker assumes.
+
+    ``scorer=None`` uses :func:`default_rerank_scorer`; pass any
+    ``(query, texts: pd.Series) -> pd.Series[float]`` callable to
+    serve a real model. Returns the input columns plus ``score_col``,
+    cut to top-k by (score desc, id asc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = scorer or default_rerank_scorer
+
+    @pandas_udf("double")
+    def _rr(texts: pd.Series) -> pd.Series:
+        return pd.Series(fn(query, texts), dtype="float64")
+
+    return (
+        candidates.withColumn(score_col, _rr(F.col(text_col)))
+        .orderBy(F.desc(score_col), F.col(id_col))
+        .limit(k)
     )

@@ -387,17 +387,34 @@ class IndexClient:
         )
 
     def search_hybrid(
-        self, query: str, k: int = 10, index: str = "exact", **ann_dials
+        self,
+        query: str,
+        k: int = 10,
+        index: str = "exact",
+        rerank=False,
+        **ann_dials,
     ) -> DataFrame:
         """Hybrid retrieval (B10): BM25 and vector legs each cut to
         their bounded top-(4k) first, fused by Reciprocal Rank Fusion
         (k=60). ``index`` (+ per-mode dials) selects the vector leg's
         retrieval path exactly as in :meth:`search_vector`, so hybrid
         serving composes with the persisted ANN artifacts through the
-        same dial. Returns (id, content, filename, rrf)."""
+        same dial. Returns (id, content, filename, rrf).
+
+        ``rerank`` adds the reference's semantic second stage
+        (``SemanticConfiguration``, ``db_utils.py:112-118``: Azure
+        reranks the fused top-N with a cross-encoder): ``True`` scores
+        the fused top-(4k) candidates with the deterministic default
+        scorer; a callable ``(query, texts) -> scores`` serves a real
+        cross-encoder. The scorer only ever sees the bounded candidate
+        list — O(candidates), never O(corpus). With rerank the result
+        adds a ``rerank`` column and is ordered by it."""
         from pyspark.sql import Window
 
-        from data_ingestion_tool_bakasura__spark.functions.ranking import rrf_fuse
+        from data_ingestion_tool_bakasura__spark.functions.ranking import (
+            cross_rerank,
+            rrf_fuse,
+        )
 
         cut = max(4 * k, 20)
         bm = self.search_text(query, k=cut).withColumn(
@@ -406,9 +423,14 @@ class IndexClient:
         vec = self.search_vector(query, k=cut, index=index, **ann_dials).withColumn(
             "r_vec", F.row_number().over(Window.orderBy(F.desc("cos_sim"), "id"))
         )
-        fused = rrf_fuse(bm, vec, "id", rank_a="r_bm", rank_b="r_vec", topn=k)
-        return (
-            fused.join(self.table().select("id", "content", "filename"), "id")
-            .select("id", "content", "filename", "rrf")
-            .orderBy(F.desc("rrf"), "id")
-        )
+        topn = cut if rerank else k
+        fused = rrf_fuse(bm, vec, "id", rank_a="r_bm", rank_b="r_vec", topn=topn)
+        out = fused.join(
+            self.table().select("id", "content", "filename"), "id"
+        ).select("id", "content", "filename", "rrf")
+        if rerank:
+            scorer = None if rerank is True else rerank
+            return cross_rerank(
+                out, query, scorer=scorer, id_col="id", text_col="content", k=k
+            )
+        return out.orderBy(F.desc("rrf"), "id")

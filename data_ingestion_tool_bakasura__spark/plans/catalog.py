@@ -39,7 +39,9 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: (the image-near-dup band cap, the corpus-report NULL-quality fix,
 #: the quality-classifier feature refactor), then the eight oldest-
 #: evidence r5 rows, then the ENTIRE r6 block oldest-first (24 rows),
-#: then the head of the r7 block (15 rows) — filling the 50 exactly.
+#: then the head of the r7 block — filling the 50 exactly (the
+#: late-r9 q_semantic_rerank insert takes slot 0, shifting the last
+#: r7-head row just past the boundary with its r7 evidence intact).
 #: After this window lands the oldest driver evidence anywhere in the
 #: catalog is r7, and rotation becomes a steady-state two-round cycle.
 #: Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
@@ -49,6 +51,8 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: by oracle-able twins. Every name must exist in a module's QUERIES
 #: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
+    # --- NEW in round 9 (no driver row ever): certify first ---
+    "q_semantic_rerank",  # B10 second stage: cross-encoder seam, default scorer
     # --- impl changed in round 9: re-certify first ---
     "q_image_near_dup",  # oversized-band cap parameter added (r8 verdict #2)
     "q_corpus_report",  # avg_quality NULL-text semantics fix (r8 ADVICE)

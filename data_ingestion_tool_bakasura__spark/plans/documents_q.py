@@ -1193,6 +1193,58 @@ LIMIT 10
 """
 
 
+def q_semantic_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic second-stage rerank (B10's missing depth, r9): BM25
+    retrieves the top-20 candidates, then the cross-encoder SEAM
+    (:func:`~..functions.ranking.cross_rerank`, reference shape
+    ``SemanticConfiguration`` db_utils.py:112-118) rescores ONLY those
+    20 with the deterministic default scorer (query-term coverage +
+    in-order bigram continuity) and returns the top-10 by rerank
+    score. The stage-2 scorer is one Arrow pandas UDF over the
+    bounded candidate list — O(candidates), never O(corpus) — which
+    is the cost model that lets a real cross-encoder replace the
+    default scorer at scale. Every score is re-derived in the DuckDB
+    oracle, so the seam's default path is driver-value-checked."""
+    from data_ingestion_tool_bakasura__spark.functions.ranking import (
+        bm25_topk,
+        cross_rerank,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    cands = bm25_topk(docs, _TFIDF_TERMS, k=20, lowercase=False).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return cross_rerank(
+        cands, " ".join(_TFIDF_TERMS), id_col="doc_id", text_col="text", k=10
+    ).select("doc_id", "bm25", "rerank")
+
+
+ORACLE["q_semantic_rerank"] = f"""
+WITH bm_scored AS (
+{_BM25_SQL}
+),
+cand AS (
+  SELECT doc_id, bm25 FROM bm_scored ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+scored AS (
+  SELECT c.doc_id, c.bm25,
+         regexp_split_to_array(trim(lower(d.text)), '\\s+') AS toks,
+         array_to_string(regexp_split_to_array(trim(lower(d.text)), '\\s+'), ' ') AS joined
+  FROM cand c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, bm25,
+       round(0.7 * ((list_contains(toks, 'data')::INT
+                   + list_contains(toks, 'hash')::INT
+                   + list_contains(toks, 'scan')::INT) / 3.0)
+           + 0.3 * ((CASE WHEN position('data hash' IN joined) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position('hash scan' IN joined) > 0 THEN 1 ELSE 0 END) / 2.0),
+             6) AS rerank
+FROM scored
+ORDER BY rerank DESC, doc_id
+LIMIT 10
+"""
+
+
 # --- C16: intra-document repetition filter (Gopher-style) -----------------
 
 def q_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:

@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
         "--index", choices=("exact", "hnsw", "ivf", "pq"), default="exact",
         help="vector-leg retrieval path (non-exact needs build-ann first)",
     )
+    p_sea.add_argument(
+        "--rerank", action="store_true",
+        help="hybrid only: semantic second-stage rerank of the fused top-N",
+    )
     p_sea.add_argument("-k", type=int, default=10)
 
     p_sta = sub.add_parser("stats", help="index stats + per-file facet")
@@ -106,8 +110,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.mode == "vector":
         fn = lambda q, k: client.search_vector(q, k=k, index=args.index)
     else:
-        fn = lambda q, k: client.search_hybrid(q, k=k, index=args.index)
+        fn = lambda q, k: client.search_hybrid(
+            q, k=k, index=args.index, rerank=args.rerank
+        )
     score_col = {"text": "bm25", "vector": "cos_sim", "hybrid": "rrf"}[args.mode]
+    if args.cmd == "search" and args.mode == "hybrid" and args.rerank:
+        score_col = "rerank"
     for r in fn(args.query, args.k).collect():
         print(
             json.dumps(
