@@ -358,13 +358,32 @@ class IndexClient:
                     corpus_id="id", vec_col="content_vector",
                 ).drop("q_id")
             elif index == "ivf":
+                import numpy as np
+
                 from data_ingestion_tool_bakasura__spark.operators.similarity import (
                     ivf_topk,
                 )
 
+                cent = self.spark.read.parquet(os.path.join(d, "centroids"))
+                # static partition pruning: the probe list is computable
+                # driver-side (query vector + tiny centroid set are both in
+                # hand — same normalize/argsort-stable arithmetic as
+                # ivf_topk's probe UDF), so filter the c_id-partitioned
+                # scan explicitly; Spark's DPP does not fire for the
+                # UDF-derived probe join, so without this the serve path
+                # reads every list (verified in the physical plan)
+                rows = sorted(cent.collect(), key=lambda r: r["c_id"])
+                C = np.array([r["content_vector"] for r in rows], dtype=np.float64)
+                Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+                q = np.asarray(qv, dtype=np.float64)
+                qn = q / max(float(np.linalg.norm(q)), 1e-300)
+                order = np.argsort(-(Cn @ qn), kind="stable")[: min(nprobe, len(rows))]
+                probed = [rows[i]["c_id"] for i in order]
+                assigned = self.spark.read.parquet(
+                    os.path.join(d, "assigned")
+                ).filter(F.col("c_id").isin(probed))
                 hits = ivf_topk(
-                    self.spark.read.parquet(os.path.join(d, "assigned")),
-                    self.spark.read.parquet(os.path.join(d, "centroids")),
+                    assigned, cent,
                     self._query_df(qv), k=k, nprobe=nprobe,
                     corpus_id="id", vec_col="content_vector",
                 ).drop("q_id")
