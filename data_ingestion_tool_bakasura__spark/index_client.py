@@ -253,7 +253,11 @@ class IndexClient:
                 corpus, m=m, ef_construction=ef_construction,
                 corpus_id="id", vec_col="content_vector", n_shards=n_shards,
             )
-            graph.write.mode("overwrite").parquet(os.path.join(d, "graph"))
+            # partitioned by shard so increment_ann can dynamically
+            # overwrite ONLY the shards a wave touches
+            graph.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(d, "graph")
+            )
             params = {"m": m, "ef_construction": ef_construction, "n_shards": n_shards}
         elif kind == "ivf":
             from pyspark.sql import Window
@@ -298,6 +302,87 @@ class IndexClient:
             "n_rows": corpus.count(),
             "embedding_dim": self.embedding_dim,
         }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    def increment_ann(self, kind: str = "hnsw") -> dict:
+        """Fold rows ingested SINCE the artifact was built into the
+        persisted ANN structure without rebuilding it — the serving-side
+        closure of the r8 increment operators, and the answer to a
+        stale ``ann_manifest``: ``store()`` a wave, then
+        ``increment_ann`` each artifact.
+
+        The wave is discovered by an anti-join of the index table's ids
+        against the artifact's ids (both scans pruned to the id
+        column); an empty wave is a no-op.
+
+        - ``hnsw``: ``hnsw_index_increment`` extends only the touched
+          shards' graphs (replay-idempotent), and a DYNAMIC partition
+          overwrite rewrites exactly those shard partitions on disk —
+          untouched shards are neither read nor written. Incremented
+          graphs are valid HNSW but not byte-identical to a full
+          rebuild (insertion-order dependence, inherent).
+        - ``ivf``: the wave is assigned to the EXISTING centroids (one
+          Arrow argmax scan of the wave only) and appended to the
+          list-partitioned assignment. Centroids are not refit —
+          document-drift is the caller's rebuild trigger.
+        - ``pq``: nothing to move — serving encodes in-scan against the
+          stored codebooks, so new rows are searchable immediately; the
+          manifest row count is refreshed. Codebook drift (a wave from
+          a very different distribution) is, as with ivf, a rebuild
+          trigger, not an increment.
+
+        Returns the refreshed manifest."""
+        import json
+
+        d = self._ann_dir(kind)
+        manifest = self.ann_manifest(kind)
+        if manifest is None:
+            raise RuntimeError(
+                f"no persisted {kind!r} artifact for {self.path!r}: "
+                f"call build_ann({kind!r}) first"
+            )
+        corpus = self.table().select("id", "content_vector").filter(
+            F.col("content_vector").isNotNull()
+        )
+        p = manifest["params"]
+        if kind == "hnsw":
+            from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+                hnsw_index_increment,
+            )
+
+            gpath = os.path.join(d, "graph")
+            idx = self.spark.read.parquet(gpath)
+            wave = corpus.join(idx.select("id"), "id", "anti")
+            if wave.limit(1).count():
+                inc = hnsw_index_increment(
+                    idx, wave, m=p["m"], ef_construction=p["ef_construction"],
+                    corpus_id="id", vec_col="content_vector",
+                    n_shards=p["n_shards"],
+                )
+                (
+                    inc.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("shard")
+                    .parquet(gpath)
+                )
+        elif kind == "ivf":
+            from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                ivf_assign,
+            )
+
+            apath = os.path.join(d, "assigned")
+            assigned = self.spark.read.parquet(apath)
+            wave = corpus.join(assigned.select("id"), "id", "anti")
+            if wave.limit(1).count():
+                cent = self.spark.read.parquet(os.path.join(d, "centroids"))
+                inc = ivf_assign(
+                    wave, cent, corpus_id="id", vec_col="content_vector"
+                )
+                inc.write.mode("append").partitionBy("c_id").parquet(apath)
+        # pq: codebooks serve any corpus snapshot; only the count moves
+        manifest["n_rows"] = corpus.count()
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         return manifest

@@ -502,6 +502,17 @@ def hnsw_index_increment(
     newv = newv.join(
         old_touched.select("shard", corpus_id), ["shard", corpus_id], "anti"
     )
+    # BRAND-NEW shards (no index rows) cannot go through the cogroup:
+    # deserializing the empty old side's nested array<array<int>> batch
+    # segfaults pyarrow's arrow_to_pandas (empty-side + doubly-nested
+    # list — reproduced on pyspark 4.1 / worker faulthandler). Build
+    # them with the normal fit path instead — extend-from-empty and fit
+    # insert in the SAME sorted-by-str(id) order, so the graphs are
+    # identical; the cogroup only ever sees shards with old rows (the
+    # possibly-empty NEW side is single-nested and deserializes fine).
+    idx_shards = index.select("shard").distinct()
+    fresh = newv.join(F.broadcast(idx_shards), "shard", "anti")
+    newv = newv.join(F.broadcast(idx_shards), "shard", "semi")
 
     id_t = index.schema[corpus_id].dataType.simpleString()
     out_schema = (
@@ -510,13 +521,8 @@ def hnsw_index_increment(
     )
 
     def _extend(old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(
-            (new_pdf if len(new_pdf) else old_pdf)["shard"].iloc[0]
-        )
-        if len(old_pdf):
-            g = _graph_from_pdf(old_pdf, corpus_id)
-        else:  # brand-new shard (possible when the old corpus was tiny)
-            g = LocalHNSW(m=m, ef_construction=ef_construction)
+        shard = int(old_pdf["shard"].iloc[0])
+        g = _graph_from_pdf(old_pdf, corpus_id)
         g.m, g.m0, g.ef_c = m, 2 * m, max(ef_construction, m + 1)
         g.ml = 1.0 / math.log(m + 1)
         if len(new_pdf):
@@ -536,11 +542,17 @@ def hnsw_index_increment(
             }
         )
 
-    return (
+    extended = (
         old_touched.groupBy("shard")
         .cogroup(newv.groupBy("shard"))
         .applyInPandas(_extend, schema=out_schema)
     )
+    fresh_built = hnsw_index(
+        fresh.select(corpus_id, vec_col),
+        m=m, ef_construction=ef_construction,
+        corpus_id=corpus_id, vec_col=vec_col, n_shards=n_shards,
+    )
+    return extended.unionByName(fresh_built)
 
 
 def hnsw_index_delete(

@@ -427,3 +427,62 @@ def test_hnsw_index_delete_rebuilds_touched_shards(spark, tmp_path):
     by_q = {r["q_id"]: r["vec_id"] for r in hits}
     assert by_q[20] == 20
     assert all(by_q[i] not in doomed for i in doomed)
+
+
+def test_hnsw_index_increment_brand_new_shard(spark, tmp_path):
+    """r9 regression: a wave landing in a shard the index has NO rows
+    for must not go through the cogroup (the empty old side's nested
+    array<array<int>> batch segfaults pyarrow) — fresh shards build
+    via the fit path, which is graph-identical to extend-from-empty
+    (same sorted insertion), and serve alongside extended shards."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        _shard_expr,
+        hnsw_index,
+        hnsw_index_increment,
+        hnsw_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # build a 1-row index so most of the 8 shards are empty
+    old = emb.filter(F.col("vec_id") == 0)
+    wave = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") < 20))
+    cfg = dict(m=8, ef_construction=100)
+
+    path = str(tmp_path / "tiny_idx")
+    hnsw_index(old, n_shards=8, **cfg).write.partitionBy("shard").parquet(path)
+    persisted = spark.read.parquet(path)
+    old_shard = persisted.select("shard").first()["shard"]
+
+    inc = hnsw_index_increment(persisted, wave, n_shards=8, **cfg)
+    rows = inc.collect()
+    # wave went somewhere, including shards the index had never seen
+    wave_shards = {
+        r["s"] for r in wave.select(_shard_expr("vec_id", 8).alias("s"))
+        .distinct().collect()
+    }
+    assert {r["shard"] for r in rows} == wave_shards | (
+        {old_shard} if old_shard in wave_shards else set()
+    )
+    assert len(wave_shards - {old_shard}) > 0, "fixture must hit fresh shards"
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+    # the merged index serves every wave vector (self-hit at sim 1.0)
+    merged = persisted.filter(
+        ~F.col("shard").isin(*{r["shard"] for r in rows})
+    ).unionByName(inc)
+    q = wave.select(F.col("vec_id").alias("q_id"), "embedding")
+    got = hnsw_topk_indexed(merged, q, k=1, ef_search=200).collect()
+    assert {(r["q_id"], r["vec_id"], r["cos_sim"]) for r in got} == {
+        (i, i, 1.0) for i in range(1, 20)
+    }
+
+    # fresh-shard graphs are identical to a direct build of those rows
+    fresh_only = wave.withColumn("s", _shard_expr("vec_id", 8)).filter(
+        F.col("s") != old_shard
+    ).drop("s")
+    direct = sorted(map(tuple, hnsw_index(fresh_only, n_shards=8, **cfg).collect()))
+    from_inc = sorted(
+        tuple(r) for r in rows if r["shard"] != old_shard
+    )
+    assert direct == from_inc

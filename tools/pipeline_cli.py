@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
     p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq"), default="hnsw")
+    p_ann.add_argument(
+        "--increment", action="store_true",
+        help="fold rows ingested since the last build/increment into the "
+             "existing artifact (touched shards/lists only) instead of rebuilding",
+    )
 
     p_sea = sub.add_parser("search", help="query the index")
     p_sea.add_argument("index_dir")
@@ -101,8 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "build-ann":
-        manifest = client.build_ann(args.kind)
-        print(json.dumps({"event": "ann_built", **manifest}))
+        if args.increment:
+            manifest = client.increment_ann(args.kind)
+            print(json.dumps({"event": "ann_incremented", **manifest}))
+        else:
+            manifest = client.build_ann(args.kind)
+            print(json.dumps({"event": "ann_built", **manifest}))
         return 0
 
     if args.mode == "text":
