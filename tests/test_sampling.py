@@ -320,3 +320,28 @@ def test_curate_cli_journey(spark, tmp_path, capsys):
     assert set(r["split"] for r in got.select("split").distinct().collect()) == set(
         d["splits"]
     )
+
+    # r9: fit-quality trains weights on a labeled sample and run serves
+    # them — an always-reject model (planted inverted labels on prose vs
+    # soup with a harsh threshold) changes the quality gate's behavior
+    prose = "The quick brown fox jumps over the lazy dog and runs on home. " * 3
+    soup = "000 111 222 !!! ??? ;;; 333 444 555 ::: ,,, ... 666 777 888 999 "
+    labeled = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        [(i, prose + str(i), 1) for i in range(6)]
+        + [(100 + i, soup + str(i), 0) for i in range(6)],
+        "doc_id long, text string, label int",
+    ).write.parquet(labeled)
+    wfile = str(tmp_path / "qw.json")
+    rc = curate_cli.main(["fit-quality", labeled, wfile])
+    fitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and fitted["event"] == "quality_fitted"
+    assert set(json.load(open(wfile))) == set(fitted["weights"])
+    assert fitted["weights"]["punct_ratio"] < 0
+
+    out2 = str(tmp_path / "cur_fitted")
+    rc = curate_cli.main([
+        "run", src, out2, "--nll-max", "9.9", "--quality-weights", wfile,
+    ])
+    d2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and d2["n_in"] == 500 and d2["n_kept"] > 0

@@ -4,9 +4,17 @@ LLM-pretraining one): the README's curation quickstart as commands
 over a parquet documents table with (doc_id, text[, source, lang]).
 
     python tools/curate_cli.py report <docs_parquet>
+    python tools/curate_cli.py fit-quality <labeled_parquet> <weights.json> \\
+        [--label-col label]
     python tools/curate_cli.py run <docs_parquet> <out_dir> \\
         [--span-n 20] [--nll-max 5.38] [--min-quality 0.25] \\
+        [--quality-weights weights.json] \\
         [--splits train=0.9,val=0.05,test=0.05]
+
+``fit-quality`` trains the logistic quality model on a labeled sample
+(0/1 label column; the CCNet second-stage shape) and writes the
+weights as JSON; ``run --quality-weights`` serves them — otherwise
+the documented hand-pinned prior scores.
 
 ``run`` executes substring-span surgery (Lee et al. shape) ->
 char-trigram LM self-scoring of the POST-surgery text (CCnet
@@ -41,12 +49,19 @@ def main(argv: list[str] | None = None) -> int:
     p_rep = sub.add_parser("report", help="one-row dataset card")
     p_rep.add_argument("docs")
 
+    p_fit = sub.add_parser("fit-quality", help="train quality weights on a labeled sample")
+    p_fit.add_argument("labeled")
+    p_fit.add_argument("weights_out")
+    p_fit.add_argument("--label-col", default="label")
+
     p_run = sub.add_parser("run", help="surgery -> LM filter -> quality -> splits")
     p_run.add_argument("docs")
     p_run.add_argument("out_dir")
     p_run.add_argument("--span-n", type=int, default=20)
     p_run.add_argument("--nll-max", type=float, default=5.38)
     p_run.add_argument("--min-quality", type=float, default=0.25)
+    p_run.add_argument("--quality-weights", default=None,
+                       help="JSON weights from fit-quality (default: pinned prior)")
     p_run.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
 
     args = ap.parse_args(argv)
@@ -57,6 +72,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("curate-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "fit-quality":
+        from data_ingestion_tool_bakasura__spark.operators.sampling import (
+            fit_quality_weights,
+        )
+
+        labeled = spark.read.parquet(args.labeled)
+        w = fit_quality_weights(labeled, label_col=args.label_col)
+        with open(args.weights_out, "w") as f:
+            json.dump(w, f)
+        print(json.dumps({"event": "quality_fitted", "weights": w,
+                          "out": args.weights_out}))
+        return 0
+
     docs = spark.read.parquet(args.docs)
 
     if args.cmd == "report":
@@ -79,10 +107,16 @@ def main(argv: list[str] | None = None) -> int:
 
     card_in = _report_row(docs)
 
+    qw = None
+    if args.quality_weights:
+        with open(args.quality_weights) as f:
+            qw = json.load(f)
+
     cleaned = remove_repeated_spans(docs, n=args.span_n).localCheckpoint(eager=True)
     scored = char_trigram_nll(cleaned, text_col="cleaned", id_col="doc_id")
     quality = quality_classifier_score(
-        cleaned, text_col="cleaned", id_col="doc_id", threshold=args.min_quality
+        cleaned, text_col="cleaned", id_col="doc_id",
+        weights=qw, threshold=args.min_quality,
     )
     # surgery emits only (doc_id, cleaned, accounting) — join the
     # passthrough metadata back from the source table
