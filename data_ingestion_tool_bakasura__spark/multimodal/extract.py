@@ -141,10 +141,21 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         objs[int(m.group(1))] = m.group(2)
 
     def stream_of(body: bytes) -> bytes | None:
-        sm = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
+        sm = re.search(rb"stream\r?\n", body)
         if sm is None:
             return None
-        data = sm.group(1)
+        # prefer the declared /Length: compressed bytes may legally
+        # contain b"\nendstream", which would truncate a delimiter
+        # scan (found by the roundtrip property test). An INDIRECT
+        # length ("/Length 8 0 R") falls back to the delimiter.
+        lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", body[: sm.start()])
+        if lm and not lm.group(2):
+            data = body[sm.end() : sm.end() + int(lm.group(1))]
+        else:
+            em = re.search(rb"(.*?)\r?\nendstream", body[sm.end():], re.S)
+            if em is None:
+                return None
+            data = em.group(1)
         if b"/FlateDecode" in body[: sm.start()]:
             data = zlib.decompress(data)
         return data

