@@ -494,10 +494,18 @@ def image_near_dup_increment(
     bands: int = 4,
     max_hamming: int = 8,
     max_bucket_size: int | None = 100,
+    new_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a wave of NEW images against a persisted
     :func:`image_hash_index` (plus each other): only the wave is
-    hashed; the corpus contributes its 65-byte hash rows. Pairs are
+    hashed; the corpus contributes its 65-byte hash rows.
+    ``new_hashes`` lets a caller that already holds the wave's
+    ``image_hash_index`` rows (e.g. the streaming sink, which also
+    appends them to the persisted index) pass them in so the
+    perceptual-hash pass over the payloads runs once, not once per
+    consumer — the ``minhash_lsh_increment new_keyed`` precedent. When
+    given it must be the hash rows of exactly ``new_images``
+    (``payload_col`` is then unused). Pairs are
     (id_a, id_b, hamming) where id_b is always the new image and id_a
     is its earlier (index) or lexicographically-smaller within-wave
     witness — union the returned wave hashes into the index afterwards
@@ -513,10 +521,12 @@ def image_near_dup_increment(
     populations a full recompute would see — the
     ``minhash_lsh_increment`` precedent). ``None`` disables."""
     idx_ids = index.select(F.col("media_id")).distinct()
-    new_h = (
-        image_hash_index(new_images, id_col=id_col, payload_col=payload_col)
-        .join(idx_ids, "media_id", "left_anti")
-        .localCheckpoint(eager=True)
+    if new_hashes is None:
+        new_hashes = image_hash_index(
+            new_images, id_col=id_col, payload_col=payload_col
+        )
+    new_h = new_hashes.join(idx_ids, "media_id", "left_anti").localCheckpoint(
+        eager=True
     )
 
     idx_banded = _banded(index, bands, "media_id", "ahash")

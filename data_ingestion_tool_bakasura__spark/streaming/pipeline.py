@@ -413,3 +413,86 @@ __all__ = [
     "start_streaming_upsert",
     "stream_documents",
 ]
+
+
+def start_streaming_image_dedup(
+    media_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 100,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously near-deduplicated MEDIA corpus — the image-side
+    twin of :func:`start_streaming_near_dedup` (C15 x C17): each
+    arriving batch of (id, payload) rows is perceptual-hashed ONCE,
+    probed against the persisted :func:`~..multimodal.media
+    .image_hash_index` via ``image_near_dup_increment``, and only
+    survivors' payloads + 65-byte hash rows are appended. Within a
+    batch the min-id copy is canonical (the increment's pair contract
+    makes ``id_b`` always the duplicate side); across batches first
+    arrival wins. Payloads are hashed exactly once per image, ever —
+    the corpus side contributes only its hash rows, so a year of
+    daily media drops costs a year of increments.
+
+    Replay-idempotent twice over: an exact-id guard anti-joins the
+    batch against corpus ids up front (a replayed micro-batch after a
+    crash between the two appends contributes nothing), and the
+    increment itself drops wave ids already present in the hash index.
+    The oversized-band boilerplate cap applies per batch over
+    index+wave combined populations.
+    """
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        image_hash_index,
+        image_near_dup_increment,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="imgdedup_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        if os.path.exists(corpus_path.removeprefix("file://")):
+            seen = spark.read.parquet(corpus_path).select(F.col(id_col))
+            batch_df = batch_df.join(seen, on=id_col, how="left_anti")
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        # hash the batch ONCE: feeds the near-dup probe AND (filtered
+        # to survivors) the index append
+        batch_h = image_hash_index(
+            batch_df, id_col=id_col, payload_col=payload_col
+        ).localCheckpoint(eager=True)
+        have_index = os.path.exists(index_path.removeprefix("file://"))
+        index = (
+            spark.read.parquet(index_path)
+            if have_index
+            else batch_h.limit(0)
+        )
+        pairs = image_near_dup_increment(
+            index, batch_df, id_col=id_col, payload_col=payload_col,
+            bands=bands, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size, new_hashes=batch_h,
+        )
+        # id_b is always the duplicate side (index witness or larger
+        # within-batch id), so the drop set is exactly the id_b column
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
+        survivors.write.mode("append").parquet(corpus_path)
+        batch_h.withColumnRenamed("media_id", id_col).join(
+            F.broadcast(drop), on=id_col, how="left_anti"
+        ).withColumnRenamed(id_col, "media_id").write.mode("append").parquet(index_path)
+
+    writer = media_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -218,3 +218,55 @@ def test_stream_quality_classifier_equals_batch(spark, tmp_path):
     got = SW.replay_to_table(quality_classifier_score(sdf), spark, mode="append")
     want = quality_classifier_score(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_image_dedup_three_waves(spark, tmp_path):
+    """r9 C15 x C17: streaming image near-dedup. Three waves land:
+    wave 1 seeds the corpus; wave 2 carries a perturbed twin of a
+    corpus image (dropped), an exact within-batch duplicate pair
+    (min-id kept) and a fresh image; wave 3 replays an already-seen id
+    (exact-id guard) plus one new image. Payloads are hashed once —
+    the index holds exactly the survivors' 65-byte hash rows — and a
+    checkpoint-loss full replay appends nothing."""
+    base = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
+    other = "IMG1|8|8|1|" + "completely different payload contents here " * 8
+    third = "IMG1|8|8|1|" + "yet another unrelated media payload string " * 8
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "media")
+    index = str(tmp_path / "img_idx")
+    waves = [
+        [(1, base), (2, other)],
+        [(10, "Z" + base[1:]),          # near-dup of corpus img 1 -> drop
+         (11, third), (12, third),      # within-batch exact pair -> keep 11
+         (13, "IMG1|8|8|1|" + "fresh unique content nothing like rest " * 8)],
+        [(11, third),                   # replayed id -> exact-id guard
+         (20, "IMG1|8|8|1|" + "final wave brand new payload bytes here " * 8)],
+    ]
+    for rows in waves:
+        spark.createDataFrame(rows, "media_id long, payload string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        SP.start_streaming_image_dedup(
+            SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+            corpus,
+            index,
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination()
+
+    got = sorted(r["media_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 11, 13, 20]
+    idx = spark.read.parquet(index)
+    assert sorted(r["media_id"] for r in idx.collect()) == [1, 2, 11, 13, 20]
+    assert set(idx.columns) == {"media_id", "ahash"}
+
+    # checkpoint-loss replay: everything re-read as one batch -> no-op
+    SP.start_streaming_image_dedup(
+        SP.stream_documents(spark, landing, spark.read.parquet(landing).schema),
+        corpus,
+        index,
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    ).awaitTermination()
+    replayed = spark.read.parquet(corpus)
+    assert replayed.count() == 5
+    assert sorted(r["media_id"] for r in replayed.collect()) == [1, 2, 11, 13, 20]
