@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_tool_bakasura__spark.functions import embed as E
 from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
+from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 
 
 class IndexClient:
@@ -74,46 +75,53 @@ class IndexClient:
     # -- ingest ------------------------------------------------------------
 
     @contextlib.contextmanager
-    def _writer_lock(self, timeout: float = 120.0, stale: float = 600.0):
+    def _writer_lock(self, timeout: float = 120.0):
         """Serialize probe+append across concurrent writers.
 
         The reference's probe-then-upload races under two writers
         (``db_utils.py:135-169``) — the one bug SURVEY §7 pledges not to
         replicate. Plain parquet has no transaction log, so mutual
-        exclusion is explicit: an atomic ``os.mkdir`` lock next to the
-        table (POSIX mkdir either creates or fails — no TOCTOU), with
-        stale-lock breaking for crashed writers. The break itself is
-        atomic too: a stale lock is ``os.rename``d to a unique name
-        first, so exactly one waiter wins the rename and removes it —
-        two waiters passing the staleness check concurrently cannot
-        each rmdir/re-mkdir and end up both holding the lock.
-        Local-filesystem scope by design; on a cluster this becomes a
-        lakehouse transactional MERGE (Delta/Iceberg), not a bigger
-        lock.
+        exclusion is explicit: a kernel ``flock`` on a lock file next
+        to the table. Each acquisition opens its own descriptor, so the
+        lock serializes threads within one process as well as separate
+        processes; the kernel releases it when the holder's descriptor
+        closes, so a CRASHED writer frees the lock instantly — no
+        staleness heuristic, and none of the mtime-check/break TOCTOU
+        races an mkdir+stale-break scheme has (a waiter could read a
+        stale mtime, lose the break race, then steal the freshly
+        re-created lock of a live holder — observed once under the
+        concurrent-store test before this was switched to flock).
+        A leftover ``.lock`` FILE from a crash is inert (flock state
+        lives in the kernel, not the file). Local-filesystem scope by
+        design; on a cluster this becomes a lakehouse transactional
+        MERGE (Delta/Iceberg), not a bigger lock.
         """
+        import fcntl
+
         lock = self.path.rstrip("/") + ".lock"
+        # a stale mkdir-era lock DIRECTORY would make os.open fail EISDIR;
+        # clear it once so upgrades from the old scheme don't wedge
+        if os.path.isdir(lock):
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
         deadline = time.monotonic() + timeout
-        while True:
-            try:
-                os.mkdir(lock)
-                break
-            except FileExistsError:
-                with contextlib.suppress(OSError):
-                    if time.time() - os.path.getmtime(lock) > stale:
-                        # atomic break: only the waiter whose rename wins
-                        # may clean up; losers get ENOENT and re-loop
-                        trash = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
-                        os.rename(lock, trash)
-                        os.rmdir(trash)
-                        continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"could not acquire writer lock {lock!r}")
-                time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire writer lock {lock!r}"
+                        ) from None
+                    time.sleep(0.05)
             yield
         finally:
             with contextlib.suppress(OSError):
-                os.rmdir(lock)
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def store(self, index_rows: DataFrame) -> int:
         """Dedup-checked append (A18+A19, batched): drops rows whose
@@ -361,6 +369,14 @@ class IndexClient:
                     corpus_id="id", vec_col="content_vector",
                     n_shards=p["n_shards"],
                 )
+                # materialize BEFORE the overwrite: the write plan lazily
+                # reads gpath, and overwriting a path a plan is still
+                # reading is undefined — a failure mid-commit would
+                # destroy the touched shard partitions with no backup
+                # (r9 ADVICE). The checkpoint cuts the read off the
+                # target path, so the dynamic overwrite sees only
+                # already-computed rows.
+                inc = reliable_checkpoint(inc)
                 (
                     inc.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")

@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 from pyspark.sql import types as T
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -379,7 +380,7 @@ def image_near_dup(
         F.col(id_col).alias("_id"), ahash64_udf()(F.col(payload_col)).alias("_h")
     ).filter(F.col("_h").isNotNull())
     if checkpoint:
-        h = h.localCheckpoint(eager=True)
+        h = h.transform(reliable_checkpoint)
     b = _banded(h, bands)
     if max_bucket_size is not None:
         big = _oversized_bands(b, max_bucket_size).select("bi", "bv")
@@ -448,7 +449,7 @@ def video_near_dup(
         .filter(F.col("nv") > max_videos_per_frame)
         .select("fh")
     )
-    fh = fh.join(F.broadcast(hot), "fh", "left_anti").localCheckpoint(eager=True)
+    fh = fh.join(F.broadcast(hot), "fh", "left_anti").transform(reliable_checkpoint)
     sizes = fh.groupBy("video_id").agg(F.count("*").alias("n"))
     shared = (
         fh.alias("a")
@@ -525,9 +526,7 @@ def image_near_dup_increment(
         new_hashes = image_hash_index(
             new_images, id_col=id_col, payload_col=payload_col
         )
-    new_h = new_hashes.join(idx_ids, "media_id", "left_anti").localCheckpoint(
-        eager=True
-    )
+    new_h = new_hashes.join(idx_ids, "media_id", "left_anti").transform(reliable_checkpoint)
 
     idx_banded = _banded(index, bands, "media_id", "ahash")
     probe = _banded(new_h, bands, "media_id", "ahash")

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
 
 
@@ -1176,7 +1177,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint()
+        .transform(reliable_checkpoint)
     )
     level_maps = []
     for _ in range(max_levels):
@@ -1189,14 +1190,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         agg = (
             local.groupBy("node")
             .agg(F.min("root").alias("mroot"), F.collect_set("root").alias("roots"))
-            .localCheckpoint()
+            .transform(reliable_checkpoint)
         )
         level_maps.append(agg.select("node", F.col("mroot").alias("root")))
         edges = (
             agg.select(F.explode("roots").alias("src"), F.col("mroot").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .transform(reliable_checkpoint)
         )
         if edges.count() == 0:
             break

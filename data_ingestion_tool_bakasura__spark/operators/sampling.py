@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 from data_ingestion_tool_bakasura__spark.functions.text import normalize_text
 
 def _c(col: Column | str) -> Column:
@@ -130,7 +131,7 @@ def token_budget_select(df: DataFrame, score_col: str, token_col: str,
     """
     spark = df.sparkSession
     if checkpoint:
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(reliable_checkpoint)
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     score = F.col(score_col)
@@ -727,7 +728,7 @@ def fit_quality_weights(
     X = labeled_df.select(
         *[col.alias(name) for name, col in feats.items()],
         _c(label_col).cast("double").alias("_y"),
-    ).localCheckpoint(eager=True)
+    ).transform(reliable_checkpoint)
 
     chk = X.agg(
         F.count("*").alias("n"),

@@ -27,6 +27,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 from data_ingestion_tool_bakasura__spark.operators.ingest import (
     IngestConfig,
     dedup_against_index,
@@ -186,7 +187,7 @@ def start_streaming_near_dedup(
         if os.path.exists(corpus_path.removeprefix("file://")):
             indexed = spark.read.parquet(corpus_path).select(F.col(id_col))
             batch_df = batch_df.join(indexed, on=id_col, how="left_anti")
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(reliable_checkpoint)
         if not batch_df.take(1):
             return
         have_index = os.path.exists(index_path.removeprefix("file://"))
@@ -203,12 +204,12 @@ def start_streaming_near_dedup(
         # MinHash pass over the batch text ran twice per micro-batch.
         batch_keys = lsh_band_index(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n
-        ).localCheckpoint(eager=True)
+        ).transform(reliable_checkpoint)
         pairs = minhash_lsh_increment(
             batch_df, index, text_col, id_col,
             num_hashes, bands, shingle_n, max_bucket_size,
             new_keyed=batch_keys,
-        ).localCheckpoint(eager=True)
+        ).transform(reliable_checkpoint)
         new_ids = batch_df.select(F.col(id_col))
         # drop: any new doc paired with a CORPUS doc (id not in batch),
         # and any new doc paired with a smaller-id new doc (min-id keeps)
@@ -298,13 +299,13 @@ def start_streaming_semantic_dedup(
         if have_index:
             seen = spark.read.parquet(index_path).select(F.col(id_col))
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(reliable_checkpoint)
         if not batch_df.take(1):
             return
         # assign ONCE: these rows feed both the probe and the index append
         assigned = ivf_assign(
             batch_df, centroids, corpus_id=id_col, vec_col=vec_col, round_dp=round_dp
-        ).localCheckpoint(eager=True)
+        ).transform(reliable_checkpoint)
         index = (
             spark.read.parquet(index_path)
             if have_index
@@ -374,7 +375,7 @@ def start_streaming_span_dedup(
         if os.path.exists(cleaned_path.removeprefix("file://")):
             done = spark.read.parquet(cleaned_path).select(F.col(id_col))
             batch_df = batch_df.join(done, on=id_col, how="left_anti")
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(reliable_checkpoint)
         if not batch_df.take(1):
             return
         have_index = os.path.exists(index_path.removeprefix("file://"))
@@ -385,13 +386,13 @@ def start_streaming_span_dedup(
         )
         cleaned = remove_repeated_spans_increment(
             batch_df, index, n=n, text_col=text_col, id_col=id_col
-        ).localCheckpoint(eager=True)
+        ).transform(reliable_checkpoint)
         # pre-surgery grams; the anti-join keeps the index append-only
         # on distinct hashes (no duplicate gh rows across batches)
         new_grams = span_gram_index(batch_df, n=n, text_col=text_col, id_col=id_col)
         new_grams = new_grams.join(
             index.select(F.col("gh")), on="gh", how="left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(reliable_checkpoint)
         cleaned.write.mode("append").parquet(cleaned_path)
         new_grams.write.mode("append").parquet(index_path)
 
@@ -462,14 +463,14 @@ def start_streaming_image_dedup(
         if os.path.exists(corpus_path.removeprefix("file://")):
             seen = spark.read.parquet(corpus_path).select(F.col(id_col))
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(reliable_checkpoint)
         if not batch_df.take(1):
             return
         # hash the batch ONCE: feeds the near-dup probe AND (filtered
         # to survivors) the index append
         batch_h = image_hash_index(
             batch_df, id_col=id_col, payload_col=payload_col
-        ).localCheckpoint(eager=True)
+        ).transform(reliable_checkpoint)
         have_index = os.path.exists(index_path.removeprefix("file://"))
         index = (
             spark.read.parquet(index_path)
@@ -485,10 +486,25 @@ def start_streaming_image_dedup(
         # within-batch id), so the drop set is exactly the id_b column
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
-        survivors.write.mode("append").parquet(corpus_path)
-        batch_h.withColumnRenamed("media_id", id_col).join(
+        # write ORDER matters for replay (r9 ADVICE): the index append
+        # goes FIRST. A crash between the two writes then leaves hash
+        # rows whose ids are missing from the corpus; the replayed
+        # batch survives the corpus-id guard above and the anti-join
+        # below reconciles the corpus side without double-indexing.
+        # (Corpus-first had the opposite failure: the corpus-id guard
+        # skips the replayed batch and the survivors' hash rows are
+        # lost forever — future near-dups of those images undetected.)
+        to_index = batch_h.withColumnRenamed("media_id", id_col).join(
             F.broadcast(drop), on=id_col, how="left_anti"
-        ).withColumnRenamed(id_col, "media_id").write.mode("append").parquet(index_path)
+        ).withColumnRenamed(id_col, "media_id")
+        if have_index:
+            to_index = to_index.join(
+                index.select("media_id"), on="media_id", how="left_anti"
+            )
+        # materialize: the append plan must not lazily read index_path
+        # while appending to it
+        reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
+        survivors.write.mode("append").parquet(corpus_path)
 
     writer = media_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -72,27 +72,42 @@ def test_concurrent_store_no_duplicate_keys(spark, tmp_path):
     assert sum(added) == t.count()
 
 
-def test_writer_lock_breaks_stale_lock(spark, tmp_path):
-    """A lock left behind by a crashed writer must not wedge ingestion
-    forever: locks older than `stale` seconds are broken."""
-    import os
-    import time as _t
+def test_writer_lock_crashed_holder_does_not_wedge(spark, tmp_path):
+    """A lock whose holder died must not wedge ingestion: flock state
+    lives in the kernel and is released when the holder's descriptor
+    closes, so a dead writer's leftover .lock file blocks nothing.
+    Simulated the hard way: a subprocess takes the lock and is killed
+    mid-hold; store() must then acquire immediately (no 600 s staleness
+    wait — the old mkdir scheme's cure, with its break races)."""
+    import subprocess
+    import sys
 
     client = IndexClient(spark, str(tmp_path / "idx_stale"), embedding_dim=8)
     client.initialize()
     lock = str(tmp_path / "idx_stale").rstrip("/") + ".lock"
-    os.mkdir(lock)
-    old = _t.time() - 10_000
-    os.utime(lock, (old, old))
-    assert client.store(_rows(spark, 0, 5)) > 0  # acquires by breaking stale lock
-    assert not os.path.exists(lock)
+    holder = (
+        "import fcntl,os,sys,time;"
+        f"fd=os.open({lock!r}, os.O_CREAT|os.O_RDWR);"
+        "fcntl.flock(fd, fcntl.LOCK_EX);"
+        "print('held', flush=True);"
+        "time.sleep(60)"
+    )
+    p = subprocess.Popen([sys.executable, "-c", holder], stdout=subprocess.PIPE)
+    try:
+        assert p.stdout.readline().strip() == b"held"
+        p.kill()
+    finally:
+        p.wait()
+    # the kernel released the dead holder's flock: store acquires at once
+    assert client.store(_rows(spark, 0, 5)) > 0
 
 
-def test_concurrent_stale_break_single_winner(spark, tmp_path):
-    """Two writers racing to break the SAME stale lock must not both end
-    up holding it (the rmdir/re-mkdir race): the rename-based break lets
-    exactly one waiter clean up, so concurrent stores over a planted
-    stale lock still serialize — unique text_hash values at the end."""
+def test_concurrent_store_over_leftover_lock_serializes(spark, tmp_path):
+    """Two writers racing over a leftover (unheld) lock file must still
+    serialize — the failure mode this pins is the mtime-check/break
+    TOCTOU of the old mkdir scheme, where a waiter could steal the
+    freshly re-created lock of a live holder and both would write:
+    unique text_hash values at the end."""
     import os
     import time as _t
     from concurrent.futures import ThreadPoolExecutor
@@ -100,7 +115,7 @@ def test_concurrent_stale_break_single_winner(spark, tmp_path):
     client = IndexClient(spark, str(tmp_path / "idx_race"), embedding_dim=8)
     client.initialize()
     lock = str(tmp_path / "idx_race").rstrip("/") + ".lock"
-    os.mkdir(lock)
+    os.mkdir(lock)  # stale mkdir-era leftover; cleared on first acquire
     old = _t.time() - 10_000
     os.utime(lock, (old, old))
     batches = [_rows(spark, 0, 25), _rows(spark, 5, 30)]
@@ -109,7 +124,7 @@ def test_concurrent_stale_break_single_winner(spark, tmp_path):
     t = client.table()
     assert t.count() == t.select("text_hash").distinct().count()
     assert sum(added) == t.count()
-    assert not os.path.exists(lock)
+    assert not os.path.isdir(lock)
 
 
 def test_relevance_search_three_modes(spark, tmp_path):
