@@ -483,10 +483,15 @@ class IndexClient:
                 assigned = self.spark.read.parquet(
                     os.path.join(d, "assigned")
                 ).filter(F.col("c_id").isin(probed))
+                # pass the SAME driver-computed probe list into ivf_topk:
+                # scan pruning and probing must agree bit-for-bit (a
+                # near-tie centroid could otherwise round differently in
+                # the UDF's dgemm and probe a pruned list — r9 ADVICE)
                 hits = ivf_topk(
                     assigned, cent,
                     self._query_df(qv), k=k, nprobe=nprobe,
                     corpus_id="id", vec_col="content_vector",
+                    probe_lists=probed,
                 ).drop("q_id")
             else:  # pq
                 from data_ingestion_tool_bakasura__spark.operators.similarity import (

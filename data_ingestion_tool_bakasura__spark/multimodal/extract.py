@@ -117,16 +117,22 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     zero-dependency fallback between ``stub_parse_pages`` (synthetic
     format) and ``real_pdf_parse_pages`` (full fitz).
 
-    Supported subset, stated honestly: classic cross-referenced PDFs
-    with per-page content streams, uncompressed or FlateDecode, text
-    shown via Tj / TJ / ' / " with literal ``(...)`` (escape + octal)
-    or hex ``<...>`` strings in byte-width encodings (latin-1 decode —
-    Type1/WinAnsi-style fonts). Out of scope and surfaced as missing
-    text rather than wrong text: CID/Type0 composite fonts needing a
-    ToUnicode CMap, object streams (ObjStm), encryption. Tables are
-    not detected (returned empty); the page image is the md5 stand-in
-    (no rasterizer), same as the stub. Reference leg being replaced:
-    ``embedding_utils.py:123-173``.
+    Supported subset, stated honestly: classic cross-referenced AND
+    modern compressed-xref (PDF 1.5+) files — ``/Type /ObjStm`` object
+    streams are decompressed and their inner objects spliced into the
+    object map before page discovery, so producers that pack page
+    dicts into object streams (~2006+: most of them) parse too; xref
+    STREAM tables themselves are irrelevant to the regex scan (objects
+    are found by ``N 0 obj`` delimiters, not offsets). Per-page
+    content streams, uncompressed or FlateDecode, text shown via
+    Tj / TJ / ' / " with literal ``(...)`` (escape + octal; invalid
+    escapes drop the backslash per spec) or hex ``<...>`` strings in
+    byte-width encodings (latin-1 decode — Type1/WinAnsi-style fonts).
+    Out of scope and surfaced as missing text rather than wrong text:
+    CID/Type0 composite fonts needing a ToUnicode CMap, encryption.
+    Tables are not detected (returned empty); the page image is the
+    md5 stand-in (no rasterizer), same as the stub. Reference leg
+    being replaced: ``embedding_utils.py:123-173``.
 
     Raises on non-PDF bytes — :func:`extract_pages` dead-letters it.
     """
@@ -139,6 +145,35 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     objs: dict[int, bytes] = {}
     for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", content, re.S):
         objs[int(m.group(1))] = m.group(2)
+
+    def _splice_objstm() -> None:
+        """Unpack /Type /ObjStm object streams (PDF 1.5+; r9 verdict
+        #2): producers since ~2006 pack non-stream objects — page
+        dicts, the /Pages tree — into compressed streams, so without
+        this the regex scan sees zero pages and modern PDFs
+        dead-letter. The stream layout is ``/N`` pairs of
+        "objnum offset" ints before ``/First``, then the object bodies
+        at First+offset; streams can never nest inside an ObjStm, so
+        the spliced bodies need no stream handling. Top-level
+        definitions win on number collisions (setdefault) — an
+        incremental update writes its newer object at top level."""
+        for body in list(objs.values()):
+            if not re.search(rb"/Type\s*/ObjStm\b", body):
+                continue
+            data = stream_of(body)
+            n_m = re.search(rb"/N\s+(\d+)", body)
+            first_m = re.search(rb"/First\s+(\d+)", body)
+            if data is None or not (n_m and first_m):
+                continue
+            first = int(first_m.group(1))
+            head = data[:first].split()
+            pairs = [
+                (int(head[2 * i]), int(head[2 * i + 1]))
+                for i in range(min(int(n_m.group(1)), len(head) // 2))
+            ]
+            for i, (num, off) in enumerate(pairs):
+                end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+                objs.setdefault(num, data[first + off : end])
 
     def stream_of(body: bytes) -> bytes | None:
         sm = re.search(rb"stream\r?\n", body)
@@ -160,6 +195,8 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             data = zlib.decompress(data)
         return data
 
+    _splice_objstm()
+
     def _pdf_string(tok: bytes) -> str:
         if tok.startswith(b"<"):
             hx = re.sub(rb"\s", b"", tok[1:-1])
@@ -175,7 +212,9 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                        b"f": "\f", b"(": "(", b")": ")", b"\\": "\\"}
                 if nxt in esc:
                     out.append(esc[nxt]); i += 2
-                elif nxt.isdigit():  # octal \ddd
+                elif nxt in b"01234567":  # octal \ddd (spec: 0-7 only;
+                    # \8 \9 are invalid escapes -> drop the backslash,
+                    # keep the digit — isdigit() here crashed on None)
                     oct_m = re.match(rb"\\([0-7]{1,3})", tok[i:])
                     out.append(chr(int(oct_m.group(1), 8))); i += 1 + len(oct_m.group(1))
                 else:
@@ -275,6 +314,51 @@ def stub_ocr(image: bytes) -> str:
     loop, ``embedding_utils.py:53-100``): text derived from the image
     bytes, so the OCR branch is testable and oracle-able."""
     return "ocr:" + hashlib.md5(image or b"").hexdigest()[:16]
+
+
+#: raster magics a real OCR engine can consume; everything else (e.g.
+#: the md5 ``IMG:`` stand-ins the stub/minipdf rasterizers emit) is not
+#: an image and must not reach tesseract
+_RASTER_MAGICS = (b"\x89PNG", b"\xff\xd8", b"BM", b"GIF8", b"II*\x00", b"MM\x00*",
+                  b"P4", b"P5", b"P6")
+
+
+def tesseract_ocr(image: bytes) -> str:
+    """Tesseract-backed OCR provider (A9's REAL leg, same interface as
+    :func:`stub_ocr`): the local, public replacement for the
+    reference's Azure Vision Read poll loop
+    (``embedding_utils.py:53-100`` — submit, poll, concatenate lines).
+    Import-gated exactly like the fitz leg of A5: raises
+    ``NotImplementedError`` when pytesseract/Pillow are absent so
+    :func:`auto_ocr` (and dead-letter isolation in
+    :func:`extract_pages`) can fall through cleanly."""
+    try:
+        import pytesseract  # type: ignore
+        from PIL import Image  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "pytesseract/Pillow not installed; use stub_ocr"
+        ) from e
+    import io  # pragma: no cover
+
+    with Image.open(io.BytesIO(image)) as im:  # pragma: no cover
+        return pytesseract.image_to_string(im).strip()  # pragma: no cover
+
+
+def auto_ocr(image: bytes) -> str:
+    """Content-sniffing OCR dispatch, mirroring :func:`auto_parse_pages`:
+    real raster bytes (PNG/JPEG/BMP/GIF/TIFF/PNM magics) go to
+    tesseract when it is importable; everything else — including the
+    deterministic ``IMG:`` md5 stand-ins produced by the stub and
+    minipdf rasterizers — uses :func:`stub_ocr`, so the OCR branch
+    stays deterministic and oracle-able wherever the real engine is
+    absent."""
+    if image and image.startswith(_RASTER_MAGICS):
+        try:
+            return tesseract_ocr(image)
+        except NotImplementedError:
+            pass
+    return stub_ocr(image)
 
 
 # ---------------------------------------------------------------------------

@@ -495,6 +495,7 @@ def ivf_topk(
     query_id: str = "q_id",
     vec_col: str = "embedding",
     centroid_id: str = "c_id",
+    probe_lists: list | None = None,
 ) -> DataFrame:
     """IVF search over :func:`ivf_assign` output: each query probes its
     ``nprobe`` nearest centroid LISTS and rescores exact cosine inside
@@ -506,7 +507,15 @@ def ivf_topk(
     :func:`cosine_topk_batch` exactly (same rescoring and tiebreak —
     tested). Centroids are collected driver-side (tiny by construction,
     same contract as ivf_assign); each corpus vector lives in exactly
-    one list, so no candidate dedup is needed."""
+    one list, so no candidate dedup is needed.
+
+    ``probe_lists`` pins the probed centroid ids for EVERY query,
+    bypassing the per-query probe UDF. The serving path computes the
+    probe list driver-side to statically prune the list-partitioned
+    scan; passing the SAME list here keeps scan pruning and probing
+    bit-identical — without it, near-tie centroid similarities can
+    round differently between the driver's dgemv and the UDF's dgemm
+    and the UDF may probe a list the scan pruned away (r9 ADVICE)."""
     rows = sorted(
         centroids.select(_c(centroid_id).alias("c"), _c(vec_col).alias("v")).collect(),
         key=lambda r: r["c"],
@@ -514,26 +523,35 @@ def ivf_topk(
     if not rows:
         raise ValueError("ivf_topk: centroid set is empty")
     cids = [r["c"] for r in rows]
-    C = np.array([r["v"] for r in rows], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    np_eff = min(nprobe, len(cids))
+    if probe_lists is not None:
+        unknown = set(probe_lists) - set(cids)
+        if unknown:
+            raise ValueError(f"ivf_topk: probe_lists not in centroids: {unknown}")
+        probe_col = F.explode(
+            F.array(*[F.lit(c) for c in probe_lists]).cast("array<long>")
+        )
+    else:
+        C = np.array([r["v"] for r in rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        np_eff = min(nprobe, len(cids))
 
-    def _probe_fn(vecs):
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        if not len(V):
-            return pd.Series([], dtype=object)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        sims = Vn @ Cn.T  # n x k_lists
-        # argsort on (-sim, index): stable lowest-c_id tiebreak
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :np_eff]
-        return pd.Series([[cids[i] for i in row] for row in order])
+        def _probe_fn(vecs):
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            if not len(V):
+                return pd.Series([], dtype=object)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = Vn @ Cn.T  # n x k_lists
+            # argsort on (-sim, index): stable lowest-c_id tiebreak
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_eff]
+            return pd.Series([[cids[i] for i in row] for row in order])
 
-    _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.LongType()))
+        _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.LongType()))
+        probe_col = F.explode(_probe(_c(vec_col)))
 
     q_probed = queries.select(
         _c(query_id).alias(query_id),
         _c(vec_col).alias("_qvec"),
-        F.explode(_probe(_c(vec_col))).alias(centroid_id),
+        probe_col.alias(centroid_id),
     )
     cand = assigned.join(F.broadcast(q_probed), on=centroid_id)
     scored = cand.select(

@@ -255,6 +255,47 @@ def test_ann_serving_mode_parity(spark, tmp_path):
     assert len(narrow) == 5 and all(r["cos_sim"] <= 1.0 for r in narrow)
 
 
+def test_ivf_serving_partial_probe_parity(spark, tmp_path):
+    """r9 ADVICE: at nprobe < n_lists the serve path statically prunes
+    the list-partitioned scan to the driver-computed probe list AND
+    pins that same list inside ivf_topk — the two probe computations
+    must not diverge (dgemv vs dgemm rounding on near-tie centroids).
+    Pin: for every nprobe, serving == ivf_topk over the UNPRUNED
+    assignment with the UDF probe path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.functions import embed as E
+    from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_topk
+
+    client = IndexClient(spark, str(tmp_path / "idx_ivfp"), embedding_dim=8)
+    client.initialize()
+    client.store(_rows(spark, 0, 60))
+    client.build_ann("ivf", n_lists=4, iters=2)
+
+    probe = client.table().select("content").first()["content"]
+    d = client._ann_dir("ivf")
+    assigned_full = spark.read.parquet(os.path.join(d, "assigned"))
+    cent = spark.read.parquet(os.path.join(d, "centroids"))
+    qdf = client._query_df(E.hash_embed_py(probe, 8))
+
+    for nprobe in (1, 2, 3):
+        served = [
+            (r["id"], r["cos_sim"])
+            for r in client.search_vector(probe, k=5, index="ivf", nprobe=nprobe)
+            .collect()
+        ]
+        direct = [
+            (r["id"], r["cos_sim"])
+            for r in ivf_topk(
+                assigned_full, cent, qdf, k=5, nprobe=nprobe,
+                corpus_id="id", vec_col="content_vector",
+            ).orderBy(F.desc("cos_sim"), "id").collect()
+        ]
+        assert served == direct, f"nprobe={nprobe}: serve/UDF probe diverged"
+
+
 def test_hybrid_rerank_seam(spark, tmp_path):
     """r8 'What's missing' #3: the semantic second stage. rerank=True
     rescores the fused top-N with the deterministic default scorer

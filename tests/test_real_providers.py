@@ -72,6 +72,88 @@ def _tiny_pdf(page_texts: list[str]) -> bytes:
     return bytes(out)
 
 
+def _tiny_pdf_objstm(page_texts: list[str]) -> bytes:
+    """Modern (PDF 1.5+) twin of :func:`_tiny_pdf`: the catalog, the
+    /Pages tree, every page dict and the font live INSIDE a compressed
+    ``/Type /ObjStm`` object stream, and the cross-reference table is a
+    ``/Type /XRef`` STREAM with type-2 (in-object-stream) entries —
+    the layout virtually every post-2006 producer writes, and the one
+    the r9 verdict flagged as the first thing a real user hits. Only
+    the content streams stay top-level (streams may not nest in an
+    ObjStm). The xref stream is structurally real (W [1 4 2], correct
+    offsets/indices) even though the regex-scanning parser never reads
+    it — so a full-featured parser (fitz, when present) accepts the
+    fixture too."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    n = len(page_texts)
+    # numbering: 1 = ObjStm, 2 = catalog, 3 = pages, 4..3+n = page dicts,
+    # 4+n = font (all inner); 5+n..4+2n = content streams; 5+2n = xref
+    font_num, xref_num = 4 + n, 5 + 2 * n
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n))
+    inner: list[tuple[int, bytes]] = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    for i in range(n):
+        inner.append((
+            4 + i,
+            (
+                f"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {5 + n + i} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode(),
+        ))
+    inner.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+
+    bodies, offs, pos = [], [], 0
+    for _num, body in inner:
+        offs.append(pos)
+        bodies.append(body)
+        pos += len(body) + 1
+    header = " ".join(f"{num} {off}" for (num, _b), off in zip(inner, offs)).encode() + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    comp = zlib.compress(payload)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    offsets[1] = len(out)
+    out += (
+        b"1 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(inner), len(header), len(comp), comp)
+    )
+    for i, text in enumerate(page_texts):
+        num = 5 + n + i
+        stream = f"BT /F1 12 Tf 72 720 Td ({esc(text)}) Tj ET".encode()
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+            num, len(stream), stream,
+        )
+    # xref STREAM: W [1 4 2] -> (type, offset|objstm, gen|index)
+    xref_at = len(out)
+    offsets[xref_num] = xref_at
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    rows += bytes([1]) + offsets[1].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    for idx, (num, _b) in enumerate(inner):
+        assert num == 2 + idx  # contiguous by construction
+        rows += bytes([2]) + (1).to_bytes(4, "big") + idx.to_bytes(2, "big")
+    for i in range(n):
+        rows += bytes([1]) + offsets[5 + n + i].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 2 0 R "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (xref_num, xref_num + 1, len(rows), bytes(rows))
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
 def test_provider_seams_share_one_signature():
     """The real providers must be drop-in for the stubs: identical
     parameter lists, so `extract_pages(parser=...)` accepts either
@@ -87,6 +169,53 @@ def test_provider_seams_share_one_signature():
 def test_real_pdf_gate_raises_cleanly_without_fitz():
     with pytest.raises(NotImplementedError):
         MX.real_pdf_parse_pages(_tiny_pdf(["x"]))
+
+
+def _tiny_png() -> bytes:
+    """Valid 1x1 grayscale PNG, stdlib-built — raster bytes a real OCR
+    engine accepts, for exercising auto_ocr's content sniff."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\xff")  # filter byte + one white pixel
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_ocr_providers_gate_and_dispatch():
+    """A9's real leg (r9 verdict #3), mirroring the fitz gate r9 proved
+    for A5: tesseract_ocr is drop-in for stub_ocr (same signature);
+    auto_ocr routes NON-raster bytes (the md5 ``IMG:`` stand-ins) to
+    the deterministic stub everywhere; on real raster bytes it uses
+    tesseract when importable and falls through to the stub otherwise.
+    One test, branches at runtime — no perpetual skip."""
+    assert (
+        inspect.signature(MX.stub_ocr)
+        == inspect.signature(MX.tesseract_ocr)
+        == inspect.signature(MX.auto_ocr)
+    )
+    # stand-in bytes never reach the real engine: deterministic stub
+    assert MX.auto_ocr(b"IMG:deadbeef") == MX.stub_ocr(b"IMG:deadbeef")
+    assert MX.auto_ocr(b"") == MX.stub_ocr(b"")
+    png = _tiny_png()
+    try:
+        import pytesseract  # type: ignore # noqa: F401
+
+        have_tess = True
+    except ImportError:
+        have_tess = False
+    if have_tess:  # real engine e2e: a blank 1x1 px OCRs to no text
+        assert MX.tesseract_ocr(png) == ""
+        assert MX.auto_ocr(png) == ""
+    else:  # clean gate + auto fall-through
+        with pytest.raises(NotImplementedError):
+            MX.tesseract_ocr(png)
+        assert MX.auto_ocr(png) == MX.stub_ocr(png)
 
 
 def test_minipdf_parses_real_pdf_bytes_ungated(spark, tmp_path):
@@ -265,8 +394,30 @@ def test_minipdf_roundtrip_property():
     @given(st.lists(text_st, min_size=1, max_size=4))
     def roundtrip(pages):
         pdf = _tiny_pdf(pages)
-        for variant in (pdf, compress_streams(pdf)):
+        for variant in (pdf, compress_streams(pdf), _tiny_pdf_objstm(pages)):
             got = [p[0] for p in MX.minipdf_parse_pages(variant)]
             assert got == pages
 
     roundtrip()
+
+
+def test_minipdf_objstm_matches_classic_twin():
+    """r9 verdict #2: a modern compressed-xref PDF (page dicts packed
+    into a /Type /ObjStm, /Type /XRef stream table) must parse to the
+    SAME pages as its classic-xref twin — previously the regex scan
+    saw zero page objects and the file dead-lettered."""
+    texts = ["alpha objstm page", "beta (with) \\ specials", "", "third"]
+    classic = [p[0] for p in MX.minipdf_parse_pages(_tiny_pdf(texts))]
+    modern = [p[0] for p in MX.minipdf_parse_pages(_tiny_pdf_objstm(texts))]
+    assert modern == classic == texts
+
+
+def test_minipdf_invalid_digit_escape_drops_backslash():
+    """PDF spec 7.3.4.2: a backslash before a non-octal digit is an
+    invalid escape — drop the backslash, keep the char. \\8 and \\9
+    used to crash the parser with AttributeError (r9 ADVICE)."""
+    pdf = _tiny_pdf(["x" * 17])  # same byte length as the replacement,
+    # so the declared /Length stays valid
+    broken = pdf.replace(b"(" + b"x" * 17 + b")", rb"(\8 and \9 and \0z)")
+    pages = MX.minipdf_parse_pages(broken)
+    assert pages[0][0] == "8 and 9 and \x00z"

@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "ingest":
         from data_ingestion_tool_bakasura__spark.multimodal.extract import (
+            auto_ocr,
             auto_parse_pages,
             extract_to_documents,
         )
@@ -88,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         client = IndexClient(spark, args.index_dir, embedding_dim=args.dim)
         client.initialize()
         raw = read_binary_files(spark, args.src_dir, glob=args.glob)
-        docs = extract_to_documents(raw, parser=auto_parse_pages)
+        docs = extract_to_documents(raw, parser=auto_parse_pages, ocr=auto_ocr)
         rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
         n_new = client.store(rows)
         print(json.dumps({"event": "ingested", "new_chunks": n_new, **client.stats()}))
