@@ -130,9 +130,12 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     byte-width encodings (latin-1 decode — Type1/WinAnsi-style fonts).
     Out of scope and surfaced as missing text rather than wrong text:
     CID/Type0 composite fonts needing a ToUnicode CMap, encryption.
-    Tables are not detected (returned empty); the page image is the
-    md5 stand-in (no rasterizer), same as the stub. Reference leg
-    being replaced: ``embedding_utils.py:123-173``.
+    Tables have a heuristic FLOOR (A6): grids of Tm/Td-positioned text
+    runs — >= 2 consecutive baselines sharing >= 2 exact x-positions —
+    are emitted one string per table row; rotated/spanned/ruled-only
+    tables still need fitz. The page image is the md5 stand-in (no
+    rasterizer), same as the stub. Reference leg being replaced:
+    ``embedding_utils.py:123-173``.
 
     Raises on non-PDF bytes — :func:`extract_pages` dead-letters it.
     """
@@ -253,6 +256,76 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 parts.append("".join(segs))
         return "\n".join(parts)
 
+    NUM = rb"[-+]?(?:\d+\.?\d*|\.\d+)"
+    _OPS = re.compile(
+        rb"(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+Tm)"  # 1-6
+        rb"|(?:(%s)\s+(%s)\s+(Td|TD))"  # 7-9
+        rb"|(?:(%s)\s+TL)"  # 10
+        rb"|(T\*)"  # 11
+        rb"|(?:(%s)\s*(Tj|'|\"))"  # 12-13
+        rb"|(?:\[((?:%s|[^\]])*)\]\s*TJ)"  # 14
+        % (NUM, NUM, NUM, NUM, NUM, NUM, NUM, NUM, NUM, STR, STR),
+        re.S,
+    )
+
+    def tables_of(stream: bytes) -> list[str]:
+        """A6 floor for the stdlib path: detect tables drawn as a GRID
+        of positioned text runs — >= 2 consecutive baselines (same y)
+        each showing >= 2 runs whose x-positions repeat exactly across
+        the rows (how most generators lay out simple tables: one
+        Tm/Td-positioned run per cell). Emits one string per table ROW
+        (cells in x order, space-joined) — the same per-row shape the
+        stub provider emits. Heuristic by design: rotated/spanned
+        matrices and ruled-line-only tables are out of scope (fitz
+        covers those); a plain paragraph (one run per baseline) can
+        never match the >= 2-column requirement."""
+        runs: list[tuple[float, float, str]] = []  # (y, x, text)
+        for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
+            x = y = 0.0
+            leading = 12.0
+            for m in _OPS.finditer(block):
+                if m.group(1) is not None:  # Tm: e,f = translation
+                    x, y = float(m.group(5)), float(m.group(6))
+                elif m.group(7) is not None:  # Td / TD
+                    x += float(m.group(7)); y += float(m.group(8))
+                    if m.group(9) == b"TD":
+                        leading = -float(m.group(8)) or leading
+                elif m.group(10) is not None:  # TL
+                    leading = float(m.group(10)) or leading
+                elif m.group(11) is not None:  # T*
+                    y -= leading
+                elif m.group(12) is not None:  # Tj / ' / "
+                    if m.group(13) in (b"'", b'"'):
+                        y -= leading
+                    t = _pdf_string(m.group(12))
+                    if t.strip():
+                        runs.append((round(y, 1), round(x, 1), t.strip()))
+                else:  # TJ array: one cell at the current position
+                    t = "".join(
+                        _pdf_string(s) for s in re.findall(STR, m.group(14))
+                    )
+                    if t.strip():
+                        runs.append((round(y, 1), round(x, 1), t.strip()))
+        by_y: dict[float, list[tuple[float, str]]] = {}
+        for yy, xx, tt in runs:
+            by_y.setdefault(yy, []).append((xx, tt))
+        rows = []  # (y, x-signature, cells) for multi-run baselines, top-down
+        for yy in sorted(by_y, reverse=True):
+            cells = sorted(by_y[yy])
+            if len(cells) >= 2:
+                rows.append((yy, tuple(c[0] for c in cells),
+                             [c[1] for c in cells]))
+        out: list[str] = []
+        i = 0
+        while i < len(rows):
+            j = i + 1
+            while j < len(rows) and rows[j][1] == rows[i][1]:
+                j += 1
+            if j - i >= 2:  # >= 2 aligned rows -> a table
+                out.extend(" ".join(r[2]) for r in rows[i:j])
+            i = j
+        return out
+
     # page order from the /Pages tree when present; else object order
     page_nums = [n for n, b in objs.items()
                  if re.search(rb"/Type\s*/Page\b(?!s)", b)]
@@ -282,7 +355,7 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         raw = b"\n".join(streams)
         text = text_of(raw)
         image = b"IMG:" + hashlib.md5(raw).hexdigest().encode()
-        pages.append((text, [], image))
+        pages.append((text, tables_of(raw), image))
 
     if not pages:  # degraded fallback: any text-bearing stream is a page
         for n in sorted(objs):
@@ -290,7 +363,8 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             if s and b"BT" in s:
                 t = text_of(s)
                 if t:
-                    pages.append((t, [], b"IMG:" + hashlib.md5(s).hexdigest().encode()))
+                    pages.append((t, tables_of(s),
+                                  b"IMG:" + hashlib.md5(s).hexdigest().encode()))
     return pages
 
 

@@ -323,9 +323,27 @@ def hnsw_topk(
 
 
 def _collect_queries(queries: DataFrame, query_id: str, vec_col: str, who: str):
-    q_rows = queries.select(_c(query_id).alias("q"), _c(vec_col).alias("v")).collect()
+    """Driver-side query collect, bounded by the same contract (and the
+    same guard) as the ADC paths: beam search broadcasts the query
+    matrix, so an unbounded query DataFrame must raise with a pointer
+    to the join-based paths, not OOM the driver (r9 verdict #6)."""
+    from data_ingestion_tool_bakasura__spark.operators.similarity import (
+        MAX_DRIVER_QUERIES,
+    )
+
+    q_rows = (
+        queries.select(_c(query_id).alias("q"), _c(vec_col).alias("v"))
+        .limit(MAX_DRIVER_QUERIES + 1)
+        .collect()
+    )
     if not q_rows:
         raise ValueError(f"{who}: query set is empty")
+    if len(q_rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"{who}: query set exceeds max_queries={MAX_DRIVER_QUERIES}; "
+            "queries are collected driver-side by contract — for unbounded "
+            "query sets use the join-based lsh_ann_topk or cosine_topk_batch"
+        )
     return [r["q"] for r in q_rows], np.array([r["v"] for r in q_rows], dtype=np.float64)
 
 

@@ -33,6 +33,46 @@ from pyspark.sql import types as T
 from data_ingestion_tool_bakasura__spark.functions.vector import cosine_similarity, dot
 
 
+#: driver-collected query sets are bounded BY CONTRACT on the serving
+#: paths (benchmark batches, interactive queries); this guard turns a
+#: silent driver OOM into an actionable error (r9 verdict #6)
+MAX_DRIVER_QUERIES = 10_000
+
+
+def _collect_query_rows(
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str,
+    who: str,
+    max_queries: int | None = None,
+) -> list:
+    """Collect the (bounded) query side driver-side, sorted by id.
+
+    The ADC/LUT paths build per-query numpy lookup tables on the
+    driver, so the query set must be small — that assumption was only
+    documented before; now it is enforced: feeding an unbounded query
+    DataFrame raises with a pointer to the join-based paths
+    (:func:`lsh_ann_topk`, :func:`cosine_topk_batch`) instead of
+    silently OOMing the driver. The probe folds into the existing
+    collect (one ``limit(max+1)``), no extra job."""
+    if max_queries is None:
+        max_queries = MAX_DRIVER_QUERIES  # read at call time (testable)
+    rows = (
+        queries.select(_c(query_id).alias("_q"), _c(vec_col).alias("_v"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{who}: query set is empty")
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{who}: query set exceeds max_queries={max_queries}; this path "
+            "collects queries driver-side by contract — for unbounded query "
+            "sets use the join-based lsh_ann_topk or cosine_topk_batch"
+        )
+    return sorted(rows, key=lambda r: r["_q"])
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -780,12 +820,7 @@ def pq_adc_rerank_topk(
     C = _pq_codebook_np(codebooks)
     mm, nn, sub = C.shape
     Cf = np.where(np.isfinite(C), C, 0.0)
-    q_rows = sorted(
-        queries.select(_c(query_id).alias("_q"), _c(vec_col).alias("_v")).collect(),
-        key=lambda r: r["_q"],
-    )
-    if not q_rows:
-        raise ValueError("pq_adc_rerank_topk: query set is empty")
+    q_rows = _collect_query_rows(queries, query_id, vec_col, "pq_adc_rerank_topk")
     qids = [r["_q"] for r in q_rows]
     Q = np.array([r["_v"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -947,12 +982,7 @@ def ivfadc_topk(
     C = _pq_codebook_np(codebooks)
     mm, nn, sub = C.shape
     Cf = np.where(np.isfinite(C), C, 0.0)
-    q_rows = sorted(
-        queries.select(_c(query_id).alias("_q"), _c(vec_col).alias("_v")).collect(),
-        key=lambda r: r["_q"],
-    )
-    if not q_rows:
-        raise ValueError("ivfadc_topk: query set is empty")
+    q_rows = _collect_query_rows(queries, query_id, vec_col, "ivfadc_topk")
     qids = [r["_q"] for r in q_rows]
     qpos = {q: i for i, q in enumerate(qids)}
     Q = np.array([r["_v"] for r in q_rows], dtype=np.float64)

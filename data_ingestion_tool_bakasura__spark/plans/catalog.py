@@ -33,83 +33,68 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-9 rotation
-#: (r8 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the three queries whose implementation changed this round
-#: (the image-near-dup band cap, the corpus-report NULL-quality fix,
-#: the quality-classifier feature refactor), then the eight oldest-
-#: evidence r5 rows, then the ENTIRE r6 block oldest-first (24 rows),
-#: then the head of the r7 block — filling the 50 exactly (the
-#: late-r9 q_semantic_rerank insert takes slot 0, shifting the last
-#: r7-head row just past the boundary with its r7 evidence intact).
-#: After this window lands the oldest driver evidence anywhere in the
-#: catalog is r7, and rotation becomes a steady-state two-round cycle.
-#: Rows-only queries (q_ingest_pipeline, q_lsh_ann_topk,
-#: q_ivf_assignments, q_hnsw_topk) sit past the checked window — their
-#: semantics are held by dedicated tests (test_ingest, ANN.md recall
-#: contracts, IVF full-probe==exact, HNSW fused==persisted parity) and
-#: by oracle-able twins. Every name must exist in a module's QUERIES
-#: (asserted below) so a rename can't silently drop a query.
+#: prefix of ``queries()`` in iteration order. Round-10 rotation
+#: (r9 verdict #1; evidence computed by ``python tools/rotation.py``):
+#: lead with the five queries whose implementation changed this round
+#: (extract.py gained ObjStm parsing + the \8\9 escape fix ->
+#: q_page_extract; ivf_topk gained the probe_lists parameter ->
+#: q_ivf_search / q_ivf_kmeans_search; the driver-collect query guard
+#: rewrote the ADC collects -> q_ivfadc_search / q_pq_rerank), then
+#: ALL 34 remaining r7-evidence rows (retiring r7 entirely), then the
+#: head of the r8 block oldest-first — filling the 50 exactly. After
+#: this window lands the oldest driver evidence anywhere is r8 and the
+#: steady-state two-round cycle continues (round 11 = rest of the r8
+#: block + the r9 block head).
+#: Rows-only queries with no oracle by design (q_ingest_pipeline,
+#: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
+#: checked window — their semantics are held by dedicated tests
+#: (test_ingest, ANN.md recall contracts, IVF full-probe==exact, HNSW
+#: fused==persisted parity) and by oracle-able twins. Every name must
+#: exist in a module's QUERIES (asserted below) so a rename can't
+#: silently drop a query.
 _PRIORITY = [
-    # --- NEW in round 9 (no driver row ever): certify first ---
-    "q_semantic_rerank",  # B10 second stage: cross-encoder seam, default scorer
-    # --- impl changed in round 9: re-certify first ---
-    "q_image_near_dup",  # oversized-band cap parameter added (r8 verdict #2)
-    "q_corpus_report",  # avg_quality NULL-text semantics fix (r8 ADVICE)
-    "q_quality_classifier",  # features refactored onto _quality_feature_cols
-    # --- the eight r5-evidence rows (oldest remaining; rotation ledger) ---
-    "q_stratified_sample",
-    "q_event_dedup",
-    "q_fulltext_score",
-    "q_tfidf_topdocs",
-    "q_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_rollup_returns",
-    "q_ship_within_30d",
-    # --- the r6 block, oldest-first (retires all r6 evidence) ---
-    "q_region_revenue",
-    "q_stream_sliding_1h_30m",
-    "q_stream_session_windows",
-    "q_stream_dedup_keys",
-    "q_stream_click_purchase_join",
-    "q_stream_enriched_nation",
-    "q_sliding_1h_30m",
-    "q_session_windows",
-    "q_geomean_by_type",
-    "q_user_retention",
-    "q_sequence_packing",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_simhash_bands",
-    "q_dedup_clusters",
-    "q_incremental_dedup",
-    "q_winnow_pairs",
-    "q_winnow_fingerprints",
-    "q_hybrid_rrf",
-    "q_corpus_filter",
-    "q_hash_split",
-    "q_token_budget",
-    "q_source_mixture",
-    "q_pii_redaction",
-    # --- r7 block head, oldest-first (fills the window to 50) ---
-    "q_substring_dedup",
-    "q_semantic_dedup",
-    "q_stream_semantic_dedup",
-    "q_paragraph_dedup",
-    "q_ivf_kmeans_search",
+    # --- impl changed in round 10: re-certify first ---
+    "q_page_extract",
     "q_ivf_search",
+    "q_ivf_kmeans_search",
     "q_ivfadc_search",
     "q_pq_rerank",
-    "q_upsert_by_key",
-    "q_token_stats",
-    "q_minhash_signatures",
-    "q_jaccard_pairs",
-    "q_cosine_topk",
-    "q_json_variants",
+    # --- the 34 r7-evidence rows, catalog order (retires r7) ---
     "q_fingerprints",
-    # ---------- 50-query window boundary ----------
-    # everything below carries an r7/r8 driver-green row; in-window
-    # reps above cover every SURVEY §2 family
+    "q_lang_id",
+    "q_quality_scores",
+    "q_term_frequency",
+    "q_vector_norms",
+    "q_l2_centroid_dist",
+    "q_label_centroids",
+    "q_label_centroids_builtin",
+    "q_normalize_hash",
+    "q_chunk_explode",
+    "q_chunk_keys",
+    "q_small_quantity_revenue",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_nation_setops",
+    "q_rank_dense_ntile",
+    "q_running_revenue",
+    "q_price_percentiles",
+    "q_pivot_daily_value",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_stream_running_stats",
+    "q_stream_near_dedup",
+    "q_stream_funnel",
+    "q_tumbling_hourly",
+    "q_value_zscore",
+    "q_asof_click_error",
+    "q_cosine_topk_batch",
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_bm25_topdocs",
+    "q_ingest_pipeline_fixed",
+    "q_doc_assembly",
+    "q_pricing_summary",
+    # --- r8 block head, oldest-first (fills the window to 50) ---
     "q_temperature_mixture",
     "q_deep_clean_pipeline",
     "q_substring_dedup_incr",
@@ -121,6 +106,9 @@ _PRIORITY = [
     "q_filter_project",
     "q_fulltext_match",
     "q_distinct_stats",
+    # ---------- 50-query window boundary ----------
+    # everything below carries an r8/r9 driver-green row; in-window
+    # reps above cover every SURVEY §2 family
     "q_top_orders",
     "q_price_buckets",
     "q_orders_by_month",
@@ -154,45 +142,61 @@ _PRIORITY = [
     "q_volume_shipping",
     "q_stream_tumbling_hourly",
     "q_quantized_rerank",
-    "q_page_extract",
     "q_value_zscore_builtin",
     "q_exists_subquery",
-    "q_lang_id",
-    "q_quality_scores",
-    "q_term_frequency",
-    "q_vector_norms",
-    "q_l2_centroid_dist",
-    "q_label_centroids",
-    "q_label_centroids_builtin",
-    "q_normalize_hash",
-    "q_chunk_explode",
-    "q_chunk_keys",
-    "q_small_quantity_revenue",
-    "q_math_funcs",
-    "q_string_funcs",
-    "q_nation_setops",
-    "q_rank_dense_ntile",
-    "q_running_revenue",
-    "q_price_percentiles",
-    "q_pivot_daily_value",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_stream_running_stats",
-    "q_stream_near_dedup",
-    "q_stream_funnel",
-    "q_tumbling_hourly",
-    "q_value_zscore",
-    "q_asof_click_error",
-    "q_cosine_topk_batch",
-    "q_exact_dedup",
-    "q_minhash_lsh_candidates",
-    "q_bm25_topdocs",
+    "q_semantic_rerank",
+    "q_image_near_dup",
+    "q_corpus_report",
+    "q_quality_classifier",
+    "q_stratified_sample",
+    "q_event_dedup",
+    "q_fulltext_score",
+    "q_tfidf_topdocs",
+    "q_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_rollup_returns",
+    "q_ship_within_30d",
+    "q_region_revenue",
+    "q_stream_sliding_1h_30m",
+    "q_stream_session_windows",
+    "q_stream_dedup_keys",
+    "q_stream_click_purchase_join",
+    "q_stream_enriched_nation",
+    "q_sliding_1h_30m",
+    "q_session_windows",
+    "q_geomean_by_type",
+    "q_user_retention",
+    "q_sequence_packing",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_simhash_bands",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_winnow_pairs",
+    "q_winnow_fingerprints",
+    "q_hybrid_rrf",
+    "q_corpus_filter",
+    "q_hash_split",
+    "q_token_budget",
+    "q_source_mixture",
+    "q_pii_redaction",
+    "q_substring_dedup",
+    "q_semantic_dedup",
+    "q_stream_semantic_dedup",
+    "q_paragraph_dedup",
+    "q_upsert_by_key",
+    "q_token_stats",
+    "q_minhash_signatures",
+    "q_jaccard_pairs",
+    "q_cosine_topk",
+    "q_json_variants",
     # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
-    "q_ingest_pipeline_fixed",
-    "q_doc_assembly",
-    "q_pricing_summary",
     "q_hnsw_topk",
+    "q_lsh_ann_topk",
+    "q_ivf_assignments",
+    "q_ingest_pipeline",
 ]
+
 
 
 # --- full ingest pipeline (recursive chunker -> dedup -> embed) -----------

@@ -585,3 +585,28 @@ def test_quantized_rerank_equals_exact(spark):
     narrow = SIM.quantized_rerank_topk(corpus, queries, k=3, shortlist=3)
     per_q = {r["q_id"] for r in narrow.collect()}
     assert narrow.count() == 3 * len(per_q)
+
+
+def test_driver_query_collect_guard(spark, monkeypatch):
+    """r9 verdict #6: paths that collect the query set driver-side
+    (ADC LUTs, HNSW beam search) must raise an actionable error on an
+    unbounded query DataFrame — pointing at the join-based paths —
+    instead of silently OOMing the driver."""
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.operators import hnsw as HN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.limit(8).select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.limit(40)
+
+    monkeypatch.setattr(SIM, "MAX_DRIVER_QUERIES", 5)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        SIM.pq_adc_rerank_topk(corpus, queries, k=2, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        SIM.ivfadc_topk(corpus, queries, k=2, n_lists=2, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        HN.hnsw_topk(corpus, queries, k=2)
+    # under the cap the same calls work
+    monkeypatch.setattr(SIM, "MAX_DRIVER_QUERIES", 10_000)
+    assert SIM.pq_adc_rerank_topk(corpus, queries, k=2, m=4, n_codes=8).count() > 0

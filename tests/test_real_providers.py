@@ -412,6 +412,35 @@ def test_minipdf_objstm_matches_classic_twin():
     assert modern == classic == texts
 
 
+def test_minipdf_table_floor_detects_positioned_grid():
+    """A6 floor on the stdlib path (r9 verdict #8): a table drawn as a
+    grid of Tm-positioned runs (>= 2 baselines sharing the same >= 2
+    x-positions — the layout simple generators emit) comes back one
+    string per row; prose pages (one run per baseline) emit none."""
+    grid = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm (Name) Tj 1 0 0 1 200 700 Tm (Qty) Tj "
+        b"1 0 0 1 72 680 Tm (Apple) Tj 1 0 0 1 200 680 Tm (5) Tj "
+        b"1 0 0 1 72 660 Tm (Pear) Tj 1 0 0 1 200 660 Tm (12) Tj "
+        b"1 0 0 1 72 600 Tm (A closing paragraph.) Tj "
+        b"ET"
+    )
+    pdf = _tiny_pdf(["prose only page"])
+    # splice the grid in as the page's content stream (fix /Length)
+    import re
+
+    old = re.search(rb"<< /Length \d+ >>\nstream\n(.*?)\nendstream", pdf, re.S)
+    pdf = pdf.replace(
+        old.group(0),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(grid), grid),
+    )
+    pages = MX.minipdf_parse_pages(pdf)
+    assert pages[0][1] == ["Name Qty", "Apple 5", "Pear 12"]
+    assert "closing paragraph" in pages[0][0]
+    # prose-only twin: no false-positive tables
+    assert MX.minipdf_parse_pages(_tiny_pdf(["just text", "more text"]))[0][1] == []
+
+
 def test_minipdf_invalid_digit_escape_drops_backslash():
     """PDF spec 7.3.4.2: a backslash before a non-octal digit is an
     invalid escape — drop the backslash, keep the char. \\8 and \\9
