@@ -210,3 +210,65 @@ def chunk_udf(chunk_size: int = CHUNK_SIZE, chunk_overlap: int = CHUNK_OVERLAP):
         return s.map(lambda t: chunk_text_py(t or "", chunk_size, chunk_overlap))
 
     return _chunk
+
+
+# --- HTML -> text (WARC companion, round 10) -------------------------------
+
+_BLOCK_TAGS = frozenset(
+    "p div br li ul ol h1 h2 h3 h4 h5 h6 tr table section article header "
+    "footer blockquote pre dd dt".split()
+)
+_DROP_TAGS = frozenset("script style noscript template head".split())
+
+
+def html_to_text_py(html: str) -> str:
+    """Extract visible text from HTML (stdlib ``html.parser``): script/
+    style/head subtrees dropped, block tags become newlines, entities
+    decoded, whitespace collapsed per line. The text leg of the WARC
+    ingestion path (``sources/warc.py``) — pure function first so it
+    unit-tests without Spark; malformed markup never raises (the
+    parser is tolerant by design), it just yields what it can."""
+    import re
+    from html.parser import HTMLParser
+
+    class _X(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.out: list[str] = []
+            self._drop = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _DROP_TAGS:
+                self._drop += 1
+            elif tag in _BLOCK_TAGS:
+                self.out.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _DROP_TAGS and self._drop:
+                self._drop -= 1
+            elif tag in _BLOCK_TAGS:
+                self.out.append("\n")
+
+        def handle_data(self, data):
+            if not self._drop:
+                self.out.append(data)
+
+    p = _X()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass  # tolerant: keep whatever was parsed before the hiccup
+    lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip()
+             for ln in "".join(p.out).split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def html_to_text_udf():
+    """Arrow-batched pandas UDF: html string -> visible text."""
+
+    @F.pandas_udf(T.StringType())
+    def _h2t(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: html_to_text_py(h or ""))
+
+    return _h2t

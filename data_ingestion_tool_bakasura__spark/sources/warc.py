@@ -1,0 +1,153 @@
+"""WARC source (C1 aperture widening, round 10): read Common-Crawl-style
+web archives into a relation — the canonical 100 TB training-data
+input that the reference's file-upload loop never reaches.
+
+Spark-first shape: ``binaryFile`` scan (one task per archive member,
+pushdown-pruned to ``path``/``content``) -> ``mapInPandas`` record
+explode (Arrow-batched, pure stdlib parsing: ``gzip`` + byte framing)
+-> ordinary DataFrame of (url, date, type, status, payload) rows that
+every downstream operator (html_to_text, dedup, quality, ingest)
+composes with. No driver involvement, no Python-per-row.
+
+Scale honesty: ``binaryFile`` materializes each archive member in one
+task (Spark's 2 GB column limit applies). Common Crawl ships ~1 GB
+.warc.gz members — within a sane executor — and per-record gzip
+members (how CC actually writes them) decompress as concatenated
+streams in one pass. For pathological multi-GB members, split the
+archive upstream or plug a streaming parser into the same
+``parse_warc_records`` seam; the relation contract stays identical.
+
+Subset, stated honestly: WARC/1.0 and 1.1 framing (CRLF headers +
+Content-Length body + CRLF CRLF), gzip members, HTTP response payload
+split on the first CRLF CRLF. Chunked transfer-encoding inside
+archived responses is NOT de-chunked (CC archives store raw bytes;
+dedup/hashing are unaffected, text extraction sees chunk markers —
+use the fitz-style upgrade path: plug warcio into the seam when
+fidelity matters).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "path string, record_id string, warc_type string, url string, "
+    "warc_date string, content_type string, http_status int, payload binary"
+)
+
+
+def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
+    """Split one WARC file's bytes into (headers, body) records.
+
+    Pure function (stdlib only) so it unit-tests without Spark and
+    doubles as the seam a higher-fidelity parser can replace. Gzip
+    input (magic ``1f 8b``) is decompressed first — multi-member
+    streams (per-record gzip, the Common Crawl layout) come back as
+    one concatenated buffer, which the WARC/ delimiter scan then
+    splits exactly like an uncompressed file. Header names are
+    lower-cased; bodies are sliced by Content-Length (the WARC spec's
+    framing, not a delimiter scan, so binary payloads containing
+    'WARC/' cannot split a record)."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    records: list[tuple[dict, bytes]] = []
+    i = 0
+    n = len(raw)
+    while i < n:
+        j = raw.find(b"WARC/", i)
+        if j < 0:
+            break
+        he = raw.find(b"\r\n\r\n", j)
+        if he < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[j:he].decode("latin-1").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body = raw[he + 4 : he + 4 + clen]
+        records.append((headers, body))
+        i = he + 4 + clen
+    return records
+
+
+def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an archived HTTP response into (status, content-type,
+    payload). Non-HTTP bodies (warcinfo, metadata, resource records)
+    pass through as (None, None, body)."""
+    if not body.startswith(b"HTTP/"):
+        return None, None, body
+    he = body.find(b"\r\n\r\n")
+    if he < 0:
+        return None, None, body
+    head = body[:he].decode("latin-1", "replace").split("\r\n")
+    try:
+        status = int(head[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in head[1:]:
+        if line.lower().startswith("content-type:"):
+            ctype = line.split(":", 1)[1].strip()
+            break
+    return status, ctype, body[he + 4 :]
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.warc*",
+    types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC archives -> DataFrame(path, record_id, warc_type, url,
+    warc_date, content_type, http_status, payload).
+
+    ``types`` filters record types INSIDE the explode (default: only
+    ``response`` rows survive — request/metadata/warcinfo records are
+    dropped before they ever become DataFrame rows); pass ``()`` to
+    keep everything. Downstream: ``payload`` is the raw HTTP body —
+    feed HTML through ``functions.text.html_to_text`` and then the
+    ordinary document pipeline (chunk -> dedup -> embed)."""
+    from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+    src = read_binary_files(spark, path, glob=glob).select("path", "content")
+    keep = tuple(t.lower() for t in types)
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for headers, body in parse_warc_records(bytes(content)):
+                    wtype = headers.get("warc-type", "")
+                    if keep and wtype.lower() not in keep:
+                        continue
+                    status, ctype, payload = split_http_response(body)
+                    rows.append(
+                        (
+                            path_,
+                            headers.get("warc-record-id", ""),
+                            wtype,
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            ctype or headers.get("content-type", ""),
+                            status,
+                            payload,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_id", "warc_type", "url",
+                    "warc_date", "content_type", "http_status", "payload",
+                ],
+            )
+
+    return src.mapInPandas(_explode, schema=WARC_SCHEMA)

@@ -141,3 +141,100 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
 
     framed = old.unionByName(new, allowMissingColumns=True)
     assert {r["id"]: r["lang"] for r in framed.collect()} == rows
+
+
+# --- WARC source (C1 aperture, round 10) -----------------------------------
+
+def _warc_record(rtype: str, uri: str, body: bytes, rid: str) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def _http_response(html: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(html)}\r\n\r\n"
+    ).encode() + html
+
+
+def _fixture_warc() -> bytes:
+    """Two response records (one with 'WARC/' INSIDE the payload — the
+    framing must come from Content-Length, not a delimiter scan), one
+    request and one warcinfo record that the default filter drops."""
+    html_a = b"<html><head><style>x{}</style></head><body><h1>Alpha</h1><p>quokka research notes</p></body></html>"
+    html_b = b"<html><body><p>payload mentions WARC/1.0 inline</p></body></html>"
+    return (
+        _warc_record("warcinfo", "", b"software: test\r\n", "w0")
+        + _warc_record("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n", "r1")
+        + _warc_record("response", "http://a.example/", _http_response(html_a), "a1")
+        + _warc_record("response", "http://b.example/x", _http_response(html_b), "b1")
+    )
+
+
+def test_parse_warc_records_framing_and_gzip():
+    import gzip
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        parse_warc_records,
+        split_http_response,
+    )
+
+    raw = _fixture_warc()
+    recs = parse_warc_records(raw)
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    status, ctype, payload = split_http_response(recs[3][1])
+    assert status == 200 and ctype == "text/html"
+    assert b"WARC/1.0 inline" in payload  # Content-Length framing held
+
+    # per-record gzip members (the Common Crawl layout) parse identically
+    members = b"".join(
+        gzip.compress(_warc_record("response", "http://c.example/", _http_response(b"<p>c</p>"), "c1"))
+        for _ in range(2)
+    )
+    assert len(parse_warc_records(members)) == 2
+
+
+def test_read_warc_to_documents_e2e(spark, tmp_path):
+    """WARC archive -> read_warc (response rows only) -> html_to_text ->
+    the ordinary ingest pipeline: the Common Crawl shape end-to-end."""
+    from data_ingestion_tool_bakasura__spark.functions.text import (
+        html_to_text_py,
+        html_to_text_udf,
+    )
+    from data_ingestion_tool_bakasura__spark.operators.ingest import (
+        IngestConfig,
+        ingest_documents,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "part-00000.warc").write_bytes(_fixture_warc())
+
+    rows = read_warc(spark, str(tmp_path / "crawl")).orderBy("url")
+    got = rows.collect()
+    assert [r["url"] for r in got] == ["http://a.example/", "http://b.example/x"]
+    assert all(r["warc_type"] == "response" and r["http_status"] == 200 for r in got)
+
+    docs = rows.select(
+        F.col("url").alias("doc_id"),
+        html_to_text_udf()(F.col("payload").cast("string")).alias("text"),
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert texts["http://a.example/"] == "Alpha\nquokka research notes"
+    # UDF output equals the pure function on identical input
+    assert texts["http://a.example/"] == html_to_text_py(
+        "<html><head><style>x{}</style></head><body><h1>Alpha</h1><p>quokka research notes</p></body></html>"
+    )
+
+    chunks = ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
+    assert chunks.count() >= 2 and chunks.filter(F.col("content").contains("quokka")).count() == 1
