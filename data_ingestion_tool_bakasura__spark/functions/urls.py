@@ -1,0 +1,179 @@
+"""URL functions (crawl-curation leg of the C1 WARC aperture, round 10):
+host/domain extraction, tracking-param-stripping normalization, path
+depth — the string ops a Common-Crawl-scale curation pipeline runs on
+every record URL (C4 / RefinedWeb-style: URL dedup, per-domain caps,
+domain blocklists).
+
+Design: every op is a pure Spark *Column expression* built from
+``regexp_extract`` / higher-order ``filter`` — JVM-side, codegen'd, no
+Python in the hot path — and each has a DuckDB SQL *twin* generated
+from the SAME pattern constants (``host_sql`` etc.), so the oracle
+queries in ``plans/crawl_q.py`` cannot drift from the implementation.
+The regexes are deliberately RE2-and-Java compatible: character
+classes and one optional non-capturing group only — no lookaround, no
+backreferences.
+
+Scope, stated honestly: absolute ``http(s)://`` URLs (the WARC
+``WARC-Target-URI`` shape). A URL with no scheme extracts to empty
+host/path — callers filter on ``url_host != ''`` if the input is
+dirty. ``registrable_domain`` uses a small built-in multi-part-suffix
+table, not the full Public Suffix List; pass ``extra_suffixes`` (or a
+broadcast join against a full PSL table) when country-code coverage
+matters.
+
+The reference never touches URLs (its inputs are uploaded files); this
+family comes from the mandated training-data-pipeline extension list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- shared pattern constants (single source for Spark AND the oracle) ---
+
+#: scheme, e.g. 'https' (group 1)
+SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+#: host:port after optional userinfo (group 1), e.g. 'www.ex.com:8080'
+HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
+#: host without port (group 1), e.g. 'www.ex.com'
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^:/?#]*)"
+#: path including leading '/', '' when absent (group 1)
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+#: query string without '?' (group 1); stops at '#'
+QUERY_RE = r"\?([^#]*)"
+#: query params that are tracking noise, dropped by url_normalize
+TRACKING_RE = r"^(utm_[a-zA-Z]+|fbclid|gclid|msclkid|mc_eid|igshid)="
+#: last two / last three dot-labels of a host (group 1)
+LAST2_RE = r"([^.]+\.[^.]+)$"
+LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+
+#: multi-part public suffixes where the registrable domain is 3 labels
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.sg", "com.tr", "co.za", "com.ar", "co.nz",
+)
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme; '' when the URL has none."""
+    return F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host without port or userinfo; '' when unparseable."""
+    return F.lower(F.regexp_extract(url, HOST_RE, 1))
+
+
+def url_path(url: Column) -> Column:
+    """Path including its leading '/'; '' when the URL stops at host."""
+    return F.regexp_extract(url, PATH_RE, 1)
+
+
+def url_query(url: Column) -> Column:
+    """Raw query string (no '?'), '' when absent."""
+    return F.regexp_extract(url, QUERY_RE, 1)
+
+
+def url_path_depth(url: Column) -> Column:
+    """Number of non-empty path segments ('/a//b/' -> 2)."""
+    return F.size(F.filter(F.split(url_path(url), "/"), lambda x: x != ""))
+
+
+def registrable_domain(host: Column, extra_suffixes: tuple[str, ...] = ()) -> Column:
+    """eTLD+1 heuristic: last two labels, or last three when the last
+    two are a known multi-part suffix (co.uk etc.). Single-label hosts
+    (localhost, bare IP-less names) pass through unchanged. Input is
+    expected lower-case (compose with ``url_host``)."""
+    suffixes = MULTIPART_SUFFIXES + tuple(extra_suffixes)
+    last2 = F.regexp_extract(host, LAST2_RE, 1)
+    last3 = F.regexp_extract(host, LAST3_RE, 1)
+    return (
+        F.when(last2 == "", host)
+        .when(last2.isin(*suffixes) & (last3 != ""), last3)
+        .otherwise(last2)
+    )
+
+
+def clean_query(query: Column) -> Column:
+    """Drop tracking params and empty segments from a query string."""
+    return F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_RE),
+        ),
+        "&",
+    )
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical form for URL-level dedup: lower-case scheme+host,
+    default port stripped (:80 for http, :443 for https), fragment
+    dropped, tracking params and empty query segments removed, empty
+    path -> '/'. Purely syntactic — no DNS, no redirects."""
+    scheme = url_scheme(url)
+    hostport = F.lower(F.regexp_extract(url, HOSTPORT_RE, 1))
+    host_n = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = url_path(url)
+    path_n = F.when(path == "", "/").otherwise(path)
+    q_n = clean_query(url_query(url))
+    return F.concat(
+        scheme, F.lit("://"), host_n, path_n,
+        F.when(q_n == "", "").otherwise(F.concat(F.lit("?"), q_n)),
+    )
+
+
+# --- DuckDB twins (oracle side; same constants, same semantics) ----------
+
+
+def host_sql(e: str) -> str:
+    return f"lower(regexp_extract({e}, '{HOST_RE}', 1))"
+
+
+def path_sql(e: str) -> str:
+    return f"regexp_extract({e}, '{PATH_RE}', 1)"
+
+
+def depth_sql(e: str) -> str:
+    return (
+        f"len(list_filter(string_split({path_sql(e)}, '/'), x -> x <> ''))"
+    )
+
+
+def domain_sql(host_e: str) -> str:
+    in_list = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    last2 = f"regexp_extract({host_e}, '{LAST2_RE}', 1)"
+    last3 = f"regexp_extract({host_e}, '{LAST3_RE}', 1)"
+    return (
+        f"CASE WHEN {last2} = '' THEN {host_e} "
+        f"WHEN {last2} IN ({in_list}) AND {last3} <> '' THEN {last3} "
+        f"ELSE {last2} END"
+    )
+
+
+def normalize_sql(e: str) -> str:
+    scheme = f"lower(regexp_extract({e}, '{SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({e}, '{HOSTPORT_RE}', 1))"
+    host_n = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = path_sql(e)
+    path_n = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({e}, '{QUERY_RE}', 1)"
+    # DuckDB's array_to_string returns NULL on an empty list (Spark's
+    # array_join returns ''); coalesce keeps the twins identical.
+    q_n = (
+        f"coalesce(array_to_string(list_filter(string_split({query}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_RE}')), '&'), '')"
+    )
+    return (
+        f"{scheme} || '://' || {host_n} || {path_n} || "
+        f"CASE WHEN {q_n} = '' THEN '' ELSE '?' || {q_n} END"
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_bakasura__spark.plans import (
+    crawl_q,
     curation_q,
     documents_q,
     events_q,
@@ -28,15 +29,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vectors_q, curation_q):
+for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vectors_q, curation_q, crawl_q):
     _ALL.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
 #: prefix of ``queries()`` in iteration order. Round-10 rotation
 #: (r9 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the five queries whose implementation changed this round
-#: (extract.py gained ObjStm parsing + the \8\9 escape fix ->
+#: lead with the four queries NEW this round (the crawl-curation
+#: family over the WARC aperture), then the five whose implementation
+#: changed (extract.py gained ObjStm parsing + the \8\9 escape fix ->
 #: q_page_extract; ivf_topk gained the probe_lists parameter ->
 #: q_ivf_search / q_ivf_kmeans_search; the driver-collect query guard
 #: rewrote the ADC collects -> q_ivfadc_search / q_pq_rerank), then
@@ -53,7 +55,12 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    # --- impl changed in round 10: re-certify first ---
+    # --- NEW in round 10 (crawl-curation family): certify first ---
+    "q_url_normalize",
+    "q_url_dedup",
+    "q_domain_cap",
+    "q_domain_blocklist",
+    # --- impl changed in round 10: re-certify next ---
     "q_page_extract",
     "q_ivf_search",
     "q_ivf_kmeans_search",
@@ -102,13 +109,17 @@ _PRIORITY = [
     "q_doc_stats",
     "q_lang_facet",
     "q_array_ops",
+    # ---------- 50-query window boundary ----------
+    # everything below carries an r8/r9 driver-green row; in-window
+    # reps above cover every SURVEY §2 family. The four r10 crawl
+    # queries at the head pushed q_json_props/q_filter_project/
+    # q_fulltext_match/q_distinct_stats (r8 evidence) just past the
+    # boundary — they lead the r11 rotation with the rest of the r8
+    # block.
     "q_json_props",
     "q_filter_project",
     "q_fulltext_match",
     "q_distinct_stats",
-    # ---------- 50-query window boundary ----------
-    # everything below carries an r8/r9 driver-green row; in-window
-    # reps above cover every SURVEY §2 family
     "q_top_orders",
     "q_price_buckets",
     "q_orders_by_month",

@@ -1,0 +1,152 @@
+"""Crawl-curation queries (round 10): URL parsing/normalization,
+URL-level dedup, per-domain caps, domain blocklists — the WARC
+source's record-selection pass, oracle-checked.
+
+The fixture tables carry no URL column, so each query synthesizes an
+adversarial URL per document from ``doc_id`` with ONE SQL fragment
+(``_SYNTH``) evaluated verbatim by both engines (Spark ``F.expr`` and
+the DuckDB oracle) — uppercase schemes/hosts, default ports, userinfo,
+fragments, tracking params in first/middle position, empty query
+segments, multi-part suffixes, hostless paths. What's under test is
+``functions/urls.py`` (Spark Column exprs vs their ``*_sql`` DuckDB
+twins, generated from the same pattern constants) and the
+``operators/crawl.py`` window/anti-join plans on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import urls as U
+from data_ingestion_tool_bakasura__spark.operators import crawl as C
+from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+ORACLE: dict[str, str] = {}
+
+_D = "CAST(doc_id % 13 AS STRING)"
+_I = "CAST(doc_id AS STRING)"
+
+#: one URL per document; identical text runs under Spark SQL and DuckDB.
+#: Branch 2 varies only the fbclid with doc_id, so all branch-2 docs
+#: sharing doc_id%13 normalize to the SAME URL (the dedup fixture).
+_SYNTH = f"""CASE CAST(doc_id % 7 AS INT)
+  WHEN 0 THEN 'HTTPS://WWW.Example' || {_D} || '.COM:443/articles/' || {_I} || '/index.html?utm_source=feed&id=' || {_I} || '#top'
+  WHEN 1 THEN 'http://news.site' || {_D} || '.co.uk:80/politics/' || {_I} || '?utm_campaign=x&utm_medium=y'
+  WHEN 2 THEN 'https://blog.example' || {_D} || '.com/posts/' || {_D} || '?id=' || {_D} || '&fbclid=a' || {_I}
+  WHEN 3 THEN 'http://example' || {_D} || '.com'
+  WHEN 4 THEN 'https://user:pw@files.example' || {_D} || '.net/dl//' || {_I} || '/?'
+  WHEN 5 THEN 'https://Example' || {_D} || '.Co.Uk/a/b/c?x=1&&y=2&gclid=z#frag'
+  ELSE 'https://cdn.example' || {_D} || '.com/img/' || {_I} || '.png?v=2'
+END"""
+
+_HOST = U.host_sql(f"({_SYNTH})")
+_DOMAIN = U.domain_sql(f"({_HOST})")
+_NORM = U.normalize_sql(f"({_SYNTH})")
+_DEPTH = U.depth_sql(f"({_SYNTH})")
+
+
+def _with_url(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "documents")
+        .select("doc_id")
+        .withColumn("url", F.expr(_SYNTH))
+    )
+
+
+# --- URL parsing + normalization ------------------------------------------
+
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Every urls.py op over every adversarial branch, row by row."""
+    d = _with_url(spark, sf)
+    host = U.url_host(F.col("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        U.registrable_domain(host).alias("domain"),
+        U.url_path_depth(F.col("url")).alias("depth"),
+        U.url_normalize(F.col("url")).alias("norm_url"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_url_normalize"] = f"""
+SELECT doc_id, ({_SYNTH}) AS url, ({_HOST}) AS host, ({_DOMAIN}) AS domain,
+       CAST(({_DEPTH}) AS INT) AS depth, ({_NORM}) AS norm_url
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- URL-level dedup -------------------------------------------------------
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-lowest-doc_id per normalized URL: branch-2 docs collapse to
+    one survivor per doc_id%13; every other branch is unique."""
+    return (
+        C.url_dedup(_with_url(spark, sf), "url", order_col="doc_id")
+        .select("doc_id", "norm_url")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_url_dedup"] = f"""
+SELECT doc_id, norm_url FROM (
+  SELECT doc_id, ({_NORM}) AS norm_url,
+         row_number() OVER (PARTITION BY ({_NORM}) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# --- per-domain cap --------------------------------------------------------
+
+def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """At most 5 docs per registrable domain, lowest doc_id first."""
+    return (
+        C.domain_cap(_with_url(spark, sf), "url", max_per_domain=5, order_col="doc_id")
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_domain_cap"] = f"""
+SELECT doc_id, domain FROM (
+  SELECT doc_id, ({_DOMAIN}) AS domain,
+         row_number() OVER (PARTITION BY ({_DOMAIN}) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY doc_id
+"""
+
+
+# --- domain blocklist ------------------------------------------------------
+
+_BLOCKED = ("example3.com", "site5.co.uk", "example7.co.uk")
+
+
+def q_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast anti-join on registrable domain (blocking example3.com
+    also drops www./blog./cdn. subdomain rows), then a per-domain
+    count so the oracle pins the whole survivor set compactly."""
+    kept = C.domain_blocklist_filter(_with_url(spark, sf), _BLOCKED, "url")
+    return (
+        kept.withColumn("domain", U.registrable_domain(U.url_host(F.col("url"))))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+ORACLE["q_domain_blocklist"] = f"""
+SELECT domain, count(*) AS n_docs FROM (
+  SELECT ({_DOMAIN}) AS domain FROM documents
+) WHERE domain NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED)})
+GROUP BY domain ORDER BY domain
+"""
+
+
+QUERIES = {
+    "q_url_normalize": q_url_normalize,
+    "q_url_dedup": q_url_dedup,
+    "q_domain_cap": q_domain_cap,
+    "q_domain_blocklist": q_domain_blocklist,
+}

@@ -1,0 +1,110 @@
+"""URL functions + crawl-curation operators (functions/urls.py,
+operators/crawl.py): edge-case behavior, Spark-vs-DuckDB twin parity
+on adversarial shapes, and the operator plans (broadcast blocklist,
+deterministic cap/dedup ordering)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import urls as U
+from data_ingestion_tool_bakasura__spark.operators import crawl as C
+
+CASES = [
+    # (url, host, domain, depth, norm)
+    ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&id=1#f",
+     "www.ex.com", "ex.com", 2, "https://www.ex.com/A/b/?id=1"),
+    ("http://ex.com:80", "ex.com", "ex.com", 0, "http://ex.com/"),
+    ("http://ex.com:8080/p", "ex.com", "ex.com", 1,
+     "http://ex.com:8080/p"),  # non-default port survives in norm, not host
+    ("https://user:pw@files.ex.net/dl//9/?", "files.ex.net", "ex.net", 2,
+     "https://files.ex.net/dl//9/"),  # userinfo dropped, '//' kept
+    ("https://a.b.co.uk/x?x=1&&y=2&gclid=z", "a.b.co.uk", "b.co.uk", 1,
+     "https://a.b.co.uk/x?x=1&y=2"),
+    ("http://localhost/x", "localhost", "localhost", 1, "http://localhost/x"),
+    ("not a url at all", "", "", 0, ":///"),  # degenerate, but never NULL
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(CASES)], "i int, url string")
+    host = U.url_host(F.col("url"))
+    rows = (
+        df.select(
+            "i", "url",
+            host.alias("host"),
+            U.registrable_domain(host).alias("domain"),
+            U.url_path_depth(F.col("url")).alias("depth"),
+            U.url_normalize(F.col("url")).alias("norm"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    return rows
+
+
+def test_url_parts_and_normalize(parsed):
+    for row, (url, host, domain, depth, norm) in zip(parsed, CASES):
+        assert row["host"] == host, url
+        assert row["domain"] == domain, url
+        assert row["depth"] == depth, url
+        assert row["norm"] == norm, url
+
+
+def test_duckdb_twins_match_spark(parsed):
+    """The *_sql twins (same pattern constants) agree value-for-value —
+    the invariant the crawl_q oracles rely on."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, c[0]) for i, c in enumerate(CASES)])
+    got = con.sql(
+        f"SELECT ({U.host_sql('url')}), ({U.domain_sql(U.host_sql('url'))}), "
+        f"CAST(({U.depth_sql('url')}) AS INT), ({U.normalize_sql('url')}) "
+        f"FROM t ORDER BY i"
+    ).fetchall()
+    for (h, d, dep, n), row in zip(got, parsed):
+        assert (h, d, dep, n) == (row["host"], row["domain"], row["depth"], row["norm"])
+
+
+def test_url_dedup_survivor_is_ordered(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://ex.com/a?utm_source=x"),
+            (1, "https://EX.com:443/a"),
+            (2, "http://other.com/a"),
+        ],
+        "id int, url string",
+    )
+    out = C.url_dedup(df, "url", order_col="id").orderBy("id").collect()
+    assert [(r["id"], r["norm_url"]) for r in out] == [
+        (1, "https://ex.com/a"),
+        (2, "http://other.com/a"),
+    ]
+
+
+def test_domain_cap_order_col_keeps_best(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://ex.com/{i}", -float(i)) for i in range(6)]
+        + [(9, "https://solo.org/x", 0.0)],
+        "id int, url string, neg_score double",
+    )
+    out = C.domain_cap(df, "url", max_per_domain=2, order_col="neg_score")
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [4, 5, 9]  # highest scores (most-negative order) + solo
+
+
+def test_blocklist_drops_subdomains_and_broadcasts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example/x"),
+            (2, "https://cdn.spam.example/y"),
+            (3, "https://fine.org/z"),
+        ],
+        "id int, url string",
+    )
+    out = C.domain_blocklist_filter(df, ["Spam.Example"], "url")
+    assert [r["id"] for r in out.collect()] == [3]
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
