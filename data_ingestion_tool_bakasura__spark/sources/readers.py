@@ -116,6 +116,11 @@ def read_binary_files(
     """
     reader = spark.readStream if streaming else spark.read
     r = reader.format("binaryFile")
+    if streaming:
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        r = r.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)

@@ -106,6 +106,7 @@ def read_warc(
     path: str,
     glob: str | None = "*.warc*",
     types: tuple[str, ...] = ("response",),
+    streaming: bool = False,
 ) -> DataFrame:
     """WARC archives -> DataFrame(path, record_id, warc_type, url,
     warc_date, content_type, http_status, payload).
@@ -115,10 +116,19 @@ def read_warc(
     dropped before they ever become DataFrame rows); pass ``()`` to
     keep everything. Downstream: ``payload`` is the raw HTTP body —
     feed HTML through ``functions.text.html_to_text`` and then the
-    ordinary document pipeline (chunk -> dedup -> embed)."""
+    ordinary document pipeline (chunk -> dedup -> embed).
+
+    ``streaming=True`` returns the incremental twin over the same
+    directory (``readStream.format("binaryFile")`` -> the same
+    mapInPandas explode): each new archive dropped into ``path`` is
+    parsed exactly once per trigger — the continuous-crawl ingestion
+    loop, composable with the streaming dedup/ingest sinks in
+    ``streaming/pipeline.py``."""
     from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
 
-    src = read_binary_files(spark, path, glob=glob).select("path", "content")
+    src = read_binary_files(spark, path, glob=glob, streaming=streaming).select(
+        "path", "content"
+    )
     keep = tuple(t.lower() for t in types)
 
     def _explode(batches):

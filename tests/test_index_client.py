@@ -417,3 +417,52 @@ def test_increment_ann_closure(spark, tmp_path):
     for kind in ("hnsw", "ivf", "pq"):
         assert client.increment_ann(kind)["n_rows"] == n2
     assert key(client.search_vector(probe["content"], k=5, index="hnsw", ef_search=200)) == before
+
+
+def test_pipeline_cli_crawl_journey(spark, tmp_path, capsys):
+    """`crawl`: WARC archives -> URL dedup (utm twin collapses) ->
+    domain blocklist -> html_to_text -> index; then search finds the
+    page text."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_cli
+
+    def rec(rtype, uri, body, rid):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    def resp(html):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "a.warc").write_bytes(
+        rec("response", "https://Good.Example.ORG/page?utm_source=x",
+            resp(b"<html><body><p>walrus telemetry field notes</p></body></html>"), "g1")
+        + rec("response", "https://good.example.org/page",  # same after normalize
+              resp(b"<html><body><p>walrus telemetry field notes</p></body></html>"), "g2")
+        + rec("response", "http://spam.junk/buy",
+              resp(b"<html><body><p>spam spam</p></body></html>"), "s1")
+    )
+    idx = str(tmp_path / "idx")
+
+    rc = pipeline_cli.main(
+        ["crawl", str(crawl), idx, "--dim", "16", "--block-domains", "spam.junk"]
+    )
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    assert rc == 0 and out[0]["event"] == "crawled"
+    assert out[0]["new_chunks"] == 1 and out[0]["document_count"] == 1
+
+    rc = pipeline_cli.main(["search", idx, "walrus telemetry", "--mode", "text", "-k", "1"])
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    assert "walrus telemetry" in out[0]["content"]
+    assert "good.example.org/page" in out[0]["filename"]

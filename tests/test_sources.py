@@ -238,3 +238,40 @@ def test_read_warc_to_documents_e2e(spark, tmp_path):
 
     chunks = ingest_documents(docs, cfg=IngestConfig(embedding_dim=8))
     assert chunks.count() >= 2 and chunks.filter(F.col("content").contains("quokka")).count() == 1
+
+
+def test_read_warc_streaming_incremental(spark, tmp_path):
+    """The streaming leg parses each archive exactly once per trigger:
+    run 1 sees the first file's responses; a second availableNow run
+    over the same checkpoint sees ONLY the file dropped in between."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (crawl / "w1.warc").write_bytes(_fixture_warc())
+
+    def run_once():
+        q = (
+            read_warc(spark, str(crawl), streaming=True)
+            .drop("payload")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["url"] for r in spark.read.parquet(out).collect())
+
+    assert run_once() == ["http://a.example/", "http://b.example/x"]
+
+    (crawl / "w2.warc").write_bytes(
+        _warc_record("response", "http://c.example/", _http_response(b"<p>c</p>"), "c1")
+    )
+    # second run over the same checkpoint appends ONLY the new archive —
+    # exactly 3 rows total; a re-parse of w1 would duplicate its two
+    assert run_once() == [
+        "http://a.example/", "http://b.example/x", "http://c.example/",
+    ]

@@ -40,6 +40,22 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--glob", default=None, help="e.g. '*.txt'")
     p_ing.add_argument("--dim", type=int, default=64, help="embedding dim")
 
+    p_crw = sub.add_parser(
+        "crawl", help="WARC archives -> curated pages -> chunk -> embed -> index"
+    )
+    p_crw.add_argument("warc_dir")
+    p_crw.add_argument("index_dir")
+    p_crw.add_argument("--glob", default="*.warc*")
+    p_crw.add_argument("--dim", type=int, default=64, help="embedding dim")
+    p_crw.add_argument(
+        "--max-per-domain", type=int, default=0,
+        help="cap pages per registrable domain (0 = uncapped)",
+    )
+    p_crw.add_argument(
+        "--block-domains", default=None,
+        help="comma-separated registrable domains to drop (subdomains included)",
+    )
+
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
     p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq"), default="hnsw")
@@ -93,6 +109,43 @@ def main(argv: list[str] | None = None) -> int:
         rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
         n_new = client.store(rows)
         print(json.dumps({"event": "ingested", "new_chunks": n_new, **client.stats()}))
+        return 0
+
+    if args.cmd == "crawl":
+        from pyspark.sql import functions as F
+
+        from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
+        from data_ingestion_tool_bakasura__spark.operators import crawl as CR
+        from data_ingestion_tool_bakasura__spark.operators.ingest import (
+            IngestConfig,
+            ingest_documents,
+        )
+        from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+        client = IndexClient(spark, args.index_dir, embedding_dim=args.dim)
+        client.initialize()
+        pages = read_warc(spark, args.warc_dir, glob=args.glob).filter(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/")
+            & (F.col("url") != "")
+        )
+        pages = CR.url_dedup(pages, "url", order_col="record_id")
+        if args.block_domains:
+            pages = CR.domain_blocklist_filter(
+                pages, args.block_domains.split(","), "url"
+            )
+        if args.max_per_domain > 0:
+            pages = CR.domain_cap(
+                pages, "url", max_per_domain=args.max_per_domain,
+                order_col="record_id",
+            )
+        docs = pages.select(
+            F.col("norm_url").alias("doc_id"),
+            html_to_text_udf()(F.col("payload").cast("string")).alias("text"),
+        ).filter(F.col("text") != "")
+        rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
+        n_new = client.store(rows)
+        print(json.dumps({"event": "crawled", "new_chunks": n_new, **client.stats()}))
         return 0
 
     client = IndexClient(spark, args.index_dir)
