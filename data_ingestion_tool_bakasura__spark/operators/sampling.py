@@ -830,3 +830,141 @@ def quality_classifier_score(
         score.alias("q_score"),
         (score >= F.lit(threshold)).alias("keep"),
     )
+
+
+# --- DSIR-style importance resampling (Xie et al. 2023) --------------------
+
+def _gram_stream(text_col: Column | str, n: int) -> Column:
+    """ALL word n-gram occurrences (no dedup — DSIR features are
+    frequency counts, unlike the MinHash shingle set)."""
+    toks = F.split(normalize_text(text_col), " ")
+    if n == 1:
+        return toks
+    # docs shorter than n contribute no n-grams (unigrams still cover
+    # them); the guard matters because sequence(1, 0) DESCENDS in Spark
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def _dsir_features(df: DataFrame, text_col: str, id_col: str | None,
+                   ngrams: tuple[int, ...], salt: str, n_buckets: int) -> DataFrame:
+    """Explode each doc's n-gram occurrences to hashed feature buckets."""
+    streams = F.flatten(F.array(*[_gram_stream(text_col, n) for n in ngrams]))
+    cols = ([_c(id_col).alias(id_col)] if id_col else []) + [
+        F.explode(streams).alias("_g")
+    ]
+    out = _spread(df).select(*cols).filter(F.col("_g") != "")
+    return out.select(
+        *([id_col] if id_col else []),
+        hash_bucket(F.col("_g"), salt, n_buckets).alias("bucket"),
+    )
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    ngrams: tuple[int, ...] = (1, 2),
+    n_buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The DSIR importance model: hashed n-gram distributions of the
+    TARGET (the domain you want more of) and the RAW corpus, as a
+    per-bucket log(p_target / p_raw) table (Laplace ``alpha``).
+
+    Scale shape: two explode -> groupBy(bucket) aggregations, each
+    map-side-combined down to at most ``n_buckets`` rows before its
+    exchange; the totals are 1-row broadcast scalars (the tfidf
+    corpus-N idiom), so nothing here depends on corpus size except the
+    two scans. Returns exactly ``n_buckets``-bounded (bucket,
+    log_ratio) — a few hundred KB to broadcast at serving time."""
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _dsir_features(df, text_col, None, ngrams, salt, n_buckets)
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = counts(target, "tc").join(counts(raw, "rc"), "bucket", "full").na.fill(
+        {"tc": 0, "rc": 0}
+    )
+    tot = j.agg(F.sum("tc").alias("_T"), F.sum("rc").alias("_R"))
+    aB = float(alpha) * n_buckets
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + alpha) / (F.col("_T") + aB))
+            - F.log((F.col("rc") + alpha) / (F.col("_R") + aB))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams: tuple[int, ...] = (1, 2),
+    n_buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR log importance weight: the sum of the bucket
+    log-ratios over the doc's n-gram occurrences (Xie et al. 2023 §3;
+    higher = more target-like). Docs with no features (empty/NULL
+    text) get weight 0.0 rather than dropping out.
+
+    Plan: the bounded ratio table broadcast-joins onto the exploded
+    corpus features map-side; the only corpus-sized exchange is the
+    per-doc sum, map-side-combined to O(docs) rows. Returns
+    (id_col, log_weight)."""
+    ratios = dsir_log_ratios(raw, target, text_col, ngrams, n_buckets, alpha, salt)
+    feats = _dsir_features(raw, text_col, id_col, ngrams, salt, n_buckets)
+    sums = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("log_weight"))
+    )
+    return (
+        raw.select(id_col)
+        .join(sums, id_col, "left")
+        .na.fill({"log_weight": 0.0})
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams: tuple[int, ...] = (1, 2),
+    n_buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    gumbel_salt: str = "dsir-gumbel",
+) -> DataFrame:
+    """Importance RESAMPLING, not just top-k: Gumbel-top-k over the
+    log weights samples k docs without replacement proportionally to
+    their importance (the paper's sampled selection), with the Gumbel
+    noise derived from a hash of the doc id — deterministic across
+    engines, retries and partitionings, like every sampler here.
+
+    ``key = log_weight - ln(-ln(u))``, ``u = (bucket(id)+0.5)/B``.
+    The selection is a TakeOrderedAndProject over (id, key) scalars —
+    no full sort materializes. Returns (id_col, log_weight, key),
+    ordered by key descending."""
+    w = dsir_weights(raw, target, text_col, id_col, ngrams, n_buckets, alpha, salt)
+    u = (hash_bucket(id_col, gumbel_salt, N_BUCKETS) + 0.5) / float(N_BUCKETS)
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.select(id_col, "log_weight", key.alias("key"))
+        .orderBy(F.desc("key"), id_col)
+        .limit(k)
+    )

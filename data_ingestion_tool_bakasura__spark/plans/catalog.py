@@ -55,11 +55,13 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    # --- NEW in round 10 (crawl-curation family): certify first ---
+    # --- NEW in round 10 (crawl-curation + DSIR): certify first ---
     "q_url_normalize",
     "q_url_dedup",
     "q_domain_cap",
     "q_domain_blocklist",
+    "q_dsir_weights",
+    "q_dsir_select",
     # --- impl changed in round 10: re-certify next ---
     "q_page_extract",
     "q_ivf_search",
@@ -107,15 +109,15 @@ _PRIORITY = [
     "q_substring_dedup_incr",
     "q_lm_quality_xcorpus",
     "q_doc_stats",
-    "q_lang_facet",
-    "q_array_ops",
     # ---------- 50-query window boundary ----------
     # everything below carries an r8/r9 driver-green row; in-window
-    # reps above cover every SURVEY §2 family. The four r10 crawl
-    # queries at the head pushed q_json_props/q_filter_project/
-    # q_fulltext_match/q_distinct_stats (r8 evidence) just past the
-    # boundary — they lead the r11 rotation with the rest of the r8
-    # block.
+    # reps above cover every SURVEY §2 family. The six r10 queries at
+    # the head pushed q_lang_facet/q_array_ops/q_json_props/
+    # q_filter_project/q_fulltext_match/q_distinct_stats (r8 evidence)
+    # just past the boundary — they lead the r11 rotation with the
+    # rest of the r8 block.
+    "q_lang_facet",
+    "q_array_ops",
     "q_json_props",
     "q_filter_project",
     "q_fulltext_match",

@@ -1024,6 +1024,91 @@ ORDER BY d.doc_id
 """
 
 
+# --- DSIR importance resampling (Xie et al. 2023) --------------------------
+
+#: the "benchmark-like" target slice for the DSIR queries
+_DSIR_TARGET = "lang = 'en' AND source = 'src0'"
+_DSIR_K = 25
+
+#: DuckDB twin of sampling.hash_bucket over an arbitrary expression
+def _bucket_of(e: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || {e}), 1, 13))::BIGINT % {SP.N_BUCKETS}"
+    )
+
+
+_DSIR_TOKS = "unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+
+#: shared oracle CTE chain: token streams -> bucket counts -> smoothed
+#: log-ratio table -> per-doc weights (unigram features; the bigram leg
+#: is certified by unit test against a Python reference instead)
+_DSIR_CTES = f"""
+WITH t_toks AS (
+  SELECT {_DSIR_TOKS} AS w FROM documents WHERE {_DSIR_TARGET}
+), r_toks AS (
+  SELECT doc_id, {_DSIR_TOKS} AS w FROM documents
+), tc AS (
+  SELECT {_bucket_of('w', 'dsir')} AS bucket, count(*) AS tc
+  FROM t_toks WHERE w <> '' GROUP BY 1
+), rc AS (
+  SELECT {_bucket_of('w', 'dsir')} AS bucket, count(*) AS rc
+  FROM r_toks WHERE w <> '' GROUP BY 1
+), j AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         coalesce(tc.tc, 0) AS tc, coalesce(rc.rc, 0) AS rc
+  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket
+), tot AS (
+  SELECT sum(tc) AS t_n, sum(rc) AS r_n FROM j
+), ratio AS (
+  SELECT bucket,
+         ln((tc + 1.0) / (t_n + {SP.N_BUCKETS}.0))
+         - ln((rc + 1.0) / (r_n + {SP.N_BUCKETS}.0)) AS log_ratio
+  FROM j, tot
+), sums AS (
+  SELECT doc_id, sum(log_ratio) AS lw
+  FROM (SELECT doc_id, {_bucket_of('w', 'dsir')} AS bucket
+        FROM r_toks WHERE w <> '') f
+  JOIN ratio USING (bucket) GROUP BY doc_id
+), weights AS (
+  SELECT d.doc_id, coalesce(s.lw, 0.0) AS log_weight
+  FROM documents d LEFT JOIN sums s USING (doc_id)
+)
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc DSIR log importance weight against the en/src0 target
+    slice (unigram features for oracle parity)."""
+    docs = load_table(spark, sf, "documents")
+    return SP.dsir_weights(
+        docs, docs.filter(_DSIR_TARGET), ngrams=(1,)
+    ).orderBy("doc_id")
+
+
+ORACLE["q_dsir_weights"] = f"""
+{_DSIR_CTES}
+SELECT doc_id, log_weight FROM weights ORDER BY doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Gumbel-top-k importance resampling: k docs sampled without
+    replacement proportional to importance, deterministically (the
+    noise is a hash of the doc id — reproducible across engines)."""
+    docs = load_table(spark, sf, "documents")
+    return SP.dsir_select(docs, docs.filter(_DSIR_TARGET), k=_DSIR_K, ngrams=(1,))
+
+
+ORACLE["q_dsir_select"] = f"""
+{_DSIR_CTES}
+SELECT doc_id, log_weight,
+       log_weight - ln(-ln(({_bucket_of('doc_id', 'dsir-gumbel')} + 0.5)
+                           / {SP.N_BUCKETS}.0)) AS key
+FROM weights
+ORDER BY key DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

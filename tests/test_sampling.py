@@ -345,3 +345,84 @@ def test_curate_cli_journey(spark, tmp_path, capsys):
     ])
     d2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and d2["n_in"] == 500 and d2["n_kept"] > 0
+
+
+# --- DSIR importance resampling (r10) --------------------------------------
+
+def _py_dsir_weights(raw, target, ngrams=(1, 2), B=10_000, alpha=1.0):
+    """Pure-python reference of dsir_weights (md5-bucket hashed n-gram
+    log-ratios), incl. the bigram leg the oracle query doesn't cover."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def feats(text):
+        toks = re.sub(r"\s+", " ", text or "").strip().split(" ")
+        out = []
+        for n in ngrams:
+            if n == 1:
+                grams = toks
+            else:
+                grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            out += [g for g in grams if g != ""]
+        return [
+            int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:13], 16) % B
+            for g in out
+        ]
+
+    tc, rc = Counter(), Counter()
+    for _, t in target:
+        tc.update(feats(t))
+    for _, t in raw:
+        rc.update(feats(t))
+    T, R = sum(tc.values()), sum(rc.values())
+
+    def ratio(b):
+        return math.log((tc[b] + alpha) / (T + alpha * B)) - math.log(
+            (rc[b] + alpha) / (R + alpha * B)
+        )
+
+    return {i: sum(ratio(b) for b in feats(t)) for i, t in raw}
+
+
+def test_dsir_weights_match_python_reference_bigrams(spark):
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices rise on earnings"),
+        (3, "the cat chased the dog"),
+        (4, ""),  # featureless -> weight 0.0
+        (5, None),  # NULL text -> weight 0.0
+        (6, "cat mat cat mat cat"),
+    ]
+    target = [(91, "the cat and the dog"), (92, "a cat sat on a mat")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in SP.dsir_weights(rdf, tdf, ngrams=(1, 2)).collect()
+    }
+    want = _py_dsir_weights(raw, target, ngrams=(1, 2))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert got[4] == 0.0 and got[5] == 0.0
+    # cat-ish docs should out-rank the stock doc against a cat target
+    assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_dsir_select_deterministic_and_planned(spark):
+    rows = [(i, f"topic {i % 7} words number {i}") for i in range(80)]
+    rdf = spark.createDataFrame(rows, "doc_id long, text string")
+    tdf = rdf.filter("doc_id % 7 = 3")
+    sel = SP.dsir_select(rdf, tdf, k=10)
+    a = [r["doc_id"] for r in sel.collect()]
+    b = [r["doc_id"] for r in SP.dsir_select(rdf, tdf, k=10).collect()]
+    assert a == b and len(a) == 10  # hash-Gumbel noise is reproducible
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort materializes
+    ratios_plan = (
+        SP.dsir_log_ratios(rdf, tdf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in ratios_plan
