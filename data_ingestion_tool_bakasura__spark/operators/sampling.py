@@ -914,22 +914,33 @@ def dsir_weights(
     n_buckets: int = N_BUCKETS,
     alpha: float = 1.0,
     salt: str = "dsir",
+    normalize: bool = True,
 ) -> DataFrame:
-    """Per-document DSIR log importance weight: the sum of the bucket
-    log-ratios over the doc's n-gram occurrences (Xie et al. 2023 §3;
-    higher = more target-like). Docs with no features (empty/NULL
-    text) get weight 0.0 rather than dropping out.
+    """Per-document DSIR log importance weight over the doc's n-gram
+    occurrences (Xie et al. 2023 §3; higher = more target-like). Docs
+    with no features (empty/NULL text) get weight 0.0 rather than
+    dropping out.
+
+    ``normalize=True`` (default) uses the MEAN bucket log-ratio per
+    feature: when the target corpus is much smaller than the raw
+    corpus, smoothing makes every per-feature log-ratio negative, so
+    the paper-exact SUM (``normalize=False``) ranks long documents
+    below short ones regardless of how target-like they are — the mean
+    is the length-robust variant; the sum is the paper's exact
+    generative-model likelihood ratio, appropriate when target and raw
+    are comparably sized.
 
     Plan: the bounded ratio table broadcast-joins onto the exploded
     corpus features map-side; the only corpus-sized exchange is the
-    per-doc sum, map-side-combined to O(docs) rows. Returns
+    per-doc aggregate, map-side-combined to O(docs) rows. Returns
     (id_col, log_weight)."""
     ratios = dsir_log_ratios(raw, target, text_col, ngrams, n_buckets, alpha, salt)
     feats = _dsir_features(raw, text_col, id_col, ngrams, salt, n_buckets)
+    agg = F.avg("log_ratio") if normalize else F.sum("log_ratio")
     sums = (
         feats.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("log_ratio").alias("log_weight"))
+        .agg(agg.alias("log_weight"))
     )
     return (
         raw.select(id_col)
@@ -949,6 +960,7 @@ def dsir_select(
     alpha: float = 1.0,
     salt: str = "dsir",
     gumbel_salt: str = "dsir-gumbel",
+    normalize: bool = True,
 ) -> DataFrame:
     """Importance RESAMPLING, not just top-k: Gumbel-top-k over the
     log weights samples k docs without replacement proportionally to
@@ -960,7 +972,8 @@ def dsir_select(
     The selection is a TakeOrderedAndProject over (id, key) scalars —
     no full sort materializes. Returns (id_col, log_weight, key),
     ordered by key descending."""
-    w = dsir_weights(raw, target, text_col, id_col, ngrams, n_buckets, alpha, salt)
+    w = dsir_weights(raw, target, text_col, id_col, ngrams, n_buckets, alpha,
+                     salt, normalize)
     u = (hash_bucket(id_col, gumbel_salt, N_BUCKETS) + 0.5) / float(N_BUCKETS)
     key = F.col("log_weight") - F.log(-F.log(u))
     return (

@@ -1065,7 +1065,7 @@ WITH t_toks AS (
          - ln((rc + 1.0) / (r_n + {SP.N_BUCKETS}.0)) AS log_ratio
   FROM j, tot
 ), sums AS (
-  SELECT doc_id, sum(log_ratio) AS lw
+  SELECT doc_id, avg(log_ratio) AS lw
   FROM (SELECT doc_id, {_bucket_of('w', 'dsir')} AS bucket
         FROM r_toks WHERE w <> '') f
   JOIN ratio USING (bucket) GROUP BY doc_id

@@ -399,9 +399,10 @@ def test_dsir_weights_match_python_reference_bigrams(spark):
     rdf = spark.createDataFrame(raw, "doc_id long, text string")
     tdf = spark.createDataFrame(target, "doc_id long, text string")
 
+    # normalize=False is the paper-exact sum the reference computes
     got = {
         r["doc_id"]: r["log_weight"]
-        for r in SP.dsir_weights(rdf, tdf, ngrams=(1, 2)).collect()
+        for r in SP.dsir_weights(rdf, tdf, ngrams=(1, 2), normalize=False).collect()
     }
     want = _py_dsir_weights(raw, target, ngrams=(1, 2))
     assert set(got) == set(want)
@@ -426,3 +427,51 @@ def test_dsir_select_deterministic_and_planned(spark):
         SP.dsir_log_ratios(rdf, tdf)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in ratios_plan
+
+
+def test_curate_cli_bpe_and_dsir_legs(spark, tmp_path, capsys):
+    """train-bpe writes a usable merge table; run --dsir-target keeps
+    only the k importance-resampled docs."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_cli
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, "the cat sat on the mat and purred softly today " + str(i),
+             "en", "src0") for i in range(30)] + [
+        (100 + i, "stock market prices moved on quarterly earnings " + str(i),
+         "en", "src1") for i in range(30)
+    ]
+    target_rows = [
+        (900 + i, "the cat sat near the mat and cats purred today " + str(i),
+         "en", "srcT") for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, source string") \
+        .write.parquet(src)
+
+    merges_out = str(tmp_path / "merges.json")
+    rc = curate_cli.main(["train-bpe", src, merges_out, "--n-merges", "40"])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and d["event"] == "bpe_trained" and d["total_tokens"] > 0
+    from data_ingestion_tool_bakasura__spark.functions import bpe as B
+    merges = [tuple(m) for m in json.load(open(merges_out))]
+    ranks = {m: i for i, m in enumerate(merges)}
+    # 'the' dominates this corpus -> it compresses to a single token
+    assert B.encode_word("the", ranks) == ["the" + B.EOW]
+
+    target = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        target_rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(target)
+    out_dir = str(tmp_path / "curated")
+    rc = curate_cli.main([
+        "run", src, out_dir, "--nll-max", "99", "--min-quality", "0.0",
+        "--dsir-target", target, "--dsir-k", "10",
+    ])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and d["n_kept"] == 10
+    kept = spark.read.parquet(out_dir + "/corpus")
+    cat_frac = kept.filter("text like '%cat%'").count() / kept.count()
+    assert cat_frac >= 0.8  # resampling pulled toward the cat target

@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     p_fit.add_argument("weights_out")
     p_fit.add_argument("--label-col", default="label")
 
+    p_bpe = sub.add_parser("train-bpe", help="learn a BPE merge table from the corpus")
+    p_bpe.add_argument("docs")
+    p_bpe.add_argument("merges_out")
+    p_bpe.add_argument("--n-merges", type=int, default=1000)
+    p_bpe.add_argument("--max-words", type=int, default=50_000)
+
     p_run = sub.add_parser("run", help="surgery -> LM filter -> quality -> splits")
     p_run.add_argument("docs")
     p_run.add_argument("out_dir")
@@ -63,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--quality-weights", default=None,
                        help="JSON weights from fit-quality (default: pinned prior)")
     p_run.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+    p_run.add_argument("--dsir-target", default=None,
+                       help="parquet of target-domain docs: keep only the "
+                            "--dsir-k docs importance-resampled toward it")
+    p_run.add_argument("--dsir-k", type=int, default=100)
 
     args = ap.parse_args(argv)
 
@@ -89,6 +99,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "report":
         print(json.dumps(_report_row(docs), default=str))
+        return 0
+
+    if args.cmd == "train-bpe":
+        from data_ingestion_tool_bakasura__spark.functions.bpe import (
+            bpe_train,
+            n_tokens_learned,
+        )
+
+        merges = bpe_train(docs, n_merges=args.n_merges, max_words=args.max_words)
+        with open(args.merges_out, "w") as f:
+            json.dump(merges, f)
+        total = docs.select(
+            F.sum(n_tokens_learned("text", merges)).alias("t")
+        ).first()["t"]
+        print(json.dumps({
+            "event": "bpe_trained", "n_merges": len(merges),
+            "total_tokens": int(total or 0), "out": args.merges_out,
+        }))
         return 0
 
     from data_ingestion_tool_bakasura__spark.operators.dedup import (
@@ -131,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
     kept = merged.filter(
         F.col("keep") & F.col("nll").isNotNull() & (F.col("nll") <= args.nll_max)
     )
+    if args.dsir_target:
+        from data_ingestion_tool_bakasura__spark.operators.sampling import dsir_select
+
+        target = spark.read.parquet(args.dsir_target)
+        sel = dsir_select(kept, target, k=args.dsir_k, text_col="text")
+        kept = kept.join(sel.select("doc_id"), "doc_id")
     out = hash_split(kept, "doc_id", weights).localCheckpoint(eager=True)
 
     corpus_path = os.path.join(args.out_dir, "corpus")
