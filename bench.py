@@ -107,6 +107,8 @@ HEADLINE = [
     "q_lm_quality",            # char-trigram LM perplexity filter
     "q_quality_classifier",    # CCNet-shape logistic quality filter
     "q_image_near_dup",        # banded aHash image near-dup (C15 x C13)
+    "q_url_dedup",             # r10: URL normalize + one-exchange dedup (C20)
+    "q_dsir_weights",          # r10: DSIR importance weights (C19)
 ]
 
 

@@ -512,3 +512,77 @@ def start_streaming_image_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_crawl(
+    pages_stream: DataFrame,
+    corpus_path: str,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    order_col: str = "record_id",
+    blocked_domains=None,
+    max_per_domain_per_batch: int | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously URL-deduplicated page corpus — the crawl-side
+    closure (C20 x C17): feed ``read_warc(..., streaming=True)`` (or
+    any stream with url + payload columns) and each micro-batch is
+    URL-normalized, deduplicated within the batch (lowest ``order_col``
+    wins), anti-joined against the PERSISTED corpus on ``norm_url``
+    (first arrival wins across batches), blocklist/cap-filtered, and
+    appended as (norm_url, url, domain, text, n_chars) rows with the
+    HTML already extracted.
+
+    Replay idempotence is structural here: there is exactly ONE write
+    target, and the guard anti-join reads it — a crash-then-replayed
+    micro-batch re-probes the corpus and contributes nothing. (The
+    two-write ordering discipline of the image/dedup sinks is not
+    needed.) The per-batch domain cap bounds a hostile batch; corpus-
+    wide caps belong in a batch `domain_cap` pass over the corpus.
+    """
+    from data_ingestion_tool_bakasura__spark.functions import urls as U
+    from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
+    from data_ingestion_tool_bakasura__spark.operators import crawl as CR
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="crawl_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("norm_url", U.url_normalize(F.col(url_col)))
+        w = Window.partitionBy("norm_url").orderBy(F.col(order_col))
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(corpus_path.removeprefix("file://")):
+            seen = spark.read.parquet(corpus_path).select("norm_url")
+            batch = batch.join(seen, on="norm_url", how="left_anti")
+        if blocked_domains:
+            batch = CR.domain_blocklist_filter(batch, blocked_domains, url_col)
+        if max_per_domain_per_batch:
+            batch = CR.domain_cap(
+                batch, url_col, max_per_domain_per_batch, order_col=order_col
+            )
+        out = batch.select(
+            "norm_url",
+            F.col(url_col).alias("url"),
+            U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
+            html_to_text_udf()(F.col(payload_col).cast("string")).alias("text"),
+        ).withColumn("n_chars", F.length("text"))
+        # materialize before the append: the plan lazily reads
+        # corpus_path (the seen-guard) while appending to it
+        reliable_checkpoint(out).write.mode("append").parquet(corpus_path)
+
+    writer = pages_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

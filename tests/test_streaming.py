@@ -270,3 +270,61 @@ def test_streaming_image_dedup_three_waves(spark, tmp_path):
     replayed = spark.read.parquet(corpus)
     assert replayed.count() == 5
     assert sorted(r["media_id"] for r in replayed.collect()) == [1, 2, 11, 13, 20]
+
+
+def test_streaming_crawl_closure(spark, tmp_path):
+    """WARC stream -> start_streaming_crawl: within-batch utm-twin
+    collapse, blocklist, cross-batch first-arrival-wins on norm_url."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://A.example.org/p?utm_source=x", b"<p>first copy</p>", "a1")
+        + rec("https://a.example.org/p", b"<p>second copy</p>", "a2")
+        + rec("http://bad.spam/x", b"<p>junk</p>", "s1")
+    )
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True),
+            corpus,
+            blocked_domains=["bad.spam"],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {r["norm_url"]: r for r in spark.read.parquet(corpus).collect()}
+    assert set(rows) == {"https://a.example.org/p"}
+    assert rows["https://a.example.org/p"]["text"] == "first copy"  # a1 < a2
+    assert rows["https://a.example.org/p"]["domain"] == "example.org"
+
+    (crawl / "w2.warc").write_bytes(
+        rec("https://a.example.org/p?utm_medium=y", b"<p>third copy</p>", "b1")
+        + rec("https://new.example.org/q", b"<p>fresh page</p>", "b2")
+    )
+    run_once()
+    rows = {r["norm_url"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert rows == {
+        "https://a.example.org/p": "first copy",  # first arrival held
+        "https://new.example.org/q": "fresh page",
+    }
