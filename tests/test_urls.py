@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_bakasura__spark.functions import urls as U
@@ -26,6 +28,11 @@ CASES = [
     ("http://localhost/x", "localhost", "localhost", 1, "http://localhost/x"),
     ("not a url at all", "", "", 0, ":///"),  # degenerate, but never NULL
 ]
+
+
+@pytest.fixture(scope="module")
+def shared_spark_for_property(spark):
+    return spark
 
 
 @pytest.fixture(scope="module")
@@ -108,3 +115,58 @@ def test_blocklist_drops_subdomains_and_broadcasts(spark):
     out = C.domain_blocklist_filter(df, ["Spam.Example"], "url")
     assert [r["id"] for r in out.collect()] == [3]
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTPS", "ftp"]),
+            st.sampled_from(["", "user:pw@"]),
+            st.sampled_from(
+                ["ex.com", "WWW.Ex.COM", "a.b.co.uk", "localhost", "x.example7.net"]
+            ),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/", "/a/b", "/a//b/", "/p.html"]),
+            st.sampled_from(
+                ["", "?", "?x=1", "?utm_source=s", "?x=1&utm_a=2&y=3", "?&&x=1&"]
+            ),
+            st.sampled_from(["", "#frag", "#a?b"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_twin_parity_property(shared_spark_for_property, urls_parts):
+    """PROPERTY: for any composed URL, the Spark Column exprs and the
+    DuckDB *_sql twins produce identical host/domain/depth/norm."""
+    spark = shared_spark_for_property
+    urls = ["".join((s, "://", ui, h, p, pa, q, f))
+            for (s, ui, h, p, pa, q, f) in urls_parts]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    host = U.url_host(F.col("url"))
+    got = (
+        df.select(
+            "i",
+            host.alias("host"),
+            U.registrable_domain(host).alias("domain"),
+            U.url_path_depth(F.col("url")).alias("depth"),
+            U.url_normalize(F.col("url")).alias("norm"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    want = con.sql(
+        f"SELECT ({U.host_sql('url')}), ({U.domain_sql(U.host_sql('url'))}), "
+        f"CAST(({U.depth_sql('url')}) AS INT), ({U.normalize_sql('url')}) "
+        f"FROM t ORDER BY i"
+    ).fetchall()
+    for row, (h, d, dep, n) in zip(got, want):
+        assert (row["host"], row["domain"], row["depth"], row["norm"]) == (
+            h, d, dep, n,
+        ), row["i"]
