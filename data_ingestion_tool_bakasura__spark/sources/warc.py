@@ -19,11 +19,12 @@ archive upstream or plug a streaming parser into the same
 
 Subset, stated honestly: WARC/1.0 and 1.1 framing (CRLF headers +
 Content-Length body + CRLF CRLF), gzip members, HTTP response payload
-split on the first CRLF CRLF. Chunked transfer-encoding inside
-archived responses is NOT de-chunked (CC archives store raw bytes;
-dedup/hashing are unaffected, text extraction sees chunk markers —
-use the fitz-style upgrade path: plug warcio into the seam when
-fidelity matters).
+split on the first CRLF CRLF, and Transfer-Encoding: chunked payloads
+de-chunked (CC archives store raw wire bytes). Not handled:
+Content-Encoding (gzip/br page bodies pass through compressed —
+detectable from the content_type/magic downstream) and rare
+continuation/segmented records; plug warcio into the
+``parse_warc_records`` seam when full fidelity matters.
 """
 
 from __future__ import annotations
@@ -79,10 +80,36 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     return records
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked body (size-hex CRLF data
+    CRLF ... 0 CRLF CRLF). Crawlers archive the raw wire bytes, so
+    chunk framing otherwise leaks into extracted text. A malformed
+    chunk stream returns the bytes decoded so far plus nothing —
+    never raises."""
+    out = []
+    i = 0
+    n = len(payload)
+    while i < n:
+        eol = payload.find(b"\r\n", i)
+        if eol < 0:
+            break
+        size_tok = payload[i:eol].split(b";", 1)[0].strip()  # ignore chunk exts
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break  # terminal chunk (trailers ignored)
+        out.append(payload[eol + 2 : eol + 2 + size])
+        i = eol + 2 + size + 2  # skip data + trailing CRLF
+    return b"".join(out)
+
+
 def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     """Split an archived HTTP response into (status, content-type,
     payload). Non-HTTP bodies (warcinfo, metadata, resource records)
-    pass through as (None, None, body)."""
+    pass through as (None, None, body). ``Transfer-Encoding: chunked``
+    payloads are de-chunked (Common Crawl stores raw wire bytes)."""
     if not body.startswith(b"HTTP/"):
         return None, None, body
     he = body.find(b"\r\n\r\n")
@@ -94,11 +121,17 @@ def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         status = None
     ctype = None
+    chunked = False
     for line in head[1:]:
-        if line.lower().startswith("content-type:"):
+        low = line.lower()
+        if low.startswith("content-type:") and ctype is None:
             ctype = line.split(":", 1)[1].strip()
-            break
-    return status, ctype, body[he + 4 :]
+        elif low.startswith("transfer-encoding:") and "chunked" in low:
+            chunked = True
+    payload = body[he + 4 :]
+    if chunked:
+        payload = _dechunk(payload)
+    return status, ctype, payload
 
 
 def read_warc(

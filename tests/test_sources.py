@@ -275,3 +275,21 @@ def test_read_warc_streaming_incremental(spark, tmp_path):
     assert run_once() == [
         "http://a.example/", "http://b.example/x", "http://c.example/",
     ]
+
+
+def test_split_http_response_dechunks():
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        _dechunk,
+        split_http_response,
+    )
+
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5;ext=1\r\n<p>he\r\n6\r\nllo</p\r\n1\r\n>\r\n0\r\n\r\n"
+    )
+    status, ctype, payload = split_http_response(chunked)
+    assert status == 200 and ctype == "text/html"
+    assert payload == b"<p>hello</p>"
+    # malformed size token: decode what's valid, never raise
+    assert _dechunk(b"3\r\nabc\r\nZZ\r\nrest") == b"abc"
