@@ -19,11 +19,11 @@ archive upstream or plug a streaming parser into the same
 
 Subset, stated honestly: WARC/1.0 and 1.1 framing (CRLF headers +
 Content-Length body + CRLF CRLF), gzip members, HTTP response payload
-split on the first CRLF CRLF, and Transfer-Encoding: chunked payloads
-de-chunked (CC archives store raw wire bytes). Not handled:
-Content-Encoding (gzip/br page bodies pass through compressed —
-detectable from the content_type/magic downstream) and rare
-continuation/segmented records; plug warcio into the
+split on the first CRLF CRLF, Transfer-Encoding: chunked payloads
+de-chunked, and Content-Encoding gzip/deflate bodies decompressed (CC
+archives store raw wire bytes). Not handled: brotli page bodies (no
+stdlib codec — pass through compressed, magic-detectable downstream)
+and rare continuation/segmented records; plug warcio into the
 ``parse_warc_records`` seam when full fidelity matters.
 """
 
@@ -122,15 +122,29 @@ def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
         status = None
     ctype = None
     chunked = False
+    cenc = ""
     for line in head[1:]:
         low = line.lower()
         if low.startswith("content-type:") and ctype is None:
             ctype = line.split(":", 1)[1].strip()
         elif low.startswith("transfer-encoding:") and "chunked" in low:
             chunked = True
+        elif low.startswith("content-encoding:"):
+            cenc = low.split(":", 1)[1].strip()
     payload = body[he + 4 :]
     if chunked:
         payload = _dechunk(payload)
+    if cenc in ("gzip", "x-gzip", "deflate"):
+        import zlib
+
+        try:
+            # 47: auto-detect gzip/zlib headers; raw-deflate retried bare
+            payload = zlib.decompress(payload, 47)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, -15)
+            except zlib.error:
+                pass  # keep the compressed bytes; magic is detectable downstream
     return status, ctype, payload
 
 

@@ -293,3 +293,43 @@ def test_split_http_response_dechunks():
     assert payload == b"<p>hello</p>"
     # malformed size token: decode what's valid, never raise
     assert _dechunk(b"3\r\nabc\r\nZZ\r\nrest") == b"abc"
+
+
+def test_split_http_response_content_encoding():
+    import gzip as _gz
+    import zlib
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import split_http_response
+
+    def resp(headers: str, payload: bytes) -> bytes:
+        return (f"HTTP/1.1 200 OK\r\n{headers}\r\n\r\n").encode() + payload
+
+    html = b"<p>compressed page body</p>"
+    # gzip body
+    _, _, p = split_http_response(
+        resp("Content-Type: text/html\r\nContent-Encoding: gzip", _gz.compress(html))
+    )
+    assert p == html
+    # raw-deflate body (some servers send deflate without zlib header)
+    raw = zlib.compressobj(wbits=-15)
+    body = raw.compress(html) + raw.flush()
+    _, _, p = split_http_response(
+        resp("Content-Type: text/html\r\nContent-Encoding: deflate", body)
+    )
+    assert p == html
+    # chunked + gzip compose (wire order: chunking wraps the encoded body)
+    gz = _gz.compress(html)
+    chunked = f"{len(gz):x}\r\n".encode() + gz + b"\r\n0\r\n\r\n"
+    _, _, p = split_http_response(
+        resp(
+            "Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n"
+            "Content-Encoding: gzip",
+            chunked,
+        )
+    )
+    assert p == html
+    # undecodable garbage under a gzip header passes through untouched
+    _, _, p = split_http_response(
+        resp("Content-Encoding: gzip", b"\x00not really gzip")
+    )
+    assert p == b"\x00not really gzip"
