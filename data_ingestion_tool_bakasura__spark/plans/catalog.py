@@ -110,8 +110,9 @@ _PRIORITY = [
     "q_lm_quality_xcorpus",
     "q_doc_stats",
     # ---------- 50-query window boundary ----------
-    # everything below carries an r8/r9 driver-green row; in-window
-    # reps above cover every SURVEY §2 family. The six r10 queries at
+    # everything below carries an r8/r9 driver-green row (families not
+    # represented above — e.g. C12 array/json — hold their r8/r9
+    # evidence and rotate back in next round). The six r10 queries at
     # the head pushed q_lang_facet/q_array_ops/q_json_props/
     # q_filter_project/q_fulltext_match/q_distinct_stats (r8 evidence)
     # just past the boundary — they lead the r11 rotation with the

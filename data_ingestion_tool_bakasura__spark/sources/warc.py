@@ -208,3 +208,43 @@ def read_warc(
             )
 
     return src.mapInPandas(_explode, schema=WARC_SCHEMA)
+
+
+def decode_payload_udf():
+    """Arrow-batched UDF: (payload binary, content_type string) ->
+    decoded text, honoring the Content-Type charset parameter
+    (``text/html; charset=ISO-8859-1``) with UTF-8 default and
+    per-row fallback to latin-1 (which cannot fail) — a blind
+    ``cast("string")`` mangles every non-UTF-8 page. Unknown charset
+    labels fall back the same way; bytes never raise."""
+    import codecs
+    import re as _re
+
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cs_re = _re.compile(r"charset=[\"']?([A-Za-z0-9_.:-]+)", _re.I)
+
+    @F.pandas_udf(T.StringType())
+    def _dec(payload: pd.Series, ctype: pd.Series) -> pd.Series:
+        def one(b, ct):
+            if b is None:
+                return ""
+            enc = "utf-8"
+            m = cs_re.search(ct or "")
+            if m:
+                try:
+                    codecs.lookup(m.group(1))
+                    enc = m.group(1)
+                except LookupError:
+                    pass
+            try:
+                return bytes(b).decode(enc, "replace")
+            except (LookupError, ValueError):
+                return bytes(b).decode("latin-1")
+
+        return pd.Series([one(b, c) for b, c in zip(payload, ctype)])
+
+    return _dec

@@ -544,6 +544,7 @@ def start_streaming_crawl(
     from data_ingestion_tool_bakasura__spark.functions import urls as U
     from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
     from data_ingestion_tool_bakasura__spark.operators import crawl as CR
+    from data_ingestion_tool_bakasura__spark.sources.warc import decode_payload_udf
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="crawl_ckpt_")
 
@@ -570,11 +571,15 @@ def start_streaming_crawl(
             batch = CR.domain_cap(
                 batch, url_col, max_per_domain_per_batch, order_col=order_col
             )
+        ctype = (F.col("content_type") if "content_type" in batch.columns
+                 else F.lit("text/html"))
         out = batch.select(
             "norm_url",
             F.col(url_col).alias("url"),
             U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
-            html_to_text_udf()(F.col(payload_col).cast("string")).alias("text"),
+            html_to_text_udf()(
+                decode_payload_udf()(F.col(payload_col), ctype)
+            ).alias("text"),
         ).withColumn("n_chars", F.length("text"))
         # materialize before the append: the plan lazily reads
         # corpus_path (the seen-guard) while appending to it

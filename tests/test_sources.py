@@ -333,3 +333,26 @@ def test_split_http_response_content_encoding():
         resp("Content-Encoding: gzip", b"\x00not really gzip")
     )
     assert p == b"\x00not really gzip"
+
+
+def test_decode_payload_honors_charset(spark):
+    from data_ingestion_tool_bakasura__spark.sources.warc import decode_payload_udf
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "café crème".encode("iso-8859-1"), "text/html; charset=ISO-8859-1"),
+        (2, "naïve".encode("utf-8"), "text/html"),
+        (3, "junk".encode() + b"\xff\xfe", "text/html; charset=not-a-charset"),
+        (4, None, "text/html"),
+    ]
+    df = spark.createDataFrame(rows, "i int, payload binary, content_type string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", decode_payload_udf()(F.col("payload"), F.col("content_type")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "café crème"       # latin-1 honored, not mangled
+    assert got[2] == "naïve"
+    assert got[3].startswith("junk")    # bad label -> utf-8 replace, no raise
+    assert got[4] == ""

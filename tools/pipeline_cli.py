@@ -120,7 +120,10 @@ def main(argv: list[str] | None = None) -> int:
             IngestConfig,
             ingest_documents,
         )
-        from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+        from data_ingestion_tool_bakasura__spark.sources.warc import (
+            decode_payload_udf,
+            read_warc,
+        )
 
         client = IndexClient(spark, args.index_dir, embedding_dim=args.dim)
         client.initialize()
@@ -141,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         docs = pages.select(
             F.col("norm_url").alias("doc_id"),
-            html_to_text_udf()(F.col("payload").cast("string")).alias("text"),
+            html_to_text_udf()(
+                decode_payload_udf()(F.col("payload"), F.col("content_type"))
+            ).alias("text"),
         ).filter(F.col("text") != "")
         rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
         n_new = client.store(rows)
