@@ -36,9 +36,9 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: Catalog iteration order. External correctness harnesses check a
 #: prefix of ``queries()`` in iteration order. Round-10 rotation
 #: (r9 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the four queries NEW this round (the crawl-curation
-#: family over the WARC aperture), then the five whose implementation
-#: changed (extract.py gained ObjStm parsing + the \8\9 escape fix ->
+#: lead with the seven queries NEW this round (the crawl-curation
+#: family over the WARC aperture, the DSIR pair, and the composed
+#: q_crawl_pipeline), then the five whose implementation changed (extract.py gained ObjStm parsing + the \8\9 escape fix ->
 #: q_page_extract; ivf_topk gained the probe_lists parameter ->
 #: q_ivf_search / q_ivf_kmeans_search; the driver-collect query guard
 #: rewrote the ADC collects -> q_ivfadc_search / q_pq_rerank), then
@@ -62,6 +62,7 @@ _PRIORITY = [
     "q_domain_blocklist",
     "q_dsir_weights",
     "q_dsir_select",
+    "q_crawl_pipeline",
     # --- impl changed in round 10: re-certify next ---
     "q_page_extract",
     "q_ivf_search",
@@ -108,15 +109,15 @@ _PRIORITY = [
     "q_deep_clean_pipeline",
     "q_substring_dedup_incr",
     "q_lm_quality_xcorpus",
-    "q_doc_stats",
     # ---------- 50-query window boundary ----------
     # everything below carries an r8/r9 driver-green row (families not
     # represented above — e.g. C12 array/json — hold their r8/r9
-    # evidence and rotate back in next round). The six r10 queries at
-    # the head pushed q_lang_facet/q_array_ops/q_json_props/
-    # q_filter_project/q_fulltext_match/q_distinct_stats (r8 evidence)
-    # just past the boundary — they lead the r11 rotation with the
-    # rest of the r8 block.
+    # evidence and rotate back in next round). The seven r10 queries
+    # at the head pushed q_doc_stats/q_lang_facet/q_array_ops/
+    # q_json_props/q_filter_project/q_fulltext_match/q_distinct_stats
+    # (r8 evidence) just past the boundary — they lead the r11
+    # rotation with the rest of the r8 block.
+    "q_doc_stats",
     "q_lang_facet",
     "q_array_ops",
     "q_json_props",

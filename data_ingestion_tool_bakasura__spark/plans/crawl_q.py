@@ -144,9 +144,84 @@ GROUP BY domain ORDER BY domain
 """
 
 
+# --- composed crawl pipeline (one lazy plan, single oracle) ----------------
+
+_SW = "('the','a','of','and','to','in','is','for','on','with')"
+_Q_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+#: DuckDB twin of textstats.quality_score (same fragment as the
+#: q_token_budget oracle in curation_q)
+_QUALITY = f"""round(0.5 * least(length(text) / 1000.0, 1.0)
+  + 0.5 * least((CASE WHEN (CASE WHEN text IS NULL OR length(trim(text)) = 0
+                            THEN 0 ELSE len({_Q_TOKS}) END) = 0 THEN 0.0
+                 ELSE len(list_filter({_Q_TOKS}, x -> lower(x) IN {_SW}))
+                      / (CASE WHEN text IS NULL OR length(trim(text)) = 0
+                         THEN 1 ELSE len({_Q_TOKS}) END)::DOUBLE END) * 5.0, 1.0)
+  - 0.25 * least((CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / length(text)::DOUBLE END) * 5.0, 1.0), 6)"""
+
+
+def q_crawl_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl family composed end-to-end in ONE lazy plan: synth URL
+    -> URL-level dedup (lowest doc_id survives) -> domain blocklist ->
+    3-per-domain cap -> C4-style quality score of each surviving page
+    -> per-domain rollup. Mirrors q_curation_pipeline's role: proves
+    the operators compose without materialization barriers."""
+    from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .withColumn("url", F.expr(_SYNTH))
+    )
+    kept = C.domain_cap(
+        C.domain_blocklist_filter(
+            C.url_dedup(docs, "url", order_col="doc_id"), _BLOCKED, "url"
+        ),
+        "url", max_per_domain=3, order_col="doc_id",
+    )
+    return (
+        kept.select("domain", F.length("text").alias("n_chars"),
+                    TS.quality_score("text").alias("quality"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("domain")
+    )
+
+
+ORACLE["q_crawl_pipeline"] = f"""
+WITH w AS (
+  SELECT doc_id, text, ({_NORM}) AS norm_url, ({_DOMAIN}) AS domain
+  FROM documents
+), d1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) AS rn
+    FROM w
+  ) WHERE rn = 1
+), d2 AS (
+  SELECT * FROM d1
+  WHERE domain NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED)})
+), d3 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn2
+    FROM d2
+  ) WHERE rn2 <= 3
+)
+SELECT domain, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       round(avg({_QUALITY}), 6) AS avg_quality
+FROM d3 GROUP BY domain ORDER BY domain
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
     "q_domain_cap": q_domain_cap,
     "q_domain_blocklist": q_domain_blocklist,
+    "q_crawl_pipeline": q_crawl_pipeline,
 }
