@@ -1,3 +1,12 @@
-from data_ingestion_tool_bakasura__spark.functions import text, embed, ranking, vector, textstats
+from data_ingestion_tool_bakasura__spark.functions import (
+    bpe,
+    embed,
+    ranking,
+    redact,
+    text,
+    textstats,
+    urls,
+    vector,
+)
 
-__all__ = ["text", "embed", "ranking", "vector", "textstats"]
+__all__ = ["bpe", "embed", "ranking", "redact", "text", "textstats", "urls", "vector"]

@@ -1,16 +1,19 @@
 from data_ingestion_tool_bakasura__spark.operators import (
     asof,
+    crawl,
     dedup,
+    grouped,
     hnsw,
     ingest,
     maintenance,
     sampling,
     similarity,
+    skew,
     topk,
     upsert,
 )
 
 __all__ = [
-    "asof", "dedup", "hnsw", "ingest", "maintenance", "sampling",
-    "similarity", "topk", "upsert",
+    "asof", "crawl", "dedup", "grouped", "hnsw", "ingest", "maintenance",
+    "sampling", "similarity", "skew", "topk", "upsert",
 ]
