@@ -981,3 +981,39 @@ def dsir_select(
         .orderBy(F.desc("key"), id_col)
         .limit(k)
     )
+
+
+def dsir_apply(
+    docs: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams: tuple[int, ...] = (1, 2),
+    n_buckets: int = N_BUCKETS,
+    salt: str = "dsir",
+    normalize: bool = True,
+) -> DataFrame:
+    """Score documents against a PERSISTED ratio table — the serving /
+    incremental twin of :func:`dsir_weights` (the same pattern as
+    ``char_trigram_counts`` -> cross-corpus NLL scoring): fit the
+    log-ratio model once on a reference raw/target pair, write the
+    bounded (bucket, log_ratio) table to parquet, and score every
+    future batch with one broadcast join — the corpora are never
+    re-scanned, so this composes with foreachBatch streaming gates.
+
+    ``ngrams``/``n_buckets``/``salt`` must match the fit; a bucket
+    absent from the table contributes nothing (matching
+    ``dsir_weights``, whose full-join table covers every bucket either
+    corpus produced)."""
+    feats = _dsir_features(docs, text_col, id_col, ngrams, salt, n_buckets)
+    agg = F.avg("log_ratio") if normalize else F.sum("log_ratio")
+    sums = (
+        feats.join(F.broadcast(ratios.select("bucket", "log_ratio")), "bucket")
+        .groupBy(id_col)
+        .agg(agg.alias("log_weight"))
+    )
+    return (
+        docs.select(id_col)
+        .join(sums, id_col, "left")
+        .na.fill({"log_weight": 0.0})
+    )

@@ -475,3 +475,30 @@ def test_curate_cli_bpe_and_dsir_legs(spark, tmp_path, capsys):
     kept = spark.read.parquet(out_dir + "/corpus")
     cat_frac = kept.filter("text like '%cat%'").count() / kept.count()
     assert cat_frac >= 0.8  # resampling pulled toward the cat target
+
+
+def test_dsir_apply_matches_fit_and_serves_new_batches(spark, tmp_path):
+    """Persisted ratio table: dsir_apply(corpus) == dsir_weights on the
+    fit corpus, and scores a NEW batch without touching the corpora."""
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta topic {i % 5} gamma {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = raw.filter("doc_id % 5 = 2")
+    ratios = SP.dsir_log_ratios(raw, target)
+    p = str(tmp_path / "dsir_ratios.parquet")
+    ratios.write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    want = {r["doc_id"]: r["log_weight"] for r in SP.dsir_weights(raw, target).collect()}
+    got = {r["doc_id"]: r["log_weight"] for r in SP.dsir_apply(raw, stored).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+    new_batch = spark.createDataFrame(
+        [(900, "alpha beta topic 2 gamma fresh"), (901, "")],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r["log_weight"] for r in SP.dsir_apply(new_batch, stored).collect()}
+    assert scored[901] == 0.0 and scored[900] != 0.0

