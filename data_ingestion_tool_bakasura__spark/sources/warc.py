@@ -21,10 +21,11 @@ Subset, stated honestly: WARC/1.0 and 1.1 framing (CRLF headers +
 Content-Length body + CRLF CRLF), gzip members, HTTP response payload
 split on the first CRLF CRLF, Transfer-Encoding: chunked payloads
 de-chunked, and Content-Encoding gzip/deflate bodies decompressed (CC
-archives store raw wire bytes). Not handled: brotli page bodies (no
-stdlib codec — pass through compressed, magic-detectable downstream)
-and rare continuation/segmented records; plug warcio into the
-``parse_warc_records`` seam when full fidelity matters.
+archives store raw wire bytes; brotli bodies decode when a ``brotli``
+lib is importable — the fitz-style gate — and pass through compressed
+otherwise). Not handled: rare continuation/segmented records; plug
+warcio into the ``parse_warc_records`` seam when full fidelity
+matters.
 """
 
 from __future__ import annotations
@@ -145,6 +146,15 @@ def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
                 payload = zlib.decompress(payload, -15)
             except zlib.error:
                 pass  # keep the compressed bytes; magic is detectable downstream
+    elif cenc == "br":
+        # import-gated like the fitz/tesseract legs: decode when a brotli
+        # lib is installed, pass through compressed otherwise
+        try:
+            import brotli  # type: ignore[import-not-found]
+
+            payload = brotli.decompress(payload)
+        except Exception:
+            pass
     return status, ctype, payload
 
 

@@ -522,6 +522,7 @@ def start_streaming_crawl(
     order_col: str = "record_id",
     blocked_domains=None,
     max_per_domain_per_batch: int | None = None,
+    max_per_domain_total: int | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -538,8 +539,11 @@ def start_streaming_crawl(
     target, and the guard anti-join reads it — a crash-then-replayed
     micro-batch re-probes the corpus and contributes nothing. (The
     two-write ordering discipline of the image/dedup sinks is not
-    needed.) The per-batch domain cap bounds a hostile batch; corpus-
-    wide caps belong in a batch `domain_cap` pass over the corpus.
+    needed.) ``max_per_domain_per_batch`` bounds a hostile batch;
+    ``max_per_domain_total`` enforces a CORPUS-WIDE cap across batches
+    by joining the persisted per-domain counts (an O(domains) exchange
+    per batch — at crawl scale domains are millions of rows, so this
+    is a plain join, never a broadcast of the count table).
     """
     from data_ingestion_tool_bakasura__spark.functions import urls as U
     from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
@@ -571,6 +575,23 @@ def start_streaming_crawl(
             batch = CR.domain_cap(
                 batch, url_col, max_per_domain_per_batch, order_col=order_col
             )
+        if max_per_domain_total:
+            dom = U.registrable_domain(U.url_host(F.col(url_col)))
+            batch = batch.withColumn("_dom2", dom)
+            w2 = Window.partitionBy("_dom2").orderBy(F.col(order_col))
+            batch = batch.withColumn("_rk", F.row_number().over(w2))
+            if os.path.exists(corpus_path.removeprefix("file://")):
+                have = (
+                    spark.read.parquet(corpus_path)
+                    .groupBy(F.col("domain").alias("_dom2"))
+                    .agg(F.count("*").alias("_n_have"))
+                )
+                batch = batch.join(have, "_dom2", "left").na.fill({"_n_have": 0})
+            else:
+                batch = batch.withColumn("_n_have", F.lit(0))
+            batch = batch.filter(
+                F.col("_rk") + F.col("_n_have") <= max_per_domain_total
+            ).drop("_rk", "_n_have", "_dom2")
         ctype = (F.col("content_type") if "content_type" in batch.columns
                  else F.lit("text/html"))
         out = batch.select(

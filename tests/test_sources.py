@@ -411,3 +411,28 @@ def test_parse_warc_records_roundtrip_property(recs):
     for (rtype, uri, body, _), (headers, got_body) in zip(recs, got):
         assert headers["warc-type"] == rtype
         assert got_body == body
+
+
+def test_content_encoding_br_gate():
+    """Runtime-branching (no skip): with brotli importable the body
+    decodes; without it the compressed bytes pass through untouched."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import split_http_response
+
+    body = b"\x8b\x03\x80not-actually-brotli"
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n" + body
+    )
+    try:
+        import brotli  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    _, _, p = split_http_response(raw)
+    if have:
+        import brotli
+        good = brotli.compress(b"<p>hi</p>")
+        _, _, p2 = split_http_response(raw[: raw.index(b"\r\n\r\n") + 4] + good)
+        assert p2 == b"<p>hi</p>"
+    else:
+        assert p == body  # gate closed: passthrough, no raise

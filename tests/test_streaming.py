@@ -328,3 +328,58 @@ def test_streaming_crawl_closure(spark, tmp_path):
         "https://a.example.org/p": "first copy",  # first arrival held
         "https://new.example.org/q": "fresh page",
     }
+
+
+def test_streaming_crawl_corpus_wide_domain_cap(spark, tmp_path):
+    """max_per_domain_total holds ACROSS batches: batch 1 fills the
+    domain's quota, batch 2's same-domain pages are dropped while other
+    domains still land."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True),
+            corpus,
+            max_per_domain_total=2,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://big.example/1", b"<p>one</p>", "a1")
+        + rec("https://big.example/2", b"<p>two</p>", "a2")
+        + rec("https://big.example/3", b"<p>three</p>", "a3")
+    )
+    run_once()
+    urls = sorted(r["url"] for r in spark.read.parquet(corpus).collect())
+    assert urls == ["https://big.example/1", "https://big.example/2"]
+
+    (crawl / "w2.warc").write_bytes(
+        rec("https://big.example/4", b"<p>four</p>", "b1")
+        + rec("https://tiny.example/1", b"<p>tiny</p>", "b2")
+    )
+    run_once()
+    urls = sorted(r["url"] for r in spark.read.parquet(corpus).collect())
+    assert urls == [
+        "https://big.example/1", "https://big.example/2", "https://tiny.example/1",
+    ]
