@@ -523,6 +523,8 @@ def start_streaming_crawl(
     blocked_domains=None,
     max_per_domain_per_batch: int | None = None,
     max_per_domain_total: int | None = None,
+    dsir_ratios_path: str | None = None,
+    dsir_min_weight: float = 0.0,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -544,6 +546,14 @@ def start_streaming_crawl(
     by joining the persisted per-domain counts (an O(domains) exchange
     per batch — at crawl scale domains are millions of rows, so this
     is a plain join, never a broadcast of the count table).
+
+    ``dsir_ratios_path`` points at a persisted DSIR log-ratio table
+    (``dsir_log_ratios(...).write.parquet(...)``): each batch's
+    extracted text is scored with ``dsir_apply`` (one broadcast join —
+    the model is <= n_buckets rows) and only pages with
+    ``log_weight >= dsir_min_weight`` land — the continuously-curated
+    crawl: fit the importance model once against a target corpus, then
+    every future trigger keeps only target-like pages.
     """
     from data_ingestion_tool_bakasura__spark.functions import urls as U
     from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
@@ -602,6 +612,19 @@ def start_streaming_crawl(
                 decode_payload_udf()(F.col(payload_col), ctype)
             ).alias("text"),
         ).withColumn("n_chars", F.length("text"))
+        if dsir_ratios_path:
+            from data_ingestion_tool_bakasura__spark.operators.sampling import (
+                dsir_apply,
+            )
+
+            ratios = spark.read.parquet(dsir_ratios_path)
+            scored = dsir_apply(
+                out.select(F.col("norm_url").alias("doc_id"), "text"), ratios
+            ).filter(F.col("log_weight") >= dsir_min_weight)
+            out = out.join(
+                scored.select(F.col("doc_id").alias("norm_url"), "log_weight"),
+                "norm_url",
+            )
         # materialize before the append: the plan lazily reads
         # corpus_path (the seen-guard) while appending to it
         reliable_checkpoint(out).write.mode("append").parquet(corpus_path)

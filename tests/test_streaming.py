@@ -383,3 +383,54 @@ def test_streaming_crawl_corpus_wide_domain_cap(spark, tmp_path):
     assert urls == [
         "https://big.example/1", "https://big.example/2", "https://tiny.example/1",
     ]
+
+
+def test_streaming_crawl_dsir_gate(spark, tmp_path):
+    """Persisted DSIR model gates the stream: target-like pages land
+    with their log_weight, off-target pages are dropped."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import dsir_log_ratios
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    cat = "the cat sat on the mat and cats purred today"
+    stock = "stock market prices moved on quarterly earnings data"
+    raw = spark.createDataFrame(
+        [(i, f"{cat} {i}") for i in range(20)]
+        + [(100 + i, f"{stock} {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ratios_path = str(tmp_path / "ratios")
+    dsir_log_ratios(raw, raw.filter("doc_id < 20")).write.parquet(ratios_path)
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "w.warc").write_bytes(
+        rec("https://cats.example/a", f"<p>{cat} fresh</p>".encode(), "c1")
+        + rec("https://money.example/b", f"<p>{stock} fresh</p>".encode(), "m1")
+    )
+    corpus = str(tmp_path / "corpus")
+    q = start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True),
+        corpus,
+        dsir_ratios_path=ratios_path,
+        dsir_min_weight=-1.5,  # cat pages score near 0; stock well below
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(corpus).collect()
+    assert [r["url"] for r in rows] == ["https://cats.example/a"]
+    assert rows[0]["log_weight"] > -1.5
