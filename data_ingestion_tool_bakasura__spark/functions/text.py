@@ -221,6 +221,39 @@ _BLOCK_TAGS = frozenset(
 _DROP_TAGS = frozenset("script style noscript template head".split())
 
 
+from html.parser import HTMLParser as _HTMLParser
+
+
+class _HtmlTextParser(_HTMLParser):
+    """Module-level (not redefined per call): html_to_text_py runs once
+    per row on the crawl hot path, so the class body + imports must not
+    be re-executed per page — only feed/close is per-row work."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+        self._drop = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop += 1
+        elif tag in _BLOCK_TAGS:
+            self.out.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS and self._drop:
+            self._drop -= 1
+        elif tag in _BLOCK_TAGS:
+            self.out.append("\n")
+
+    def handle_data(self, data):
+        if not self._drop:
+            self.out.append(data)
+
+
+_WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
+
+
 def html_to_text_py(html: str) -> str:
     """Extract visible text from HTML (stdlib ``html.parser``): script/
     style/head subtrees dropped, block tags become newlines, entities
@@ -228,38 +261,13 @@ def html_to_text_py(html: str) -> str:
     ingestion path (``sources/warc.py``) — pure function first so it
     unit-tests without Spark; malformed markup never raises (the
     parser is tolerant by design), it just yields what it can."""
-    import re
-    from html.parser import HTMLParser
-
-    class _X(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.out: list[str] = []
-            self._drop = 0
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _DROP_TAGS:
-                self._drop += 1
-            elif tag in _BLOCK_TAGS:
-                self.out.append("\n")
-
-        def handle_endtag(self, tag):
-            if tag in _DROP_TAGS and self._drop:
-                self._drop -= 1
-            elif tag in _BLOCK_TAGS:
-                self.out.append("\n")
-
-        def handle_data(self, data):
-            if not self._drop:
-                self.out.append(data)
-
-    p = _X()
+    p = _HtmlTextParser()
     try:
         p.feed(html or "")
         p.close()
     except Exception:
         pass  # tolerant: keep whatever was parsed before the hiccup
-    lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip()
+    lines = [_WS_RUN_RE.sub(" ", ln).strip()
              for ln in "".join(p.out).split("\n")]
     return "\n".join(ln for ln in lines if ln)
 

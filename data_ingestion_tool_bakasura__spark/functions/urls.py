@@ -40,8 +40,12 @@ HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^:/?#]*)"
 #: path including leading '/', '' when absent (group 1)
 PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-#: query string without '?' (group 1); stops at '#'
-QUERY_RE = r"\?([^#]*)"
+#: query string without '?' (group 1): from the FIRST '?' *before* any
+#: '#' up to the fragment. Anchoring the pre-'?' span to `[^#?]*` means
+#: (a) a '?' inside a fragment is NOT misparsed as a query
+#: ('https://ex.com/page#sec?x=1' has no query), and (b) a second '?'
+#: belongs to the query per RFC 3986 ('a?b?c#d' -> 'b?c').
+QUERY_RE = r"^[^#?]*\?([^#]*)"
 #: query params that are tracking noise, dropped by url_normalize
 TRACKING_RE = r"^(utm_[a-zA-Z]+|fbclid|gclid|msclkid|mc_eid|igshid)="
 #: last two / last three dot-labels of a host (group 1)

@@ -31,11 +31,13 @@ def url_dedup(df: DataFrame, url_col: str = "url", order_col: str | None = None)
 
     ``order_col`` picks the survivor deterministically (ascending;
     e.g. a fetch timestamp for keep-oldest). Without it the survivor
-    is the first row Spark happens to order — fine for pure dedup,
-    not for reproducible corpora. Adds ``norm_url``; drops the helper
-    row number. One exchange on ``norm_url``."""
+    is still deterministic: ties break on the RAW url string (the
+    lexicographically-smallest spelling of the page wins), so
+    same-input-same-output holds with no caller cooperation. Adds
+    ``norm_url``; drops the helper row number. One exchange on
+    ``norm_url``."""
     out = df.withColumn("norm_url", U.url_normalize(F.col(url_col)))
-    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    order = F.col(order_col) if order_col else F.col(url_col)
     w = Window.partitionBy("norm_url").orderBy(order)
     return (
         out.withColumn("_rn", F.row_number().over(w))
@@ -54,12 +56,17 @@ def domain_cap(
     the standard anti-boilerplate / anti-SEO-farm corpus balancer.
 
     ``order_col`` ranks which rows survive (ascending: lowest first —
-    pass e.g. a negated quality score to keep the best). Adds
+    pass e.g. a negated quality score to keep the best). Without it the
+    default is deterministic: rows rank by (normalized URL, raw URL),
+    so same-input-same-output holds with no caller cooperation. Adds
     ``domain``. One exchange on ``domain``; row_number streams, so a
     whale domain costs one partition's scan, not memory."""
     out = df.withColumn("domain", U.registrable_domain(U.url_host(F.col(url_col))))
-    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
-    w = Window.partitionBy("domain").orderBy(order)
+    if order_col:
+        order = [F.col(order_col)]
+    else:
+        order = [U.url_normalize(F.col(url_col)), F.col(url_col)]
+    w = Window.partitionBy("domain").orderBy(*order)
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_per_domain)

@@ -261,16 +261,13 @@ def q_stream_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
 
     src = os.path.join(sf, "documents.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "bakasura_docs_stage",
-        sf.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # per-run scratch ONLY (mkdtemp): the staging dir the stream reads
+    # is private to this invocation — no shared host path, so two
+    # concurrent harness processes on one machine cannot couple.
     scratch = tempfile.mkdtemp(prefix="neardedup_q_")
+    stage = os.path.join(scratch, "stage")
+    os.makedirs(stage)
+    os.symlink(src, os.path.join(stage, "documents.parquet"))
     corpus = os.path.join(scratch, "corpus")
     index = os.path.join(scratch, "index")
     schema = spark.read.parquet(src).schema
@@ -346,16 +343,12 @@ def q_stream_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
 
     src = os.path.join(sf, "embeddings.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "bakasura_vecs_stage",
-        sf.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # per-run scratch ONLY (mkdtemp) — same no-shared-host-state rule
+    # as q_stream_near_dedup above.
     scratch = tempfile.mkdtemp(prefix="semdedup_q_")
+    stage = os.path.join(scratch, "stage")
+    os.makedirs(stage)
+    os.symlink(src, os.path.join(stage, "embeddings.parquet"))
     emb = spark.read.parquet(src)
     cents = pick_seed_centroids(emb, 8)
     schema = emb.schema

@@ -18,6 +18,26 @@ from data_ingestion_tool_bakasura__spark.sources.readers import load_table
 ORACLE: dict[str, str] = {}
 
 
+def _fixture_rows(sf: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata (pyarrow, driver-side):
+    plan-*construction* must fire zero Spark jobs, so the
+    scale-proportional shortlist sizing in q_pq_rerank /
+    q_ivfadc_search cannot use an eager ``corpus.count()`` (an extra
+    full-column scan per build, invisible to the plan audit)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-10 cosine neighbors of vec_id=0 (self-join form: the
     query vector comes from the table itself, broadcast one row)."""
@@ -446,7 +466,7 @@ def q_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
         corpus,
         queries,
         k=3,
-        shortlist=max(200, int(0.4 * corpus.count())),
+        shortlist=max(200, int(0.4 * (_fixture_rows(sf, "embeddings") - 5))),
         corpus_id="vec_id",
         query_id="q_id",
     )
@@ -483,7 +503,7 @@ def q_ivfadc_search(spark: SparkSession, sf: str) -> DataFrame:
         k=3,
         nprobe=8,
         n_lists=8,
-        shortlist=max(200, int(0.4 * corpus.count())),
+        shortlist=max(200, int(0.4 * (_fixture_rows(sf, "embeddings") - 5))),
         corpus_id="vec_id",
         query_id="q_id",
     )

@@ -53,7 +53,10 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     splits exactly like an uncompressed file. Header names are
     lower-cased; bodies are sliced by Content-Length (the WARC spec's
     framing, not a delimiter scan, so binary payloads containing
-    'WARC/' cannot split a record)."""
+    'WARC/' cannot split a record). A record whose Content-Length is
+    missing or unparseable is DROPPED and the scan skips explicitly to
+    the next '\\r\\n\\r\\nWARC/' boundary — never resumed inside its
+    unframed payload bytes."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     records: list[tuple[dict, bytes]] = []
@@ -72,9 +75,18 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
         try:
-            clen = int(headers.get("content-length", "0"))
-        except ValueError:
-            clen = 0
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            # Malformed record: without a Content-Length the body has no
+            # framing, so resuming the b'WARC/' scan right after the
+            # header block would parse PAYLOAD bytes as records (a body
+            # containing 'WARC/' would emit spurious rows). Drop the
+            # record and skip explicitly to the next record boundary.
+            nb = raw.find(b"\r\n\r\nWARC/", he)
+            if nb < 0:
+                break
+            i = nb + 4
+            continue
         body = raw[he + 4 : he + 4 + clen]
         records.append((headers, body))
         i = he + 4 + clen

@@ -612,6 +612,11 @@ def start_streaming_crawl(
                 decode_payload_udf()(F.col(payload_col), ctype)
             ).alias("text"),
         ).withColumn("n_chars", F.length("text"))
+        # log_weight is ALWAYS in the output schema (NULL when DSIR is
+        # off): toggling dsir_ratios_path across runs of one corpus_path
+        # must not produce mixed-schema parquet files — the seen-guard /
+        # domain-count reads above use plain spark.read.parquet (no
+        # mergeSchema) and would otherwise drop or trip on the column.
         if dsir_ratios_path:
             from data_ingestion_tool_bakasura__spark.operators.sampling import (
                 dsir_apply,
@@ -625,6 +630,8 @@ def start_streaming_crawl(
                 scored.select(F.col("doc_id").alias("norm_url"), "log_weight"),
                 "norm_url",
             )
+        else:
+            out = out.withColumn("log_weight", F.lit(None).cast("double"))
         # materialize before the append: the plan lazily reads
         # corpus_path (the seen-guard) while appending to it
         reliable_checkpoint(out).write.mode("append").parquet(corpus_path)

@@ -50,13 +50,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(), "bakasura_stream_stage", sf_dir.strip("/").replace("/", "_")
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # per-run staging dir (mkdtemp): no shared host path, so concurrent
+    # harness processes on one machine cannot couple through it.
+    stage = tempfile.mkdtemp(prefix="bakasura_stream_stage_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
 
     batch = spark.read.parquet(src)
     sdf = spark.readStream.schema(batch.schema).parquet(stage)

@@ -204,6 +204,37 @@ def test_parse_warc_records_framing_and_gzip():
     assert len(parse_warc_records(members)) == 2
 
 
+def test_parse_warc_missing_content_length_drops_record():
+    """A record with NO Content-Length has an unframed body: it must be
+    DROPPED and the scan must skip to the next '\\r\\n\\r\\nWARC/'
+    boundary — resuming inside its payload would parse payload bytes
+    mentioning 'WARC/' as spurious records (r10 ADVICE)."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import parse_warc_records
+
+    bad_head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:bad1>\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n"
+        b"\r\n"  # <-- no Content-Length
+    )
+    # payload contains a fake in-band record start that MUST NOT be parsed
+    bad_body = b"binary junk WARC/1.0\r\nWARC-Type: response\r\nmore junk"
+    good = _warc_record(
+        "response", "http://good.example/", _http_response(b"<p>ok</p>"), "g1"
+    )
+    recs = parse_warc_records(bad_head + bad_body + b"\r\n\r\n" + good)
+    assert [h["warc-target-uri"] for h, _ in recs] == ["http://good.example/"]
+
+    # unparseable Content-Length behaves the same way
+    mangled = bad_head.replace(b"\r\n\r\n", b"\r\nContent-Length: NaN\r\n\r\n")
+    recs2 = parse_warc_records(mangled + bad_body + b"\r\n\r\n" + good)
+    assert [h["warc-target-uri"] for h, _ in recs2] == ["http://good.example/"]
+
+    # a trailing malformed record (no boundary after it) parses to nothing
+    assert parse_warc_records(bad_head + bad_body) == []
+
+
 def test_read_warc_to_documents_e2e(spark, tmp_path):
     """WARC archive -> read_warc (response rows only) -> html_to_text ->
     the ordinary ingest pipeline: the Common Crawl shape end-to-end."""

@@ -317,6 +317,10 @@ def test_streaming_crawl_closure(spark, tmp_path):
     assert set(rows) == {"https://a.example.org/p"}
     assert rows["https://a.example.org/p"]["text"] == "first copy"  # a1 < a2
     assert rows["https://a.example.org/p"]["domain"] == "example.org"
+    # schema is STABLE whether DSIR is on or off: log_weight is always
+    # present (NULL when off) so toggling dsir_ratios_path across runs
+    # of one corpus never writes mixed-schema parquet (r10 ADVICE)
+    assert rows["https://a.example.org/p"]["log_weight"] is None
 
     (crawl / "w2.warc").write_bytes(
         rec("https://a.example.org/p?utm_medium=y", b"<p>third copy</p>", "b1")

@@ -27,6 +27,13 @@ CASES = [
      "https://a.b.co.uk/x?x=1&y=2"),
     ("http://localhost/x", "localhost", "localhost", 1, "http://localhost/x"),
     ("not a url at all", "", "", 0, ":///"),  # degenerate, but never NULL
+    # '?' INSIDE the fragment is not a query (r10 ADVICE: unanchored
+    # QUERY_RE misparsed this as ?x=1, wrongly merging with 'page?x=1')
+    ("https://ex.com/page#sec?x=1", "ex.com", "ex.com", 1,
+     "https://ex.com/page"),
+    # a second '?' belongs to the query per RFC 3986
+    ("https://ex.com/a?b?c=1#d", "ex.com", "ex.com", 1,
+     "https://ex.com/a?b?c=1"),
 ]
 
 
@@ -90,6 +97,37 @@ def test_url_dedup_survivor_is_ordered(spark):
         (1, "https://ex.com/a"),
         (2, "http://other.com/a"),
     ]
+
+
+def test_url_dedup_default_is_deterministic(spark):
+    """Without order_col the survivor is the lexicographically-smallest
+    RAW url spelling (not monotonically_increasing_id) — same input,
+    same output, regardless of partitioning."""
+    rows = [
+        (1, "https://EX.com:443/a?utm_source=x"),
+        (2, "https://ex.com/a"),
+        (3, "https://ex.com/a?utm_medium=y"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    for n_parts in (1, 7):
+        out = C.url_dedup(df.repartition(n_parts), "url").collect()
+        assert len(out) == 1
+        # 'https://EX...' sorts before 'https://ex...' (uppercase first)
+        assert out[0]["id"] == 1
+
+
+def test_domain_cap_default_is_deterministic(spark):
+    """Without order_col rows rank by (norm_url, url): stable survivors."""
+    rows = [
+        (1, "https://ex.com/c"),
+        (2, "https://ex.com/a"),
+        (3, "https://ex.com/b"),
+        (4, "https://other.org/z"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    for n_parts in (1, 5):
+        out = C.domain_cap(df.repartition(n_parts), "url", max_per_domain=2)
+        assert sorted(r["id"] for r in out.collect()) == [2, 3, 4]
 
 
 def test_domain_cap_order_col_keeps_best(spark):
