@@ -96,7 +96,22 @@ def with_image_meta(df: DataFrame, media_col: str = "media", out: str = "meta") 
 
 
 def decode_image(b: bytes):
-    """Real pixel decode — requires PIL, absent here by design."""
+    """Real pixel decode with content-sniffing dispatch (round 11):
+
+    - ``\\x89PNG`` magic -> the stdlib baseline decoder
+      (:mod:`.png` — zlib inflate + scanline unfilter, no third-party
+      imports), returning ``(width, height, channels, pixels)``; runs
+      UNGATED in this container.
+    - anything else (JPEG/GIF/TIFF/...) -> PIL when importable
+      (returns a PIL Image), else ``NotImplementedError`` — the same
+      gated-provider seam as the fitz/tesseract legs.
+
+    Reference analog: real pixmap rendering at
+    ``embedding_utils.py:145-146``."""
+    from data_ingestion_tool_bakasura__spark.multimodal import png as _png
+
+    if _png.is_png(bytes(b) if b is not None else None):
+        return _png.decode_png(bytes(b))
     try:
         from PIL import Image  # type: ignore
         import io
@@ -104,8 +119,8 @@ def decode_image(b: bytes):
         return Image.open(io.BytesIO(bytes(b)))  # pragma: no cover
     except ImportError as e:
         raise NotImplementedError(
-            "image codec libs not installed in this container; "
-            "metadata/resize/frame-sample stubs cover the Spark plumbing"
+            "non-PNG image codecs need PIL (not installed in this "
+            "container); baseline PNG decodes via the stdlib path above"
         ) from e
 
 
@@ -226,17 +241,19 @@ def ahash64_udf():
     over an 8x8 luma downsample; public domain technique, cf. the
     pHash family).
 
-    Decode stand-in, per the container's no-codec-libs rule: the
-    payload string is cut into 64 equal CHARACTER blocks (tail beyond
-    64*L ignored, L = max(1, len//64)) and "luma" pixel i is the first
+    Real-pixel leg (round 11): payloads with the PNG magic decode via
+    the stdlib baseline decoder (:mod:`.png`) and hash their actual
+    8x8 luma downsample — ungated in this container. All other
+    payloads take the deterministic block-digest stand-in: the payload
+    string is cut into 64 equal CHARACTER blocks (tail beyond 64*L
+    ignored, L = max(1, len//64)) and "luma" pixel i is the first
     byte of md5(block_i). Near-identical payloads differ in few blocks
     -> few pixels -> small Hamming distance, which is exactly the
-    structure aHash exploits on real pixels; a real deployment swaps
-    the block-digest loop for PIL decode + 8x8 resize behind this same
-    UDF signature. Kept as a REAL Arrow-batched pandas UDF (the
-    production seam point); the arithmetic is deliberately
-    SQL-mirrorable (md5 over substrings), so q_image_near_dup is
-    value-checked against DuckDB end-to-end.
+    structure aHash exploits on real pixels. Kept as a REAL
+    Arrow-batched pandas UDF (the production seam point); the stand-in
+    arithmetic is deliberately SQL-mirrorable (md5 over substrings),
+    so q_image_near_dup is value-checked against DuckDB end-to-end
+    (its fixture payloads are text, never PNG).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -249,11 +266,36 @@ def ahash64_udf():
 
 def ahash64_py(s) -> str:
     """The pure scalar core of :func:`ahash64_udf` (also what the
-    property tests drive): 64-char '0'/'1' mean-threshold hash over
-    the block-digest pixels. Accepts str or bytes (latin-1 decode
-    keeps block boundaries byte-exact)."""
+    property tests drive): 64-char '0'/'1' mean-threshold hash.
+    Accepts str or bytes (latin-1 decode keeps block boundaries
+    byte-exact).
+
+    Content-sniffing dispatch (round 11): a payload with the
+    ``\\x89PNG`` magic is hashed over its REAL PIXELS (stdlib decode +
+    8x8 luma average-pool, :func:`.png.ahash64_png`) — same output
+    convention, same banded near-dup machinery downstream, ungated in
+    this container. Every other payload (the ``IMG1|`` container, and
+    arbitrary bytes) takes the original block-digest stand-in,
+    byte-identical to previous rounds (the q_image_near_dup DuckDB
+    oracle mirrors exactly that arithmetic). A malformed/unsupported
+    PNG (interlaced, 16-bit) falls back to the stand-in rather than
+    erroring — dead-letter philosophy: the hash is still deterministic
+    and near-dup still pairs byte-similar payloads."""
     import hashlib
 
+    from data_ingestion_tool_bakasura__spark.multimodal import png as _png
+
+    raw = bytes(s) if isinstance(s, (bytes, bytearray)) else None
+    if raw is None and isinstance(s, str):
+        try:
+            raw = s.encode("latin-1")  # exact byte roundtrip when possible
+        except UnicodeEncodeError:
+            raw = None
+    if raw is not None and _png.is_png(raw):
+        try:
+            return _png.ahash64_png(raw)
+        except ValueError:
+            pass  # unsupported PNG corner -> deterministic stand-in
     if isinstance(s, (bytes, bytearray)):
         s = bytes(s).decode("latin-1")
     n = len(s)

@@ -1,0 +1,247 @@
+"""Stdlib-only baseline PNG decoder (C15 real-pixel leg, round 11).
+
+Closes the last stand-in gap in a mandated family: image near-dup's
+aHash previously only ever hashed the deterministic ``IMG1|`` container
+(block-digest "pixels") on this box because real decode required PIL.
+The minipdf precedent (rounds 9-10: a stdlib xref/ObjStm PDF parser
+behind content-sniffing dispatch) applies verbatim here — PNG's
+baseline format is pure stdlib territory: ``zlib`` inflate of the IDAT
+stream plus per-scanline unfiltering (filters 0-4, including the Paeth
+predictor), both defined in the public PNG spec (RFC 2083 / ISO 15948).
+Reference analog: the reference renders real pixmaps for OCR
+(``embedding_utils.py:145-146``); this module gives the SAME
+``ahash64`` seam real pixels with zero third-party imports.
+
+Supported, stated honestly: non-interlaced, 8-bit-per-sample PNGs of
+every color type (gray 0, RGB 2, palette 3, gray+alpha 4, RGBA 6) —
+what screenshot/thumbnail/figure corpora overwhelmingly contain.
+Interlaced (Adam7) and 1/2/4/16-bit depths raise ``ValueError``; PIL
+(when installed) remains the wide-gamut leg for those and for JPEG,
+dispatched in ``media.decode_image``. Everything here is a pure
+function over ``bytes`` — unit-testable without Spark, executor-safe
+inside Arrow-batched UDFs (no per-row imports, no state).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+try:  # numpy rides along with pandas/Arrow on every executor; the
+    import numpy as _np  # stdlib fallback below keeps this module
+except ImportError:  # importable even without it
+    _np = None
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: raw samples per pixel for each PNG color type (palette expands later)
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def is_png(b: bytes | bytearray | None) -> bool:
+    return b is not None and bytes(b[:8]) == PNG_MAGIC
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes -> ``(width, height, channels, pixels)`` where
+    ``pixels`` is row-major interleaved 8-bit samples (palette images
+    come back expanded to 3-channel RGB). Raises ``ValueError`` on
+    malformed bytes or the unsupported corners documented above —
+    callers on the dead-letter path catch, never crash the job."""
+    raw = bytes(b)
+    if not is_png(raw):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = -1
+    color_type = -1
+    palette = b""
+    idat = bytearray()
+    n = len(raw)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated chunk")
+        pos += 12 + clen  # len + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("bad IHDR length")
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if width <= 0 or height <= 0:
+                raise ValueError("bad dimensions")
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (8-bit only)")
+            if color_type not in _SAMPLES:
+                raise ValueError(f"unknown color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("unknown compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    samples = _SAMPLES[color_type]
+    stride = width * samples
+    flat = zlib.decompress(bytes(idat))
+    if len(flat) < height * (stride + 1):
+        raise ValueError("IDAT too short for dimensions")
+    pixels = _unfilter(flat, height, stride, samples)
+    if color_type == 3:
+        if not palette:
+            raise ValueError("palette image without PLTE")
+        pixels = bytes(
+            c
+            for idx in pixels
+            for c in palette[3 * idx : 3 * idx + 3].ljust(3, b"\x00")
+        )
+        samples = 3
+    return width, height, samples, bytes(pixels)
+
+
+def _unfilter(flat: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Undo PNG per-scanline filters 0-4 (None/Sub/Up/Average/Paeth)."""
+    out = bytearray(height * stride)
+    prev_off = -stride  # row above, in `out`
+    pos = 0
+    for y in range(height):
+        ft = flat[pos]
+        row_off = y * stride
+        out[row_off : row_off + stride] = flat[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        row = out  # alias; offsets below index the full buffer
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[row_off + i] = (row[row_off + i] + row[row_off + i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            if y:
+                for i in range(stride):
+                    row[row_off + i] = (
+                        row[row_off + i] + row[row_off + prev_off + i]
+                    ) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[row_off + i - bpp] if i >= bpp else 0
+                b_ = row[row_off + prev_off + i] if y else 0
+                row[row_off + i] = (row[row_off + i] + ((a + b_) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[row_off + i - bpp] if i >= bpp else 0
+                b_ = row[row_off + prev_off + i] if y else 0
+                c = row[row_off + prev_off + i - bpp] if (y and i >= bpp) else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b_
+                else:
+                    pr = c
+                row[row_off + i] = (row[row_off + i] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ft}")
+    return out
+
+
+def luma_grid8(width: int, height: int, channels: int, pixels: bytes) -> list[float]:
+    """Average-pool the image's luma plane to a fixed 8x8 grid — the
+    downsample step of aHash. Cell (i, j) averages the pixel block rows
+    ``[i*h//8, max((i+1)*h//8, i*h//8+1))`` (ditto columns), so every
+    cell covers >= 1 pixel at any image size. Luma is integer BT.601
+    (``(299 R + 587 G + 114 B) / 1000``) for color; the raw sample for
+    gray; alpha is ignored (aHash is about content, not transparency).
+
+    Vectorized with numpy when available (one 64-cell slice-mean pass
+    instead of a per-pixel Python loop — this runs per image inside the
+    Arrow-batched hash UDF); the stdlib loop below computes the
+    IDENTICAL integer-luma values, so the hash never depends on which
+    path ran."""
+    if _np is not None:
+        arr = _np.frombuffer(pixels, _np.uint8).reshape(height, width, channels)
+        if channels >= 3:
+            a = arr.astype(_np.int64)
+            luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            luma = arr[..., 0].astype(_np.int64)
+        grid_np: list[float] = []
+        for gi in range(8):
+            y0 = gi * height // 8
+            y1 = max((gi + 1) * height // 8, y0 + 1)
+            for gj in range(8):
+                x0 = gj * width // 8
+                x1 = max((gj + 1) * width // 8, x0 + 1)
+                block = luma[y0:y1, x0:x1]
+                grid_np.append(float(block.sum()) / block.size)
+        return grid_np
+    grid: list[float] = []
+    for gi in range(8):
+        # y0 < height and y1 <= height hold for every height >= 1:
+        # y0 = gi*h//8 <= 7h/8 < h, and y0+1 <= h when y0 < h.
+        y0 = gi * height // 8
+        y1 = max((gi + 1) * height // 8, y0 + 1)
+        for gj in range(8):
+            x0 = gj * width // 8
+            x1 = max((gj + 1) * width // 8, x0 + 1)
+            acc = 0
+            for y in range(y0, y1):
+                base = (y * width) * channels
+                for x in range(x0, x1):
+                    o = base + x * channels
+                    if channels >= 3:
+                        acc += (
+                            299 * pixels[o]
+                            + 587 * pixels[o + 1]
+                            + 114 * pixels[o + 2]
+                        ) // 1000
+                    else:
+                        acc += pixels[o]
+            grid.append(acc / ((y1 - y0) * (x1 - x0)))
+    return grid
+
+
+def ahash64_png(b: bytes) -> str:
+    """Real-pixel average hash: decode -> 8x8 luma pool -> mean
+    threshold -> 64-char '0'/'1' string, the same output convention as
+    ``media.ahash64_py``'s stand-in (bit = 1 iff cell > mean)."""
+    w, h, c, px = decode_png(b)
+    grid = luma_grid8(w, h, c, px)
+    mean = sum(grid) / 64.0
+    return "".join("1" if v > mean else "0" for v in grid)
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal valid grayscale-8 PNG writer (filter 0 rows). Exists so
+    tests and fixtures can PLANT real PNGs without PIL; also handy for
+    emitting debug rasters. Not a general encoder."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * width : (y + 1) * width]) for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

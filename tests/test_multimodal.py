@@ -83,9 +83,20 @@ def test_image_meta_and_resize(spark):
 
 
 def test_decode_image_raises_not_implemented():
+    # non-PNG payloads still need PIL (absent here) -> gated seam holds
     with pytest.raises(NotImplementedError):
         MX_decode = MM.decode_image
         MX_decode(b"IMG1|2|2|3|xx")
+
+
+def test_decode_image_png_runs_ungated():
+    """r11: the stdlib baseline-PNG leg makes decode_image real for
+    PNG bytes with no codec libs installed."""
+    from data_ingestion_tool_bakasura__spark.multimodal.png import encode_png_gray
+
+    w, h, c, px = MM.decode_image(encode_png_gray(3, 2, bytes(range(6))))
+    assert (w, h, c) == (3, 2, 1)
+    assert px == bytes(range(6))
 
 
 def test_frame_sampling(spark):
