@@ -132,8 +132,12 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     CID/Type0 composite fonts needing a ToUnicode CMap, encryption.
     Tables have a heuristic FLOOR (A6): grids of Tm/Td-positioned text
     runs — >= 2 consecutive baselines sharing >= 2 exact x-positions —
-    are emitted one string per table row; rotated/spanned/ruled-only
-    tables still need fitz. The page image is the md5 stand-in (no
+    are emitted one string per table row, and (r11) RULED-ONLY tables
+    (grid drawn with ``re``/``m``/``l`` path ops, text positions not
+    aligned across rows) are recovered by bucketing runs into the
+    bands between >= 3 horizontal and >= 3 vertical ruling lines;
+    rotated/spanned tables still need fitz. The page image is the md5
+    stand-in (no
     rasterizer), same as the stub. Reference leg being replaced:
     ``embedding_utils.py:123-173``.
 
@@ -268,17 +272,68 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         re.S,
     )
 
+    def _ruling_grid(stream: bytes) -> tuple[list[float], list[float]]:
+        """Ruling-line grid from the page's PATH operators (r11; A6
+        ruled-only leg): ``x y w h re`` rectangles and ``m``/``l``
+        segments. A horizontal segment (or a thin/full rect edge)
+        contributes a horizontal rule at its y; vertical likewise at
+        its x. Returns (xs ascending, ys descending) — only when BOTH
+        have >= 3 distinct values (2x2 cells minimum), which a framed
+        paragraph (4 edges = 2+2) or a lone underline can never
+        produce. Span threshold 8pt ignores glyph-sized strokes."""
+        span = 8.0
+        h_ys: set[float] = set()
+        v_xs: set[float] = set()
+        # path ops live outside text blocks; stripping BT..ET keeps a
+        # string literal like "(12 34 l)" from faking a segment
+        stream = re.sub(rb"\bBT\b.*?\bET\b", b" ", stream, flags=re.S)
+        for m in re.finditer(
+            rb"(%s)\s+(%s)\s+(%s)\s+(%s)\s+re\b" % (NUM, NUM, NUM, NUM), stream
+        ):
+            rx, ry, rw, rh = (float(m.group(i)) for i in range(1, 5))
+            if abs(rw) >= span and abs(rh) < 2.0:  # thin rect = h-rule
+                h_ys.add(round(ry, 1))
+            elif abs(rh) >= span and abs(rw) < 2.0:  # thin rect = v-rule
+                v_xs.add(round(rx, 1))
+            elif abs(rw) >= span and abs(rh) >= span:  # frame: 4 edges
+                h_ys.update((round(ry, 1), round(ry + rh, 1)))
+                v_xs.update((round(rx, 1), round(rx + rw, 1)))
+        cur: tuple[float, float] | None = None
+        for m in re.finditer(
+            rb"(%s)\s+(%s)\s+(m|l)(?![\w])" % (NUM, NUM), stream
+        ):
+            px, py = float(m.group(1)), float(m.group(2))
+            if m.group(3) == b"l" and cur is not None:
+                cx, cy = cur
+                if abs(py - cy) < 0.5 and abs(px - cx) >= span:
+                    h_ys.add(round(py, 1))
+                elif abs(px - cx) < 0.5 and abs(py - cy) >= span:
+                    v_xs.add(round(px, 1))
+            cur = (px, py)
+        if len(h_ys) < 3 or len(v_xs) < 3:
+            return [], []
+        return sorted(v_xs), sorted(h_ys, reverse=True)
+
     def tables_of(stream: bytes) -> list[str]:
-        """A6 floor for the stdlib path: detect tables drawn as a GRID
-        of positioned text runs — >= 2 consecutive baselines (same y)
-        each showing >= 2 runs whose x-positions repeat exactly across
-        the rows (how most generators lay out simple tables: one
-        Tm/Td-positioned run per cell). Emits one string per table ROW
-        (cells in x order, space-joined) — the same per-row shape the
-        stub provider emits. Heuristic by design: rotated/spanned
-        matrices and ruled-line-only tables are out of scope (fitz
-        covers those); a plain paragraph (one run per baseline) can
-        never match the >= 2-column requirement."""
+        """A6 floor for the stdlib path, two detectors through one
+        seam (same per-row output shape as the stub provider):
+
+        1. POSITIONED grids — >= 2 consecutive baselines (same y) each
+           showing >= 2 runs whose x-positions repeat exactly across
+           the rows (one Tm/Td-positioned run per cell, how most
+           generators lay out simple tables).
+        2. RULED-ONLY grids (r11) — tables whose columns exist only as
+           drawn ruling lines (``re``/``m``/``l`` path ops), with text
+           x-positions varying per row (centered cells): the grid is
+           inferred from >= 3 horizontal x >= 3 vertical rules, and
+           each remaining run is bucketed into its (row band, column
+           band) cell; rows come out top-down, cells space-joined.
+           Runs already emitted by detector 1 are excluded, so a table
+           that is both aligned and ruled emits once.
+
+        Heuristic by design: rotated/spanned matrices still need fitz;
+        a plain paragraph (one run per baseline, no ruling grid) can
+        never match either detector."""
         runs: list[tuple[float, float, str]] = []  # (y, x, text)
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
             x = y = 0.0
@@ -306,16 +361,17 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                     )
                     if t.strip():
                         runs.append((round(y, 1), round(x, 1), t.strip()))
-        by_y: dict[float, list[tuple[float, str]]] = {}
-        for yy, xx, tt in runs:
-            by_y.setdefault(yy, []).append((xx, tt))
-        rows = []  # (y, x-signature, cells) for multi-run baselines, top-down
+        by_y: dict[float, list[tuple[float, str, int]]] = {}
+        for idx, (yy, xx, tt) in enumerate(runs):
+            by_y.setdefault(yy, []).append((xx, tt, idx))
+        rows = []  # (y, x-signature, cells, run indices) top-down
         for yy in sorted(by_y, reverse=True):
             cells = sorted(by_y[yy])
             if len(cells) >= 2:
                 rows.append((yy, tuple(c[0] for c in cells),
-                             [c[1] for c in cells]))
+                             [c[1] for c in cells], [c[2] for c in cells]))
         out: list[str] = []
+        consumed: set[int] = set()
         i = 0
         while i < len(rows):
             j = i + 1
@@ -323,7 +379,34 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 j += 1
             if j - i >= 2:  # >= 2 aligned rows -> a table
                 out.extend(" ".join(r[2]) for r in rows[i:j])
+                for r in rows[i:j]:
+                    consumed.update(r[3])
             i = j
+        # detector 2: ruled-only grid over the unconsumed runs
+        xs, ys = _ruling_grid(stream)
+        if xs and ys:
+            # cell[(row band, col band)] -> [(x, text)]
+            cells_map: dict[tuple[int, int], list[tuple[float, str]]] = {}
+            used_cols: set[int] = set()
+            for idx, (yy, xx, tt) in enumerate(runs):
+                if idx in consumed:
+                    continue
+                ri = next((k for k in range(len(ys) - 1)
+                           if ys[k] > yy >= ys[k + 1]), None)
+                ci = next((k for k in range(len(xs) - 1)
+                           if xs[k] <= xx < xs[k + 1]), None)
+                if ri is None or ci is None:
+                    continue
+                cells_map.setdefault((ri, ci), []).append((xx, tt))
+                used_cols.add(ci)
+            row_ids = sorted({ri for ri, _ in cells_map})
+            if len(row_ids) >= 2 and len(used_cols) >= 2:
+                for ri in row_ids:
+                    cols = sorted(ci for r, ci in cells_map if r == ri)
+                    out.append(" ".join(
+                        " ".join(t for _, t in sorted(cells_map[(ri, ci)]))
+                        for ci in cols
+                    ))
         return out
 
     # page order from the /Pages tree when present; else object order

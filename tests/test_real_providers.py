@@ -441,6 +441,98 @@ def test_minipdf_table_floor_detects_positioned_grid():
     assert MX.minipdf_parse_pages(_tiny_pdf(["just text", "more text"]))[0][1] == []
 
 
+def _splice_content(pdf: bytes, stream: bytes) -> bytes:
+    """Replace the first page's content stream (fixing /Length)."""
+    import re
+
+    old = re.search(rb"<< /Length \d+ >>\nstream\n(.*?)\nendstream", pdf, re.S)
+    return pdf.replace(
+        old.group(0),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    )
+
+
+def test_minipdf_table_floor_detects_ruled_only_grid():
+    """A6 ruled-only leg (r11; r10 verdict missing #2): a table whose
+    grid exists ONLY as drawn ruling lines (m/l strokes), with text
+    x-positions deliberately different on every row (centered cells —
+    the positioned detector can never fire), comes back one string per
+    row via ruling-line band bucketing. Reference analog:
+    fitz ``find_tables()`` at embedding_utils.py:103-120."""
+    ruled = (
+        b"72 710 m 330 710 l S "
+        b"72 690 m 330 690 l S "
+        b"72 670 m 330 670 l S "
+        b"72 650 m 330 650 l S "
+        b"72 650 m 72 710 l S "
+        b"200 650 m 200 710 l S "
+        b"330 650 m 330 710 l S "
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 100 695 Tm (Name) Tj 1 0 0 1 250 695 Tm (Qty) Tj "
+        b"1 0 0 1 90 675 Tm (Apple) Tj 1 0 0 1 260 675 Tm (5) Tj "
+        b"1 0 0 1 110 655 Tm (Pear) Tj 1 0 0 1 240 655 Tm (12) Tj "
+        b"1 0 0 1 72 600 Tm (A closing note.) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), ruled))
+    assert pages[0][1] == ["Name Qty", "Apple 5", "Pear 12"]
+    assert "closing note" in pages[0][0]
+
+
+def test_minipdf_ruled_grid_from_cell_rects():
+    """The same table drawn as per-cell `re` rectangles (no m/l) —
+    edges of the frames supply the ruling grid."""
+    rects = b" ".join(
+        b"%d %d 128 20 re S" % (x, y)
+        for y in (650, 670, 690) for x in (72, 200)
+    )
+    ruled = (
+        rects + b" BT /F1 12 Tf "
+        b"1 0 0 1 100 695 Tm (h1) Tj 1 0 0 1 230 695 Tm (h2) Tj "
+        b"1 0 0 1 80 675 Tm (a) Tj 1 0 0 1 260 675 Tm (b) Tj "
+        b"1 0 0 1 120 655 Tm (c) Tj 1 0 0 1 210 655 Tm (d) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), ruled))
+    assert pages[0][1] == ["h1 h2", "a b", "c d"]
+
+
+def test_minipdf_no_ruled_false_positives():
+    """A framed paragraph (one big rect = only 2 h + 2 v edges) and an
+    underlined heading (one h-rule) must NOT become tables; the prose
+    still extracts."""
+    framed = (
+        b"70 580 480 140 re S "
+        b"72 700 m 300 700 l S "  # underline below the heading
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 710 Tm (Heading) Tj "
+        b"1 0 0 1 80 690 Tm (Body line one.) Tj "
+        b"1 0 0 1 80 670 Tm (Body line two.) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), framed))
+    assert pages[0][1] == []
+    assert "Body line one." in pages[0][0]
+
+
+def test_minipdf_aligned_and_ruled_table_emits_once():
+    """A table that is BOTH x-aligned and ruled goes through the
+    positioned detector only — the consumed-run bookkeeping keeps the
+    ruled pass from emitting it twice."""
+    both = (
+        b"72 710 m 330 710 l S 72 690 m 330 690 l S 72 670 m 330 670 l S "
+        b"72 650 m 330 650 l S 72 650 m 72 710 l S 200 650 m 200 710 l S "
+        b"330 650 m 330 710 l S "
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 80 695 Tm (r1c1) Tj 1 0 0 1 210 695 Tm (r1c2) Tj "
+        b"1 0 0 1 80 675 Tm (r2c1) Tj 1 0 0 1 210 675 Tm (r2c2) Tj "
+        b"1 0 0 1 80 655 Tm (r3c1) Tj 1 0 0 1 210 655 Tm (r3c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), both))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
+
+
 def test_minipdf_invalid_digit_escape_drops_backslash():
     """PDF spec 7.3.4.2: a backslash before a non-octal digit is an
     invalid escape — drop the backslash, keep the char. \\8 and \\9
