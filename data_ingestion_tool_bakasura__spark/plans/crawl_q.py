@@ -218,10 +218,151 @@ FROM d3 GROUP BY domain ORDER BY domain
 """
 
 
+# --- WET / WAT siblings (round 11): the Common-Crawl formats users ------
+# actually consume. The fixture WET/WAT files are DERIVED from the
+# documents table by a deterministic driver-side writer (pyarrow footer
+# read + byte concat — zero Spark jobs, per-run mkdtemp), so the DuckDB
+# oracle can compute the expected result straight from the table: a
+# framing/decode bug anywhere in read_wet/read_wat breaks value parity.
+
+_WET_URL = "'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/doc/' || CAST(doc_id AS VARCHAR)"
+
+_wet_cache: dict[str, str] = {}
+
+
+def _wet_wat_fixture(sf: str) -> str:
+    """Write WET + WAT twin files for the documents fixture into a
+    per-process scratch dir (cached per sf). Every doc becomes one
+    ``conversion`` (WET) and one ``metadata`` (WAT) record; docs with
+    ``doc_id % 7 == 0`` additionally get a tracking-param URL twin in
+    the WET file — url_dedup must collapse it or the oracle's sums
+    double-count."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    if sf in _wet_cache:
+        return _wet_cache[sf]
+    t = pq.read_table(
+        os.path.join(sf, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_pylist()
+    out_dir = tempfile.mkdtemp(prefix="wet_fixture_")
+
+    def rec(rtype: str, url: str, rid: str, body: bytes) -> bytes:
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    wet = [bytearray(), bytearray()]  # two members: multi-file scan path
+    wat = bytearray()
+    for row in t:
+        d = row["doc_id"]
+        url = f"https://example{d % 13}.com/doc/{d}"
+        body = (row["text"] or "").encode("utf-8")
+        wet[d % 2] += rec("conversion", url, f"wet-{d}", body)
+        if d % 7 == 0:
+            wet[d % 2] += rec(
+                "conversion", url + "?utm_source=feed", f"wet-{d}-dup", body
+            )
+        meta = json.dumps(
+            {"lang": row["lang"], "source": row["source"],
+             "n_chars": row["n_chars"]},
+            sort_keys=True,
+        ).encode()
+        wat += rec("metadata", url, f"wat-{d}", meta)
+    for i, buf in enumerate(wet):
+        with open(os.path.join(out_dir, f"part-{i}.warc.wet"), "wb") as f:
+            f.write(bytes(buf))
+    with open(os.path.join(out_dir, "part-0.warc.wat"), "wb") as f:
+        f.write(bytes(wat))
+    _wet_cache[sf] = out_dir
+    return out_dir
+
+
+def q_wet_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """WET ingestion end-to-end: read_wet (envelope framing + UTF-8
+    text roundtrip) -> URL dedup (collapses the planted utm twins;
+    survivor = lexicographically-first url) -> 4-per-domain cap
+    (ordered by url) -> per-domain rollup of count / char sum. The
+    oracle computes the same thing from the documents table directly,
+    so any framing, decode, dedup or cap defect breaks parity."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wet
+
+    pages = read_wet(spark, _wet_wat_fixture(sf))
+    kept = C.domain_cap(
+        C.url_dedup(pages, "url", order_col="url"),
+        "url", max_per_domain=4, order_col="url",
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+ORACLE["q_wet_pipeline"] = f"""
+WITH w AS (
+  SELECT doc_id, text, {_WET_URL} AS url,
+         'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain
+  FROM documents
+), capped AS (
+  SELECT * FROM (
+    SELECT domain, text,
+           row_number() OVER (PARTITION BY domain ORDER BY url) AS rn
+    FROM w
+  ) WHERE rn <= 4
+)
+SELECT domain, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM capped GROUP BY domain ORDER BY domain
+"""
+
+
+def q_wat_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """WAT ingestion: read_wat -> get_json_object field extraction ->
+    per-language facet. Proves the JSON metadata envelope roundtrips
+    and the string-JSON column composes with Spark's JSON path ops."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    meta = read_wat(spark, _wet_wat_fixture(sf))
+    return (
+        meta.select(
+            F.get_json_object("json", "$.lang").alias("lang"),
+            F.get_json_object("json", "$.n_chars").cast("bigint").alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["q_wat_metadata"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
     "q_domain_cap": q_domain_cap,
     "q_domain_blocklist": q_domain_blocklist,
     "q_crawl_pipeline": q_crawl_pipeline,
+    "q_wet_pipeline": q_wet_pipeline,
+    "q_wat_metadata": q_wat_metadata,
 }

@@ -232,6 +232,97 @@ def read_warc(
     return src.mapInPandas(_explode, schema=WARC_SCHEMA)
 
 
+WET_SCHEMA = (
+    "path string, record_id string, url string, warc_date string, "
+    "text string"
+)
+WAT_SCHEMA = (
+    "path string, record_id string, url string, warc_date string, "
+    "json string"
+)
+
+
+def _read_extract_sibling(
+    spark: SparkSession,
+    path: str,
+    glob: str | None,
+    streaming: bool,
+    keep_type: str,
+    out_col: str,
+    schema: str,
+) -> DataFrame:
+    """Shared explode for the WET/WAT siblings: same WARC envelope
+    framing as ``read_warc`` (``parse_warc_records`` is the single
+    parser seam), but the payload is already-extracted content — plain
+    text (WET) or JSON metadata (WAT) — so there is no HTTP response
+    to split; the body decodes straight to a string column."""
+    from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+    src = read_binary_files(spark, path, glob=glob, streaming=streaming).select(
+        "path", "content"
+    )
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for headers, body in parse_warc_records(bytes(content)):
+                    if headers.get("warc-type", "").lower() != keep_type:
+                        continue
+                    rows.append(
+                        (
+                            path_,
+                            headers.get("warc-record-id", ""),
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            body.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "record_id", "url", "warc_date", out_col],
+            )
+
+    return src.mapInPandas(_explode, schema=schema)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.wet*",
+    streaming: bool = False,
+) -> DataFrame:
+    """WET (WARC-encapsulated extracted text — what Common Crawl users
+    actually consume far more often than raw WARC) -> DataFrame(path,
+    record_id, url, warc_date, text). WET files are the same WARC/1.0
+    record framing with ``WARC-Type: conversion`` records whose body
+    is the page's extracted UTF-8 text; there is no HTTP envelope and
+    no html_to_text step — rows feed the crawl-curation pass (URL
+    dedup -> domain caps -> quality/DSIR gates) directly.
+    ``streaming=True`` returns the incremental twin (same explode over
+    ``readStream``), mirroring ``read_warc``."""
+    return _read_extract_sibling(
+        spark, path, glob, streaming, "conversion", "text", WET_SCHEMA
+    )
+
+
+def read_wat(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.wat*",
+    streaming: bool = False,
+) -> DataFrame:
+    """WAT (WARC-encapsulated per-page metadata) -> DataFrame(path,
+    record_id, url, warc_date, json). WAT files carry ``WARC-Type:
+    metadata`` records whose body is a JSON envelope (headers, links,
+    title...); the ``json`` column stays a string — downstream picks
+    fields with ``F.get_json_object``/``from_json`` so Spark prunes
+    the parse to the fields actually used."""
+    return _read_extract_sibling(
+        spark, path, glob, streaming, "metadata", "json", WAT_SCHEMA
+    )
+
+
 def decode_payload_udf():
     """Arrow-batched UDF: (payload binary, content_type string) ->
     decoded text, honoring the Content-Type charset parameter

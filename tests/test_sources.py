@@ -308,6 +308,100 @@ def test_read_warc_streaming_incremental(spark, tmp_path):
     ]
 
 
+def _wet_record(uri: str, text: bytes, rid: str) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode()
+    return head + text + b"\r\n\r\n"
+
+
+def test_read_wet_batch_and_crawl_ops(spark, tmp_path):
+    """r11 C20: WET (extracted-text) records parse to (url, text) rows
+    — UTF-8 roundtrip exact, warcinfo header record dropped — and flow
+    straight through the crawl curation ops (url_dedup collapses a
+    tracking-param twin)."""
+    from data_ingestion_tool_bakasura__spark.operators.crawl import url_dedup
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    wetinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 14\r\n\r\n"
+        b"software: test\r\n\r\n"
+    )
+    (d / "a.warc.wet").write_bytes(
+        wetinfo
+        + _wet_record("https://x.example/p", "café text — réel".encode(), "1")
+        + _wet_record("https://x.example/p?utm_source=f", b"dup copy", "2")
+        + _wet_record("https://y.example/q", b"other page", "3")
+    )
+    rows = read_wet(spark, str(d)).orderBy("url").collect()
+    assert [r["url"] for r in rows] == [
+        "https://x.example/p", "https://x.example/p?utm_source=f",
+        "https://y.example/q",
+    ]
+    assert rows[0]["text"] == "café text — réel"
+    deduped = url_dedup(read_wet(spark, str(d)), "url", order_col="url")
+    assert sorted(r["norm_url"] for r in deduped.collect()) == [
+        "https://x.example/p", "https://y.example/q",
+    ]
+
+
+def test_read_wet_streaming_incremental(spark, tmp_path):
+    """read_wet's streaming twin: each WET member parsed exactly once
+    per trigger (parity with the read_warc streaming contract)."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    (d / "w1.warc.wet").write_bytes(_wet_record("https://a.example/", b"one", "1"))
+
+    def run_once():
+        q = (
+            read_wet(spark, str(d), streaming=True)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["url"] for r in spark.read.parquet(out).collect())
+
+    assert run_once() == ["https://a.example/"]
+    (d / "w2.warc.wet").write_bytes(_wet_record("https://b.example/", b"two", "2"))
+    assert run_once() == ["https://a.example/", "https://b.example/"]
+
+
+def test_read_wat_json_metadata(spark, tmp_path):
+    """WAT metadata records surface as a string JSON column that
+    composes with get_json_object."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    d = tmp_path / "wat"
+    d.mkdir()
+    body = b'{"links": 3, "title": "Hello"}'
+    head = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://a.example/\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body)
+    )
+    (d / "a.warc.wat").write_bytes(head + body + b"\r\n\r\n")
+    r = (
+        read_wat(spark, str(d))
+        .select("url", F.get_json_object("json", "$.title").alias("title"))
+        .first()
+    )
+    assert (r["url"], r["title"]) == ("https://a.example/", "Hello")
+
+
 def test_split_http_response_dechunks():
     from data_ingestion_tool_bakasura__spark.sources.warc import (
         _dechunk,
