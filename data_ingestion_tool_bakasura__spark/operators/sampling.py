@@ -611,6 +611,124 @@ def char_trigram_counts(
     )
 
 
+#: trigram_lang_id log-prob assigned to a trigram a language's profile
+#: has never seen (shared with the DuckDB oracle twin)
+LANG_ID_OOV_LOGP = -20.0
+
+
+def fit_lang_profiles(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language character-trigram profiles ``(lang, tri, logp)``
+    from a LABELED corpus — the trainable half of
+    :func:`trigram_lang_id` (r11; upgrades C16 lang-id from stopword
+    hits to the standard char-n-gram profile method, cf. Cavnar &
+    Trenkle 1994 / CLD-style classifiers). ``logp`` is the MLE
+    ``ln(c_lang,tri / n_lang)``. Persist once, classify forever —
+    the same fit-once/serve-many split as ``char_trigram_counts`` /
+    ``dsir_log_ratios``.
+
+    Scale: one map-side-combine aggregation on (lang, tri) + a
+    per-lang total join; output is bounded by |langs| x observed
+    trigram domain (~100k ASCII, 1e7+ multilingual) — small enough to
+    broadcast for ASCII-ish profiles, joinable on ``tri`` otherwise."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
+    )
+    tri = (
+        _spread(df.select(_c(lang_col).alias("lang"), norm.alias("_t")))
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(_t) >= 3"
+                    " THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("tri"),
+        )
+    )
+    counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("_n"))
+    return counts.join(totals, "lang").select(
+        "lang", "tri", (F.log("c") - F.log("_n")).alias("logp")
+    )
+
+
+def trigram_lang_id(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_profiles: bool = True,
+) -> DataFrame:
+    """Classify each document's language by max trigram log-likelihood
+    against :func:`fit_lang_profiles` output: ``score(doc, lang) =
+    sum_tri n_doc(tri) * logp_lang(tri)`` with unseen trigrams at
+    :data:`LANG_ID_OOV_LOGP`. Returns ``(id_col, guess, score)``;
+    docs with < 3 normalized chars guess ``'und'`` (NULL score) — the
+    same fallback the stopword heuristic uses.
+
+    The OOV term never needs a per-(lang, missing-tri) row: with
+    penalty P, ``score = P * N_doc + sum_present n * (logp - P)``, so
+    the plan is doc-trigram counts (one partial-agg exchange on
+    (doc, tri)) x a profile join (broadcast by default; set
+    ``broadcast_profiles=False`` for 1e7+-trigram multilingual
+    profiles) -> one (doc, lang) aggregation -> an argmax window on
+    the doc key (ties break lexicographically, deterministic both
+    engines). No UDF, no driver collect."""
+    pen = F.lit(LANG_ID_OOV_LOGP)
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
+    )
+    tri = (
+        _spread(df.select(_c(id_col).alias("_id"), norm.alias("_t")))
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(_t) >= 3"
+                    " THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("tri"),
+        )
+    )
+    doc_tri = tri.groupBy("_id", "tri").agg(F.count("*").alias("_n"))
+    doc_n = doc_tri.groupBy("_id").agg(F.sum("_n").alias("_nn"))
+    prof = F.broadcast(profiles) if broadcast_profiles else profiles
+    adj = (
+        doc_tri.join(prof, "tri")
+        .groupBy("_id", "lang")
+        .agg(F.sum(F.col("_n") * (F.col("logp") - pen)).alias("_adj"))
+    )
+    langs = profiles.select("lang").distinct()
+    scores = (
+        doc_n.crossJoin(F.broadcast(langs))
+        .join(adj, ["_id", "lang"], "left")
+        .select(
+            "_id", "lang",
+            (pen * F.col("_nn") + F.coalesce("_adj", F.lit(0.0))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", F.col("lang").alias("guess"), "score")
+    )
+    return (
+        df.select(_c(id_col).alias("_id"))
+        .distinct()
+        .join(pred, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("guess", F.lit("und")).alias("guess"),
+            "score",
+        )
+    )
+
+
 def temperature_shares(
     df: DataFrame,
     strata_col: str,

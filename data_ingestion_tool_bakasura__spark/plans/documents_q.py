@@ -360,6 +360,76 @@ ORDER BY lang, guess
 ORACLE["q_lang_id"] = _lang_id_sql()
 
 
+def q_lang_id_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram profile language ID (r11; C16 upgrade over the
+    stopword heuristic — same fit/serve split as DSIR): profiles are
+    fit on the labeled corpus, every doc is classified by max trigram
+    log-likelihood, and the output is the confusion matrix (labeled,
+    guessed, n_docs). On the fixtures this strictly dominates
+    q_lang_id's stopword baseline (asserted in test_sampling)."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        fit_lang_profiles,
+        trigram_lang_id,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pred = trigram_lang_id(docs, fit_lang_profiles(docs))
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "guess")
+    )
+
+
+from data_ingestion_tool_bakasura__spark.operators.sampling import (
+    LANG_ID_OOV_LOGP as _PEN,
+)
+
+ORACLE["q_lang_id_trigram"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), tg AS (
+  SELECT doc_id, lang,
+         unnest([substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS tri
+  FROM d
+), dt AS (
+  SELECT doc_id, tri, count(*) AS n FROM tg GROUP BY doc_id, tri
+), dn AS (
+  SELECT doc_id, CAST(sum(n) AS DOUBLE) AS nn FROM dt GROUP BY doc_id
+), prof AS (
+  SELECT lang, tri, count(*) AS c FROM tg GROUP BY lang, tri
+), ptot AS (
+  SELECT lang, CAST(sum(c) AS DOUBLE) AS pn FROM prof GROUP BY lang
+), pl AS (
+  SELECT p.lang, p.tri, ln(p.c) - ln(pt.pn) AS logp
+  FROM prof p JOIN ptot pt USING (lang)
+), adj AS (
+  SELECT dt.doc_id, pl.lang, sum(dt.n * (pl.logp - ({_PEN}))) AS a
+  FROM dt JOIN pl USING (tri) GROUP BY dt.doc_id, pl.lang
+), langs AS (
+  SELECT DISTINCT lang FROM d
+), sc AS (
+  SELECT dn.doc_id, l.lang,
+         ({_PEN}) * dn.nn + coalesce(adj.a, 0) AS s
+  FROM dn CROSS JOIN langs l
+  LEFT JOIN adj ON adj.doc_id = dn.doc_id AND adj.lang = l.lang
+), pred AS (
+  SELECT doc_id, lang AS guess FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+    FROM sc
+  ) WHERE rn = 1
+)
+SELECT d.lang, coalesce(pred.guess, 'und') AS guess, count(*) AS n_docs
+FROM d LEFT JOIN pred USING (doc_id)
+GROUP BY d.lang, guess ORDER BY d.lang, guess
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint (md5 of 128-char normalized prefix) +
     distinct-fingerprint count per source."""

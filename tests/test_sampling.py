@@ -502,3 +502,52 @@ def test_dsir_apply_matches_fit_and_serves_new_batches(spark, tmp_path):
     )
     scored = {r["doc_id"]: r["log_weight"] for r in SP.dsir_apply(new_batch, stored).collect()}
     assert scored[901] == 0.0 and scored[900] != 0.0
+
+
+# --- char-trigram language ID (r11) ---------------------------------------
+
+
+def test_trigram_lang_id_dominates_stopword_baseline(spark):
+    """The r10 verdict's done-criterion: on the labeled fixture the
+    trigram classifier's confusion-matrix trace (correct guesses)
+    strictly beats the stopword heuristic's."""
+    from data_ingestion_tool_bakasura__spark.functions import textstats as TS
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pred = SP.trigram_lang_id(docs, SP.fit_lang_profiles(docs))
+    tri_correct = (
+        docs.select("doc_id", "lang").join(pred, "doc_id")
+        .filter(F.col("lang") == F.col("guess")).count()
+    )
+    sw_correct = docs.filter(
+        F.col("lang") == TS.lang_guess("text")
+    ).count()
+    assert tri_correct > sw_correct
+
+
+def test_trigram_lang_id_serve_path_and_und(spark):
+    """fit once / classify a new batch: profiles fit on a labeled
+    corpus classify unseen docs; < 3-char docs guess 'und'; the
+    non-broadcast join path agrees with the broadcast one."""
+    labeled = spark.createDataFrame(
+        [
+            (1, "aa ab aa ab aa ab aa ab", "aa"),
+            (2, "ab aa ab aa ab aa ab aa", "aa"),
+            (3, "zz zy zz zy zz zy zz zy", "zz"),
+            (4, "zy zz zy zz zy zz zy zz", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    prof = SP.fit_lang_profiles(labeled)
+    batch = spark.createDataFrame(
+        [(10, "aa ab aa"), (11, "zz zy zz"), (12, "x"), (13, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["guess"], r["score"])
+           for r in SP.trigram_lang_id(batch, prof).collect()}
+    assert got[10][0] == "aa" and got[11][0] == "zz"
+    assert got[12] == ("und", None) and got[13] == ("und", None)
+    shuffled = {r["doc_id"]: r["guess"]
+                for r in SP.trigram_lang_id(
+                    batch, prof, broadcast_profiles=False).collect()}
+    assert shuffled == {k: v[0] for k, v in got.items()}
