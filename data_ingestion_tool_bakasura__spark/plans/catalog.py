@@ -34,19 +34,18 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-10 rotation
-#: (r9 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the seven queries NEW this round (the crawl-curation
-#: family over the WARC aperture, the DSIR pair, and the composed
-#: q_crawl_pipeline), then the five whose implementation changed (extract.py gained ObjStm parsing + the \8\9 escape fix ->
-#: q_page_extract; ivf_topk gained the probe_lists parameter ->
-#: q_ivf_search / q_ivf_kmeans_search; the driver-collect query guard
-#: rewrote the ADC collects -> q_ivfadc_search / q_pq_rerank), then
-#: ALL 34 remaining r7-evidence rows (retiring r7 entirely), then the
-#: head of the r8 block oldest-first — filling the 50 exactly. After
-#: this window lands the oldest driver evidence anywhere is r8 and the
-#: steady-state two-round cycle continues (round 11 = rest of the r8
-#: block + the r9 block head).
+#: prefix of ``queries()`` in iteration order. Round-11 rotation
+#: (r10 verdict #1; evidence computed by ``python tools/rotation.py``):
+#: lead with the three queries NEW this round (WET/WAT readers,
+#: char-trigram lang-id), then the five whose implementation changed
+#: semantically (QUERY_RE fragment anchoring -> q_url_normalize /
+#: q_url_dedup / q_crawl_pipeline; the ruled-only table detector ->
+#: q_page_extract; the real-pixel PNG aHash dispatch ->
+#: q_image_near_dup), then ALL 42 remaining r8-evidence rows
+#: (retiring r8 entirely) — filling the 50 exactly. After this window
+#: lands the oldest driver evidence anywhere is r9 and the
+#: steady-state two-round cycle continues (round 12 = the r9 block,
+#: led by any r12 new/impl-changed queries).
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
@@ -55,68 +54,25 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    # --- NEW in round 10 (crawl-curation + DSIR): certify first ---
+    # --- NEW in round 11 (WET/WAT aperture + trigram lang-id): first ---
+    "q_lang_id_trigram",
+    "q_wet_pipeline",
+    "q_wat_metadata",
+    # --- impl changed in round 11: re-certify next (QUERY_RE fragment
+    # anchoring -> the three URL-normalizing queries; tables_of gained
+    # the ruled-only detector -> q_page_extract; ahash64 gained the
+    # real-pixel PNG dispatch -> q_image_near_dup). The other r11
+    # touches were non-semantic (identical shortlist value from footer
+    # metadata in q_pq_rerank/q_ivfadc_search; per-run staging dirs in
+    # the stream queries) and verified locally -- they keep their r10
+    # evidence and normal rotation order.
     "q_url_normalize",
     "q_url_dedup",
-    "q_domain_cap",
-    "q_domain_blocklist",
-    "q_dsir_weights",
-    "q_dsir_select",
     "q_crawl_pipeline",
-    # --- impl changed in round 10: re-certify next ---
     "q_page_extract",
-    "q_ivf_search",
-    "q_ivf_kmeans_search",
-    "q_ivfadc_search",
-    "q_pq_rerank",
-    # --- the 34 r7-evidence rows, catalog order (retires r7) ---
-    "q_fingerprints",
-    "q_lang_id",
-    "q_quality_scores",
-    "q_term_frequency",
-    "q_vector_norms",
-    "q_l2_centroid_dist",
-    "q_label_centroids",
-    "q_label_centroids_builtin",
-    "q_normalize_hash",
-    "q_chunk_explode",
-    "q_chunk_keys",
-    "q_small_quantity_revenue",
-    "q_math_funcs",
-    "q_string_funcs",
-    "q_nation_setops",
-    "q_rank_dense_ntile",
-    "q_running_revenue",
-    "q_price_percentiles",
-    "q_pivot_daily_value",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_stream_running_stats",
-    "q_stream_near_dedup",
-    "q_stream_funnel",
-    "q_tumbling_hourly",
-    "q_value_zscore",
-    "q_asof_click_error",
-    "q_cosine_topk_batch",
-    "q_exact_dedup",
-    "q_minhash_lsh_candidates",
-    "q_bm25_topdocs",
-    "q_ingest_pipeline_fixed",
-    "q_doc_assembly",
-    "q_pricing_summary",
-    # --- r8 block head, oldest-first (fills the window to 50) ---
-    "q_temperature_mixture",
-    "q_deep_clean_pipeline",
-    "q_substring_dedup_incr",
-    "q_lm_quality_xcorpus",
-    # ---------- 50-query window boundary ----------
-    # everything below carries an r8/r9 driver-green row (families not
-    # represented above — e.g. C12 array/json — hold their r8/r9
-    # evidence and rotate back in next round). The seven r10 queries
-    # at the head pushed q_doc_stats/q_lang_facet/q_array_ops/
-    # q_json_props/q_filter_project/q_fulltext_match/q_distinct_stats
-    # (r8 evidence) just past the boundary — they lead the r11
-    # rotation with the rest of the r8 block.
+    "q_image_near_dup",
+    # --- ALL 42 remaining r8-evidence rows, catalog order (retires r8;
+    # after this window lands the oldest driver evidence anywhere = r9)
     "q_doc_stats",
     "q_lang_facet",
     "q_array_ops",
@@ -159,8 +115,10 @@ _PRIORITY = [
     "q_quantized_rerank",
     "q_value_zscore_builtin",
     "q_exists_subquery",
+    # ---------- 50-query window boundary ----------
+    # everything below carries an r9/r10 driver-green row; r9 rows lead
+    # the r12 rotation (with any r12 new/impl-changed queries first).
     "q_semantic_rerank",
-    "q_image_near_dup",
     "q_corpus_report",
     "q_quality_classifier",
     "q_stratified_sample",
@@ -205,6 +163,52 @@ _PRIORITY = [
     "q_jaccard_pairs",
     "q_cosine_topk",
     "q_json_variants",
+    "q_domain_cap",
+    "q_domain_blocklist",
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_ivf_search",
+    "q_ivf_kmeans_search",
+    "q_ivfadc_search",
+    "q_pq_rerank",
+    "q_fingerprints",
+    "q_lang_id",
+    "q_quality_scores",
+    "q_term_frequency",
+    "q_vector_norms",
+    "q_l2_centroid_dist",
+    "q_label_centroids",
+    "q_label_centroids_builtin",
+    "q_normalize_hash",
+    "q_chunk_explode",
+    "q_chunk_keys",
+    "q_small_quantity_revenue",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_nation_setops",
+    "q_rank_dense_ntile",
+    "q_running_revenue",
+    "q_price_percentiles",
+    "q_pivot_daily_value",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_stream_running_stats",
+    "q_stream_near_dedup",
+    "q_stream_funnel",
+    "q_tumbling_hourly",
+    "q_value_zscore",
+    "q_asof_click_error",
+    "q_cosine_topk_batch",
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_bm25_topdocs",
+    "q_ingest_pipeline_fixed",
+    "q_doc_assembly",
+    "q_pricing_summary",
+    "q_temperature_mixture",
+    "q_deep_clean_pipeline",
+    "q_substring_dedup_incr",
+    "q_lm_quality_xcorpus",
     # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
     "q_hnsw_topk",
     "q_lsh_ann_topk",
