@@ -23,6 +23,13 @@ whose CONSTRUCTION runs jobs (kmeans fits, collected query sets,
 stream replays) run those jobs here — the audit is read-only but not
 free (~2 min at sf0.01).
 
+Since r11 the sweep ALSO counts the Spark jobs each query fires
+during construction (per-query job group + status tracker): a plan
+build that runs jobs outside the documented ``BUILD_JOBS_OK``
+allowlist is flagged — the r10 verdict found an eager
+``corpus.count()`` hiding in query construction precisely because
+the plan walk can't see actions that already ran.
+
 Usage: ``python tools/plan_audit.py [sf_dir] [name ...]``; exits 1 on
 any unallowed finding.
 """
@@ -59,6 +66,66 @@ SINGLE_PARTITION_OK = {
     "q_bm25_topdocs",              # rank over per-doc score aggregate
     "q_small_quantity_revenue",    # 1-row correlated aggregate result
 }
+
+
+#: Queries whose CONSTRUCTION legitimately runs Spark jobs, each with
+#: the reason. Anything not listed here must build fully lazily.
+BUILD_JOBS_OK: dict[str, str] = {}
+
+
+def _note_build_jobs_ok(names: list[str], why: str) -> None:
+    for n in names:
+        BUILD_JOBS_OK[n] = why
+
+
+_note_build_jobs_ok(
+    ["q_ivf_search", "q_ivf_kmeans_search", "q_ivfadc_search", "q_pq_rerank",
+     "q_lsh_ann_topk", "q_ivf_assignments", "q_hnsw_topk", "q_cosine_topk_batch",
+     "q_quantized_rerank", "q_semantic_rerank", "q_hybrid_rrf"],
+    "ANN build: iterative centroid/codebook fits and/or the guarded "
+    "driver collect of the <=MAX_DRIVER_QUERIES query-vector set",
+)
+_note_build_jobs_ok(
+    ["q_stream_running_stats", "q_stream_near_dedup", "q_stream_funnel",
+     "q_tumbling_hourly_stream", "q_stream_tumbling_hourly",
+     "q_stream_sliding_1h_30m", "q_stream_session_windows",
+     "q_stream_dedup_keys", "q_stream_click_purchase_join",
+     "q_stream_enriched_nation", "q_stream_semantic_dedup"],
+    "streaming replay: the availableNow micro-batch runs to completion "
+    "inside the query function by design",
+)
+_note_build_jobs_ok(
+    ["q_lm_quality_xcorpus", "q_lm_quality", "q_deep_clean_pipeline"],
+    "char_trigram_nll broadcast auto-sizing: one approx_count_distinct "
+    "job bounds the model before choosing broadcast vs shuffle join",
+)
+_note_build_jobs_ok(
+    ["q_semantic_dedup", "q_stream_semantic_dedup"],
+    "pick_seed_centroids: md5-first seed selection is a bounded top-k "
+    "collect of 8 centroid rows",
+)
+_note_build_jobs_ok(
+    ["q_dsir_weights", "q_dsir_select", "q_crawl_pipeline_dsir"],
+    "DSIR fit: the bounded (<=n_buckets) log-ratio model materializes "
+    "before the scoring join",
+)
+_note_build_jobs_ok(
+    ["q_incremental_dedup", "q_substring_dedup_incr", "q_image_near_dup",
+     "q_upsert_by_key", "q_ingest_pipeline", "q_ingest_pipeline_fixed"],
+    "incremental/upsert fixtures: the persisted index/corpus the query "
+    "probes is (re)built in scratch space first",
+)
+_note_build_jobs_ok(
+    ["q_token_budget", "q_sequence_packing", "q_curation_pipeline"],
+    "two-phase distributed prefix sum: phase 1 collects only the "
+    "per-bucket token-total SCALARS (O(buckets) rows) to compute "
+    "bucket offsets — the documented PLANS.md shape",
+)
+_note_build_jobs_ok(
+    ["q_dedup_clusters"],
+    "union-find contraction loop: each iteration's convergence check "
+    "(edges.count()) is a job; iterations are O(log n) by design",
+)
 
 
 def _walk(node, visit):
@@ -107,16 +174,56 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_checked = n_skipped = 0
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    #: Datasource schema-inference / file-listing jobs: every
+    #: spark.read.parquet fires one 1-task "parquet at ..." job. The
+    #: discriminator is the stage NAME (Spark names stages by action
+    #: call site — an eager count()/collect()/first() shows up as
+    #: "count at ..."/"collect at ...", never "parquet at ...").
+    _READER_STAGES = (
+        "parquet at", "orc at", "csv at", "json at", "text at",
+        "binaryFile at",
+    )
+
+    def _eager_jobs(group: str) -> int:
+        n = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                n += 1  # evicted from the tracker: count conservatively
+                continue
+            names = []
+            for sid in info.stageIds:
+                si = tracker.getStageInfo(sid)
+                names.append(si.name if si else "")
+            if not all(nm.startswith(_READER_STAGES) for nm in names):
+                n += 1
+        return n
+
+    n_checked = n_skipped = n_eager = 0
     findings: list[tuple[str, str]] = []
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        group = f"build:{name}"
+        sc.setJobGroup(group, f"plan-audit build of {name}")
         try:
             df = fn(spark, sf)
         except Exception as exc:  # noqa: BLE001 — surface, keep sweeping
             findings.append((name, f"construction failed: {exc}"))
             continue
+        finally:
+            build_jobs = _eager_jobs(group)
+            sc.setJobGroup("plan-audit-idle", "between builds")
+        if build_jobs and name not in BUILD_JOBS_OK:
+            findings.append(
+                (name, f"construction fired {build_jobs} Spark job(s) "
+                       "outside BUILD_JOBS_OK (eager action at plan build)")
+            )
+        elif build_jobs:
+            n_eager += 1
         if df.isStreaming:
             n_skipped += 1
             continue
@@ -126,7 +233,10 @@ def main() -> int:
                 continue
             findings.append((name, what))
 
-    print(f"checked {n_checked} batch plans, skipped {n_skipped} streaming")
+    print(
+        f"checked {n_checked} batch plans, skipped {n_skipped} streaming; "
+        f"{n_eager} allowlisted eager builds"
+    )
     if findings:
         print("findings:")
         for name, what in findings:
