@@ -109,6 +109,8 @@ HEADLINE = [
     "q_image_near_dup",        # banded aHash image near-dup (C15 x C13)
     "q_url_dedup",             # r10: URL normalize + one-exchange dedup (C20)
     "q_dsir_weights",          # r10: DSIR importance weights (C19)
+    "q_wet_pipeline",          # r11: WET source -> dedup -> cap -> rollup (C1/C20)
+    "q_lang_id_trigram",       # r11: char-trigram profile lang-id (C16)
 ]
 
 
