@@ -535,7 +535,10 @@ def start_streaming_crawl(
     wins), anti-joined against the PERSISTED corpus on ``norm_url``
     (first arrival wins across batches), blocklist/cap-filtered, and
     appended as (norm_url, url, domain, text, n_chars) rows with the
-    HTML already extracted.
+    HTML already extracted. ``read_wet(..., streaming=True)`` streams
+    plug into the SAME closure (``payload_col="text"``): a string
+    payload column is treated as already-extracted text and skips the
+    charset-decode + html_to_text leg.
 
     Replay idempotence is structural here: there is exactly ONE write
     target, and the guard anti-join reads it — a crash-then-replayed
@@ -602,15 +605,23 @@ def start_streaming_crawl(
             batch = batch.filter(
                 F.col("_rk") + F.col("_n_have") <= max_per_domain_total
             ).drop("_rk", "_n_have", "_dom2")
-        ctype = (F.col("content_type") if "content_type" in batch.columns
-                 else F.lit("text/html"))
+        # WET streams (read_wet) carry already-extracted text: when the
+        # payload column is a STRING it is used verbatim; binary
+        # payloads (read_warc) take the charset-decode + html_to_text
+        # leg. One closure serves both Common-Crawl formats.
+        if dict(batch.dtypes).get(payload_col) == "string":
+            text_expr = F.col(payload_col)
+        else:
+            ctype = (F.col("content_type") if "content_type" in batch.columns
+                     else F.lit("text/html"))
+            text_expr = html_to_text_udf()(
+                decode_payload_udf()(F.col(payload_col), ctype)
+            )
         out = batch.select(
             "norm_url",
             F.col(url_col).alias("url"),
             U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
-            html_to_text_udf()(
-                decode_payload_udf()(F.col(payload_col), ctype)
-            ).alias("text"),
+            text_expr.alias("text"),
         ).withColumn("n_chars", F.length("text"))
         # log_weight is ALWAYS in the output schema (NULL when DSIR is
         # off): toggling dsir_ratios_path across runs of one corpus_path

@@ -438,3 +438,56 @@ def test_streaming_crawl_dsir_gate(spark, tmp_path):
     rows = spark.read.parquet(corpus).collect()
     assert [r["url"] for r in rows] == ["https://cats.example/a"]
     assert rows[0]["log_weight"] > -1.5
+
+
+def test_streaming_crawl_accepts_wet_stream(spark, tmp_path):
+    """r11: a WET stream (already-extracted text, string payload) runs
+    through the SAME crawl closure — dedup, domain cap and the DSIR
+    gate — with no decode/html leg; text lands verbatim."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import dsir_log_ratios
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wet
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    cat = "the cat sat on the mat and cats purred today"
+    stock = "stock market prices moved on quarterly earnings data"
+    raw = spark.createDataFrame(
+        [(i, f"{cat} {i}") for i in range(20)]
+        + [(100 + i, f"{stock} {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ratios_path = str(tmp_path / "ratios")
+    dsir_log_ratios(raw, raw.filter("doc_id < 20")).write.parquet(ratios_path)
+
+    def wet(uri, text, rid):
+        body = text.encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "w.warc.wet").write_bytes(
+        wet("https://cats.example/a", f"{cat} fresh", "c1")
+        + wet("https://CATS.example/a?utm_source=x", f"{cat} dup", "c2")
+        + wet("https://money.example/b", f"{stock} fresh", "m1")
+    )
+    corpus = str(tmp_path / "corpus")
+    q = start_streaming_crawl(
+        read_wet(spark, str(d), streaming=True),
+        corpus,
+        payload_col="text",
+        dsir_ratios_path=ratios_path,
+        dsir_min_weight=-1.5,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(corpus).collect()
+    assert [r["url"] for r in rows] == ["https://cats.example/a"]
+    assert rows[0]["text"] == f"{cat} fresh"  # verbatim, no html leg
+    assert rows[0]["log_weight"] > -1.5
