@@ -135,8 +135,10 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     are emitted one string per table row, and (r11) RULED-ONLY tables
     (grid drawn with ``re``/``m``/``l`` path ops, text positions not
     aligned across rows) are recovered by bucketing runs into the
-    bands between >= 3 horizontal and >= 3 vertical ruling lines;
-    rotated/spanned tables still need fitz. The page image is the md5
+    bands between >= 3 horizontal and >= 3 vertical ruling lines, and
+    90/270-degree ROTATED positioned grids group on the tracked Tm
+    matrix's vertical baselines; 180-degree/arbitrary-angle text and
+    spanned tables still need fitz. The page image is the md5
     stand-in (no
     rasterizer), same as the stub. Reference leg being replaced:
     ``embedding_utils.py:123-173``.
@@ -331,57 +333,88 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
            Runs already emitted by detector 1 are excluded, so a table
            that is both aligned and ruled emits once.
 
-        Heuristic by design: rotated/spanned matrices still need fitz;
-        a plain paragraph (one run per baseline, no ruling grid) can
-        never match either detector."""
-        runs: list[tuple[float, float, str]] = []  # (y, x, text)
+        Since r11 the positioned detector also handles 90/270-degree
+        ROTATED grids: the full Tm matrix (a, b, c, d) is tracked and
+        Td/TD/T*/leading advances are applied in TEXT space through
+        it, so vertical-baseline runs (|b| > |a|) group on x instead
+        of y with reading order taken from the rotation sign.
+        Heuristic by design: 180-degree and arbitrary-angle text, and
+        spanned matrices, still need fitz; a plain paragraph (one run
+        per baseline, no ruling grid) can never match any detector."""
+        h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
+        v_runs: list[tuple[float, float, str]] = []
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
+            a, b_, c, d = 1.0, 0.0, 0.0, 1.0
             x = y = 0.0
             leading = 12.0
+
+            def _advance(tx: float, ty: float) -> None:
+                nonlocal x, y
+                x += tx * a + ty * c
+                y += tx * b_ + ty * d
+
+            def _record(t: str) -> None:
+                if not t.strip():
+                    return
+                if abs(b_) <= abs(a):  # horizontal baseline
+                    h_runs.append((round(y, 1), round(x, 1), t.strip()))
+                else:  # rotated 90 (b>0) / 270 (b<0): rows live on x;
+                    # sign maps device coords back to reading order
+                    # (desc row key = top-down, asc col key = left-right)
+                    sgn = 1.0 if b_ > 0 else -1.0
+                    v_runs.append(
+                        (round(-sgn * x, 1), round(sgn * y, 1), t.strip())
+                    )
+
             for m in _OPS.finditer(block):
-                if m.group(1) is not None:  # Tm: e,f = translation
+                if m.group(1) is not None:  # Tm: full matrix + translation
+                    a, b_, c, d = (float(m.group(i)) for i in range(1, 5))
                     x, y = float(m.group(5)), float(m.group(6))
-                elif m.group(7) is not None:  # Td / TD
-                    x += float(m.group(7)); y += float(m.group(8))
+                elif m.group(7) is not None:  # Td / TD (text-space offsets)
+                    _advance(float(m.group(7)), float(m.group(8)))
                     if m.group(9) == b"TD":
                         leading = -float(m.group(8)) or leading
                 elif m.group(10) is not None:  # TL
                     leading = float(m.group(10)) or leading
                 elif m.group(11) is not None:  # T*
-                    y -= leading
+                    _advance(0.0, -leading)
                 elif m.group(12) is not None:  # Tj / ' / "
                     if m.group(13) in (b"'", b'"'):
-                        y -= leading
-                    t = _pdf_string(m.group(12))
-                    if t.strip():
-                        runs.append((round(y, 1), round(x, 1), t.strip()))
+                        _advance(0.0, -leading)
+                    _record(_pdf_string(m.group(12)))
                 else:  # TJ array: one cell at the current position
-                    t = "".join(
+                    _record("".join(
                         _pdf_string(s) for s in re.findall(STR, m.group(14))
-                    )
-                    if t.strip():
-                        runs.append((round(y, 1), round(x, 1), t.strip()))
-        by_y: dict[float, list[tuple[float, str, int]]] = {}
-        for idx, (yy, xx, tt) in enumerate(runs):
-            by_y.setdefault(yy, []).append((xx, tt, idx))
-        rows = []  # (y, x-signature, cells, run indices) top-down
-        for yy in sorted(by_y, reverse=True):
-            cells = sorted(by_y[yy])
-            if len(cells) >= 2:
-                rows.append((yy, tuple(c[0] for c in cells),
-                             [c[1] for c in cells], [c[2] for c in cells]))
-        out: list[str] = []
-        consumed: set[int] = set()
-        i = 0
-        while i < len(rows):
-            j = i + 1
-            while j < len(rows) and rows[j][1] == rows[i][1]:
-                j += 1
-            if j - i >= 2:  # >= 2 aligned rows -> a table
-                out.extend(" ".join(r[2]) for r in rows[i:j])
-                for r in rows[i:j]:
-                    consumed.update(r[3])
-            i = j
+                    ))
+
+        def _positioned(runs: list[tuple[float, float, str]]) -> tuple[list[str], set[int]]:
+            by_y: dict[float, list[tuple[float, str, int]]] = {}
+            for idx, (yy, xx, tt) in enumerate(runs):
+                by_y.setdefault(yy, []).append((xx, tt, idx))
+            rows = []  # (y, x-signature, cells, run indices) top-down
+            for yy in sorted(by_y, reverse=True):
+                cells = sorted(by_y[yy])
+                if len(cells) >= 2:
+                    rows.append((yy, tuple(c[0] for c in cells),
+                                 [c[1] for c in cells], [c[2] for c in cells]))
+            found: list[str] = []
+            used: set[int] = set()
+            i = 0
+            while i < len(rows):
+                j = i + 1
+                while j < len(rows) and rows[j][1] == rows[i][1]:
+                    j += 1
+                if j - i >= 2:  # >= 2 aligned rows -> a table
+                    found.extend(" ".join(r[2]) for r in rows[i:j])
+                    for r in rows[i:j]:
+                        used.update(r[3])
+                i = j
+            return found, used
+
+        runs = h_runs  # device coords == (row, col) keys for horizontal text
+        out, consumed = _positioned(runs)
+        v_found, _ = _positioned(v_runs)
+        out.extend(v_found)
         # detector 2: ruled-only grid over the unconsumed runs
         xs, ys = _ruling_grid(stream)
         if xs and ys:

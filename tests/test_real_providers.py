@@ -533,6 +533,57 @@ def test_minipdf_aligned_and_ruled_table_emits_once():
     assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
 
 
+def test_minipdf_rotated_positioned_grid():
+    """r11: a 90-degree-rotated positioned grid (Tm = [0 1 -1 0 x y],
+    text baselines run vertically) extracts with correct reading
+    order; the 270-degree twin too. A rotated PROSE column (one run
+    per baseline) stays table-free."""
+    # 90 deg CCW: rows at x = 100 (first) then 120; within a row,
+    # cells advance +y. Top-down = ascending x after rotation.
+    rot90 = (
+        b"BT /F1 12 Tf "
+        b"0 1 -1 0 100 200 Tm (r1c1) Tj 0 1 -1 0 100 300 Tm (r1c2) Tj "
+        b"0 1 -1 0 120 200 Tm (r2c1) Tj 0 1 -1 0 120 300 Tm (r2c2) Tj "
+        b"0 1 -1 0 140 200 Tm (r3c1) Tj 0 1 -1 0 140 300 Tm (r3c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot90))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
+
+    # 270 deg: b = -1; +x maps to -y, top-down = descending x
+    rot270 = (
+        b"BT /F1 12 Tf "
+        b"0 -1 1 0 140 300 Tm (r1c1) Tj 0 -1 1 0 140 200 Tm (r1c2) Tj "
+        b"0 -1 1 0 120 300 Tm (r2c1) Tj 0 -1 1 0 120 200 Tm (r2c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot270))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2"]
+
+    # rotated prose: one run per vertical baseline -> no table
+    prose = (
+        b"BT /F1 12 Tf "
+        b"0 1 -1 0 100 200 Tm (line one) Tj "
+        b"0 1 -1 0 120 200 Tm (line two) Tj "
+        b"ET"
+    )
+    assert MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), prose))[0][1] == []
+
+
+def test_minipdf_rotated_td_advances_in_text_space():
+    """Td offsets inside a rotated block move along the ROTATED axes:
+    a grid laid out with one Tm + Td steps lands identically to the
+    all-Tm form."""
+    # Tm once, then Td(200, 0) moves +200 in text space = +200 device y
+    # (90 deg rotation); Td(-200, -20) starts the next row.
+    rot = (
+        b"BT /F1 12 Tf 0 1 -1 0 100 200 Tm (a1) Tj "
+        b"100 0 Td (a2) Tj -100 -20 Td (b1) Tj 100 0 Td (b2) Tj ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot))
+    assert pages[0][1] == ["a1 a2", "b1 b2"]
+
+
 def test_minipdf_invalid_digit_escape_drops_backslash():
     """PDF spec 7.3.4.2: a backslash before a non-octal digit is an
     invalid escape — drop the backslash, keep the char. \\8 and \\9
