@@ -1,0 +1,599 @@
+"""Stdlib-only baseline JPEG **luma** decoder (C15 real-pixel leg,
+round 11 — the JPEG sibling of :mod:`.png`).
+
+JPEG is the dominant web-image format, so the aHash seam's real-pixel
+dispatch is worth the full entropy decode: this module parses baseline
+(and extended-sequential) Huffman JPEG — DQT/DHT/SOF0/SOF1/DRI/SOS,
+interleaved MCUs with any sampling factors, restart markers, byte
+stuffing — and reconstructs the **Y (luma) plane only**. Perceptual
+hashing needs exactly luma; chroma blocks are entropy-decoded (their
+bits must be consumed to keep the stream in sync) but never
+dequantized or transformed, which roughly halves the IDCT work on
+4:2:0 images. Everything is public-spec arithmetic (ITU T.81 Annex F;
+the fixture encoder below writes its own spec-valid one-length
+canonical Huffman tables rather than the Annex K examples).
+
+Out of scope, surfaced as ``ValueError`` so the aHash dispatch falls
+back to the deterministic stand-in: progressive (SOF2) and arithmetic
+(SOF9+) coding, 12-bit precision, hierarchical mode. PIL — when
+installed — remains the wide-gamut leg via ``media.decode_image``.
+
+The IDCT runs through numpy (one 8x8 basis-matrix sandwich per block)
+with an identical pure-stdlib fallback, same pattern as
+:func:`.png.luma_grid8`.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+try:
+    import numpy as _np
+except ImportError:
+    _np = None
+
+JPEG_MAGIC = b"\xff\xd8"
+
+#: zigzag index -> raster index (T.81 figure A.6)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def is_jpeg(b) -> bool:
+    return b is not None and bytes(b[:2]) == JPEG_MAGIC
+
+
+# --- IDCT ------------------------------------------------------------------
+
+def _dct_basis():
+    m = [[0.0] * 8 for _ in range(8)]
+    for k in range(8):
+        ck = math.sqrt(0.25) if k else math.sqrt(0.125)
+        for n in range(8):
+            m[k][n] = ck * math.cos((2 * n + 1) * k * math.pi / 16.0)
+    return m
+
+_BASIS = _dct_basis()
+_BASIS_NP = None if _np is None else _np.array(_BASIS)
+
+
+def _idct2(coeffs):
+    """8x8 inverse DCT: spatial = C^T @ coeffs @ C (lists of 64)."""
+    if _np is not None:
+        blk = _np.array(coeffs, dtype=_np.float64).reshape(8, 8)
+        return (_BASIS_NP.T @ blk @ _BASIS_NP).reshape(64).tolist()
+    out = [0.0] * 64
+    tmp = [0.0] * 64
+    for i in range(8):  # tmp = C^T @ blk
+        for j in range(8):
+            s = 0.0
+            for k in range(8):
+                s += _BASIS[k][i] * coeffs[k * 8 + j]
+            tmp[i * 8 + j] = s
+    for i in range(8):  # out = tmp @ C
+        for j in range(8):
+            s = 0.0
+            for k in range(8):
+                s += tmp[i * 8 + k] * _BASIS[k][j]
+            out[i * 8 + j] = s
+    return out
+
+
+# --- Huffman ---------------------------------------------------------------
+
+class _Huff:
+    """Canonical Huffman decode table from DHT counts+symbols: maps
+    (length, code) via per-length first-code/first-index arrays —
+    O(bits) per symbol, no tree allocation."""
+
+    __slots__ = ("min_code", "max_code", "val_ptr", "symbols")
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        self.symbols = symbols
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.val_ptr[ln] = k
+                self.min_code[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.max_code[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers
+    (leaves position AT the 0xFF) — T.81 F.2.2.5."""
+
+    __slots__ = ("data", "pos", "bits", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker: feed 1-bits (spec padding behavior)
+                b = 0xFF  # position NOT advanced; caller handles marker
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard partial bits, expect a marker (0xFFxx), return xx."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        if p + 1 >= len(d):
+            raise ValueError("expected marker in entropy stream")
+        self.pos = p + 2
+        return d[p + 1]
+
+
+def _decode_huff(r: _BitReader, h: _Huff) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if h.max_code[ln] >= 0 and h.min_code[ln] <= code <= h.max_code[ln]:
+            return h.symbols[h.val_ptr[ln] + code - h.min_code[ln]]
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --- decoder ---------------------------------------------------------------
+
+def decode_jpeg_luma(b: bytes) -> tuple[int, int, bytes]:
+    """JPEG bytes -> ``(width, height, luma)`` with ``luma`` the
+    row-major 8-bit Y plane at the Y component's full resolution
+    (cropped to the declared image dims). Raises ``ValueError`` on
+    malformed bytes or the unsupported modes documented above."""
+    raw = bytes(b)
+    if not is_jpeg(raw):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    n = len(raw)
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    width = height = -1
+    restart_interval = 0
+
+    try:
+        while pos + 4 <= n:
+            if raw[pos] != 0xFF:
+                raise ValueError("marker expected")
+            marker = raw[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                continue  # standalone
+            (seglen,) = struct.unpack(">H", raw[pos : pos + 2])
+            seg = raw[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    i += 1
+                    if pq:
+                        vals = list(struct.unpack(f">{64}H", seg[i : i + 128]))
+                        i += 128
+                    else:
+                        vals = list(seg[i : i + 64])
+                        i += 64
+                    tbl = [0] * 64
+                    for z, v in enumerate(vals):
+                        tbl[ZIGZAG[z]] = v
+                    qt[tq] = tbl
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    counts = list(seg[i + 1 : i + 17])
+                    total = sum(counts)
+                    symbols = seg[i + 17 : i + 17 + total]
+                    (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
+                    i += 17 + total
+            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+                if seg[0] != 8:
+                    raise ValueError("only 8-bit precision supported")
+                height, width = struct.unpack(">HH", seg[1:5])
+                nc = seg[5]
+                comps = []
+                for ci in range(nc):
+                    o = 6 + 3 * ci
+                    comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 0xF, seg[o + 2]))
+            elif marker == 0xC2:
+                raise ValueError("progressive JPEG unsupported (use PIL leg)")
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0] if seg else 0
+                if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated SOS segment")
+                scan: list[tuple[int, int, int]] = []  # (comp index, dc, ac)
+                for si in range(ns):
+                    cid, tables = seg[1 + 2 * si], seg[2 + 2 * si]
+                    idx = next(
+                        (k for k, c in enumerate(comps) if c[0] == cid), None
+                    )
+                    if idx is None:
+                        raise ValueError("SOS references unknown component")
+                    scan.append((idx, tables >> 4, tables & 0xF))
+                return _decode_scan(
+                    raw, pos + seglen, width, height, comps, scan, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            pos += seglen
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(raw, pos, width, height, comps, scan, qt, huff_dc,
+                 huff_ac, restart_interval) -> tuple[int, int, bytes]:
+    if width <= 0 or height <= 0 or not comps:
+        raise ValueError("SOS before SOF")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    # the luma plane: component 0 by convention (first listed)
+    y_ci = 0
+    yh, yv, ytq = comps[y_ci][1], comps[y_ci][2], comps[y_ci][3]
+    if ytq not in qt:
+        raise ValueError("luma quant table missing")
+    yq = qt[ytq]
+    # Y plane geometry (component resolution, padded to block multiples)
+    y_w = -(-width * yh // hmax)
+    y_h = -(-height * yv // vmax)
+    mcu_cols = -(-width // (8 * hmax))
+    mcu_rows = -(-height // (8 * vmax))
+    if len(scan) == 1:
+        # non-interleaved single-component scan (grayscale, or the Y
+        # scan of a non-interleaved file): MCU = one block of that
+        # component, grid = its own padded block dims
+        ci = scan[0][0]
+        if ci != y_ci:
+            raise ValueError("first scan is not the luma component")
+        comp_w = -(-width * comps[ci][1] // hmax)
+        comp_h = -(-height * comps[ci][2] // vmax)
+        yh = yv = 1
+        mcu_cols = -(-comp_w // 8)
+        mcu_rows = -(-comp_h // 8)
+    plane_bw = mcu_cols * yh  # Y blocks per row
+    plane = bytearray(plane_bw * 8 * mcu_rows * yv * 8)
+    plane_w = plane_bw * 8
+
+    r = _BitReader(raw, pos)
+    pred = [0] * len(comps)
+    mcus_done = 0
+    clamp = min
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                m = r.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("expected restart marker")
+                pred = [0] * len(comps)
+            for ci, dc_id, ac_id in scan:
+                ch, cv = (yh, yv) if len(scan) == 1 else (comps[ci][1], comps[ci][2])
+                for by in range(cv):
+                    for bx in range(ch):
+                        coeffs = _decode_block(
+                            r, huff_dc.get(dc_id), huff_ac.get(ac_id)
+                        )
+                        pred[ci] += coeffs[0]
+                        if ci != y_ci:
+                            continue  # chroma: bits consumed, work skipped
+                        blk = [0.0] * 64
+                        blk[0] = pred[ci] * yq[0]
+                        for k in range(1, 64):
+                            if coeffs[k]:
+                                blk[k] = coeffs[k] * yq[k]
+                        spatial = _idct2(blk)
+                        ox = (mx * yh + bx) * 8
+                        oy = (my * yv + by) * 8
+                        for ry in range(8):
+                            base = (oy + ry) * plane_w + ox
+                            row = spatial[ry * 8 : ry * 8 + 8]
+                            for rx in range(8):
+                                v = int(row[rx] + 128.5)
+                                plane[base + rx] = 0 if v < 0 else clamp(v, 255)
+            mcus_done += 1
+
+    # crop the padded plane to the component's true dims
+    out = bytearray(y_w * y_h)
+    for ry in range(y_h):
+        out[ry * y_w : (ry + 1) * y_w] = plane[ry * plane_w : ry * plane_w + y_w]
+    return y_w, y_h, bytes(out)
+
+
+def _decode_block(r: _BitReader, hdc: _Huff | None, hac: _Huff | None) -> list[int]:
+    """One block's coefficients in ZIGZAG order; [0] is the DC DIFF
+    (caller maintains the predictor)."""
+    if hdc is None or hac is None:
+        raise ValueError("scan references undefined Huffman table")
+    out = [0] * 64
+    t = _decode_huff(r, hdc)
+    out[0] = _extend(r.receive(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = _decode_huff(r, hac)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        out[k] = _extend(r.receive(size), size)
+        k += 1
+    # return zigzag-order coeffs mapped to raster, DC diff kept at [0]
+    rast = [0] * 64
+    for z in range(1, 64):
+        rast[ZIGZAG[z]] = out[z]
+    rast[0] = out[0]
+    return rast
+
+
+def ahash64_jpeg(b: bytes) -> str:
+    """Real-pixel average hash for JPEG payloads: luma decode -> 8x8
+    average pool -> mean threshold (same convention as
+    :func:`.png.ahash64_png`)."""
+    from data_ingestion_tool_bakasura__spark.multimodal.png import luma_grid8
+
+    w, h, luma = decode_jpeg_luma(b)
+    grid = luma_grid8(w, h, 1, luma)
+    mean = sum(grid) / 64.0
+    return "".join("1" if v > mean else "0" for v in grid)
+
+
+# --- minimal encoder (fixtures/tests; not a general encoder) ---------------
+
+_Q_UNIFORM = [8] * 64  # mild uniform quantization: small, predictable error
+
+
+def _fdct2(block):
+    """8x8 forward DCT: F = C @ (B - 128) @ C^T."""
+    if _np is not None:
+        b = _np.array(block, dtype=_np.float64).reshape(8, 8) - 128.0
+        return (_BASIS_NP @ b @ _BASIS_NP.T).reshape(64).tolist()
+    shifted = [v - 128.0 for v in block]
+    tmp = [0.0] * 64
+    out = [0.0] * 64
+    for i in range(8):
+        for j in range(8):
+            s = 0.0
+            for k in range(8):
+                s += _BASIS[i][k] * shifted[k * 8 + j]
+            tmp[i * 8 + j] = s
+    for i in range(8):
+        for j in range(8):
+            s = 0.0
+            for k in range(8):
+                s += tmp[i * 8 + k] * _BASIS[j][k]
+            out[i * 8 + j] = s
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def pad_and_marker(self, marker: int | None) -> None:
+        while self.nacc:
+            self.put(1, 1)  # 1-bit padding per spec
+        if marker is not None:
+            self.out += bytes((0xFF, marker))
+
+
+def _size_bits(v: int) -> tuple[int, int]:
+    """DC/AC magnitude category + appended bits (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _block_tokens(coeffs_zz: list[int], pred: int) -> tuple[int, list]:
+    """(new DC predictor, [(symbol, bits, nbits), ...]) for one block."""
+    toks = []
+    diff = coeffs_zz[0] - pred
+    t, bits = _size_bits(diff)
+    toks.append(("dc", t, bits, t))
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if coeffs_zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if coeffs_zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append(("ac", 0xF0, 0, 0))  # ZRL
+            run -= 16
+        t, bits = _size_bits(coeffs_zz[k])
+        toks.append(("ac", (run << 4) | t, bits, t))
+        run = 0
+    if last_nz < 63:
+        toks.append(("ac", 0x00, 0, 0))  # EOB
+    return coeffs_zz[0], toks
+
+
+def _canonical_table(symbols: list[int], length: int) -> tuple[list[int], bytes, dict]:
+    """All symbols at one code length -> (DHT counts, DHT symbols,
+    symbol -> (code, nbits)). Valid canonical Huffman as long as
+    len(symbols) < 2**length (keeps the all-ones code unused)."""
+    syms = sorted(set(symbols))
+    if len(syms) >= (1 << length):
+        raise ValueError("too many symbols for fixed-length table")
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    enc = {s: (i, length) for i, s in enumerate(syms)}
+    return counts, bytes(syms), enc
+
+
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    restart_interval: int = 0,
+    color_420: bool = False,
+) -> bytes:
+    """Minimal valid baseline JPEG from an 8-bit grayscale buffer.
+    Exists so tests and fixtures can PLANT real JPEGs without PIL.
+    Uses a uniform quant table and simple one-length canonical Huffman
+    tables (spec-valid; compression is not the point).
+    ``color_420=True`` writes a 3-component 4:2:0 file whose chroma
+    planes are neutral (all-zero blocks) — exercising a decoder's
+    interleaved-MCU and chroma paths without a color source."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    mcu = 16 if color_420 else 8
+    pw = -(-width // mcu) * mcu
+    ph = -(-height // mcu) * mcu
+
+    def px(x: int, y: int) -> int:  # edge-replicated fetch
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    def block_at(ox: int, oy: int) -> list[int]:
+        zz = [0] * 64
+        raster = _fdct2([px(ox + x, oy + y) for y in range(8) for x in range(8)])
+        for z in range(64):
+            r = ZIGZAG[z]
+            zz[z] = int(round(raster[r] / _Q_UNIFORM[r]))
+        return zz
+
+    # pass 1: tokens for every block in MCU order
+    mcu_cols, mcu_rows = pw // mcu, ph // mcu
+    all_toks: list[tuple] = []
+    dc_syms: list[int] = []
+    ac_syms: list[int] = []
+    pred_y = 0
+    pred_c = [0, 0]
+    mcus: list[list] = []
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and (my * mcu_cols + mx) and \
+                    (my * mcu_cols + mx) % restart_interval == 0:
+                pred_y = 0
+                pred_c = [0, 0]
+            toks_mcu: list = []
+            n_b = 2 if color_420 else 1
+            for by in range(n_b):
+                for bx in range(n_b):
+                    zz = block_at(mx * mcu + bx * 8, my * mcu + by * 8)
+                    pred_y, toks = _block_tokens(zz, pred_y)
+                    toks_mcu.extend(toks)
+            if color_420:
+                for _c in range(2):  # neutral Cb, Cr: DC diff 0, EOB
+                    t0, b0 = _size_bits(0 - pred_c[_c])
+                    toks_mcu.append(("dc", t0, b0, t0))
+                    toks_mcu.append(("ac", 0x00, 0, 0))
+                    pred_c[_c] = 0
+            mcus.append(toks_mcu)
+            for kind, sym, _bits, _nb in toks_mcu:
+                (dc_syms if kind == "dc" else ac_syms).append(sym)
+
+    dc_counts, dc_symbols, dc_enc = _canonical_table(dc_syms, 5)
+    ac_counts, ac_symbols, ac_enc = _canonical_table(ac_syms, 9)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    qzz = bytes(_Q_UNIFORM[ZIGZAG[z]] for z in range(64))
+    out += seg(0xDB, b"\x00" + qzz)
+    if color_420:
+        sof = struct.pack(">BHHB", 8, height, width, 3)
+        sof += bytes((1, 0x22, 0)) + bytes((2, 0x11, 0)) + bytes((3, 0x11, 0))
+    else:
+        sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(dc_counts) + dc_symbols)
+    out += seg(0xC4, b"\x10" + bytes(ac_counts) + ac_symbols)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    if color_420:
+        sos = b"\x03" + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + b"\x00\x3f\x00"
+    else:
+        sos = b"\x01" + bytes((1, 0x00)) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    w = _BitWriter()
+    rst = 0
+    for i, toks_mcu in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            w.pad_and_marker(0xD0 + (rst & 7))
+            rst += 1
+        for kind, sym, bits, nb in toks_mcu:
+            code, ln = (dc_enc if kind == "dc" else ac_enc)[sym]
+            w.put(code, ln)
+            if nb:
+                w.put(bits, nb)
+    w.pad_and_marker(None)
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -102,8 +102,12 @@ def decode_image(b: bytes):
       (:mod:`.png` — zlib inflate + scanline unfilter, no third-party
       imports), returning ``(width, height, channels, pixels)``; runs
       UNGATED in this container.
-    - anything else (JPEG/GIF/TIFF/...) -> PIL when importable
-      (returns a PIL Image), else ``NotImplementedError`` — the same
+    - ``\\xff\\xd8`` (JPEG) -> PIL when importable (full color);
+      otherwise the stdlib baseline **luma** decoder (:mod:`.jpeg` —
+      Huffman entropy decode + IDCT, Y plane only), returning
+      ``(width, height, 1, luma)``; progressive JPEGs still need PIL.
+    - anything else (GIF/TIFF/...) -> PIL when importable (returns a
+      PIL Image), else ``NotImplementedError`` — the same
       gated-provider seam as the fitz/tesseract legs.
 
     Reference analog: real pixmap rendering at
@@ -118,9 +122,15 @@ def decode_image(b: bytes):
 
         return Image.open(io.BytesIO(bytes(b)))  # pragma: no cover
     except ImportError as e:
+        if b is not None and bytes(b[:2]) == b"\xff\xd8":
+            from data_ingestion_tool_bakasura__spark.multimodal import jpeg as _jpeg
+
+            w, h, luma = _jpeg.decode_jpeg_luma(bytes(b))
+            return w, h, 1, luma
         raise NotImplementedError(
-            "non-PNG image codecs need PIL (not installed in this "
-            "container); baseline PNG decodes via the stdlib path above"
+            "non-PNG/JPEG image codecs need PIL (not installed in this "
+            "container); baseline PNG and baseline-JPEG luma decode via "
+            "the stdlib paths above"
         ) from e
 
 
@@ -296,6 +306,13 @@ def ahash64_py(s) -> str:
             return _png.ahash64_png(raw)
         except ValueError:
             pass  # unsupported PNG corner -> deterministic stand-in
+    if raw is not None and raw[:2] == b"\xff\xd8":
+        from data_ingestion_tool_bakasura__spark.multimodal import jpeg as _jpeg
+
+        try:
+            return _jpeg.ahash64_jpeg(raw)
+        except ValueError:
+            pass  # progressive/arithmetic/12-bit -> deterministic stand-in
     if isinstance(s, (bytes, bytearray)):
         s = bytes(s).decode("latin-1")
     n = len(s)

@@ -1,0 +1,131 @@
+"""Stdlib baseline-JPEG luma decoder (multimodal/jpeg.py) + the
+real-pixel aHash leg it gives image near-dup for the dominant web
+image format (r11, the JPEG sibling of test_png). The fixture encoder
+is an independent implementation of the FORWARD path (DCT, quantize,
+Huffman with its own canonical tables, byte stuffing, restart
+markers), so a roundtrip checks real inverse arithmetic, not
+mirror-image code."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_tool_bakasura__spark.multimodal import media as MM
+from data_ingestion_tool_bakasura__spark.multimodal.jpeg import (
+    ahash64_jpeg,
+    decode_jpeg_luma,
+    encode_jpeg_gray,
+    is_jpeg,
+)
+
+
+def _gradient(w=48, h=32):
+    return bytes(((x * 5 + y * 3) % 256) for y in range(h) for x in range(w))
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},                                        # grayscale, single scan
+        {"restart_interval": 2},                   # RST markers + DC reset
+        {"color_420": True},                       # interleaved 4:2:0 MCUs
+        {"color_420": True, "restart_interval": 1},
+    ],
+)
+def test_roundtrip_all_layouts(kwargs):
+    w, h = 48, 32
+    px = _gradient(w, h)
+    dw, dh, luma = decode_jpeg_luma(encode_jpeg_gray(w, h, px, **kwargs))
+    assert (dw, dh) == (w, h)
+    errs = [abs(a - b) for a, b in zip(px, luma)]
+    assert max(errs) <= 8 and sum(errs) / len(errs) < 2.0  # quant error only
+
+
+def test_non_multiple_of_mcu_dims_crop():
+    """Odd dims force edge padding at encode and cropping at decode."""
+    for w, h, kw in [(13, 9, {}), (17, 11, {"color_420": True})]:
+        px = _gradient(w, h)
+        dw, dh, luma = decode_jpeg_luma(encode_jpeg_gray(w, h, px, **kw))
+        assert (dw, dh) == (w, h) and len(luma) == w * h
+        errs = [abs(a - b) for a, b in zip(px, luma)]
+        assert max(errs) <= 8
+
+
+def test_byte_stuffing_survives():
+    """A flat bright image produces large DC values whose entropy bytes
+    hit 0xFF often enough to exercise stuffing both directions."""
+    px = bytes([250]) * (24 * 24)
+    dw, dh, luma = decode_jpeg_luma(encode_jpeg_gray(24, 24, px))
+    assert (dw, dh) == (24, 24)
+    assert all(abs(v - 250) <= 8 for v in luma)
+
+
+def test_unsupported_and_malformed_raise_value_error():
+    jp = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = jp.index(b"\xff\xc0")
+    prog = jp[:i] + b"\xff\xc2" + jp[i + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(b"\xff\xd8\xff\xda\x00\x04\x01\x00")  # SOS w/o SOF
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(b"not a jpeg")
+    assert is_jpeg(bytes(jp)) and not is_jpeg(b"\x89PNG")
+
+
+def test_ahash_jpeg_edit_is_near():
+    w = h = 64
+    base = bytearray(((x * 4) if y < 32 else (255 - x * 4)) & 0xFF
+                     for y in range(h) for x in range(w))
+    edited = bytearray(base)
+    for yy in range(8, 16):  # one 8x8 patch inverted
+        for xx in range(8, 16):
+            edited[yy * w + xx] ^= 0xFF
+    a = ahash64_jpeg(encode_jpeg_gray(w, h, bytes(base)))
+    b = ahash64_jpeg(encode_jpeg_gray(w, h, bytes(edited)))
+    assert len(a) == 64 and set(a) <= {"0", "1"}
+    assert 0 < sum(x != y for x, y in zip(a, b)) <= 4
+    flat = ahash64_jpeg(encode_jpeg_gray(w, h, bytes([40, 220] * 2048)))
+    assert sum(x != y for x, y in zip(a, flat)) > 8
+
+
+def test_dispatch_and_decode_image_fallback():
+    """ahash64_py routes JPEG magic to real pixels; decode_image
+    returns the luma plane when PIL is absent; a payload with JPEG
+    magic but junk body falls back to the deterministic stand-in."""
+    jp = encode_jpeg_gray(*(48, 32), _gradient())
+    assert MM.ahash64_py(jp) == ahash64_jpeg(jp)
+    try:
+        import PIL  # type: ignore  # noqa: F401
+    except ImportError:
+        w, h, c, luma = MM.decode_image(jp)
+        assert (w, h, c) == (48, 32, 1) and len(luma) == 48 * 32
+    junk = b"\xff\xd8" + b"zz" * 30
+    assert MM.ahash64_py(junk) == MM.ahash64_py(bytearray(junk))
+
+
+def test_image_near_dup_real_jpeg_pair_ungated(spark):
+    """Planted JPEG pair (original + one-patch edit) pairs through the
+    unmodified image_near_dup seam with no codec libs installed."""
+    w = h = 64
+    base = bytearray(((x * 4) if y < 32 else (255 - x * 4)) & 0xFF
+                     for y in range(h) for x in range(w))
+    edited = bytearray(base)
+    for yy in range(40, 48):
+        for xx in range(24, 32):
+            edited[yy * w + xx] ^= 0xFF
+    rows = [
+        (1, encode_jpeg_gray(w, h, bytes(base))),
+        (2, encode_jpeg_gray(w, h, bytes(edited), color_420=True)),
+        (3, encode_jpeg_gray(w, h, bytes([7, 250] * 2048))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.image_near_dup(df, "media_id", "payload", max_hamming=3).collect()
+    }
+    # 1 vs 2 also crosses the grayscale/4:2:0 encoding boundary — the
+    # hash must depend on pixels, not on the container layout
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all(3 not in pair for pair in got)
