@@ -129,3 +129,56 @@ def test_image_near_dup_real_jpeg_pair_ungated(spark):
     # hash must depend on pixels, not on the container layout
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert all(3 not in pair for pair in got)
+
+
+def test_crawl_to_cross_format_image_near_dup(spark, tmp_path):
+    """The full loop a multimodal crawl needs (r11): a WARC archive
+    carries the SAME picture twice — once as PNG, once as a JPEG
+    re-encode — plus an unrelated image. At the byte level the twins
+    share nothing (different container, different compression), so
+    only REAL pixel decode can pair them: read_warc -> image payloads
+    -> image_near_dup finds exactly the PNG/JPEG pair."""
+    from data_ingestion_tool_bakasura__spark.multimodal.png import encode_png_gray
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    w = h = 64
+    pic = bytes(((x * 4) if y < 32 else (255 - x * 4)) & 0xFF
+                for y in range(h) for x in range(w))
+    other = bytes([9, 246] * 2048)
+
+    def rec(uri, body, ctype, rid):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "img.warc").write_bytes(
+        rec("https://a.example/p.png", encode_png_gray(w, h, pic),
+            "image/png", "p1")
+        + rec("https://b.example/p.jpg", encode_jpeg_gray(w, h, pic),
+              "image/jpeg", "j1")
+        + rec("https://c.example/x.png", encode_png_gray(w, h, other),
+              "image/png", "x1")
+    )
+    from pyspark.sql import functions as F
+
+    images = read_warc(spark, str(crawl)).filter(
+        F.col("content_type").startswith("image/")
+    ).select(F.col("url").alias("media_id"), "payload")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.image_near_dup(
+            images, "media_id", "payload", max_hamming=3
+        ).collect()
+    }
+    assert set(got) == {("https://a.example/p.png", "https://b.example/p.jpg")}
+    assert got[("https://a.example/p.png", "https://b.example/p.jpg")] <= 2
