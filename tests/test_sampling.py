@@ -551,3 +551,30 @@ def test_trigram_lang_id_serve_path_and_und(spark):
                 for r in SP.trigram_lang_id(
                     batch, prof, broadcast_profiles=False).collect()}
     assert shuffled == {k: v[0] for k, v in got.items()}
+
+
+def test_curate_cli_langid_journey(spark, tmp_path, capsys):
+    """r11: fit-langid persists trigram profiles; lang-id classifies a
+    corpus against them with sane accounting and a readable output
+    table."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    prof = str(tmp_path / "profiles")
+    rc = curate_cli.main(["fit-langid", src, prof])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and d["event"] == "langid_fitted"
+    assert set(d["trigrams_per_lang"]) == {"de", "en", "es", "fr", "zh"}
+
+    pred_out = str(tmp_path / "pred")
+    rc = curate_cli.main(["lang-id", src, prof, "--out", pred_out])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and d["n_docs"] == 500
+    assert sum(d["by_lang"].values()) == 500
+    got = spark.read.parquet(pred_out)
+    assert got.count() == 500
+    assert set(got.columns) == {"doc_id", "guess", "score"}

@@ -6,6 +6,10 @@ over a parquet documents table with (doc_id, text[, source, lang]).
     python tools/curate_cli.py report <docs_parquet>
     python tools/curate_cli.py fit-quality <labeled_parquet> <weights.json> \\
         [--label-col label]
+    python tools/curate_cli.py fit-langid <labeled_parquet> <profiles_dir> \\
+        [--lang-col lang]
+    python tools/curate_cli.py lang-id <docs_parquet> <profiles_dir> \\
+        [--out pred_parquet]
     python tools/curate_cli.py run <docs_parquet> <out_dir> \\
         [--span-n 20] [--nll-max 5.38] [--min-quality 0.25] \\
         [--quality-weights weights.json] \\
@@ -60,6 +64,21 @@ def main(argv: list[str] | None = None) -> int:
     p_bpe.add_argument("--n-merges", type=int, default=1000)
     p_bpe.add_argument("--max-words", type=int, default=50_000)
 
+    p_fl = sub.add_parser(
+        "fit-langid", help="fit char-trigram language profiles on labeled docs"
+    )
+    p_fl.add_argument("labeled")
+    p_fl.add_argument("profiles_out")
+    p_fl.add_argument("--lang-col", default="lang")
+
+    p_li = sub.add_parser(
+        "lang-id", help="classify docs against fitted language profiles"
+    )
+    p_li.add_argument("docs")
+    p_li.add_argument("profiles")
+    p_li.add_argument("--out", default=None,
+                      help="write (doc_id, guess, score) parquet here")
+
     p_run = sub.add_parser("run", help="surgery -> LM filter -> quality -> splits")
     p_run.add_argument("docs")
     p_run.add_argument("out_dir")
@@ -95,7 +114,40 @@ def main(argv: list[str] | None = None) -> int:
                           "out": args.weights_out}))
         return 0
 
+    if args.cmd == "fit-langid":
+        from data_ingestion_tool_bakasura__spark.operators.sampling import (
+            fit_lang_profiles,
+        )
+
+        labeled = spark.read.parquet(args.labeled)
+        prof = fit_lang_profiles(labeled, lang_col=args.lang_col)
+        prof.write.mode("overwrite").parquet(args.profiles_out)
+        stats = {
+            r["lang"]: r["n"]
+            for r in prof.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"event": "langid_fitted", "out": args.profiles_out,
+                          "trigrams_per_lang": stats}))
+        return 0
+
     docs = spark.read.parquet(args.docs)
+
+    if args.cmd == "lang-id":
+        from data_ingestion_tool_bakasura__spark.operators.sampling import (
+            trigram_lang_id,
+        )
+
+        prof = spark.read.parquet(args.profiles)
+        pred = trigram_lang_id(docs, prof)
+        if args.out:
+            pred.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["guess"]: r["n"]
+            for r in pred.groupBy("guess").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"event": "lang_identified", "n_docs": sum(counts.values()),
+                          "by_lang": counts, "out": args.out}))
+        return 0
 
     if args.cmd == "report":
         print(json.dumps(_report_row(docs), default=str))
