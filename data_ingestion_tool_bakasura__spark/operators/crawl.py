@@ -74,6 +74,137 @@ def domain_cap(
     )
 
 
+def parse_robots(body: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt body -> ``[(path_prefix, allow), ...]`` for the
+    group matching ``agent`` (exact product-token match preferred,
+    ``*`` group fallback — RFC 9309 §2.2.1).
+
+    Supported subset, stated honestly: prefix rules with an optional
+    trailing ``*`` (a no-op under prefix semantics); rules containing
+    mid-pattern ``*`` or ``$`` anchors are SKIPPED (treated as absent)
+    rather than mis-matched — the conservative reading for a curation
+    pipeline is "a rule we can't evaluate doesn't block". An empty
+    ``Disallow:`` is the spec's allow-all idiom (no rule emitted).
+    Pure function; unit-tested without Spark; :func:`robots_filter`
+    applies the result distributively."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_group_body = False
+    for line in (body or "").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:  # a new group starts
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if not value:
+                continue  # empty Disallow/Allow: no rule
+            prefix = value[:-1] if value.endswith("*") else value
+            if "*" in prefix or "$" in prefix:
+                continue  # unsupported pattern: skip, documented above
+            cur_rules.append((prefix, field == "allow"))
+        else:
+            in_group_body = in_group_body or field in ("crawl-delay", "sitemap")
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    agent = agent.lower()
+    for agents, rules in groups:  # exact agent match wins
+        if agent != "*" and agent in agents:
+            return rules
+    for agents, rules in groups:  # then the wildcard group
+        if "*" in agents:
+            return rules
+    return []
+
+
+def robots_rules_df(
+    robots: DataFrame, agent: str = "*", host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, robots.txt body) table -> exploded rule table
+    ``(host, prefix, allow, prefix_len)`` via :func:`parse_robots`.
+    Bodies parse once per host (not per page); the result is the
+    small broadcastable side of :func:`robots_filter` — a crawl of
+    millions of hosts yields a rules table of tens of millions of
+    short rows, still joinable (pass ``broadcast_rules=False``
+    there)."""
+    import pandas as pd
+
+    def _explode(batches):
+        for pdf in batches:
+            out = []
+            for host, body in zip(pdf["_h"], pdf["_b"]):
+                for prefix, allow in parse_robots(body or "", agent):
+                    out.append((host, prefix, allow, len(prefix)))
+            yield pd.DataFrame(
+                out, columns=["host", "prefix", "allow", "prefix_len"]
+            )
+
+    return robots.select(
+        F.col(host_col).alias("_h"), F.col(body_col).alias("_b")
+    ).mapInPandas(
+        _explode, schema="host string, prefix string, allow boolean, prefix_len int"
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Drop rows a robots.txt rule disallows — RFC 9309 longest-match
+    evaluation: among the matching rules for a URL's (host, path) the
+    LONGEST prefix wins, ties go to allow, and no matching rule (or no
+    robots entry for the host) means allowed.
+
+    ``rules``: the table from :func:`robots_rules_df` (host, prefix,
+    allow, prefix_len). Plan: one (broadcast by default) left join on
+    host + a prefix ``startswith`` filter folded into the join
+    condition, then a per-row max(struct(prefix_len, allow)) aggregate
+    — no window, no Python in the hot path. Matching is on the raw
+    path (query excluded), per the common-crawler reading."""
+    rid = F.monotonically_increasing_id()
+    pages = df.withColumn("_rid", rid)
+    host = U.url_host(F.col(url_col))
+    path_raw = U.url_path(F.col(url_col))
+    keyed = pages.withColumn("_host", host).withColumn(
+        "_path", F.when(path_raw == "", "/").otherwise(path_raw)
+    )
+    r = rules.select(
+        F.col("host").alias("_host"), "prefix", "allow", "prefix_len"
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    joined = keyed.join(
+        r,
+        on=(keyed["_host"] == r["_host"]) & keyed["_path"].startswith(r["prefix"]),
+        how="left",
+    )
+    # non-matching left-join rows carry struct(NULL, NULL) — which is a
+    # NON-null struct, so wrap in when(): no match must aggregate to a
+    # NULL verdict (= allowed), not a null-fielded winner
+    verdict = joined.groupBy("_rid").agg(
+        F.max(
+            F.when(F.col("prefix_len").isNotNull(),
+                   F.struct("prefix_len", "allow"))
+        ).alias("_top")
+    )
+    return (
+        keyed.join(verdict, "_rid")
+        .filter(F.col("_top").isNull() | F.col("_top.allow"))
+        .drop("_rid", "_host", "_path", "_top")
+    )
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     blocked: DataFrame | Sequence[str],

@@ -357,6 +357,91 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# --- robots.txt filtering (r11) -------------------------------------------
+# One rule set, two derivations: the Spark side renders actual
+# robots.txt BODIES from _ROBOTS_RULES and parses them back through
+# parse_robots/robots_rules_df (so the parser is inside the checked
+# path); the DuckDB oracle takes the same rules as inline VALUES and
+# replays RFC 9309 longest-match-ties-to-allow in SQL.
+
+#: (host-ordinal or None for "every host", prefix, allow)
+_ROBOTS_RULES = [
+    (None, "/doc/1", False),   # blocks /doc/1*
+    (None, "/doc/12", True),   # longer allow wins /doc/12* back
+    (3, "/", False),           # example3.com fully disallowed
+    (5, "/doc/4", False),      # equal-length tie on example5.com:
+    (5, "/doc/4", True),       # allow wins (RFC 9309 least-restrictive)
+]
+
+
+def _robots_bodies() -> list[tuple[str, str]]:
+    out = []
+    for d in range(13):
+        lines = ["User-agent: *"]
+        for who, prefix, allow in _ROBOTS_RULES:
+            if who is None or who == d:
+                lines.append(("Allow: " if allow else "Disallow: ") + prefix)
+        out.append((f"example{d}.com", "\n".join(lines)))
+    return out
+
+
+def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt gate over the synthesized crawl: bodies -> parsed
+    rule table (mapInPandas, once per host) -> broadcast longest-match
+    join -> per-host survivor rollup."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id")
+        .withColumn("url", F.expr(_WET_URL.replace("VARCHAR", "STRING")))
+    )
+    robots = spark.createDataFrame(_robots_bodies(), "host string, body string")
+    kept = C.robots_filter(docs, C.robots_rules_df(robots), "url")
+    return (
+        kept.withColumn("host", U.url_host(F.col("url")))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("host")
+    )
+
+
+def _robots_rules_values() -> str:
+    rows = []
+    for d in range(13):
+        for who, prefix, allow in _ROBOTS_RULES:
+            if who is None or who == d:
+                rows.append(
+                    f"('example{d}.com', '{prefix}', "
+                    f"{'true' if allow else 'false'}, {len(prefix)})"
+                )
+    return ", ".join(rows)
+
+
+ORACLE["q_robots_filter"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host,
+         '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), r(host, prefix, allow, plen) AS (
+  VALUES {_robots_rules_values()}
+), j AS (
+  SELECT w.doc_id, w.host, r.allow, r.plen
+  FROM w LEFT JOIN r ON r.host = w.host AND starts_with(w.path, r.prefix)
+), v AS (
+  SELECT doc_id, host,
+         (array_agg(allow ORDER BY plen DESC, allow DESC))[1] AS top_allow,
+         count(plen) AS n_match
+  FROM j GROUP BY doc_id, host
+)
+SELECT host, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM v WHERE n_match = 0 OR top_allow
+GROUP BY host ORDER BY host
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -365,4 +450,5 @@ QUERIES = {
     "q_crawl_pipeline": q_crawl_pipeline,
     "q_wet_pipeline": q_wet_pipeline,
     "q_wat_metadata": q_wat_metadata,
+    "q_robots_filter": q_robots_filter,
 }

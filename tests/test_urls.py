@@ -208,3 +208,76 @@ def test_twin_parity_property(shared_spark_for_property, urls_parts):
         assert (row["host"], row["domain"], row["depth"], row["norm"]) == (
             h, d, dep, n,
         ), row["i"]
+
+
+# --- robots.txt (r11) -------------------------------------------------------
+
+
+def test_parse_robots_groups_and_subset():
+    body = """
+# comment
+User-agent: GoodBot
+Disallow: /private
+Allow: /private/ok
+
+User-agent: *
+User-agent: other
+Disallow: /tmp/
+Allow:
+Disallow:
+Disallow: /wild*card
+Disallow: /trail*
+Crawl-delay: 10
+"""
+    # exact agent group preferred (case-insensitive)
+    assert C.parse_robots(body, "goodbot") == [
+        ("/private", False), ("/private/ok", True),
+    ]
+    # '*' group: empty rules skipped, mid-pattern wildcard skipped,
+    # trailing '*' stripped
+    assert C.parse_robots(body) == [("/tmp/", False), ("/trail", False)]
+    # no matching group, no '*' group -> allow-all
+    assert C.parse_robots("User-agent: x\nDisallow: /", "y") == []
+    assert C.parse_robots("") == []
+    # consecutive User-agent lines share one group (RFC 9309)
+    assert C.parse_robots(body, "other") == [("/tmp/", False), ("/trail", False)]
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/doc/1", False, 6),
+            ("a.example", "/doc/12", True, 7),
+            ("b.example", "/", False, 1),
+            ("c.example", "/x", False, 2),
+            ("c.example", "/x", True, 2),  # equal length: allow wins
+        ],
+        "host string, prefix string, allow boolean, prefix_len int",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example/doc/15"),    # /doc/1 disallow
+            (2, "https://a.example/doc/125"),   # /doc/12 allow (longer)
+            (3, "https://a.example/other"),     # no rule -> allowed
+            (4, "https://b.example/anything"),  # '/' disallow
+            (5, "https://b.example"),           # empty path -> '/' -> blocked
+            (6, "https://c.example/x/tie"),     # tie -> allow
+            (7, "https://unknown.example/x"),   # host absent -> allowed
+        ],
+        "id int, url string",
+    )
+    kept = sorted(r["id"] for r in C.robots_filter(df, rules).collect())
+    assert kept == [2, 3, 6, 7]
+
+
+def test_robots_rules_df_parses_once_per_host(spark):
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /a\nAllow: /a/b")],
+        "host string, body string",
+    )
+    rows = sorted(
+        map(tuple, C.robots_rules_df(robots).collect())
+    )
+    assert rows == [
+        ("h.example", "/a", False, 2), ("h.example", "/a/b", True, 4),
+    ]
