@@ -521,6 +521,7 @@ def start_streaming_crawl(
     payload_col: str = "payload",
     order_col: str = "record_id",
     blocked_domains=None,
+    robots_rules_path: str | None = None,
     max_per_domain_per_batch: int | None = None,
     max_per_domain_total: int | None = None,
     dsir_ratios_path: str | None = None,
@@ -544,7 +545,11 @@ def start_streaming_crawl(
     target, and the guard anti-join reads it — a crash-then-replayed
     micro-batch re-probes the corpus and contributes nothing. (The
     two-write ordering discipline of the image/dedup sinks is not
-    needed.) ``max_per_domain_per_batch`` bounds a hostile batch;
+    needed.) ``robots_rules_path`` points at a persisted
+    ``robots_rules_df`` table (host, prefix, allow, prefix_len): each
+    batch passes the RFC 9309 longest-match gate before landing — the
+    politeness filter every real crawler runs.
+    ``max_per_domain_per_batch`` bounds a hostile batch;
     ``max_per_domain_total`` enforces a CORPUS-WIDE cap across batches
     by joining the persisted per-domain counts (an O(domains) exchange
     per batch — at crawl scale domains are millions of rows, so this
@@ -584,6 +589,14 @@ def start_streaming_crawl(
             batch = batch.join(seen, on="norm_url", how="left_anti")
         if blocked_domains:
             batch = CR.domain_blocklist_filter(batch, blocked_domains, url_col)
+        if robots_rules_path:
+            # persisted (host, prefix, allow, prefix_len) table from
+            # robots_rules_df(...).write.parquet(...) — the politeness
+            # gate every real crawler runs; rules fit memory per-host
+            # and broadcast
+            batch = CR.robots_filter(
+                batch, spark.read.parquet(robots_rules_path), url_col
+            )
         if max_per_domain_per_batch:
             batch = CR.domain_cap(
                 batch, url_col, max_per_domain_per_batch, order_col=order_col

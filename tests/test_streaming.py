@@ -491,3 +491,50 @@ def test_streaming_crawl_accepts_wet_stream(spark, tmp_path):
     assert [r["url"] for r in rows] == ["https://cats.example/a"]
     assert rows[0]["text"] == f"{cat} fresh"  # verbatim, no html leg
     assert rows[0]["log_weight"] > -1.5
+
+
+def test_streaming_crawl_robots_gate(spark, tmp_path):
+    """r11: a persisted robots rule table gates the streaming crawl —
+    disallowed paths never land, longer Allow rules win back."""
+    from data_ingestion_tool_bakasura__spark.operators.crawl import robots_rules_df
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wet
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    robots = spark.createDataFrame(
+        [("site.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok")],
+        "host string, body string",
+    )
+    rules_path = str(tmp_path / "rules")
+    robots_rules_df(robots).write.parquet(rules_path)
+
+    def wet(uri, text, rid):
+        body = text.encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "w.warc.wet").write_bytes(
+        wet("https://site.example/public/a", "open page", "1")
+        + wet("https://site.example/private/x", "secret page", "2")
+        + wet("https://site.example/private/ok/y", "allowed back", "3")
+    )
+    corpus = str(tmp_path / "corpus")
+    start_streaming_crawl(
+        read_wet(spark, str(d), streaming=True),
+        corpus,
+        payload_col="text",
+        robots_rules_path=rules_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    urls = sorted(r["url"] for r in spark.read.parquet(corpus).collect())
+    assert urls == [
+        "https://site.example/private/ok/y", "https://site.example/public/a",
+    ]
