@@ -127,10 +127,14 @@ def decode_image(b: bytes):
 
             w, h, luma = _jpeg.decode_jpeg_luma(bytes(b))
             return w, h, 1, luma
+        if b is not None and bytes(b[:6]) in (b"GIF87a", b"GIF89a"):
+            from data_ingestion_tool_bakasura__spark.multimodal import gif as _gif
+
+            w, h, luma = _gif.decode_gif_luma(bytes(b))
+            return w, h, 1, luma
         raise NotImplementedError(
-            "non-PNG/JPEG image codecs need PIL (not installed in this "
-            "container); baseline PNG and baseline-JPEG luma decode via "
-            "the stdlib paths above"
+            "image codecs beyond PNG/JPEG/GIF need PIL (not installed in "
+            "this container); those three decode via the stdlib paths above"
         ) from e
 
 
@@ -313,6 +317,13 @@ def ahash64_py(s) -> str:
             return _jpeg.ahash64_jpeg(raw)
         except ValueError:
             pass  # progressive/arithmetic/12-bit -> deterministic stand-in
+    if raw is not None and raw[:6] in (b"GIF87a", b"GIF89a"):
+        from data_ingestion_tool_bakasura__spark.multimodal import gif as _gif
+
+        try:
+            return _gif.ahash64_gif(raw)
+        except ValueError:
+            pass  # malformed -> deterministic stand-in
     if isinstance(s, (bytes, bytearray)):
         s = bytes(s).decode("latin-1")
     n = len(s)
