@@ -132,9 +132,15 @@ def decode_image(b: bytes):
 
             w, h, luma = _gif.decode_gif_luma(bytes(b))
             return w, h, 1, luma
+        if b is not None and bytes(b[:2]) == b"BM":
+            from data_ingestion_tool_bakasura__spark.multimodal import bmp as _bmp
+
+            w, h, luma = _bmp.decode_bmp_luma(bytes(b))
+            return w, h, 1, luma
         raise NotImplementedError(
-            "image codecs beyond PNG/JPEG/GIF need PIL (not installed in "
-            "this container); those three decode via the stdlib paths above"
+            "image codecs beyond PNG/JPEG/GIF/BMP need PIL (not installed "
+            "in this container); those four decode via the stdlib paths "
+            "above"
         ) from e
 
 
@@ -204,10 +210,46 @@ def sample_frames(
     return src.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
+def wav_features_py(raw: bytes) -> tuple[int, int, float, float]:
+    """Real-audio leg (r11): RIFF/WAVE PCM via the stdlib ``wave``
+    module -> (sample_rate, n_samples, duration_s, energy) where
+    energy is the mean square of [-1, 1]-normalized samples (averaged
+    across channels' interleaved stream). 8/16/32-bit integer PCM;
+    float/compressed WAV raises ``ValueError`` (the librosa leg's
+    territory)."""
+    import io
+    import struct as _struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw)) as wf:
+            sr = wf.getframerate()
+            n = wf.getnframes()
+            sw = wf.getsampwidth()
+            frames = wf.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+    if sw == 1:  # unsigned 8-bit
+        vals = [(x - 128) / 128.0 for x in frames]
+    elif sw == 2:
+        cnt = len(frames) // 2
+        vals = [v / 32768.0 for v in _struct.unpack(f"<{cnt}h", frames[: 2 * cnt])]
+    elif sw == 4:
+        cnt = len(frames) // 4
+        vals = [v / 2147483648.0
+                for v in _struct.unpack(f"<{cnt}i", frames[: 4 * cnt])]
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    energy = (sum(v * v for v in vals) / len(vals)) if vals else 0.0
+    return sr, n, n / sr if sr else 0.0, energy
+
+
 def audio_features(df: DataFrame, id_col: str = "media_id", media_col: str = "media") -> DataFrame:
-    """Duration + byte-energy features for AUD1 payloads — the
-    feature-extract slot (real impl: librosa/torchaudio behind the same
-    schema)."""
+    """Duration + energy features for audio payloads: REAL RIFF/WAVE
+    PCM decodes via the stdlib ``wave`` module (energy = mean square
+    of normalized samples); the deterministic ``AUD1`` container keeps
+    its byte-energy stand-in semantics; other formats (mp3/ogg/flac)
+    are the gated librosa/torchaudio slot behind this same schema."""
     schema = T.StructType(
         [
             T.StructField("audio_id", T.StringType()),
@@ -224,13 +266,21 @@ def audio_features(df: DataFrame, id_col: str = "media_id", media_col: str = "me
             for aid, b in zip(pdf["_id"], pdf["_media"]):
                 if b is None:
                     continue
+                raw = bytes(b)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    try:
+                        sr, ns, dur, energy = wav_features_py(raw)
+                    except ValueError:
+                        continue  # float/compressed WAV: librosa leg
+                    rows.append((str(aid), sr, ns, dur, round(energy, 6)))
+                    continue
                 try:
                     h = _parse_header(b)
                     if h["format"] != "AUD1":
                         continue
                 except Exception:
                     continue
-                payload = bytes(b).split(b"|", 3)[-1]
+                payload = raw.split(b"|", 3)[-1]
                 energy = (sum(x * x for x in payload) / len(payload)) if payload else 0.0
                 rows.append(
                     (str(aid), h["sample_rate"], h["n_samples"],
@@ -324,6 +374,13 @@ def ahash64_py(s) -> str:
             return _gif.ahash64_gif(raw)
         except ValueError:
             pass  # malformed -> deterministic stand-in
+    if raw is not None and raw[:2] == b"BM":
+        from data_ingestion_tool_bakasura__spark.multimodal import bmp as _bmp
+
+        try:
+            return _bmp.ahash64_bmp(raw)
+        except ValueError:
+            pass  # RLE/bitfields/malformed -> deterministic stand-in
     if isinstance(s, (bytes, bytearray)):
         s = bytes(s).decode("latin-1")
     n = len(s)

@@ -345,3 +345,93 @@ def test_audio_near_dup_via_payload_hash(spark):
     assert got[("a1", "a2")] == 0
     assert ("a1", "a3") in got and got[("a1", "a3")] <= 8
     assert all("a4" not in p for p in got)
+
+
+# --- r11: BMP + WAV real-media legs ----------------------------------------
+
+
+def test_bmp_roundtrip_and_dispatch():
+    from data_ingestion_tool_bakasura__spark.multimodal.bmp import (
+        ahash64_bmp,
+        decode_bmp_luma,
+        encode_bmp_gray,
+    )
+
+    for w, h in [(13, 7), (32, 32)]:
+        px = bytes(((x * 9 + y * 5) % 256) for y in range(h) for x in range(w))
+        for td in (False, True):
+            dw, dh, luma = decode_bmp_luma(encode_bmp_gray(w, h, px, top_down=td))
+            assert (dw, dh, luma) == (w, h, px)
+    bmpb = encode_bmp_gray(16, 16, bytes(range(256)))
+    assert MM.ahash64_py(bmpb) == ahash64_bmp(bmpb)
+    # RLE-compressed header field -> ValueError -> stand-in fallback
+    broken = bytearray(bmpb)
+    broken[30] = 1  # BI_RLE8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp_luma(bytes(broken))
+    assert MM.ahash64_py(bytes(broken)) == MM.ahash64_py(bytes(broken))
+
+
+def test_bmp_png_cross_format_identical_hash():
+    """Lossless pair: the same pixels as BMP and PNG hash identically."""
+    from data_ingestion_tool_bakasura__spark.multimodal.bmp import encode_bmp_gray
+    from data_ingestion_tool_bakasura__spark.multimodal.png import encode_png_gray
+
+    w = h = 64
+    pic = bytes(((x * 4) if y < 32 else (255 - x * 4)) & 0xFF
+                for y in range(h) for x in range(w))
+    assert MM.ahash64_py(encode_bmp_gray(w, h, pic)) == MM.ahash64_py(
+        encode_png_gray(w, h, pic)
+    )
+
+
+def _wav_bytes(sr=8000, n=4000, sw=2, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sw)
+        wf.setframerate(sr)
+        if sw == 2:
+            frames = b"".join(
+                struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr)))
+                for i in range(n)
+            )
+        else:
+            frames = bytes(
+                128 + int(amp * 127 * math.sin(2 * math.pi * 440 * i / sr))
+                for i in range(n)
+            )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_features_real_pcm(spark):
+    """RIFF/WAVE payloads yield REAL sample-domain features: a 0.5-amp
+    sine has mean-square energy ~ amp^2/2 = 0.125; the AUD1 stand-in
+    rows keep their historical semantics side by side."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import wav_features_py
+
+    wav16 = _wav_bytes(sw=2)
+    sr, ns, dur, energy = wav_features_py(wav16)
+    assert (sr, ns, dur) == (8000, 4000, 0.5)
+    assert abs(energy - 0.125) < 0.01
+    sr8, ns8, _, energy8 = wav_features_py(_wav_bytes(sw=1))
+    assert (sr8, ns8) == (8000, 4000) and abs(energy8 - 0.125) < 0.02
+
+    df = spark.createDataFrame(
+        [("w1", wav16), ("a1", b"AUD1|16000|32000|" + bytes(range(10))),
+         ("junk", b"RIFF1234WAVEgarbage")],
+        "media_id string, media binary",
+    )
+    rows = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    assert set(rows) == {"w1", "a1"}  # malformed WAV dropped, not crashed
+    assert rows["w1"]["duration_s"] == 0.5
+    assert abs(rows["w1"]["byte_energy"] - 0.125) < 0.01
+    assert rows["a1"]["duration_s"] == 2.0  # stand-in semantics unchanged
