@@ -111,6 +111,8 @@ HEADLINE = [
     "q_dsir_weights",          # r10: DSIR importance weights (C19)
     "q_wet_pipeline",          # r11: WET source -> dedup -> cap -> rollup (C1/C20)
     "q_lang_id_trigram",       # r11: char-trigram profile lang-id (C16)
+    "q_gopher_quality",        # r11: Gopher quality rules, map-only (C20)
+    "q_web_quality_pipeline",  # r11: C4 clean -> Gopher gate composition (C20)
 ]
 
 

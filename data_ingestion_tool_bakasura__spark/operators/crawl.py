@@ -232,3 +232,35 @@ def domain_blocklist_filter(
         )
         .drop("_dom")
     )
+
+
+def web_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    gate: str = "c4+gopher",
+) -> DataFrame:
+    """C4 / Gopher page-quality gate over a batch frame — the shared
+    leg behind ``curate_cli web-quality`` and the streaming crawl's
+    ``quality_gate`` option (streaming/pipeline.py), composing the
+    oracle-certified exprs of :mod:`..functions.quality`.
+
+    ``gate``: ``'c4'`` (line cleaning + document gates; REWRITES
+    ``text_col`` to the cleaned text), ``'gopher'`` (document rules
+    only, text untouched), or ``'c4+gopher'`` (the FineWeb order —
+    C4 first, Gopher judges the CLEANED text). Pure map-only codegen:
+    zero exchanges, zero Python, filters evaluated scan-side — at
+    100 TB the gate adds nothing to shuffle volume."""
+    from data_ingestion_tool_bakasura__spark.functions import quality as Q
+
+    if gate not in ("c4", "gopher", "c4+gopher"):
+        raise ValueError(
+            f"gate must be 'c4', 'gopher' or 'c4+gopher', got {gate!r}"
+        )
+    out = df
+    if "c4" in gate:
+        out = out.filter(Q.c4_doc_keep(F.col(text_col))).withColumn(
+            text_col, Q.c4_clean(F.col(text_col))
+        )
+    if "gopher" in gate:
+        out = out.filter(Q.gopher_keep(F.col(text_col)))
+    return out

@@ -54,11 +54,15 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    # --- NEW in round 11 (WET/WAT aperture, trigram lang-id, robots): first ---
+    # --- NEW in round 11 (WET/WAT aperture, trigram lang-id, robots,
+    # C4/Gopher web quality): first ---
     "q_lang_id_trigram",
     "q_wet_pipeline",
     "q_wat_metadata",
     "q_robots_filter",
+    "q_c4_line_clean",
+    "q_gopher_quality",
+    "q_web_quality_pipeline",
     # --- impl changed in round 11: re-certify next (QUERY_RE fragment
     # anchoring -> the three URL-normalizing queries; tables_of gained
     # the ruled-only detector -> q_page_extract; ahash64 gained the
@@ -112,14 +116,16 @@ _PRIORITY = [
     "q_min_cost_supplier",
     "q_funnel_conversion",
     "q_volume_shipping",
+    # ---------- 50-query window boundary ----------
+    # Four r8-evidence rows sit displaced past the boundary by the
+    # late-landing round-11 queries (q_robots_filter displaced
+    # q_exists_subquery; the C4/Gopher web-quality trio displaced the
+    # next three) — driver evidence for a NEW operator outranks
+    # retiring the final r8 rows. All four lead the r12 rotation
+    # together with the r9 block.
     "q_stream_tumbling_hourly",
     "q_quantized_rerank",
     "q_value_zscore_builtin",
-    # ---------- 50-query window boundary ----------
-    # q_exists_subquery is the ONE r8-evidence row displaced past the
-    # boundary by the late-landing q_robots_filter (driver evidence for
-    # a new operator outranks retiring the final r8 row); it leads the
-    # r12 rotation together with the r9 block.
     "q_exists_subquery",
     # everything below carries an r9/r10 driver-green row; r9 rows lead
     # the r12 rotation (with any r12 new/impl-changed queries first).

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_tool_bakasura__spark.functions import quality as Q
 from data_ingestion_tool_bakasura__spark.functions import urls as U
 from data_ingestion_tool_bakasura__spark.operators import crawl as C
 from data_ingestion_tool_bakasura__spark.sources.readers import load_table
@@ -442,6 +443,138 @@ GROUP BY host ORDER BY host
 """
 
 
+# --- C4 line cleaning + Gopher quality rules (round 11) -------------------
+# The fixture docs are single-line word streams, so each query
+# synthesizes an adversarial multi-line "web page" per document with
+# ONE SQL fragment (_PAGE) evaluated verbatim by both engines — nav
+# chrome, javascript boilerplate, lorem-ipsum templates, code pages,
+# bullet spam, stub pages. What's under test is functions/quality.py
+# (Spark Column exprs vs their *_sql DuckDB twins, generated from the
+# same rule constants). Zero exchanges: every signal is a map-only
+# codegen expression — the shape that survives 100 TB.
+
+_T1 = "substr(text, 1, 200)"
+_T2 = "substr(text, 201, 180)"
+_PAGE = f"""CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN 'Home | About | Contact' || chr(10) || {_T1} || ' and that have with the story.' || chr(10) || 'Please enable javascript to view comments.' || chr(10) || {_T2} || ' to be of use. It was fine. It held up! Did it work? It did.' || chr(10) || 'Read more...'
+  WHEN 1 THEN {_T1} || ' and that have with the rest of it.' || chr(10) || 'The method held to be of note. We ran it again. It worked! What next? More runs.'
+  WHEN 2 THEN 'Lorem ipsum dolor sit amet. ' || {_T1} || ' and that have with the filler. It ran once. It ran twice! Did it? Yes.'
+  WHEN 3 THEN 'function init() {{' || chr(10) || {_T1} || ' and that have with the code. It ran once. It ran twice! Did it? Yes.'
+  WHEN 4 THEN '- the first item of note be here.' || chr(10) || '- the second item of note have here.' || chr(10) || '- the third item of note with here.' || chr(10) || '- the fourth item of note and here.' || chr(10) || '- the fifth item of note to here.' || chr(10) || '- the sixth item of note that here.'
+  ELSE 'A short stub page here.' || chr(10) || 'Nothing else to see.'
+END"""
+
+
+def _with_page(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select(
+        "doc_id", F.expr(_PAGE).alias("page")
+    )
+
+
+def q_c4_line_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020): per-page line
+    counts before/after the keep-line predicate, sentence count of the
+    cleaned page, and the document-level gate (lorem ipsum / code
+    brace / min-sentences). Map-only codegen — no exchange until the
+    final presentation sort."""
+    page = F.col("page")
+    return _with_page(spark, sf).select(
+        "doc_id",
+        Q.c4_line_count(page).cast("bigint").alias("n_lines"),
+        Q.c4_kept_line_count(page).cast("bigint").alias("n_kept"),
+        Q.sentence_count(Q.c4_clean(page)).cast("bigint").alias("n_sentences"),
+        F.md5(Q.c4_clean(page)).alias("clean_md5"),
+        Q.c4_doc_keep(page).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_P = f"({_PAGE})"
+_CLEAN = Q.c4_clean_sql(_P)
+ORACLE["q_c4_line_clean"] = f"""
+SELECT doc_id,
+       {Q.c4_line_count_sql(_P)} AS n_lines,
+       {Q.c4_kept_line_count_sql(_P)} AS n_kept,
+       CAST({Q.sentence_count_sql(_CLEAN)} AS BIGINT) AS n_sentences,
+       md5({_CLEAN}) AS clean_md5,
+       {Q.c4_doc_keep_sql(_P)} AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021
+    App. A): every signal reported per page plus the combined gate.
+    All higher-order-function codegen over one split — the per-page
+    cost a 1000-executor crawl pass pays with zero shuffles."""
+    page = F.col("page")
+    return _with_page(spark, sf).select(
+        "doc_id",
+        Q.gopher_n_words(page).cast("bigint").alias("n_words"),
+        F.round(Q.gopher_mean_word_len(page), 6).alias("mean_word_len"),
+        F.round(Q.gopher_alpha_frac(page), 6).alias("alpha_frac"),
+        F.round(Q.gopher_symbol_ratio(page), 6).alias("symbol_ratio"),
+        F.round(Q.gopher_bullet_frac(page), 6).alias("bullet_frac"),
+        F.round(Q.gopher_ellipsis_frac(page), 6).alias("ellipsis_frac"),
+        Q.gopher_stopword_hits(page).cast("bigint").alias("stopword_hits"),
+        Q.gopher_keep(page).alias("keep"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_gopher_quality"] = f"""
+SELECT doc_id,
+       {Q.gopher_n_words_sql(_P)} AS n_words,
+       round({Q.gopher_mean_word_len_sql(_P)}, 6) AS mean_word_len,
+       round({Q.gopher_alpha_frac_sql(_P)}, 6) AS alpha_frac,
+       round({Q.gopher_symbol_ratio_sql(_P)}, 6) AS symbol_ratio,
+       round({Q.gopher_bullet_frac_sql(_P)}, 6) AS bullet_frac,
+       round({Q.gopher_ellipsis_frac_sql(_P)}, 6) AS ellipsis_frac,
+       {Q.gopher_stopword_hits_sql(_P)} AS stopword_hits,
+       {Q.gopher_keep_sql(_P)} AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_web_quality_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed web-quality pass, the C4->Gopher order real pipelines
+    use (FineWeb): C4 line cleaning + document gates first, then the
+    Gopher rules over the CLEANED text; survivors only. Still one
+    map-only stage — both filters fuse into the same codegen span."""
+    cleaned = (
+        _with_page(spark, sf)
+        .filter(Q.c4_doc_keep(F.col("page")))
+        .select("doc_id", Q.c4_clean(F.col("page")).alias("clean"))
+    )
+    c = F.col("clean")
+    return (
+        cleaned.filter(Q.gopher_keep(c))
+        .select(
+            "doc_id",
+            Q.gopher_n_words(c).cast("bigint").alias("n_words"),
+            F.round(Q.gopher_mean_word_len(c), 6).alias("mean_word_len"),
+            F.md5(c).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_web_quality_pipeline"] = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN} AS clean
+  FROM documents
+  WHERE {Q.c4_doc_keep_sql(_P)}
+)
+SELECT doc_id,
+       {Q.gopher_n_words_sql('clean')} AS n_words,
+       round({Q.gopher_mean_word_len_sql('clean')}, 6) AS mean_word_len,
+       md5(clean) AS clean_md5
+FROM cleaned
+WHERE {Q.gopher_keep_sql('clean')}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -451,4 +584,7 @@ QUERIES = {
     "q_wet_pipeline": q_wet_pipeline,
     "q_wat_metadata": q_wat_metadata,
     "q_robots_filter": q_robots_filter,
+    "q_c4_line_clean": q_c4_line_clean,
+    "q_gopher_quality": q_gopher_quality,
+    "q_web_quality_pipeline": q_web_quality_pipeline,
 }

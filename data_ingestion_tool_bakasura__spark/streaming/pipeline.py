@@ -526,6 +526,7 @@ def start_streaming_crawl(
     max_per_domain_total: int | None = None,
     dsir_ratios_path: str | None = None,
     dsir_min_weight: float = 0.0,
+    quality_gate: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -562,7 +563,18 @@ def start_streaming_crawl(
     ``log_weight >= dsir_min_weight`` land — the continuously-curated
     crawl: fit the importance model once against a target corpus, then
     every future trigger keeps only target-like pages.
+
+    ``quality_gate`` ('c4', 'gopher' or 'c4+gopher') applies the
+    C4 line cleaning / Gopher document rules (functions/quality.py) to
+    the extracted text of each batch — the FineWeb order (C4 cleans
+    and gates first, Gopher judges the CLEANED text). Pure map-only
+    codegen expressions, so the gate adds zero exchanges and zero
+    stream state to the micro-batch plan.
     """
+    if quality_gate not in (None, "c4", "gopher", "c4+gopher"):
+        raise ValueError(
+            f"quality_gate must be 'c4', 'gopher' or 'c4+gopher', got {quality_gate!r}"
+        )  # same contract as operators/crawl.py web_quality_filter
     from data_ingestion_tool_bakasura__spark.functions import urls as U
     from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
     from data_ingestion_tool_bakasura__spark.operators import crawl as CR
@@ -636,6 +648,10 @@ def start_streaming_crawl(
             U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
             text_expr.alias("text"),
         ).withColumn("n_chars", F.length("text"))
+        if quality_gate:
+            out = CR.web_quality_filter(out, "text", quality_gate).withColumn(
+                "n_chars", F.length("text")
+            )
         # log_weight is ALWAYS in the output schema (NULL when DSIR is
         # off): toggling dsir_ratios_path across runs of one corpus_path
         # must not produce mixed-schema parquet files — the seen-guard /

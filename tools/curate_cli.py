@@ -10,6 +10,8 @@ over a parquet documents table with (doc_id, text[, source, lang]).
         [--lang-col lang]
     python tools/curate_cli.py lang-id <docs_parquet> <profiles_dir> \\
         [--out pred_parquet]
+    python tools/curate_cli.py web-quality <docs_parquet> \\
+        [--gate c4|gopher|c4+gopher] [--out kept_parquet]
     python tools/curate_cli.py run <docs_parquet> <out_dir> \\
         [--span-n 20] [--nll-max 5.38] [--min-quality 0.25] \\
         [--quality-weights weights.json] \\
@@ -78,6 +80,15 @@ def main(argv: list[str] | None = None) -> int:
     p_li.add_argument("profiles")
     p_li.add_argument("--out", default=None,
                       help="write (doc_id, guess, score) parquet here")
+
+    p_wq = sub.add_parser(
+        "web-quality", help="C4 line cleaning + Gopher quality gate"
+    )
+    p_wq.add_argument("docs")
+    p_wq.add_argument("--gate", default="c4+gopher",
+                      choices=["c4", "gopher", "c4+gopher"])
+    p_wq.add_argument("--out", default=None,
+                      help="write surviving (cleaned) docs parquet here")
 
     p_run = sub.add_parser("run", help="surgery -> LM filter -> quality -> splits")
     p_run.add_argument("docs")
@@ -151,6 +162,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "report":
         print(json.dumps(_report_row(docs), default=str))
+        return 0
+
+    if args.cmd == "web-quality":
+        from data_ingestion_tool_bakasura__spark.operators.crawl import (
+            web_quality_filter,
+        )
+
+        n_in = docs.count()
+        kept = web_quality_filter(docs, "text", args.gate)
+        if args.out:
+            kept.write.mode("overwrite").parquet(args.out)
+            kept = spark.read.parquet(args.out)
+        n_out = kept.count()
+        print(json.dumps({
+            "event": "web_quality_filtered", "gate": args.gate,
+            "n_in": n_in, "n_out": n_out, "n_dropped": n_in - n_out,
+            "out": args.out,
+        }))
         return 0
 
     if args.cmd == "train-bpe":
