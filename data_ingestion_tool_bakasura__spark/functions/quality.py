@@ -323,3 +323,379 @@ def gopher_keep_sql(e: str) -> str:
         f" AND {gopher_alpha_frac_sql(e)} >= {GOPHER_MIN_ALPHA_FRAC}"
         f" AND {gopher_stopword_hits_sql(e)} >= {GOPHER_MIN_STOPWORD_HITS})"
     )
+
+
+# --- Gopher repetition rules (Rae et al. 2021, Table A1) ------------------
+# The other half of the Gopher filter: pages that repeat themselves —
+# duplicated lines/paragraphs, a looping top n-gram, heavy duplicate
+# n-gram coverage. Same module contract as the quality rules above:
+# every signal is ONE codegen'd Column expression (array higher-order
+# functions over a single split — the top-n-gram mode is an
+# array_sort + run-length aggregate, O(n log n), never O(n^2)) with a
+# DuckDB twin generated from the SAME constants. Map-only at any
+# scale: a page is scored by the partition that already holds it.
+#
+# Exact semantics (fixed here so both engines agree; the paper leaves
+# them loose): lines = trimmed non-empty newline splits, paragraphs =
+# trimmed non-empty splits on >= 2 consecutive newlines, words = the
+# page_words() tokens, n-grams = space-joined sliding word windows.
+# "dup fraction" counts occurrences BEYOND the first of each distinct
+# element over the element count; "dup char fraction" counts the
+# characters of those beyond-first occurrences over the RAW page char
+# count (so overlapping n-grams can exceed 1 — the thresholds are
+# ceilings, not probabilities); "top n-gram char fraction" is
+# max(count * gram_chars) over distinct grams, over the page chars.
+
+#: drop when more than this fraction of lines / paragraphs repeat one
+#: already seen on the page
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+#: ... or when the repeats claim more than this fraction of the chars
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+#: most-frequent-n-gram char-coverage ceilings, n -> max fraction
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+#: duplicate-n-gram char-coverage ceilings, n -> max fraction
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _nonempty_trimmed(arr: Column) -> Column:
+    return F.filter(
+        F.transform(arr, lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def rep_lines(col: Column | str) -> Column:
+    """Trimmed, non-empty lines (the repetition rules' line unit)."""
+    return _nonempty_trimmed(page_lines(col))
+
+
+def rep_paragraphs(col: Column | str) -> Column:
+    """Trimmed, non-empty paragraphs (split on >= 2 newlines)."""
+    return _nonempty_trimmed(F.split(_c(col), r"\n{2,}"))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Space-joined sliding word ``n``-grams ([] when under n words)."""
+    ws = page_words(col)
+
+    def _gram(i: Column) -> Column:
+        return F.array_join(F.slice(ws, i, n), " ")
+
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - n + 1), _gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
+def _dup_elem_frac(arr: Column) -> Column:
+    return F.when(
+        F.size(arr) > 0,
+        (F.size(arr) - F.size(F.array_distinct(arr))) / F.size(arr),
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_char_frac(arr: Column, col: Column | str) -> Column:
+    t = _c(col)
+    return F.when(
+        F.length(t) > 0,
+        (_char_sum(arr) - _char_sum(F.array_distinct(arr))) / F.length(t),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(col: Column | str) -> Column:
+    return _dup_elem_frac(rep_lines(col))
+
+
+def dup_line_char_frac(col: Column | str) -> Column:
+    return _dup_char_frac(rep_lines(col), col)
+
+
+def dup_para_frac(col: Column | str) -> Column:
+    return _dup_elem_frac(rep_paragraphs(col))
+
+
+def dup_para_char_frac(col: Column | str) -> Column:
+    return _dup_char_frac(rep_paragraphs(col), col)
+
+
+def top_ngram_char_frac(col: Column | str, n: int) -> Column:
+    """max(count * chars) of any word ``n``-gram over the page chars.
+    Mode-of-array without O(n^2): sort the grams, then one O(n)
+    run-length ``aggregate`` with a (prev, run, best) struct."""
+    grams = F.array_sort(word_ngrams(col, n))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _merge(acc: Column, g: Column) -> Column:
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2 * F.length(g)).alias("best"),
+        )
+
+    best = F.aggregate(grams, zero, _merge, lambda acc: acc["best"])
+    t = _c(col)
+    return F.when(F.length(t) > 0, best / F.length(t)).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_frac(col: Column | str, n: int) -> Column:
+    """Chars of beyond-first n-gram occurrences over the page chars
+    (overlapping accounting — see the semantics note above)."""
+    return _dup_char_frac(word_ngrams(col, n), col)
+
+
+def gopher_rep_keep(col: Column | str) -> Column:
+    """All Table A1 repetition gates combined."""
+    k = (
+        (dup_line_frac(col) <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (dup_line_char_frac(col) <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (dup_para_frac(col) <= GOPHER_MAX_DUP_PARA_FRAC)
+        & (dup_para_char_frac(col) <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
+    )
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        k = k & (top_ngram_char_frac(col, n) <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        k = k & (dup_ngram_char_frac(col, n) <= mx)
+    return k
+
+
+# --- DuckDB twins for the repetition rules --------------------------------
+
+def _ne_trim_sql(a: str) -> str:
+    return f"list_filter(list_transform({a}, nt -> trim(nt)), ne -> ne <> '')"
+
+
+def _rep_lines_sql(e: str) -> str:
+    return _ne_trim_sql(_lines_sql(e))
+
+
+def _paras_sql(e: str) -> str:
+    return _ne_trim_sql(f"regexp_split_to_array({e}, '\\n{{2,}}')")
+
+
+def _char_sum_sql(a: str) -> str:
+    return f"coalesce(list_sum(list_transform({a}, cs -> length(cs))), 0)"
+
+
+def _dup_elem_frac_sql(a: str) -> str:
+    return (
+        f"CASE WHEN len({a}) > 0 THEN "
+        f"(len({a}) - len(list_distinct({a}))) / len({a})::DOUBLE "
+        "ELSE 0.0 END"
+    )
+
+
+def _dup_char_frac_sql(a: str, e: str) -> str:
+    return (
+        f"CASE WHEN length({e}) > 0 THEN "
+        f"({_char_sum_sql(a)} - {_char_sum_sql(f'list_distinct({a})')})"
+        f" / length({e})::DOUBLE ELSE 0.0 END"
+    )
+
+
+def dup_line_frac_sql(e: str) -> str:
+    return _dup_elem_frac_sql(_rep_lines_sql(e))
+
+
+def dup_line_char_frac_sql(e: str) -> str:
+    return _dup_char_frac_sql(_rep_lines_sql(e), e)
+
+
+def dup_para_frac_sql(e: str) -> str:
+    return _dup_elem_frac_sql(_paras_sql(e))
+
+
+def dup_para_char_frac_sql(e: str) -> str:
+    return _dup_char_frac_sql(_paras_sql(e), e)
+
+
+def grams_over_sql(ws: str, n: int) -> str:
+    """Gram list over an already-bound words expression/column ``ws``
+    — compose with a MATERIALIZED CTE when the page expression is
+    expensive (DuckDB inlines plain CTEs, so an unbound twin would
+    re-evaluate the page inside every lambda)."""
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({ws}) - {n} + 1), "
+        f"gi -> array_to_string(list_slice({ws}, gi, gi + {n} - 1), ' ')) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def _grams_sql(e: str, n: int) -> str:
+    return grams_over_sql(_words_sql(e), n)
+
+
+def top_ngram_over_sql(g: str, e: str) -> str:
+    """Top-gram char coverage over a bound gram list ``g`` and page
+    ``e``. O(grams^2) nested-lambda mode — oracle-side only, where
+    the fixture pages are small; the Spark leg is the O(n log n)
+    sort + run-length aggregate."""
+    best = (
+        f"coalesce(list_max(list_transform(list_distinct({g}), "
+        f"tg -> length(tg) * len(list_filter({g}, og -> og = tg)))), 0)"
+    )
+    return (
+        f"CASE WHEN length({e}) > 0 THEN {best} / length({e})::DOUBLE "
+        "ELSE 0.0 END"
+    )
+
+
+def top_ngram_char_frac_sql(e: str, n: int) -> str:
+    return top_ngram_over_sql(_grams_sql(e, n), e)
+
+
+def dup_ngram_over_sql(g: str, e: str) -> str:
+    return _dup_char_frac_sql(g, e)
+
+
+def dup_ngram_char_frac_sql(e: str, n: int) -> str:
+    return _dup_char_frac_sql(_grams_sql(e, n), e)
+
+
+def gopher_rep_keep_sql(e: str) -> str:
+    parts = [
+        f"{dup_line_frac_sql(e)} <= {GOPHER_MAX_DUP_LINE_FRAC}",
+        f"{dup_line_char_frac_sql(e)} <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}",
+        f"{dup_para_frac_sql(e)} <= {GOPHER_MAX_DUP_PARA_FRAC}",
+        f"{dup_para_char_frac_sql(e)} <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}",
+    ]
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        parts.append(f"{top_ngram_char_frac_sql(e, n)} <= {mx}")
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        parts.append(f"{dup_ngram_char_frac_sql(e, n)} <= {mx}")
+    return "(" + " AND ".join(parts) + ")"
+
+
+def page_words_sql(e: str) -> str:
+    """Public twin of :func:`page_words` for CTE binding."""
+    return _words_sql(e)
+
+
+def gopher_rep_keep_over_sql(e: str, grams: dict) -> str:
+    """Combined repetition gate over a bound page column ``e`` and
+    pre-bound gram-list columns ``grams`` (n -> column name for every
+    n in GOPHER_TOP_NGRAM_MAX and GOPHER_DUP_NGRAM_MAX) — the
+    CTE-composable form of :func:`gopher_rep_keep_sql`, same
+    constants, same leg helpers."""
+    parts = [
+        f"{dup_line_frac_sql(e)} <= {GOPHER_MAX_DUP_LINE_FRAC}",
+        f"{dup_line_char_frac_sql(e)} <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}",
+        f"{dup_para_frac_sql(e)} <= {GOPHER_MAX_DUP_PARA_FRAC}",
+        f"{dup_para_char_frac_sql(e)} <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}",
+    ]
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        parts.append(f"{top_ngram_over_sql(grams[n], e)} <= {mx}")
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        parts.append(f"{dup_ngram_over_sql(grams[n], e)} <= {mx}")
+    return "(" + " AND ".join(parts) + ")"
+
+
+# --- bound-column composition (the fast path for many signals) ------------
+# Each expression above is self-contained: selecting many of them
+# re-derives the word/gram arrays per signal (higher-order functions
+# are CodegenFallback — no subexpression elimination ever merges
+# them). When a frame needs SEVERAL repetition signals (the catalog
+# query, web_quality_filter's 'rep' gate), bind the arrays once as
+# real columns across chained projections — CollapseProject keeps a
+# non-cheap expression bound when it is referenced more than once —
+# and derive each signal, and the combined gate, from the bound
+# columns. Same constants, same semantics, ~10x less work; still
+# map-only with zero exchanges.
+
+def ngrams_over(ws: Column, n: int) -> Column:
+    """:func:`word_ngrams` over an already-bound words-array column."""
+
+    def _gram(i: Column) -> Column:
+        return F.array_join(F.slice(ws, i, n), " ")
+
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - n + 1), _gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_elem_frac_over(arr: Column) -> Column:
+    """:func:`dup_line_frac`/:func:`dup_para_frac` over a bound array."""
+    return _dup_elem_frac(arr)
+
+
+def dup_char_frac_over(arr: Column, col: Column | str) -> Column:
+    """Char-coverage dup fraction over a bound array + the raw page."""
+    return _dup_char_frac(arr, col)
+
+
+def top_ngram_char_frac_over(grams: Column, col: Column | str) -> Column:
+    """:func:`top_ngram_char_frac` over a bound gram-list column."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _merge(acc: Column, g: Column) -> Column:
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2 * F.length(g)).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(grams), zero, _merge, lambda acc: acc["best"])
+    t = _c(col)
+    return F.when(F.length(t) > 0, best / F.length(t)).otherwise(F.lit(0.0))
+
+
+#: signal-column name -> threshold + direction, for gates derived from
+#: bound signal columns (with_gopher_rep_signals emits exactly these)
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": GOPHER_MAX_DUP_LINE_FRAC,
+    "dup_line_char_frac": GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+    "dup_para_frac": GOPHER_MAX_DUP_PARA_FRAC,
+    "dup_para_char_frac": GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+    **{f"top_{n}gram_frac": mx for n, mx in GOPHER_TOP_NGRAM_MAX.items()},
+    **{f"dup_{n}gram_frac": mx for n, mx in GOPHER_DUP_NGRAM_MAX.items()},
+}
+
+
+def with_gopher_rep_signals(df, text_col: str = "text", keep_col: str = "rep_keep"):
+    """Append every Table A1 repetition signal (the
+    :data:`GOPHER_REP_THRESHOLDS` columns, un-rounded) plus the
+    combined ``keep_col`` gate to ``df``, computing each underlying
+    array exactly once via bound columns. Map-only; intermediate
+    array columns are dropped before return."""
+    c = F.col(text_col)
+    tmp = "__rep_"
+    ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
+    out = (
+        df.withColumn(tmp + "words", page_words(c))
+        .withColumn(tmp + "lines", rep_lines(c))
+        .withColumn(tmp + "paras", rep_paragraphs(c))
+    )
+    for n in ns:
+        out = out.withColumn(tmp + f"g{n}", ngrams_over(F.col(tmp + "words"), n))
+    out = (
+        out.withColumn("dup_line_frac", dup_elem_frac_over(F.col(tmp + "lines")))
+        .withColumn("dup_line_char_frac", dup_char_frac_over(F.col(tmp + "lines"), c))
+        .withColumn("dup_para_frac", dup_elem_frac_over(F.col(tmp + "paras")))
+        .withColumn("dup_para_char_frac", dup_char_frac_over(F.col(tmp + "paras"), c))
+    )
+    for n in GOPHER_TOP_NGRAM_MAX:
+        out = out.withColumn(
+            f"top_{n}gram_frac", top_ngram_char_frac_over(F.col(tmp + f"g{n}"), c)
+        )
+    for n in GOPHER_DUP_NGRAM_MAX:
+        out = out.withColumn(
+            f"dup_{n}gram_frac", dup_char_frac_over(F.col(tmp + f"g{n}"), c)
+        )
+    keep = F.lit(True)
+    for name, mx in GOPHER_REP_THRESHOLDS.items():
+        keep = keep & (F.col(name) <= mx)
+    out = out.withColumn(keep_col, keep)
+    return out.drop(*[tmp + x for x in ["words", "lines", "paras"]],
+                    *[tmp + f"g{n}" for n in ns])

@@ -234,6 +234,30 @@ def domain_blocklist_filter(
     )
 
 
+#: web_quality_filter gate vocabulary, in application order: C4 line
+#: cleaning rewrites the text first, the Gopher quality rules judge the
+#: (possibly cleaned) text, the Gopher repetition rules run last.
+GATE_TOKENS = ("c4", "gopher", "rep")
+
+
+def parse_quality_gate(gate: str) -> tuple[str, ...]:
+    """Validate a ``'+'``-joined gate spec against :data:`GATE_TOKENS`
+    and return the tokens in canonical application order. Shared by
+    :func:`web_quality_filter` and the streaming crawl's
+    ``quality_gate`` option."""
+    toks = gate.split("+") if isinstance(gate, str) else []
+    if (
+        not toks
+        or len(set(toks)) != len(toks)
+        or any(t not in GATE_TOKENS for t in toks)
+    ):
+        raise ValueError(
+            "gate must be a '+'-combination of "
+            f"{'/'.join(GATE_TOKENS)}, got {gate!r}"
+        )
+    return tuple(t for t in GATE_TOKENS if t in toks)
+
+
 def web_quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -244,23 +268,32 @@ def web_quality_filter(
     ``quality_gate`` option (streaming/pipeline.py), composing the
     oracle-certified exprs of :mod:`..functions.quality`.
 
-    ``gate``: ``'c4'`` (line cleaning + document gates; REWRITES
-    ``text_col`` to the cleaned text), ``'gopher'`` (document rules
-    only, text untouched), or ``'c4+gopher'`` (the FineWeb order —
-    C4 first, Gopher judges the CLEANED text). Pure map-only codegen:
-    zero exchanges, zero Python, filters evaluated scan-side — at
-    100 TB the gate adds nothing to shuffle volume."""
+    ``gate`` is a ``'+'``-combination of: ``'c4'`` (line cleaning +
+    document gates; REWRITES ``text_col`` to the cleaned text),
+    ``'gopher'`` (document-quality rules, text untouched), ``'rep'``
+    (the Table A1 repetition rules — dup line/paragraph fractions,
+    top/duplicate n-gram char coverage). ``'c4+gopher'`` is the
+    FineWeb order — C4 first, later gates judge the CLEANED text.
+    Pure map-only codegen: zero exchanges, zero Python, filters
+    evaluated scan-side — at 100 TB the gate adds nothing to shuffle
+    volume."""
     from data_ingestion_tool_bakasura__spark.functions import quality as Q
 
-    if gate not in ("c4", "gopher", "c4+gopher"):
-        raise ValueError(
-            f"gate must be 'c4', 'gopher' or 'c4+gopher', got {gate!r}"
-        )
+    toks = parse_quality_gate(gate)
     out = df
-    if "c4" in gate:
+    if "c4" in toks:
         out = out.filter(Q.c4_doc_keep(F.col(text_col))).withColumn(
             text_col, Q.c4_clean(F.col(text_col))
         )
-    if "gopher" in gate:
+    if "gopher" in toks:
         out = out.filter(Q.gopher_keep(F.col(text_col)))
+    if "rep" in toks:
+        # bound-column path: one array derivation per signal family
+        # instead of one per threshold (see with_gopher_rep_signals)
+        sig_cols = [*Q.GOPHER_REP_THRESHOLDS, "__rep_keep__"]
+        out = (
+            Q.with_gopher_rep_signals(out, text_col, keep_col="__rep_keep__")
+            .filter(F.col("__rep_keep__"))
+            .drop(*sig_cols)
+        )
     return out

@@ -575,6 +575,83 @@ ORDER BY doc_id
 """
 
 
+
+# --- Gopher repetition rules (round 11, second quality leg) ---------------
+# Same synthesized-page trick as the C4/Gopher queries above: one SQL
+# fragment (_RPAGE) evaluated verbatim by both engines builds a
+# repetition-heavy "web page" per document — duplicated lines,
+# duplicated paragraphs, a looping top bigram, self-concatenated text
+# (duplicate n-grams) and plain prose. Under test: the Table A1
+# repetition signals of functions/quality.py (Spark run-length
+# aggregate vs the DuckDB nested-lambda twins, same constants).
+
+_RPAGE = """CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN substr(text, 1, 300)
+  WHEN 1 THEN substr(text, 1, 80) || chr(10) || 'a fresh middle line sits here' || chr(10) || substr(text, 1, 80) || chr(10) || substr(text, 1, 80)
+  WHEN 2 THEN substr(text, 1, 90) || chr(10) || chr(10) || substr(text, 91, 90) || chr(10) || chr(10) || substr(text, 1, 90)
+  WHEN 3 THEN repeat('buy now sale today ', 12) || substr(text, 1, 120)
+  ELSE substr(text, 1, 70) || ' ' || substr(text, 1, 70) || ' ' || substr(text, 141, 80)
+END"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText repetition-removal signals (Rae et al. 2021
+    Table A1): duplicated line/paragraph fractions (count + char
+    coverage), top-{2,3,4}-gram char coverage, duplicate-{5,8,10}-gram
+    char coverage, and the combined gate (which also folds in the
+    n=6,7,9 legs). Uses with_gopher_rep_signals — word/gram arrays
+    bound ONCE as columns (higher-order exprs are CodegenFallback, so
+    unshared expression trees each re-derive the arrays; binding is
+    ~17x less work), keep derived from the signal columns. The page
+    frame goes through sampling._spread (the tiny-fixture scale-UP
+    guard: repartition only when splits < cores — a no-op on a real
+    corpus, whose splits already exceed the executor count); after
+    that the pass is map-only until the presentation sort."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import _spread
+
+    docs = _spread(
+        load_table(spark, sf, "documents").select(
+            "doc_id", F.expr(_RPAGE).alias("page")
+        )
+    )
+    sig = Q.with_gopher_rep_signals(docs, "page", keep_col="keep")
+    out_cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac", "dup_8gram_frac", "dup_10gram_frac",
+    ]
+    return sig.select(
+        "doc_id", *[F.round(F.col(c), 6).alias(c) for c in out_cols], "keep"
+    ).orderBy("doc_id")
+
+
+ORACLE["q_gopher_repetition"] = f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id, ({_RPAGE}) AS page FROM documents
+), words AS MATERIALIZED (
+  SELECT doc_id, page, {Q.page_words_sql('page')} AS ws FROM pages
+), grams AS MATERIALIZED (
+  SELECT doc_id, page,
+         {", ".join(f"{Q.grams_over_sql('ws', n)} AS g{n}" for n in range(2, 11))}
+  FROM words
+)
+SELECT doc_id,
+       round({Q.dup_line_frac_sql('page')}, 6) AS dup_line_frac,
+       round({Q.dup_line_char_frac_sql('page')}, 6) AS dup_line_char_frac,
+       round({Q.dup_para_frac_sql('page')}, 6) AS dup_para_frac,
+       round({Q.dup_para_char_frac_sql('page')}, 6) AS dup_para_char_frac,
+       round({Q.top_ngram_over_sql('g2', 'page')}, 6) AS top_2gram_frac,
+       round({Q.top_ngram_over_sql('g3', 'page')}, 6) AS top_3gram_frac,
+       round({Q.top_ngram_over_sql('g4', 'page')}, 6) AS top_4gram_frac,
+       round({Q.dup_ngram_over_sql('g5', 'page')}, 6) AS dup_5gram_frac,
+       round({Q.dup_ngram_over_sql('g8', 'page')}, 6) AS dup_8gram_frac,
+       round({Q.dup_ngram_over_sql('g10', 'page')}, 6) AS dup_10gram_frac,
+       {Q.gopher_rep_keep_over_sql('page', {n: f'g{n}' for n in range(2, 11)})} AS keep
+FROM grams ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -587,4 +664,5 @@ QUERIES = {
     "q_c4_line_clean": q_c4_line_clean,
     "q_gopher_quality": q_gopher_quality,
     "q_web_quality_pipeline": q_web_quality_pipeline,
+    "q_gopher_repetition": q_gopher_repetition,
 }

@@ -564,17 +564,23 @@ def start_streaming_crawl(
     crawl: fit the importance model once against a target corpus, then
     every future trigger keeps only target-like pages.
 
-    ``quality_gate`` ('c4', 'gopher' or 'c4+gopher') applies the
-    C4 line cleaning / Gopher document rules (functions/quality.py) to
-    the extracted text of each batch — the FineWeb order (C4 cleans
-    and gates first, Gopher judges the CLEANED text). Pure map-only
+    ``quality_gate`` (a '+'-combination of 'c4'/'gopher'/'rep')
+    applies the C4 line cleaning / Gopher document-quality rules /
+    Gopher repetition rules (functions/quality.py) to the extracted
+    text of each batch — the FineWeb order (C4 cleans and gates
+    first, the later gates judge the CLEANED text). Pure map-only
     codegen expressions, so the gate adds zero exchanges and zero
     stream state to the micro-batch plan.
     """
-    if quality_gate not in (None, "c4", "gopher", "c4+gopher"):
-        raise ValueError(
-            f"quality_gate must be 'c4', 'gopher' or 'c4+gopher', got {quality_gate!r}"
-        )  # same contract as operators/crawl.py web_quality_filter
+    if quality_gate is not None:
+        from data_ingestion_tool_bakasura__spark.operators.crawl import (
+            parse_quality_gate,
+        )
+
+        try:
+            parse_quality_gate(quality_gate)
+        except ValueError as exc:
+            raise ValueError(f"quality_gate: {exc}") from None
     from data_ingestion_tool_bakasura__spark.functions import urls as U
     from data_ingestion_tool_bakasura__spark.functions.text import html_to_text_udf
     from data_ingestion_tool_bakasura__spark.operators import crawl as CR

@@ -247,3 +247,158 @@ def test_curate_cli_web_quality(spark, tmp_path, capsys):
     assert rep["n_out"] == 2 and rep["n_dropped"] == len(PAGES) - 2
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {0, 1}
+
+
+# --- Gopher repetition rules (Table A1) -----------------------------------
+
+REP_PAGES = [
+    "a b c\na b c\nx y z",                               # duplicated line
+    "buy now buy now buy now",                           # looping top bigram
+    "para one here.\n\npara one here.\n\npara two now.",  # duplicated paragraph
+    "one two three four five six one two three four five six",  # dup n-grams
+    "",
+    GOOD_PAGE,
+]
+
+
+@pytest.fixture(scope="module")
+def rep_frames(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(REP_PAGES)], "i int, t string"
+    )
+    out = df.select(
+        "i",
+        F.round(Q.dup_line_frac("t"), 6).alias("dlf"),
+        F.round(Q.dup_line_char_frac("t"), 6).alias("dlcf"),
+        F.round(Q.dup_para_frac("t"), 6).alias("dpf"),
+        F.round(Q.dup_para_char_frac("t"), 6).alias("dpcf"),
+        F.round(Q.top_ngram_char_frac("t", 2), 6).alias("t2"),
+        F.round(Q.dup_ngram_char_frac("t", 5), 6).alias("d5"),
+        Q.gopher_rep_keep("t").alias("keep"),
+    ).orderBy("i")
+    return {r["i"]: r.asDict() for r in out.collect()}
+
+
+def test_rep_duplicated_line(rep_frames):
+    r = rep_frames[0]
+    assert r["dlf"] == round(1 / 3, 6)            # 1 of 3 lines is a repeat
+    assert r["dlcf"] == round(5 / 17, 6)          # its 5 chars over 17
+    assert r["dpf"] == 0.0                        # single paragraph
+    assert not r["keep"]
+
+
+def test_rep_looping_top_bigram(rep_frames):
+    r = rep_frames[1]
+    # "buy now" x3, 7 chars -> 21 covered of 23
+    assert r["t2"] == round(21 / 23, 6)
+    assert r["dlf"] == 0.0 and not r["keep"]
+
+
+def test_rep_duplicated_paragraph(rep_frames):
+    r = rep_frames[2]
+    assert r["dpf"] == round(1 / 3, 6)
+    assert r["dpcf"] == round(14 / 45, 6)
+    assert not r["keep"]
+
+
+def test_rep_dup_ngrams_overlapping_accounting(rep_frames):
+    r = rep_frames[3]
+    # the two repeated 5-grams cover 23 chars each over 55 raw chars
+    assert r["d5"] == round(46 / 55, 6)
+    assert not r["keep"]
+
+
+def test_rep_empty_and_prose(rep_frames):
+    assert rep_frames[4] == {"i": 4, "dlf": 0.0, "dlcf": 0.0, "dpf": 0.0,
+                             "dpcf": 0.0, "t2": 0.0, "d5": 0.0, "keep": True}
+    r = rep_frames[5]                              # real prose keeps
+    assert r["dlf"] == 0.0 and r["d5"] == 0.0 and r["keep"]
+
+
+def test_rep_twin_parity_fixed_cases(rep_frames):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(enumerate(REP_PAGES)))
+    sql = f"""SELECT i,
+      round({Q.dup_line_frac_sql('t')}, 6) AS dlf,
+      round({Q.dup_line_char_frac_sql('t')}, 6) AS dlcf,
+      round({Q.dup_para_frac_sql('t')}, 6) AS dpf,
+      round({Q.dup_para_char_frac_sql('t')}, 6) AS dpcf,
+      round({Q.top_ngram_char_frac_sql('t', 2)}, 6) AS t2,
+      round({Q.dup_ngram_char_frac_sql('t', 5)}, 6) AS d5,
+      {Q.gopher_rep_keep_sql('t')} AS keep
+    FROM p ORDER BY i"""
+    cols = ["i", "dlf", "dlcf", "dpf", "dpcf", "t2", "d5", "keep"]
+    oracle = {r[0]: dict(zip(cols, r)) for r in con.execute(sql).fetchall()}
+    assert rep_frames == oracle
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("ab .") + ["\n", "\n\n", "cd ", "e f "]),
+                 max_size=30),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_rep_twin_parity_random_pages(shared_spark_for_property, chunks):
+    spark = shared_spark_for_property
+    page = "\n".join("".join(c) for c in chunks)
+    row = (
+        spark.range(1)
+        .select(
+            F.round(Q.dup_line_frac(F.lit(page)), 6).alias("dlf"),
+            F.round(Q.dup_para_char_frac(F.lit(page)), 6).alias("dpcf"),
+            F.round(Q.top_ngram_char_frac(F.lit(page), 2), 6).alias("t2"),
+            F.round(Q.top_ngram_char_frac(F.lit(page), 3), 6).alias("t3"),
+            F.round(Q.dup_ngram_char_frac(F.lit(page), 5), 6).alias("d5"),
+            Q.gopher_rep_keep(F.lit(page)).alias("keep"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(t VARCHAR)")
+    con.execute("INSERT INTO p VALUES (?)", [page])
+    o = con.execute(
+        f"""SELECT round({Q.dup_line_frac_sql('t')}, 6),
+        round({Q.dup_para_char_frac_sql('t')}, 6),
+        round({Q.top_ngram_char_frac_sql('t', 2)}, 6),
+        round({Q.top_ngram_char_frac_sql('t', 3)}, 6),
+        round({Q.dup_ngram_char_frac_sql('t', 5)}, 6),
+        {Q.gopher_rep_keep_sql('t')} FROM p"""
+    ).fetchone()
+    assert tuple(row) == tuple(o)
+
+
+def test_rep_pass_is_exchange_free(spark):
+    df = spark.createDataFrame([(p,) for p in REP_PAGES], "t string")
+    plan = (
+        df.filter(Q.gopher_rep_keep("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_web_quality_filter_rep_gate(spark):
+    from data_ingestion_tool_bakasura__spark.operators.crawl import (
+        parse_quality_gate,
+        web_quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(REP_PAGES)], "doc_id int, text string"
+    )
+    kept = {r["doc_id"] for r in web_quality_filter(df, "text", "rep").collect()}
+    assert kept == {4, 5}
+    # tokens normalize to canonical application order
+    assert parse_quality_gate("rep+c4") == ("c4", "rep")
+    with pytest.raises(ValueError, match="gate"):
+        parse_quality_gate("c4+c4")
+    with pytest.raises(ValueError, match="gate"):
+        parse_quality_gate("")
+    # composed: prose survives all three, everything else dies
+    all3 = {r["doc_id"]
+            for r in web_quality_filter(df, "text", "c4+gopher+rep").collect()}
+    assert all3 == {5}

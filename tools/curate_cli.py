@@ -11,7 +11,7 @@ over a parquet documents table with (doc_id, text[, source, lang]).
     python tools/curate_cli.py lang-id <docs_parquet> <profiles_dir> \\
         [--out pred_parquet]
     python tools/curate_cli.py web-quality <docs_parquet> \\
-        [--gate c4|gopher|c4+gopher] [--out kept_parquet]
+        [--gate <'+'-combo of c4/gopher/rep>] [--out kept_parquet]
     python tools/curate_cli.py run <docs_parquet> <out_dir> \\
         [--span-n 20] [--nll-max 5.38] [--min-quality 0.25] \\
         [--quality-weights weights.json] \\
@@ -86,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_wq.add_argument("docs")
     p_wq.add_argument("--gate", default="c4+gopher",
-                      choices=["c4", "gopher", "c4+gopher"])
+                      help="'+'-combination of c4/gopher/rep "
+                           "(validated by web_quality_filter)")
     p_wq.add_argument("--out", default=None,
                       help="write surviving (cleaned) docs parquet here")
 
