@@ -113,6 +113,8 @@ HEADLINE = [
     "q_lang_id_trigram",       # r11: char-trigram profile lang-id (C16)
     "q_gopher_quality",        # r11: Gopher quality rules, map-only (C20)
     "q_web_quality_pipeline",  # r11: C4 clean -> Gopher gate composition (C20)
+    "q_gopher_repetition",     # r11: Table A1 repetition signals (C20)
+    "q_video_near_dup",        # r11: shot-fingerprint video dedup (C15)
 ]
 
 

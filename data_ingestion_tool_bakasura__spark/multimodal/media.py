@@ -48,6 +48,10 @@ IMAGE_META_SCHEMA = T.StructType(
 def _parse_header(b: bytes) -> dict:
     if b is None:
         raise ValueError("null media payload")
+    from data_ingestion_tool_bakasura__spark.multimodal import avi as _avi
+
+    if _avi.is_avi(b):  # real RIFF/AVI container (r11)
+        return _avi.avi_meta(b)
     head = bytes(b).split(b"|", 4)
     magic = head[0].decode("ascii", "replace")
     if magic == "IMG1" and len(head) >= 4:
@@ -179,10 +183,14 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(
     df: DataFrame, every_k: int = 2, id_col: str = "media_id", media_col: str = "media"
 ) -> DataFrame:
-    """Explode every k-th frame of VID1 payloads -> (video_id,
-    frame_index, frame). Real impl swaps the splitter for libav keyframe
-    iteration behind the same output schema; row explosion (frames per
-    video) is the scale knob — sample BEFORE any shuffle."""
+    """Explode every k-th frame of VID1 or RIFF/AVI payloads ->
+    (video_id, frame_index, frame). AVI frames are the raw ``##dc``
+    chunk payloads — for MJPEG each is a complete JPEG, so the
+    downstream ahash64 dispatch hashes REAL pixels (multimodal/avi.py;
+    the VID1 synthetic container remains the stand-in for codecs that
+    need libav). Row explosion (frames per video) is the scale knob —
+    sample BEFORE any shuffle."""
+    from data_ingestion_tool_bakasura__spark.multimodal import avi as _avi
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,16 +198,20 @@ def sample_frames(
             for vid, b in zip(pdf["_id"], pdf["_media"]):
                 if b is None:
                     continue
-                try:
-                    h = _parse_header(b)
-                    if h["format"] != "VID1":
+                if _avi.is_avi(b):
+                    split = _avi.avi_frames(bytes(b))
+                else:
+                    try:
+                        h = _parse_header(b)
+                        if h["format"] != "VID1":
+                            continue
+                    except Exception:
                         continue
-                except Exception:
-                    continue
-                payload = bytes(b).split(b"|", 3)[-1]
-                if not payload:  # zero-frame video, not one empty frame
-                    continue
-                for i, frame in enumerate(payload.split(b"\x00")):
+                    payload = bytes(b).split(b"|", 3)[-1]
+                    if not payload:  # zero-frame video, not one empty frame
+                        continue
+                    split = payload.split(b"\x00")
+                for i, frame in enumerate(split):
                     if i % every_k == 0:
                         vids.append(str(vid))
                         idxs.append(i)
@@ -576,7 +588,12 @@ def video_near_dup(
         .filter(F.col("nv") > max_videos_per_frame)
         .select("fh")
     )
-    fh = fh.join(F.broadcast(hot), "fh", "left_anti").transform(reliable_checkpoint)
+    # share point, not a write-ordering barrier: fh feeds sizes AND both
+    # self-join sides, so persist() computes the frame hashing once at
+    # first action. NOT reliable_checkpoint — under AQE even a lazy
+    # checkpoint forces toRdd at plan build, executing the upstream
+    # stages (plan_audit caught exactly that: eager jobs at construction)
+    fh = fh.join(F.broadcast(hot), "fh", "left_anti").persist()
     sizes = fh.groupBy("video_id").agg(F.count("*").alias("n"))
     shared = (
         fh.alias("a")

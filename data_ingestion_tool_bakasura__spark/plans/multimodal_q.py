@@ -175,6 +175,108 @@ ORDER BY id_a, id_b
 """
 
 
+
+def q_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-duplicate pairs (C15 x C13): deterministic VID1
+    payloads synthesized from the documents fixture — four 60-char
+    text frames per doc, plus a re-cut twin for every 20th doc that
+    shares the first three frames and perturbs the fourth — pushed
+    through the REAL shot-fingerprint pipeline (sample_frames split,
+    per-frame stand-in aHash, boilerplate-frame cap, frame-hash
+    equi-join, Jaccard). Short texts yield empty tail frames shared
+    by hundreds of videos, so the max_videos_per_frame cap is
+    EXERCISED, not idle — the oracle re-derives the hash arithmetic,
+    the cap and the Jaccard, value-checking the whole leg (upgrades
+    video near-dup from self-tested to oracle-certified; the
+    real-pixel AVI/MJPEG leg shares everything past sample_frames and
+    is held by test_avi)."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import video_near_dup
+
+    docs = load_table(spark, sf, "documents")
+    t = "coalesce(text, '')"
+    f1, f2, f3 = [f"substr({t}, {i * 60 + 1}, 60)" for i in range(3)]
+    f4 = f"substr({t}, 181, 60)"
+    f4_twin = f"'Z' || substr({t}, 182, 59)"
+
+    def payload(last: str):
+        return F.encode(
+            F.expr(
+                "'VID1|10|4|' || " + " || chr(0) || ".join([f1, f2, f3, last])
+            ),
+            "UTF-8",
+        )
+
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        payload(f4).alias("media"),
+    )
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).cast("string").alias("media_id"),
+        payload(f4_twin).alias("media"),
+    )
+    return video_near_dup(
+        base.unionByName(twins), "media_id", "media",
+        every_k=1, min_jaccard=0.2, max_videos_per_frame=50,
+    ).orderBy("id_a", "id_b")
+
+
+# frame-level stand-in hash: identical arithmetic to q_image_near_dup's
+# oracle (64 md5-byte "pixels" over equal substrings, mean threshold)
+_VFRAMES = """
+  SELECT CAST(doc_id AS VARCHAR) AS vid,
+         [substr(coalesce(text, ''), 1, 60),
+          substr(coalesce(text, ''), 61, 60),
+          substr(coalesce(text, ''), 121, 60),
+          substr(coalesce(text, ''), 181, 60)] AS frames
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR),
+         [substr(coalesce(text, ''), 1, 60),
+          substr(coalesce(text, ''), 61, 60),
+          substr(coalesce(text, ''), 121, 60),
+          'Z' || substr(coalesce(text, ''), 182, 59)]
+  FROM documents WHERE doc_id % 20 = 0
+"""
+
+ORACLE["q_video_near_dup"] = f"""
+WITH v AS ({_VFRAMES}
+), fr AS (
+  SELECT vid, unnest(frames) AS frame FROM v
+), hx AS (
+  SELECT vid, frame,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5(substr(frame,
+                   CAST(i AS INT) * greatest(1, length(frame) // 64) + 1,
+                   greatest(1, length(frame) // 64))), 1, 2))::INT) AS px
+  FROM fr
+), fh AS (
+  SELECT DISTINCT vid,
+         array_to_string(list_transform(px,
+           p -> CASE WHEN p > list_sum(px) / 64.0 THEN '1' ELSE '0' END), '') AS fh
+  FROM hx
+), hot AS (
+  SELECT fh FROM (SELECT fh, count(DISTINCT vid) AS nv FROM fh GROUP BY fh)
+  WHERE nv > 50
+), keepers AS (
+  SELECT vid, fh FROM fh WHERE fh NOT IN (SELECT fh FROM hot)
+), sizes AS (
+  SELECT vid, count(*) AS n FROM keepers GROUP BY vid
+), shared AS (
+  SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS shared
+  FROM keepers a JOIN keepers b ON a.fh = b.fh AND a.vid < b.vid
+  GROUP BY a.vid, b.vid
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(shared / (sa.n + sb.n - shared)::DOUBLE, 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.vid = id_a
+JOIN sizes sb ON sb.vid = id_b
+WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
