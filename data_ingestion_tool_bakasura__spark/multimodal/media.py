@@ -618,6 +618,125 @@ def video_near_dup(
     )
 
 
+
+def video_fingerprint_index(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_k: int = 2,
+) -> DataFrame:
+    """The persistable half of :func:`video_near_dup`: distinct
+    ``(video_id, fh)`` shot-fingerprint rows — write once per corpus,
+    probe increments against it forever (the ``image_hash_index``
+    pattern; videos are sampled + hashed exactly once, ever)."""
+    frames = sample_frames(df, every_k=every_k, id_col=id_col, media_col=media_col)
+    return (
+        frames.select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
+        .filter(F.col("fh").isNotNull())
+        .distinct()
+    )
+
+
+def video_near_dup_increment(
+    index: DataFrame,
+    new_videos: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_k: int = 2,
+    min_jaccard: float = 0.5,
+    max_videos_per_frame: int | None = 50,
+    new_fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a wave of NEW videos against a persisted
+    :func:`video_fingerprint_index` (plus each other): only the wave
+    is sampled and hashed; the corpus contributes its fingerprint
+    rows. Same contracts as :func:`image_near_dup_increment`:
+
+    - append-only — wave ids already present in the index are dropped
+      by an anti-join, so a replayed wave is a no-op;
+    - ``new_fingerprints`` lets a caller that already holds the
+      wave's index rows (the streaming sink) pass them in so the
+      hash pass runs once, not once per consumer;
+    - the hot-frame boilerplate cap counts distinct videos per frame
+      hash over index+wave COMBINED (the populations a full recompute
+      would see), and sizes are post-cap, restricted to candidate
+      videos so an increment never sizes the untouched corpus.
+
+    Pairs are ``(id_a, id_b, shared, n_a, n_b, jaccard)`` with
+    ``id_b`` always the new video (index witness) or the
+    lexicographically larger within-wave id — union the wave's
+    fingerprint rows into the index afterwards."""
+    idx_ids = index.select("video_id").distinct()
+    if new_fingerprints is None:
+        new_fingerprints = video_fingerprint_index(
+            new_videos, id_col=id_col, media_col=media_col, every_k=every_k
+        )
+    new_fp = new_fingerprints.join(idx_ids, "video_id", "left_anti")
+    if max_videos_per_frame is not None:
+        hot = (
+            index.unionByName(new_fp)
+            .groupBy("fh")
+            .agg(F.countDistinct("video_id").alias("nv"))
+            .filter(F.col("nv") > max_videos_per_frame)
+            .select("fh")
+        )
+        idx_f = index.join(F.broadcast(hot), "fh", "left_anti")
+        new_f = new_fp.join(F.broadcast(hot), "fh", "left_anti")
+    else:
+        idx_f, new_f = index, new_fp
+    # share point (feeds both join legs + sizes); persist, NOT
+    # checkpoint — see the video_near_dup note on AQE eager toRdd
+    new_f = new_f.persist()
+    base = idx_f.alias("x").join(new_f.alias("y"), "fh").select(
+        F.col("x.video_id").alias("id_a"), F.col("y.video_id").alias("id_b")
+    )
+    wave = (
+        new_f.alias("x")
+        .join(new_f.alias("y"), "fh")
+        .filter(F.col("x.video_id") < F.col("y.video_id"))
+        .select(
+            F.col("x.video_id").alias("id_a"), F.col("y.video_id").alias("id_b")
+        )
+    )
+    shared = (
+        base.unionByName(wave)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    cand = (
+        shared.select(F.col("id_a").alias("video_id"))
+        .unionAll(shared.select(F.col("id_b")))
+        .distinct()
+    )
+    sizes = (
+        idx_f.unionByName(new_f)
+        .join(cand, "video_id", "left_semi")
+        .groupBy("video_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.withColumnRenamed("video_id", "id_a").withColumnRenamed("n", "n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("video_id", "id_b").withColumnRenamed("n", "n_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
 def image_hash_index(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -514,6 +514,95 @@ def start_streaming_image_dedup(
     return writer.start()
 
 
+def start_streaming_video_dedup(
+    media_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_k: int = 2,
+    min_jaccard: float = 0.5,
+    max_videos_per_frame: int | None = 50,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously near-deduplicated VIDEO corpus — the video-side
+    twin of :func:`start_streaming_image_dedup` (C15 x C17): each
+    arriving batch of (id, media) rows is frame-sampled and
+    perceptual-hashed ONCE, probed against the persisted
+    :func:`~..multimodal.media.video_fingerprint_index` via
+    ``video_near_dup_increment``, and only survivors' payloads +
+    (video_id, fh) fingerprint rows are appended. Within a batch the
+    min-id copy is canonical (the increment's pair contract makes
+    ``id_b`` always the duplicate side); across batches first arrival
+    wins. Videos are sampled + hashed exactly once per video, ever.
+
+    Same replay/crash contracts as the image closure: exact-id guard
+    against corpus ids up front; the increment drops wave ids already
+    in the fingerprint index; the INDEX append goes first so a crash
+    between the two writes leaves reconcilable orphan fingerprints,
+    never silently-unindexed survivors; the hot-frame boilerplate cap
+    applies per batch over index+wave combined populations."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        video_fingerprint_index,
+        video_near_dup_increment,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="viddedup_ckpt_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        if os.path.exists(corpus_path.removeprefix("file://")):
+            seen = spark.read.parquet(corpus_path).select(F.col(id_col))
+            batch_df = batch_df.join(seen, on=id_col, how="left_anti")
+        batch_df = batch_df.transform(reliable_checkpoint)
+        if not batch_df.take(1):
+            return
+        # sample + hash the batch ONCE: feeds the near-dup probe AND
+        # (filtered to survivors) the index append
+        batch_fp = video_fingerprint_index(
+            batch_df, id_col=id_col, media_col=media_col, every_k=every_k
+        ).transform(reliable_checkpoint)
+        have_index = os.path.exists(index_path.removeprefix("file://"))
+        index = (
+            spark.read.parquet(index_path) if have_index else batch_fp.limit(0)
+        )
+        pairs = video_near_dup_increment(
+            index, batch_df, id_col=id_col, media_col=media_col,
+            every_k=every_k, min_jaccard=min_jaccard,
+            max_videos_per_frame=max_videos_per_frame,
+            new_fingerprints=batch_fp,
+        )
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
+        # index append FIRST — the image closure's crash-ordering
+        # argument verbatim (orphan fingerprints reconcile on replay;
+        # corpus-first would lose survivors' fingerprints forever)
+        to_index = batch_fp.withColumnRenamed("video_id", id_col).join(
+            F.broadcast(drop), on=id_col, how="left_anti"
+        ).withColumnRenamed(id_col, "video_id")
+        if have_index:
+            to_index = to_index.join(
+                index.select("video_id").distinct(),
+                on="video_id", how="left_anti",
+            )
+        # materialize: the append plan must not lazily read index_path
+        # while appending to it
+        reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
+        survivors.write.mode("append").parquet(corpus_path)
+
+    writer = media_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_streaming_crawl(
     pages_stream: DataFrame,
     corpus_path: str,
