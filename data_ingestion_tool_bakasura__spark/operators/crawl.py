@@ -297,3 +297,37 @@ def web_quality_filter(
             .drop(*sig_cols)
         )
     return out
+
+
+def language_filter(
+    df: DataFrame,
+    profiles: DataFrame,
+    allowed_langs=None,
+    text_col: str = "text",
+    id_col: str = "url",
+    broadcast_profiles: bool = True,
+) -> DataFrame:
+    """Language gate over a batch frame (the FineWeb position: after
+    extraction, BEFORE the quality rules — their thresholds are
+    language-specific): classify each page with the persisted
+    char-trigram profiles (``sampling.fit_lang_profiles`` /
+    ``trigram_lang_id``, the oracle-checked C16 path) and keep only
+    pages whose guess is in ``allowed_langs`` (None keeps everything
+    and just annotates). Appends a ``lang`` column either way.
+
+    Scale shape is trigram_lang_id's: one (page, trigram) partial-agg
+    exchange x a broadcast profile join -> argmax window on the page
+    key. The gate itself adds one broadcast semi-join of (id, guess)
+    back onto the pages — text never shuffles."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        trigram_lang_id,
+    )
+
+    pred = trigram_lang_id(
+        df, profiles, text_col=text_col, id_col=id_col,
+        broadcast_profiles=broadcast_profiles,
+    ).select(F.col(id_col), F.col("guess").alias("lang"))
+    out = df.join(pred, id_col, "left")
+    if allowed_langs is not None:
+        out = out.filter(F.col("lang").isin(list(allowed_langs)))
+    return out

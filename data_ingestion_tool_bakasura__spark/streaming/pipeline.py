@@ -616,6 +616,8 @@ def start_streaming_crawl(
     dsir_ratios_path: str | None = None,
     dsir_min_weight: float = 0.0,
     quality_gate: str | None = None,
+    langid_profiles_path: str | None = None,
+    allowed_langs=None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -660,6 +662,16 @@ def start_streaming_crawl(
     first, the later gates judge the CLEANED text). Pure map-only
     codegen expressions, so the gate adds zero exchanges and zero
     stream state to the micro-batch plan.
+
+    ``langid_profiles_path`` points at a persisted
+    ``sampling.fit_lang_profiles`` table; each batch is classified
+    with the char-trigram profiles (``operators.crawl
+    .language_filter``, the oracle-checked C16 serve path) and, when
+    ``allowed_langs`` is given, only pages guessing one of those
+    languages land. Runs BEFORE the quality gate (the FineWeb order —
+    quality thresholds are language-specific). The ``lang`` column is
+    ALWAYS in the output schema (NULL when the gate is off), the same
+    stable-schema contract as ``log_weight``.
     """
     if quality_gate is not None:
         from data_ingestion_tool_bakasura__spark.operators.crawl import (
@@ -743,6 +755,14 @@ def start_streaming_crawl(
             U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
             text_expr.alias("text"),
         ).withColumn("n_chars", F.length("text"))
+        if langid_profiles_path:
+            profiles = spark.read.parquet(langid_profiles_path)
+            out = CR.language_filter(
+                out, profiles, allowed_langs=allowed_langs,
+                text_col="text", id_col="norm_url",
+            )
+        else:
+            out = out.withColumn("lang", F.lit(None).cast("string"))
         if quality_gate:
             out = CR.web_quality_filter(out, "text", quality_gate).withColumn(
                 "n_chars", F.length("text")

@@ -608,3 +608,66 @@ def test_streaming_crawl_quality_gate_validates(spark, tmp_path):
             str(tmp_path / "c"),
             quality_gate="fineweb",
         )
+
+
+def test_streaming_crawl_language_gate(spark, tmp_path):
+    """r11: langid_profiles_path + allowed_langs — each batch is
+    classified with the persisted char-trigram profiles and only
+    allowed-language pages land, annotated with the guess; with the
+    gate off the lang column is still present (NULL) so the corpus
+    schema never flips."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        fit_lang_profiles,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wet
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    eng = ("the quick brown fox jumps over the lazy dog and then the "
+           "other dog follows along the river into the town")
+    zzz = ("zxq zxq vrk vrk plm plm zxq vrk plm zxqvrk plmzxq vrkplm "
+           "zxq zxq vrk vrk plm plm zxqplm vrkzxq plmvrk zxq vrk plm")
+    labeled = spark.createDataFrame(
+        [(0, eng, "en"), (1, zzz, "zz")], "doc_id int, text string, lang string"
+    )
+    profiles_path = str(tmp_path / "profiles")
+    fit_lang_profiles(labeled).write.parquet(profiles_path)
+
+    def wet(uri, text, rid):
+        body = text.encode()
+        head = (f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode()
+        return head + body + b"\r\n\r\n"
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "w.warc.wet").write_bytes(
+        wet("https://a.example/en", "the dog follows the fox into the town", "1")
+        + wet("https://a.example/zz", "zxq vrk plm zxq vrk plm zxq", "2")
+    )
+    corpus = str(tmp_path / "corpus")
+    start_streaming_crawl(
+        read_wet(spark, str(d), streaming=True),
+        corpus,
+        payload_col="text",
+        langid_profiles_path=profiles_path,
+        allowed_langs=["en"],
+        checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    rows = spark.read.parquet(corpus).collect()
+    assert [(r["url"], r["lang"]) for r in rows] == [("https://a.example/en", "en")]
+    # gate off on a fresh corpus: lang present but NULL
+    corpus2 = str(tmp_path / "corpus2")
+    start_streaming_crawl(
+        read_wet(spark, str(d), streaming=True),
+        corpus2,
+        payload_col="text",
+        checkpoint=str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+    rows2 = spark.read.parquet(corpus2)
+    assert "lang" in rows2.columns
+    assert rows2.filter("lang IS NOT NULL").count() == 0
+    assert rows2.count() == 2

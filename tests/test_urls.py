@@ -281,3 +281,32 @@ def test_robots_rules_df_parses_once_per_host(spark):
     assert rows == [
         ("h.example", "/a", False, 2), ("h.example", "/a/b", True, 4),
     ]
+
+
+def test_language_filter_batch(spark):
+    """r11: the batch language gate — classify with persisted trigram
+    profiles, annotate every row, keep only allowed languages; with
+    allowed_langs=None it only annotates."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        fit_lang_profiles,
+    )
+
+    eng = ("the quick brown fox jumps over the lazy dog and then the "
+           "other dog follows along the river into the town")
+    zzz = ("zxq zxq vrk vrk plm plm zxq vrk plm zxqvrk plmzxq vrkplm "
+           "zxq zxq vrk vrk plm plm zxqplm vrkzxq plmvrk zxq vrk plm")
+    profiles = fit_lang_profiles(
+        spark.createDataFrame(
+            [(0, eng, "en"), (1, zzz, "zz")],
+            "doc_id int, text string, lang string",
+        )
+    )
+    pages = spark.createDataFrame(
+        [("u1", "the dog follows the fox into the town"),
+         ("u2", "zxq vrk plm zxq vrk plm zxq")],
+        "url string, text string",
+    )
+    kept = C.language_filter(pages, profiles, allowed_langs=["en"]).collect()
+    assert [(r["url"], r["lang"]) for r in kept] == [("u1", "en")]
+    annotated = C.language_filter(pages, profiles).orderBy("url").collect()
+    assert [(r["url"], r["lang"]) for r in annotated] == [("u1", "en"), ("u2", "zz")]
