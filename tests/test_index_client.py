@@ -466,3 +466,76 @@ def test_pipeline_cli_crawl_journey(spark, tmp_path, capsys):
     out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
     assert "walrus telemetry" in out[0]["content"]
     assert "good.example.org/page" in out[0]["filename"]
+
+
+def test_pipeline_cli_crawl_gates(spark, tmp_path, capsys):
+    """r11: `crawl --quality-gate --langid-profiles --allowed-langs` —
+    the lorem-ipsum page dies at the C4 gate, the off-language page at
+    the trigram gate; only the clean English page is indexed."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_cli
+
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        fit_lang_profiles,
+    )
+
+    def rec(uri, body, rid):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    def resp(html):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+
+    good = (b"<html><body><p>The walrus swims in the cold sea today. "
+            b"We watch the herd again and again to be sure of it. "
+            b"It held up well! Did it dive? It did. That was the point. "
+            b"More notes of the field land here with the rest of the log.</p></body></html>")
+    lorem = (b"<html><body><p>Lorem ipsum dolor sit amet. "
+             b"The walrus swims in the cold sea today. It held up well! "
+             b"Did it dive? It did. That was the point. More notes here.</p></body></html>")
+    french = (b"<html><body><p>Le morse nage dans la mer froide et le troupeau "
+              b"revient encore et encore vers la plage chaque matin.</p></body></html>")
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "a.warc").write_bytes(
+        rec("https://en.example/good", resp(good), "1")
+        + rec("https://en.example/lorem", resp(lorem), "2")
+        + rec("https://fr.example/page", resp(french), "3")
+    )
+    eng = ("the quick brown fox jumps over the lazy dog and the walrus swims "
+           "in the sea while we watch the herd again to be sure of it")
+    fra = ("le renard brun saute par dessus le chien et le morse nage dans la "
+           "mer froide pendant que le troupeau revient vers la plage")
+    profiles = str(tmp_path / "prof")
+    fit_lang_profiles(
+        spark.createDataFrame(
+            [(0, eng, "en"), (1, fra, "fr")], "doc_id int, text string, lang string"
+        )
+    ).write.parquet(profiles)
+
+    idx = str(tmp_path / "idx")
+    rc = pipeline_cli.main([
+        "crawl", str(crawl), idx, "--dim", "16",
+        "--quality-gate", "c4+rep",
+        "--langid-profiles", profiles, "--allowed-langs", "en",
+    ])
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert rc == 0 and out[0]["event"] == "crawled"
+    assert out[0]["document_count"] == 1
+
+    rc = pipeline_cli.main(["search", idx, "walrus swims", "--mode", "text", "-k", "1"])
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert "en.example/good" in out[0]["filename"]

@@ -55,6 +55,18 @@ def main(argv: list[str] | None = None) -> int:
         "--block-domains", default=None,
         help="comma-separated registrable domains to drop (subdomains included)",
     )
+    p_crw.add_argument(
+        "--quality-gate", default=None,
+        help="'+'-combination of c4/gopher/rep page-quality rules",
+    )
+    p_crw.add_argument(
+        "--langid-profiles", default=None,
+        help="persisted fit_lang_profiles parquet for the language gate",
+    )
+    p_crw.add_argument(
+        "--allowed-langs", default=None,
+        help="comma-separated language guesses to keep (needs --langid-profiles)",
+    )
 
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
@@ -148,6 +160,15 @@ def main(argv: list[str] | None = None) -> int:
                 decode_payload_udf()(F.col("payload"), F.col("content_type"))
             ).alias("text"),
         ).filter(F.col("text") != "")
+        if args.langid_profiles:  # FineWeb order: language before quality
+            docs = CR.language_filter(
+                docs, spark.read.parquet(args.langid_profiles),
+                allowed_langs=(args.allowed_langs.split(",")
+                               if args.allowed_langs else None),
+                text_col="text", id_col="doc_id",
+            ).drop("lang")
+        if args.quality_gate:
+            docs = CR.web_quality_filter(docs, "text", args.quality_gate)
         rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
         n_new = client.store(rows)
         print(json.dumps({"event": "crawled", "new_chunks": n_new, **client.stats()}))
