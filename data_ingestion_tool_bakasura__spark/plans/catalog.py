@@ -65,6 +65,7 @@ _PRIORITY = [
     "q_web_quality_pipeline",
     "q_gopher_repetition",
     "q_video_near_dup",
+    "q_audio_features",
     # --- impl changed in round 11: re-certify next (QUERY_RE fragment
     # anchoring -> the three URL-normalizing queries; tables_of gained
     # the ruled-only detector -> q_page_extract; ahash64 gained the
@@ -115,15 +116,16 @@ _PRIORITY = [
     "q_brand_quantity_revenue",
     "q_part_value_concentration",
     "q_large_volume_customers",
-    "q_min_cost_supplier",
     # ---------- 50-query window boundary ----------
-    # Six r8-evidence rows sit displaced past the boundary by the
+    # Seven r8-evidence rows sit displaced past the boundary by the
     # late-landing round-11 queries (q_robots_filter displaced
     # q_exists_subquery; the C4/Gopher web-quality trio displaced the
-    # next three; q_gopher_repetition displaced q_volume_shipping;
-    # q_video_near_dup displaced q_funnel_conversion) — driver
-    # evidence for a NEW operator outranks retiring the final r8
-    # rows. All six lead the r12 rotation together with the r9 block.
+    # next three; q_gopher_repetition / q_video_near_dup /
+    # q_audio_features displaced q_volume_shipping /
+    # q_funnel_conversion / q_min_cost_supplier) — driver evidence
+    # for a NEW operator outranks retiring the final r8 rows. All
+    # seven lead the r12 rotation together with the r9 block.
+    "q_min_cost_supplier",
     "q_funnel_conversion",
     "q_volume_shipping",
     "q_stream_tumbling_hourly",

@@ -277,6 +277,58 @@ ORDER BY id_a, id_b
 """
 
 
+
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature extraction (C15): deterministic AUD1 payloads
+    synthesized from the documents fixture (sample_rate 16000,
+    n_samples = text length) pushed through the REAL ``audio_features``
+    operator (Arrow mapInPandas dispatch; the byte-energy stand-in is
+    the mean of squared payload bytes). The DuckDB oracle re-derives
+    the header fields and the energy arithmetic (``ascii()`` over the
+    same UTF-8/ASCII bytes) — upgrades the audio family from
+    self-tested to oracle-certified. The REAL RIFF/WAVE PCM leg
+    (stdlib ``wave``) shares this operator and is held by
+    test_multimodal, like the AVI leg of q_video_near_dup."""
+    from data_ingestion_tool_bakasura__spark.multimodal.media import audio_features
+
+    docs = load_table(spark, sf, "documents")
+    t = "coalesce(text, '')"
+    media = F.encode(
+        F.expr(f"'AUD1|16000|' || length({t}) || '|' || {t}"), "UTF-8"
+    )
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"), media.alias("media")
+    )
+    # duration/energy go out UNROUNDED on both sides: the payload
+    # lengths are powers of two, so energies are exact multiples of
+    # 1/2^k and a 6-decimal query-side round hits ...5 ties where
+    # Spark/DuckDB round half-up but the compare's canonicalizer
+    # rounds half-even — let the canonicalizer do the one rounding
+    return (
+        audio_features(src)
+        .select("audio_id", "sample_rate", "n_samples", "duration_s",
+                "byte_energy")
+        .orderBy("audio_id")
+    )
+
+
+ORACLE["q_audio_features"] = """
+WITH a AS (
+  SELECT CAST(doc_id AS VARCHAR) AS audio_id, coalesce(text, '') AS t
+  FROM documents
+)
+SELECT audio_id,
+       16000 AS sample_rate,
+       CAST(length(t) AS BIGINT) AS n_samples,
+       length(t) / 16000.0 AS duration_s,
+       CASE WHEN length(t) > 0 THEN
+         list_avg(list_transform(range(1, length(t) + 1),
+           i -> ascii(substr(t, CAST(i AS INT), 1)) ** 2))
+       ELSE 0.0 END AS byte_energy
+FROM a ORDER BY audio_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
