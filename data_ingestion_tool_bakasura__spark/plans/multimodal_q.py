@@ -191,6 +191,7 @@ def q_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     real-pixel AVI/MJPEG leg shares everything past sample_frames and
     is held by test_avi)."""
     from data_ingestion_tool_bakasura__spark.multimodal.media import video_near_dup
+    from data_ingestion_tool_bakasura__spark.operators.sampling import _spread
 
     docs = load_table(spark, sf, "documents")
     t = "coalesce(text, '')"
@@ -214,8 +215,12 @@ def q_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1000000).cast("string").alias("media_id"),
         payload(f4_twin).alias("media"),
     )
+    # _spread (the tiny-fixture scale-UP guard, no-op at real split
+    # counts): the one-file fixture otherwise funnels ALL frame
+    # sampling + stand-in hashing through a single task — measured
+    # 7.3s -> ~2s at sf0.1 on local[32]
     return video_near_dup(
-        base.unionByName(twins), "media_id", "media",
+        _spread(base.unionByName(twins)), "media_id", "media",
         every_k=1, min_jaccard=0.2, max_videos_per_frame=50,
     ).orderBy("id_a", "id_b")
 
