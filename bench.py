@@ -115,6 +115,7 @@ HEADLINE = [
     "q_web_quality_pipeline",  # r11: C4 clean -> Gopher gate composition (C20)
     "q_gopher_repetition",     # r11: Table A1 repetition signals (C20)
     "q_video_near_dup",        # r11: shot-fingerprint video dedup (C15)
+    "q_main_content",          # r11: jusText boilerplate removal (C20)
 ]
 
 

@@ -652,6 +652,165 @@ FROM grams ORDER BY doc_id
 """
 
 
+# --- boilerplate removal / main-content extraction (round 11) ----------
+
+#: per-doc paragraph slice length for the synthesized page (varies by
+#: doc so both short- and long-paragraph classification legs fire)
+_BP_L = "120 + (doc_id % 5) * 40"
+
+#: static boilerplate blocks of the synthesized page, as the parser
+#: must recover them: (order key, text, link_chars). The nav and the
+#: related-links <li>s are link-dense (bad); the h1 is short; the
+#: footer is short-with-links (bad via jusText's short+link rule,
+#: ld 12/63 = 0.19 just under the 0.2 density cut — exercises the
+#: rule order).
+_BP_STATICS = (
+    (0, "Home | About us | Contact", 19),
+    (100, "spark merge join guide", 22),
+    (101, "batch stream window notes", 25),
+    (102, "Copyright 2026 Example Corp. All rights reserved. Terms Privacy", 12),
+)
+
+#: fixture-tuned thresholds (passed to BOTH engines through the same
+#: kwargs — exercises the threshold plumbing). The module defaults
+#: assume prose; the word-soup fixture's stopword-ratio median is
+#: ~0.056 and paragraph slices run 120-280 chars, so with the defaults
+#: 92% of pages kept NOTHING (every doc empty = a weak value check).
+#: These cuts yield a realistic mix: most docs keep 1+ paragraphs,
+#: boilerplate still all-bad, and both smoothing directions fire.
+_BP_TH = {"stopwords_low": 0.02, "stopwords_high": 0.05, "length_high": 100}
+
+
+def q_main_content(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate removal end-to-end: each document becomes a full
+    synthetic page — nav bar, h1, up to four <p> paragraphs sliced
+    from the fixture text (length varies by doc), a related-links
+    list, a copyright footer — and ``extract_main_content`` must
+    recover exactly the content paragraphs (plus smoothing effects)
+    while the oracle re-derives every block, density, class and the
+    reassembled main text from the RAW fixture text. A parser bug
+    (segmentation, link-char accounting, entity decode, whitespace
+    collapse) or a classification/smoothing bug anywhere breaks value
+    parity on ``main_text`` itself.
+
+    The fixture text is escaped (&, <, >) at synthesis and the parser
+    entity-decodes it back, so parity holds for arbitrary text."""
+    from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
+        extract_main_content,
+    )
+    from data_ingestion_tool_bakasura__spark.operators.sampling import _spread
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+    paras = " || ".join(
+        f"'<p>' || substr({esc}, 1 + {i} * ({_BP_L}), ({_BP_L})) || '</p>'"
+        for i in range(4)
+    )
+    html = (
+        "'<html><head><title>t</title><style>p {}</style></head><body>'"
+        " || '<div><a href=\"/\">Home</a> | <a href=\"/about\">About us</a>"
+        " | <a href=\"/contact\">Contact</a></div>'"
+        " || '<h1>Document ' || CAST(doc_id AS STRING) || '</h1>'"
+        f" || {paras}"
+        " || '<ul><li><a href=\"/r1\">spark merge join guide</a></li>"
+        "<li><a href=\"/r2\">batch stream window notes</a></li></ul>'"
+        " || '<div>Copyright 2026 Example Corp. All rights reserved."
+        " <a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>"
+        "</div>'"
+        " || '</body></html>'"
+    )
+    docs = _spread(
+        load_table(spark, sf, "documents").select(
+            "doc_id", F.expr(html).alias("html")
+        )
+    )
+    out = extract_main_content(docs, "html", "doc_id", **_BP_TH)
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_good",
+        F.length("main_text").cast("bigint").alias("main_chars"),
+        "main_text",
+    ).orderBy("doc_id")
+
+
+def _bp_oracle() -> str:
+    from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
+        ctx_free_class_sql,
+    )
+    from data_ingestion_tool_bakasura__spark.functions.textstats import (
+        STOPWORDS,
+    )
+
+    sw_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    statics = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {ordk} AS ord, '{txt}' AS text, {lc} AS link_chars"
+        " FROM docs"
+        for ordk, txt, lc in _BP_STATICS
+    )
+    decided = "CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, CAST({_BP_L} AS INT) AS L FROM documents
+), paras AS (
+  SELECT doc_id, 2 + i AS ord,
+         trim(regexp_replace(substr(text, 1 + CAST(i AS INT) * L, L),
+                             '\\s+', ' ', 'g')) AS text,
+         0 AS link_chars
+  FROM docs, unnest(range(0, 4)) AS t(i)
+), blocks0 AS (
+  {statics}
+  UNION ALL SELECT doc_id, 1, 'Document ' || CAST(doc_id AS VARCHAR), 0
+  FROM docs
+  UNION ALL SELECT doc_id, ord, text, link_chars FROM paras
+  WHERE text <> ''
+), b AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+           AS block_idx,
+         text, length(text) AS n_chars, link_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> lower(w) IN ({sw_list})))::DOUBLE
+           / len(string_split(text, ' ')) AS sw
+  FROM blocks0
+), c AS (
+  SELECT *,
+    {ctx_free_class_sql('n_chars', 'link_chars', 'sw', **_BP_TH)} AS cls_raw
+  FROM b
+), s AS (
+  SELECT *,
+    coalesce(last_value({decided} IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY block_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prv,
+    coalesce(last_value({decided} IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY block_idx DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS nxt
+  FROM c
+), f AS (
+  SELECT *, CASE
+    WHEN cls_raw IN ('good','bad') THEN cls_raw
+    WHEN cls_raw = 'neargood' THEN
+      CASE WHEN prv = 'good' OR nxt = 'good' THEN 'good' ELSE 'bad' END
+    ELSE CASE WHEN prv = 'good' AND nxt = 'good' THEN 'good' ELSE 'bad' END
+  END AS cls FROM s
+), g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(count(*) FILTER (WHERE cls = 'good') AS BIGINT) AS n_good,
+         coalesce(string_agg(text, chr(10) ORDER BY block_idx)
+                  FILTER (WHERE cls = 'good'), '') AS main_text
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_blocks, n_good,
+       CAST(length(main_text) AS BIGINT) AS main_chars, main_text
+FROM g ORDER BY doc_id
+"""
+
+
+ORACLE["q_main_content"] = _bp_oracle()
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -665,4 +824,5 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_web_quality_pipeline": q_web_quality_pipeline,
     "q_gopher_repetition": q_gopher_repetition,
+    "q_main_content": q_main_content,
 }

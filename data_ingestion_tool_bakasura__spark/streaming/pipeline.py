@@ -618,6 +618,7 @@ def start_streaming_crawl(
     quality_gate: str | None = None,
     langid_profiles_path: str | None = None,
     allowed_langs=None,
+    boilerplate_removal: bool | dict = False,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -672,6 +673,16 @@ def start_streaming_crawl(
     quality thresholds are language-specific). The ``lang`` column is
     ALWAYS in the output schema (NULL when the gate is off), the same
     stable-schema contract as ``log_weight``.
+
+    ``boilerplate_removal`` swaps the HTML leg's flat
+    ``html_to_text`` for jusText main-content extraction
+    (``functions.boilerplate.extract_main_content``): nav bars,
+    footers and link lists drop out BEFORE the language/quality/DSIR
+    gates judge the page — the trafilatura position in a real crawl
+    stack. Pass a dict to override the classification thresholds
+    (e.g. ``{"stopwords_high": 0.05}``). Costs one extra per-batch
+    exchange on ``norm_url`` (the block window + re-join). WET
+    streams ignore it: their payload is already extracted text.
     """
     if quality_gate is not None:
         from data_ingestion_tool_bakasura__spark.operators.crawl import (
@@ -746,9 +757,24 @@ def start_streaming_crawl(
         else:
             ctype = (F.col("content_type") if "content_type" in batch.columns
                      else F.lit("text/html"))
-            text_expr = html_to_text_udf()(
-                decode_payload_udf()(F.col(payload_col), ctype)
-            )
+            decoded = decode_payload_udf()(F.col(payload_col), ctype)
+            if boilerplate_removal:
+                from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
+                    extract_main_content,
+                )
+
+                th = (boilerplate_removal
+                      if isinstance(boilerplate_removal, dict) else {})
+                # norm_url is unique within the batch here (post-dedup),
+                # so it keys the block window and the re-join
+                html_df = batch.withColumn("_html", decoded)
+                mc = extract_main_content(html_df, "_html", "norm_url", **th)
+                batch = html_df.join(
+                    mc.select("norm_url", "main_text"), "norm_url"
+                ).drop("_html")
+                text_expr = F.col("main_text")
+            else:
+                text_expr = html_to_text_udf()(decoded)
         out = batch.select(
             "norm_url",
             F.col(url_col).alias("url"),

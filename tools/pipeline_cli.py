@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
         "--allowed-langs", default=None,
         help="comma-separated language guesses to keep (needs --langid-profiles)",
     )
+    p_crw.add_argument(
+        "--boilerplate", action="store_true",
+        help="jusText main-content extraction instead of flat html_to_text",
+    )
 
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
@@ -154,12 +158,22 @@ def main(argv: list[str] | None = None) -> int:
                 pages, "url", max_per_domain=args.max_per_domain,
                 order_col="record_id",
             )
-        docs = pages.select(
-            F.col("norm_url").alias("doc_id"),
-            html_to_text_udf()(
-                decode_payload_udf()(F.col("payload"), F.col("content_type"))
-            ).alias("text"),
-        ).filter(F.col("text") != "")
+        decoded = decode_payload_udf()(F.col("payload"), F.col("content_type"))
+        if args.boilerplate:
+            from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
+                extract_main_content,
+            )
+
+            docs = extract_main_content(
+                pages.select(F.col("norm_url").alias("doc_id"),
+                             decoded.alias("_html")),
+                "_html", "doc_id",
+            ).select("doc_id", F.col("main_text").alias("text"))
+        else:
+            docs = pages.select(
+                F.col("norm_url").alias("doc_id"), decoded.alias("text")
+            ).withColumn("text", html_to_text_udf()(F.col("text")))
+        docs = docs.filter(F.col("text") != "")
         if args.langid_profiles:  # FineWeb order: language before quality
             docs = CR.language_filter(
                 docs, spark.read.parquet(args.langid_profiles),
