@@ -811,6 +811,73 @@ FROM g ORDER BY doc_id
 ORACLE["q_main_content"] = _bp_oracle()
 
 
+def q_html_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML page-metadata extraction (functions/htmlmeta.py): each
+    document becomes a head section with a whitespace-padded title
+    (collapse under test), description/og:description present only for
+    some docs (NULL legs), a duplicate <title> and a duplicate
+    og:title later in the head (first-occurrence-wins under test), a
+    canonical link and an html lang attribute. The oracle recomputes
+    every field straight from the fixture columns — a parser bug in
+    attribute handling, entity decode, first-wins ordering or title
+    collapse breaks value parity. Map-only plan: one Arrow UDF pass +
+    Project, no exchange before the presentation sort."""
+    from data_ingestion_tool_bakasura__spark.functions.htmlmeta import (
+        META_FIELDS,
+        with_html_meta,
+    )
+
+    esc40 = ("replace(replace(replace(substr(text, 1, 40), '&', '&amp;'),"
+             " '<', '&lt;'), '>', '&gt;')")
+    i = "CAST(doc_id AS STRING)"
+    html = (
+        f"'<html lang=\"' || lang || '\"><head>'"
+        f" || '<title>  Doc ' || {i} || ':  ' || {esc40} || ' </title>'"
+        f" || CASE WHEN doc_id % 5 = 0 THEN '' ELSE"
+        f" '<meta name=\"description\" content=\"' || source ||"
+        f" ' document ' || {i} || '\">' END"
+        f" || '<meta property=\"og:title\" content=\"OG Doc ' || {i} || '\">'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<meta property=\"og:description\" content=\"og desc ' || {i} ||"
+        f" '\">' ELSE '' END"
+        f" || '<meta property=\"og:image\" content=\"https://img.example/'"
+        f" || {i} || '.png\">'"
+        f" || '<link rel=\"canonical\" href=\"https://example' ||"
+        f" CAST(doc_id % 13 AS STRING) || '.com/doc/' || {i} || '\">'"
+        f" || '<title>ignored</title>'"
+        f" || '<meta property=\"og:title\" content=\"dup ignored\">'"
+        f" || '</head><body><p>body</p></body></html>'"
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).withColumn("html", F.expr(html))
+    return (
+        with_html_meta(docs.select("doc_id", "html"), "html", prefix="")
+        .select("doc_id", *META_FIELDS)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_html_meta"] = """
+SELECT doc_id,
+       trim(regexp_replace(
+         'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40),
+         '\\s+', ' ', 'g')) AS title,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE source || ' document ' || CAST(doc_id AS VARCHAR) END
+         AS description,
+       'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+       CASE WHEN doc_id % 3 = 0 THEN 'og desc ' || CAST(doc_id AS VARCHAR)
+            ELSE NULL END AS og_description,
+       'https://img.example/' || CAST(doc_id AS VARCHAR) || '.png'
+         AS og_image,
+       'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/doc/' ||
+         CAST(doc_id AS VARCHAR) AS canonical,
+       lang
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -825,4 +892,5 @@ QUERIES = {
     "q_web_quality_pipeline": q_web_quality_pipeline,
     "q_gopher_repetition": q_gopher_repetition,
     "q_main_content": q_main_content,
+    "q_html_meta": q_html_meta,
 }
