@@ -1,0 +1,227 @@
+"""Persisted Bloom-filter seen-set (C20 crawl curation, scale path).
+
+The streaming crawl's cross-batch URL dedup guard is an anti-join of
+each micro-batch against the persisted corpus' ``norm_url`` column —
+correct, but at crawl scale that is a corpus-wide scan AND shuffle per
+trigger. A Bloom filter over the landed URLs turns the guard into:
+
+1. a map-only membership probe of the batch (definitely-new rows skip
+   the corpus entirely — the steady-state majority);
+2. an exact check of ONLY the maybe-seen minority, done as a
+   broadcast-reversed pair of joins: the (small) maybe set broadcasts
+   against one map-only corpus scan, so the corpus is never shuffled.
+
+False positives are SAFE (they just take the exact check); false
+negatives would be corruption, so the persisted bitmap must always be
+a SUPERSET of the corpus URLs — the crash-ordering contract is
+therefore *bloom write BEFORE corpus append*: a crash in between
+leaves extra bits (harmless), never missing ones. Replayed batches
+see their own URLs as maybe-seen, exact-check against the corpus,
+and land exactly once.
+
+Layout on disk: ``<path>/meta.json`` (m bits, k hashes, n_added) +
+``<path>/bitmap.bin`` (m/8 bytes), written to a temp sibling and
+``os.replace``d file-by-file (meta last) so readers never see a torn
+bitmap. Sizing: 1e9 URLs at 1% FP is ~1.2 GiB — within executor
+broadcast budgets; ``n_expected`` overflow degrades the FP rate
+gracefully (more exact checks), never correctness.
+
+Hashing: positions are ``xxhash64(value, seed=i) mod m`` computed
+JVM-side (codegen) on BOTH the build and the probe path — the only
+Python is a vectorized numpy gather over the broadcast bitmap
+(build: per-partition numpy bitmaps OR-combined via treeReduce — the
+sanctioned per-partition imperative case, like the sketch builds).
+
+The reference's dedup probe is one HTTP search round-trip per chunk
+(``db_utils.py:135-146``); this is that idea rebuilt for a corpus that
+does not fit a service call.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bloom_params(n_expected: int, fpp: float = 0.01,
+                 max_bits: int = 1 << 33) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for ``n_expected`` keys at ``fpp``.
+
+    m is clamped to ``max_bits`` (1 GiB default) and rounded up to a
+    byte boundary; k is clamped to [1, 16].
+    """
+    n = max(1, n_expected)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max(1024, min(m, max_bits))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(col, m: int, k: int) -> list:
+    """The k bit positions of a value — pure codegen exprs, shared by
+    build and probe so the two paths cannot disagree."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)).cast("long")
+            for i in range(k)]
+
+
+class BloomSeenSet:
+    """A persisted, incrementally-updatable Bloom seen-set."""
+
+    def __init__(self, spark: SparkSession, path: str, m: int, k: int,
+                 bitmap: np.ndarray, n_added: int = 0) -> None:
+        self.spark = spark
+        self.path = path
+        self.m = m
+        self.k = k
+        self.bitmap = bitmap  # uint8[m/8]
+        self.n_added = n_added
+        self._bc = None
+
+    # --- persistence ---------------------------------------------------
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "meta.json"))
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str,
+               n_expected: int = 1_000_000, fpp: float = 0.01,
+               m: int | None = None, k: int | None = None) -> "BloomSeenSet":
+        if m is None or k is None:
+            m, k = bloom_params(n_expected, fpp)
+        return cls(spark, path, m, k, np.zeros(m // 8, dtype=np.uint8))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BloomSeenSet":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        bitmap = np.fromfile(os.path.join(path, "bitmap.bin"), dtype=np.uint8)
+        if bitmap.size != meta["m"] // 8:
+            raise ValueError(
+                f"bloom bitmap {path}: {bitmap.size} bytes, meta says "
+                f"{meta['m'] // 8} — torn artifact"
+            )
+        return cls(spark, path, meta["m"], meta["k"], bitmap,
+                   meta.get("n_added", 0))
+
+    @classmethod
+    def load_or_create(cls, spark: SparkSession, path: str,
+                       n_expected: int = 1_000_000,
+                       fpp: float = 0.01) -> "BloomSeenSet":
+        if cls.exists(path):
+            return cls.load(spark, path)
+        return cls.create(spark, path, n_expected, fpp)
+
+    def save(self) -> None:
+        """Atomic per-file replace, bitmap first, meta LAST — a reader
+        that sees the new meta always sees a complete bitmap of the
+        matching size (and meta.json presence is the existence gate)."""
+        os.makedirs(self.path, exist_ok=True)
+        for fname, writer in (
+            ("bitmap.bin", lambda p: self.bitmap.tofile(p)),
+            ("meta.json", lambda p: open(p, "w").write(json.dumps(
+                {"m": self.m, "k": self.k, "n_added": self.n_added}))),
+        ):
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._tmp_")
+            os.close(fd)
+            writer(tmp)
+            os.replace(tmp, os.path.join(self.path, fname))
+
+    # --- build / update ------------------------------------------------
+
+    def add_df(self, df: DataFrame, col: str, save: bool = True) -> int:
+        """OR the column's bit positions into the bitmap (and persist).
+
+        Positions are computed JVM-side; each partition folds its rows
+        into a local m/8-byte numpy bitmap and the bitmaps OR-combine
+        via treeReduce — the driver receives O(log partitions) bitmaps,
+        never rows. Returns the number of rows added."""
+        m, k, nbytes = self.m, self.k, self.m // 8
+        pos = df.select(*_positions(col, m, k)).rdd
+
+        def fold(it):
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            n = 0
+            for row in it:
+                n += 1
+                for p in row:
+                    bm[p >> 3] |= 1 << (p & 7)
+            yield (bm, n)
+
+        def comb(a, b):
+            return (np.bitwise_or(a[0], b[0]), a[1] + b[1])
+
+        # treeAggregate, not treeReduce: an empty batch (streaming
+        # replay) must fold to the zero bitmap, not raise
+        delta, n = pos.mapPartitions(fold).treeAggregate(
+            (np.zeros(nbytes, dtype=np.uint8), 0), comb, comb
+        )
+        np.bitwise_or(self.bitmap, delta, out=self.bitmap)
+        self.n_added += n
+        self._invalidate()
+        if save:
+            self.save()
+        return n
+
+    # --- probe ---------------------------------------------------------
+
+    def _broadcast(self):
+        if self._bc is None:
+            self._bc = self.spark.sparkContext.broadcast(self.bitmap)
+        return self._bc
+
+    def _invalidate(self) -> None:
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
+
+    def maybe_contains(self, df: DataFrame, col: str,
+                       out: str = "maybe_seen") -> DataFrame:
+        """Append a boolean ``out`` column: False = DEFINITELY not in
+        the set; True = maybe (resolve with an exact check). Positions
+        are the same codegen exprs as the build; the bitmap ships once
+        per executor as a broadcast and the per-row work is a
+        vectorized numpy gather in one Arrow batch pass."""
+        bc = self._broadcast()
+
+        @F.pandas_udf("boolean")
+        def _probe(pos: pd.Series) -> pd.Series:
+            bits = bc.value
+            if len(pos) == 0:
+                return pd.Series([], dtype=bool)
+            arr = np.array(pos.tolist(), dtype=np.int64)  # (n, k)
+            hit = (bits[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
+            return pd.Series(hit.all(axis=1))
+
+        return df.withColumn(
+            out, _probe(F.array(*_positions(col, self.m, self.k)))
+        )
+
+    def guard_anti_join(self, batch: DataFrame, col: str,
+                        corpus: DataFrame | None) -> DataFrame:
+        """The full seen-guard: rows of ``batch`` whose ``col`` is NOT
+        in the seen-set, with the corpus consulted only for the
+        maybe-seen minority. Plan: map-only bloom probe; the maybe set
+        broadcasts into a left-semi against ONE map-only corpus scan
+        (the corpus is never shuffled); actually-seen rows (small)
+        broadcast back as the anti side. With no corpus yet, the probe
+        alone decides."""
+        probed = self.maybe_contains(batch, col, "_bloom_maybe")
+        if corpus is None:
+            return probed.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+        maybe_keys = probed.filter(F.col("_bloom_maybe")).select(col)
+        seen_hit = corpus.select(col).join(
+            F.broadcast(maybe_keys), col, "left_semi"
+        )
+        return probed.join(
+            F.broadcast(seen_hit), col, "left_anti"
+        ).drop("_bloom_maybe")

@@ -811,6 +811,54 @@ FROM g ORDER BY doc_id
 ORACLE["q_main_content"] = _bp_oracle()
 
 
+_bloom_cache: dict[str, str] = {}
+
+
+def q_bloom_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom seen-set guard end-to-end (operators/bloom.py): the
+    even-doc_id docs' normalized URLs are the landed corpus, persisted
+    as a Bloom bitmap in per-run scratch (cached per process) with a
+    DELIBERATELY small m so false positives fire at every scale —
+    saturating at the larger fixtures, where every row routes through
+    the exact check. The probe of ALL docs through ``guard_anti_join``
+    (map-only bitmap probe -> broadcast-reversed exact check of the
+    maybe-seen minority) must EXACTLY equal the plain anti-join the
+    oracle computes: FPs may only cost work, never rows. Note the
+    _SYNTH twin URLs: odd docs sharing a norm_url with an even doc are
+    dropped too."""
+    from data_ingestion_tool_bakasura__spark.operators.bloom import (
+        BloomSeenSet,
+    )
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id")
+        .withColumn("norm_url", U.url_normalize(F.expr(_SYNTH)))
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("norm_url")
+    if sf not in _bloom_cache:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bloom_q_") + "/bl"
+        b = BloomSeenSet.create(spark, path, m=8192, k=3)
+        b.add_df(corpus, "norm_url")
+        _bloom_cache[sf] = path
+    bloom = BloomSeenSet.load(spark, _bloom_cache[sf])
+    return bloom.guard_anti_join(
+        docs, "norm_url", corpus
+    ).orderBy("doc_id")
+
+
+ORACLE["q_bloom_url_dedup"] = f"""
+WITH w AS (
+  SELECT doc_id, ({_NORM}) AS norm_url FROM documents
+)
+SELECT doc_id, norm_url FROM w
+WHERE norm_url NOT IN (SELECT norm_url FROM w WHERE doc_id % 2 = 0)
+ORDER BY doc_id
+"""
+
+
 def q_html_meta(spark: SparkSession, sf: str) -> DataFrame:
     """HTML page-metadata extraction (functions/htmlmeta.py): each
     document becomes a head section with a whitespace-padded title
@@ -893,4 +941,5 @@ QUERIES = {
     "q_gopher_repetition": q_gopher_repetition,
     "q_main_content": q_main_content,
     "q_html_meta": q_html_meta,
+    "q_bloom_url_dedup": q_bloom_url_dedup,
 }

@@ -619,6 +619,7 @@ def start_streaming_crawl(
     langid_profiles_path: str | None = None,
     allowed_langs=None,
     boilerplate_removal: bool | dict = False,
+    seen_bloom: bool | dict = False,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -683,6 +684,17 @@ def start_streaming_crawl(
     (e.g. ``{"stopwords_high": 0.05}``). Costs one extra per-batch
     exchange on ``norm_url`` (the block window + re-join). WET
     streams ignore it: their payload is already extracted text.
+
+    ``seen_bloom`` replaces the per-trigger corpus anti-join with a
+    persisted Bloom seen-set at ``corpus_path + "_bloom"``
+    (operators/bloom.py): definitely-new URLs (the steady-state
+    majority) never touch the corpus, and the maybe-seen minority
+    resolves through a broadcast-reversed exact check — ONE map-only
+    corpus scan, the corpus never shuffled. The bitmap updates BEFORE
+    each corpus append (superset invariant: a crash in between leaves
+    harmless extra bits, never a false negative), and enabling the
+    flag on an existing corpus bootstraps the bitmap from the landed
+    URLs. Pass a dict to size it (``{"n_expected": ..., "fpp": ...}``).
     """
     if quality_gate is not None:
         from data_ingestion_tool_bakasura__spark.operators.crawl import (
@@ -699,6 +711,35 @@ def start_streaming_crawl(
     from data_ingestion_tool_bakasura__spark.sources.warc import decode_payload_udf
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="crawl_ckpt_")
+    bloom_holder: list = []  # loaded once, reused across micro-batches
+
+    def _bloom(spark):
+        from data_ingestion_tool_bakasura__spark.operators.bloom import (
+            BloomSeenSet,
+        )
+
+        if bloom_holder:
+            return bloom_holder[0]
+        import os
+
+        path = corpus_path.removeprefix("file://") + "_bloom"
+        if BloomSeenSet.exists(path):
+            b = BloomSeenSet.load(spark, path)
+        else:
+            kw = dict(seen_bloom) if isinstance(seen_bloom, dict) else {}
+            if os.path.exists(corpus_path.removeprefix("file://")):
+                # bootstrap from the landed corpus: the superset
+                # invariant must hold from the first gated batch
+                landed = spark.read.parquet(corpus_path).select("norm_url")
+                kw.setdefault(
+                    "n_expected", max(1_000_000, 2 * landed.count())
+                )
+                b = BloomSeenSet.create(spark, path, **kw)
+                b.add_df(landed, "norm_url")
+            else:
+                b = BloomSeenSet.create(spark, path, **kw)
+        bloom_holder.append(b)
+        return b
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -714,7 +755,16 @@ def start_streaming_crawl(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.exists(corpus_path.removeprefix("file://")):
+        corpus_exists = os.path.exists(corpus_path.removeprefix("file://"))
+        if seen_bloom:
+            corpus_urls = (
+                spark.read.parquet(corpus_path).select("norm_url")
+                if corpus_exists else None
+            )
+            batch = _bloom(spark).guard_anti_join(
+                batch, "norm_url", corpus_urls
+            )
+        elif corpus_exists:
             seen = spark.read.parquet(corpus_path).select("norm_url")
             batch = batch.join(seen, on="norm_url", how="left_anti")
         if blocked_domains:
@@ -815,7 +865,15 @@ def start_streaming_crawl(
             out = out.withColumn("log_weight", F.lit(None).cast("double"))
         # materialize before the append: the plan lazily reads
         # corpus_path (the seen-guard) while appending to it
-        reliable_checkpoint(out).write.mode("append").parquet(corpus_path)
+        out = reliable_checkpoint(out)
+        if seen_bloom:
+            # bloom BEFORE corpus (superset invariant): a crash between
+            # the two leaves extra bits — harmless, the maybe-seen rows
+            # re-resolve through the exact check on replay; the reverse
+            # order could leave a landed URL out of the bitmap and
+            # silently re-land it later
+            _bloom(spark).add_df(out.select("norm_url"), "norm_url")
+        out.write.mode("append").parquet(corpus_path)
 
     writer = pages_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -1,0 +1,198 @@
+"""Bloom seen-set (operators/bloom.py): persisted bitmap, incremental
+add, no-false-negative contract, FP-safe exact guard, streaming crawl
+integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators.bloom import (
+    BloomSeenSet,
+    bloom_params,
+)
+
+
+def test_params_math():
+    m, k = bloom_params(1_000_000, 0.01)
+    assert m % 8 == 0 and 9_000_000 < m < 10_500_000  # ~9.6 Mbit
+    assert 6 <= k <= 8  # optimum ~7
+    m2, _ = bloom_params(10, 0.01)
+    assert m2 >= 1024  # floor
+
+
+def _urls(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://ex.com/p/"), F.col("id")).alias("u")
+    )
+
+
+def test_no_false_negatives_and_fp_rate(spark, tmp_path):
+    b = BloomSeenSet.create(spark, str(tmp_path / "bl"), n_expected=2000,
+                            fpp=0.01)
+    n = b.add_df(_urls(spark, 0, 2000), "u")
+    assert n == 2000
+    # every added key probes maybe=True (the Bloom contract)
+    added = b.maybe_contains(_urls(spark, 0, 2000), "u")
+    assert added.filter(~F.col("maybe_seen")).count() == 0
+    # unseen keys: FP rate near the design point, far below 1
+    probe = b.maybe_contains(_urls(spark, 10_000, 14_000), "u")
+    fp = probe.filter(F.col("maybe_seen")).count() / 4000
+    assert fp < 0.05
+
+
+def test_persist_roundtrip_and_incremental(spark, tmp_path):
+    p = str(tmp_path / "bl")
+    b = BloomSeenSet.create(spark, p, n_expected=1000)
+    b.add_df(_urls(spark, 0, 500), "u")
+    b2 = BloomSeenSet.load(spark, p)
+    assert np.array_equal(b.bitmap, b2.bitmap) and b2.n_added == 500
+    # wave 2 through the RELOADED handle: old and new keys all present
+    b2.add_df(_urls(spark, 500, 800), "u")
+    b3 = BloomSeenSet.load(spark, p)
+    assert b3.n_added == 800
+    assert (
+        b3.maybe_contains(_urls(spark, 0, 800), "u")
+        .filter(~F.col("maybe_seen")).count() == 0
+    )
+    # empty add is a no-op, not an error (streaming replay leg)
+    b3.add_df(_urls(spark, 0, 0), "u")
+    assert b3.n_added == 800
+
+
+def test_guard_equals_exact_anti_join_under_heavy_fp(spark, tmp_path):
+    """A deliberately tiny bitmap (massive FP rate) must still produce
+    EXACTLY the anti-join result — false positives only route rows
+    through the exact check, never drop them."""
+    b = BloomSeenSet.create(spark, str(tmp_path / "bl"), m=1024, k=2)
+    corpus = _urls(spark, 0, 300)
+    b.add_df(corpus, "u")
+    batch = _urls(spark, 200, 600)  # 100 dup, 300 new
+    got = sorted(r["u"] for r in b.guard_anti_join(batch, "u", corpus).collect())
+    want = sorted(r["u"] for r in batch.join(corpus, "u", "left_anti").collect())
+    assert got == want and len(got) == 300
+    # sanity: the tiny bitmap really is FP-heavy, so the exact path ran
+    probed = b.maybe_contains(_urls(spark, 10_000, 10_200), "u")
+    assert probed.filter(F.col("maybe_seen")).count() > 0
+
+
+def test_torn_bitmap_detected(spark, tmp_path):
+    p = str(tmp_path / "bl")
+    b = BloomSeenSet.create(spark, p, n_expected=100)
+    b.add_df(_urls(spark, 0, 10), "u")
+    (tmp_path / "bl" / "bitmap.bin").write_bytes(b"short")
+    with pytest.raises(ValueError, match="torn"):
+        BloomSeenSet.load(spark, p)
+
+
+def test_streaming_crawl_seen_bloom(spark, tmp_path):
+    """start_streaming_crawl(seen_bloom=True): cross-batch
+    first-arrival-wins holds through the bloom guard, and the bloom
+    artifact tracks the landed corpus."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True),
+            corpus,
+            seen_bloom=True,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/p?utm_source=x", b"<p>first copy</p>", "a1")
+        + rec("https://a.example.org/p", b"<p>second copy</p>", "a2")
+    )
+    run_once()
+    rows = {r["norm_url"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert rows == {"https://a.example.org/p": "first copy"}
+    bloom = BloomSeenSet.load(spark, corpus + "_bloom")
+    assert bloom.n_added == 1
+
+    (crawl / "w2.warc").write_bytes(
+        rec("https://a.example.org/p?utm_medium=y", b"<p>third copy</p>", "b1")
+        + rec("https://new.example.org/q", b"<p>fresh page</p>", "b2")
+    )
+    run_once()
+    rows = {r["norm_url"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert rows == {
+        "https://a.example.org/p": "first copy",  # bloom-blocked re-land
+        "https://new.example.org/q": "fresh page",
+    }
+    assert BloomSeenSet.load(spark, corpus + "_bloom").n_added == 2
+
+
+def test_streaming_crawl_bloom_bootstrap_from_corpus(spark, tmp_path):
+    """Enabling seen_bloom on an EXISTING corpus bootstraps the bitmap
+    from the corpus URLs — the superset invariant holds from the first
+    gated batch."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/p", b"<p>first</p>", "a1")
+    )
+    q = start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True), corpus,
+        checkpoint=str(tmp_path / "ck1"),
+    )  # bloom OFF: corpus exists, no bloom artifact
+    q.awaitTermination(120)
+    assert not BloomSeenSet.exists(corpus + "_bloom")
+
+    (crawl / "w2.warc").write_bytes(
+        rec("https://a.example.org/p", b"<p>dup</p>", "b1")
+        + rec("https://b.example.org/q", b"<p>new</p>", "b2")
+    )
+    q = start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True), corpus,
+        seen_bloom=True, checkpoint=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+    rows = {r["norm_url"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert rows == {
+        "https://a.example.org/p": "first",
+        "https://b.example.org/q": "new",
+    }
+    assert BloomSeenSet.load(spark, corpus + "_bloom").n_added == 2

@@ -111,7 +111,8 @@ _note_build_jobs_ok(
 )
 _note_build_jobs_ok(
     ["q_incremental_dedup", "q_substring_dedup_incr", "q_image_near_dup",
-     "q_upsert_by_key", "q_ingest_pipeline", "q_ingest_pipeline_fixed"],
+     "q_upsert_by_key", "q_ingest_pipeline", "q_ingest_pipeline_fixed",
+     "q_bloom_url_dedup"],
     "incremental/upsert fixtures: the persisted index/corpus the query "
     "probes is (re)built in scratch space first",
 )
