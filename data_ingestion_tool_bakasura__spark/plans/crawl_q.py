@@ -811,6 +811,105 @@ FROM g ORDER BY doc_id
 ORACLE["q_main_content"] = _bp_oracle()
 
 
+_cdx_cache: dict[str, str] = {}
+
+
+def _cdx_fixture(sf: str) -> str:
+    """Write a CDXJ index derived from the documents table into
+    per-process scratch (cached per sf; driver-side pyarrow read +
+    text write, zero Spark jobs — the WET-fixture pattern). Per doc:
+    one 200 capture; every 4th doc an OLDER duplicate capture (the
+    window must keep the newer); every 9th doc a NEWER 404 capture
+    (the status filter must run BEFORE the window or it wins,
+    corrupting the rollup); two junk lines per file (quarantine)."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    if sf in _cdx_cache:
+        return _cdx_cache[sf]
+    t = pq.read_table(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).to_pylist()
+    out_dir = tempfile.mkdtemp(prefix="cdx_fixture_")
+
+    def line(d, ts, status, length, off_extra=0):
+        j = {
+            "url": f"https://example{d % 13}.com/doc/{d}",
+            "mime": "text/html",
+            "status": str(status),
+            "digest": f"D{d}-{ts}",
+            "length": str(length),
+            "offset": str(d * 1000 + off_extra),
+            "filename": f"crawl-{d % 3}.warc.gz",
+        }
+        return f"com,example{d % 13})/doc/{d} {ts} {_json.dumps(j)}"
+
+    buf: list[list[str]] = [[], []]
+    for row in t:
+        d, n = row["doc_id"], row["n_chars"]
+        buf[d % 2].append(line(d, "20260101000000", 200, n + 100))
+        if d % 4 == 0:
+            buf[d % 2].append(line(d, "20250615000000", 200, n + 50, 7))
+        if d % 9 == 0:
+            buf[d % 2].append(line(d, "20260701000000", 404, 300, 13))
+    for i, lines in enumerate(buf):
+        lines.append("junk line that is not cdx")
+        lines.append(f"key{i} 20260101000000 {{broken json")
+        with open(os.path.join(out_dir, f"part-{i}.cdx"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    _cdx_cache[sf] = out_dir
+    return out_dir
+
+
+def q_cdx_fetch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX index front door end-to-end: read_cdx typed parse (codegen
+    split + from_json, junk lines quarantined) -> latest_captures
+    (status filter BEFORE the per-urlkey recency window — the planted
+    newer 404s must lose) -> fetch_plan per-WARC byte-range rollup.
+    The oracle recomputes the surviving capture set and the rollup
+    straight from the documents table: every planted trap (older
+    duplicate capture, newer 404, junk lines) shifts a value if
+    mishandled."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        latest_captures,
+        read_cdx,
+    )
+
+    captures = read_cdx(spark, _cdx_fixture(sf)).filter(
+        F.col("url").isNotNull()
+    )
+    plan = fetch_plan(latest_captures(captures))
+    return plan.select(
+        "warc_file",
+        "n_records",
+        "bytes_total",
+        F.size("ranges").cast("bigint").alias("n_ranges"),
+        F.col("ranges")[0]["offset"].alias("first_offset"),
+        F.element_at("ranges", -1)["offset"].alias("last_offset"),
+    ).orderBy("warc_file")
+
+
+ORACLE["q_cdx_fetch_plan"] = """
+WITH survivors AS (
+  SELECT 'crawl-' || CAST(doc_id % 3 AS VARCHAR) || '.warc.gz' AS warc_file,
+         doc_id * 1000 AS "offset",
+         n_chars + 100 AS length
+  FROM documents
+)
+SELECT warc_file,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(length) AS BIGINT) AS bytes_total,
+       CAST(count(*) AS BIGINT) AS n_ranges,
+       min("offset") AS first_offset,
+       max("offset") AS last_offset
+FROM survivors GROUP BY warc_file ORDER BY warc_file
+"""
+
+
 _bloom_cache: dict[str, str] = {}
 
 
@@ -942,4 +1041,5 @@ QUERIES = {
     "q_main_content": q_main_content,
     "q_html_meta": q_html_meta,
     "q_bloom_url_dedup": q_bloom_url_dedup,
+    "q_cdx_fetch_plan": q_cdx_fetch_plan,
 }

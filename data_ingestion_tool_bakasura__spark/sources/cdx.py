@@ -1,0 +1,116 @@
+"""CDX(J) capture-index source (C1 crawl aperture).
+
+Common Crawl publishes a URL index alongside its WARC archives: one
+line per capture, ``<urlkey> <timestamp> <json>`` where the JSON block
+carries the capture's url / mime / status / digest and the WARC
+``filename`` / ``offset`` / ``length`` needed to range-read just that
+record. Real pipelines query the index FIRST — select captures, plan
+byte-range fetches grouped per WARC file — and only then touch
+archives, so the index reader is the cheap front door of the crawl
+aperture (``read_warc`` / ``read_wet`` being the archive doors).
+
+Everything here is relational: ``read_cdx`` is text-source ->
+``split``/``from_json`` (codegen, no UDF), ``latest_captures`` is one
+window on urlkey, ``fetch_plan`` one aggregation on filename — at a
+100-billion-line index the plan is scan + two keyed exchanges, no
+Python anywhere.
+
+The reference ingests uploaded files and has no index concept; this
+family comes from the mandated crawl-curation extension
+(sources/warc.py sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: JSON fields of a CDXJ line (Common Crawl cc-index shape). offset /
+#: length are strings IN THE FILE (the format quotes them); the reader
+#: casts them to long.
+_CDX_JSON = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("length", T.StringType()),
+        T.StructField("offset", T.StringType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+
+def read_cdx(spark: SparkSession, path: str,
+             streaming: bool = False) -> DataFrame:
+    """Read CDXJ lines into typed capture rows.
+
+    Columns: ``urlkey`` (SURT key), ``ts`` (capture timestamp as the
+    raw 14-digit string — lexicographic == chronological, so windows
+    order on it directly), ``url``, ``mime``, ``status`` (int),
+    ``digest``, ``warc_file``, ``offset``, ``length`` (long).
+    Malformed lines (no JSON object, bad JSON) yield NULL json fields
+    and can be quarantined with ``filter(col('url').isNull())`` — the
+    PERMISSIVE from_json contract, same as read_json_with_errors.
+
+    Codegen all the way: two substring_index splits + one from_json;
+    no UDF, so the parse pipelines with the text scan."""
+    src = (
+        spark.readStream.format("text") if streaming
+        else spark.read.format("text")
+    )
+    lines = src.load(path).filter(F.length(F.trim("value")) > 0)
+    # "<urlkey> <ts> {json...}": the json block may contain spaces, so
+    # split on the FIRST two spaces only
+    urlkey = F.substring_index("value", " ", 1)
+    ts = F.substring_index(F.substring_index("value", " ", 2), " ", -1)
+    js = F.expr("substring(value, length(substring_index(value, ' ', 2)) + 2)")
+    j = F.from_json(js, _CDX_JSON)
+    return lines.select(
+        urlkey.alias("urlkey"),
+        ts.alias("ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["filename"].alias("warc_file"),
+        j["offset"].cast("long").alias("offset"),
+        j["length"].cast("long").alias("length"),
+    )
+
+
+def latest_captures(captures: DataFrame, statuses=(200,)) -> DataFrame:
+    """One row per urlkey: the LATEST capture among the allowed
+    statuses (revisits/errors filtered first, ties broken by offset
+    for determinism). One window exchange on urlkey."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("urlkey")
+        .orderBy(F.col("ts").desc(), F.col("offset").desc())
+    )
+    kept = captures.filter(F.col("status").isin(*statuses))
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def fetch_plan(captures: DataFrame) -> DataFrame:
+    """Group selected captures into per-WARC-file byte-range fetch
+    jobs: (warc_file, n_records, bytes_total, ranges sorted by offset)
+    — the read schedule a range-request fetcher executes. One
+    aggregation exchange on warc_file; ranges stay arrays of (offset,
+    length) structs, sorted so adjacent ranges coalesce downstream."""
+    return (
+        captures.groupBy("warc_file")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("length").cast("bigint").alias("bytes_total"),
+            F.array_sort(
+                F.collect_list(F.struct("offset", "length"))
+            ).alias("ranges"),
+        )
+    )
