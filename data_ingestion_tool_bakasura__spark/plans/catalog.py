@@ -70,6 +70,7 @@ _PRIORITY = [
     "q_html_meta",
     "q_bloom_url_dedup",
     "q_cdx_fetch_plan",
+    "q_cdx_range_fetch",
     # --- impl changed in round 11: re-certify next (QUERY_RE fragment
     # anchoring -> the three URL-normalizing queries; tables_of gained
     # the ruled-only detector -> q_page_extract; ahash64 gained the
@@ -115,20 +116,20 @@ _PRIORITY = [
     "q_order_count_distribution",
     "q_top_shippers",
     "q_market_share",
-    "q_revenue_forecast",
     # ---------- 50-query window boundary ----------
-    # Eleven r8-evidence rows sit displaced past the boundary by the
+    # Twelve r8-evidence rows sit displaced past the boundary by the
     # late-landing round-11 queries (q_robots_filter displaced
     # q_exists_subquery; the C4/Gopher web-quality trio displaced the
     # next three; and q_gopher_repetition / q_video_near_dup /
     # q_audio_features / q_main_content / q_html_meta /
-    # q_bloom_url_dedup / q_cdx_fetch_plan displaced
-    # q_volume_shipping / q_funnel_conversion / q_min_cost_supplier /
-    # q_large_volume_customers / q_part_value_concentration /
-    # q_brand_quantity_revenue / q_profit_by_nation) — driver
-    # evidence for a NEW operator outranks retiring the final r8
-    # rows. All eleven lead the r12 rotation together with the r9
-    # block.
+    # q_bloom_url_dedup / q_cdx_fetch_plan / q_cdx_range_fetch
+    # displaced q_volume_shipping / q_funnel_conversion /
+    # q_min_cost_supplier / q_large_volume_customers /
+    # q_part_value_concentration / q_brand_quantity_revenue /
+    # q_profit_by_nation / q_revenue_forecast) — driver evidence for
+    # a NEW operator outranks retiring the final r8 rows. All twelve
+    # lead the r12 rotation together with the r9 block.
+    "q_revenue_forecast",
     "q_profit_by_nation",
     "q_brand_quantity_revenue",
     "q_part_value_concentration",

@@ -910,6 +910,111 @@ FROM survivors GROUP BY warc_file ORDER BY warc_file
 """
 
 
+_cdx_warc_cache: dict[str, str] = {}
+
+
+def _cdx_warc_fixture(sf: str) -> str:
+    """WARC archives + a CDX index with TRUE byte offsets, derived from
+    the documents table (per-process cache, driver-side, zero Spark
+    jobs). Every doc gets TWO records in its archive: an OLD revision
+    (text + ' OLD', earlier timestamp) and the current one — both
+    indexed, so a range fetch that resolves the wrong capture or
+    mis-seeks reads ' OLD' text and shifts the value check."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    if sf in _cdx_warc_cache:
+        return _cdx_warc_cache[sf]
+    t = pq.read_table(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    out_dir = tempfile.mkdtemp(prefix="cdx_warc_fixture_")
+    bufs = [bytearray(), bytearray(), bytearray()]
+    cdx: list[str] = []
+
+    def rec(uri, text, rid):
+        body = text.encode("utf-8")
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    for row in t:
+        d, text = row["doc_id"], row["text"] or ""
+        fno = d % 3
+        uri = f"https://example{d % 13}.com/doc/{d}"
+        for ts, body_text, tag in (
+            ("20250615000000", text + " OLD", "old"),
+            ("20260101000000", text, "new"),
+        ):
+            raw = rec(uri, body_text, f"{tag}-{d}")
+            off = len(bufs[fno])
+            bufs[fno] += raw
+            cdx.append(
+                f"com,example{d % 13})/doc/{d} {ts} " + _json.dumps({
+                    "url": uri, "mime": "text/plain", "status": "200",
+                    "digest": f"{tag}{d}", "length": str(len(raw)),
+                    "offset": str(off),
+                    "filename": f"crawl-{fno}.warc",
+                })
+            )
+    for i, b in enumerate(bufs):
+        with open(os.path.join(out_dir, f"crawl-{i}.warc"), "wb") as f:
+            f.write(bytes(b))
+    with open(os.path.join(out_dir, "index.cdx"), "w") as f:
+        f.write("\n".join(cdx) + "\n")
+    _cdx_warc_cache[sf] = out_dir
+    return out_dir
+
+
+def q_cdx_range_fetch(spark: SparkSession, sf: str) -> DataFrame:
+    """The full index-first crawl read: CDX parse -> latest-capture
+    window -> per-WARC fetch plan -> ``read_warc_ranges`` byte-range
+    fetch — only the planned slices of the archives are read and
+    parsed. Each doc has an indexed OLD revision in the same archive,
+    so the fetched payload length equals the fixture ``n_chars`` ONLY
+    if the recency window picked the current capture AND the seek
+    landed exactly on its record; the oracle is the documents table
+    itself."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        latest_captures,
+        read_cdx,
+        read_warc_ranges,
+    )
+
+    d = _cdx_warc_fixture(sf)
+    captures = read_cdx(spark, d + "/index.cdx").filter(
+        F.col("url").isNotNull()
+    )
+    recs = read_warc_ranges(fetch_plan(latest_captures(captures)), d)
+    return recs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.length(F.decode("payload", "UTF-8")).cast("bigint")
+        .alias("n_chars_fetched"),
+        F.col("http_status").cast("int").alias("http_status"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_cdx_range_fetch"] = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars_fetched,
+       200 AS http_status
+FROM documents ORDER BY doc_id
+"""
+
+
 _bloom_cache: dict[str, str] = {}
 
 
@@ -1042,4 +1147,5 @@ QUERIES = {
     "q_html_meta": q_html_meta,
     "q_bloom_url_dedup": q_bloom_url_dedup,
     "q_cdx_fetch_plan": q_cdx_fetch_plan,
+    "q_cdx_range_fetch": q_cdx_range_fetch,
 }

@@ -98,6 +98,64 @@ def latest_captures(captures: DataFrame, statuses=(200,)) -> DataFrame:
     )
 
 
+def read_warc_ranges(plan: DataFrame, base_dir: str,
+                     types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """Execute a :func:`fetch_plan`: open each WARC file ONCE, seek to
+    every planned ``(offset, length)`` range in ascending-offset order
+    and parse exactly those record slices — the rows come out in the
+    same shape as ``read_warc`` (path, record_id, warc_type, url,
+    warc_date, content_type, http_status, payload).
+
+    This is the byte-economics of index-first crawling: for a
+    selective capture set the fetch reads a few MB from multi-GB
+    archives instead of scanning them. One task per WARC file (the
+    plan repartitions on ``warc_file``), ranges read sequentially
+    within the file; for a pathological single hot file, explode the
+    plan's ranges before calling (each row then fetches
+    independently)."""
+    import os
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        WARC_SCHEMA,
+        parse_warc_records,
+        split_http_response,
+    )
+
+    keep = tuple(t.lower() for t in types)
+
+    def _fetch(batches):
+        import pandas as pd
+
+        cols = ["path", "record_id", "warc_type", "url",
+                "warc_date", "content_type", "http_status", "payload"]
+        for pdf in batches:
+            rows = []
+            for wf, ranges in zip(pdf["warc_file"], pdf["ranges"]):
+                p = os.path.join(base_dir, wf)
+                with open(p, "rb") as f:
+                    for r in sorted(ranges, key=lambda x: int(x["offset"])):
+                        f.seek(int(r["offset"]))
+                        raw = f.read(int(r["length"]))
+                        for headers, body in parse_warc_records(raw):
+                            wtype = headers.get("warc-type", "")
+                            if keep and wtype.lower() not in keep:
+                                continue
+                            status, ctype, payload = split_http_response(body)
+                            rows.append((
+                                p,
+                                headers.get("warc-record-id", ""),
+                                wtype,
+                                headers.get("warc-target-uri", ""),
+                                headers.get("warc-date", ""),
+                                ctype or headers.get("content-type", ""),
+                                status,
+                                payload,
+                            ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return plan.repartition("warc_file").mapInPandas(_fetch, WARC_SCHEMA)
+
+
 def fetch_plan(captures: DataFrame) -> DataFrame:
     """Group selected captures into per-WARC-file byte-range fetch
     jobs: (warc_file, n_records, bytes_total, ranges sorted by offset)

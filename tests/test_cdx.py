@@ -90,3 +90,58 @@ def test_read_cdx_streaming_parity(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_read_warc_ranges_matches_full_read(spark, tmp_path):
+    """fetch_plan -> read_warc_ranges reads EXACTLY the planned record
+    slices: fetching a 2-of-3 capture subset yields those records
+    byte-identical to the full-archive read_warc rows."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        read_warc_ranges,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    def rec(uri, text, rid):
+        body = text.encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    recs = [rec(f"https://e.org/{i}", f"payload number {i}", f"r{i}")
+            for i in range(3)]
+    buf = b"".join(recs)
+    (tmp_path / "a.warc").write_bytes(buf)
+
+    # index captures 0 and 2 only (true offsets)
+    offs = [0, len(recs[0]), len(recs[0]) + len(recs[1])]
+    lines = [
+        _line("org,e)/0", "20260101000000", url="https://e.org/0",
+              mime="text/plain", status="200", digest="0",
+              length=str(len(recs[0])), offset=str(offs[0]),
+              filename="a.warc"),
+        _line("org,e)/2", "20260101000000", url="https://e.org/2",
+              mime="text/plain", status="200", digest="2",
+              length=str(len(recs[2])), offset=str(offs[2]),
+              filename="a.warc"),
+    ]
+    (tmp_path / "idx.cdx").write_text("\n".join(lines) + "\n")
+
+    plan = fetch_plan(read_cdx(spark, str(tmp_path / "idx.cdx")))
+    got = {r["url"]: r for r in
+           read_warc_ranges(plan, str(tmp_path)).collect()}
+    full = {r["url"]: r for r in
+            read_warc(spark, str(tmp_path)).collect()}
+    assert set(got) == {"https://e.org/0", "https://e.org/2"}
+    for u in got:
+        assert bytes(got[u]["payload"]) == bytes(full[u]["payload"])
+        assert got[u]["record_id"] == full[u]["record_id"]
+        assert got[u]["http_status"] == 200
