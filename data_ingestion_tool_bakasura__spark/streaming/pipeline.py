@@ -620,6 +620,7 @@ def start_streaming_crawl(
     allowed_langs=None,
     boilerplate_removal: bool | dict = False,
     seen_bloom: bool | dict = False,
+    compact_every: int | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -695,6 +696,13 @@ def start_streaming_crawl(
     harmless extra bits, never a false negative), and enabling the
     flag on an existing corpus bootstraps the bitmap from the landed
     URLs. Pass a dict to size it (``{"n_expected": ..., "fpp": ...}``).
+
+    ``compact_every`` fights the appender's small-files problem: every
+    N-th micro-batch, after its append lands, the corpus is rewritten
+    to right-sized files (``operators.maintenance.compact`` — layout
+    only, rows preserved, near-atomic swap). Long-running crawls
+    otherwise accumulate one file set per trigger and every
+    seen-guard / domain-count read pays the listing + tiny-file tax.
     """
     if quality_gate is not None:
         from data_ingestion_tool_bakasura__spark.operators.crawl import (
@@ -874,6 +882,18 @@ def start_streaming_crawl(
             # silently re-land it later
             _bloom(spark).add_df(out.select("norm_url"), "norm_url")
         out.write.mode("append").parquet(corpus_path)
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and os.path.exists(corpus_path.removeprefix("file://"))):
+            from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+                compact,
+            )
+
+            # layout-only rewrite AFTER the append (a crash here loses
+            # nothing: rows are already durable; the swap restores on
+            # failure). Runs inside foreachBatch, so no reader races
+            # with the swap within this stream.
+            compact(spark, corpus_path.removeprefix("file://"))
 
     writer = pages_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

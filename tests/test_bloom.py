@@ -196,3 +196,57 @@ def test_streaming_crawl_bloom_bootstrap_from_corpus(spark, tmp_path):
         "https://b.example.org/q": "new",
     }
     assert BloomSeenSet.load(spark, corpus + "_bloom").n_added == 2
+
+
+def test_streaming_crawl_compact_every(spark, tmp_path):
+    """compact_every: after the N-th batch the corpus is rewritten to
+    right-sized files with rows preserved exactly."""
+    import glob as _glob
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True), corpus,
+            compact_every=1, checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/1", b"<p>one</p>", "a1")
+        + rec("https://a.example.org/2", b"<p>two</p>", "a2")
+    )
+    run_once()  # batch 0: no compaction yet (batch_id 0)
+    (crawl / "w2.warc").write_bytes(
+        rec("https://a.example.org/3", b"<p>three</p>", "b1")
+    )
+    run_once()  # batch 1: append then compact
+    rows = {r["norm_url"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert rows == {
+        "https://a.example.org/1": "one",
+        "https://a.example.org/2": "two",
+        "https://a.example.org/3": "three",
+    }
+    # compacted to the target layout: one data file
+    assert len(_glob.glob(corpus + "/*.parquet")) == 1
