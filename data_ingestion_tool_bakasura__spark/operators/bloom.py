@@ -213,11 +213,17 @@ class BloomSeenSet:
         maybe-seen minority. Plan: map-only bloom probe; the maybe set
         broadcasts into a left-semi against ONE map-only corpus scan
         (the corpus is never shuffled); actually-seen rows (small)
-        broadcast back as the anti side. With no corpus yet, the probe
-        alone decides."""
-        probed = self.maybe_contains(batch, col, "_bloom_maybe")
+        broadcast back as the anti side.
+
+        With no corpus yet the batch passes UNTOUCHED — the bitmap is
+        a cache OVER the corpus and must never out-vote it: after a
+        crash between the bloom save and the first corpus append, the
+        replayed batch's URLs are all in the bitmap but nothing has
+        landed; filtering on the probe alone would drop those rows
+        forever."""
         if corpus is None:
-            return probed.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+            return batch
+        probed = self.maybe_contains(batch, col, "_bloom_maybe")
         maybe_keys = probed.filter(F.col("_bloom_maybe")).select(col)
         seen_hit = corpus.select(col).join(
             F.broadcast(maybe_keys), col, "left_semi"

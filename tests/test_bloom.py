@@ -250,3 +250,14 @@ def test_streaming_crawl_compact_every(spark, tmp_path):
     }
     # compacted to the target layout: one data file
     assert len(_glob.glob(corpus + "/*.parquet")) == 1
+
+
+def test_guard_with_no_corpus_ignores_bitmap(spark, tmp_path):
+    """Crash-replay leg: bitmap saved but the first corpus append never
+    landed. With corpus=None the guard must pass the batch UNTOUCHED —
+    the bitmap is a cache over the corpus and never out-votes it."""
+    b = BloomSeenSet.create(spark, str(tmp_path / "bl"), n_expected=100)
+    batch = _urls(spark, 0, 50)
+    b.add_df(batch, "u")  # the crashed attempt's bloom write
+    got = b.guard_anti_join(batch, "u", None)
+    assert got.count() == 50 and "u" in got.columns
