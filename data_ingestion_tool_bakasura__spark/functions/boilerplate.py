@@ -309,9 +309,13 @@ def extract_main_content(
 
     Output: ``(id_col, main_text, n_blocks, n_good)`` — ``main_text``
     is '' (not NULL) for pages with no good block, so downstream
-    length/hash exprs never need NULL guards. One groupBy on the page
-    key (same key as classify_blocks' window — one exchange total
-    under AQE reuse).
+    length/hash exprs never need NULL guards. Pages whose HTML yields
+    ZERO blocks (empty / markup-only / unparseable) still get a row
+    (all-zero, '' text) — posexplode drops them before the groupBy, so
+    a left join from the input ids restores them; without it a
+    garbage page silently vanishes from the pipeline instead of being
+    visibly empty. Both the window and the joins share the page-key
+    partitioning — one exchange total under AQE reuse.
     """
     cls = classify_blocks(df, html_col, id_col, lang, **thresholds)
     good = F.when(F.col("cls") == "good", F.struct("block_idx", "text"))
@@ -322,11 +326,16 @@ def extract_main_content(
         .alias("n_good"),
         F.array_sort(F.collect_list(good)).alias("_goods"),
     )
-    return agg.select(
+    agg = agg.select(
         id_col,
         F.array_join(
             F.transform(F.col("_goods"), lambda s: s["text"]), "\n"
         ).alias("main_text"),
         "n_blocks",
         "n_good",
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .fillna({"main_text": "", "n_blocks": 0, "n_good": 0})
     )

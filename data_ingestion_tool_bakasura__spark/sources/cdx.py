@@ -99,7 +99,8 @@ def latest_captures(captures: DataFrame, statuses=(200,)) -> DataFrame:
 
 
 def read_warc_ranges(plan: DataFrame, base_dir: str,
-                     types: tuple[str, ...] = ("response",)) -> DataFrame:
+                     types: tuple[str, ...] = ("response",),
+                     skip_missing: bool = False) -> DataFrame:
     """Execute a :func:`fetch_plan`: open each WARC file ONCE, seek to
     every planned ``(offset, length)`` range in ascending-offset order
     and parse exactly those record slices — the rows come out in the
@@ -112,7 +113,9 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
     plan repartitions on ``warc_file``), ranges read sequentially
     within the file; for a pathological single hot file, explode the
     plan's ranges before calling (each row then fetches
-    independently)."""
+    independently). ``skip_missing=True`` drops plan rows whose
+    archive is absent instead of failing the job — the index often
+    outlives retired archives; default is strict."""
     import os
 
     from data_ingestion_tool_bakasura__spark.sources.warc import (
@@ -132,6 +135,8 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
             rows = []
             for wf, ranges in zip(pdf["warc_file"], pdf["ranges"]):
                 p = os.path.join(base_dir, wf)
+                if skip_missing and not os.path.exists(p):
+                    continue
                 with open(p, "rb") as f:
                     for r in sorted(ranges, key=lambda x: int(x["offset"])):
                         f.seek(int(r["offset"]))

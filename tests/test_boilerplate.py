@@ -257,3 +257,17 @@ def test_pipeline_cli_crawl_boilerplate(spark, tmp_path, capsys):
            if ln.startswith("{")]
     assert "quick brown fox" in out[0]["content"]
     assert "Home" not in out[0]["content"]
+
+
+def test_zero_block_pages_keep_a_row(spark):
+    """Pages whose HTML yields no blocks (empty / markup-only) must
+    appear in the output as visibly-empty rows, not silently vanish."""
+    df = spark.createDataFrame(
+        [(1, "<p>" + GOOD_PARA + "</p>"), (2, ""), (3, "<script>x</script>")],
+        ["id", "html"],
+    )
+    out = {r["id"]: r for r in extract_main_content(df, "html", "id").collect()}
+    assert set(out) == {1, 2, 3}
+    for i in (2, 3):
+        assert out[i]["n_blocks"] == 0 and out[i]["main_text"] == ""
+    assert out[1]["n_good"] == 1

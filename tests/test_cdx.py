@@ -145,3 +145,21 @@ def test_read_warc_ranges_matches_full_read(spark, tmp_path):
         assert bytes(got[u]["payload"]) == bytes(full[u]["payload"])
         assert got[u]["record_id"] == full[u]["record_id"]
         assert got[u]["http_status"] == 200
+
+
+def test_read_warc_ranges_skip_missing(spark, tmp_path):
+    """skip_missing=True drops plan rows for absent archives instead of
+    failing the fetch job (the index often outlives retired archives)."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        read_warc_ranges,
+    )
+
+    lines = [
+        _line("org,e)/0", "20260101000000", url="https://e.org/0",
+              mime="text/plain", status="200", digest="0",
+              length="100", offset="0", filename="gone.warc"),
+    ]
+    (tmp_path / "idx.cdx").write_text("\n".join(lines) + "\n")
+    plan = fetch_plan(read_cdx(spark, str(tmp_path / "idx.cdx")))
+    assert read_warc_ranges(plan, str(tmp_path), skip_missing=True).count() == 0
