@@ -616,68 +616,18 @@ def char_trigram_counts(
 LANG_ID_OOV_LOGP = -20.0
 
 
-def fit_lang_profiles(
-    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+def doc_trigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-language character-trigram profiles ``(lang, tri, logp)``
-    from a LABELED corpus — the trainable half of
-    :func:`trigram_lang_id` (r11; upgrades C16 lang-id from stopword
-    hits to the standard char-n-gram profile method, cf. Cavnar &
-    Trenkle 1994 / CLD-style classifiers). ``logp`` is the MLE
-    ``ln(c_lang,tri / n_lang)``. Persist once, classify forever —
-    the same fit-once/serve-many split as ``char_trigram_counts`` /
-    ``dsir_log_ratios``.
-
-    Scale: one map-side-combine aggregation on (lang, tri) + a
-    per-lang total join; output is bounded by |langs| x observed
-    trigram domain (~100k ASCII, 1e7+ multilingual) — small enough to
-    broadcast for ASCII-ish profiles, joinable on ``tri`` otherwise."""
-    norm = F.lower(
-        F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
-    )
-    tri = (
-        _spread(df.select(_c(lang_col).alias("lang"), norm.alias("_t")))
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "CASE WHEN length(_t) >= 3"
-                    " THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"
-                    " ELSE array() END"
-                )
-            ).alias("tri"),
-        )
-    )
-    counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("c"))
-    totals = counts.groupBy("lang").agg(F.sum("c").alias("_n"))
-    return counts.join(totals, "lang").select(
-        "lang", "tri", (F.log("c") - F.log("_n")).alias("logp")
-    )
-
-
-def trigram_lang_id(
-    df: DataFrame,
-    profiles: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    broadcast_profiles: bool = True,
-) -> DataFrame:
-    """Classify each document's language by max trigram log-likelihood
-    against :func:`fit_lang_profiles` output: ``score(doc, lang) =
-    sum_tri n_doc(tri) * logp_lang(tri)`` with unseen trigrams at
-    :data:`LANG_ID_OOV_LOGP`. Returns ``(id_col, guess, score)``;
-    docs with < 3 normalized chars guess ``'und'`` (NULL score) — the
-    same fallback the stopword heuristic uses.
-
-    The OOV term never needs a per-(lang, missing-tri) row: with
-    penalty P, ``score = P * N_doc + sum_present n * (logp - P)``, so
-    the plan is doc-trigram counts (one partial-agg exchange on
-    (doc, tri)) x a profile join (broadcast by default; set
-    ``broadcast_profiles=False`` for 1e7+-trigram multilingual
-    profiles) -> one (doc, lang) aggregation -> an argmax window on
-    the doc key (ties break lexicographically, deterministic both
-    engines). No UDF, no driver collect."""
-    pen = F.lit(LANG_ID_OOV_LOGP)
+    """Per-document character-trigram counts ``(_id, tri, _n)`` — the
+    shared first stage of :func:`fit_lang_profiles` and
+    :func:`trigram_lang_id`. When one corpus is both fit and classify
+    target (e.g. a labeled-corpus confusion matrix), compute this
+    ONCE, ``persist()`` it, and pass it to both via ``doc_counts=`` —
+    the corpus-wide explode + (doc, tri) aggregation (by far the
+    heaviest stage) then runs a single time instead of once per
+    consumer (Spark does not share common subplans across DAG
+    branches)."""
     norm = F.lower(
         F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
     )
@@ -694,7 +644,95 @@ def trigram_lang_id(
             ).alias("tri"),
         )
     )
-    doc_tri = tri.groupBy("_id", "tri").agg(F.count("*").alias("_n"))
+    return tri.groupBy("_id", "tri").agg(F.count("*").alias("_n"))
+
+
+def fit_lang_profiles(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang",
+    doc_counts: DataFrame | None = None, id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language character-trigram profiles ``(lang, tri, logp)``
+    from a LABELED corpus — the trainable half of
+    :func:`trigram_lang_id` (r11; upgrades C16 lang-id from stopword
+    hits to the standard char-n-gram profile method, cf. Cavnar &
+    Trenkle 1994 / CLD-style classifiers). ``logp`` is the MLE
+    ``ln(c_lang,tri / n_lang)``. Persist once, classify forever —
+    the same fit-once/serve-many split as ``char_trigram_counts`` /
+    ``dsir_log_ratios``.
+
+    Scale: one map-side-combine aggregation on (lang, tri) + a
+    per-lang total join; output is bounded by |langs| x observed
+    trigram domain (~100k ASCII, 1e7+ multilingual) — small enough to
+    broadcast for ASCII-ish profiles, joinable on ``tri`` otherwise.
+    ``doc_counts`` (a persisted :func:`doc_trigram_counts` frame)
+    skips the corpus explode and derives (lang, tri) counts from the
+    per-doc counts + a label join — the share-the-explode path when
+    the same corpus is also being classified."""
+    if doc_counts is not None:
+        counts = (
+            doc_counts.join(
+                df.select(_c(id_col).alias("_id"),
+                          _c(lang_col).alias("lang")),
+                "_id",
+            )
+            .groupBy("lang", "tri")
+            .agg(F.sum("_n").alias("c"))
+        )
+    else:
+        norm = F.lower(
+            F.trim(F.regexp_replace(F.coalesce(_c(text_col), F.lit("")), r"\s+", " "))
+        )
+        tri = (
+            _spread(df.select(_c(lang_col).alias("lang"), norm.alias("_t")))
+            .select(
+                "lang",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN length(_t) >= 3"
+                        " THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"
+                        " ELSE array() END"
+                    )
+                ).alias("tri"),
+            )
+        )
+        counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("_n"))
+    return counts.join(totals, "lang").select(
+        "lang", "tri", (F.log("c") - F.log("_n")).alias("logp")
+    )
+
+
+def trigram_lang_id(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_profiles: bool = True,
+    doc_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Classify each document's language by max trigram log-likelihood
+    against :func:`fit_lang_profiles` output: ``score(doc, lang) =
+    sum_tri n_doc(tri) * logp_lang(tri)`` with unseen trigrams at
+    :data:`LANG_ID_OOV_LOGP`. Returns ``(id_col, guess, score)``;
+    docs with < 3 normalized chars guess ``'und'`` (NULL score) — the
+    same fallback the stopword heuristic uses.
+
+    The OOV term never needs a per-(lang, missing-tri) row: with
+    penalty P, ``score = P * N_doc + sum_present n * (logp - P)``, so
+    the plan is doc-trigram counts (one partial-agg exchange on
+    (doc, tri)) x a profile join (broadcast by default; set
+    ``broadcast_profiles=False`` for 1e7+-trigram multilingual
+    profiles) -> one (doc, lang) aggregation -> an argmax window on
+    the doc key (ties break lexicographically, deterministic both
+    engines). No UDF, no driver collect. ``doc_counts`` (a persisted
+    :func:`doc_trigram_counts` frame) skips the explode stage — the
+    share-the-explode path when the profiles were just fit on the
+    same corpus."""
+    pen = F.lit(LANG_ID_OOV_LOGP)
+    doc_tri = (
+        doc_counts if doc_counts is not None
+        else doc_trigram_counts(df, text_col, id_col)
+    )
     doc_n = doc_tri.groupBy("_id").agg(F.sum("_n").alias("_nn"))
     prof = F.broadcast(profiles) if broadcast_profiles else profiles
     adj = (

@@ -366,14 +366,24 @@ def q_lang_id_trigram(spark: SparkSession, sf: str) -> DataFrame:
     fit on the labeled corpus, every doc is classified by max trigram
     log-likelihood, and the output is the confusion matrix (labeled,
     guessed, n_docs). On the fixtures this strictly dominates
-    q_lang_id's stopword baseline (asserted in test_sampling)."""
+    q_lang_id's stopword baseline (asserted in test_sampling).
+
+    Fit and serve share ONE persisted doc_trigram_counts frame (the
+    corpus-wide explode + (doc, tri) aggregation is by far the
+    heaviest stage and Spark does not share subplans across DAG
+    branches — without sharing it ran twice); persist() not
+    checkpoint, zero build-time jobs."""
     from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        doc_trigram_counts,
         fit_lang_profiles,
         trigram_lang_id,
     )
 
     docs = load_table(spark, sf, "documents")
-    pred = trigram_lang_id(docs, fit_lang_profiles(docs))
+    dc = doc_trigram_counts(docs, "text", "doc_id").persist()
+    pred = trigram_lang_id(
+        docs, fit_lang_profiles(docs, doc_counts=dc), doc_counts=dc
+    )
     return (
         docs.select("doc_id", "lang")
         .join(pred, "doc_id")
