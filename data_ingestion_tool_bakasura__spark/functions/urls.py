@@ -52,6 +52,17 @@ TRACKING_RE = r"^(utm_[a-zA-Z]+|fbclid|gclid|msclkid|mc_eid|igshid)="
 LAST2_RE = r"([^.]+\.[^.]+)$"
 LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
 
+#: href starts with a scheme ('https:', 'mailto:', ...) -> already absolute
+HREF_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+#: scheme://authority of a base URL (group 1), port and userinfo kept
+ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+#: final path segment (replaced with '' to get the dirname-with-slash)
+LASTSEG_RE = r"[^/]*$"
+#: base URL up to (not including) the first '?' or '#' (group 1)
+PREQUERY_RE = r"^([^?#]*)"
+#: base URL up to (not including) the first '#' (group 1)
+PREFRAG_RE = r"^([^#]*)"
+
 #: multi-part public suffixes where the registrable domain is 3 labels
 MULTIPART_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
@@ -132,6 +143,29 @@ def url_normalize(url: Column) -> Column:
     )
 
 
+def resolve_url(base: Column, href: Column) -> Column:
+    """RFC 3986 reference resolution, the subset an HTML link
+    extractor needs (round 11, link-graph leg): scheme'd hrefs pass
+    through, ``//host/p`` inherits the base scheme, ``/p`` is
+    origin-relative, ``?q`` replaces the base query, ``#f`` / ''
+    resolve to the base sans fragment, anything else is
+    dirname-relative. Dot segments ('../', './') are NOT collapsed —
+    documented out of scope (the normalized URL still dedups
+    consistently because both spellings resolve identically). Pure
+    codegen; twin: ``resolve_sql``."""
+    origin = F.regexp_extract(base, ORIGIN_RE, 1)
+    dirpath = F.regexp_replace(url_path(base), LASTSEG_RE, "")
+    dirpath = F.when(dirpath == "", "/").otherwise(dirpath)
+    return (
+        F.when(href.rlike(HREF_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(url_scheme(base), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"), F.concat(F.regexp_extract(base, PREQUERY_RE, 1), href))
+        .when((href == "") | href.startswith("#"), F.regexp_extract(base, PREFRAG_RE, 1))
+        .otherwise(F.concat(origin, dirpath, href))
+    )
+
+
 # --- DuckDB twins (oracle side; same constants, same semantics) ----------
 
 
@@ -157,6 +191,23 @@ def domain_sql(host_e: str) -> str:
         f"CASE WHEN {last2} = '' THEN {host_e} "
         f"WHEN {last2} IN ({in_list}) AND {last3} <> '' THEN {last3} "
         f"ELSE {last2} END"
+    )
+
+
+def resolve_sql(base_e: str, href_e: str) -> str:
+    """Twin of ``resolve_url`` (same constants, same branch order)."""
+    scheme = f"lower(regexp_extract({base_e}, '{SCHEME_RE}', 1))"
+    origin = f"regexp_extract({base_e}, '{ORIGIN_RE}', 1)"
+    path = path_sql(base_e)
+    dirp = f"regexp_replace({path}, '{LASTSEG_RE}', '')"
+    dirp = f"CASE WHEN {dirp} = '' THEN '/' ELSE {dirp} END"
+    return (
+        f"CASE WHEN regexp_matches({href_e}, '{HREF_SCHEME_RE}') THEN {href_e} "
+        f"WHEN starts_with({href_e}, '//') THEN {scheme} || ':' || {href_e} "
+        f"WHEN starts_with({href_e}, '/') THEN {origin} || {href_e} "
+        f"WHEN starts_with({href_e}, '?') THEN regexp_extract({base_e}, '{PREQUERY_RE}', 1) || {href_e} "
+        f"WHEN {href_e} = '' OR starts_with({href_e}, '#') THEN regexp_extract({base_e}, '{PREFRAG_RE}', 1) "
+        f"ELSE {origin} || {dirp} || {href_e} END"
     )
 
 

@@ -1,0 +1,204 @@
+"""Web link-graph analytics over the WAT metadata aperture (round 11):
+outlink extraction, host-level graph construction, and fixed-iteration
+PageRank — the frontier-prioritization / host-ranking pass a
+Common-Crawl-scale curation pipeline runs to decide WHAT to crawl and
+keep (CC publishes exactly this artifact as its host-level webgraph
+ranks; FineWeb/RefinedWeb filter against such priors).
+
+Scale shape:
+- ``extract_links`` is map-only: one JSON path extraction + explode
+  per WAT record, link resolution as pure codegen (``urls.resolve_url``).
+- ``host_graph`` is ONE exchange on the (src, dst) domain pair.
+- ``pagerank`` is the standard synchronous power iteration expressed
+  as DataFrame joins: the transition matrix (edge weight / out-weight)
+  is built ONCE and persisted; each iteration is one shuffle join on
+  the source key plus one aggregation on the destination key. The
+  dangling-node mass and the node count are 1-row aggregates crossed
+  in via *broadcast* nested-loop joins (bounded — never a
+  CartesianProduct of two unbounded sides). Ranks are persisted per
+  iteration so the lineage does not re-execute the previous sweep.
+  At 100 TB the host graph is ~10^8 nodes / 10^9 edges — each
+  iteration shuffles the edge list once on ``src``; no driver-side
+  state beyond the query plan.
+
+The reference has no crawl surface; this family is from the mandated
+training-data-pipeline extension list (frontier prioritization), fed
+by ``sources/warc.py read_wat``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import urls as U
+
+#: WAT link entries: {"url": href, "text": anchor text}. Real
+#: Common-Crawl WAT nests the array at
+#: ``$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links``
+#: (with ``path``/``title`` attributes this schema ignores); pass that
+#: as ``links_path`` — unknown struct fields are dropped by from_json.
+LINKS_SCHEMA = "array<struct<url:string,text:string>>"
+
+
+def extract_links(
+    wat: DataFrame,
+    json_col: str = "json",
+    base_col: str = "url",
+    links_path: str = "$.links",
+) -> DataFrame:
+    """WAT rows -> one row per outlink: (page_url, link_url,
+    anchor_text). Hrefs are resolved against the page URL
+    (``urls.resolve_url``) and non-http(s) results (mailto:,
+    javascript:, data:) are dropped. Map-only — JSON path extraction
+    prunes the parse to the links array, the explode and the
+    resolution are codegen."""
+    links = F.from_json(
+        F.get_json_object(F.col(json_col), links_path), LINKS_SCHEMA
+    )
+    out = wat.select(
+        F.col(base_col).alias("page_url"), F.explode(links).alias("_l")
+    )
+    resolved = U.resolve_url(F.col("page_url"), F.col("_l.url"))
+    return out.select(
+        "page_url",
+        resolved.alias("link_url"),
+        F.col("_l.text").alias("anchor_text"),
+    ).filter(U.url_scheme(F.col("link_url")).isin("http", "https"))
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "page_url",
+    dst_col: str = "link_url",
+) -> DataFrame:
+    """Collapse page-level links to a weighted host-level edge list
+    (src, dst, n_links) on registrable domains; self-loops (intra-site
+    navigation — the overwhelming majority of links on a real page)
+    are dropped. ONE exchange on the (src, dst) pair."""
+    e = links.select(
+        U.registrable_domain(U.url_host(F.col(src_col))).alias("src"),
+        U.registrable_domain(U.url_host(F.col(dst_col))).alias("dst"),
+    ).filter((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
+    return e.groupBy("src", "dst").agg(F.count("*").alias("n_links"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank -> (node, rank).
+
+    rank_{i+1}(v) = (1-d)/N + d * (sum over in-edges u->v of
+    rank_i(u) * w(u,v)/outw(u)  +  dangling_mass_i / N)
+
+    where dangling mass is the total rank parked on nodes with no
+    outlinks (uniformly redistributed — ranks sum to exactly 1 every
+    iteration). Initial rank is uniform 1/N. A fixed iteration count
+    (the production choice for frontier scoring: CC's host ranks are
+    themselves a fixed-sweep artifact) keeps the plan deterministic
+    and the DuckDB oracle expressible by unrolling
+    (``pagerank_sql``)."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
+    trans = (
+        e.join(outw, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_outw")).alias("_p"))
+        .persist()
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("_n"))  # 1 row
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iterations):
+        ranks = ranks.persist()
+        dangling = ranks.join(
+            outw, ranks["node"] == outw["_src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))  # 1 row
+        contribs = (
+            trans.join(ranks, trans["_src"] == ranks["node"])
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["_dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping)) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    weight_e: str = "1.0",
+) -> str:
+    """DuckDB twin of ``pagerank``, unrolled: ``edges_cte`` is a SQL
+    body producing (src, dst) [+ a weight column; ``weight_e`` must be
+    its BARE column name — it is referenced both from an unaliased and
+    an ``e``-aliased scan of the CTE]. Emits a full WITH query ending in
+    ``SELECT node, rank FROM r{iterations}`` — same arithmetic, same
+    branch structure, so parity holds to well under the oracle's 6-dp
+    rounding."""
+    d = repr(damping)
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        f"outw AS (SELECT src, sum(CAST({weight_e} AS DOUBLE)) AS ow FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{p} r "
+            f"LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"sum(r.rank * (CAST({weight_e} AS DOUBLE) / o.ow)) AS c "
+            f"FROM edges e JOIN r{p} r ON e.src = r.node "
+            f"JOIN outw o ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.node, (1.0 - {d}) / (SELECT n FROM nn) + {d} * "
+            f"(coalesce(c.c, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
+
+
+def top_hosts(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 20,
+    **kw,
+) -> DataFrame:
+    """Convenience: the k highest-ranked hosts (TakeOrderedAndProject —
+    no global sort materializes)."""
+    return pagerank(edges, **kw).orderBy(F.desc("rank"), "node").limit(k)

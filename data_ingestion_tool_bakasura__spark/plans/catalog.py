@@ -55,7 +55,10 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: silently drop a query.
 _PRIORITY = [
     # --- NEW in round 11 (WET/WAT aperture, trigram lang-id, robots,
-    # C4/Gopher web quality): first ---
+    # C4/Gopher web quality, link graph): first ---
+    "q_link_graph",
+    "q_pagerank",
+    "q_anchor_text",
     "q_lang_id_trigram",
     "q_wet_pipeline",
     "q_wat_metadata",
@@ -113,22 +116,25 @@ _PRIORITY = [
     "q_promo_revenue",
     "q_ship_delay_classes",
     "q_returned_items",
-    "q_order_count_distribution",
-    "q_top_shippers",
-    "q_market_share",
     # ---------- 50-query window boundary ----------
-    # Twelve r8-evidence rows sit displaced past the boundary by the
+    # Fifteen r8-evidence rows sit displaced past the boundary by the
     # late-landing round-11 queries (q_robots_filter displaced
     # q_exists_subquery; the C4/Gopher web-quality trio displaced the
-    # next three; and q_gopher_repetition / q_video_near_dup /
+    # next three; q_gopher_repetition / q_video_near_dup /
     # q_audio_features / q_main_content / q_html_meta /
     # q_bloom_url_dedup / q_cdx_fetch_plan / q_cdx_range_fetch
     # displaced q_volume_shipping / q_funnel_conversion /
     # q_min_cost_supplier / q_large_volume_customers /
     # q_part_value_concentration / q_brand_quantity_revenue /
-    # q_profit_by_nation / q_revenue_forecast) — driver evidence for
-    # a NEW operator outranks retiring the final r8 rows. All twelve
-    # lead the r12 rotation together with the r9 block.
+    # q_profit_by_nation / q_revenue_forecast; and the link-graph trio
+    # q_link_graph / q_pagerank / q_anchor_text displaced
+    # q_order_count_distribution / q_top_shippers / q_market_share) —
+    # driver evidence for a NEW operator outranks retiring the final
+    # r8 rows. All fifteen lead the r12 rotation together with the r9
+    # block.
+    "q_order_count_distribution",
+    "q_top_shippers",
+    "q_market_share",
     "q_revenue_forecast",
     "q_profit_by_nation",
     "q_brand_quantity_revenue",

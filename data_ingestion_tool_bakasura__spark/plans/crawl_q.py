@@ -273,9 +273,29 @@ def _wet_wat_fixture(sf: str) -> str:
             wet[d % 2] += rec(
                 "conversion", url + "?utm_source=feed", f"wet-{d}-dup", body
             )
+        # Outlinks (r11 link-graph leg): 1-3 absolute cross-site links,
+        # one root-relative self-site link ('next'), plus conditional
+        # traps — a protocol-relative CDN link (dangling sink), an
+        # UPPER-CASE:443 spelling that normalization must fold, a
+        # query-only href, and a mailto: the scheme filter must drop.
+        # The oracle re-derives every edge from the documents table
+        # with the same arithmetic (doc_id, lang are the only inputs).
+        links = [
+            {"url": f"https://site{(d * 7 + 13 * k) % 41}.org/p/{(d + k) % 10}",
+             "text": f"about {row['lang']} topic {d % 5}"}
+            for k in range(1 + d % 3)
+        ]
+        links.append({"url": f"/doc/{(d + 1) % 97}", "text": "next"})
+        if d % 5 == 0:
+            links.append({"url": f"//cdn{d % 3}.net/lib.js", "text": "cdn"})
+        if d % 11 == 0:
+            links.append({"url": "HTTPS://SITE3.ORG:443/x", "text": "caps"})
+        if d % 13 == 0:
+            links.append({"url": "?page=2", "text": "more"})
+            links.append({"url": "mailto:a@b.example", "text": "mail"})
         meta = json.dumps(
             {"lang": row["lang"], "source": row["source"],
-             "n_chars": row["n_chars"]},
+             "n_chars": row["n_chars"], "links": links},
             sort_keys=True,
         ).encode()
         wat += rec("metadata", url, f"wat-{d}", meta)
@@ -1130,6 +1150,133 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- link graph / PageRank (r11, operators/linkgraph.py) ------------------
+# The WAT fixture's links arrays are pure arithmetic over (doc_id,
+# lang) — see _wet_wat_fixture — so the oracle re-derives every edge
+# from the documents table. _links_sql is the single source for the
+# link-row derivation shared by all three oracles.
+
+_SRC_DOM = "'example' || CAST(doc_id % 13 AS VARCHAR) || '.com'"
+
+
+def _links_sql(include_self: bool) -> str:
+    """UNION ALL of the fixture's link rows as (src, dst, anchor_text).
+    ``include_self`` adds the root-relative 'next' and query-only
+    'more' links (self-loops at domain level — host_graph drops them,
+    anchor aggregation keeps them). The mailto: row is never emitted
+    (the scheme filter drops it on the Spark side)."""
+    kl = (
+        f"SELECT {_SRC_DOM} AS src, "
+        f"'site' || CAST((doc_id * 7 + 13 * k.k) % 41 AS VARCHAR) || '.org' AS dst, "
+        f"'about ' || lang || ' topic ' || CAST(doc_id % 5 AS VARCHAR) AS anchor_text "
+        f"FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS k(k) "
+        f"WHERE k.k < 1 + doc_id % 3"
+    )
+    cdn = (
+        f"SELECT {_SRC_DOM} AS src, "
+        f"'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net' AS dst, "
+        f"'cdn' AS anchor_text FROM documents WHERE doc_id % 5 = 0"
+    )
+    caps = (
+        f"SELECT {_SRC_DOM} AS src, 'site3.org' AS dst, "
+        f"'caps' AS anchor_text FROM documents WHERE doc_id % 11 = 0"
+    )
+    parts = [kl, cdn, caps]
+    if include_self:
+        parts.append(
+            f"SELECT {_SRC_DOM} AS src, {_SRC_DOM} AS dst, "
+            f"'next' AS anchor_text FROM documents"
+        )
+        parts.append(
+            f"SELECT {_SRC_DOM} AS src, {_SRC_DOM} AS dst, "
+            f"'more' AS anchor_text FROM documents WHERE doc_id % 13 = 0"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """WAT -> outlink extraction (JSON path + explode + RFC 3986
+    resolution, all codegen) -> weighted host-level edge list.
+    Resolution defects (protocol-relative, UPPER-CASE:443 folding),
+    a missed mailto: filter or a surviving self-loop all break
+    parity."""
+    from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    links = L.extract_links(read_wat(spark, _wet_wat_fixture(sf)))
+    return L.host_graph(links).orderBy("src", "dst")
+
+
+ORACLE["q_link_graph"] = f"""
+SELECT src, dst, count(*) AS n_links
+FROM ({_links_sql(include_self=False)})
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-sweep weighted PageRank over the host graph (3 synchronous
+    iterations, damping 0.85, dangling mass redistributed uniformly) —
+    the Common-Crawl host-ranking artifact. The oracle unrolls the
+    identical arithmetic in SQL (pagerank_sql, generated from the SAME
+    constants), so a wrong transition weight, a lost dangling term or
+    an extra/missing node shifts values past the 6-dp gate."""
+    from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    links = L.extract_links(read_wat(spark, _wet_wat_fixture(sf)))
+    edges = L.host_graph(links)
+    return L.pagerank(
+        edges, weight_col="n_links", iterations=3, damping=0.85
+    ).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    from data_ingestion_tool_bakasura__spark.operators.linkgraph import (
+        pagerank_sql,
+    )
+
+    edges = (
+        f"SELECT src, dst, count(*) AS n_links "
+        f"FROM ({_links_sql(include_self=False)}) "
+        f"WHERE src <> dst GROUP BY src, dst"
+    )
+    return (
+        pagerank_sql(edges, iterations=3, damping=0.85, weight_e="n_links")
+        + " ORDER BY node"
+    )
+
+
+ORACLE["q_pagerank"] = _pagerank_oracle()
+
+
+def q_anchor_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation per target domain (the classic
+    target-page enrichment signal). Self-site links are KEPT here —
+    'next'/'more' rows land on the page's own domain, so a broken
+    root-relative or query-only resolution changes the counts."""
+    from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    links = L.extract_links(read_wat(spark, _wet_wat_fixture(sf)))
+    return (
+        links.select(
+            U.registrable_domain(U.url_host(F.col("link_url"))).alias("dst"),
+            "anchor_text",
+        )
+        .groupBy("dst", "anchor_text")
+        .agg(F.count("*").alias("n"))
+        .orderBy("dst", "anchor_text")
+    )
+
+
+ORACLE["q_anchor_text"] = f"""
+SELECT dst, anchor_text, count(*) AS n
+FROM ({_links_sql(include_self=True)})
+GROUP BY dst, anchor_text ORDER BY dst, anchor_text
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1148,4 +1295,7 @@ QUERIES = {
     "q_bloom_url_dedup": q_bloom_url_dedup,
     "q_cdx_fetch_plan": q_cdx_fetch_plan,
     "q_cdx_range_fetch": q_cdx_range_fetch,
+    "q_link_graph": q_link_graph,
+    "q_pagerank": q_pagerank,
+    "q_anchor_text": q_anchor_text,
 }

@@ -1,0 +1,272 @@
+"""Link-graph analytics (operators/linkgraph.py + urls.resolve_url):
+RFC 3986 resolution vs urllib.parse.urljoin on the supported subset,
+host-graph construction traps, PageRank vs an independent pure-python
+power iteration (sum-to-1, dangling redistribution, weighted edges),
+and the WAT extraction path including the real Common-Crawl JSON
+nesting."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.functions import urls as U
+from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+
+# --- resolve_url -----------------------------------------------------------
+
+RESOLVE_CASES = [
+    # (base, href, expected = urljoin semantics for the supported subset)
+    ("https://ex.com/a/b", "c", "https://ex.com/a/c"),
+    ("https://ex.com/a/b/", "c", "https://ex.com/a/b/c"),
+    ("https://ex.com", "c", "https://ex.com/c"),  # empty base path -> '/'
+    ("https://ex.com/a/b", "/x/y", "https://ex.com/x/y"),
+    ("https://ex.com:8080/a", "/x", "https://ex.com:8080/x"),  # port kept
+    ("https://ex.com/a", "//cdn.net/l.js", "https://cdn.net/l.js"),
+    ("http://ex.com/a", "//cdn.net/l.js", "http://cdn.net/l.js"),
+    ("https://ex.com/a?q=1#f", "?page=2", "https://ex.com/a?page=2"),
+    ("https://ex.com/a?q=1#f", "#sec", "https://ex.com/a?q=1"),
+    ("https://ex.com/a?q=1#f", "", "https://ex.com/a?q=1"),
+    ("https://ex.com/a", "mailto:x@y.z", "mailto:x@y.z"),
+    ("https://ex.com/a", "HTTP://OTHER.ORG/p", "HTTP://OTHER.ORG/p"),
+    ("https://ex.com/a/b?x=1", "c?y=2", "https://ex.com/a/c?y=2"),
+]
+
+
+def test_resolve_url_cases(spark):
+    df = spark.createDataFrame(
+        [(b, h) for b, h, _ in RESOLVE_CASES], ["base", "href"]
+    )
+    got = (
+        df.withColumn("r", U.resolve_url(F.col("base"), F.col("href")))
+        .orderBy("base", "href")
+        .collect()
+    )
+    want = {(b, h): e for b, h, e in RESOLVE_CASES}
+    for row in got:
+        assert row["r"] == want[(row["base"], row["href"])], (
+            row["base"], row["href"], row["r"])
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def test_resolve_sql_twin_parity_literals():
+    """DuckDB twin agrees with the Spark expr on every case (same
+    constants, same branch order — a drifted branch breaks this, not
+    the oracle)."""
+    con = duckdb.connect()
+    for b, h, want in RESOLVE_CASES:
+        e = U.resolve_sql(_sql_quote(b), _sql_quote(h))
+        got = con.execute(f"SELECT {e}").fetchone()[0]
+        assert got == want, (b, h, got, want)
+    con.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    host=st.sampled_from(["ex.com", "a.b.org", "x.co.uk:8080"]),
+    basepath=st.lists(
+        st.text(alphabet="abcz09", min_size=1, max_size=3), max_size=3
+    ),
+    href=st.one_of(
+        st.builds(
+            lambda segs: "/".join(segs),
+            st.lists(st.text(alphabet="pqr2", min_size=1, max_size=3),
+                     min_size=1, max_size=3),
+        ),
+        st.builds(lambda s: "/" + s, st.text(alphabet="pq/", max_size=6)),
+        st.builds(lambda s: "//cdn.net/" + s, st.text(alphabet="pq", max_size=4)),
+        st.builds(lambda s: "?" + s, st.text(alphabet="k=v&", max_size=6)),
+        st.just(""),
+    ),
+)
+def test_resolve_matches_urljoin(host, basepath, href):
+    """Property: on the supported subset (no dot segments, absolute
+    http(s) base, protocol-relative hrefs carry a host) resolve_sql ==
+    urllib.parse.urljoin. The DuckDB twin is the cheap proxy for the
+    Spark expr (case parity above). '//' with an EMPTY authority is
+    excluded: urljoin falls back to the base netloc, we emit an empty
+    host that the downstream host != '' filters drop — either way the
+    degenerate href never produces a usable edge."""
+    from urllib.parse import urljoin
+
+    from hypothesis import assume
+
+    assume(not (href.startswith("//") and (len(href) == 2 or href[2] == "/")))
+    # a BARE '?' (empty query): urljoin drops the '?', we keep it —
+    # url_normalize canonicalizes both spellings to the same URL, so
+    # the engines cannot disagree downstream.
+    assume(href != "?")
+
+    base = f"https://{host}/" + "/".join(basepath)
+    want = urljoin(base, href)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {U.resolve_sql(_sql_quote(base), _sql_quote(href))}"
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (base, href, got, want)
+
+
+# --- extract_links ---------------------------------------------------------
+
+
+def _wat_df(spark, rows):
+    return spark.createDataFrame(rows, ["url", "json"])
+
+
+def test_extract_links_basic_and_scheme_filter(spark):
+    env = json.dumps({"links": [
+        {"url": "p/1", "text": "rel"},
+        {"url": "/abs", "text": "root"},
+        {"url": "https://other.org/x", "text": "abs"},
+        {"url": "mailto:a@b.c", "text": "mail"},
+        {"url": "javascript:void(0)", "text": "js"},
+    ]})
+    out = L.extract_links(
+        _wat_df(spark, [("https://ex.com/a/b", env)])
+    ).collect()
+    got = {(r["link_url"], r["anchor_text"]) for r in out}
+    assert got == {
+        ("https://ex.com/a/p/1", "rel"),
+        ("https://ex.com/abs", "root"),
+        ("https://other.org/x", "abs"),
+    }
+
+
+def test_extract_links_cc_nested_path(spark):
+    """Real Common-Crawl WAT nesting works via links_path; extra
+    attributes (path, title) are ignored by the pruned schema."""
+    env = json.dumps({"Envelope": {"Payload-Metadata": {
+        "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+            {"path": "A@/href", "url": "https://t.org/1", "text": "one"},
+            {"path": "IMG@/src", "url": "/i.png"},
+        ]}}}}})
+    out = L.extract_links(
+        _wat_df(spark, [("https://ex.com/", env)]),
+        links_path="$.Envelope.Payload-Metadata['HTTP-Response-Metadata']"
+        "['HTML-Metadata'].Links",
+    ).collect()
+    got = {(r["link_url"], r["anchor_text"]) for r in out}
+    assert got == {("https://t.org/1", "one"), ("https://ex.com/i.png", None)}
+
+
+def test_extract_links_missing_or_junk_json(spark):
+    out = L.extract_links(_wat_df(spark, [
+        ("https://ex.com/", json.dumps({"nolinks": 1})),
+        ("https://ex.com/", "not json at all"),
+        ("https://ex.com/", json.dumps({"links": []})),
+    ])).collect()
+    assert out == []
+
+
+# --- host_graph ------------------------------------------------------------
+
+
+def test_host_graph_traps(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.ex.com/p", "https://b.other.org/x", "t"),
+            ("https://ex.com/q", "HTTPS://B.OTHER.ORG:443/y", "t"),  # folds
+            ("https://ex.com/q", "https://www.ex.com/self", "t"),  # self-loop
+            ("https://ex.com/q", "https://cdn.net/z", "t"),
+        ],
+        ["page_url", "link_url", "anchor_text"],
+    )
+    got = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in L.host_graph(links).collect()
+    }
+    # a.ex.com and ex.com both collapse to ex.com; the two other.org
+    # spellings fold into one edge of weight 2; the subdomain self-loop
+    # (ex.com -> www.ex.com) is dropped at registrable-domain level.
+    assert got == {("ex.com", "other.org"): 2, ("ex.com", "cdn.net"): 1}
+
+
+# --- pagerank --------------------------------------------------------------
+
+
+def _py_pagerank(edges, iterations=3, damping=0.85):
+    """Independent reference: same synchronous sweep, dict arithmetic.
+    edges = [(src, dst, w)]."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    outw: dict[str, float] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(r for v, r in rank.items() if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / outw[s])
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    return rank
+
+
+EDGES = [
+    ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+    ("c", "a", 1.0), ("a", "sink", 1.0),  # 'sink' has no outlinks
+]
+
+
+def test_pagerank_matches_reference_and_sums_to_one(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in L.pagerank(df, weight_col="w", iterations=3).collect()
+    }
+    want = _py_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_and_more_iterations(spark):
+    ew = [(s, d, 1.0) for s, d, _ in EDGES]
+    df = spark.createDataFrame(
+        [(s, d) for s, d, _ in EDGES], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in L.pagerank(df, iterations=5).collect()
+    }
+    want = _py_pagerank(ew, iterations=5)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_pagerank_sql_twin_matches_reference():
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{s}', '{d}', {w})" for s, d, w in EDGES
+    )
+    q = L.pagerank_sql(
+        f"SELECT src, dst, w FROM (VALUES {vals}) AS t(src, dst, w)",
+        iterations=3,
+        weight_e="w",
+    )
+    got = dict(con.execute(q).fetchall())
+    con.close()
+    want = _py_pagerank(EDGES)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_top_hosts(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    top = L.top_hosts(spark, df, k=2, weight_col="w").collect()
+    ranks = _py_pagerank(EDGES)
+    want = sorted(ranks, key=lambda v: (-ranks[v], v))[:2]
+    assert [r["node"] for r in top] == want
