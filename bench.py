@@ -116,6 +116,7 @@ HEADLINE = [
     "q_gopher_repetition",     # r11: Table A1 repetition signals (C20)
     "q_video_near_dup",        # r11: shot-fingerprint video dedup (C15)
     "q_main_content",          # r11: jusText boilerplate removal (C20)
+    "q_pagerank",              # r11: WAT link graph -> fixed-sweep PageRank (C20)
 ]
 
 
