@@ -299,6 +299,42 @@ def web_quality_filter(
     return out
 
 
+def host_rank_filter(
+    df: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    min_rank: float = 0.0,
+    keep_unranked: bool = True,
+    rank_col: str = "rank",
+    node_col: str = "node",
+) -> DataFrame:
+    """Frontier-prioritization gate: keep pages whose registrable
+    domain's link-graph rank (``linkgraph.pagerank`` output, persisted
+    like the DSIR ratios) clears ``min_rank`` — the Common-Crawl-style
+    host-quality prior, applied BEFORE fetch/extract cost is spent.
+
+    ``keep_unranked=True`` (default) lets hosts absent from the rank
+    table through annotated with a NULL ``host_rank`` — a crawler must
+    not starve newly-discovered hosts; False drops them (closed-world
+    curation of an already-ranked snapshot). Appends ``host_rank``
+    either way.
+
+    Scale shape: ONE join on the domain key. The rank table is
+    O(hosts) — millions of rows at crawl scale — so it is deliberately
+    NOT broadcast (the persisted-domain-count precedent); Spark/AQE
+    may still choose broadcast when a small snapshot fits."""
+    dom = U.registrable_domain(U.url_host(F.col(url_col)))
+    r = ranks.select(
+        F.col(node_col).alias("_hr_dom"),
+        F.col(rank_col).cast("double").alias("host_rank"),
+    )
+    out = df.withColumn("_hr_dom", dom).join(r, "_hr_dom", "left").drop("_hr_dom")
+    cond = F.col("host_rank") >= F.lit(float(min_rank))
+    if keep_unranked:
+        cond = cond | F.col("host_rank").isNull()
+    return out.filter(cond)
+
+
 def language_filter(
     df: DataFrame,
     profiles: DataFrame,

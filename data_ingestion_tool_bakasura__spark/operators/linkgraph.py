@@ -101,18 +101,32 @@ def pagerank(
     iteration). Initial rank is uniform 1/N. A fixed iteration count
     (the production choice for frontier scoring: CC's host ranks are
     themselves a fixed-sweep artifact) keeps the plan deterministic
-    and the DuckDB oracle expressible by unrolling
-    (``pagerank_sql``)."""
+    and the DuckDB oracle expressible by unrolling (``pagerank_sql``).
+
+    The dangling mass is computed by CONSERVATION, not by scanning the
+    rank frame: every node with outlinks forwards exactly its rank
+    (its transition weights sum to 1), so dangling = 1 - sum(contribs)
+    — valid precisely because the redistribution keeps total rank at
+    1 every sweep. That makes each sweep ONE join + one aggregation
+    (plus a 1-row reduce over the already-aggregated contribution
+    frame), and the rank lineage single-use, so no per-iteration
+    materialization is needed."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # the edge list is the root of EVERY branch below (nodes = 2 scans,
+    # out-weights, transition matrix, and the per-iteration dangling
+    # probe) — persist it first so an expensive upstream (a WAT parse,
+    # a multi-join) materializes exactly once, then persist the two
+    # frames each sweep re-reads (outw: dangling anti-join; trans:
+    # contribution join). All persists are lazy — plan construction
+    # still fires zero jobs.
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
-    )
+    ).persist()
     nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
+        e.select(F.explode(F.array("_src", "_dst")).alias("node"))
         .distinct()
         .persist()
-    )
+    )  # one scan of e, not a union's two
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     trans = (
         e.join(outw, "_src")
@@ -124,15 +138,15 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for _ in range(iterations):
-        ranks = ranks.persist()
-        dangling = ranks.join(
-            outw, ranks["node"] == outw["_src"], "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))  # 1 row
         contribs = (
             trans.join(ranks, trans["_src"] == ranks["node"])
             .groupBy("_dst")
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+            .persist()  # read twice: the 1-row reduce and the re-join
         )
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("_c"), F.lit(0.0))).alias("_dm")
+        )  # 1 row, by conservation (see docstring)
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["_dst"], "left")
             .crossJoin(F.broadcast(dangling))
@@ -176,14 +190,13 @@ def pagerank_sql(
     for i in range(1, iterations + 1):
         p = i - 1
         parts.append(
-            f"d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{p} r "
-            f"LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL)"
-        )
-        parts.append(
             f"c{i} AS (SELECT e.dst AS node, "
             f"sum(r.rank * (CAST({weight_e} AS DOUBLE) / o.ow)) AS c "
             f"FROM edges e JOIN r{p} r ON e.src = r.node "
             f"JOIN outw o ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT 1.0 - coalesce(sum(c), 0.0) AS dm FROM c{i})"
         )
         parts.append(
             f"r{i} AS (SELECT nd.node, (1.0 - {d}) / (SELECT n FROM nn) + {d} * "

@@ -611,6 +611,9 @@ def start_streaming_crawl(
     order_col: str = "record_id",
     blocked_domains=None,
     robots_rules_path: str | None = None,
+    host_ranks_path: str | None = None,
+    min_host_rank: float = 0.0,
+    keep_unranked_hosts: bool = True,
     max_per_domain_per_batch: int | None = None,
     max_per_domain_total: int | None = None,
     dsir_ratios_path: str | None = None,
@@ -649,6 +652,16 @@ def start_streaming_crawl(
     by joining the persisted per-domain counts (an O(domains) exchange
     per batch — at crawl scale domains are millions of rows, so this
     is a plain join, never a broadcast of the count table).
+
+    ``host_ranks_path`` points at a persisted link-graph rank table
+    (``linkgraph.pagerank(...).write.parquet(...)``): each batch
+    passes the host-quality prior (``crawl.host_rank_filter``) at the
+    DOMAIN level before any per-page decode/extract cost —
+    ``min_host_rank`` sets the floor, ``keep_unranked_hosts`` decides
+    whether newly-discovered hosts pass (default True: a crawler must
+    not starve hosts the last graph build never saw). The corpus
+    schema is unchanged (the rank annotation is dropped after the
+    gate).
 
     ``dsir_ratios_path`` points at a persisted DSIR log-ratio table
     (``dsir_log_ratios(...).write.parquet(...)``): each batch's
@@ -785,6 +798,15 @@ def start_streaming_crawl(
             batch = CR.robots_filter(
                 batch, spark.read.parquet(robots_rules_path), url_col
             )
+        if host_ranks_path:
+            # persisted linkgraph.pagerank table (node, rank) — the
+            # host-quality prior, applied at the domain level BEFORE
+            # any per-page decode/extract cost; O(hosts) join, not a
+            # broadcast (the persisted-domain-count precedent)
+            batch = CR.host_rank_filter(
+                batch, spark.read.parquet(host_ranks_path), url_col,
+                min_rank=min_host_rank, keep_unranked=keep_unranked_hosts,
+            ).drop("host_rank")
         if max_per_domain_per_batch:
             batch = CR.domain_cap(
                 batch, url_col, max_per_domain_per_batch, order_col=order_col

@@ -270,3 +270,78 @@ def test_top_hosts(spark):
     ranks = _py_pagerank(EDGES)
     want = sorted(ranks, key=lambda v: (-ranks[v], v))[:2]
     assert [r["node"] for r in top] == want
+
+
+# --- host_rank_filter (frontier-prioritization gate) ------------------------
+
+
+def _ranks_df(spark):
+    return spark.createDataFrame(
+        [("good.org", 0.4), ("meh.org", 0.05)], ["node", "rank"]
+    )
+
+
+def test_host_rank_filter_threshold_and_unranked(spark):
+    from data_ingestion_tool_bakasura__spark.operators import crawl as CR
+
+    pages = spark.createDataFrame(
+        [
+            ("https://www.good.org/a",),   # ranked above floor
+            ("https://meh.org/b",),        # ranked below floor
+            ("https://fresh.net/c",),      # unranked
+        ],
+        ["url"],
+    )
+    kept = CR.host_rank_filter(pages, _ranks_df(spark), min_rank=0.1)
+    got = {r["url"]: r["host_rank"] for r in kept.collect()}
+    assert set(got) == {"https://www.good.org/a", "https://fresh.net/c"}
+    assert got["https://www.good.org/a"] == pytest.approx(0.4)
+    assert got["https://fresh.net/c"] is None
+
+    closed = CR.host_rank_filter(
+        pages, _ranks_df(spark), min_rank=0.1, keep_unranked=False
+    )
+    assert [r["url"] for r in closed.collect()] == ["https://www.good.org/a"]
+
+
+def test_streaming_crawl_host_rank_gate(spark, tmp_path):
+    """host_ranks_path on start_streaming_crawl: below-floor hosts are
+    dropped before extraction, unranked hosts land, corpus schema
+    unchanged (no host_rank column)."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "w1.warc").write_bytes(
+        rec("https://www.good.org/a", b"<p>keep ranked</p>", "r1")
+        + rec("https://meh.org/b", b"<p>drop low rank</p>", "r2")
+        + rec("https://fresh.net/c", b"<p>keep unranked</p>", "r3")
+    )
+    ranks = str(tmp_path / "ranks")
+    _ranks_df(spark).write.parquet(ranks)
+    corpus = str(tmp_path / "corpus")
+    start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True),
+        corpus,
+        host_ranks_path=ranks,
+        min_host_rank=0.1,
+        checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    rows = spark.read.parquet(corpus)
+    assert sorted(r["domain"] for r in rows.collect()) == ["fresh.net", "good.org"]
+    assert "host_rank" not in rows.columns

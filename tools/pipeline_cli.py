@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         "--boilerplate", action="store_true",
         help="jusText main-content extraction instead of flat html_to_text",
     )
+    p_crw.add_argument(
+        "--host-ranks", default=None,
+        help="persisted linkgraph.pagerank parquet; host-quality prior gate",
+    )
+    p_crw.add_argument(
+        "--min-host-rank", type=float, default=0.0,
+        help="rank floor for --host-ranks (unranked hosts always pass)",
+    )
 
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
@@ -153,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
             pages = CR.domain_blocklist_filter(
                 pages, args.block_domains.split(","), "url"
             )
+        if args.host_ranks:  # domain-level prior BEFORE decode cost
+            pages = CR.host_rank_filter(
+                pages, spark.read.parquet(args.host_ranks), "url",
+                min_rank=args.min_host_rank,
+            ).drop("host_rank")
         if args.max_per_domain > 0:
             pages = CR.domain_cap(
                 pages, "url", max_per_domain=args.max_per_domain,
