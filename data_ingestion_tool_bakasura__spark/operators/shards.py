@@ -1,0 +1,214 @@
+"""Training-shard export/import (round 11): WebDataset-style tar
+shards — the packaging an LLM training stack consumes (one tar per
+shard, one file set per sample, samples read sequentially by the
+dataloader).
+
+Layout (WebDataset convention): sample key ``k`` with columns
+``{"text": ".txt", "meta": ".json", "image": ".bin"}`` becomes tar
+members ``k.txt``, ``k.json``, ``k.bin`` stored CONSECUTIVELY; a shard
+holds ``rows_per_shard`` samples and is named
+``shard-{partition:05d}-{seq:04d}.tar``.
+
+Scale shape: ``write_tar_shards`` is map-only — each task tars its own
+partition's rows into its own files (partition id in the name, so no
+two tasks ever collide and no driver coordination exists); sorting
+within the partition (and optionally repartitioning by key first)
+makes the layout deterministic for a given partitioning.
+``read_tar_shards`` is the inverse: a binaryFile scan of ``*.tar`` +
+one Arrow pass that walks tar members and reassembles samples. Neither
+direction shuffles anything.
+
+The reference has no export surface (it writes to a search index);
+this family is from the mandated training-data-pipeline extension
+list (training shards for dataloaders).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixed mtime so shard bytes are reproducible run-to-run
+_EPOCH = 0
+
+
+def _member(tar: tarfile.TarFile, name: str, data: bytes) -> None:
+    info = tarfile.TarInfo(name=name)
+    info.size = len(data)
+    info.mtime = _EPOCH
+    tar.addfile(info, io.BytesIO(data))
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "key",
+    columns: dict[str, str] | None = None,
+    rows_per_shard: int = 1000,
+    sort_within: bool = True,
+) -> DataFrame:
+    """Write ``df`` as WebDataset tar shards under ``out_dir``; returns
+    a small manifest DataFrame (shard, n_samples, n_bytes) — also
+    persisted as ``_manifest.json`` in ``out_dir`` for dataloaders
+    that want the list without a Spark session.
+
+    ``columns`` maps column name -> member extension (default: every
+    non-key column; strings get ``.txt``, binary ``.bin``, everything
+    else JSON-encodes to ``.json``). NULL cells skip their member (the
+    WebDataset convention for optional fields). Keys are sanitized for
+    path safety ('/' -> '_').
+
+    Determinism: with ``sort_within`` (default) each partition's
+    samples are tar'd in key order and member bytes use a fixed mtime,
+    so a given (partitioning, data) always produces byte-identical
+    shards. Repartition by key first if you need a canonical global
+    layout.
+
+    ``out_dir`` is written with plain file IO from each task, so it
+    must be a filesystem every executor can reach — local mode, NFS,
+    or a FUSE-mounted object store. (Tar is not a Hadoop output
+    format; on a cluster without a shared mount, write per-executor
+    local shards and ship them with your object-store client.)"""
+    if columns is None:
+        dtypes = dict(df.dtypes)
+        columns = {
+            c: (".txt" if dtypes[c] == "string"
+                else ".bin" if dtypes[c] == "binary" else ".json")
+            for c in df.columns if c != key_col
+        }
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [key_col, *columns]
+    src = df.select(*cols)
+    if sort_within:
+        src = src.sortWithinPartitions(key_col)
+
+    ext = dict(columns)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        n = 0
+        tar = None
+        path = None
+        out: list[tuple[str, int, int]] = []
+
+        def _open():
+            nonlocal tar, path
+            path = os.path.join(out_dir, f"shard-{pid:05d}-{seq:04d}.tar")
+            tar = tarfile.open(path, "w")
+
+        def _close():
+            nonlocal tar, seq, n
+            if tar is not None:
+                tar.close()
+                out.append((os.path.basename(path), n, os.path.getsize(path)))
+                tar = None
+                seq += 1
+                n = 0
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                r = dict(zip(pdf.columns, row))
+                if tar is None:
+                    _open()
+                key = str(r[key_col]).replace("/", "_")
+                for c, e in ext.items():
+                    v = r[c]
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        data = bytes(v)
+                    elif isinstance(v, str):
+                        data = v.encode("utf-8")
+                    else:
+                        data = json.dumps(
+                            v, sort_keys=True,
+                            default=lambda o: o.tolist()
+                            if hasattr(o, "tolist") else list(o),
+                        ).encode()
+                    _member(tar, key + e, data)
+                n += 1
+                if n >= rows_per_shard:
+                    _close()
+        _close()
+        yield pd.DataFrame(out, columns=["shard", "n_samples", "n_bytes"])
+
+    manifest = src.mapInPandas(
+        _write, "shard string, n_samples long, n_bytes long"
+    )
+    rows = manifest.collect()  # O(shards), the export's only action
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(
+            [{"shard": r["shard"], "n_samples": r["n_samples"],
+              "n_bytes": r["n_bytes"]} for r in sorted(rows)],
+            f, indent=0, sort_keys=True,
+        )
+    return df.sparkSession.createDataFrame(
+        rows, "shard string, n_samples long, n_bytes long"
+    )
+
+
+def read_tar_shards(
+    spark: SparkSession,
+    shard_dir: str,
+    extensions: dict[str, str] | None = None,
+    glob: str = "shard-*.tar",
+) -> DataFrame:
+    """Inverse of ``write_tar_shards``: scan ``*.tar`` (binaryFile, one
+    task per shard) and reassemble one row per sample key. With
+    ``extensions`` (column -> member extension) the columns come back
+    typed (``.txt`` utf-8 string, ``.bin`` binary, ``.json`` parsed to
+    its JSON string); without it, returns the raw member table
+    (shard, key, ext, data). Map-only."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(shard_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("shard"), "content"
+        )
+    )
+
+    def _untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard, content in zip(pdf["shard"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(content)) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        stem, dot, e = m.name.rpartition(".")
+                        rows.append(
+                            (shard, stem, dot + e,
+                             tar.extractfile(m).read())
+                        )
+            yield pd.DataFrame(
+                rows, columns=["shard", "key", "ext", "data"]
+            )
+
+    members = raw.mapInPandas(
+        _untar, "shard string, key string, ext string, data binary"
+    )
+    if extensions is None:
+        return members
+    cols = [
+        F.max(
+            F.when(F.col("ext") == e, F.col("data"))
+        ).alias(c)
+        for c, e in extensions.items()
+    ]
+    wide = members.groupBy("shard", "key").agg(*cols)
+    for c, e in extensions.items():
+        if e == ".bin":
+            continue
+        wide = wide.withColumn(c, F.col(c).cast("string"))
+    return wide

@@ -1,0 +1,135 @@
+"""WebDataset-style tar-shard export/import (operators/shards.py):
+roundtrip fidelity (text / binary / JSON members, NULL skips), shard
+sizing and naming, manifest accounting, byte-level determinism, and
+the packed-corpus composition."""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_bakasura__spark.operators import shards as SH
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            ("doc-3", "hello world", b"\x00\x01", {"lang": "en"}),
+            ("doc-1", "bonjour", None, {"lang": "fr"}),      # NULL binary
+            ("doc-2", None, b"\xff", {"lang": "de"}),        # NULL text
+            ("a/b", "slash key", b"k", {"lang": "en"}),      # key sanitize
+        ],
+        "key string, text string, payload binary, meta map<string,string>",
+    )
+
+
+def test_roundtrip_and_members(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    man = SH.write_tar_shards(
+        _df(spark).repartition(1), out, "key",
+        {"text": ".txt", "payload": ".bin", "meta": ".json"},
+        rows_per_shard=10,
+    ).collect()
+    assert len(man) == 1 and man[0]["n_samples"] == 4
+    # manifest sidecar for sessionless dataloaders
+    side = json.load(open(os.path.join(out, "_manifest.json")))
+    assert side[0]["shard"] == man[0]["shard"]
+
+    with tarfile.open(os.path.join(out, man[0]["shard"])) as tar:
+        names = tar.getnames()
+    assert "doc-1.txt" in names and "doc-1.json" in names
+    assert "doc-1.bin" not in names          # NULL skipped
+    assert "doc-2.txt" not in names and "doc-2.bin" in names
+    assert "a_b.txt" in names                # '/' sanitized
+    # sample members are consecutive (sorted by key within partition)
+    assert names.index("doc-1.txt") < names.index("doc-2.bin") < names.index(
+        "doc-3.txt")
+
+    back = SH.read_tar_shards(
+        spark, out, {"text": ".txt", "payload": ".bin", "meta": ".json"}
+    )
+    rows = {r["key"]: r for r in back.collect()}
+    assert rows["doc-3"]["text"] == "hello world"
+    assert rows["doc-3"]["payload"] == bytearray(b"\x00\x01")
+    assert json.loads(rows["doc-3"]["meta"]) == {"lang": "en"}
+    assert rows["doc-1"]["payload"] is None
+    assert rows["doc-2"]["text"] is None
+    assert rows["a_b"]["text"] == "slash key"
+
+
+def test_shard_sizing_and_naming(spark, tmp_path):
+    out = str(tmp_path / "s2")
+    df = spark.range(25).select(
+        F.format_string("k%02d", F.col("id")).alias("key"),
+        F.format_string("text %d", F.col("id")).alias("text"),
+    )
+    man = SH.write_tar_shards(
+        df.repartition(2), out, "key", {"text": ".txt"}, rows_per_shard=7
+    ).collect()
+    # per-partition: ceil(n_p / 7) shards, no task collisions
+    assert sum(r["n_samples"] for r in man) == 25
+    assert all(r["n_samples"] <= 7 for r in man)
+    names = sorted(r["shard"] for r in man)
+    assert all(n.startswith("shard-") and n.endswith(".tar") for n in names)
+    assert len(set(names)) == len(names)
+    back = SH.read_tar_shards(spark, out, {"text": ".txt"})
+    assert back.count() == 25
+
+
+def test_deterministic_bytes(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df = _df(spark).repartition(1)
+    SH.write_tar_shards(df, a, "key", rows_per_shard=10)
+    SH.write_tar_shards(df, b, "key", rows_per_shard=10)
+    fa = sorted(f for f in os.listdir(a) if f.endswith(".tar"))
+    fb = sorted(f for f in os.listdir(b) if f.endswith(".tar"))
+    assert fa == fb
+    for f in fa:
+        assert (open(os.path.join(a, f), "rb").read()
+                == open(os.path.join(b, f), "rb").read())
+
+
+def test_default_column_typing(spark, tmp_path):
+    """Without an explicit columns map: string -> .txt, binary -> .bin,
+    other -> .json."""
+    out = str(tmp_path / "s3")
+    df = spark.createDataFrame(
+        [("k1", "t", b"b", 7)], "key string, text string, img binary, n int"
+    )
+    SH.write_tar_shards(df.repartition(1), out, "key")
+    with tarfile.open(os.path.join(out, "shard-00000-0000.tar")) as tar:
+        assert sorted(tar.getnames()) == ["k1.bin", "k1.json", "k1.txt"]
+        assert json.loads(tar.extractfile("k1.json").read()) == 7
+
+
+def test_packed_corpus_export(spark, tmp_path):
+    """Composition: documents -> pack_sequences -> tar shards — the
+    end-of-pipeline a training stack consumes."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        pack_sequences,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(200)
+        .withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+    )
+    packed = pack_sequences(docs, "n_tokens", capacity=512, id_col="doc_id")
+    key = F.format_string(
+        "sh%04d-p%06d", F.col("shard_id").cast("int"),
+        F.col("pack_pos").cast("int"),
+    )
+    out = str(tmp_path / "packed")
+    man = SH.write_tar_shards(
+        packed.select(key.alias("key"), "text"), out, "key",
+        {"text": ".txt"}, rows_per_shard=50,
+    ).collect()
+    n = sum(r["n_samples"] for r in man)
+    assert n == packed.count() > 0
+    back = SH.read_tar_shards(spark, out, {"text": ".txt"})
+    assert back.count() == n

@@ -105,6 +105,19 @@ def main(argv: list[str] | None = None) -> int:
                             "--dsir-k docs importance-resampled toward it")
     p_run.add_argument("--dsir-k", type=int, default=100)
 
+    p_exp = sub.add_parser(
+        "export-shards",
+        help="docs parquet -> WebDataset tar shards for a training dataloader",
+    )
+    p_exp.add_argument("docs")
+    p_exp.add_argument("out_dir")
+    p_exp.add_argument("--key-col", default="doc_id")
+    p_exp.add_argument("--rows-per-shard", type=int, default=1000)
+    p_exp.add_argument(
+        "--columns", default="text=.txt",
+        help="comma list col=ext, e.g. 'text=.txt,meta=.json'",
+    )
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -180,6 +193,27 @@ def main(argv: list[str] | None = None) -> int:
             "event": "web_quality_filtered", "gate": args.gate,
             "n_in": n_in, "n_out": n_out, "n_dropped": n_in - n_out,
             "out": args.out,
+        }))
+        return 0
+
+    if args.cmd == "export-shards":
+        from data_ingestion_tool_bakasura__spark.operators.shards import (
+            write_tar_shards,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        cols = dict(kv.split("=") for kv in args.columns.split(","))
+        key = F.col(args.key_col).cast("string").alias("_shard_key")
+        man = write_tar_shards(
+            docs.select(key, *cols), args.out_dir, "_shard_key",
+            columns=cols, rows_per_shard=args.rows_per_shard,
+        )
+        rows = man.collect()
+        print(json.dumps({
+            "event": "shards_exported", "n_shards": len(rows),
+            "n_samples": sum(r["n_samples"] for r in rows),
+            "n_bytes": sum(r["n_bytes"] for r in rows),
+            "out": args.out_dir,
         }))
         return 0
 
