@@ -206,6 +206,57 @@ def pagerank_sql(
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
 
 
+def frontier_expand(
+    links: DataFrame,
+    corpus_urls: DataFrame,
+    link_col: str = "link_url",
+    corpus_col: str = "norm_url",
+    max_per_domain: int | None = None,
+    host_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """Next-wave fetch frontier: normalize the extracted link targets,
+    drop everything already landed (anti-join against the corpus's
+    normalized URLs), aggregate in-link counts as the page-level
+    priority signal, optionally join the host-level rank prior, and
+    cap per registrable domain (politeness) keeping the
+    highest-in-linked pages first.
+
+    Output: (norm_url, domain, n_inlinks[, host_rank]) ordered within
+    each domain by (n_inlinks DESC, norm_url) — ``rank_in_domain``
+    included when ``max_per_domain`` is set.
+
+    Scale shape: one exchange on norm_url (the in-link count), one
+    anti-join against the corpus on the same key, one window exchange
+    on domain for the cap; ``host_ranks`` joins O(hosts) rows on the
+    domain key (not broadcast — the persisted-domain-count precedent).
+    This is the batch form of the crawl loop's "discover" step: feed
+    ``extract_links`` of the last wave's WAT output and the corpus the
+    streaming crawl maintains."""
+    from pyspark.sql import Window
+
+    cand = links.select(
+        U.url_normalize(F.col(link_col)).alias("norm_url")
+    ).groupBy("norm_url").agg(F.count("*").alias("n_inlinks"))
+    seen = corpus_urls.select(F.col(corpus_col).alias("norm_url"))
+    new = cand.join(seen, "norm_url", "left_anti").withColumn(
+        "domain", U.registrable_domain(U.url_host(F.col("norm_url")))
+    )
+    if host_ranks is not None:
+        r = host_ranks.select(
+            F.col("node").alias("domain"),
+            F.col("rank").cast("double").alias("host_rank"),
+        )
+        new = new.join(r, "domain", "left")
+    if max_per_domain is not None:
+        w = Window.partitionBy("domain").orderBy(
+            F.desc("n_inlinks"), "norm_url"
+        )
+        new = new.withColumn(
+            "rank_in_domain", F.row_number().over(w)
+        ).filter(F.col("rank_in_domain") <= max_per_domain)
+    return new
+
+
 def top_hosts(
     spark: SparkSession,
     edges: DataFrame,

@@ -1281,6 +1281,95 @@ GROUP BY dst, anchor_text ORDER BY dst, anchor_text
 """
 
 
+def _link_urls_sql() -> str:
+    """URL-level twin of the fixture links (the inputs to
+    frontier_expand): every resolved+normalized link target the Spark
+    side derives from the WAT arrays, as pure doc_id/lang arithmetic.
+    The caps row is pre-normalized ('HTTPS://SITE3.ORG:443/x' ->
+    'https://site3.org/x'); mailto never appears (scheme filter)."""
+    kl = (
+        "SELECT 'https://site' || CAST((doc_id * 7 + 13 * k.k) % 41 AS VARCHAR)"
+        " || '.org/p/' || CAST((doc_id + k.k) % 10 AS VARCHAR) AS url "
+        "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS k(k) "
+        "WHERE k.k < 1 + doc_id % 3"
+    )
+    nxt = (
+        "SELECT 'https://example' || CAST(doc_id % 13 AS VARCHAR)"
+        " || '.com/doc/' || CAST((doc_id + 1) % 97 AS VARCHAR) AS url "
+        "FROM documents"
+    )
+    cdn = (
+        "SELECT 'https://cdn' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.net/lib.js' AS url FROM documents WHERE doc_id % 5 = 0"
+    )
+    caps = (
+        "SELECT 'https://site3.org/x' AS url FROM documents "
+        "WHERE doc_id % 11 = 0"
+    )
+    more = (
+        "SELECT 'https://example' || CAST(doc_id % 13 AS VARCHAR)"
+        " || '.com/doc/' || CAST(doc_id AS VARCHAR) || '?page=2' AS url "
+        "FROM documents WHERE doc_id % 13 = 0"
+    )
+    return " UNION ALL ".join([kl, nxt, cdn, caps, more])
+
+
+def q_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl loop's discover step: WAT links -> normalize ->
+    anti-join the landed corpus -> in-link-count priority -> 5-per-
+    domain politeness cap. Traps: the 'next' links land back inside
+    the corpus only when (doc_id+1)%97 has the right residue mod 13
+    (a broken anti-join shifts counts); the '?page=2' variant of a
+    corpus page must still be NEW (query-bearing URL != landed URL);
+    the pre-normalized caps spelling must merge with other site3.org
+    in-links."""
+    from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    links = L.extract_links(read_wat(spark, _wet_wat_fixture(sf)))
+    corpus = load_table(spark, sf, "documents").select(
+        U.url_normalize(
+            F.expr(
+                "'https://example' || CAST(doc_id % 13 AS STRING) || "
+                "'.com/doc/' || CAST(doc_id AS STRING)"
+            )
+        ).alias("norm_url")
+    )
+    return (
+        L.frontier_expand(links, corpus, max_per_domain=5)
+        .select("norm_url", "domain", "n_inlinks", "rank_in_domain")
+        .orderBy("domain", "rank_in_domain", "norm_url")
+    )
+
+
+_FRONT_DOM = U.domain_sql(U.host_sql("norm_url"))
+
+ORACLE["q_frontier"] = f"""
+WITH lu AS ({_link_urls_sql()}),
+corpus AS (
+  SELECT 'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS norm_url
+  FROM documents
+),
+cand AS (SELECT url AS norm_url, count(*) AS n_inlinks FROM lu GROUP BY url),
+new AS (
+  SELECT c.norm_url, c.n_inlinks, ({_FRONT_DOM}) AS domain
+  FROM cand c WHERE NOT EXISTS (
+    SELECT 1 FROM corpus k WHERE k.norm_url = c.norm_url)
+),
+ranked AS (
+  SELECT norm_url, domain, n_inlinks,
+         CAST(row_number() OVER (
+           PARTITION BY domain ORDER BY n_inlinks DESC, norm_url) AS INT)
+           AS rank_in_domain
+  FROM new
+)
+SELECT norm_url, domain, n_inlinks, rank_in_domain
+FROM ranked WHERE rank_in_domain <= 5
+ORDER BY domain, rank_in_domain, norm_url
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1302,4 +1391,5 @@ QUERIES = {
     "q_link_graph": q_link_graph,
     "q_pagerank": q_pagerank,
     "q_anchor_text": q_anchor_text,
+    "q_frontier": q_frontier,
 }

@@ -345,3 +345,44 @@ def test_streaming_crawl_host_rank_gate(spark, tmp_path):
     rows = spark.read.parquet(corpus)
     assert sorted(r["domain"] for r in rows.collect()) == ["fresh.net", "good.org"]
     assert "host_rank" not in rows.columns
+
+
+# --- frontier_expand ---------------------------------------------------------
+
+
+def test_frontier_expand(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/", "https://new.org/p?utm_source=x", "t"),
+            ("https://b.com/", "https://new.org/p", "t"),      # same page
+            ("https://b.com/", "https://new.org/q", "t"),
+            ("https://b.com/", "https://seen.com/x", "t"),     # landed
+            ("https://b.com/", "https://new.org/r", "t"),
+        ],
+        ["page_url", "link_url", "anchor_text"],
+    )
+    corpus = spark.createDataFrame(
+        [("https://seen.com/x",)], ["norm_url"]
+    )
+    out = L.frontier_expand(links, corpus, max_per_domain=2)
+    rows = {r["norm_url"]: r for r in out.collect()}
+    # tracking-param twin merged -> 2 in-links; landed URL excluded;
+    # 2-per-domain cap keeps the highest-in-linked first
+    assert set(rows) == {"https://new.org/p", "https://new.org/q"}
+    assert rows["https://new.org/p"]["n_inlinks"] == 2
+    assert rows["https://new.org/p"]["rank_in_domain"] == 1
+    assert rows["https://new.org/q"]["rank_in_domain"] == 2
+
+
+def test_frontier_expand_host_ranks(spark):
+    links = spark.createDataFrame(
+        [("https://a.com/", "https://x.org/1", "t"),
+         ("https://a.com/", "https://y.net/1", "t")],
+        ["page_url", "link_url", "anchor_text"],
+    )
+    corpus = spark.createDataFrame([("https://z.io/",)], ["norm_url"])
+    ranks = spark.createDataFrame([("x.org", 0.7)], ["node", "rank"])
+    out = L.frontier_expand(links, corpus, host_ranks=ranks)
+    got = {r["domain"]: r["host_rank"] for r in out.collect()}
+    assert got["x.org"] == pytest.approx(0.7)
+    assert got["y.net"] is None  # unranked annotated NULL, not dropped

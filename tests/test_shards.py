@@ -133,3 +133,23 @@ def test_packed_corpus_export(spark, tmp_path):
     assert n == packed.count() > 0
     back = SH.read_tar_shards(spark, out, {"text": ".txt"})
     assert back.count() == n
+
+
+def test_export_shards_cli(spark, tmp_path, capsys):
+    """curate_cli export-shards: docs parquet -> tar shards with
+    consistent manifest accounting."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_cli
+
+    out = str(tmp_path / "shards")
+    rc = curate_cli.main([
+        "export-shards", "/root/testdata/sf0.001/documents.parquet", out,
+        "--rows-per-shard", "200",
+    ])
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ev["event"] == "shards_exported"
+    assert ev["n_samples"] == 500
+    back = SH.read_tar_shards(spark, out, {"text": ".txt"})
+    assert back.count() == 500
