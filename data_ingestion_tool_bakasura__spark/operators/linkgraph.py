@@ -257,6 +257,56 @@ def frontier_expand(
     return new
 
 
+def host_graph_increment(
+    spark: SparkSession,
+    graph_path: str,
+    links: DataFrame,
+    wave_id: str,
+    src_col: str = "page_url",
+    dst_col: str = "link_url",
+) -> int:
+    """Fold one crawl wave's links into a PERSISTED host graph without
+    rewriting it: the graph is an append-only parquet of
+    (src, dst, n_links, wave) rows — a wave appends its own host_graph
+    aggregate tagged with ``wave_id``, and readers re-aggregate across
+    waves (``load_host_graph``). Links are extracted and hashed once
+    per wave, ever.
+
+    Replay idempotence is an exact-id guard, the image/video-index
+    discipline: a ``wave_id`` already present in the graph makes the
+    call a no-op (returns 0), so a crashed-then-replayed micro-batch
+    cannot double-count edges. There is exactly ONE write target.
+    Returns the number of edge rows appended. Compact with
+    ``maintenance.compact`` when the per-wave file count grows."""
+    import os
+
+    new = host_graph(links, src_col, dst_col).withColumn(
+        "wave", F.lit(wave_id)
+    )
+    if os.path.exists(graph_path.removeprefix("file://")):
+        seen = (
+            spark.read.parquet(graph_path)
+            .select("wave").distinct()
+            .filter(F.col("wave") == wave_id)
+        )
+        if seen.limit(1).count() > 0:
+            return 0
+    n = new.count()
+    new.write.mode("append").parquet(graph_path)
+    return n
+
+
+def load_host_graph(spark: SparkSession, graph_path: str) -> DataFrame:
+    """Aggregate the persisted waved graph back to (src, dst, n_links)
+    — one exchange on the edge key; feed to ``pagerank`` /
+    ``frontier_expand``."""
+    return (
+        spark.read.parquet(graph_path)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
+
+
 def top_hosts(
     spark: SparkSession,
     edges: DataFrame,

@@ -386,3 +386,94 @@ def test_frontier_expand_host_ranks(spark):
     got = {r["domain"]: r["host_rank"] for r in out.collect()}
     assert got["x.org"] == pytest.approx(0.7)
     assert got["y.net"] is None  # unranked annotated NULL, not dropped
+
+
+# --- persisted / incremental host graph --------------------------------------
+
+
+def _links_wave(spark, rows):
+    return spark.createDataFrame(
+        [(s, d, "t") for s, d in rows],
+        ["page_url", "link_url", "anchor_text"],
+    )
+
+
+def test_host_graph_increment_parity_and_replay(spark, tmp_path):
+    """Two waves == one batch (aggregated); replaying a wave_id is a
+    no-op; pagerank over the persisted graph == fused."""
+    w1 = [("https://a.com/1", "https://x.org/p"),
+          ("https://a.com/2", "https://y.net/q")]
+    w2 = [("https://b.com/1", "https://x.org/p"),
+          ("https://a.com/3", "https://x.org/r")]
+    path = str(tmp_path / "graph")
+    n1 = L.host_graph_increment(spark, path, _links_wave(spark, w1), "w1")
+    n2 = L.host_graph_increment(spark, path, _links_wave(spark, w2), "w2")
+    assert n1 > 0 and n2 > 0
+    # replay guard: same wave again appends nothing
+    assert L.host_graph_increment(spark, path, _links_wave(spark, w2), "w2") == 0
+    merged = {(r["src"], r["dst"]): r["n_links"]
+              for r in L.load_host_graph(spark, path).collect()}
+    batch = {(r["src"], r["dst"]): r["n_links"]
+             for r in L.host_graph(_links_wave(spark, w1 + w2)).collect()}
+    assert merged == batch
+
+    fused = {r["node"]: r["rank"] for r in L.pagerank(
+        L.host_graph(_links_wave(spark, w1 + w2)), weight_col="n_links"
+    ).collect()}
+    persisted = {r["node"]: r["rank"] for r in L.pagerank(
+        L.load_host_graph(spark, path), weight_col="n_links"
+    ).collect()}
+    assert set(fused) == set(persisted)
+    for k in fused:
+        assert persisted[k] == pytest.approx(fused[k], abs=1e-12)
+
+
+def test_build_ranks_cli_and_crawl_gate_journey(spark, tmp_path, capsys):
+    """pipeline_cli build-ranks: WAT -> incremental graph -> ranks
+    parquet; a second wave re-ranks; the output feeds --host-ranks."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_cli
+
+    def wat_rec(uri, links, rid):
+        body = _json.dumps({"links": links}).encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    watdir = tmp_path / "wat"
+    watdir.mkdir()
+    (watdir / "w1.warc.wat").write_bytes(
+        wat_rec("https://a.com/1",
+                [{"url": "https://hub.org/x", "text": "t"}], "m1")
+        + wat_rec("https://b.com/1",
+                  [{"url": "https://hub.org/y", "text": "t"}], "m2")
+    )
+    graph = str(tmp_path / "graph")
+    ranks = str(tmp_path / "ranks")
+    rc = pipeline_cli.main([
+        "build-ranks", str(watdir), graph, ranks, "--wave", "w1",
+    ])
+    ev = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ev["n_edges_appended"] == 2 and ev["n_hosts"] == 3
+
+    # second wave accumulates; replaying it is a no-op append
+    (watdir / "w2.warc.wat").write_bytes(
+        wat_rec("https://c.com/1",
+                [{"url": "https://hub.org/z", "text": "t"}], "m3")
+    )
+    rc = pipeline_cli.main([
+        "build-ranks", str(watdir), graph, ranks, "--wave", "w2",
+    ])
+    ev = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ev["n_hosts"] == 4  # c.com joined the graph
+    got = {r["node"]: r["rank"]
+           for r in spark.read.parquet(ranks).collect()}
+    # hub.org is the only in-linked host -> highest rank
+    assert max(got, key=got.get) == "hub.org"

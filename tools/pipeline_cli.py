@@ -80,6 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         help="rank floor for --host-ranks (unranked hosts always pass)",
     )
 
+    p_rk = sub.add_parser(
+        "build-ranks",
+        help="WAT metadata -> host link graph (incremental) -> PageRank parquet",
+    )
+    p_rk.add_argument("wat_dir")
+    p_rk.add_argument("graph_dir", help="persisted waved host-graph parquet")
+    p_rk.add_argument("ranks_out", help="(node, rank) parquet for --host-ranks")
+    p_rk.add_argument("--glob", default="*.wat*")
+    p_rk.add_argument("--wave", required=True,
+                      help="unique id for this crawl wave (replay guard)")
+    p_rk.add_argument("--iterations", type=int, default=3)
+    p_rk.add_argument(
+        "--links-path", default="$.links",
+        help="JSON path of the links array in the WAT envelope",
+    )
+
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
     p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq"), default="hnsw")
@@ -133,6 +149,32 @@ def main(argv: list[str] | None = None) -> int:
         rows = ingest_documents(docs, cfg=IngestConfig(embedding_dim=args.dim))
         n_new = client.store(rows)
         print(json.dumps({"event": "ingested", "new_chunks": n_new, **client.stats()}))
+        return 0
+
+    if args.cmd == "build-ranks":
+        from data_ingestion_tool_bakasura__spark.operators import (
+            linkgraph as LG,
+        )
+        from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+        links = LG.extract_links(
+            read_wat(spark, args.wat_dir, glob=args.glob),
+            links_path=args.links_path,
+        )
+        n_new = LG.host_graph_increment(
+            spark, args.graph_dir, links, args.wave
+        )
+        ranks = LG.pagerank(
+            LG.load_host_graph(spark, args.graph_dir),
+            weight_col="n_links", iterations=args.iterations,
+        )
+        ranks.write.mode("overwrite").parquet(args.ranks_out)
+        out = spark.read.parquet(args.ranks_out)
+        print(json.dumps({
+            "event": "ranks_built", "wave": args.wave,
+            "n_edges_appended": n_new, "n_hosts": out.count(),
+            "out": args.ranks_out,
+        }))
         return 0
 
     if args.cmd == "crawl":
