@@ -105,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
                             "--dsir-k docs importance-resampled toward it")
     p_run.add_argument("--dsir-k", type=int, default=100)
 
+    p_ug = sub.add_parser(
+        "train-unigram",
+        help="learn a unigram-LM (SentencePiece-style) piece vocab",
+    )
+    p_ug.add_argument("docs")
+    p_ug.add_argument("model_out", help="JSON {piece: log-prob}")
+    p_ug.add_argument("--vocab-size", type=int, default=8000)
+    p_ug.add_argument("--max-words", type=int, default=50_000)
+    p_ug.add_argument("--iters", type=int, default=4)
+
     p_exp = sub.add_parser(
         "export-shards",
         help="docs parquet -> WebDataset tar shards for a training dataloader",
@@ -193,6 +203,29 @@ def main(argv: list[str] | None = None) -> int:
             "event": "web_quality_filtered", "gate": args.gate,
             "n_in": n_in, "n_out": n_out, "n_dropped": n_in - n_out,
             "out": args.out,
+        }))
+        return 0
+
+    if args.cmd == "train-unigram":
+        from data_ingestion_tool_bakasura__spark.functions.unigram import (
+            n_tokens_unigram,
+            unigram_train,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        model = unigram_train(
+            docs, vocab_size=args.vocab_size, max_words=args.max_words,
+            n_iters=args.iters,
+        )
+        with open(args.model_out, "w") as f:
+            json.dump(model, f)
+        total = docs.select(
+            F.sum(n_tokens_unigram("text", model)).alias("t")
+        ).first()["t"]
+        print(json.dumps({
+            "event": "unigram_trained", "vocab_size": len(model),
+            "n_chars": sum(1 for p in model if len(p) == 1),
+            "total_tokens": int(total or 0), "out": args.model_out,
         }))
         return 0
 
