@@ -124,3 +124,73 @@ def with_html_meta(df, html_col: str, prefix: str = "meta_"):
     return df.select(
         "*", *[m[f].alias(f"{prefix}{f}") for f in META_FIELDS]
     )
+
+
+# --- outlink extraction (r11, link-graph family off raw pages) -------------
+
+_LINKS_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+)
+
+
+def html_links_py(html: str) -> list[tuple[str, str | None]]:
+    """Every ``<a href>`` with its anchor text, document order, in ONE
+    stdlib-parser pass (hrefs entity-decoded by the parser; anchor
+    text whitespace-collapsed, None when the anchor is empty). Nested
+    anchors (invalid HTML) attribute text to the innermost open one —
+    the browsers' recovery. Malformed markup never raises."""
+    import re
+    from html.parser import HTMLParser
+
+    out: list[tuple[str, str | None]] = []
+    stack: list[tuple[str, list[str]]] = []
+
+    class _L(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                href = dict(attrs).get("href")
+                if href is not None:
+                    stack.append((href, []))
+
+        def handle_endtag(self, tag):
+            if tag == "a" and stack:
+                href, buf = stack.pop()
+                text = re.sub(r"\s+", " ", "".join(buf)).strip() or None
+                out.append((href, text))
+
+        def handle_data(self, data):
+            if stack:
+                stack[-1][1].append(data)
+
+    p = _L()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    # unclosed anchors at EOF still count (truncated pages)
+    while stack:
+        href, buf = stack.pop()
+        import re as _re
+
+        out.append((href, _re.sub(r"\s+", " ", "".join(buf)).strip() or None))
+    return out
+
+
+def html_links_udf():
+    """Arrow-batched pandas UDF: html -> array<struct<url,text>> — the
+    same element shape as the WAT links arrays, so
+    ``linkgraph.extract_links_html`` and the WAT path share all
+    downstream operators."""
+
+    @F.pandas_udf(_LINKS_TYPE)
+    def _links(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: html_links_py(h or ""))
+
+    return _links

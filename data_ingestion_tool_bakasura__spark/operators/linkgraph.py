@@ -67,6 +67,34 @@ def extract_links(
     ).filter(U.url_scheme(F.col("link_url")).isin("http", "https"))
 
 
+def extract_links_html(
+    pages: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+) -> DataFrame:
+    """Outlinks straight off RAW pages (no WAT needed): one
+    Arrow-batched parser pass per page (``htmlmeta.html_links_udf``)
+    yields the same (page_url, link_url, anchor_text) rows as
+    ``extract_links``, so the whole family (host_graph, pagerank,
+    frontier_expand, anchor aggregation) runs identically on a crawl
+    that has only WARC HTML. Resolution + scheme filter are shared
+    codegen."""
+    from data_ingestion_tool_bakasura__spark.functions.htmlmeta import (
+        html_links_udf,
+    )
+
+    out = pages.select(
+        F.col(base_col).alias("page_url"),
+        F.explode(html_links_udf()(F.col(html_col))).alias("_l"),
+    )
+    resolved = U.resolve_url(F.col("page_url"), F.col("_l.url"))
+    return out.select(
+        "page_url",
+        resolved.alias("link_url"),
+        F.col("_l.text").alias("anchor_text"),
+    ).filter(U.url_scheme(F.col("link_url")).isin("http", "https"))
+
+
 def host_graph(
     links: DataFrame,
     src_col: str = "page_url",

@@ -1370,6 +1370,68 @@ ORDER BY domain, rank_in_domain, norm_url
 """
 
 
+def q_html_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlink extraction off RAW HTML (functions/htmlmeta.py
+    html_links_py + linkgraph.extract_links_html — no WAT needed):
+    each document becomes a page whose anchors carry an entity escape
+    (&amp; must decode in anchor text), a root-relative href (resolves
+    against the page URL), an hrefless <a> (skipped), a mailto
+    (scheme-filtered), and — every 17th doc — a TRUNCATED page whose
+    unclosed anchor must still be flushed at EOF. Output: per
+    (target domain, anchor text) counts; the oracle re-derives every
+    row from doc_id/lang arithmetic."""
+    from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+
+    i = "CAST(doc_id AS STRING)"
+    html = (
+        f"'<html><body>"
+        f"<a href=\"/doc/' || CAST((doc_id + 1) % 97 AS STRING) || '\">next &amp; more</a>"
+        f"<p>filler <a>no href</a></p>"
+        f"<a href=\"https://site' || CAST(doc_id % 41 AS STRING) ||"
+        f" '.org/p\">about  ' || lang || '</a>"
+        f"<a href=\"mailto:x@' || {i} || '.example\">mail</a>'"
+        f" || CASE WHEN doc_id % 17 = 0 THEN"
+        f" '<a href=\"/tail\">tail cut' ELSE '</body></html>' END"
+    )
+    pages = load_table(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.expr(
+            "'https://example' || CAST(doc_id % 13 AS STRING) ||"
+            " '.com/doc/' || CAST(doc_id AS STRING)"
+        ).alias("url"),
+        F.expr(html).alias("html"),
+    )
+    links = L.extract_links_html(pages, "html", "url")
+    return (
+        links.select(
+            U.registrable_domain(U.url_host(F.col("link_url"))).alias("dst"),
+            "anchor_text",
+        )
+        .groupBy("dst", "anchor_text")
+        .agg(F.count("*").alias("n"))
+        .orderBy("dst", "anchor_text")
+    )
+
+
+ORACLE["q_html_links"] = """
+WITH lnk AS (
+  SELECT 'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS dst,
+         'next & more' AS anchor_text
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 41 AS VARCHAR) || '.org' AS dst,
+         'about ' || lang AS anchor_text
+  FROM documents
+  UNION ALL
+  SELECT 'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS dst,
+         'tail cut' AS anchor_text
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT dst, anchor_text, count(*) AS n
+FROM lnk GROUP BY dst, anchor_text ORDER BY dst, anchor_text
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1392,4 +1454,5 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_anchor_text": q_anchor_text,
     "q_frontier": q_frontier,
+    "q_html_links": q_html_links,
 }

@@ -477,3 +477,42 @@ def test_build_ranks_cli_and_crawl_gate_journey(spark, tmp_path, capsys):
            for r in spark.read.parquet(ranks).collect()}
     # hub.org is the only in-linked host -> highest rank
     assert max(got, key=got.get) == "hub.org"
+
+
+# --- raw-HTML outlink extraction ---------------------------------------------
+
+
+def test_html_links_py_edges():
+    from data_ingestion_tool_bakasura__spark.functions.htmlmeta import (
+        html_links_py,
+    )
+
+    html = (
+        '<a href="/a">one &amp; two</a>'
+        "<a>no href</a>"
+        '<a href="/b"><b>bold</b> text</a>'
+        '<a href="/trunc">cut off'
+    )
+    got = html_links_py(html)
+    assert ("/a", "one & two") in got
+    assert ("/b", "bold text") in got
+    assert ("/trunc", "cut off") in got          # EOF flush
+    assert all(h != None for h, _ in got)
+    assert len(got) == 3                         # hrefless skipped
+
+
+def test_extract_links_html_matches_wat_shape(spark):
+    """Raw-HTML extraction feeds the same downstream operators as the
+    WAT path: identical columns, resolution and scheme filter."""
+    pages = spark.createDataFrame(
+        [("https://ex.com/a/b",
+          '<a href="p/1">rel</a><a href="mailto:x@y">m</a>'
+          '<a href="https://other.org/x">abs</a>')],
+        ["url", "html"],
+    )
+    out = L.extract_links_html(pages).collect()
+    got = {(r["link_url"], r["anchor_text"]) for r in out}
+    assert got == {("https://ex.com/a/p/1", "rel"),
+                   ("https://other.org/x", "abs")}
+    edges = L.host_graph(L.extract_links_html(pages)).collect()
+    assert {(r["src"], r["dst"]) for r in edges} == {("ex.com", "other.org")}
