@@ -623,6 +623,7 @@ def start_streaming_crawl(
     allowed_langs=None,
     boilerplate_removal: bool | dict = False,
     seen_bloom: bool | dict = False,
+    link_graph_path: str | None = None,
     compact_every: int | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
@@ -709,6 +710,17 @@ def start_streaming_crawl(
     harmless extra bits, never a false negative), and enabling the
     flag on an existing corpus bootstraps the bitmap from the landed
     URLs. Pass a dict to size it (``{"n_expected": ..., "fpp": ...}``).
+
+    ``link_graph_path`` maintains the crawl's OWN host link graph as it
+    goes: each micro-batch's surviving HTML pages run the one-pass
+    anchor parser (``linkgraph.extract_links_html``) and fold into the
+    persisted waved edge table via ``host_graph_increment`` with
+    ``wave=f"batch-{batch_id}"`` — replay-idempotent by the wave-id
+    guard, links parsed once per batch ever. Rebuild ranks from it
+    anytime (``pagerank(load_host_graph(...))``) and feed them back as
+    ``host_ranks_path`` — the full crawler loop (fetch -> extract ->
+    graph -> prioritize) with no WAT dependency. WET streams (string
+    payloads, no HTML) skip it.
 
     ``compact_every`` fights the appender's small-files problem: every
     N-th micro-batch, after its append lands, the corpus is rewritten
@@ -832,12 +844,17 @@ def start_streaming_crawl(
         # payload column is a STRING it is used verbatim; binary
         # payloads (read_warc) take the charset-decode + html_to_text
         # leg. One closure serves both Common-Crawl formats.
+        link_html = None
         if dict(batch.dtypes).get(payload_col) == "string":
             text_expr = F.col(payload_col)
         else:
             ctype = (F.col("content_type") if "content_type" in batch.columns
                      else F.lit("text/html"))
             decoded = decode_payload_udf()(F.col(payload_col), ctype)
+            if link_graph_path:
+                link_html = batch.select(
+                    F.col(url_col).alias("url"), decoded.alias("html")
+                )
             if boilerplate_removal:
                 from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
                     extract_main_content,
@@ -896,6 +913,21 @@ def start_streaming_crawl(
         # materialize before the append: the plan lazily reads
         # corpus_path (the seen-guard) while appending to it
         out = reliable_checkpoint(out)
+        if link_html is not None:
+            # graph BEFORE corpus (crash ordering): a crash in between
+            # replays the batch, the wave-id guard no-ops the graph
+            # append and the corpus probe still lands the pages; the
+            # reverse order would lose the batch's links forever (the
+            # replayed batch dedups to empty before extraction)
+            from data_ingestion_tool_bakasura__spark.operators import (
+                linkgraph as LG,
+            )
+
+            LG.host_graph_increment(
+                spark, link_graph_path,
+                LG.extract_links_html(link_html, "html", "url"),
+                wave_id=f"batch-{batch_id}",
+            )
         if seen_bloom:
             # bloom BEFORE corpus (superset invariant): a crash between
             # the two leaves extra bits — harmless, the maybe-seen rows

@@ -516,3 +516,63 @@ def test_extract_links_html_matches_wat_shape(spark):
                    ("https://other.org/x", "abs")}
     edges = L.host_graph(L.extract_links_html(pages)).collect()
     assert {(r["src"], r["dst"]) for r in edges} == {("ex.com", "other.org")}
+
+
+def test_streaming_crawl_link_graph(spark, tmp_path):
+    """link_graph_path on start_streaming_crawl: each batch folds its
+    surviving pages' outlinks into the persisted waved graph; a second
+    wave accumulates; ranks rebuilt from it prioritize the hub."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    graph = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.com/1",
+            b'<p>x</p><a href="https://hub.org/p">hub</a>', "a1")
+        + rec("https://b.com/1",
+              b'<a href="https://hub.org/q">hub too</a>', "b1")
+    )
+    start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True), corpus,
+        link_graph_path=graph, checkpoint=ckpt,
+    ).awaitTermination(120)
+    g1 = {(r["src"], r["dst"]): r["n_links"]
+          for r in L.load_host_graph(spark, graph).collect()}
+    assert g1 == {("a.com", "hub.org"): 1, ("b.com", "hub.org"): 1}
+
+    (crawl / "w2.warc").write_bytes(
+        rec("https://c.com/1",
+            b'<a href="https://hub.org/r">again</a>'
+            b'<a href="/self">nav</a>', "c1")
+    )
+    start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True), corpus,
+        link_graph_path=graph, checkpoint=ckpt,
+    ).awaitTermination(120)
+    g2 = {(r["src"], r["dst"]): r["n_links"]
+          for r in L.load_host_graph(spark, graph).collect()}
+    # self-link dropped at host level; hub accumulates a third source
+    assert g2 == {("a.com", "hub.org"): 1, ("b.com", "hub.org"): 1,
+                  ("c.com", "hub.org"): 1}
+    ranks = {r["node"]: r["rank"] for r in L.pagerank(
+        L.load_host_graph(spark, graph), weight_col="n_links"
+    ).collect()}
+    assert max(ranks, key=ranks.get) == "hub.org"
