@@ -367,3 +367,100 @@ def language_filter(
     if allowed_langs is not None:
         out = out.filter(F.col("lang").isin(list(allowed_langs)))
     return out
+
+
+# --- sitemaps (r11: crawl bootstrap / recrawl scheduling) -------------------
+
+
+def robots_sitemaps(body: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body (RFC 9309 §2.3 /
+    sitemaps.org autodiscovery). Group-independent per the protocol —
+    collected from anywhere in the file, order preserved, duplicates
+    kept (callers normalize+dedup). Pure function."""
+    out: list[str] = []
+    for line in (body or "").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+def parse_sitemap(xml: str) -> list[tuple[str, str | None, bool]]:
+    """sitemaps.org XML -> ``[(loc, lastmod, is_index), ...]``.
+
+    Handles both document kinds: ``<urlset>`` page entries
+    (is_index=False) and ``<sitemapindex>`` child-sitemap entries
+    (is_index=True); namespace-agnostic (``{*}`` wildcard match);
+    entries without ``<loc>`` are skipped; ``lastmod`` is passed
+    through verbatim (W3C datetime — callers cast). Malformed XML
+    returns what a tolerant regex pass can salvage rather than
+    raising (real-web sitemaps are frequently invalid)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    out: list[tuple[str, str | None, bool]] = []
+    try:
+        root = ET.fromstring(xml or "")
+        is_index = root.tag.endswith("sitemapindex")
+        for entry in root.iter():
+            if not (entry.tag.endswith("}url") or entry.tag.endswith("}sitemap")
+                    or entry.tag in ("url", "sitemap")):
+                continue
+            loc = entry.find("{*}loc")
+            if loc is None:
+                loc = entry.find("loc")
+            if loc is None or not (loc.text or "").strip():
+                continue
+            lastmod = entry.find("{*}lastmod")
+            if lastmod is None:
+                lastmod = entry.find("lastmod")
+            out.append((
+                (loc.text or "").strip(),
+                (lastmod.text or "").strip() if lastmod is not None
+                and (lastmod.text or "").strip() else None,
+                is_index,
+            ))
+        return out
+    except ET.ParseError:
+        is_index = "<sitemapindex" in (xml or "")
+        for m in re.finditer(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", xml or ""):
+            out.append((m.group(1), None, is_index))
+        return out
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "xml",
+    src_col: str = "url",
+) -> DataFrame:
+    """Explode fetched sitemap documents into typed entry rows
+    (src, loc, lastmod timestamp-or-NULL, is_index) via ONE
+    Arrow-batched parse pass — map-only; feed the is_index rows back
+    to the fetcher and the page rows to ``frontier_expand`` /
+    ``url_dedup`` as crawl seeds."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.ArrayType(T.StructType([
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("is_index", T.BooleanType()),
+    ]))
+
+    @F.pandas_udf(schema)
+    def _parse(s):
+        return pd.Series([parse_sitemap(x or "") for x in s])
+
+    out = df.select(
+        F.col(src_col).alias("src"),
+        F.explode(_parse(F.col(xml_col))).alias("_e"),
+    )
+    return out.select(
+        "src",
+        F.col("_e.loc").alias("loc"),
+        F.to_timestamp(F.col("_e.lastmod")).alias("lastmod"),
+        F.col("_e.is_index").alias("is_index"),
+    )

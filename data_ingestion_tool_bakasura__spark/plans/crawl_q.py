@@ -1432,6 +1432,82 @@ FROM lnk GROUP BY dst, anchor_text ORDER BY dst, anchor_text
 """
 
 
+def q_sitemap_seeds(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap ingestion (operators/crawl.py parse_sitemap /
+    sitemap_entries): every 10th doc's sitemap is a <sitemapindex>
+    (child sitemaps counted, not crawled as pages), the rest are
+    <urlset> files whose plain entry is STALE for odd docs
+    (lastmod 2025 — the recency filter must drop it) while a
+    tracking-param twin (only for doc_id%3==0) is always fresh and
+    must MERGE with the plain entry under URL normalization. Output:
+    per-domain fresh-seed count, max lastmod, and child-sitemap
+    count. A parser bug (namespace handling, loc whitespace,
+    index/urlset telling), a broken lastmod cast or a missed
+    normalization shifts the values."""
+    from data_ingestion_tool_bakasura__spark.operators.crawl import (
+        sitemap_entries,
+    )
+
+    d = "CAST(doc_id AS STRING)"
+    g = "CAST(doc_id % 13 AS STRING)"
+    lm_day = "lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')"
+    xml = (
+        f"CASE WHEN doc_id % 10 = 0 THEN"
+        f" '<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        f"<sitemap><loc>https://example' || {g} || '.com/sitemap-' || {d} ||"
+        f" '.xml</loc></sitemap></sitemapindex>'"
+        f" ELSE"
+        f" '<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        f"<url><loc>  https://example' || {g} || '.com/doc/' || {d} ||"
+        f" '  </loc><lastmod>' ||"
+        f" CASE WHEN doc_id % 2 = 1 THEN '2025-06-01'"
+        f" ELSE '2026-01-' || {lm_day} END || '</lastmod></url>' ||"
+        f" CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<url><loc>https://example' || {g} || '.com/doc/' || {d} ||"
+        f" '?utm_source=map</loc><lastmod>2026-02-01</lastmod></url>'"
+        f" ELSE '' END || '</urlset>'"
+        f" END"
+    )
+    maps = load_table(spark, sf, "documents").select(
+        F.expr(f"'https://example' || {g} || '.com/sitemap.xml'").alias("url"),
+        F.expr(xml).alias("xml"),
+    )
+    sm = sitemap_entries(maps, "xml", "url")
+    dom = U.registrable_domain(U.url_host(F.col("loc")))
+    idx = (
+        sm.filter(F.col("is_index"))
+        .select(dom.alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_children"))
+    )
+    seeds = (
+        sm.filter(~F.col("is_index")
+                  & (F.col("lastmod") >= F.lit("2026-01-01")))
+        .select(U.url_normalize(F.col("loc")).alias("norm_url"),
+                dom.alias("domain"), "lastmod")
+        .groupBy("domain", "norm_url")
+        .agg(F.max("lastmod").alias("lm"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_seeds"), F.max("lm").alias("max_lm"))
+    )
+    return seeds.join(idx, "domain").orderBy("domain")
+
+
+ORACLE["q_sitemap_seeds"] = """
+SELECT 'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain,
+       count(*) FILTER (WHERE doc_id % 10 <> 0
+                        AND (doc_id % 2 = 0 OR doc_id % 3 = 0)) AS n_seeds,
+       max(CASE WHEN doc_id % 10 <> 0 AND (doc_id % 2 = 0 OR doc_id % 3 = 0)
+            THEN (CASE WHEN doc_id % 3 = 0 THEN TIMESTAMP '2026-02-01'
+                  ELSE CAST('2026-01-' ||
+                       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS TIMESTAMP) END)
+            END) AS max_lm,
+       count(*) FILTER (WHERE doc_id % 10 = 0) AS n_children
+FROM documents GROUP BY domain ORDER BY domain
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1455,4 +1531,5 @@ QUERIES = {
     "q_anchor_text": q_anchor_text,
     "q_frontier": q_frontier,
     "q_html_links": q_html_links,
+    "q_sitemap_seeds": q_sitemap_seeds,
 }

@@ -310,3 +310,63 @@ def test_language_filter_batch(spark):
     assert [(r["url"], r["lang"]) for r in kept] == [("u1", "en")]
     annotated = C.language_filter(pages, profiles).orderBy("url").collect()
     assert [(r["url"], r["lang"]) for r in annotated] == [("u1", "en"), ("u2", "zz")]
+
+
+# --- sitemaps (r11) ---------------------------------------------------------
+
+
+def test_parse_sitemap_urlset_and_index():
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (
+        f'<urlset {ns}><url><loc> https://a.com/1 </loc>'
+        f"<lastmod>2026-01-05</lastmod></url>"
+        f"<url><loc>https://a.com/2</loc></url>"
+        f"<url><lastmod>2026-01-01</lastmod></url></urlset>"  # no loc
+    )
+    got = C.parse_sitemap(urlset)
+    assert got == [("https://a.com/1", "2026-01-05", False),
+                   ("https://a.com/2", None, False)]
+    index = (
+        f'<sitemapindex {ns}><sitemap><loc>https://a.com/s1.xml</loc>'
+        f"</sitemap></sitemapindex>"
+    )
+    assert C.parse_sitemap(index) == [("https://a.com/s1.xml", None, True)]
+    # no-namespace documents parse too
+    assert C.parse_sitemap(
+        "<urlset><url><loc>https://b.com/</loc></url></urlset>"
+    ) == [("https://b.com/", None, False)]
+
+
+def test_parse_sitemap_malformed_regex_fallback():
+    # unclosed tag -> ET fails -> the tolerant pass still finds locs
+    broken = "<urlset><url><loc>https://a.com/x</loc><url></urlset"
+    assert C.parse_sitemap(broken) == [("https://a.com/x", None, False)]
+    assert C.parse_sitemap("") == []
+    assert C.parse_sitemap("not xml at all") == []
+
+
+def test_robots_sitemaps():
+    body = (
+        "User-agent: *\nDisallow: /tmp\n"
+        "Sitemap: https://a.com/sitemap.xml\n"
+        "sitemap: https://a.com/other.xml  # comment\n"
+        "SiteMap:\n"  # empty value skipped
+    )
+    assert C.robots_sitemaps(body) == [
+        "https://a.com/sitemap.xml", "https://a.com/other.xml"]
+
+
+def test_sitemap_entries_explode(spark):
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    df = spark.createDataFrame(
+        [("https://a.com/sitemap.xml",
+          f'<urlset {ns}><url><loc>https://a.com/1</loc>'
+          f"<lastmod>2026-01-05</lastmod></url></urlset>")],
+        ["url", "xml"],
+    )
+    rows = C.sitemap_entries(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["src"] == "https://a.com/sitemap.xml"
+    assert r["loc"] == "https://a.com/1" and r["is_index"] is False
+    assert r["lastmod"] is not None and r["lastmod"].year == 2026
