@@ -624,6 +624,7 @@ def start_streaming_crawl(
     boilerplate_removal: bool | dict = False,
     seen_bloom: bool | dict = False,
     link_graph_path: str | None = None,
+    ranks_refresh_every: int | None = None,
     compact_every: int | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
@@ -722,6 +723,15 @@ def start_streaming_crawl(
     graph -> prioritize) with no WAT dependency. WET streams (string
     payloads, no HTML) skip it.
 
+    ``ranks_refresh_every`` (requires ``link_graph_path`` AND
+    ``host_ranks_path``) closes the loop INSIDE the stream: every N-th
+    micro-batch, after its links fold into the graph, PageRank is
+    recomputed from the accumulated graph and swapped into
+    ``host_ranks_path`` (near-atomic directory swap) — so the
+    host-quality gate the NEXT batches apply reflects everything
+    crawled so far. The self-prioritizing crawl: fetch -> extract ->
+    graph -> re-rank -> gate, no external orchestration.
+
     ``compact_every`` fights the appender's small-files problem: every
     N-th micro-batch, after its append lands, the corpus is rewritten
     to right-sized files (``operators.maintenance.compact`` — layout
@@ -810,11 +820,15 @@ def start_streaming_crawl(
             batch = CR.robots_filter(
                 batch, spark.read.parquet(robots_rules_path), url_col
             )
-        if host_ranks_path:
+        if host_ranks_path and os.path.exists(
+                host_ranks_path.removeprefix("file://")):
             # persisted linkgraph.pagerank table (node, rank) — the
             # host-quality prior, applied at the domain level BEFORE
             # any per-page decode/extract cost; O(hosts) join, not a
-            # broadcast (the persisted-domain-count precedent)
+            # broadcast (the persisted-domain-count precedent). A
+            # missing table is the self-prioritizing bootstrap
+            # (ranks_refresh_every writes it after the first fold),
+            # not an error: no ranks yet = no gate yet.
             batch = CR.host_rank_filter(
                 batch, spark.read.parquet(host_ranks_path), url_col,
                 min_rank=min_host_rank, keep_unranked=keep_unranked_hosts,
@@ -928,6 +942,23 @@ def start_streaming_crawl(
                 LG.extract_links_html(link_html, "html", "url"),
                 wave_id=f"batch-{batch_id}",
             )
+            if (ranks_refresh_every and host_ranks_path
+                    and batch_id % ranks_refresh_every == 0):
+                from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+                    swap_directory,
+                )
+
+                ranks = LG.pagerank(
+                    LG.load_host_graph(spark, link_graph_path),
+                    weight_col="n_links",
+                )
+                dst = host_ranks_path.removeprefix("file://")
+                if os.path.exists(dst):
+                    tmp = dst.rstrip("/") + "_ranks_tmp"
+                    ranks.write.mode("overwrite").parquet(tmp)
+                    swap_directory(spark, dst, tmp)
+                else:
+                    ranks.write.parquet(dst)
         if seen_bloom:
             # bloom BEFORE corpus (superset invariant): a crash between
             # the two leaves extra bits — harmless, the maybe-seen rows

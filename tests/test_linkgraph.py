@@ -8,6 +8,7 @@ nesting."""
 from __future__ import annotations
 
 import json
+import os
 
 import duckdb
 import pytest
@@ -576,3 +577,60 @@ def test_streaming_crawl_link_graph(spark, tmp_path):
         L.load_host_graph(spark, graph), weight_col="n_links"
     ).collect()}
     assert max(ranks, key=ranks.get) == "hub.org"
+
+
+def test_streaming_crawl_self_prioritizing(spark, tmp_path):
+    """ranks_refresh_every: the stream writes its own ranks table
+    after folding links, and LATER batches gate on it — hub pages
+    pass, a below-floor host is dropped before extraction."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    graph = str(tmp_path / "graph")
+    ranks = str(tmp_path / "ranks")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True), corpus,
+            link_graph_path=graph, host_ranks_path=ranks,
+            ranks_refresh_every=1, min_host_rank=0.2,
+            keep_unranked_hosts=False, checkpoint=ckpt,
+        ).awaitTermination(180)
+
+    # wave 1 (no ranks yet -> ungated bootstrap): two sources link hub
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.com/1", b'<a href="https://hub.org/p">h</a>', "a1")
+        + rec("https://b.com/1", b'<a href="https://hub.org/q">h</a>', "b1")
+    )
+    run()
+    assert os.path.exists(ranks)  # refresh wrote the table
+    r = {x["node"]: x["rank"] for x in spark.read.parquet(ranks).collect()}
+    assert max(r, key=r.get) == "hub.org" and r["hub.org"] >= 0.2
+
+    # wave 2 gates on wave 1's ranks: hub page lands, a host absent
+    # from the ranked graph is dropped (keep_unranked=False)
+    (crawl / "w2.warc").write_bytes(
+        rec("https://hub.org/page", b"<p>hub content</p>", "h1")
+        + rec("https://nobody.net/x", b"<p>stranger</p>", "n1")
+    )
+    run()
+    doms = sorted(r["domain"] for r in spark.read.parquet(corpus).collect())
+    assert "hub.org" in doms and "nobody.net" not in doms
