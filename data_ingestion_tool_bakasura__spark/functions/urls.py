@@ -166,6 +166,38 @@ def resolve_url(base: Column, href: Column) -> Column:
     )
 
 
+def surt_key(url: Column) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform — the
+    Common-Crawl cc-index key shape our ``sources/cdx.py`` reader
+    consumes): host labels reversed and comma-joined, then ``)`` +
+    lower-cased path ('/' when empty) + the query with params SORTED
+    (byte order), tracking params and empty segments dropped.
+
+    'https://WWW.Ex.COM:443/A/b?z=1&a=2' -> 'com,ex,www)/a/b?a=2&z=1'
+
+    Subset, stated honestly: no %-encoding canonicalization and no
+    www-stripping (pywb's default rules differ between tools; the key
+    only has to be CONSISTENT between index writer and reader, which
+    sharing this one expression guarantees). Twin: ``surt_sql``."""
+    host = url_host(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(url_path(url))
+    path_n = F.when(path == "", "/").otherwise(path)
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.lower(url_query(url)), "&"),
+                lambda x: (x != "") & ~x.rlike(TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        rev, F.lit(")"), path_n,
+        F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
 # --- DuckDB twins (oracle side; same constants, same semantics) ----------
 
 
@@ -208,6 +240,24 @@ def resolve_sql(base_e: str, href_e: str) -> str:
         f"WHEN starts_with({href_e}, '?') THEN regexp_extract({base_e}, '{PREQUERY_RE}', 1) || {href_e} "
         f"WHEN {href_e} = '' OR starts_with({href_e}, '#') THEN regexp_extract({base_e}, '{PREFRAG_RE}', 1) "
         f"ELSE {origin} || {dirp} || {href_e} END"
+    )
+
+
+def surt_sql(e: str) -> str:
+    """Twin of ``surt_key`` (same constants, same branch order)."""
+    host = host_sql(e)
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    path = f"lower({path_sql(e)})"
+    path_n = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"lower(regexp_extract({e}, '{QUERY_RE}', 1))"
+    q = (
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_RE}'))), '&'), '')"
+    )
+    return (
+        f"{rev} || ')' || {path_n} || "
+        f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
     )
 
 

@@ -62,6 +62,7 @@ _PRIORITY = [
     "q_frontier",
     "q_html_links",
     "q_sitemap_seeds",
+    "q_surt_keys",
     "q_lang_id_trigram",
     "q_wet_pipeline",
     "q_wat_metadata",
@@ -115,9 +116,8 @@ _PRIORITY = [
     "q_contamination",
     "q_curation_pipeline",
     "q_lm_quality",
-    "q_supplier_part_counts",
     # ---------- 50-query window boundary ----------
-    # Eighteen r8-evidence rows sit displaced past the boundary by the
+    # Nineteen r8-evidence rows sit displaced past the boundary by the
     # late-landing round-11 queries (q_robots_filter displaced
     # q_exists_subquery; the C4/Gopher web-quality trio displaced the
     # next three; q_gopher_repetition / q_video_near_dup /
@@ -129,11 +129,12 @@ _PRIORITY = [
     # q_profit_by_nation / q_revenue_forecast; and the link-graph trio
     # q_link_graph / q_pagerank / q_anchor_text displaced
     # q_order_count_distribution / q_top_shippers / q_market_share;
-    # and q_frontier / q_html_links / q_sitemap_seeds displaced
-    # q_returned_items / q_ship_delay_classes / q_promo_revenue) —
-    # driver evidence for a NEW operator outranks retiring the final
-    # r8 rows. All eighteen lead the r12 rotation together with the
-    # r9 block.
+    # and q_frontier / q_html_links / q_sitemap_seeds / q_surt_keys
+    # displaced q_returned_items / q_ship_delay_classes /
+    # q_promo_revenue / q_supplier_part_counts) — driver evidence for
+    # a NEW operator outranks retiring the final r8 rows. All nineteen
+    # lead the r12 rotation together with the r9 block.
+    "q_supplier_part_counts",
     "q_promo_revenue",
     "q_ship_delay_classes",
     "q_returned_items",

@@ -1508,6 +1508,24 @@ FROM documents GROUP BY domain ORDER BY domain
 """
 
 
+def q_surt_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """SURT urlkey generation (the cc-index key our CDX reader
+    consumes) over every adversarial URL branch: reversed host labels,
+    dropped ports/userinfo/fragments, lower-cased path, sorted
+    tracking-stripped query. Spark expr and DuckDB twin are generated
+    from the SAME constants (urls.surt_key / surt_sql)."""
+    d = _with_url(spark, sf)
+    return d.select(
+        "doc_id", U.surt_key(F.col("url")).alias("urlkey")
+    ).orderBy("doc_id")
+
+
+ORACLE["q_surt_keys"] = f"""
+SELECT doc_id, ({U.surt_sql(f"({_SYNTH})")}) AS urlkey
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1532,4 +1550,5 @@ QUERIES = {
     "q_frontier": q_frontier,
     "q_html_links": q_html_links,
     "q_sitemap_seeds": q_sitemap_seeds,
+    "q_surt_keys": q_surt_keys,
 }

@@ -177,3 +177,46 @@ def fetch_plan(captures: DataFrame) -> DataFrame:
             ).alias("ranges"),
         )
     )
+
+
+def cdx_lines(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    fields: dict[str, str] | None = None,
+) -> DataFrame:
+    """Render capture rows as CDXJ lines — the WRITE side of this
+    index (the reader is :func:`read_cdx`, so write-then-read
+    roundtrips by construction: both ends share the same
+    ``urls.surt_key`` expression and JSON field names).
+
+    ``ts_col`` must hold the 14-digit capture timestamp string (or a
+    timestamp column — formatted); ``fields`` maps JSON field name ->
+    source column for the metadata block (default: the url itself
+    plus any of mime/status/digest/filename/offset/length present).
+    Pure codegen projection; write with
+    ``df.write.text(...)`` / ``.sortWithinPartitions("line")`` for the
+    index convention (CDX files are urlkey-sorted so range lookups
+    can binary-search; sort AFTER repartitioning by key range at real
+    scale)."""
+    from data_ingestion_tool_bakasura__spark.functions.urls import surt_key
+
+    if fields is None:
+        fields = {"url": url_col}
+        for c in ("mime", "status", "digest", "filename", "offset", "length"):
+            if c in df.columns:
+                fields[c] = c
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz"):
+        ts = F.date_format(ts, "yyyyMMddHHmmss")
+    json_block = F.to_json(
+        F.struct(*[
+            F.col(src).cast("string").alias(name)
+            for name, src in sorted(fields.items())
+        ])
+    )
+    return df.select(
+        F.concat(
+            surt_key(F.col(url_col)), F.lit(" "), ts, F.lit(" "), json_block
+        ).alias("line")
+    )

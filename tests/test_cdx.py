@@ -163,3 +163,58 @@ def test_read_warc_ranges_skip_missing(spark, tmp_path):
     (tmp_path / "idx.cdx").write_text("\n".join(lines) + "\n")
     plan = fetch_plan(read_cdx(spark, str(tmp_path / "idx.cdx")))
     assert read_warc_ranges(plan, str(tmp_path), skip_missing=True).count() == 0
+
+
+# --- CDX write side (r11: cdx_lines + surt_key) ------------------------------
+
+
+def test_surt_key_cases(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.functions.urls import surt_key
+
+    cases = [
+        ("https://WWW.Ex.COM:443/A/b?z=1&a=2", "com,ex,www)/a/b?a=2&z=1"),
+        ("http://ex.com", "com,ex)/"),
+        ("https://user:pw@sub.ex.org/P?utm_source=x", "org,ex,sub)/p"),
+        ("https://ex.com/x#frag", "com,ex)/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {r["url"]: r["k"] for r in
+           df.withColumn("k", surt_key(F.col("url"))).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])
+
+
+def test_cdx_write_read_roundtrip(spark, tmp_path):
+    """cdx_lines -> text write -> read_cdx -> latest_captures: the
+    write and read sides share the surt expression, so the urlkey a
+    reader windows on is exactly the one the writer emitted."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        cdx_lines,
+        latest_captures,
+        read_cdx,
+    )
+
+    rows = [
+        ("https://a.com/p?utm_source=x", "20260101000000", "200",
+         "w1.warc.gz", 0, 100),
+        ("https://A.com:443/p", "20260201000000", "200",
+         "w2.warc.gz", 50, 120),   # same page, newer capture
+        ("https://a.com/q", "20260102000000", "404",
+         "w1.warc.gz", 100, 80),   # dropped by the status filter
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts string, status string, filename string,"
+        " offset string, length string"
+    )
+    out = str(tmp_path / "cdx")
+    cdx_lines(df).write.text(out)
+    caps = read_cdx(spark, out)
+    assert caps.count() == 3
+    latest = latest_captures(caps).collect()
+    assert len(latest) == 1
+    r = latest[0]
+    # both spellings collapsed to one urlkey; the newer capture won
+    assert r["urlkey"] == "com,a)/p"
+    assert r["warc_file"] == "w2.warc.gz" and r["offset"] == 50
