@@ -335,6 +335,36 @@ def load_host_graph(spark: SparkSession, graph_path: str) -> DataFrame:
     )
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    per_slot: int = 1,
+    domain_col: str = "domain",
+    order_col: str = "rank_in_domain",
+) -> DataFrame:
+    """Politeness scheduling over a frontier: assign each URL a fetch
+    ``slot`` such that no domain appears more than ``per_slot`` times
+    per slot — the batch form of per-host rate limiting (slot k =
+    the k-th politeness tick; a fetcher drains slots in order and
+    every domain gets at most ``per_slot`` requests per tick).
+
+    slot = (rank_in_domain - 1) // per_slot — pure arithmetic when
+    ``frontier`` already carries ``frontier_expand``'s per-domain
+    rank; otherwise one window on the domain computes it. Map-only in
+    the ranked case; the fetcher groups by slot downstream."""
+    from pyspark.sql import Window
+
+    if order_col in frontier.columns:
+        rk = F.col(order_col)
+    else:
+        w = Window.partitionBy(domain_col).orderBy("norm_url")
+        frontier = frontier.withColumn("_rk", F.row_number().over(w))
+        rk = F.col("_rk")
+    out = frontier.withColumn(
+        "slot", ((rk - 1) / F.lit(per_slot)).cast("int")
+    )
+    return out.drop("_rk") if "_rk" in out.columns else out
+
+
 def top_hosts(
     spark: SparkSession,
     edges: DataFrame,

@@ -634,3 +634,25 @@ def test_streaming_crawl_self_prioritizing(spark, tmp_path):
     run()
     doms = sorted(r["domain"] for r in spark.read.parquet(corpus).collect())
     assert "hub.org" in doms and "nobody.net" not in doms
+
+
+def test_fetch_schedule(spark):
+    links = spark.createDataFrame(
+        [("https://s.com/", f"https://big.org/{i}", "t") for i in range(5)]
+        + [("https://s.com/", "https://small.net/x", "t")],
+        ["page_url", "link_url", "anchor_text"],
+    )
+    corpus = spark.createDataFrame([("https://z.io/",)], ["norm_url"])
+    fr = L.frontier_expand(links, corpus, max_per_domain=10)
+    sched = L.fetch_schedule(fr, per_slot=2)
+    rows = sched.collect()
+    by_slot: dict = {}
+    for r in rows:
+        by_slot.setdefault((r["slot"], r["domain"]), 0)
+        by_slot[(r["slot"], r["domain"])] += 1
+    # no domain exceeds per_slot in any slot; big.org spans 3 slots
+    assert all(v <= 2 for v in by_slot.values())
+    assert max(r["slot"] for r in rows if r["domain"] == "big.org") == 2
+    assert all(r["slot"] == 0 for r in rows if r["domain"] == "small.net")
+    # ranked input path is map-only: no extra window column left behind
+    assert "_rk" not in sched.columns
