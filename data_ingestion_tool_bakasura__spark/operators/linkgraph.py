@@ -11,15 +11,15 @@ Scale shape:
 - ``host_graph`` is ONE exchange on the (src, dst) domain pair.
 - ``pagerank`` is the standard synchronous power iteration expressed
   as DataFrame joins: the transition matrix (edge weight / out-weight)
-  is built ONCE and persisted; each iteration is one shuffle join on
-  the source key plus one aggregation on the destination key. The
-  dangling-node mass and the node count are 1-row aggregates crossed
-  in via *broadcast* nested-loop joins (bounded — never a
-  CartesianProduct of two unbounded sides). Ranks are persisted per
-  iteration so the lineage does not re-execute the previous sweep.
-  At 100 TB the host graph is ~10^8 nodes / 10^9 edges — each
-  iteration shuffles the edge list once on ``src``; no driver-side
-  state beyond the query plan.
+  is built ONCE and persisted; each sweep is one shuffle join on the
+  source key plus one aggregation on the destination key, with the
+  dangling mass derived by CONSERVATION from the contribution sums (a
+  1-row reduce) and crossed in — with the node count — as *broadcast*
+  nested-loop joins (bounded: never a CartesianProduct of two
+  unbounded sides). The rank lineage is single-use, so only the
+  per-sweep contribution frame persists. At 100 TB the host graph is
+  ~10^8 nodes / 10^9 edges — each sweep shuffles the edge list once
+  on ``src``; no driver-side state beyond the query plan.
 
 The reference has no crawl surface; this family is from the mandated
 training-data-pipeline extension list (frontier prioritization), fed
@@ -310,7 +310,7 @@ def host_graph_increment(
 
     new = host_graph(links, src_col, dst_col).withColumn(
         "wave", F.lit(wave_id)
-    )
+    ).persist()  # counted AND written below: extract/parse links once
     if os.path.exists(graph_path.removeprefix("file://")):
         seen = (
             spark.read.parquet(graph_path)
@@ -321,6 +321,7 @@ def host_graph_increment(
             return 0
     n = new.count()
     new.write.mode("append").parquet(graph_path)
+    new.unpersist()
     return n
 
 
@@ -366,7 +367,6 @@ def fetch_schedule(
 
 
 def top_hosts(
-    spark: SparkSession,
     edges: DataFrame,
     k: int = 20,
     **kw,

@@ -267,7 +267,7 @@ def test_pagerank_sql_twin_matches_reference():
 
 def test_top_hosts(spark):
     df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
-    top = L.top_hosts(spark, df, k=2, weight_col="w").collect()
+    top = L.top_hosts(df, k=2, weight_col="w").collect()
     ranks = _py_pagerank(EDGES)
     want = sorted(ranks, key=lambda v: (-ranks[v], v))[:2]
     assert [r["node"] for r in top] == want
