@@ -36,16 +36,18 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: Catalog iteration order. External correctness harnesses check a
 #: prefix of ``queries()`` in iteration order. Round-11 rotation
 #: (r10 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the three queries NEW this round (WET/WAT readers,
-#: char-trigram lang-id), then the five whose implementation changed
-#: semantically (QUERY_RE fragment anchoring -> q_url_normalize /
-#: q_url_dedup / q_crawl_pipeline; the ruled-only table detector ->
-#: q_page_extract; the real-pixel PNG aHash dispatch ->
-#: q_image_near_dup), then ALL 42 remaining r8-evidence rows
-#: (retiring r8 entirely) — filling the 50 exactly. After this window
-#: lands the oldest driver evidence anywhere is r9 and the
-#: steady-state two-round cycle continues (round 12 = the r9 block,
-#: led by any r12 new/impl-changed queries).
+#: lead with the TWENTY-TWO queries NEW this round (link-graph family
+#: incl. frontier/raw-HTML/sitemap/SURT legs; WET/WAT readers;
+#: char-trigram lang-id; robots; C4/Gopher web quality; video/audio;
+#: boilerplate; html-meta; Bloom; CDX), then the five whose
+#: implementation changed semantically (QUERY_RE fragment anchoring ->
+#: q_url_normalize / q_url_dedup / q_crawl_pipeline; the ruled-only
+#: table detector -> q_page_extract; the real-pixel PNG aHash dispatch
+#: -> q_image_near_dup), then 23 of the 42 remaining r8-evidence rows
+#: in catalog order — filling the 50 exactly. After this window lands
+#: the oldest driver evidence anywhere is r8 (the nineteen displaced
+#: rows — see the boundary comment below); they lead the r12 rotation
+#: with the r9 block behind them.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
