@@ -1526,6 +1526,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness scheduling composed over the frontier: the q_frontier
+    discover step capped at 5/domain, then ``fetch_schedule`` assigns
+    slots at 2 fetches per domain per tick — per-slot-per-domain counts
+    prove no domain ever exceeds the rate in any tick."""
+    from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+    links = L.extract_links(read_wat(spark, _wet_wat_fixture(sf)))
+    corpus = load_table(spark, sf, "documents").select(
+        U.url_normalize(
+            F.expr(
+                "'https://example' || CAST(doc_id % 13 AS STRING) || "
+                "'.com/doc/' || CAST(doc_id AS STRING)"
+            )
+        ).alias("norm_url")
+    )
+    sched = L.fetch_schedule(
+        L.frontier_expand(links, corpus, max_per_domain=5), per_slot=2
+    )
+    return (
+        sched.groupBy("slot", "domain")
+        .agg(F.count("*").alias("n"),
+             F.min("norm_url").alias("first_url"))
+        .orderBy("slot", "domain")
+    )
+
+
+ORACLE["q_fetch_schedule"] = f"""
+WITH lu AS ({_link_urls_sql()}),
+corpus AS (
+  SELECT 'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS norm_url
+  FROM documents
+),
+cand AS (SELECT url AS norm_url, count(*) AS n_inlinks FROM lu GROUP BY url),
+new AS (
+  SELECT c.norm_url, c.n_inlinks, ({_FRONT_DOM}) AS domain
+  FROM cand c WHERE NOT EXISTS (
+    SELECT 1 FROM corpus k WHERE k.norm_url = c.norm_url)
+),
+ranked AS (
+  SELECT norm_url, domain, n_inlinks,
+         CAST(row_number() OVER (
+           PARTITION BY domain ORDER BY n_inlinks DESC, norm_url) AS INT)
+           AS rank_in_domain
+  FROM new
+)
+SELECT CAST((rank_in_domain - 1) // 2 AS INT) AS slot, domain,
+       count(*) AS n, min(norm_url) AS first_url
+FROM ranked WHERE rank_in_domain <= 5
+GROUP BY slot, domain ORDER BY slot, domain
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1551,4 +1606,5 @@ QUERIES = {
     "q_html_links": q_html_links,
     "q_sitemap_seeds": q_sitemap_seeds,
     "q_surt_keys": q_surt_keys,
+    "q_fetch_schedule": q_fetch_schedule,
 }
