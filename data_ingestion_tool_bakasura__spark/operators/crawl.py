@@ -464,3 +464,64 @@ def sitemap_entries(
         F.to_timestamp(F.col("_e.lastmod")).alias("lastmod"),
         F.col("_e.is_index").alias("is_index"),
     )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+    order_col: str | None = None,
+) -> DataFrame:
+    """URL dedup that honors ``<link rel=canonical>`` (the htmlmeta
+    extraction): a page's identity key is its NORMALIZED canonical
+    URL when the page declares one, else its own normalized URL — so
+    syndicated copies and parameterized variants that all point at one
+    canonical collapse to a single survivor even when their fetch URLs
+    normalize differently.
+
+    Survivor choice and plan shape are ``url_dedup``'s: deterministic
+    (``order_col`` ascending, else the raw url string), ONE exchange on
+    the identity key. Adds ``canon_key``."""
+    key = U.url_normalize(
+        F.coalesce(F.col(canonical_col), F.col(url_col))
+    )
+    out = df.withColumn("canon_key", key)
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy("canon_key").orderBy(order)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def recrawl_candidates(
+    entries: DataFrame,
+    corpus: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    corpus_url_col: str = "norm_url",
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """Recrawl scheduling from sitemap freshness: pages the corpus has
+    ALREADY landed whose sitemap ``lastmod`` is newer than the stored
+    fetch time — the refresh list a maintenance crawl fetches first
+    (new-URL discovery is ``frontier_expand``'s job; this is the other
+    half of sitemap-driven maintenance).
+
+    Entries without a lastmod are skipped (unknown freshness — recrawl
+    policy for those is TTL-based, not sitemap-based). One exchange:
+    normalize the locs, inner-join the corpus on the URL key, keep
+    rows with ``lastmod > fetched_at``. Output: (norm_url, lastmod,
+    fetched_at) — feed to ``fetch_schedule`` after a domain window."""
+    locs = entries.filter(F.col(lastmod_col).isNotNull()).select(
+        U.url_normalize(F.col(loc_col)).alias("norm_url"),
+        F.col(lastmod_col).alias("lastmod"),
+    ).groupBy("norm_url").agg(F.max("lastmod").alias("lastmod"))
+    seen = corpus.select(
+        F.col(corpus_url_col).alias("norm_url"),
+        F.col(fetched_col).alias("fetched_at"),
+    )
+    return locs.join(seen, "norm_url").filter(
+        F.col("lastmod") > F.col("fetched_at")
+    )

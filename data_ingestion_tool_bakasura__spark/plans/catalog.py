@@ -36,18 +36,19 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: Catalog iteration order. External correctness harnesses check a
 #: prefix of ``queries()`` in iteration order. Round-11 rotation
 #: (r10 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the TWENTY-THREE queries NEW this round (link-graph
-#: family incl. frontier/raw-HTML/sitemap/SURT/scheduling legs;
+#: lead with the TWENTY-FIVE queries NEW this round (link-graph
+#: family incl. frontier/raw-HTML/sitemap/SURT/scheduling/
+#: canonical-dedup/recrawl legs;
 #: WET/WAT readers; char-trigram lang-id; robots; C4/Gopher web
 #: quality; video/audio; boilerplate; html-meta; Bloom; CDX), then the
 #: five whose implementation changed semantically (QUERY_RE fragment
 #: anchoring -> q_url_normalize / q_url_dedup / q_crawl_pipeline; the
 #: ruled-only table detector -> q_page_extract; the real-pixel PNG
-#: aHash dispatch -> q_image_near_dup), then 22 of the 42 remaining
+#: aHash dispatch -> q_image_near_dup), then 20 of the 42 remaining
 #: r8-evidence rows in catalog order — filling the 50 exactly. After
 #: this window lands the oldest driver evidence anywhere is r8 (the
-#: twenty displaced rows — see the boundary comment below); they lead
-#: the r12 rotation with the r9 block behind them.
+#: twenty-two displaced rows — see the boundary comment below); they
+#: lead the r12 rotation with the r9 block behind them.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
@@ -66,6 +67,8 @@ _PRIORITY = [
     "q_sitemap_seeds",
     "q_surt_keys",
     "q_fetch_schedule",
+    "q_canonical_dedup",
+    "q_recrawl",
     "q_lang_id_trigram",
     "q_wet_pipeline",
     "q_wat_metadata",
@@ -94,8 +97,9 @@ _PRIORITY = [
     "q_crawl_pipeline",
     "q_page_extract",
     "q_image_near_dup",
-    # --- 22 of the 42 remaining r8-evidence rows, catalog order (the
-    # twenty displaced past the boundary below lead the r12 rotation)
+    # --- 20 of the 42 remaining r8-evidence rows, catalog order (the
+    # twenty-two displaced past the boundary below lead the r12
+    # rotation)
     "q_doc_stats",
     "q_lang_facet",
     "q_array_ops",
@@ -116,10 +120,8 @@ _PRIORITY = [
     "q_user_event_matrix",
     "q_repetition_filter",
     "q_repeated_spans",
-    "q_contamination",
-    "q_curation_pipeline",
     # ---------- 50-query window boundary ----------
-    # Twenty r8-evidence rows sit displaced past the boundary by the
+    # Twenty-two r8-evidence rows sit displaced past the boundary by the
     # late-landing round-11 queries (q_robots_filter displaced
     # q_exists_subquery; the C4/Gopher web-quality trio displaced the
     # next three; q_gopher_repetition / q_video_near_dup /
@@ -132,11 +134,14 @@ _PRIORITY = [
     # q_link_graph / q_pagerank / q_anchor_text displaced
     # q_order_count_distribution / q_top_shippers / q_market_share;
     # and q_frontier / q_html_links / q_sitemap_seeds / q_surt_keys /
-    # q_fetch_schedule displaced q_returned_items /
-    # q_ship_delay_classes / q_promo_revenue / q_supplier_part_counts /
-    # q_lm_quality) — driver evidence for a NEW operator outranks
-    # retiring the final r8 rows. All twenty lead the r12 rotation
+    # q_fetch_schedule / q_canonical_dedup / q_recrawl displaced
+    # q_returned_items / q_ship_delay_classes / q_promo_revenue /
+    # q_supplier_part_counts / q_lm_quality / q_curation_pipeline /
+    # q_contamination) — driver evidence for a NEW operator outranks
+    # retiring the final r8 rows. All twenty-two lead the r12 rotation
     # together with the r9 block.
+    "q_contamination",
+    "q_curation_pipeline",
     "q_lm_quality",
     "q_supplier_part_counts",
     "q_promo_revenue",

@@ -1581,6 +1581,133 @@ GROUP BY slot, domain ORDER BY slot, domain
 """
 
 
+def q_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """<link rel=canonical> folded into URL dedup: every fetch URL
+    carries a distinct ?ref= variant (plain url_dedup could never
+    merge them), and even docs declare a canonical pointing at doc
+    doc_id%50 — so whole groups collapse onto one survivor while odd
+    docs (no canonical) stay distinct under their own normalized URL.
+    Output: per-domain survivor count + min/max surviving doc_id."""
+    from data_ingestion_tool_bakasura__spark.operators.crawl import (
+        canonical_dedup,
+    )
+
+    g = "CAST(doc_id % 13 AS STRING)"
+    d = "CAST(doc_id AS STRING)"
+    pages = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"'https://example' || {g} || '.com/doc/' || {d} ||"
+            f" '?ref=' || CAST(doc_id % 5 AS STRING)"
+        ).alias("url"),
+        F.expr(
+            f"CASE WHEN doc_id % 2 = 0 THEN"
+            f" 'https://example' || CAST(doc_id % 50 % 13 AS STRING) ||"
+            f" '.com/doc/' || CAST(doc_id % 50 AS STRING)"
+            f" ELSE NULL END"
+        ).alias("canonical"),
+    )
+    kept = canonical_dedup(pages, "url", "canonical", order_col="doc_id")
+    dom = U.registrable_domain(U.url_host(F.col("canon_key")))
+    return (
+        kept.select(dom.alias("domain"), "doc_id")
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_pages"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("domain")
+    )
+
+
+ORACLE["q_canonical_dedup"] = """
+WITH keyed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           'https://example' || CAST(doc_id % 50 % 13 AS VARCHAR)
+             || '.com/doc/' || CAST(doc_id % 50 AS VARCHAR)
+         ELSE
+           'https://example' || CAST(doc_id % 13 AS VARCHAR)
+             || '.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+         END AS canon_key
+  FROM documents
+),
+surv AS (
+  SELECT canon_key, doc_id,
+         row_number() OVER (PARTITION BY canon_key ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT 'example' ||
+       regexp_extract(canon_key, 'example([0-9]+)\\.com', 1) || '.com'
+         AS domain,
+       count(*) AS n_pages, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM surv WHERE rn = 1 GROUP BY domain ORDER BY domain
+"""
+
+
+def q_recrawl(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap-driven refresh: the q_sitemap_seeds fixture's page
+    entries joined against a corpus whose fetch times are
+    mid-January — only pages whose (max, dedup-merged) lastmod beats
+    their stored fetch time surface. The utm twin's 2026-02-01
+    lastmod must win the per-URL max for doc_id%3==0 pages, and
+    stale 2025 entries must never resurface."""
+    from data_ingestion_tool_bakasura__spark.operators.crawl import (
+        recrawl_candidates,
+        sitemap_entries,
+    )
+
+    d = "CAST(doc_id AS STRING)"
+    g = "CAST(doc_id % 13 AS STRING)"
+    lm_day = "lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')"
+    xml = (
+        f"'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        f"<url><loc>https://example' || {g} || '.com/doc/' || {d} ||"
+        f" '</loc><lastmod>' ||"
+        f" CASE WHEN doc_id % 2 = 1 THEN '2025-06-01'"
+        f" ELSE '2026-01-' || {lm_day} END || '</lastmod></url>' ||"
+        f" CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<url><loc>https://example' || {g} || '.com/doc/' || {d} ||"
+        f" '?utm_source=map</loc><lastmod>2026-02-01</lastmod></url>'"
+        f" ELSE '' END || '</urlset>'"
+    )
+    docs = load_table(spark, sf, "documents")
+    maps = docs.select(
+        F.expr(f"'https://example' || {g} || '.com/sitemap.xml'").alias("url"),
+        F.expr(xml).alias("xml"),
+    )
+    corpus = docs.select(
+        F.expr(
+            f"'https://example' || {g} || '.com/doc/' || {d}"
+        ).alias("norm_url"),
+        F.expr(
+            "CAST('2026-01-15' AS TIMESTAMP)"
+        ).alias("fetched_at"),
+    )
+    out = recrawl_candidates(sitemap_entries(maps, "xml", "url"), corpus)
+    return out.orderBy("norm_url")
+
+
+ORACLE["q_recrawl"] = """
+WITH lm AS (
+  SELECT 'https://example' || CAST(doc_id % 13 AS VARCHAR) || '.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS norm_url,
+         greatest(
+           CASE WHEN doc_id % 2 = 1 THEN TIMESTAMP '2025-06-01'
+                ELSE CAST('2026-01-' ||
+                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     AS TIMESTAMP) END,
+           CASE WHEN doc_id % 3 = 0 THEN TIMESTAMP '2026-02-01'
+                ELSE TIMESTAMP '1970-01-01' END
+         ) AS lastmod
+  FROM documents
+)
+SELECT norm_url, lastmod, TIMESTAMP '2026-01-15' AS fetched_at
+FROM lm WHERE lastmod > TIMESTAMP '2026-01-15'
+ORDER BY norm_url
+"""
+
+
 QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_url_dedup": q_url_dedup,
@@ -1607,4 +1734,6 @@ QUERIES = {
     "q_sitemap_seeds": q_sitemap_seeds,
     "q_surt_keys": q_surt_keys,
     "q_fetch_schedule": q_fetch_schedule,
+    "q_canonical_dedup": q_canonical_dedup,
+    "q_recrawl": q_recrawl,
 }

@@ -370,3 +370,47 @@ def test_sitemap_entries_explode(spark):
     assert r["src"] == "https://a.com/sitemap.xml"
     assert r["loc"] == "https://a.com/1" and r["is_index"] is False
     assert r["lastmod"] is not None and r["lastmod"].year == 2026
+
+
+def test_canonical_dedup(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://news.com/story?ref=a", "https://news.com/story", 1),
+            ("https://m.news.com/story", "https://news.com/story", 2),
+            ("https://news.com/other", None, 3),  # no canonical: own URL
+            ("https://news.com/other?utm_source=x", None, 4),  # normalize merge
+        ],
+        ["url", "canonical", "t"],
+    )
+    kept = C.canonical_dedup(pages, "url", "canonical", order_col="t")
+    got = {r["canon_key"]: r["t"] for r in kept.collect()}
+    # the two syndicated copies collapse on the canonical (earliest t
+    # wins); the two canonical-less variants collapse by normalization
+    assert got == {"https://news.com/story": 1, "https://news.com/other": 3}
+
+
+def test_recrawl_candidates(spark):
+    import datetime as dt
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/1", dt.datetime(2026, 2, 1), False),
+            ("https://a.com/1?utm_source=m", dt.datetime(2026, 3, 1), False),
+            ("https://a.com/2", dt.datetime(2025, 1, 1), False),  # stale
+            ("https://a.com/3", None, False),                     # unknown
+            ("https://a.com/new", dt.datetime(2026, 2, 1), False),  # not landed
+        ],
+        "loc string, lastmod timestamp, is_index boolean",
+    )
+    corpus = spark.createDataFrame(
+        [("https://a.com/1", dt.datetime(2026, 1, 15)),
+         ("https://a.com/2", dt.datetime(2026, 1, 15)),
+         ("https://a.com/3", dt.datetime(2026, 1, 15))],
+        "norm_url string, fetched_at timestamp",
+    )
+    got = C.recrawl_candidates(entries, corpus).collect()
+    assert len(got) == 1
+    r = got[0]
+    # the utm twin merged and its NEWER lastmod won the per-URL max
+    assert r["norm_url"] == "https://a.com/1"
+    assert r["lastmod"].month == 3
