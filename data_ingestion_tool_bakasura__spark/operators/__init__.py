@@ -5,8 +5,10 @@ from data_ingestion_tool_bakasura__spark.operators import (
     grouped,
     hnsw,
     ingest,
+    linkgraph,
     maintenance,
     sampling,
+    shards,
     similarity,
     skew,
     topk,
@@ -14,6 +16,7 @@ from data_ingestion_tool_bakasura__spark.operators import (
 )
 
 __all__ = [
-    "asof", "crawl", "dedup", "grouped", "hnsw", "ingest", "maintenance",
-    "sampling", "similarity", "skew", "topk", "upsert",
+    "asof", "crawl", "dedup", "grouped", "hnsw", "ingest", "linkgraph",
+    "maintenance", "sampling", "shards", "similarity", "skew", "topk",
+    "upsert",
 ]
