@@ -656,3 +656,45 @@ def test_fetch_schedule(spark):
     assert all(r["slot"] == 0 for r in rows if r["domain"] == "small.net")
     # ranked input path is map-only: no extra window column left behind
     assert "_rk" not in sched.columns
+
+
+def test_frontier_cli_journey(spark, tmp_path, capsys):
+    """pipeline_cli frontier: WAT + corpus -> slotted fetch list, with
+    ranks annotation when --host-ranks is given."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_cli
+
+    def wat_rec(uri, links, rid):
+        body = _json.dumps({"links": links}).encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    watdir = tmp_path / "wat"
+    watdir.mkdir()
+    (watdir / "w.warc.wat").write_bytes(
+        wat_rec("https://a.com/1", [
+            {"url": "https://new.org/p", "text": "t"},
+            {"url": "https://new.org/q", "text": "t"},
+            {"url": "https://seen.com/x", "text": "t"},
+        ], "m1")
+    )
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [("https://seen.com/x",)], ["norm_url"]
+    ).write.parquet(corpus)
+    out = str(tmp_path / "frontier")
+    rc = pipeline_cli.main([
+        "frontier", str(watdir), corpus, out, "--per-slot", "1",
+    ])
+    ev = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ev["n_urls"] == 2 and ev["n_domains"] == 1
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["slot"] for r in rows) == [0, 1]  # 1/domain/tick

@@ -96,6 +96,24 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON path of the links array in the WAT envelope",
     )
 
+    p_fr = sub.add_parser(
+        "frontier",
+        help="WAT links + landed corpus -> prioritized, slotted fetch list",
+    )
+    p_fr.add_argument("wat_dir")
+    p_fr.add_argument("corpus_dir", help="parquet with a norm_url column")
+    p_fr.add_argument("out_dir", help="frontier parquet (slot-ordered)")
+    p_fr.add_argument("--glob", default="*.wat*")
+    p_fr.add_argument("--max-per-domain", type=int, default=1000)
+    p_fr.add_argument("--per-slot", type=int, default=1,
+                      help="fetches per domain per politeness tick")
+    p_fr.add_argument("--host-ranks", default=None,
+                      help="pagerank parquet to annotate host_rank")
+    p_fr.add_argument(
+        "--links-path", default="$.links",
+        help="JSON path of the links array in the WAT envelope",
+    )
+
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
     p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq"), default="hnsw")
@@ -174,6 +192,39 @@ def main(argv: list[str] | None = None) -> int:
             "event": "ranks_built", "wave": args.wave,
             "n_edges_appended": n_new, "n_hosts": out.count(),
             "out": args.ranks_out,
+        }))
+        return 0
+
+    if args.cmd == "frontier":
+        from data_ingestion_tool_bakasura__spark.operators import (
+            linkgraph as LG,
+        )
+        from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
+
+        links = LG.extract_links(
+            read_wat(spark, args.wat_dir, glob=args.glob),
+            links_path=args.links_path,
+        )
+        corpus = spark.read.parquet(args.corpus_dir)
+        ranks = (spark.read.parquet(args.host_ranks)
+                 if args.host_ranks else None)
+        sched = LG.fetch_schedule(
+            LG.frontier_expand(
+                links, corpus, max_per_domain=args.max_per_domain,
+                host_ranks=ranks,
+            ),
+            per_slot=args.per_slot,
+        )
+        sched.write.mode("overwrite").parquet(args.out_dir)
+        from pyspark.sql import functions as F
+
+        out = spark.read.parquet(args.out_dir)
+        print(json.dumps({
+            "event": "frontier_built",
+            "n_urls": out.count(),
+            "n_domains": out.select("domain").distinct().count(),
+            "n_slots": out.agg(F.max("slot")).first()[0],
+            "out": args.out_dir,
         }))
         return 0
 
