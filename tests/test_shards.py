@@ -153,3 +153,15 @@ def test_export_shards_cli(spark, tmp_path, capsys):
     assert ev["n_samples"] == 500
     back = SH.read_tar_shards(spark, out, {"text": ".txt"})
     assert back.count() == 500
+
+
+def test_empty_corpus_roundtrip(spark, tmp_path):
+    """Zero input rows: a valid (empty) manifest, no shard files, and
+    the reader returns an empty typed frame rather than erroring."""
+    out = str(tmp_path / "empty")
+    df = spark.createDataFrame([], "key string, text string")
+    man = SH.write_tar_shards(df.repartition(2), out, "key").collect()
+    assert man == []
+    assert json.load(open(os.path.join(out, "_manifest.json"))) == []
+    back = SH.read_tar_shards(spark, out, {"text": ".txt"})
+    assert back.count() == 0 and set(back.columns) == {"shard", "key", "text"}
