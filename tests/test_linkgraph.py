@@ -698,3 +698,28 @@ def test_frontier_cli_journey(spark, tmp_path, capsys):
     assert rc == 0 and ev["n_urls"] == 2 and ev["n_domains"] == 1
     rows = spark.read.parquet(out).collect()
     assert sorted(r["slot"] for r in rows) == [0, 1]  # 1/domain/tick
+
+
+def test_empty_graph_edges(spark, tmp_path):
+    """Empty inputs stay safe: pagerank of an empty edge list is an
+    empty frame (no divide-by-zero), a zero-edge first wave still
+    creates a loadable graph, and a later real wave lands on top."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert L.pagerank(empty).count() == 0
+
+    path = str(tmp_path / "g")
+    no_links = spark.createDataFrame(
+        [], "page_url string, link_url string, anchor_text string"
+    )
+    assert L.host_graph_increment(spark, path, no_links, "w0") == 0
+    assert L.load_host_graph(spark, path).count() == 0
+    n = L.host_graph_increment(
+        spark, path,
+        spark.createDataFrame(
+            [("https://a.com/", "https://b.org/", "t")],
+            ["page_url", "link_url", "anchor_text"],
+        ),
+        "w1",
+    )
+    assert n == 1
+    assert L.load_host_graph(spark, path).count() == 1
