@@ -739,6 +739,13 @@ def start_streaming_crawl(
     otherwise accumulate one file set per trigger and every
     seen-guard / domain-count read pays the listing + tiny-file tax.
     """
+    if ranks_refresh_every and not (link_graph_path and host_ranks_path):
+        # a silent no-op here would read as "self-prioritizing" while
+        # never ranking anything — fail loudly at stream construction
+        raise ValueError(
+            "ranks_refresh_every requires BOTH link_graph_path (the graph"
+            " to rank) and host_ranks_path (where the gate reads ranks)"
+        )
     if quality_gate is not None:
         from data_ingestion_tool_bakasura__spark.operators.crawl import (
             parse_quality_gate,

@@ -723,3 +723,18 @@ def test_empty_graph_edges(spark, tmp_path):
     )
     assert n == 1
     assert L.load_host_graph(spark, path).count() == 1
+
+
+def test_ranks_refresh_requires_paths(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    with _pytest.raises(ValueError, match="ranks_refresh_every requires"):
+        start_streaming_crawl(
+            spark.readStream.format("rate").load(),  # never started
+            str(tmp_path / "c"),
+            ranks_refresh_every=2,
+        )
