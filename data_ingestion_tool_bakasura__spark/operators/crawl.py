@@ -74,6 +74,70 @@ def domain_cap(
     )
 
 
+def _robots_groups(
+    body: str,
+) -> list[tuple[list[str], list[tuple[str, bool]], float | None]]:
+    """Shared robots.txt group parser: ``[(agents, rules, crawl_delay),
+    ...]`` where ``rules`` is ``[(path_prefix, allow), ...]`` and
+    ``crawl_delay`` is the group's ``Crawl-delay:`` seconds (None when
+    absent/unparseable; the first valid value in a group wins)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
+    in_group_body = False
+    for line in (body or "").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:  # a new group starts
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if not value:
+                continue  # empty Disallow/Allow: no rule
+            prefix = value[:-1] if value.endswith("*") else value
+            if "*" in prefix or "$" in prefix:
+                continue  # unsupported pattern: skip, documented above
+            cur_rules.append((prefix, field == "allow"))
+        elif field == "crawl-delay":
+            in_group_body = True
+            if cur_delay is None:
+                try:
+                    d = float(value)
+                    cur_delay = d if d >= 0 else None
+                except ValueError:
+                    pass  # unparseable delay: treated as absent
+        else:
+            in_group_body = in_group_body or field == "sitemap"
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules, cur_delay))
+    return groups
+
+
+def _robots_group_for(
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]],
+    agent: str,
+) -> tuple[list[tuple[str, bool]], float | None]:
+    """Pick the group matching ``agent`` (exact product-token match
+    preferred, ``*`` group fallback — RFC 9309 §2.2.1)."""
+    agent = agent.lower()
+    for agents, rules, delay in groups:  # exact agent match wins
+        if agent != "*" and agent in agents:
+            return rules, delay
+    for agents, rules, delay in groups:  # then the wildcard group
+        if "*" in agents:
+            return rules, delay
+    return [], None
+
+
 def parse_robots(body: str, agent: str = "*") -> list[tuple[str, bool]]:
     """robots.txt body -> ``[(path_prefix, allow), ...]`` for the
     group matching ``agent`` (exact product-token match preferred,
@@ -87,43 +151,16 @@ def parse_robots(body: str, agent: str = "*") -> list[tuple[str, bool]]:
     ``Disallow:`` is the spec's allow-all idiom (no rule emitted).
     Pure function; unit-tested without Spark; :func:`robots_filter`
     applies the result distributively."""
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
-    cur_agents: list[str] = []
-    cur_rules: list[tuple[str, bool]] = []
-    in_group_body = False
-    for line in (body or "").splitlines():
-        line = line.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        field, value = line.split(":", 1)
-        field = field.strip().lower()
-        value = value.strip()
-        if field == "user-agent":
-            if in_group_body:  # a new group starts
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
-                in_group_body = False
-            cur_agents.append(value.lower())
-        elif field in ("allow", "disallow"):
-            in_group_body = True
-            if not value:
-                continue  # empty Disallow/Allow: no rule
-            prefix = value[:-1] if value.endswith("*") else value
-            if "*" in prefix or "$" in prefix:
-                continue  # unsupported pattern: skip, documented above
-            cur_rules.append((prefix, field == "allow"))
-        else:
-            in_group_body = in_group_body or field in ("crawl-delay", "sitemap")
-    if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
-    agent = agent.lower()
-    for agents, rules in groups:  # exact agent match wins
-        if agent != "*" and agent in agents:
-            return rules
-    for agents, rules in groups:  # then the wildcard group
-        if "*" in agents:
-            return rules
-    return []
+    return _robots_group_for(_robots_groups(body), agent)[0]
+
+
+def parse_crawl_delay(body: str, agent: str = "*") -> float | None:
+    """``Crawl-delay:`` seconds for the group matching ``agent``
+    (same group-selection rules as :func:`parse_robots`); None when
+    the matched group declares none. Non-standard but near-universal
+    in the wild; :func:`..operators.linkgraph.fetch_schedule` turns it
+    into a per-host slot stride. Pure function."""
+    return _robots_group_for(_robots_groups(body), agent)[1]
 
 
 def robots_rules_df(
@@ -155,6 +192,32 @@ def robots_rules_df(
     )
 
 
+def robots_delays_df(
+    robots: DataFrame, agent: str = "*", host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, robots.txt body) table -> ``(host, crawl_delay)`` via
+    :func:`parse_crawl_delay`; hosts whose matched group declares no
+    delay are OMITTED (a left join downstream reads absent = no
+    constraint). Same scale shape as :func:`robots_rules_df`: bodies
+    parse once per host, the result is O(hosts) short rows — the small
+    side of :func:`..operators.linkgraph.fetch_schedule`'s delay
+    join."""
+    import pandas as pd
+
+    def _delays(batches):
+        for pdf in batches:
+            out = []
+            for host, body in zip(pdf["_h"], pdf["_b"]):
+                d = parse_crawl_delay(body or "", agent)
+                if d is not None:
+                    out.append((host, d))
+            yield pd.DataFrame(out, columns=["host", "crawl_delay"])
+
+    return robots.select(
+        F.col(host_col).alias("_h"), F.col(body_col).alias("_b")
+    ).mapInPandas(_delays, schema="host string, crawl_delay double")
+
+
 def robots_filter(
     df: DataFrame,
     rules: DataFrame,
@@ -169,39 +232,47 @@ def robots_filter(
     ``rules``: the table from :func:`robots_rules_df` (host, prefix,
     allow, prefix_len). Plan: one (broadcast by default) left join on
     host + a prefix ``startswith`` filter folded into the join
-    condition, then a per-row max(struct(prefix_len, allow)) aggregate
-    — no window, no Python in the hot path. Matching is on the raw
-    path (query excluded), per the common-crawler reading."""
+    condition, then ONE aggregate over the fan-out that both picks the
+    longest-match winner (max(struct(prefix_len, allow))) and carries
+    the page columns through (``first`` — deterministic: every row in
+    a group is the same page row replicated per matching rule). No
+    join-back, so the row id is referenced exactly once in the plan —
+    task retry / speculation cannot pair verdicts with the wrong rows
+    (the r11 ADVICE finding against the old two-sided
+    monotonically_increasing_id join). Matching is on the raw path
+    (query excluded), per the common-crawler reading."""
     rid = F.monotonically_increasing_id()
-    pages = df.withColumn("_rid", rid)
     host = U.url_host(F.col(url_col))
     path_raw = U.url_path(F.col(url_col))
-    keyed = pages.withColumn("_host", host).withColumn(
-        "_path", F.when(path_raw == "", "/").otherwise(path_raw)
+    keyed = (
+        df.withColumn("_rid", rid)
+        .withColumn("_host", host)
+        .withColumn("_path", F.when(path_raw == "", "/").otherwise(path_raw))
     )
     r = rules.select(
-        F.col("host").alias("_host"), "prefix", "allow", "prefix_len"
+        F.col("host").alias("_rhost"), "prefix", "allow", "prefix_len"
     )
     if broadcast_rules:
         r = F.broadcast(r)
     joined = keyed.join(
         r,
-        on=(keyed["_host"] == r["_host"]) & keyed["_path"].startswith(r["prefix"]),
+        on=(keyed["_host"] == r["_rhost"]) & keyed["_path"].startswith(r["prefix"]),
         how="left",
     )
     # non-matching left-join rows carry struct(NULL, NULL) — which is a
     # NON-null struct, so wrap in when(): no match must aggregate to a
     # NULL verdict (= allowed), not a null-fielded winner
-    verdict = joined.groupBy("_rid").agg(
+    page_cols = [c for c in df.columns]
+    out = joined.groupBy("_rid").agg(
+        *[F.first(c).alias(c) for c in page_cols],
         F.max(
             F.when(F.col("prefix_len").isNotNull(),
                    F.struct("prefix_len", "allow"))
-        ).alias("_top")
+        ).alias("_top"),
     )
     return (
-        keyed.join(verdict, "_rid")
-        .filter(F.col("_top").isNull() | F.col("_top.allow"))
-        .drop("_rid", "_host", "_path", "_top")
+        out.filter(F.col("_top").isNull() | F.col("_top.allow"))
+        .select(*page_cols)
     )
 
 
@@ -342,6 +413,7 @@ def language_filter(
     text_col: str = "text",
     id_col: str = "url",
     broadcast_profiles: bool = True,
+    keep_und: bool = True,
 ) -> DataFrame:
     """Language gate over a batch frame (the FineWeb position: after
     extraction, BEFORE the quality rules — their thresholds are
@@ -350,6 +422,12 @@ def language_filter(
     ``trigram_lang_id``, the oracle-checked C16 path) and keep only
     pages whose guess is in ``allowed_langs`` (None keeps everything
     and just annotates). Appends a ``lang`` column either way.
+
+    ``keep_und`` (default True, mirroring ``host_rank_filter``'s
+    ``keep_unranked``): pages the classifier cannot call — guess
+    ``'und'`` (fewer than 3 normalized chars) or a missing prediction
+    row — survive an ``allowed_langs`` gate rather than silently
+    vanishing; pass False for a strict gate that drops them.
 
     Scale shape is trigram_lang_id's: one (page, trigram) partial-agg
     exchange x a broadcast profile join -> argmax window on the page
@@ -365,7 +443,10 @@ def language_filter(
     ).select(F.col(id_col), F.col("guess").alias("lang"))
     out = df.join(pred, id_col, "left")
     if allowed_langs is not None:
-        out = out.filter(F.col("lang").isin(list(allowed_langs)))
+        gate = F.col("lang").isin(list(allowed_langs))
+        if keep_und:
+            gate = gate | F.col("lang").isNull() | (F.col("lang") == "und")
+        out = out.filter(gate)
     return out
 
 

@@ -118,6 +118,7 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 3,
     damping: float = 0.85,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank -> (node, rank).
 
@@ -138,7 +139,18 @@ def pagerank(
     1 every sweep. That makes each sweep ONE join + one aggregation
     (plus a 1-row reduce over the already-aggregated contribution
     frame), and the rank lineage single-use, so no per-iteration
-    materialization is needed."""
+    materialization is needed.
+
+    ``persisted``: an optional caller-owned list that collects every
+    frame this plan persists (the edge list, nodes, the transition
+    matrix, and one contribs frame per sweep). pagerank stays fully
+    lazy (plan construction fires zero jobs), so it cannot unpersist
+    them itself — a LONG-RUNNING caller (the streaming crawl's
+    ``ranks_refresh_every`` re-rank) must materialize the returned
+    ranks, then ``df.unpersist()`` each collected frame, or cached
+    RDDs accumulate unboundedly across refreshes (the r11 ADVICE
+    finding). One-shot callers (a batch query, the bench) may omit it:
+    their persists die with the session."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # the edge list is the root of EVERY branch below (nodes = 2 scans,
     # out-weights, transition matrix, and the per-iteration dangling
@@ -161,6 +173,8 @@ def pagerank(
         .select("_src", "_dst", (F.col("_w") / F.col("_outw")).alias("_p"))
         .persist()
     )
+    if persisted is not None:
+        persisted.extend([e, nodes, trans])
     n1 = nodes.agg(F.count("*").cast("double").alias("_n"))  # 1 row
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -172,6 +186,8 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
             .persist()  # read twice: the 1-row reduce and the re-join
         )
+        if persisted is not None:
+            persisted.append(contribs)
         dangling = contribs.agg(
             (F.lit(1.0) - F.coalesce(F.sum("_c"), F.lit(0.0))).alias("_dm")
         )  # 1 row, by conservation (see docstring)
@@ -310,7 +326,7 @@ def host_graph_increment(
 
     new = host_graph(links, src_col, dst_col).withColumn(
         "wave", F.lit(wave_id)
-    ).persist()  # counted AND written below: extract/parse links once
+    )
     if os.path.exists(graph_path.removeprefix("file://")):
         seen = (
             spark.read.parquet(graph_path)
@@ -318,7 +334,10 @@ def host_graph_increment(
             .filter(F.col("wave") == wave_id)
         )
         if seen.limit(1).count() > 0:
-            return 0
+            return 0  # persist deferred past this guard: the replayed
+            # no-op path must not leak a cached-frame registration per
+            # micro-batch (r11 ADVICE finding)
+    new = new.persist()  # counted AND written below: links parse once
     n = new.count()
     new.write.mode("append").parquet(graph_path)
     new.unpersist()
@@ -341,6 +360,9 @@ def fetch_schedule(
     per_slot: int = 1,
     domain_col: str = "domain",
     order_col: str = "rank_in_domain",
+    delays: DataFrame | None = None,
+    tick_seconds: float = 1.0,
+    delay_host_col: str = "host",
 ) -> DataFrame:
     """Politeness scheduling over a frontier: assign each URL a fetch
     ``slot`` such that no domain appears more than ``per_slot`` times
@@ -348,10 +370,23 @@ def fetch_schedule(
     the k-th politeness tick; a fetcher drains slots in order and
     every domain gets at most ``per_slot`` requests per tick).
 
-    slot = (rank_in_domain - 1) // per_slot — pure arithmetic when
-    ``frontier`` already carries ``frontier_expand``'s per-domain
-    rank; otherwise one window on the domain computes it. Map-only in
-    the ranked case; the fetcher groups by slot downstream."""
+    slot = ((rank_in_domain - 1) // per_slot) * stride — pure
+    arithmetic when ``frontier`` already carries ``frontier_expand``'s
+    per-domain rank; otherwise one window on the domain computes it.
+    Map-only in the ranked case; the fetcher groups by slot downstream.
+
+    ``delays`` (r12): a ``(host, crawl_delay)`` table — the output of
+    :func:`..operators.crawl.robots_delays_df`, keyed at the SAME
+    granularity as ``domain_col`` (apply ``registrable_domain`` to the
+    hosts first if the frontier is domain-keyed) — makes the schedule
+    honor each host's declared robots ``Crawl-delay``: a host with
+    delay d gets one batch of ``per_slot`` URLs per
+    stride = max(1, ceil(d / tick_seconds)) slots, i.e. its fetches
+    land ≥ d seconds apart when the fetcher drains one slot per tick.
+    Hosts without a declared delay keep stride 1 (every slot). One
+    O(hosts)-row left join on the domain key; null-delay rows cost
+    nothing. Output gains a ``crawl_delay`` column (null = none
+    declared) when ``delays`` is passed."""
     from pyspark.sql import Window
 
     if order_col in frontier.columns:
@@ -360,8 +395,22 @@ def fetch_schedule(
         w = Window.partitionBy(domain_col).orderBy("norm_url")
         frontier = frontier.withColumn("_rk", F.row_number().over(w))
         rk = F.col("_rk")
+    stride = F.lit(1)
+    if delays is not None:
+        d = delays.select(
+            F.col(delay_host_col).alias(domain_col),
+            F.col("crawl_delay").cast("double").alias("crawl_delay"),
+        )
+        frontier = frontier.join(d, domain_col, "left")
+        stride = F.coalesce(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.col("crawl_delay") / F.lit(float(tick_seconds))),
+            ),
+            F.lit(1).cast("bigint"),
+        )
     out = frontier.withColumn(
-        "slot", ((rk - 1) / F.lit(per_slot)).cast("int")
+        "slot", (F.floor((rk - 1) / F.lit(per_slot)) * stride).cast("int")
     )
     return out.drop("_rk") if "_rk" in out.columns else out
 

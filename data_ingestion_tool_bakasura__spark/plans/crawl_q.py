@@ -1530,7 +1530,16 @@ def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     """Politeness scheduling composed over the frontier: the q_frontier
     discover step capped at 5/domain, then ``fetch_schedule`` assigns
     slots at 2 fetches per domain per tick — per-slot-per-domain counts
-    prove no domain ever exceeds the rate in any tick."""
+    prove no domain ever exceeds the rate in any tick.
+
+    r12: synthesized robots.txt bodies declare ``Crawl-delay: 2+k%5``
+    for EVEN-numbered site*.org hosts only; they flow through the real
+    ``robots_delays_df`` parser into ``fetch_schedule(delays=...,
+    tick_seconds=1.5)``, so a delayed host's batches land every
+    ceil(delay/1.5) slots while undeclared hosts keep stride 1 — the
+    oracle re-derives the stride arithmetic and the per-host delay
+    column, proving the schedule honors each host's declared rate."""
+    from data_ingestion_tool_bakasura__spark.operators import crawl as CR
     from data_ingestion_tool_bakasura__spark.operators import linkgraph as L
     from data_ingestion_tool_bakasura__spark.sources.warc import read_wat
 
@@ -1543,13 +1552,30 @@ def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("norm_url")
     )
+    robots = spark.range(0, 41).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".org"))
+        .alias("host"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: "),
+                (F.lit(2) + F.col("id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /private"))
+        .alias("body"),
+    )
     sched = L.fetch_schedule(
-        L.frontier_expand(links, corpus, max_per_domain=5), per_slot=2
+        L.frontier_expand(links, corpus, max_per_domain=5),
+        per_slot=2,
+        delays=CR.robots_delays_df(robots),
+        tick_seconds=1.5,
     )
     return (
         sched.groupBy("slot", "domain")
         .agg(F.count("*").alias("n"),
-             F.min("norm_url").alias("first_url"))
+             F.min("norm_url").alias("first_url"),
+             F.max("crawl_delay").alias("delay"))
         .orderBy("slot", "domain")
     )
 
@@ -1573,10 +1599,22 @@ ranked AS (
            PARTITION BY domain ORDER BY n_inlinks DESC, norm_url) AS INT)
            AS rank_in_domain
   FROM new
+),
+delayed AS (
+  SELECT norm_url, domain, rank_in_domain,
+         CASE WHEN regexp_matches(domain, '^site[0-9]+\\.org$')
+                   AND CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) % 2 = 0
+              THEN CAST(2 + CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) % 5
+                        AS DOUBLE)
+              ELSE NULL END AS crawl_delay
+  FROM ranked WHERE rank_in_domain <= 5
 )
-SELECT CAST((rank_in_domain - 1) // 2 AS INT) AS slot, domain,
-       count(*) AS n, min(norm_url) AS first_url
-FROM ranked WHERE rank_in_domain <= 5
+SELECT CAST(((rank_in_domain - 1) // 2)
+            * coalesce(greatest(1, CAST(ceil(crawl_delay / 1.5) AS BIGINT)), 1)
+            AS INT) AS slot,
+       domain, count(*) AS n, min(norm_url) AS first_url,
+       max(crawl_delay) AS delay
+FROM delayed
 GROUP BY slot, domain ORDER BY slot, domain
 """
 

@@ -713,11 +713,17 @@ def start_streaming_crawl(
     URLs. Pass a dict to size it (``{"n_expected": ..., "fpp": ...}``).
 
     ``link_graph_path`` maintains the crawl's OWN host link graph as it
-    goes: each micro-batch's surviving HTML pages run the one-pass
-    anchor parser (``linkgraph.extract_links_html``) and fold into the
-    persisted waved edge table via ``host_graph_increment`` with
-    ``wave=f"batch-{batch_id}"`` — replay-idempotent by the wave-id
-    guard, links parsed once per batch ever. Rebuild ranks from it
+    goes: each micro-batch's HTML pages that survive the
+    dedup/robots/host-rank/domain-cap stage — link capture happens at
+    payload decode, BEFORE the boilerplate/language/quality gates, so
+    links from pages those later gates drop still vote (the
+    Common-Crawl reading: a low-quality page's outlinks are real
+    discovery signal even when its text is not corpus-worthy) — run
+    the one-pass anchor parser (``linkgraph.extract_links_html``) and
+    fold into the persisted waved edge table via
+    ``host_graph_increment`` with ``wave=f"batch-{batch_id}"`` —
+    replay-idempotent by the wave-id guard, links parsed once per
+    batch ever. Rebuild ranks from it
     anytime (``pagerank(load_host_graph(...))``) and feed them back as
     ``host_ranks_path`` — the full crawler loop (fetch -> extract ->
     graph -> prioritize) with no WAT dependency. WET streams (string
@@ -955,17 +961,28 @@ def start_streaming_crawl(
                     swap_directory,
                 )
 
+                # pagerank persists its edge/nodes/transition/contribs
+                # frames; this loop re-ranks every N batches for the
+                # stream's lifetime, so release them once the write
+                # (the materializing action) lands — otherwise cached
+                # frames accumulate unboundedly (r11 ADVICE finding)
+                rank_persists: list = []
                 ranks = LG.pagerank(
                     LG.load_host_graph(spark, link_graph_path),
                     weight_col="n_links",
+                    persisted=rank_persists,
                 )
-                dst = host_ranks_path.removeprefix("file://")
-                if os.path.exists(dst):
-                    tmp = dst.rstrip("/") + "_ranks_tmp"
-                    ranks.write.mode("overwrite").parquet(tmp)
-                    swap_directory(spark, dst, tmp)
-                else:
-                    ranks.write.parquet(dst)
+                try:
+                    dst = host_ranks_path.removeprefix("file://")
+                    if os.path.exists(dst):
+                        tmp = dst.rstrip("/") + "_ranks_tmp"
+                        ranks.write.mode("overwrite").parquet(tmp)
+                        swap_directory(spark, dst, tmp)
+                    else:
+                        ranks.write.parquet(dst)
+                finally:
+                    for frame in rank_persists:
+                        frame.unpersist()
         if seen_bloom:
             # bloom BEFORE corpus (superset invariant): a crash between
             # the two leaves extra bits — harmless, the maybe-seen rows

@@ -658,6 +658,42 @@ def test_fetch_schedule(spark):
     assert "_rk" not in sched.columns
 
 
+def test_fetch_schedule_crawl_delay(spark):
+    """r12: a planted robots Crawl-delay strides a host's slots —
+    one batch of per_slot URLs every ceil(delay/tick) slots, so a
+    fetcher draining one slot per tick spaces that host's fetches at
+    least `delay` seconds apart; undeclared hosts keep stride 1."""
+    links = spark.createDataFrame(
+        [("https://s.com/", f"https://slow.org/{i}", "t") for i in range(6)]
+        + [("https://s.com/", f"https://fast.net/{i}", "t") for i in range(4)],
+        ["page_url", "link_url", "anchor_text"],
+    )
+    corpus = spark.createDataFrame([("https://z.io/",)], ["norm_url"])
+    fr = L.frontier_expand(links, corpus, max_per_domain=10)
+    delays = spark.createDataFrame(
+        [("slow.org", 5.0)], "host string, crawl_delay double"
+    )
+    sched = L.fetch_schedule(
+        fr, per_slot=2, delays=delays, tick_seconds=2.0
+    ).collect()
+    slow = sorted(r["slot"] for r in sched if r["domain"] == "slow.org")
+    fast = sorted(r["slot"] for r in sched if r["domain"] == "fast.net")
+    # stride = ceil(5.0/2.0) = 3: batches of 2 land at slots 0, 3, 6
+    assert slow == [0, 0, 3, 3, 6, 6]
+    # consecutive-batch spacing >= declared delay in fetcher seconds
+    assert (3 - 0) * 2.0 >= 5.0
+    # undeclared host: stride 1, unchanged from the delay-free path
+    assert fast == [0, 0, 1, 1]
+    by = {(r["slot"], r["domain"]) for r in sched}
+    counts: dict = {}
+    for r in sched:
+        counts[(r["slot"], r["domain"])] = counts.get((r["slot"], r["domain"]), 0) + 1
+    assert all(v <= 2 for v in counts.values())
+    # the crawl_delay column is carried through (null when undeclared)
+    assert {r["crawl_delay"] for r in sched if r["domain"] == "slow.org"} == {5.0}
+    assert {r["crawl_delay"] for r in sched if r["domain"] == "fast.net"} == {None}
+
+
 def test_frontier_cli_journey(spark, tmp_path, capsys):
     """pipeline_cli frontier: WAT + corpus -> slotted fetch list, with
     ranks annotation when --host-ranks is given."""

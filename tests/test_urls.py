@@ -243,6 +243,46 @@ Crawl-delay: 10
     assert C.parse_robots(body, "other") == [("/tmp/", False), ("/trail", False)]
 
 
+def test_parse_crawl_delay():
+    """r12: Crawl-delay surfaces per group with the same group
+    selection as parse_robots; unparseable/negative values read as
+    absent; the first valid value in a group wins."""
+    body = """
+User-agent: GoodBot
+Crawl-delay: 2.5
+Disallow: /private
+
+User-agent: *
+Disallow: /tmp/
+Crawl-delay: 10
+Crawl-delay: 99
+"""
+    assert C.parse_crawl_delay(body, "goodbot") == 2.5
+    assert C.parse_crawl_delay(body) == 10.0  # first valid wins
+    assert C.parse_crawl_delay("User-agent: *\nDisallow: /a") is None
+    assert C.parse_crawl_delay("User-agent: *\nCrawl-delay: nope") is None
+    assert C.parse_crawl_delay("User-agent: *\nCrawl-delay: -3") is None
+    assert C.parse_crawl_delay("") is None
+    # delay-only group still matches (Crawl-delay opens the group body)
+    two = "User-agent: a\nCrawl-delay: 1\nUser-agent: *\nCrawl-delay: 7"
+    assert C.parse_crawl_delay(two, "a") == 1.0
+    assert C.parse_crawl_delay(two, "b") == 7.0
+
+
+def test_robots_delays_df(spark):
+    robots = spark.createDataFrame(
+        [
+            ("d.example", "User-agent: *\nCrawl-delay: 4\nDisallow: /x"),
+            ("n.example", "User-agent: *\nDisallow: /y"),  # no delay
+        ],
+        "host string, body string",
+    )
+    rows = sorted(map(tuple, C.robots_delays_df(robots).collect()))
+    # hosts without a declared delay are omitted (left join reads
+    # absent = unconstrained)
+    assert rows == [("d.example", 4.0)]
+
+
 def test_robots_filter_longest_match_semantics(spark):
     rules = spark.createDataFrame(
         [
@@ -310,6 +350,32 @@ def test_language_filter_batch(spark):
     assert [(r["url"], r["lang"]) for r in kept] == [("u1", "en")]
     annotated = C.language_filter(pages, profiles).orderBy("url").collect()
     assert [(r["url"], r["lang"]) for r in annotated] == [("u1", "en"), ("u2", "zz")]
+
+
+def test_language_filter_keep_und(spark):
+    """r12 (r11 ADVICE): pages the classifier cannot call ('und' —
+    fewer than 3 normalized chars) survive an allowed_langs gate by
+    default; keep_und=False restores the strict drop."""
+    from data_ingestion_tool_bakasura__spark.operators.sampling import (
+        fit_lang_profiles,
+    )
+
+    eng = ("the quick brown fox jumps over the lazy dog and then the "
+           "other dog follows along the river into the town")
+    profiles = fit_lang_profiles(
+        spark.createDataFrame([(0, eng, "en")], "doc_id int, text string, lang string")
+    )
+    pages = spark.createDataFrame(
+        [("u1", "the dog follows the fox"), ("u2", "ok")],  # u2: 2 chars -> 'und'
+        "url string, text string",
+    )
+    kept = C.language_filter(pages, profiles, allowed_langs=["en"]).collect()
+    assert sorted(r["url"] for r in kept) == ["u1", "u2"]
+    assert {r["url"]: r["lang"] for r in kept}["u2"] == "und"
+    strict = C.language_filter(
+        pages, profiles, allowed_langs=["en"], keep_und=False
+    ).collect()
+    assert [r["url"] for r in strict] == ["u1"]
 
 
 # --- sitemaps (r11) ---------------------------------------------------------
