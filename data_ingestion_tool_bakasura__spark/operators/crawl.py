@@ -469,6 +469,44 @@ def robots_sitemaps(body: str) -> list[str]:
     return out
 
 
+def sitemap_xml_of(payload) -> str:
+    """Gzip-transparent sitemap payload -> XML text (r12). Real-world
+    sitemaps are predominantly ``.xml.gz`` and ``sitemapindex``
+    children routinely point at gzipped files, so the sniff runs
+    BEFORE parsing: bytes starting with the gzip magic ``1f 8b``
+    decompress first (multi-member streams concatenate — the
+    ``sources/warc.py parse_warc_records`` precedent), then decode
+    UTF-8 with replacement. A string payload passes through verbatim,
+    except the salvage case of gzip bytes smuggled through a lossless
+    latin-1 decode (re-encoded and decompressed; anything that fails
+    falls back to the raw string, which :func:`parse_sitemap`'s
+    tolerant path then treats as malformed XML). Pure function."""
+    import gzip
+    import zlib
+
+    # gzip surfaces corruption as BadGzipFile (OSError), truncation as
+    # EOFError, and checksum/stream damage as zlib.error — all read as
+    # "not actually decompressable", tolerant fallback to the raw text
+    gz_errors = (OSError, EOFError, zlib.error)
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        b = bytes(payload)
+        if b[:2] == b"\x1f\x8b":
+            try:
+                b = gzip.decompress(b)
+            except gz_errors:
+                pass  # truncated/corrupt member: parse what we got
+        return b.decode("utf-8", errors="replace")
+    s = payload or ""
+    if s[:2] == "\x1f\x8b":
+        try:
+            return gzip.decompress(s.encode("latin-1")).decode(
+                "utf-8", errors="replace"
+            )
+        except gz_errors + (UnicodeEncodeError,):
+            return s
+    return s
+
+
 def parse_sitemap(xml: str) -> list[tuple[str, str | None, bool]]:
     """sitemaps.org XML -> ``[(loc, lastmod, is_index), ...]``.
 
@@ -521,7 +559,15 @@ def sitemap_entries(
     (src, loc, lastmod timestamp-or-NULL, is_index) via ONE
     Arrow-batched parse pass — map-only; feed the is_index rows back
     to the fetcher and the page rows to ``frontier_expand`` /
-    ``url_dedup`` as crawl seeds."""
+    ``url_dedup`` as crawl seeds.
+
+    Gzip-transparent (r12): ``xml_col`` may be a BINARY column of raw
+    fetched bytes — ``.xml.gz`` payloads (the dominant real-world
+    shape, for urlsets and sitemapindex children alike) sniff on the
+    ``1f 8b`` magic and decompress before the parse
+    (:func:`sitemap_xml_of`); plain-text payloads and string columns
+    flow through unchanged, so the decode is invisible to the
+    entry-level semantics (and to the oracle)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -533,7 +579,7 @@ def sitemap_entries(
 
     @F.pandas_udf(schema)
     def _parse(s):
-        return pd.Series([parse_sitemap(x or "") for x in s])
+        return pd.Series([parse_sitemap(sitemap_xml_of(x)) for x in s])
 
     out = df.select(
         F.col(src_col).alias("src"),

@@ -34,21 +34,20 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-11 rotation
-#: (r10 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the TWENTY-FIVE queries NEW this round (link-graph
-#: family incl. frontier/raw-HTML/sitemap/SURT/scheduling/
-#: canonical-dedup/recrawl legs;
-#: WET/WAT readers; char-trigram lang-id; robots; C4/Gopher web
-#: quality; video/audio; boilerplate; html-meta; Bloom; CDX), then the
-#: five whose implementation changed semantically (QUERY_RE fragment
-#: anchoring -> q_url_normalize / q_url_dedup / q_crawl_pipeline; the
-#: ruled-only table detector -> q_page_extract; the real-pixel PNG
-#: aHash dispatch -> q_image_near_dup), then 20 of the 42 remaining
-#: r8-evidence rows in catalog order — filling the 50 exactly. After
-#: this window lands the oldest driver evidence anywhere is r8 (the
-#: twenty-two displaced rows — see the boundary comment below); they
-#: lead the r12 rotation with the r9 block behind them.
+#: prefix of ``queries()`` in iteration order. Round-12 rotation
+#: (r11 verdict #1; evidence computed by ``python tools/rotation.py``):
+#: lead with the ONE query new this round (q_warc_render — the WARC
+#: write-side framing oracle) and the THREE whose implementation
+#: changed semantically (q_fetch_schedule gained the robots
+#: Crawl-delay slot stride; q_robots_filter's verdict pairing was
+#: rewritten from the id join-back to a single-evaluation aggregate;
+#: q_sitemap_seeds' entry parse gained the gzip-transparent payload
+#: sniff), then the TWENTY-TWO r8-evidence rows the r11 novelties
+#: displaced, then the r9 block oldest-first — filling the 50
+#: exactly (q_embedding_quantize is the 50th). After this window
+#: lands the oldest driver evidence anywhere is r9 (the remaining
+#: r9 rows past the boundary lead the r13 rotation, the r10 block
+#: behind them).
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
@@ -57,89 +56,10 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    # --- NEW in round 11 (WET/WAT aperture, trigram lang-id, robots,
-    # C4/Gopher web quality, link graph): first ---
-    "q_link_graph",
-    "q_pagerank",
-    "q_anchor_text",
-    "q_frontier",
-    "q_html_links",
-    "q_sitemap_seeds",
-    "q_surt_keys",
+    "q_warc_render",
     "q_fetch_schedule",
-    "q_canonical_dedup",
-    "q_recrawl",
-    "q_lang_id_trigram",
-    "q_wet_pipeline",
-    "q_wat_metadata",
     "q_robots_filter",
-    "q_c4_line_clean",
-    "q_gopher_quality",
-    "q_web_quality_pipeline",
-    "q_gopher_repetition",
-    "q_video_near_dup",
-    "q_audio_features",
-    "q_main_content",
-    "q_html_meta",
-    "q_bloom_url_dedup",
-    "q_cdx_fetch_plan",
-    "q_cdx_range_fetch",
-    # --- impl changed in round 11: re-certify next (QUERY_RE fragment
-    # anchoring -> the three URL-normalizing queries; tables_of gained
-    # the ruled-only detector -> q_page_extract; ahash64 gained the
-    # real-pixel PNG dispatch -> q_image_near_dup). The other r11
-    # touches were non-semantic (identical shortlist value from footer
-    # metadata in q_pq_rerank/q_ivfadc_search; per-run staging dirs in
-    # the stream queries) and verified locally -- they keep their r10
-    # evidence and normal rotation order.
-    "q_url_normalize",
-    "q_url_dedup",
-    "q_crawl_pipeline",
-    "q_page_extract",
-    "q_image_near_dup",
-    # --- 20 of the 42 remaining r8-evidence rows, catalog order (the
-    # twenty-two displaced past the boundary below lead the r12
-    # rotation)
-    "q_doc_stats",
-    "q_lang_facet",
-    "q_array_ops",
-    "q_json_props",
-    "q_filter_project",
-    "q_fulltext_match",
-    "q_distinct_stats",
-    "q_top_orders",
-    "q_price_buckets",
-    "q_orders_by_month",
-    "q_order_gaps",
-    "q_customers_with_orders",
-    "q_customers_without_orders",
-    "q_top_revenue_supplier",
-    "q_orders_above_cust_avg",
-    "q_rich_inactive_customers",
-    "q_lone_late_supplier",
-    "q_user_event_matrix",
-    "q_repetition_filter",
-    "q_repeated_spans",
-    # ---------- 50-query window boundary ----------
-    # Twenty-two r8-evidence rows sit displaced past the boundary by the
-    # late-landing round-11 queries (q_robots_filter displaced
-    # q_exists_subquery; the C4/Gopher web-quality trio displaced the
-    # next three; q_gopher_repetition / q_video_near_dup /
-    # q_audio_features / q_main_content / q_html_meta /
-    # q_bloom_url_dedup / q_cdx_fetch_plan / q_cdx_range_fetch
-    # displaced q_volume_shipping / q_funnel_conversion /
-    # q_min_cost_supplier / q_large_volume_customers /
-    # q_part_value_concentration / q_brand_quantity_revenue /
-    # q_profit_by_nation / q_revenue_forecast; and the link-graph trio
-    # q_link_graph / q_pagerank / q_anchor_text displaced
-    # q_order_count_distribution / q_top_shippers / q_market_share;
-    # and q_frontier / q_html_links / q_sitemap_seeds / q_surt_keys /
-    # q_fetch_schedule / q_canonical_dedup / q_recrawl displaced
-    # q_returned_items / q_ship_delay_classes / q_promo_revenue /
-    # q_supplier_part_counts / q_lm_quality / q_curation_pipeline /
-    # q_contamination) — driver evidence for a NEW operator outranks
-    # retiring the final r8 rows. All twenty-two lead the r12 rotation
-    # together with the r9 block.
+    "q_sitemap_seeds",
     "q_contamination",
     "q_curation_pipeline",
     "q_lm_quality",
@@ -150,20 +70,18 @@ _PRIORITY = [
     "q_order_count_distribution",
     "q_top_shippers",
     "q_market_share",
-    "q_revenue_forecast",
-    "q_profit_by_nation",
-    "q_brand_quantity_revenue",
-    "q_part_value_concentration",
-    "q_large_volume_customers",
-    "q_min_cost_supplier",
-    "q_funnel_conversion",
-    "q_volume_shipping",
     "q_stream_tumbling_hourly",
     "q_quantized_rerank",
     "q_value_zscore_builtin",
     "q_exists_subquery",
-    # everything below carries an r9/r10 driver-green row; r9 rows lead
-    # the r12 rotation (with any r12 new/impl-changed queries first).
+    "q_volume_shipping",
+    "q_funnel_conversion",
+    "q_min_cost_supplier",
+    "q_large_volume_customers",
+    "q_part_value_concentration",
+    "q_brand_quantity_revenue",
+    "q_profit_by_nation",
+    "q_revenue_forecast",
     "q_semantic_rerank",
     "q_corpus_report",
     "q_quality_classifier",
@@ -188,6 +106,54 @@ _PRIORITY = [
     "q_sequence_packing",
     "q_embedding_near_dup",
     "q_embedding_quantize",
+    # ---------- 50-query window boundary ----------
+    "q_link_graph",
+    "q_pagerank",
+    "q_anchor_text",
+    "q_frontier",
+    "q_html_links",
+    "q_surt_keys",
+    "q_canonical_dedup",
+    "q_recrawl",
+    "q_lang_id_trigram",
+    "q_wet_pipeline",
+    "q_wat_metadata",
+    "q_c4_line_clean",
+    "q_gopher_quality",
+    "q_web_quality_pipeline",
+    "q_gopher_repetition",
+    "q_video_near_dup",
+    "q_audio_features",
+    "q_main_content",
+    "q_html_meta",
+    "q_bloom_url_dedup",
+    "q_cdx_fetch_plan",
+    "q_cdx_range_fetch",
+    "q_url_normalize",
+    "q_url_dedup",
+    "q_crawl_pipeline",
+    "q_page_extract",
+    "q_image_near_dup",
+    "q_doc_stats",
+    "q_lang_facet",
+    "q_array_ops",
+    "q_json_props",
+    "q_filter_project",
+    "q_fulltext_match",
+    "q_distinct_stats",
+    "q_top_orders",
+    "q_price_buckets",
+    "q_orders_by_month",
+    "q_order_gaps",
+    "q_customers_with_orders",
+    "q_customers_without_orders",
+    "q_top_revenue_supplier",
+    "q_orders_above_cust_avg",
+    "q_rich_inactive_customers",
+    "q_lone_late_supplier",
+    "q_user_event_matrix",
+    "q_repetition_filter",
+    "q_repeated_spans",
     "q_simhash_bands",
     "q_dedup_clusters",
     "q_incremental_dedup",
@@ -255,7 +221,6 @@ _PRIORITY = [
     "q_deep_clean_pipeline",
     "q_substring_dedup_incr",
     "q_lm_quality_xcorpus",
-    # rows-only (not SQL-expressible; recall contracts in tests/ANN.md)
     "q_hnsw_topk",
     "q_lsh_ann_topk",
     "q_ivf_assignments",

@@ -1526,6 +1526,50 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_warc_render(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC write-side render (sources/warc.py warc_record_expr — the
+    codegen twin of build_warc_record, which test_sources asserts
+    byte-identical for text payloads): every adversarial URL branch
+    becomes a spec-framed response record around the document's own
+    text, and the oracle re-derives the full record string — both
+    Content-Length fields (HTTP block + WARC envelope, octet
+    arithmetic), the deterministic <urn:md5:...> record id, and the
+    md5 of the rendered record — from the SAME framing constants
+    (warc_sql). A framing drift of even one CRLF shifts every hash."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        warc_record_expr,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "text",
+        F.expr(_SYNTH).alias("url"),
+        F.expr(
+            "'2026-01-' || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')"
+            " || 'T00:00:00Z'"
+        ).alias("wdate"),
+    )
+    rec = warc_record_expr(F.col("url"), F.col("wdate"), F.col("text"))
+    return d.select(
+        "doc_id",
+        F.octet_length(rec).alias("rec_len"),
+        F.md5(rec.cast("binary")).alias("rec_md5"),
+    ).orderBy("doc_id")
+
+
+from data_ingestion_tool_bakasura__spark.sources.warc import (  # noqa: E402
+    warc_sql as _warc_sql,
+)
+
+_WDATE = ("'2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+          " || 'T00:00:00Z'")
+ORACLE["q_warc_render"] = f"""
+SELECT doc_id,
+       strlen({_warc_sql(f"({_SYNTH})", f"({_WDATE})", "text")}) AS rec_len,
+       md5({_warc_sql(f"({_SYNTH})", f"({_WDATE})", "text")}) AS rec_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     """Politeness scheduling composed over the frontier: the q_frontier
     discover step capped at 5/domain, then ``fetch_schedule`` assigns
@@ -1774,4 +1818,5 @@ QUERIES = {
     "q_fetch_schedule": q_fetch_schedule,
     "q_canonical_dedup": q_canonical_dedup,
     "q_recrawl": q_recrawl,
+    "q_warc_render": q_warc_render,
 }

@@ -323,6 +323,247 @@ def read_wat(
     )
 
 
+# --- WARC write side (r12) ---------------------------------------------------
+# The inverse of read_warc: archive-pipeline users interchange WARC, so
+# the corpus must round-trip OUT as spec-framed records, not only tar
+# shards (operators/shards.py) and CDX lines (sources/cdx.py). Framing
+# constants are shared by the pure-Python byte builder, the codegen
+# render expression, and its DuckDB twin — one source of truth, the
+# cdx_lines/surt_key precedent.
+
+_WARC_VERSION = "WARC/1.0"
+_WARC_HTTP_CTYPE = "application/http; msgtype=response"
+_HTTP_REASON = "OK"
+
+
+def _record_id_of(url: str, date: str) -> str:
+    import hashlib
+
+    return "<urn:md5:%s>" % hashlib.md5(f"{url} {date}".encode()).hexdigest()
+
+
+def build_warc_record(
+    url: str,
+    date: str,
+    payload: bytes,
+    http_status: int = 200,
+    content_type: str = "text/html",
+    record_id: str | None = None,
+) -> bytes:
+    """Render ONE response row as a spec-framed WARC record: WARC/1.0
+    header block (Content-Length = the HTTP block's octet count, the
+    same framing ``parse_warc_records`` slices by), an HTTP/1.1
+    response envelope carrying the row's status/content-type, the
+    payload bytes, and the spec's record-terminating CRLF CRLF.
+    ``record_id`` defaults to a DETERMINISTIC ``<urn:md5:...>`` of
+    (url, date) — byte-identical output for identical rows, the
+    shards.py reproducibility discipline (a uuid here would break the
+    write->read roundtrip test and re-render determinism). Pure
+    function; :func:`write_warc` applies it per task."""
+    if record_id is None:
+        record_id = _record_id_of(url, date)
+    http_head = (
+        f"HTTP/1.1 {http_status} {_HTTP_REASON}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("latin-1")
+    block = http_head + payload
+    warc_head = (
+        f"{_WARC_VERSION}\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: {_WARC_HTTP_CTYPE}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode("latin-1")
+    return warc_head + block + b"\r\n\r\n"
+
+
+def warc_record_expr(url, date, payload_text, http_status: int = 200,
+                     content_type: str = "text/html"):
+    """Codegen Column: the TEXT of :func:`build_warc_record` for a
+    string payload (a text payload's bytes are its UTF-8 encoding, so
+    octet_length drives both Content-Length fields exactly like the
+    byte path — asserted equal in test_sources). Lets a plan compute
+    rendered record lengths/hashes in-flight with zero Python;
+    ``warc_sql`` is the DuckDB twin from the same constants."""
+    from pyspark.sql import functions as F
+
+    crlf = "\r\n"
+    rid = F.concat(
+        F.lit("<urn:md5:"),
+        F.md5(F.concat(url, F.lit(" "), date).cast("binary")),
+        F.lit(">"),
+    )
+    http_head = F.concat(
+        F.lit(f"HTTP/1.1 {http_status} {_HTTP_REASON}{crlf}"
+              f"Content-Type: {content_type}{crlf}Content-Length: "),
+        F.octet_length(payload_text).cast("string"),
+        F.lit(crlf + crlf),
+    )
+    block = F.concat(http_head, payload_text)
+    warc_head = F.concat(
+        F.lit(f"{_WARC_VERSION}{crlf}WARC-Type: response{crlf}"
+              "WARC-Record-ID: "),
+        rid,
+        F.lit(f"{crlf}WARC-Date: "),
+        date,
+        F.lit(f"{crlf}WARC-Target-URI: "),
+        url,
+        F.lit(f"{crlf}Content-Type: {_WARC_HTTP_CTYPE}{crlf}"
+              "Content-Length: "),
+        F.octet_length(block).cast("string"),
+        F.lit(crlf + crlf),
+    )
+    return F.concat(warc_head, block, F.lit(crlf + crlf))
+
+
+def warc_sql(url_e: str, date_e: str, payload_e: str,
+             http_status: int = 200, content_type: str = "text/html") -> str:
+    """DuckDB twin of :func:`warc_record_expr`, generated from the SAME
+    framing constants (strlen = DuckDB's byte length, the octet_length
+    twin)."""
+    cr = "(chr(13) || chr(10))"
+    rid = f"('<urn:md5:' || md5({url_e} || ' ' || {date_e}) || '>')"
+    http_head = (
+        f"('HTTP/1.1 {http_status} {_HTTP_REASON}' || {cr} ||"
+        f" 'Content-Type: {content_type}' || {cr} ||"
+        f" 'Content-Length: ' || CAST(strlen({payload_e}) AS VARCHAR)"
+        f" || {cr} || {cr})"
+    )
+    block = f"({http_head} || {payload_e})"
+    warc_head = (
+        f"('{_WARC_VERSION}' || {cr} || 'WARC-Type: response' || {cr} ||"
+        f" 'WARC-Record-ID: ' || {rid} || {cr} ||"
+        f" 'WARC-Date: ' || {date_e} || {cr} ||"
+        f" 'WARC-Target-URI: ' || {url_e} || {cr} ||"
+        f" 'Content-Type: {_WARC_HTTP_CTYPE}' || {cr} ||"
+        f" 'Content-Length: ' || CAST(strlen({block}) AS VARCHAR)"
+        f" || {cr} || {cr})"
+    )
+    return f"({warc_head} || {block} || {cr} || {cr})"
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    status_col: str | None = "http_status",
+    ctype_col: str | None = "content_type",
+    records_per_file: int = 1000,
+    gzip_members: bool = False,
+    sort_within: bool = True,
+) -> DataFrame:
+    """Write response rows as WARC files under ``out_dir`` — the
+    inverse of :func:`read_warc` (write->read roundtrips the rows;
+    tested byte-deterministically). Returns a small manifest DataFrame
+    (file, n_records, n_bytes), also persisted as
+    ``_warc_manifest.json`` — the write_tar_shards contract.
+
+    Map-only, zero shuffle: each task renders its own partition's rows
+    with :func:`build_warc_record` into files named
+    ``part-{partition:05d}-{seq:04d}.warc[.gz]`` (partition id in the
+    name — no two tasks collide, no driver coordination); with
+    ``sort_within`` (default) rows render in (url, date) order so a
+    given partitioning always produces byte-identical files.
+    ``gzip_members=True`` writes ONE GZIP MEMBER PER RECORD,
+    concatenated — the Common Crawl .warc.gz layout, which
+    ``parse_warc_records`` reads back transparently. Same shared-mount
+    caveat as write_tar_shards: plain file IO per task."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    status = (
+        F.col(status_col) if status_col and status_col in df.columns
+        else F.lit(200)
+    )
+    ctype = (
+        F.col(ctype_col) if ctype_col and ctype_col in df.columns
+        else F.lit("text/html")
+    )
+    payload = F.col(payload_col)
+    if dict(df.dtypes).get(payload_col) == "string":
+        payload = F.encode(payload, "utf-8")
+    src = df.select(
+        F.col(url_col).alias("_url"),
+        F.col(date_col).alias("_date"),
+        status.alias("_status"),
+        ctype.alias("_ctype"),
+        payload.alias("_payload"),
+    )
+    if sort_within:
+        src = src.sortWithinPartitions("_url", "_date")
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        n = 0
+        fh = None
+        path = None
+        out: list[tuple[str, int, int]] = []
+
+        def _open():
+            nonlocal fh, path
+            path = os.path.join(out_dir, f"part-{pid:05d}-{seq:04d}{ext}")
+            fh = open(path, "wb")
+
+        def _close():
+            nonlocal fh, seq, n
+            if fh is not None:
+                fh.close()
+                out.append((os.path.basename(path), n, os.path.getsize(path)))
+                fh = None
+                seq += 1
+                n = 0
+
+        for pdf in batches:
+            for url, date, st, ct, body in zip(
+                pdf["_url"], pdf["_date"], pdf["_status"],
+                pdf["_ctype"], pdf["_payload"],
+            ):
+                if fh is None:
+                    _open()
+                rec = build_warc_record(
+                    url or "", date or "",
+                    bytes(body) if body is not None else b"",
+                    http_status=200 if st is None or pd.isna(st) else int(st),
+                    content_type=ct or "text/html",
+                )
+                if gzip_members:
+                    # mtime pinned for byte determinism (shards._EPOCH
+                    # discipline); one member per record = the CC layout
+                    rec = gzip.compress(rec, mtime=0)
+                fh.write(rec)
+                n += 1
+                if n >= records_per_file:
+                    _close()
+        _close()
+        yield pd.DataFrame(out, columns=["file", "n_records", "n_bytes"])
+
+    manifest = src.mapInPandas(
+        _write, "file string, n_records long, n_bytes long"
+    )
+    rows = manifest.collect()  # O(files), the export's only action
+    with open(os.path.join(out_dir, "_warc_manifest.json"), "w") as f:
+        json.dump(
+            [{"file": r["file"], "n_records": r["n_records"],
+              "n_bytes": r["n_bytes"]} for r in sorted(rows)],
+            f, indent=0, sort_keys=True,
+        )
+    return df.sparkSession.createDataFrame(
+        rows, "file string, n_records long, n_bytes long"
+    )
+
+
 def decode_payload_udf():
     """Arrow-batched UDF: (payload binary, content_type string) ->
     decoded text, honoring the Content-Type charset parameter

@@ -438,6 +438,57 @@ def test_sitemap_entries_explode(spark):
     assert r["lastmod"] is not None and r["lastmod"].year == 2026
 
 
+def test_sitemap_entries_gzip_transparent(spark):
+    """r12: .xml.gz payloads (binary column) sniff + decompress before
+    the parse and yield entries IDENTICAL to the plain-text path —
+    urlset and sitemapindex alike; corrupt gzip falls back tolerantly
+    (no rows, no crash)."""
+    import gzip
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (
+        f'<urlset {ns}><url><loc>https://a.com/1</loc>'
+        f"<lastmod>2026-01-05</lastmod></url></urlset>"
+    )
+    index = (
+        f'<sitemapindex {ns}><sitemap><loc>https://a.com/child.xml.gz'
+        f"</loc></sitemap></sitemapindex>"
+    )
+    plain = spark.createDataFrame(
+        [("https://a.com/s.xml", urlset), ("https://a.com/i.xml", index)],
+        ["url", "xml"],
+    )
+    gz = spark.createDataFrame(
+        [("https://a.com/s.xml", gzip.compress(urlset.encode())),
+         ("https://a.com/i.xml", gzip.compress(index.encode())),
+         # uncompressed bytes must also parse (sniff is per-payload)
+         ("https://a.com/p.xml", urlset.encode())],
+        "url string, xml binary",
+    )
+    want = sorted(map(tuple, C.sitemap_entries(plain).collect()))
+    got = sorted(map(tuple, C.sitemap_entries(gz).collect()))
+    assert got[:1] + got[2:] == want or len(got) == 3
+    # exact parity on the shared (src, loc, lastmod, is_index) rows
+    shared = [t for t in got if t[0] != "https://a.com/p.xml"]
+    assert shared == want
+    assert ("https://a.com/p.xml", "https://a.com/1", got[0][2], False) in [
+        (t[0], t[1], got[0][2], t[3]) for t in got
+    ]
+    # corrupt gzip member: tolerant no-rows fallback, not an error
+    bad = spark.createDataFrame(
+        [("https://a.com/bad.xml.gz", b"\x1f\x8b\x00junk")],
+        "url string, xml binary",
+    )
+    assert C.sitemap_entries(bad).count() == 0
+    # pure-function sniff: string passthrough + smuggled-bytes salvage
+    assert C.sitemap_xml_of(urlset) == urlset
+    assert C.sitemap_xml_of(gzip.compress(b"<x/>")) == "<x/>"
+    assert C.sitemap_xml_of(
+        gzip.compress(b"<x/>").decode("latin-1")
+    ) == "<x/>"
+    assert C.sitemap_xml_of(None) == ""
+
+
 def test_canonical_dedup(spark):
     pages = spark.createDataFrame(
         [
