@@ -13,10 +13,20 @@ dequantized or transformed, which roughly halves the IDCT work on
 the fixture encoder below writes its own spec-valid one-length
 canonical Huffman tables rather than the Annex K examples).
 
+Progressive (SOF2) Huffman JPEG decodes too (r12 — most web JPEGs are
+progressive): both spectral selection and successive approximation,
+per T.81 Annex G — interleaved/non-interleaved DC first+refine scans,
+single-component AC first scans with EOB-run coding, and the AC
+refinement correction-bit algorithm (G.1.2.3). Coefficient state is
+kept for EVERY component across scans (chroma refinement bits are
+conditioned on chroma history, so skipping their state would desync
+the bit stream); only luma blocks pay dequant+IDCT at the end — the
+same chroma economy as the sequential path.
+
 Out of scope, surfaced as ``ValueError`` so the aHash dispatch falls
-back to the deterministic stand-in: progressive (SOF2) and arithmetic
-(SOF9+) coding, 12-bit precision, hierarchical mode. PIL — when
-installed — remains the wide-gamut leg via ``media.decode_image``.
+back to the deterministic stand-in: arithmetic (SOF9+) coding, 12-bit
+precision, hierarchical mode. PIL — when installed — remains the
+wide-gamut leg via ``media.decode_image``.
 
 The IDCT runs through numpy (one 8x8 basis-matrix sandwich per block)
 with an identical pure-stdlib fallback, same pattern as
@@ -199,6 +209,7 @@ def decode_jpeg_luma(b: bytes) -> tuple[int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     width = height = -1
     restart_interval = 0
+    progressive = False
 
     try:
         while pos + 4 <= n:
@@ -236,17 +247,16 @@ def decode_jpeg_luma(b: bytes) -> tuple[int, int, bytes]:
                     symbols = seg[i + 17 : i + 17 + total]
                     (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
                     i += 17 + total
-            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq. / progressive
                 if seg[0] != 8:
                     raise ValueError("only 8-bit precision supported")
+                progressive = marker == 0xC2
                 height, width = struct.unpack(">HH", seg[1:5])
                 nc = seg[5]
                 comps = []
                 for ci in range(nc):
                     o = 6 + 3 * ci
                     comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 0xF, seg[o + 2]))
-            elif marker == 0xC2:
-                raise ValueError("progressive JPEG unsupported (use PIL leg)")
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
@@ -265,6 +275,11 @@ def decode_jpeg_luma(b: bytes) -> tuple[int, int, bytes]:
                     if idx is None:
                         raise ValueError("SOS references unknown component")
                     scan.append((idx, tables >> 4, tables & 0xF))
+                if progressive:
+                    return _decode_progressive(
+                        raw, pos, seglen, seg, width, height, comps, qt,
+                        huff_dc, huff_ac, restart_interval,
+                    )
                 return _decode_scan(
                     raw, pos + seglen, width, height, comps, scan, qt,
                     huff_dc, huff_ac, restart_interval,
@@ -352,6 +367,297 @@ def _decode_scan(raw, pos, width, height, comps, scan, qt, huff_dc,
     for ry in range(y_h):
         out[ry * y_w : (ry + 1) * y_w] = plane[ry * plane_w : ry * plane_w + y_w]
     return y_w, y_h, bytes(out)
+
+
+# --- progressive (SOF2) decode, T.81 Annex G --------------------------------
+
+def _next_marker_pos(raw: bytes, p: int) -> int:
+    """First position >= p of a REAL marker (0xFF + not-stuffing, not a
+    restart) — where the next header segment begins after a scan's
+    entropy data."""
+    n = len(raw)
+    while p + 1 < n:
+        if raw[p] == 0xFF and raw[p + 1] != 0x00:
+            if 0xD0 <= raw[p + 1] <= 0xD7:
+                p += 2  # stray restart: skip
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated progressive stream")
+
+
+def _decode_progressive(raw, pos, seglen, first_seg, width, height, comps,
+                        qt, huff_dc, huff_ac, restart_interval):
+    """Drive every scan of a progressive JPEG, accumulating coefficient
+    state per component (ZIGZAG order, absolute DC at [0]), then
+    dequantize + IDCT the luma blocks once at EOI. ``pos`` points at
+    the first SOS segment's length field; ``first_seg`` is its body."""
+    if width <= 0 or height <= 0 or not comps:
+        raise ValueError("SOS before SOF")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    mcu_cols = -(-width // (8 * hmax))
+    mcu_rows = -(-height // (8 * vmax))
+    geom = []  # per comp: (bw, bh, bw_pad, bh_pad)
+    coef: list[list[list[int]]] = []
+    for _cid, ch, cv, _tq in comps:
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        bw_pad, bh_pad = mcu_cols * ch, mcu_rows * cv
+        geom.append((bw, bh, bw_pad, bh_pad))
+        coef.append([[0] * 64 for _ in range(bw_pad * bh_pad)])
+
+    def parse_scan_header(seg):
+        ns = seg[0] if seg else 0
+        if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+            raise ValueError("truncated SOS segment")
+        scan = []
+        for si in range(ns):
+            cid, tables = seg[1 + 2 * si], seg[2 + 2 * si]
+            idx = next((k for k, c in enumerate(comps) if c[0] == cid), None)
+            if idx is None:
+                raise ValueError("SOS references unknown component")
+            scan.append((idx, tables >> 4, tables & 0xF))
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        a = seg[3 + 2 * ns]
+        return scan, ss, se, a >> 4, a & 0xF
+
+    def run_scan(entropy_start, scan, ss, se, ah, al):
+        r = _BitReader(raw, entropy_start)
+        if ss == 0:  # DC scan (se must be 0 per spec; tolerate se==0 only)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            _dc_scan(r, scan, ah, al)
+        else:  # AC scan: non-interleaved single component only (G.1.1.1)
+            if len(scan) != 1:
+                raise ValueError("interleaved AC scan is not legal JPEG")
+            _ac_scan(r, scan[0], ss, se, ah, al)
+        return _next_marker_pos(raw, r.pos)
+
+    def _dc_scan(r, scan, ah, al):
+        if len(scan) == 1:
+            ci, dc_id, _ = scan[0]
+            bw, bh, bw_pad, _ = geom[ci]
+            pred = 0
+            h = huff_dc.get(dc_id)
+            done = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and done and done % restart_interval == 0:
+                        m = r.align_to_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise ValueError("expected restart marker")
+                        pred = 0
+                    blk = coef[ci][by * bw_pad + bx]
+                    if ah == 0:
+                        if h is None:
+                            raise ValueError("scan references undefined Huffman table")
+                        t = _decode_huff(r, h)
+                        pred += _extend(r.receive(t), t) if t else 0
+                        blk[0] = pred << al
+                    elif r.read_bit():
+                        blk[0] |= 1 << al
+                    done += 1
+            return
+        pred = [0] * len(comps)
+        done = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and done and done % restart_interval == 0:
+                    m = r.align_to_marker()
+                    if not (0xD0 <= m <= 0xD7):
+                        raise ValueError("expected restart marker")
+                    pred = [0] * len(comps)
+                for ci, dc_id, _ in scan:
+                    ch, cv = comps[ci][1], comps[ci][2]
+                    bw_pad = geom[ci][2]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coef[ci][(my * cv + by) * bw_pad + mx * ch + bx]
+                            if ah == 0:
+                                h = huff_dc.get(dc_id)
+                                if h is None:
+                                    raise ValueError(
+                                        "scan references undefined Huffman table")
+                                t = _decode_huff(r, h)
+                                pred[ci] += _extend(r.receive(t), t) if t else 0
+                                blk[0] = pred[ci] << al
+                            elif r.read_bit():
+                                blk[0] |= 1 << al
+                done += 1
+
+    def _ac_scan(r, one, ss, se, ah, al):
+        ci, _dc_id, ac_id = one
+        h = huff_ac.get(ac_id)
+        if h is None:
+            raise ValueError("scan references undefined Huffman table")
+        bw, bh, bw_pad, _ = geom[ci]
+        eobrun = 0
+        done = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and done and done % restart_interval == 0:
+                    m = r.align_to_marker()
+                    if not (0xD0 <= m <= 0xD7):
+                        raise ValueError("expected restart marker")
+                    eobrun = 0
+                blk = coef[ci][by * bw_pad + bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(r, h, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(r, h, blk, ss, se, al, eobrun)
+                done += 1
+        if eobrun:
+            # EOB runs may not span past the scan's last block
+            raise ValueError("EOB run overruns the scan")
+
+    def reconstruct():
+        y_ci = 0
+        ytq = comps[y_ci][3]
+        if ytq not in qt:
+            raise ValueError("luma quant table missing")
+        yq = qt[ytq]
+        bw, bh, bw_pad, bh_pad = geom[y_ci]
+        plane_w = bw_pad * 8
+        plane = bytearray(plane_w * bh_pad * 8)
+        clamp = min
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coef[y_ci][by * bw_pad + bx]
+                blk = [0.0] * 64
+                for z in range(64):
+                    if zz[z]:
+                        rr = ZIGZAG[z]
+                        blk[rr] = zz[z] * yq[rr]
+                spatial = _idct2(blk)
+                ox, oy = bx * 8, by * 8
+                for ry in range(8):
+                    base = (oy + ry) * plane_w + ox
+                    row = spatial[ry * 8 : ry * 8 + 8]
+                    for rx in range(8):
+                        v = int(row[rx] + 128.5)
+                        plane[base + rx] = 0 if v < 0 else clamp(v, 255)
+        y_w = -(-width * comps[y_ci][1] // hmax)
+        y_h = -(-height * comps[y_ci][2] // vmax)
+        out = bytearray(y_w * y_h)
+        for ry in range(y_h):
+            out[ry * y_w : (ry + 1) * y_w] = plane[ry * plane_w : ry * plane_w + y_w]
+        return y_w, y_h, bytes(out)
+
+    # first scan, then the between-scan marker loop
+    scan, ss, se, ah, al = parse_scan_header(first_seg)
+    p = run_scan(pos + seglen, scan, ss, se, ah, al)
+    n = len(raw)
+    while p + 2 <= n:
+        marker = raw[p + 1]
+        p += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        (slen,) = struct.unpack(">H", raw[p : p + 2])
+        seg = raw[p + 2 : p + slen]
+        if marker == 0xC4:  # DHT between scans (the common layout)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                total = sum(counts)
+                (huff_ac if tc else huff_dc)[th] = _Huff(
+                    counts, seg[i + 17 : i + 17 + total])
+                i += 17 + total
+        elif marker == 0xDB:  # DQT between scans: legal, tables are
+            i = 0  # only consumed at reconstruct()
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:
+                    vals = list(struct.unpack(f">{64}H", seg[i : i + 128]))
+                    i += 128
+                else:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                tbl = [0] * 64
+                for z, v in enumerate(vals):
+                    tbl[ZIGZAG[z]] = v
+                qt[tq] = tbl
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            scan, ss, se, ah, al = parse_scan_header(seg)
+            p = run_scan(p + slen, scan, ss, se, ah, al)
+            continue
+        p += slen
+    return reconstruct()
+
+
+def _ac_first_block(r, h, blk, ss, se, al, eobrun) -> int:
+    """One block of an AC FIRST scan (Ah=0) with EOB-run coding
+    (T.81 G.1.2.2): returns the remaining EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, h)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << run) - 1 + (r.receive(run) if run else 0)
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(r.receive(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, h, blk, ss, se, al, eobrun) -> int:
+    """One block of an AC REFINEMENT scan (Ah>0) — the correction-bit
+    algorithm of T.81 G.1.2.3: newly-nonzero coefficients arrive as
+    ±1<<Al run/size tokens; every nonzero-history coefficient passed
+    over (or remaining once the EOB run starts) consumes one
+    correction bit. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if not eobrun:
+        while k <= se:
+            rs = _decode_huff(r, h)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = (1 << run) + (r.receive(run) if run else 0)
+                    break  # this block finishes inside the EOB run below
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if r.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            if blk[k] and r.read_bit() and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_block(r: _BitReader, hdc: _Huff | None, hac: _Huff | None) -> list[int]:
@@ -595,5 +901,219 @@ def encode_jpeg_gray(
                 w.put(bits, nb)
     w.pad_and_marker(None)
     out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- minimal progressive encoder (fixtures/tests) ---------------------------
+
+def _ac_first_tokens(zz: list[int], ss: int, se: int, al: int) -> list[tuple]:
+    """AC FIRST scan tokens for one block: the point transform
+    |v| >> Al with sign, run/size coding over the band, per-block EOB
+    (eobrun kept at 1 — valid, simple). Token = (sym, bits, nbits)."""
+    toks: list[tuple] = []
+    vals = [
+        (0 if zz[k] == 0 else
+         ((abs(zz[k]) >> al) if zz[k] > 0 else -(abs(zz[k]) >> al)))
+        for k in range(ss, se + 1)
+    ]
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        if vals[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append((0xF0, 0, 0))
+            run -= 16
+        t, bits = _size_bits(vals[i])
+        toks.append(((run << 4) | t, bits, t))
+        run = 0
+    if last_nz < se - ss:
+        toks.append((0x00, 0, 0))  # EOB (eobrun = 1)
+    return toks
+
+
+def _ac_refine_tokens(zz: list[int], ss: int, se: int, al: int) -> list[tuple]:
+    """AC REFINEMENT scan tokens for one block (T.81 G.1.2.3 shape,
+    the libjpeg flush discipline: ZRLs flush the correction-bit buffer
+    whenever 15 zero-history skips are exceeded at ANY nonzero
+    coefficient, so every buffered bit lands inside the decoder's
+    current walk window). Tokens: ("sym", s) Huffman symbol,
+    ("raw", bit, 1) appended raw bits."""
+    toks: list[tuple] = []
+    br: list[int] = []
+    run = 0
+
+    def flush_br():
+        for b in br:
+            toks.append(("raw", b, 1))
+        br.clear()
+
+    for k in range(ss, se + 1):
+        temp = abs(zz[k]) >> al
+        if temp == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append(("sym", 0xF0))
+            flush_br()
+            run -= 16
+        if temp > 1:  # nonzero history: one buffered correction bit
+            br.append((abs(zz[k]) >> al) & 1)
+            continue
+        toks.append(("sym", (run << 4) | 1))  # newly nonzero: ±1<<Al
+        toks.append(("raw", 1 if zz[k] > 0 else 0, 1))
+        flush_br()
+        run = 0
+    if run > 0 or br:
+        toks.append(("sym", 0x00))  # EOB, eobrun = 1
+        flush_br()
+    return toks
+
+
+def encode_jpeg_gray_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    successive: bool = True,
+    color: bool = False,
+) -> bytes:
+    """Minimal valid PROGRESSIVE (SOF2) JPEG from an 8-bit grayscale
+    buffer — the fixture encoder for the r12 progressive decode leg,
+    independent of the decoder so roundtrips test real inverse
+    arithmetic (the baseline-encoder discipline).
+
+    Scan script with ``successive`` (the common web layout shape):
+    DC first at Al=1, AC bands 1-5 / 6-63 first at Al=1, then DC
+    refinement (raw bits, Ah=1) and the two AC refinement scans
+    (correction-bit coding). ``successive=False`` writes the
+    spectral-selection-only script (three first scans at Al=0).
+    ``color=True`` adds two neutral 4:4:4 chroma components — the DC
+    scans become INTERLEAVED and the chroma AC scans must be entropy-
+    consumed in order, exercising the decoder's multi-component state
+    sync without a color source. Uniform quant table, one-length
+    canonical Huffman tables per scan (spec-valid; compression is not
+    the point)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    pw = -(-width // 8) * 8
+    ph = -(-height // 8) * 8
+
+    def px(x: int, y: int) -> int:
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    def block_at(ox: int, oy: int) -> list[int]:
+        zz = [0] * 64
+        raster = _fdct2([px(ox + x, oy + y) for y in range(8) for x in range(8)])
+        for z in range(64):
+            r = ZIGZAG[z]
+            zz[z] = int(round(raster[r] / _Q_UNIFORM[r]))
+        return zz
+
+    bw, bh = pw // 8, ph // 8
+    blocks = [block_at(bx * 8, by * 8) for by in range(bh) for bx in range(bw)]
+    zero_blk = [0] * 64  # neutral chroma (level 128 -> all-zero DCT)
+    ncomp = 3 if color else 1
+    al1 = 1 if successive else 0
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    qzz = bytes(_Q_UNIFORM[ZIGZAG[z]] for z in range(64))
+    out += seg(0xDB, b"\x00" + qzz)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes((cid, 0x11, 0))
+    out += seg(0xC2, sof)
+
+    def emit_scan(comp_ids, ss, se, ah, al, dc_toks=None, ac_blocks=None,
+                  raw_bits=None):
+        """One DHT (when Huffman-coded) + SOS + entropy segment."""
+        nonlocal out
+        w = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first: Huffman over diff sizes
+            syms = [t for t, _b, _n in dc_toks]
+            counts, symbols, enc = _canonical_table(syms, 5)
+            out += seg(0xC4, b"\x00" + bytes(counts) + symbols)
+            for t, bits, nb in dc_toks:
+                code, ln = enc[t]
+                w.put(code, ln)
+                if nb:
+                    w.put(bits, nb)
+        elif ss == 0:  # DC refinement: raw bits only, no Huffman
+            for b in raw_bits:
+                w.put(b, 1)
+        else:  # AC scan (first or refinement)
+            syms: list[int] = []
+            for toks in ac_blocks:
+                for t in toks:
+                    if isinstance(t[0], str):
+                        if t[0] == "sym":
+                            syms.append(t[1])
+                    else:
+                        syms.append(t[0])
+            counts, symbols, enc = _canonical_table(syms or [0x00], 9)
+            out += seg(0xC4, b"\x10" + bytes(counts) + symbols)
+            for toks in ac_blocks:
+                for t in toks:
+                    if isinstance(t[0], str):
+                        if t[0] == "sym":
+                            code, ln = enc[t[1]]
+                            w.put(code, ln)
+                        else:
+                            w.put(t[1], t[2])
+                    else:
+                        sym, bits, nb = t
+                        code, ln = enc[sym]
+                        w.put(code, ln)
+                        if nb:
+                            w.put(bits, nb)
+        sos = bytes((len(comp_ids),))
+        for cid in comp_ids:
+            sos += bytes((cid, 0x00))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += seg(0xDA, sos)
+        w.pad_and_marker(None)
+        out += w.out
+
+    # --- DC first scan (interleaved when color): diffs of DC >> Al ---
+    dc_toks: list[tuple] = []
+    pred = [0] * ncomp
+    for blk in blocks:
+        order = [(0, blk)] + [(c, zero_blk) for c in range(1, ncomp)]
+        for c, b in order:
+            v = b[0] >> al1  # arithmetic shift, the spec's DC transform
+            t, bits = _size_bits(v - pred[c])
+            dc_toks.append((t, bits, t))
+            pred[c] = v
+    emit_scan(list(range(1, ncomp + 1)), 0, 0, 0, al1, dc_toks=dc_toks)
+
+    # --- AC first scans, per component, two spectral bands ---
+    for c in range(ncomp):
+        src = blocks if c == 0 else [zero_blk] * len(blocks)
+        for ss, se in ((1, 5), (6, 63)):
+            emit_scan([c + 1], ss, se, 0, al1,
+                      ac_blocks=[_ac_first_tokens(b, ss, se, al1) for b in src])
+
+    if successive:
+        # --- DC refinement: one raw low bit per block, interleaved ---
+        raw: list[int] = []
+        for blk in blocks:
+            raw.append(blk[0] & 1)
+            raw.extend([0] * (ncomp - 1))
+        emit_scan(list(range(1, ncomp + 1)), 0, 0, 1, 0, raw_bits=raw)
+        # --- AC refinement scans ---
+        for c in range(ncomp):
+            src = blocks if c == 0 else [zero_blk] * len(blocks)
+            for ss, se in ((1, 5), (6, 63)):
+                emit_scan([c + 1], ss, se, 1, 0,
+                          ac_blocks=[_ac_refine_tokens(b, ss, se, 0)
+                                     for b in src])
+
     out += b"\xff\xd9"
     return bytes(out)

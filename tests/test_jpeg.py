@@ -62,8 +62,14 @@ def test_byte_stuffing_survives():
 
 def test_unsupported_and_malformed_raise_value_error():
     jp = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic coding: still out of scope)
     i = jp.index(b"\xff\xc0")
+    arith = jp[:i] + b"\xff\xc9" + jp[i + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(bytes(arith))
+    # flip SOF0 -> SOF2: the baseline full-band scan header (Ss=0,
+    # Se=63) is NOT a legal progressive scan — rejected as malformed,
+    # not misdecoded (r12: real SOF2 now decodes, see the tests below)
     prog = jp[:i] + b"\xff\xc2" + jp[i + 2 :]
     with pytest.raises(ValueError):
         decode_jpeg_luma(bytes(prog))
@@ -182,3 +188,74 @@ def test_crawl_to_cross_format_image_near_dup(spark, tmp_path):
     }
     assert set(got) == {("https://a.example/p.png", "https://b.example/p.jpg")}
     assert got[("https://a.example/p.png", "https://b.example/p.jpg")] <= 2
+
+
+# --- progressive (SOF2) decode leg (r12) --------------------------------------
+
+
+def _prog(w, h, px, **kw):
+    from data_ingestion_tool_bakasura__spark.multimodal.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    return encode_jpeg_gray_progressive(w, h, px, **kw)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"successive": False},                   # spectral selection only
+        {"successive": True},                    # + successive approximation
+        {"successive": False, "color": True},    # interleaved DC, chroma sync
+        {"successive": True, "color": True},     # the full Annex G surface
+    ],
+)
+def test_progressive_decode_matches_baseline(kwargs):
+    """Progressive scans reorder the SAME quantized coefficients, so
+    the decoded luma plane must be BYTE-IDENTICAL to the baseline
+    encode of the same pixels — any drift in the EOB-run, refinement
+    correction-bit, or DC point-transform arithmetic shows up as a
+    pixel diff."""
+    for (w, h) in ((8, 8), (24, 17), (48, 32)):
+        px = _gradient(w, h)
+        want = decode_jpeg_luma(encode_jpeg_gray(w, h, px))
+        got = decode_jpeg_luma(_prog(w, h, px, **kwargs))
+        assert got == want
+
+
+def test_progressive_ahash_equals_baseline_hash():
+    """ahash64_jpeg is pixel-derived, so a progressive re-encode hashes
+    IDENTICALLY to the baseline encode — the dispatch needs no
+    progressive special case."""
+    px = _gradient()
+    assert ahash64_jpeg(_prog(48, 32, px)) == ahash64_jpeg(
+        encode_jpeg_gray(48, 32, px)
+    )
+
+
+def test_image_near_dup_progressive_pair_ungated(spark):
+    """The r11 verdict's largest remaining real-bytes hole, closed: a
+    PROGRESSIVE re-encode of the fixture pair (original baseline +
+    one-patch edit re-encoded progressive with successive
+    approximation) pairs through the unmodified image_near_dup seam —
+    real pixels, no codec libs, crossing the baseline/progressive
+    container boundary."""
+    w = h = 64
+    base = bytearray(((x * 4) if y < 32 else (255 - x * 4)) & 0xFF
+                     for y in range(h) for x in range(w))
+    edited = bytearray(base)
+    for yy in range(40, 48):
+        for xx in range(24, 32):
+            edited[yy * w + xx] ^= 0xFF
+    rows = [
+        (1, encode_jpeg_gray(w, h, bytes(base))),
+        (2, _prog(w, h, bytes(edited), successive=True, color=True)),
+        (3, _prog(w, h, bytes([7, 250] * 2048), successive=True)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.image_near_dup(df, "media_id", "payload", max_hamming=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all(3 not in pair for pair in got)
