@@ -321,6 +321,14 @@ def test_streaming_crawl_closure(spark, tmp_path):
     # present (NULL when off) so toggling dsir_ratios_path across runs
     # of one corpus never writes mixed-schema parquet (r10 ADVICE)
     assert rows["https://a.example.org/p"]["log_weight"] is None
+    # r12 (r11 verdict #8): pin the FULL stable append schema, not just
+    # log_weight — the seen-guard/domain-count reads use plain
+    # spark.read.parquet (no mergeSchema), so ANY optional stage that
+    # appends with a different column set silently corrupts the corpus
+    assert set(spark.read.parquet(corpus).columns) == {
+        "norm_url", "url", "domain", "text", "n_chars", "lang",
+        "log_weight",
+    }
 
     (crawl / "w2.warc").write_bytes(
         rec("https://a.example.org/p?utm_medium=y", b"<p>third copy</p>", "b1")
