@@ -735,6 +735,25 @@ def test_frontier_cli_journey(spark, tmp_path, capsys):
     rows = spark.read.parquet(out).collect()
     assert sorted(r["slot"] for r in rows) == [0, 1]  # 1/domain/tick
 
+    # r12: --robots wires declared Crawl-delays into the slot stride
+    # (www host folds to the registrable domain; 5s delay / 2s tick
+    # -> stride 3: the second new.org URL moves from slot 1 to slot 3)
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("www.new.org", "User-agent: *\nCrawl-delay: 5")],
+        "host string, body string",
+    ).write.parquet(robots)
+    out2 = str(tmp_path / "frontier2")
+    rc = pipeline_cli.main([
+        "frontier", str(watdir), corpus, out2, "--per-slot", "1",
+        "--robots", robots, "--tick", "2",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    rows2 = spark.read.parquet(out2).collect()
+    assert sorted(r["slot"] for r in rows2) == [0, 3]
+    assert {r["crawl_delay"] for r in rows2} == {5.0}
+
 
 def test_empty_graph_edges(spark, tmp_path):
     """Empty inputs stay safe: pagerank of an empty edge list is an

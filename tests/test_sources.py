@@ -682,3 +682,39 @@ def test_warc_record_expr_matches_byte_builder(spark):
             http_status=301, content_type="text/plain",
         )
         assert rendered[url].encode("utf-8") == want
+
+
+def test_export_warc_cli_roundtrip(spark, tmp_path, capsys):
+    """curate_cli export-warc: a curated corpus parquet exports to
+    spec-framed WARC files that read_warc roundtrips — the archive-
+    interchange journey an end user runs."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_cli
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [("https://a.example/p", "alpha body"),
+         ("https://b.example/q", "beta body")],
+        "url string, text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "warc_out")
+    rc = curate_cli.main([
+        "export-warc", corpus, out, "--gzip", "--date",
+        "2026-03-01T00:00:00Z",
+    ])
+    ev = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ev["event"] == "warc_exported"
+    assert ev["n_records"] == 2 and ev["n_files"] >= 1
+    back = {
+        r["url"]: (r["warc_date"], bytes(r["payload"]).decode())
+        for r in read_warc(spark, out).collect()
+    }
+    assert back == {
+        "https://a.example/p": ("2026-03-01T00:00:00Z", "alpha body"),
+        "https://b.example/q": ("2026-03-01T00:00:00Z", "beta body"),
+    }

@@ -128,6 +128,25 @@ def main(argv: list[str] | None = None) -> int:
         help="comma list col=ext, e.g. 'text=.txt,meta=.json'",
     )
 
+    p_warc = sub.add_parser(
+        "export-warc",
+        help="corpus parquet -> spec-framed WARC files (archive interchange)",
+    )
+    p_warc.add_argument("docs")
+    p_warc.add_argument("out_dir")
+    p_warc.add_argument("--url-col", default="url")
+    p_warc.add_argument("--payload-col", default="text")
+    p_warc.add_argument(
+        "--date-col", default=None,
+        help="WARC-Date column; when absent every record gets --date",
+    )
+    p_warc.add_argument("--date", default="2026-01-01T00:00:00Z")
+    p_warc.add_argument("--records-per-file", type=int, default=1000)
+    p_warc.add_argument(
+        "--gzip", action="store_true",
+        help="one gzip member per record (the Common Crawl .warc.gz layout)",
+    )
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -246,6 +265,30 @@ def main(argv: list[str] | None = None) -> int:
             "event": "shards_exported", "n_shards": len(rows),
             "n_samples": sum(r["n_samples"] for r in rows),
             "n_bytes": sum(r["n_bytes"] for r in rows),
+            "out": args.out_dir,
+        }))
+        return 0
+
+    if args.cmd == "export-warc":
+        from data_ingestion_tool_bakasura__spark.sources.warc import write_warc
+
+        docs = spark.read.parquet(args.docs)
+        date = (F.col(args.date_col) if args.date_col
+                else F.lit(args.date)).alias("_wdate")
+        src = docs.select(
+            F.col(args.url_col).alias("_wurl"), date,
+            F.col(args.payload_col).alias("_wpayload"),
+        )
+        man = write_warc(
+            src, args.out_dir, url_col="_wurl", date_col="_wdate",
+            payload_col="_wpayload", status_col=None, ctype_col=None,
+            records_per_file=args.records_per_file,
+            gzip_members=args.gzip,
+        ).collect()
+        print(json.dumps({
+            "event": "warc_exported", "n_files": len(man),
+            "n_records": sum(r["n_records"] for r in man),
+            "n_bytes": sum(r["n_bytes"] for r in man),
             "out": args.out_dir,
         }))
         return 0

@@ -113,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
         "--links-path", default="$.links",
         help="JSON path of the links array in the WAT envelope",
     )
+    p_fr.add_argument(
+        "--robots", default=None,
+        help="robots parquet (host, body): declared Crawl-delays stride"
+             " each domain's slots by ceil(delay / --tick)",
+    )
+    p_fr.add_argument(
+        "--tick", type=float, default=1.0,
+        help="seconds per politeness slot (the fetcher's drain rate)",
+    )
 
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
@@ -208,12 +217,38 @@ def main(argv: list[str] | None = None) -> int:
         corpus = spark.read.parquet(args.corpus_dir)
         ranks = (spark.read.parquet(args.host_ranks)
                  if args.host_ranks else None)
+        delays = None
+        if args.robots:
+            from pyspark.sql import functions as F
+
+            from data_ingestion_tool_bakasura__spark.functions import (
+                urls as U,
+            )
+            from data_ingestion_tool_bakasura__spark.operators.crawl import (
+                robots_delays_df,
+            )
+
+            # the frontier is registrable-domain keyed; robots tables
+            # are host keyed (www.x.com) — fold hosts to domains and
+            # keep the LONGEST declared delay per domain (conservative:
+            # never fetch a domain faster than its strictest host asks)
+            delays = (
+                robots_delays_df(spark.read.parquet(args.robots))
+                .select(
+                    U.registrable_domain(F.col("host")).alias("host"),
+                    "crawl_delay",
+                )
+                .groupBy("host")
+                .agg(F.max("crawl_delay").alias("crawl_delay"))
+            )
         sched = LG.fetch_schedule(
             LG.frontier_expand(
                 links, corpus, max_per_domain=args.max_per_domain,
                 host_ranks=ranks,
             ),
             per_slot=args.per_slot,
+            delays=delays,
+            tick_seconds=args.tick,
         )
         sched.write.mode("overwrite").parquet(args.out_dir)
         from pyspark.sql import functions as F
