@@ -337,12 +337,18 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         ROTATED grids: the full Tm matrix (a, b, c, d) is tracked and
         Td/TD/T*/leading advances are applied in TEXT space through
         it, so vertical-baseline runs (|b| > |a|) group on x instead
-        of y with reading order taken from the rotation sign.
-        Heuristic by design: 180-degree and arbitrary-angle text, and
-        spanned matrices, still need fitz; a plain paragraph (one run
-        per baseline, no ruling grid) can never match any detector."""
+        of y with reading order taken from the rotation sign. r12 adds
+        the 180-degree leg (a < 0 on a horizontal baseline): such runs
+        group in their own bucket with both keys negated, so rows come
+        out in READING order (device bottom-up, right-to-left) instead
+        of the device order that previously scrambled the cells.
+        Heuristic by design: arbitrary-angle text, rotated RULED-only
+        grids and spanned matrices still need fitz; a plain paragraph
+        (one run per baseline, no ruling grid) can never match any
+        detector."""
         h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
         v_runs: list[tuple[float, float, str]] = []
+        r180_runs: list[tuple[float, float, str]] = []
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
             a, b_, c, d = 1.0, 0.0, 0.0, 1.0
             x = y = 0.0
@@ -357,7 +363,15 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 if not t.strip():
                     return
                 if abs(b_) <= abs(a):  # horizontal baseline
-                    h_runs.append((round(y, 1), round(x, 1), t.strip()))
+                    if a >= 0:  # upright
+                        h_runs.append((round(y, 1), round(x, 1), t.strip()))
+                    else:  # 180 degrees: reading order = device
+                        # bottom-up rows, right-to-left cells — negate
+                        # both keys so _positioned's desc-row/asc-col
+                        # sort yields reading order (r12)
+                        r180_runs.append(
+                            (round(-y, 1), round(-x, 1), t.strip())
+                        )
                 else:  # rotated 90 (b>0) / 270 (b<0): rows live on x;
                     # sign maps device coords back to reading order
                     # (desc row key = top-down, asc col key = left-right)
@@ -415,6 +429,8 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         out, consumed = _positioned(runs)
         v_found, _ = _positioned(v_runs)
         out.extend(v_found)
+        r180_found, _ = _positioned(r180_runs)
+        out.extend(r180_found)
         # detector 2: ruled-only grid over the unconsumed runs
         xs, ys = _ruling_grid(stream)
         if xs and ys:

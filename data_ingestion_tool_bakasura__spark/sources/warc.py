@@ -445,6 +445,30 @@ def warc_sql(url_e: str, date_e: str, payload_e: str,
     return f"({warc_head} || {block} || {cr} || {cr})"
 
 
+def build_warcinfo_record(filename: str, info: dict[str, str]) -> bytes:
+    """A ``WARC-Type: warcinfo`` leader record (the Common Crawl file
+    shape: every .warc.gz member stream opens with one): the body is
+    the ``key: value`` lines of ``info`` (sorted — byte-determinism),
+    the record id derives from (filename, body). Pure function."""
+    body = "".join(
+        f"{k}: {v}\r\n" for k, v in sorted(info.items())
+    ).encode("utf-8")
+    import hashlib
+
+    rid = "<urn:md5:%s>" % hashlib.md5(
+        filename.encode() + b"\x00" + body
+    ).hexdigest()
+    head = (
+        f"{_WARC_VERSION}\r\n"
+        f"WARC-Type: warcinfo\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Filename: {filename}\r\n"
+        f"Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + body + b"\r\n\r\n"
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -456,6 +480,7 @@ def write_warc(
     records_per_file: int = 1000,
     gzip_members: bool = False,
     sort_within: bool = True,
+    warcinfo: dict[str, str] | None = None,
 ) -> DataFrame:
     """Write response rows as WARC files under ``out_dir`` — the
     inverse of :func:`read_warc` (write->read roundtrips the rows;
@@ -471,8 +496,13 @@ def write_warc(
     given partitioning always produces byte-identical files.
     ``gzip_members=True`` writes ONE GZIP MEMBER PER RECORD,
     concatenated — the Common Crawl .warc.gz layout, which
-    ``parse_warc_records`` reads back transparently. Same shared-mount
-    caveat as write_tar_shards: plain file IO per task."""
+    ``parse_warc_records`` reads back transparently. ``warcinfo``
+    (r12): a ``{key: value}`` dict makes every file open with a
+    ``WARC-Type: warcinfo`` leader record carrying those fields (the
+    CC file shape — e.g. ``{"software": ..., "format": "WARC File
+    Format 1.0"}``); ``read_warc``'s default type filter drops it on
+    read-back, so roundtrips are unaffected. Same shared-mount caveat
+    as write_tar_shards: plain file IO per task."""
     import json
     import os
 
@@ -513,8 +543,13 @@ def write_warc(
 
         def _open():
             nonlocal fh, path
-            path = os.path.join(out_dir, f"part-{pid:05d}-{seq:04d}{ext}")
+            name = f"part-{pid:05d}-{seq:04d}{ext}"
+            path = os.path.join(out_dir, name)
             fh = open(path, "wb")
+            if warcinfo is not None:
+                lead = build_warcinfo_record(name, warcinfo)
+                fh.write(gzip.compress(lead, mtime=0)
+                         if gzip_members else lead)
 
         def _close():
             nonlocal fh, seq, n

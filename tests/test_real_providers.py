@@ -593,3 +593,45 @@ def test_minipdf_invalid_digit_escape_drops_backslash():
     broken = pdf.replace(b"(" + b"x" * 17 + b")", rb"(\8 and \9 and \0z)")
     pages = MX.minipdf_parse_pages(broken)
     assert pages[0][0] == "8 and 9 and \x00z"
+
+
+def test_minipdf_180_rotated_positioned_grid():
+    """r12: a 180-degree grid (Tm = [-1 0 0 -1 x y] — upside-down
+    text) extracts in READING order: rows bottom-up in device space,
+    cells right-to-left. Before the r12 bucket the cells came out in
+    device order (rows top-down, cells left-right) — scrambled. An
+    upside-down PROSE column stays table-free, and a 180 block on a
+    page with an upright grid does not pollute the upright table."""
+    rot180 = (
+        b"BT /F1 12 Tf "
+        # reading row 1 sits at device BOTTOM (y=200), cell 1 at the
+        # device RIGHT (x=300)
+        b"-1 0 0 -1 300 200 Tm (r1c1) Tj -1 0 0 -1 180 200 Tm (r1c2) Tj "
+        b"-1 0 0 -1 300 220 Tm (r2c1) Tj -1 0 0 -1 180 220 Tm (r2c2) Tj "
+        b"-1 0 0 -1 300 240 Tm (r3c1) Tj -1 0 0 -1 180 240 Tm (r3c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot180))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
+
+    # upside-down prose: one run per baseline -> no table
+    prose = (
+        b"BT /F1 12 Tf "
+        b"-1 0 0 -1 300 200 Tm (line one) Tj "
+        b"-1 0 0 -1 300 220 Tm (line two) Tj "
+        b"ET"
+    )
+    assert MX.minipdf_parse_pages(
+        _splice_content(_tiny_pdf(["x"]), prose))[0][1] == []
+
+    # mixed page: the upright grid emits cleanly, the lone 180 run
+    # neither joins it nor fakes its own table
+    mixed = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 80 700 Tm (a1) Tj 1 0 0 1 200 700 Tm (a2) Tj "
+        b"1 0 0 1 80 680 Tm (b1) Tj 1 0 0 1 200 680 Tm (b2) Tj "
+        b"-1 0 0 -1 300 100 Tm (stamp) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), mixed))
+    assert pages[0][1] == ["a1 a2", "b1 b2"]

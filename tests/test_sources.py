@@ -718,3 +718,31 @@ def test_export_warc_cli_roundtrip(spark, tmp_path, capsys):
         "https://a.example/p": ("2026-03-01T00:00:00Z", "alpha body"),
         "https://b.example/q": ("2026-03-01T00:00:00Z", "beta body"),
     }
+
+
+def test_write_warc_warcinfo_leader(spark, tmp_path):
+    """warcinfo= makes every written file open with a warcinfo leader
+    record (the CC file shape); the default read filter drops it so
+    roundtrips are unaffected, and types=() surfaces it."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    src = _writer_rows(spark).coalesce(1)
+    write_warc(src, str(tmp_path / "wi"),
+               warcinfo={"software": "bakasura-spark", "format": "WARC/1.0"})
+    f = sorted((tmp_path / "wi").glob("part-*.warc"))[0]
+    raw = f.read_bytes()
+    assert raw.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo\r\n")
+    assert b"WARC-Filename: " + f.name.encode() in raw
+    assert b"software: bakasura-spark" in raw
+    # default read: responses only, roundtrip unaffected
+    back = read_warc(spark, str(tmp_path / "wi"))
+    assert back.count() == 3
+    assert set(r["warc_type"] for r in back.collect()) == {"response"}
+    # types=() keeps everything: the leader is visible
+    all_types = read_warc(spark, str(tmp_path / "wi"), types=())
+    assert sorted(r["warc_type"] for r in all_types.collect()) == [
+        "response", "response", "response", "warcinfo",
+    ]
