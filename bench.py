@@ -117,6 +117,7 @@ HEADLINE = [
     "q_video_near_dup",        # r11: shot-fingerprint video dedup (C15)
     "q_main_content",          # r11: jusText boilerplate removal (C20)
     "q_pagerank",              # r11: WAT link graph -> fixed-sweep PageRank (C20)
+    "q_warc_render",           # r12: WARC write-side record render (C2)
 ]
 
 
