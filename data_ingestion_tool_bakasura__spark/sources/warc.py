@@ -481,6 +481,7 @@ def write_warc(
     gzip_members: bool = False,
     sort_within: bool = True,
     warcinfo: dict[str, str] | None = None,
+    cdx: bool = False,
 ) -> DataFrame:
     """Write response rows as WARC files under ``out_dir`` — the
     inverse of :func:`read_warc` (write->read roundtrips the rows;
@@ -502,7 +503,21 @@ def write_warc(
     CC file shape — e.g. ``{"software": ..., "format": "WARC File
     Format 1.0"}``); ``read_warc``'s default type filter drops it on
     read-back, so roundtrips are unaffected. Same shared-mount caveat
-    as write_tar_shards: plain file IO per task."""
+    as write_tar_shards: plain file IO per task.
+
+    ``cdx=True`` (r12) writes the capture INDEX alongside, the way a
+    real archive pipeline publishes WARC + CDX together: each task
+    emits a sibling ``part-*.cdxj`` with one CDXJ line per record —
+    SURT urlkey (the shared ``urls.surt_key`` expression, computed
+    in-plan), 14-digit timestamp from the date column, and a JSON
+    block carrying url / mime / status / md5 digest plus the TRUE
+    ``filename`` / ``offset`` / ``length`` of the just-written record
+    (the compressed member's offset/length under ``gzip_members`` —
+    the Common Crawl convention). The index feeds ``sources/cdx.py``
+    unmodified: ``read_cdx(out_dir + "/*.cdxj")`` -> selection ->
+    ``fetch_plan`` -> ``read_warc_ranges(base_dir=out_dir)`` range-
+    reads exactly the chosen records back out of the files written
+    here (roundtripped in test_cdx)."""
     import json
     import os
 
@@ -520,18 +535,35 @@ def write_warc(
     payload = F.col(payload_col)
     if dict(df.dtypes).get(payload_col) == "string":
         payload = F.encode(payload, "utf-8")
-    src = df.select(
+    cols = [
         F.col(url_col).alias("_url"),
         F.col(date_col).alias("_date"),
         status.alias("_status"),
         ctype.alias("_ctype"),
         payload.alias("_payload"),
-    )
+    ]
+    if cdx:
+        from data_ingestion_tool_bakasura__spark.functions.urls import surt_key
+
+        # urlkey/ts/digest computed IN-PLAN (codegen) so the writer
+        # task needs no Python twin of the SURT expression
+        cols += [
+            surt_key(F.col(url_col)).alias("_urlkey"),
+            F.substring(
+                F.regexp_replace(F.col(date_col).cast("string"),
+                                 "[^0-9]", ""),
+                1, 14,
+            ).alias("_ts"),
+            F.md5(payload).alias("_digest"),
+        ]
+    src = df.select(*cols)
     if sort_within:
         src = src.sortWithinPartitions("_url", "_date")
     ext = ".warc.gz" if gzip_members else ".warc"
 
     def _write(batches):
+        import json as _json
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -540,6 +572,7 @@ def write_warc(
         fh = None
         path = None
         out: list[tuple[str, int, int]] = []
+        cdx_lines_buf: list[str] = []
 
         def _open():
             nonlocal fh, path
@@ -556,27 +589,56 @@ def write_warc(
             if fh is not None:
                 fh.close()
                 out.append((os.path.basename(path), n, os.path.getsize(path)))
+                if cdx:
+                    with open(
+                        os.path.join(out_dir, f"part-{pid:05d}-{seq:04d}.cdxj"),
+                        "w",
+                    ) as cf:
+                        cf.writelines(cdx_lines_buf)
+                    cdx_lines_buf.clear()
                 fh = None
                 seq += 1
                 n = 0
 
         for pdf in batches:
-            for url, date, st, ct, body in zip(
+            it = zip(
                 pdf["_url"], pdf["_date"], pdf["_status"],
                 pdf["_ctype"], pdf["_payload"],
-            ):
+                pdf["_urlkey"] if cdx else pdf["_url"],
+                pdf["_ts"] if cdx else pdf["_url"],
+                pdf["_digest"] if cdx else pdf["_url"],
+            )
+            for url, date, st, ct, body, ukey, ts, digest in it:
                 if fh is None:
                     _open()
+                stat = 200 if st is None or pd.isna(st) else int(st)
+                mime = ct or "text/html"
                 rec = build_warc_record(
                     url or "", date or "",
                     bytes(body) if body is not None else b"",
-                    http_status=200 if st is None or pd.isna(st) else int(st),
-                    content_type=ct or "text/html",
+                    http_status=stat,
+                    content_type=mime,
                 )
                 if gzip_members:
                     # mtime pinned for byte determinism (shards._EPOCH
                     # discipline); one member per record = the CC layout
                     rec = gzip.compress(rec, mtime=0)
+                if cdx:
+                    # CC convention: offset/length of the (compressed)
+                    # member as written — read_warc_ranges seeks these
+                    block = _json.dumps(
+                        {
+                            "url": url or "",
+                            "mime": mime,
+                            "status": str(stat),
+                            "digest": digest,
+                            "length": str(len(rec)),
+                            "offset": str(fh.tell()),
+                            "filename": os.path.basename(path),
+                        },
+                        sort_keys=True,
+                    )
+                    cdx_lines_buf.append(f"{ukey} {ts} {block}\n")
                 fh.write(rec)
                 n += 1
                 if n >= records_per_file:

@@ -218,3 +218,61 @@ def test_cdx_write_read_roundtrip(spark, tmp_path):
     # both spellings collapsed to one urlkey; the newer capture won
     assert r["urlkey"] == "com,a)/p"
     assert r["warc_file"] == "w2.warc.gz" and r["offset"] == 50
+
+
+def test_write_warc_cdx_index_full_circle(spark, tmp_path):
+    """r12: the archive-publisher pairing — write_warc(cdx=True)
+    emits sibling .cdxj files with the TRUE member offsets/lengths,
+    and the existing index stack consumes them unmodified:
+    read_cdx -> latest_captures -> fetch_plan -> read_warc_ranges
+    range-reads exactly the written records back (gzip members +
+    warcinfo leader shifting the offsets)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        latest_captures,
+        read_cdx,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.warc import write_warc
+
+    src = spark.createDataFrame(
+        [
+            ("https://a.example/p", "2026-03-01T10:20:30Z", "text/html",
+             200, b"<p>alpha</p>"),
+            ("https://b.example/q?x=1", "2026-03-02T00:00:00Z",
+             "text/plain", 200, b"beta \r\n\r\nWARC/ bytes"),
+            ("https://c.example/r", "2026-03-03T00:00:00Z", "text/html",
+             404, b"gone"),
+        ],
+        "url string, warc_date string, content_type string,"
+        " http_status int, payload binary",
+    ).repartition(2, "url")
+    out = str(tmp_path / "pub")
+    write_warc(
+        src, out, gzip_members=True, cdx=True,
+        warcinfo={"software": "bakasura-spark"}, records_per_file=2,
+    )
+    caps = read_cdx(spark, out + "/*.cdxj")
+    assert caps.count() == 3
+    got = {r["url"]: r for r in caps.collect()}
+    assert got["https://a.example/p"]["ts"] == "20260301102030"
+    assert got["https://a.example/p"]["status"] == 200
+    # the 404 is filtered by the default capture selection
+    plan = fetch_plan(latest_captures(caps))
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        read_warc_ranges,
+    )
+
+    back = read_warc_ranges(plan, out)
+    fetched = {
+        r["url"]: bytes(r["payload"]) for r in back.collect()
+    }
+    assert fetched == {
+        "https://a.example/p": b"<p>alpha</p>",
+        "https://b.example/q?x=1": b"beta \r\n\r\nWARC/ bytes",
+    }
+    # offsets are member-true: every planned range starts past the
+    # warcinfo leader (offset 0 is the leader, never a response)
+    for row in plan.collect():
+        assert all(r["offset"] > 0 for r in row["ranges"])

@@ -146,6 +146,11 @@ def main(argv: list[str] | None = None) -> int:
         "--gzip", action="store_true",
         help="one gzip member per record (the Common Crawl .warc.gz layout)",
     )
+    p_warc.add_argument(
+        "--cdx", action="store_true",
+        help="publish sibling .cdxj index files (true member offsets; "
+             "feeds read_cdx/fetch_plan/read_warc_ranges)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -283,7 +288,7 @@ def main(argv: list[str] | None = None) -> int:
             src, args.out_dir, url_col="_wurl", date_col="_wdate",
             payload_col="_wpayload", status_col=None, ctype_col=None,
             records_per_file=args.records_per_file,
-            gzip_members=args.gzip,
+            gzip_members=args.gzip, cdx=args.cdx,
         ).collect()
         print(json.dumps({
             "event": "warc_exported", "n_files": len(man),
