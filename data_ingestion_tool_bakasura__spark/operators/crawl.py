@@ -74,11 +74,31 @@ def domain_cap(
     )
 
 
+def robots_pattern_regex(pattern: str) -> str | None:
+    """RFC 9309 path pattern -> anchored regex, or None when the
+    pattern is a PLAIN PREFIX (no mid-pattern ``*``, no ``$`` anchor)
+    — the fast ``startswith`` leg needs no regex. ``*`` matches any
+    span; a trailing ``$`` anchors the end (mid-pattern ``$`` is
+    literal, the Google reading). The escaper covers exactly the
+    regex metacharacters, producing a pattern Java regex (Spark) and
+    RE2 (DuckDB) read identically — the shared-constant discipline, so
+    both engines must misparse together or not at all. Pure function."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    if "*" not in core and not anchored:
+        return None
+    esc = "".join(
+        "\\" + ch if ch in ".^$+?()[]{}|\\" else ch
+        for ch in core
+    )
+    return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
+
+
 def _robots_groups(
     body: str,
 ) -> list[tuple[list[str], list[tuple[str, bool]], float | None]]:
     """Shared robots.txt group parser: ``[(agents, rules, crawl_delay),
-    ...]`` where ``rules`` is ``[(path_prefix, allow), ...]`` and
+    ...]`` where ``rules`` is ``[(path_pattern, allow), ...]`` and
     ``crawl_delay`` is the group's ``Crawl-delay:`` seconds (None when
     absent/unparseable; the first valid value in a group wins)."""
     groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
@@ -103,9 +123,10 @@ def _robots_groups(
             in_group_body = True
             if not value:
                 continue  # empty Disallow/Allow: no rule
+            # a trailing '*' is a no-op under pattern semantics; mid
+            # '*' wildcards and the '$' end anchor are KEPT (r12 —
+            # robots_pattern_regex turns them into the match regex)
             prefix = value[:-1] if value.endswith("*") else value
-            if "*" in prefix or "$" in prefix:
-                continue  # unsupported pattern: skip, documented above
             cur_rules.append((prefix, field == "allow"))
         elif field == "crawl-delay":
             in_group_body = True
@@ -139,18 +160,19 @@ def _robots_group_for(
 
 
 def parse_robots(body: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """robots.txt body -> ``[(path_prefix, allow), ...]`` for the
+    """robots.txt body -> ``[(path_pattern, allow), ...]`` for the
     group matching ``agent`` (exact product-token match preferred,
     ``*`` group fallback — RFC 9309 §2.2.1).
 
-    Supported subset, stated honestly: prefix rules with an optional
-    trailing ``*`` (a no-op under prefix semantics); rules containing
-    mid-pattern ``*`` or ``$`` anchors are SKIPPED (treated as absent)
-    rather than mis-matched — the conservative reading for a curation
-    pipeline is "a rule we can't evaluate doesn't block". An empty
-    ``Disallow:`` is the spec's allow-all idiom (no rule emitted).
-    Pure function; unit-tested without Spark; :func:`robots_filter`
-    applies the result distributively."""
+    Full RFC 9309 pattern surface (r12 — the pre-r12 subset SKIPPED
+    wildcard rules, silently fetching what they disallowed): plain
+    prefixes, mid-pattern ``*`` wildcards, and the trailing ``$`` end
+    anchor all come through (a trailing ``*`` is stripped — a no-op
+    under pattern semantics); :func:`robots_pattern_regex` tells the
+    fast prefix leg from the regex leg. An empty ``Disallow:`` is the
+    spec's allow-all idiom (no rule emitted). Pure function;
+    unit-tested without Spark; :func:`robots_filter` applies the
+    result distributively."""
     return _robots_group_for(_robots_groups(body), agent)[0]
 
 
@@ -167,28 +189,38 @@ def robots_rules_df(
     robots: DataFrame, agent: str = "*", host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:
     """(host, robots.txt body) table -> exploded rule table
-    ``(host, prefix, allow, prefix_len)`` via :func:`parse_robots`.
-    Bodies parse once per host (not per page); the result is the
-    small broadcastable side of :func:`robots_filter` — a crawl of
-    millions of hosts yields a rules table of tens of millions of
-    short rows, still joinable (pass ``broadcast_rules=False``
-    there)."""
+    ``(host, prefix, allow, prefix_len, regex)`` via
+    :func:`parse_robots`. ``regex`` is NULL for plain prefixes (the
+    fast ``startswith`` leg) and the :func:`robots_pattern_regex`
+    translation for wildcard/anchored patterns; ``prefix_len`` is the
+    pattern's octet length — the RFC 9309 longest-match specificity,
+    wildcards counted (the Google reading). Bodies parse once per
+    host (not per page); the result is the small broadcastable side
+    of :func:`robots_filter` — a crawl of millions of hosts yields a
+    rules table of tens of millions of short rows, still joinable
+    (pass ``broadcast_rules=False`` there)."""
     import pandas as pd
 
     def _explode(batches):
         for pdf in batches:
             out = []
             for host, body in zip(pdf["_h"], pdf["_b"]):
-                for prefix, allow in parse_robots(body or "", agent):
-                    out.append((host, prefix, allow, len(prefix)))
+                for pattern, allow in parse_robots(body or "", agent):
+                    out.append((
+                        host, pattern, allow, len(pattern),
+                        robots_pattern_regex(pattern),
+                    ))
             yield pd.DataFrame(
-                out, columns=["host", "prefix", "allow", "prefix_len"]
+                out,
+                columns=["host", "prefix", "allow", "prefix_len", "regex"],
             )
 
     return robots.select(
         F.col(host_col).alias("_h"), F.col(body_col).alias("_b")
     ).mapInPandas(
-        _explode, schema="host string, prefix string, allow boolean, prefix_len int"
+        _explode,
+        schema="host string, prefix string, allow boolean,"
+               " prefix_len int, regex string",
     )
 
 
@@ -230,33 +262,51 @@ def robots_filter(
     robots entry for the host) means allowed.
 
     ``rules``: the table from :func:`robots_rules_df` (host, prefix,
-    allow, prefix_len). Plan: one (broadcast by default) left join on
-    host + a prefix ``startswith`` filter folded into the join
-    condition, then ONE aggregate over the fan-out that both picks the
+    allow, prefix_len[, regex]) — a pre-r12 persisted table without
+    the ``regex`` column still works (all rules match as prefixes).
+    Plan: one (broadcast by default) left join on host + a per-rule
+    match folded into the join condition (``startswith`` for plain
+    prefixes, ``regexp_like`` for the wildcard/anchored minority —
+    both engine-native, no Python), then ONE aggregate over the
+    fan-out that both picks the
     longest-match winner (max(struct(prefix_len, allow))) and carries
     the page columns through (``first`` — deterministic: every row in
     a group is the same page row replicated per matching rule). No
     join-back, so the row id is referenced exactly once in the plan —
     task retry / speculation cannot pair verdicts with the wrong rows
     (the r11 ADVICE finding against the old two-sided
-    monotonically_increasing_id join). Matching is on the raw path
-    (query excluded), per the common-crawler reading."""
+    monotonically_increasing_id join). Matching is on the path PLUS
+    the query when present (r12 — the RFC 9309 match target; real
+    wildcard rules overwhelmingly aim at query strings, e.g.
+    ``Disallow: /*?sessionid=``); the fragment never reaches a
+    server so it is excluded."""
     rid = F.monotonically_increasing_id()
     host = U.url_host(F.col(url_col))
     path_raw = U.url_path(F.col(url_col))
+    query = U.url_query(F.col(url_col))
+    target = F.concat(
+        F.when(path_raw == "", "/").otherwise(path_raw),
+        F.when(query == "", "").otherwise(F.concat(F.lit("?"), query)),
+    )
     keyed = (
         df.withColumn("_rid", rid)
         .withColumn("_host", host)
-        .withColumn("_path", F.when(path_raw == "", "/").otherwise(path_raw))
+        .withColumn("_path", target)
     )
+    if "regex" not in rules.columns:  # pre-r12 persisted rule tables
+        rules = rules.withColumn("regex", F.lit(None).cast("string"))
     r = rules.select(
-        F.col("host").alias("_rhost"), "prefix", "allow", "prefix_len"
+        F.col("host").alias("_rhost"), "prefix", "allow", "prefix_len",
+        "regex",
     )
     if broadcast_rules:
         r = F.broadcast(r)
+    match = F.when(
+        r["regex"].isNull(), keyed["_path"].startswith(r["prefix"])
+    ).otherwise(F.regexp_like(keyed["_path"], r["regex"]))
     joined = keyed.join(
         r,
-        on=(keyed["_host"] == r["_rhost"]) & keyed["_path"].startswith(r["prefix"]),
+        on=(keyed["_host"] == r["_rhost"]) & match,
         how="left",
     )
     # non-matching left-join rows carry struct(NULL, NULL) — which is a

@@ -389,13 +389,18 @@ FROM documents GROUP BY lang ORDER BY lang
 # path); the DuckDB oracle takes the same rules as inline VALUES and
 # replays RFC 9309 longest-match-ties-to-allow in SQL.
 
-#: (host-ordinal or None for "every host", prefix, allow)
+#: (host-ordinal or None for "every host", pattern, allow)
 _ROBOTS_RULES = [
     (None, "/doc/1", False),   # blocks /doc/1*
     (None, "/doc/12", True),   # longer allow wins /doc/12* back
     (3, "/", False),           # example3.com fully disallowed
     (5, "/doc/4", False),      # equal-length tie on example5.com:
     (5, "/doc/4", True),       # allow wins (RFC 9309 least-restrictive)
+    # r12 — the full RFC 9309 pattern surface (wildcards + $ anchor):
+    (None, "/doc/*9$", False),  # blocks every id ENDING in 9 (len 8)
+    (None, "/doc/*99", True),   # ...but ids containing 99 win the tie back
+    (6, "/doc/6$", False),      # exactly /doc/6 on example6.com ($ anchor)
+    (4, "/doc/*7", False),      # host 4: any id containing a 7
 ]
 
 
@@ -433,13 +438,19 @@ def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _robots_rules_values() -> str:
+    """Inline VALUES mirroring robots_rules_df's output — the regex
+    column comes from the SAME robots_pattern_regex translation the
+    Spark side uses (shared-constant discipline); prefix_len counts
+    the raw pattern's octets, wildcards included."""
     rows = []
     for d in range(13):
-        for who, prefix, allow in _ROBOTS_RULES:
+        for who, pattern, allow in _ROBOTS_RULES:
             if who is None or who == d:
+                rx = C.robots_pattern_regex(pattern)
                 rows.append(
-                    f"('example{d}.com', '{prefix}', "
-                    f"{'true' if allow else 'false'}, {len(prefix)})"
+                    f"('example{d}.com', '{pattern}', "
+                    f"{'true' if allow else 'false'}, {len(pattern)}, "
+                    + (f"'{rx}'" if rx is not None else "NULL") + ")"
                 )
     return ", ".join(rows)
 
@@ -450,11 +461,13 @@ WITH w AS (
          'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host,
          '/doc/' || CAST(doc_id AS VARCHAR) AS path
   FROM documents
-), r(host, prefix, allow, plen) AS (
+), r(host, prefix, allow, plen, regex) AS (
   VALUES {_robots_rules_values()}
 ), j AS (
   SELECT w.doc_id, w.host, r.allow, r.plen
-  FROM w LEFT JOIN r ON r.host = w.host AND starts_with(w.path, r.prefix)
+  FROM w LEFT JOIN r ON r.host = w.host AND
+    (CASE WHEN r.regex IS NULL THEN starts_with(w.path, r.prefix)
+          ELSE regexp_matches(w.path, r.regex) END)
 ), v AS (
   SELECT doc_id, host,
          (array_agg(allow ORDER BY plen DESC, allow DESC))[1] AS top_allow,

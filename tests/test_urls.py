@@ -233,14 +233,33 @@ Crawl-delay: 10
     assert C.parse_robots(body, "goodbot") == [
         ("/private", False), ("/private/ok", True),
     ]
-    # '*' group: empty rules skipped, mid-pattern wildcard skipped,
-    # trailing '*' stripped
-    assert C.parse_robots(body) == [("/tmp/", False), ("/trail", False)]
+    # '*' group: empty rules skipped, mid-pattern wildcard KEPT (r12 —
+    # full RFC 9309 patterns), trailing '*' stripped
+    assert C.parse_robots(body) == [
+        ("/tmp/", False), ("/wild*card", False), ("/trail", False),
+    ]
     # no matching group, no '*' group -> allow-all
     assert C.parse_robots("User-agent: x\nDisallow: /", "y") == []
     assert C.parse_robots("") == []
     # consecutive User-agent lines share one group (RFC 9309)
-    assert C.parse_robots(body, "other") == [("/tmp/", False), ("/trail", False)]
+    assert C.parse_robots(body, "other") == [
+        ("/tmp/", False), ("/wild*card", False), ("/trail", False),
+    ]
+
+
+def test_robots_pattern_regex():
+    """r12: plain prefixes stay on the startswith leg (None); mid
+    '*' and the trailing '$' anchor translate to an anchored regex
+    whose escaping is identical under Java regex and RE2."""
+    assert C.robots_pattern_regex("/plain/path") is None
+    assert C.robots_pattern_regex("/a/*/b") == "^/a/.*/b"
+    assert C.robots_pattern_regex("/exact$") == "^/exact$"
+    assert C.robots_pattern_regex("/*?sid=") == "^/.*\\?sid="
+    assert C.robots_pattern_regex("/a.b/*$") == "^/a\\.b/.*$"
+    import re
+
+    assert re.search("^/.*\\?sid=", "/page?sid=1")
+    assert not re.search("^/exact$", "/exact/sub")
 
 
 def test_parse_crawl_delay():
@@ -319,8 +338,44 @@ def test_robots_rules_df_parses_once_per_host(spark):
         map(tuple, C.robots_rules_df(robots).collect())
     )
     assert rows == [
-        ("h.example", "/a", False, 2), ("h.example", "/a/b", True, 4),
+        ("h.example", "/a", False, 2, None),
+        ("h.example", "/a/b", True, 4, None),
     ]
+
+
+def test_robots_filter_wildcard_and_anchor(spark):
+    """r12: wildcard and $-anchored rules gate distributively through
+    the regexp_like leg, composing with prefix rules under
+    longest-match; a pre-r12 rules table (no regex column) still
+    works."""
+    robots = spark.createDataFrame(
+        [("h.example",
+          "User-agent: *\n"
+          "Disallow: /*?sid=\n"        # any path with a sid param
+          "Disallow: /exact$\n"        # exactly /exact
+          "Allow: /a/*?sid=keep\n")],  # longer allow wins back
+        "host string, body string",
+    )
+    rules = C.robots_rules_df(robots)
+    df = spark.createDataFrame(
+        [
+            (1, "https://h.example/page?sid=9"),      # wildcard block
+            (2, "https://h.example/a/x?sid=keep"),    # allow wins (len 14>6)
+            (3, "https://h.example/exact"),           # $ anchor block
+            (4, "https://h.example/exact/sub"),       # anchor does NOT match
+            (5, "https://h.example/clean"),           # no rule
+        ],
+        "id int, url string",
+    )
+    kept = sorted(r["id"] for r in C.robots_filter(df, rules).collect())
+    assert kept == [2, 4, 5]
+    # legacy rules table without the regex column: prefix-only gating
+    legacy = spark.createDataFrame(
+        [("h.example", "/exact", False, 6)],
+        "host string, prefix string, allow boolean, prefix_len int",
+    )
+    kept2 = sorted(r["id"] for r in C.robots_filter(df, legacy).collect())
+    assert kept2 == [1, 2, 5]  # /exact AND /exact/sub prefix-blocked
 
 
 def test_language_filter_batch(spark):
