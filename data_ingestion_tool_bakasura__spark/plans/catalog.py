@@ -36,18 +36,20 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: Catalog iteration order. External correctness harnesses check a
 #: prefix of ``queries()`` in iteration order. Round-12 rotation
 #: (r11 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the ONE query new this round (q_warc_render — the WARC
-#: write-side framing oracle) and the THREE whose implementation
-#: changed semantically (q_fetch_schedule gained the robots
-#: Crawl-delay slot stride; q_robots_filter's verdict pairing was
-#: rewritten from the id join-back to a single-evaluation aggregate;
+#: lead with the TWO queries new this round (q_warc_render — the WARC
+#: write-side framing oracle; q_binary_rerank — 1-bit sign-code
+#: Hamming shortlist + exact rerank, full-pipeline oracle twin) and
+#: the THREE whose implementation changed semantically
+#: (q_fetch_schedule gained the robots Crawl-delay slot stride;
+#: q_robots_filter got the single-evaluation verdict aggregate PLUS
+#: full RFC 9309 wildcard/$ patterns matched on path+query;
 #: q_sitemap_seeds' entry parse gained the gzip-transparent payload
 #: sniff), then the TWENTY-TWO r8-evidence rows the r11 novelties
 #: displaced, then the r9 block oldest-first — filling the 50
-#: exactly (q_embedding_quantize is the 50th). After this window
-#: lands the oldest driver evidence anywhere is r9 (the remaining
-#: r9 rows past the boundary lead the r13 rotation, the r10 block
-#: behind them).
+#: exactly (q_embedding_near_dup is the 50th; q_embedding_quantize
+#: slipped just past the boundary and leads the r13 rotation with
+#: the rest of the r9 rows, the r10 block behind them). After this
+#: window lands the oldest driver evidence anywhere is r9.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
@@ -57,6 +59,7 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: silently drop a query.
 _PRIORITY = [
     "q_warc_render",
+    "q_binary_rerank",
     "q_fetch_schedule",
     "q_robots_filter",
     "q_sitemap_seeds",
@@ -105,8 +108,8 @@ _PRIORITY = [
     "q_user_retention",
     "q_sequence_packing",
     "q_embedding_near_dup",
-    "q_embedding_quantize",
     # ---------- 50-query window boundary ----------
+    "q_embedding_quantize",
     "q_link_graph",
     "q_pagerank",
     "q_anchor_text",

@@ -443,6 +443,65 @@ def q_quantized_rerank(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["q_quantized_rerank"] = ORACLE["q_cosine_topk_batch"]
 
 
+def q_binary_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage top-3 over 1-bit sign codes (operators/similarity.py
+    binary_quantize/binary_rerank_topk: Hamming candidate scan over
+    63-dims-per-BIGINT packed codes + exact float rerank) on the
+    q_cosine_topk_batch split. Unlike int8, sign bits don't preserve
+    cosine order, so the oracle re-derives the SAME two-stage pipeline
+    — per-pair Hamming as the sign-disagreement count (independently
+    verifying the pack + XOR + bit_count arithmetic), identical
+    (hamming, vec_id) shortlist tie-breaks, exact cosine top-3 — not
+    an exactness assumption."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.binary_rerank_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        k=3,
+        shortlist=50,
+        corpus_id="vec_id",
+        query_id="q_id",
+    )
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_binary_rerank"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 5
+), d AS (
+  SELECT q.q_id, c.vec_id, c.cv, q.qv,
+         list_sum(list_transform(generate_series(1, len(c.cv)),
+           i -> CASE WHEN (c.cv[i] > 0) <> (q.qv[i] > 0)
+                THEN 1 ELSE 0 END)) AS ham
+  FROM c, q
+), s AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY ham, vec_id) AS r1
+  FROM d
+), r AS (
+  SELECT q_id, vec_id,
+         round(list_cosine_similarity(cv, qv), 6) AS cos_sim
+  FROM s WHERE r1 <= 50
+)
+SELECT q_id, vec_id, cos_sim
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM r
+) t
+WHERE rn <= 3
+ORDER BY q_id, cos_sim DESC, vec_id
+"""
+
+
 def q_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization two-stage top-3 (operators/similarity.py
     pq_train/pq_encode/pq_adc_rerank_topk: 8 subspaces x 32 codes = 8
