@@ -380,6 +380,42 @@ def build_warc_record(
     return warc_head + block + b"\r\n\r\n"
 
 
+#: WARC-Profile URI for identical-payload-digest revisits (WARC 1.1 §6.7.2)
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+
+
+def build_warc_revisit_record(
+    url: str,
+    date: str,
+    payload_digest: str,
+    refers_to: str,
+    record_id: str | None = None,
+) -> bytes:
+    """A ``WARC-Type: revisit`` record (identical-payload-digest
+    profile) — how a deduplicating crawler records "this URL served
+    bytes we already archived" without storing them again:
+    ``WARC-Refers-To`` names the original record, ``WARC-Payload-
+    Digest`` carries the shared digest, the body is empty. Pure
+    function; the :func:`write_warc` ``dedup_digest`` leg applies it
+    to every non-first occurrence."""
+    if record_id is None:
+        record_id = _record_id_of(url, date + "#revisit")
+    head = (
+        f"{_WARC_VERSION}\r\n"
+        f"WARC-Type: revisit\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Refers-To: {refers_to}\r\n"
+        f"WARC-Profile: {_REVISIT_PROFILE}\r\n"
+        f"WARC-Payload-Digest: md5:{payload_digest}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Length: 0\r\n\r\n"
+    ).encode("latin-1")
+    return head + b"\r\n\r\n"
+
+
 def warc_record_expr(url, date, payload_text, http_status: int = 200,
                      content_type: str = "text/html"):
     """Codegen Column: the TEXT of :func:`build_warc_record` for a
@@ -482,6 +518,7 @@ def write_warc(
     sort_within: bool = True,
     warcinfo: dict[str, str] | None = None,
     cdx: bool = False,
+    dedup_digest: bool = False,
 ) -> DataFrame:
     """Write response rows as WARC files under ``out_dir`` — the
     inverse of :func:`read_warc` (write->read roundtrips the rows;
@@ -517,7 +554,17 @@ def write_warc(
     unmodified: ``read_cdx(out_dir + "/*.cdxj")`` -> selection ->
     ``fetch_plan`` -> ``read_warc_ranges(base_dir=out_dir)`` range-
     reads exactly the chosen records back out of the files written
-    here (roundtripped in test_cdx)."""
+    here (roundtripped in test_cdx).
+
+    ``dedup_digest=True`` (r12) writes the Common Crawl DEDUP shape:
+    rows whose payload md5 repeats an earlier row's store as
+    ``WARC-Type: revisit`` records (identical-payload-digest profile,
+    ``WARC-Refers-To`` naming the original's deterministic id, empty
+    body) instead of re-archiving the bytes — the only leg of this
+    writer that shuffles (one exchange on the digest, which digest
+    dedup requires by definition; first occurrence by (url, date)
+    wins). CDX lines for revisits carry mime ``warc/revisit``, the CC
+    convention. Read back losslessly with :func:`read_warc_deduped`."""
     import json
     import os
 
@@ -554,9 +601,34 @@ def write_warc(
                                  "[^0-9]", ""),
                 1, 14,
             ).alias("_ts"),
-            F.md5(payload).alias("_digest"),
         ]
+    if cdx or dedup_digest:
+        cols.append(F.md5(payload).alias("_digest"))
     src = df.select(*cols)
+    if dedup_digest:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_digest").orderBy("_url", "_date")
+        first_url = F.first("_url").over(w)
+        first_date = F.first("_date").over(w)
+        src = (
+            src.withColumn("_dup_rn", F.row_number().over(w))
+            .withColumn(
+                "_refers",
+                F.when(
+                    F.col("_dup_rn") > 1,
+                    F.concat(
+                        F.lit("<urn:md5:"),
+                        F.md5(
+                            F.concat(first_url, F.lit(" "), first_date)
+                            .cast("binary")
+                        ),
+                        F.lit(">"),
+                    ),
+                ),
+            )
+            .drop("_dup_rn")
+        )
     if sort_within:
         src = src.sortWithinPartitions("_url", "_date")
     ext = ".warc.gz" if gzip_members else ".warc"
@@ -601,24 +673,28 @@ def write_warc(
                 n = 0
 
         for pdf in batches:
-            it = zip(
-                pdf["_url"], pdf["_date"], pdf["_status"],
-                pdf["_ctype"], pdf["_payload"],
-                pdf["_urlkey"] if cdx else pdf["_url"],
-                pdf["_ts"] if cdx else pdf["_url"],
-                pdf["_digest"] if cdx else pdf["_url"],
-            )
-            for url, date, st, ct, body, ukey, ts, digest in it:
+            for tup in pdf.itertuples(index=False):
+                r = dict(zip(pdf.columns, tup))
+                url, date = r["_url"] or "", r["_date"] or ""
+                st = r["_status"]
                 if fh is None:
                     _open()
                 stat = 200 if st is None or pd.isna(st) else int(st)
-                mime = ct or "text/html"
-                rec = build_warc_record(
-                    url or "", date or "",
-                    bytes(body) if body is not None else b"",
-                    http_status=stat,
-                    content_type=mime,
-                )
+                mime = r["_ctype"] or "text/html"
+                refers = r.get("_refers") if dedup_digest else None
+                if dedup_digest and refers is not None and not pd.isna(refers):
+                    rec = build_warc_revisit_record(
+                        url, date, r["_digest"], refers
+                    )
+                    mime = "warc/revisit"  # the CC CDX convention
+                else:
+                    body = r["_payload"]
+                    rec = build_warc_record(
+                        url, date,
+                        bytes(body) if body is not None else b"",
+                        http_status=stat,
+                        content_type=mime,
+                    )
                 if gzip_members:
                     # mtime pinned for byte determinism (shards._EPOCH
                     # discipline); one member per record = the CC layout
@@ -628,17 +704,17 @@ def write_warc(
                     # member as written — read_warc_ranges seeks these
                     block = _json.dumps(
                         {
-                            "url": url or "",
+                            "url": url,
                             "mime": mime,
                             "status": str(stat),
-                            "digest": digest,
+                            "digest": r["_digest"],
                             "length": str(len(rec)),
                             "offset": str(fh.tell()),
                             "filename": os.path.basename(path),
                         },
                         sort_keys=True,
                     )
-                    cdx_lines_buf.append(f"{ukey} {ts} {block}\n")
+                    cdx_lines_buf.append(f"{r['_urlkey']} {r['_ts']} {block}\n")
                 fh.write(rec)
                 n += 1
                 if n >= records_per_file:
@@ -659,6 +735,87 @@ def write_warc(
     return df.sparkSession.createDataFrame(
         rows, "file string, n_records long, n_bytes long"
     )
+
+
+REVISIT_SCHEMA = (
+    "path string, record_id string, url string, warc_date string, "
+    "refers_to string, payload_digest string"
+)
+
+
+def read_warc_revisits(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.warc*",
+    streaming: bool = False,
+) -> DataFrame:
+    """``WARC-Type: revisit`` rows with the headers the fixed response
+    schema drops: ``refers_to`` (the original's record id) and
+    ``payload_digest`` (hex, algorithm prefix stripped). Same explode
+    seam as :func:`read_warc`."""
+    from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
+
+    src = read_binary_files(spark, path, glob=glob, streaming=streaming).select(
+        "path", "content"
+    )
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for headers, _body in parse_warc_records(bytes(content)):
+                    if headers.get("warc-type", "").lower() != "revisit":
+                        continue
+                    dig = headers.get("warc-payload-digest", "")
+                    rows.append((
+                        path_,
+                        headers.get("warc-record-id", ""),
+                        headers.get("warc-target-uri", ""),
+                        headers.get("warc-date", ""),
+                        headers.get("warc-refers-to", ""),
+                        dig.split(":", 1)[-1],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "record_id", "url", "warc_date",
+                         "refers_to", "payload_digest"],
+            )
+
+    return src.mapInPandas(_explode, REVISIT_SCHEMA)
+
+
+def read_warc_deduped(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.warc*",
+) -> DataFrame:
+    """Lossless inverse of ``write_warc(dedup_digest=True)``: response
+    rows as-is, UNION revisit rows with their payload (and HTTP
+    status/type) restored from the digest-matching original — back to
+    one full row per pre-dedup source row, ``warc_type`` telling the
+    restored ones apart. One join on the digest key (the restore's
+    irreducible exchange; the response side is the small distinct-
+    digest set)."""
+    from pyspark.sql import functions as F
+
+    resp = read_warc(spark, path, glob=glob)
+    rev = read_warc_revisits(spark, path, glob=glob)
+    originals = (
+        resp.withColumn("payload_digest", F.md5("payload"))
+        .select("payload_digest", "content_type", "http_status", "payload")
+        .dropDuplicates(["payload_digest"])
+    )
+    restored = rev.join(originals, "payload_digest").select(
+        "path",
+        "record_id",
+        F.lit("revisit").alias("warc_type"),
+        "url",
+        "warc_date",
+        "content_type",
+        "http_status",
+        "payload",
+    )
+    return resp.unionByName(restored)
 
 
 def decode_payload_udf():

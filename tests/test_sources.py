@@ -746,3 +746,68 @@ def test_write_warc_warcinfo_leader(spark, tmp_path):
     assert sorted(r["warc_type"] for r in all_types.collect()) == [
         "response", "response", "response", "warcinfo",
     ]
+
+
+def test_write_warc_dedup_digest_revisits(spark, tmp_path):
+    """r12: dedup_digest writes repeated payloads as revisit records
+    (identical-payload-digest profile, WARC-Refers-To the original's
+    deterministic id, empty body — the CC dedup-crawl shape);
+    read_warc_deduped restores every pre-dedup row losslessly, and
+    the CDX sidecar tags revisits with mime warc/revisit."""
+    import json as _json
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        read_warc,
+        read_warc_deduped,
+        read_warc_revisits,
+        write_warc,
+    )
+
+    shared = b"<p>the same bytes</p>"
+    src = spark.createDataFrame(
+        [
+            ("https://a.example/p", "2026-03-01T00:00:00Z", "text/html", 200, shared),
+            ("https://b.example/q", "2026-03-02T00:00:00Z", "text/html", 200, shared),
+            ("https://c.example/r", "2026-03-03T00:00:00Z", "text/html", 200, b"unique"),
+            ("https://d.example/s", "2026-03-04T00:00:00Z", "text/html", 200, shared),
+        ],
+        "url string, warc_date string, content_type string,"
+        " http_status int, payload binary",
+    ).coalesce(1)
+    out = str(tmp_path / "dedup")
+    write_warc(src, out, dedup_digest=True, cdx=True, gzip_members=True)
+
+    # stored responses: only the digest-first occurrences
+    resp = read_warc(spark, out)
+    assert sorted(r["url"] for r in resp.collect()) == [
+        "https://a.example/p", "https://c.example/r",
+    ]
+    rev = read_warc_revisits(spark, out).collect()
+    assert sorted(r["url"] for r in rev) == [
+        "https://b.example/q", "https://d.example/s",
+    ]
+    a_id = next(r["record_id"] for r in resp.collect()
+                if r["url"] == "https://a.example/p")
+    assert all(r["refers_to"] == a_id for r in rev)
+    assert len({r["payload_digest"] for r in rev}) == 1
+
+    # lossless restore
+    back = read_warc_deduped(spark, out)
+    got = sorted(
+        (r["url"], r["warc_date"], bytes(r["payload"])) for r in back.collect()
+    )
+    want = sorted(
+        (r["url"], r["warc_date"], bytes(r["payload"])) for r in src.collect()
+    )
+    assert got == want
+    assert back.filter("warc_type = 'revisit'").count() == 2
+
+    # CDX sidecar: 4 lines, revisits tagged warc/revisit
+    lines = []
+    for p in sorted((tmp_path / "dedup").glob("*.cdxj")):
+        lines += p.read_text().splitlines()
+    assert len(lines) == 4
+    mimes = sorted(
+        _json.loads(ln.split(" ", 2)[2])["mime"] for ln in lines
+    )
+    assert mimes == ["text/html", "text/html", "warc/revisit", "warc/revisit"]
