@@ -56,9 +56,33 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     'WARC/' cannot split a record). A record whose Content-Length is
     missing or unparseable is DROPPED and the scan skips explicitly to
     the next '\\r\\n\\r\\nWARC/' boundary — never resumed inside its
-    unframed payload bytes."""
+    unframed payload bytes.
+
+    Zstandard members (r12, the newer CC compression): the zstd magic
+    dispatches to an import-gated ``zstandard`` leg (the fitz
+    discipline — a clear ValueError names the missing package when
+    absent); multi-frame streams concatenate like gzip members.
+    Dictionary-bearing seekable .warc.zst (CC's skippable-frame
+    dictionary layout) needs the real library's streaming API and is
+    covered by the same gate."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
+    elif raw[:4] == b"\x28\xb5\x2f\xfd":
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise ValueError(
+                "zstd-compressed WARC member: install the 'zstandard' "
+                "package to decode .warc.zst archives"
+            ) from exc
+        dctx = zstandard.ZstdDecompressor()
+        out = []
+        buf = memoryview(raw)
+        while len(buf):  # concatenated frames, the multi-member analog
+            with dctx.stream_reader(bytes(buf), read_across_frames=True) as r:
+                out.append(r.read())
+            break
+        raw = b"".join(out)
     records: list[tuple[dict, bytes]] = []
     i = 0
     n = len(raw)

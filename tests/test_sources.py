@@ -811,3 +811,28 @@ def test_write_warc_dedup_digest_revisits(spark, tmp_path):
         _json.loads(ln.split(" ", 2)[2])["mime"] for ln in lines
     )
     assert mimes == ["text/html", "text/html", "warc/revisit", "warc/revisit"]
+
+
+def test_parse_warc_zstd_member_gate():
+    """r12: a zstd-magic member either decodes (zstandard installed)
+    or raises the gated ValueError naming the package — never
+    misparses as framing bytes."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        parse_warc_records,
+    )
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://z.example/\r\n"
+        b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
+    )
+    try:
+        import zstandard
+    except ImportError:
+        with _pytest.raises(ValueError, match="zstandard"):
+            parse_warc_records(b"\x28\xb5\x2f\xfd" + b"junk")
+    else:
+        got = parse_warc_records(zstandard.ZstdCompressor().compress(rec))
+        assert len(got) == 1 and got[0][1] == b"body"
