@@ -198,7 +198,7 @@ class IndexClient:
     # -- index, the way the reference's Azure side serves from its
     # -- HNSW index, db_utils.py:93-110 — never a full scan per query)
 
-    ANN_KINDS = ("hnsw", "ivf", "pq")
+    ANN_KINDS = ("hnsw", "ivf", "pq", "binary")
 
     def _ann_dir(self, kind: str) -> str:
         if kind not in self.ANN_KINDS:
@@ -246,6 +246,11 @@ class IndexClient:
         - ``pq``: product-quantization codebooks; serving re-encodes in
           the scan against the STORED codebooks (the codebook is the
           trained state; at scale persist ``pq_encode`` output too).
+        - ``binary`` (r12): the 1-bit sign-code table
+          (``similarity.binary_quantize``) — the smallest artifact in
+          the family (~200 B per 1536-dim vector); serving scans only
+          the codes for the Hamming shortlist and touches floats for
+          the rerank rows alone.
         """
         import json
 
@@ -303,6 +308,16 @@ class IndexClient:
             )
             books.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
             params = {"pq_m": pq_m, "n_codes": n_codes, "iters": iters}
+        elif kind == "binary":
+            from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                binary_quantize,
+            )
+
+            codes = binary_quantize(
+                corpus, "content_vector", code_col="b_code"
+            ).select("id", "b_code")
+            codes.write.mode("overwrite").parquet(os.path.join(d, "codes"))
+            params = {}
 
         manifest = {
             "kind": kind,
@@ -397,6 +412,18 @@ class IndexClient:
                     wave, cent, corpus_id="id", vec_col="content_vector"
                 )
                 inc.write.mode("append").partitionBy("c_id").parquet(apath)
+        elif kind == "binary":
+            from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                binary_quantize,
+            )
+
+            cpath = os.path.join(d, "codes")
+            codes = self.spark.read.parquet(cpath)
+            wave = corpus.join(codes.select("id"), "id", "anti")
+            if wave.limit(1).count():
+                binary_quantize(wave, "content_vector", code_col="b_code") \
+                    .select("id", "b_code") \
+                    .write.mode("append").parquet(cpath)
         # pq: codebooks serve any corpus snapshot; only the count moves
         manifest["n_rows"] = corpus.count()
         with open(os.path.join(d, "manifest.json"), "w") as f:
@@ -492,6 +519,18 @@ class IndexClient:
                     self._query_df(qv), k=k, nprobe=nprobe,
                     corpus_id="id", vec_col="content_vector",
                     probe_lists=probed,
+                ).drop("q_id")
+            elif index == "binary":
+                from data_ingestion_tool_bakasura__spark.operators.similarity import (
+                    binary_topk_indexed,
+                )
+
+                hits = binary_topk_indexed(
+                    self.spark.read.parquet(os.path.join(d, "codes")),
+                    self.table().filter(F.col("content_vector").isNotNull()),
+                    self._query_df(qv),
+                    k=k, shortlist=shortlist or max(4 * k, 50),
+                    corpus_id="id", vec_col="content_vector",
                 ).drop("q_id")
             else:  # pq
                 from data_ingestion_tool_bakasura__spark.operators.similarity import (

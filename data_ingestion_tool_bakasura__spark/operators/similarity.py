@@ -1250,3 +1250,60 @@ def binary_rerank_topk(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def binary_topk_indexed(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    code_col: str = "b_code",
+) -> DataFrame:
+    """:func:`binary_rerank_topk` served from a PERSISTED code table
+    (``codes``: the (id, packed words) output of
+    :func:`binary_quantize`, built once): the Hamming stage scans ONLY
+    the 200-byte-per-vector codes — the float corpus is touched just
+    for the ``shortlist`` rerank rows per query (a semi-join-shaped
+    second stage). Equals the fused form for the same shortlist
+    (parity-tested in test_index_client). Queries quantize in-plan and
+    broadcast."""
+    qz = binary_quantize(
+        queries.select(
+            _c(query_id).alias("_bq_qid"), _c(vec_col).alias("_bq_qvec")
+        ),
+        "_bq_qvec",
+        code_col="_bq_qcode",
+    )
+    q = F.broadcast(qz)
+    scored = codes.crossJoin(q).select(
+        F.col("_bq_qid").alias(query_id),
+        _c(corpus_id).alias(corpus_id),
+        F.col("_bq_qvec"),
+        binary_hamming(_c(code_col), F.col("_bq_qcode")).alias("_bq_ham"),
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.asc("_bq_ham"), _c(corpus_id))
+    short = (
+        scored.withColumn("_bq_r1", F.row_number().over(w1))
+        .filter(F.col("_bq_r1") <= shortlist)
+        .select(query_id, corpus_id, "_bq_qvec")
+    )
+    rer = short.join(
+        corpus.select(_c(corpus_id).alias(corpus_id), _c(vec_col).alias(vec_col)),
+        corpus_id,
+    ).select(
+        query_id,
+        corpus_id,
+        F.round(
+            cosine_similarity(_c(vec_col), F.col("_bq_qvec")), 6
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), _c(corpus_id))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

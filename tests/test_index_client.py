@@ -234,7 +234,9 @@ def test_ann_serving_mode_parity(spark, tmp_path):
     m_h = client.build_ann("hnsw", m=8, ef_construction=100, n_shards=4)
     m_i = client.build_ann("ivf", n_lists=4, iters=2)
     m_p = client.build_ann("pq", pq_m=4, n_codes=8, iters=2)
+    m_b = client.build_ann("binary")
     assert m_h["n_rows"] == m_i["n_rows"] == m_p["n_rows"] == n
+    assert m_b["n_rows"] == n
     assert client.ann_manifest("hnsw")["params"]["n_shards"] == 4
     assert client.ann_manifest("ivf")["params"]["n_lists"] == 4
 
@@ -245,6 +247,9 @@ def test_ann_serving_mode_parity(spark, tmp_path):
     assert key(client.search_vector(probe, k=5, index="hnsw", ef_search=500)) == exact
     assert key(client.search_vector(probe, k=5, index="ivf", nprobe=4)) == exact
     assert key(client.search_vector(probe, k=5, index="pq", shortlist=n)) == exact
+    # r12: 1-bit codes — corpus-wide shortlist == exact (the Hamming
+    # stage only orders the shortlist; rerank is full-precision)
+    assert key(client.search_vector(probe, k=5, index="binary", shortlist=n)) == exact
 
     # hybrid composes through the same dial
     hyb = client.search_hybrid(probe, k=5, index="hnsw", ef_search=500).collect()
@@ -358,7 +363,8 @@ def test_increment_ann_closure(spark, tmp_path):
     client.store(_rows(spark, 0, 40))
     for kind, kw in (("hnsw", dict(m=8, ef_construction=100, n_shards=4)),
                      ("ivf", dict(n_lists=4, iters=2)),
-                     ("pq", dict(pq_m=4, n_codes=8, iters=2))):
+                     ("pq", dict(pq_m=4, n_codes=8, iters=2)),
+                     ("binary", {})):
         client.build_ann(kind, **kw)
     n1 = client.stats()["document_count"]
 
@@ -372,7 +378,7 @@ def test_increment_ann_closure(spark, tmp_path):
         p: os.path.getmtime(os.path.join(graph_dir, p))
         for p in os.listdir(graph_dir) if p.startswith("shard=")
     }
-    for kind in ("hnsw", "ivf", "pq"):
+    for kind in ("hnsw", "ivf", "pq", "binary"):
         m = client.increment_ann(kind)
         assert m["n_rows"] == n2
 
@@ -384,6 +390,9 @@ def test_increment_ann_closure(spark, tmp_path):
     hit_i = client.search_vector(probe["content"], k=1, index="ivf",
                                  nprobe=4).first()
     assert hit_i["id"] == probe["id"] and hit_i["cos_sim"] == 1.0
+    hit_b = client.search_vector(probe["content"], k=1, index="binary",
+                                 shortlist=n2).first()
+    assert hit_b["id"] == probe["id"] and hit_b["cos_sim"] == 1.0
 
     # ivf at full probe still equals the exact scan on the grown corpus
     key = lambda df: [(r["id"], r["cos_sim"]) for r in df.collect()]

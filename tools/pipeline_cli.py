@@ -6,15 +6,15 @@ chunk -> embed -> upsert into a search index -> show stats
 plus the search leg the reference configures but never issues:
 
     python tools/pipeline_cli.py ingest <src_dir> <index_dir> [--glob '*'] [--dim 64]
-    python tools/pipeline_cli.py build-ann <index_dir> [--kind hnsw|ivf|pq]
-    python tools/pipeline_cli.py search <index_dir> "query text" [--mode text|vector|hybrid] [--index exact|hnsw|ivf|pq] [-k 10]
+    python tools/pipeline_cli.py build-ann <index_dir> [--kind hnsw|ivf|pq|binary]
+    python tools/pipeline_cli.py search <index_dir> "query text" [--mode text|vector|hybrid] [--index exact|hnsw|ivf|pq|binary] [-k 10]
     python tools/pipeline_cli.py stats <index_dir>
 
 ``ingest`` is incremental and dedup-checked (same batch twice adds 0
 chunks — the reference's text_hash probe, done as one anti-join);
 ``search`` modes map to BM25 (B8), vector KNN (B9) and RRF-hybrid
 (B10). ``build-ann`` persists an ANN artifact once, after which
-``--index hnsw|ivf|pq`` serves vector/hybrid queries from the stored
+``--index hnsw|ivf|pq|binary`` serves vector/hybrid queries from the stored
 structure instead of scanning the corpus — the reference's
 serve-from-HNSW-index shape (db_utils.py:93-110). Output is JSON
 lines on stdout.
@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p_ann = sub.add_parser("build-ann", help="persist an ANN serving artifact")
     p_ann.add_argument("index_dir")
-    p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq"), default="hnsw")
+    p_ann.add_argument("--kind", choices=("hnsw", "ivf", "pq", "binary"), default="hnsw")
     p_ann.add_argument(
         "--increment", action="store_true",
         help="fold rows ingested since the last build/increment into the "
@@ -137,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
     p_sea.add_argument("query")
     p_sea.add_argument("--mode", choices=("text", "vector", "hybrid"), default="hybrid")
     p_sea.add_argument(
-        "--index", choices=("exact", "hnsw", "ivf", "pq"), default="exact",
+        "--index", choices=("exact", "hnsw", "ivf", "pq", "binary"), default="exact",
         help="vector-leg retrieval path (non-exact needs build-ann first)",
     )
     p_sea.add_argument(
