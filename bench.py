@@ -118,6 +118,7 @@ HEADLINE = [
     "q_main_content",          # r11: jusText boilerplate removal (C20)
     "q_pagerank",              # r11: WAT link graph -> fixed-sweep PageRank (C20)
     "q_warc_render",           # r12: WARC write-side record render (C2)
+    "q_binary_rerank",         # r12: 1-bit Hamming shortlist + exact rerank (C14)
 ]
 
 

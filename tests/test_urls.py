@@ -586,3 +586,62 @@ def test_recrawl_candidates(spark):
     # the utm twin merged and its NEWER lastmod won the per-URL max
     assert r["norm_url"] == "https://a.com/1"
     assert r["lastmod"].month == 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_robots_match(pattern: str, path: str) -> bool:
+    """Independent RFC 9309 matcher (iterative wildcard walk, no
+    regex): pattern must match a PREFIX of path ('$' anchors the
+    end). The property test below pins robots_pattern_regex /
+    startswith against this reference."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    segs = core.split("*")
+    pos = 0
+    for i, seg in enumerate(segs):
+        if i == 0:
+            if not path.startswith(seg):
+                return False
+            pos = len(seg)
+        else:
+            j = path.find(seg, pos)
+            if j < 0:
+                return False
+            pos = j + len(seg)
+    if anchored:
+        # the last segment must reach the END of path; earlier '*'
+        # spans can absorb anything
+        if not segs[-1]:
+            return True  # trailing '*' before '$': anything ends it
+        if len(segs) == 1:
+            return path == segs[0]
+        return path.endswith(segs[-1]) and pos <= len(path)
+    return True
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab/.?*", min_size=0, max_size=8),
+    st.booleans(),
+    st.text(alphabet="ab/.?", min_size=0, max_size=12),
+)
+def test_robots_pattern_regex_matches_reference(core, anchored, path):
+    """PROPERTY: the shared regex translation (the exact pattern both
+    Spark and DuckDB evaluate) agrees with an independent iterative
+    RFC 9309 matcher on arbitrary patterns — wildcards, anchors,
+    regex metacharacters ('.', '?') in the path alphabet."""
+    import re as _re
+
+    pattern = core + ("$" if anchored else "")
+    if pattern in ("", "$"):
+        return  # parse_robots never emits empty rules
+    rx = C.robots_pattern_regex(pattern)
+    if rx is None:
+        got = path.startswith(pattern)
+    else:
+        got = bool(_re.search(rx, path))
+    want = _ref_robots_match(pattern, path)
+    assert got == want, (pattern, path, rx)
