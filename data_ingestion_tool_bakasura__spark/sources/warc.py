@@ -542,6 +542,7 @@ def write_warc(
     sort_within: bool = True,
     warcinfo: dict[str, str] | None = None,
     cdx: bool = False,
+    cdx_filename_prefix: str = "",
     dedup_digest: bool = False,
 ) -> DataFrame:
     """Write response rows as WARC files under ``out_dir`` — the
@@ -734,7 +735,8 @@ def write_warc(
                             "digest": r["_digest"],
                             "length": str(len(rec)),
                             "offset": str(fh.tell()),
-                            "filename": os.path.basename(path),
+                            "filename": cdx_filename_prefix
+                            + os.path.basename(path),
                         },
                         sort_keys=True,
                     )

@@ -626,6 +626,7 @@ def start_streaming_crawl(
     link_graph_path: str | None = None,
     ranks_refresh_every: int | None = None,
     compact_every: int | None = None,
+    archive_path: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -744,6 +745,20 @@ def start_streaming_crawl(
     only, rows preserved, near-atomic swap). Long-running crawls
     otherwise accumulate one file set per trigger and every
     seen-guard / domain-count read pays the listing + tiny-file tax.
+
+    ``archive_path`` (r12) makes the crawl an ARCHIVE PUBLISHER: each
+    micro-batch's surviving RAW responses (post dedup/robots/rank/cap,
+    BEFORE extraction — a crawler archives wire bytes, not derived
+    text) write as Common-Crawl-layout ``.warc.gz`` + sibling ``.cdxj``
+    index files under ``archive_path/batch-<id>/``
+    (``sources.warc.write_warc(gzip_members=True, cdx=True)`` with a
+    warcinfo leader). Replay-idempotent the blunt way: the per-batch
+    directory is cleared and rewritten, so a crashed-then-replayed
+    trigger converges (archive BEFORE corpus, the graph ordering — a
+    crash in between replays into an identical rewrite while the
+    corpus probe still lands the pages). ``read_cdx(archive_path +
+    "/*/*.cdxj")`` then plans range-fetches over everything the crawl
+    ever kept.
     """
     if ranks_refresh_every and not (link_graph_path and host_ranks_path):
         # a silent no-op here would read as "self-prioritizing" while
@@ -867,6 +882,36 @@ def start_streaming_crawl(
             batch = batch.filter(
                 F.col("_rk") + F.col("_n_have") <= max_per_domain_total
             ).drop("_rk", "_n_have", "_dom2")
+        if archive_path:
+            # archive BEFORE corpus (crash ordering, see docstring):
+            # the per-batch dir rewrite makes replay converge
+            import shutil
+
+            from data_ingestion_tool_bakasura__spark.sources.warc import (
+                write_warc,
+            )
+
+            adir = os.path.join(
+                archive_path.removeprefix("file://"), f"batch-{batch_id:05d}"
+            )
+            if os.path.exists(adir):
+                shutil.rmtree(adir)
+            date_col = "warc_date" if "warc_date" in batch.columns else None
+            asrc = batch
+            if date_col is None:
+                asrc = asrc.withColumn(
+                    "_adate", F.lit("1970-01-01T00:00:00Z")
+                )
+                date_col = "_adate"
+            write_warc(
+                asrc, adir, url_col=url_col, date_col=date_col,
+                payload_col=payload_col,
+                status_col="http_status", ctype_col="content_type",
+                gzip_members=True, cdx=True,
+                cdx_filename_prefix=f"batch-{batch_id:05d}/",
+                warcinfo={"software": "bakasura-spark streaming crawl",
+                          "format": "WARC File Format 1.0"},
+            )
         # WET streams (read_wet) carry already-extracted text: when the
         # payload column is a STRING it is used verbatim; binary
         # payloads (read_warc) take the charset-decode + html_to_text

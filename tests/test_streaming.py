@@ -679,3 +679,98 @@ def test_streaming_crawl_language_gate(spark, tmp_path):
     assert "lang" in rows2.columns
     assert rows2.filter("lang IS NOT NULL").count() == 0
     assert rows2.count() == 2
+
+
+def test_streaming_crawl_archive_publisher(spark, tmp_path):
+    """r12: archive_path makes the crawl publish Common-Crawl-layout
+    per-batch .warc.gz + .cdxj alongside the corpus — the surviving
+    RAW responses (post dedup/blocklist, pre extraction), readable
+    back with read_warc and index-plannable with read_cdx; a replayed
+    batch converges on a rewrite."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import read_cdx
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        read_warc,
+        write_warc,  # noqa: F401 (import sanity)
+    )
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "archive")
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/p?utm_source=x", b"<p>alpha</p>", "a1")
+        + rec("https://a.example.org/p", b"<p>dup of alpha</p>", "a2")
+        + rec("http://bad.spam/x", b"<p>junk</p>", "s1")
+    )
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True),
+            corpus,
+            blocked_domains=["bad.spam"],
+            archive_path=archive,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # wave 1 archived exactly the one surviving raw response
+    arch1 = read_warc(spark, archive + "/*").collect()
+    assert len(arch1) == 1
+    assert arch1[0]["url"] == "https://a.example.org/p?utm_source=x"
+    assert bytes(arch1[0]["payload"]) == b"<p>alpha</p>"
+    assert arch1[0]["warc_date"] == "2026-08-14T00:00:00Z"
+
+    (crawl / "w2.warc").write_bytes(
+        rec("https://new.example.org/q", b"<p>beta</p>", "b1")
+        + rec("https://a.example.org/p", b"<p>seen</p>", "b2")  # corpus-seen
+    )
+    run_once()
+    arch2 = {r["url"]: bytes(r["payload"])
+             for r in read_warc(spark, archive + "/*").collect()}
+    assert arch2 == {
+        "https://a.example.org/p?utm_source=x": b"<p>alpha</p>",
+        "https://new.example.org/q": b"<p>beta</p>",
+    }
+    # the CDX sidecars plan range-fetches over the whole archive
+    caps = read_cdx(spark, archive + "/*/*.cdxj")
+    assert caps.count() == 2
+    assert {r["status"] for r in caps.collect()} == {200}
+    # offsets are real and filenames root-relative (batch-N/part-...):
+    # one read_warc_ranges over the archive root fetches them back
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        latest_captures,
+        read_warc_ranges,
+    )
+
+    rows = read_warc_ranges(
+        fetch_plan(latest_captures(caps)), archive
+    ).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "https://a.example.org/p?utm_source=x",
+        "https://new.example.org/q",
+    ]
+    assert {r["url"]: bytes(r["payload"]) for r in rows} == arch2
+    # corpus landed the extracted text as usual
+    got = {r["norm_url"]: r["text"]
+           for r in spark.read.parquet(corpus).collect()}
+    assert got == {"https://a.example.org/p": "alpha",
+                   "https://new.example.org/q": "beta"}
