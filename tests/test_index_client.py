@@ -463,13 +463,22 @@ def test_pipeline_cli_crawl_journey(spark, tmp_path, capsys):
               resp(b"<html><body><p>spam spam</p></body></html>"), "s1")
     )
     idx = str(tmp_path / "idx")
+    archive = str(tmp_path / "pub")
 
     rc = pipeline_cli.main(
-        ["crawl", str(crawl), idx, "--dim", "16", "--block-domains", "spam.junk"]
+        ["crawl", str(crawl), idx, "--dim", "16",
+         "--block-domains", "spam.junk", "--archive", archive]
     )
     out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
     assert rc == 0 and out[0]["event"] == "crawled"
     assert out[0]["new_chunks"] == 1 and out[0]["document_count"] == 1
+
+    # r12: --archive published the kept raw page as WARC+CDX
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    arch = read_warc(spark, archive).collect()
+    assert len(arch) == 1 and b"walrus telemetry" in bytes(arch[0]["payload"])
+    assert list((tmp_path / "pub").glob("*.cdxj"))
 
     rc = pipeline_cli.main(["search", idx, "walrus telemetry", "--mode", "text", "-k", "1"])
     out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]

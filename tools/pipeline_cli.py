@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         "--min-host-rank", type=float, default=0.0,
         help="rank floor for --host-ranks (unranked hosts always pass)",
     )
+    p_crw.add_argument(
+        "--archive", default=None,
+        help="also publish the kept raw responses as .warc.gz + .cdxj here",
+    )
 
     p_rk = sub.add_parser(
         "build-ranks",
@@ -298,6 +302,17 @@ def main(argv: list[str] | None = None) -> int:
             pages = CR.domain_cap(
                 pages, "url", max_per_domain=args.max_per_domain,
                 order_col="record_id",
+            )
+        if args.archive:
+            from data_ingestion_tool_bakasura__spark.sources.warc import (
+                write_warc,
+            )
+
+            write_warc(
+                pages, args.archive, url_col="url", date_col="warc_date",
+                payload_col="payload", gzip_members=True, cdx=True,
+                warcinfo={"software": "bakasura-spark crawl cli",
+                          "format": "WARC File Format 1.0"},
             )
         decoded = decode_payload_udf()(F.col("payload"), F.col("content_type"))
         if args.boilerplate:
