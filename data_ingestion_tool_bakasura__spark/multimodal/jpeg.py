@@ -215,6 +215,8 @@ def decode_jpeg_luma(b: bytes) -> tuple[int, int, bytes]:
         while pos + 4 <= n:
             if raw[pos] != 0xFF:
                 raise ValueError("marker expected")
+            while pos + 2 <= n and raw[pos + 1] == 0xFF:
+                pos += 1  # 0xFF fill bytes before a marker (B.1.1.2)
             marker = raw[pos + 1]
             pos += 2
             if marker == 0xD9:  # EOI
@@ -380,6 +382,9 @@ def _next_marker_pos(raw: bytes, p: int) -> int:
         if raw[p] == 0xFF and raw[p + 1] != 0x00:
             if 0xD0 <= raw[p + 1] <= 0xD7:
                 p += 2  # stray restart: skip
+                continue
+            if raw[p + 1] == 0xFF:
+                p += 1  # 0xFF fill byte before the marker (B.1.1.2)
                 continue
             return p
         p += 1
@@ -552,6 +557,9 @@ def _decode_progressive(raw, pos, seglen, first_seg, width, height, comps,
     p = run_scan(pos + seglen, scan, ss, se, ah, al)
     n = len(raw)
     while p + 2 <= n:
+        if raw[p + 1] == 0xFF:
+            p += 1  # fill byte: the marker starts at the LAST 0xFF
+            continue
         marker = raw[p + 1]
         p += 2
         if marker == 0xD9:  # EOI

@@ -123,11 +123,12 @@ def _robots_groups(
             in_group_body = True
             if not value:
                 continue  # empty Disallow/Allow: no rule
-            # a trailing '*' is a no-op under pattern semantics; mid
-            # '*' wildcards and the '$' end anchor are KEPT (r12 —
-            # robots_pattern_regex turns them into the match regex)
-            prefix = value[:-1] if value.endswith("*") else value
-            cur_rules.append((prefix, field == "allow"))
+            # patterns are kept VERBATIM — including a trailing '*',
+            # which is a match no-op but COUNTS toward longest-match
+            # specificity (Google's octet counting: 'Allow: /a*' must
+            # tie 'Disallow: /ab' at length 3, not lose at 2 — the
+            # r12 review finding against the old strip)
+            cur_rules.append((value, field == "allow"))
         elif field == "crawl-delay":
             in_group_body = True
             if cur_delay is None:
@@ -166,10 +167,11 @@ def parse_robots(body: str, agent: str = "*") -> list[tuple[str, bool]]:
 
     Full RFC 9309 pattern surface (r12 — the pre-r12 subset SKIPPED
     wildcard rules, silently fetching what they disallowed): plain
-    prefixes, mid-pattern ``*`` wildcards, and the trailing ``$`` end
-    anchor all come through (a trailing ``*`` is stripped — a no-op
-    under pattern semantics); :func:`robots_pattern_regex` tells the
-    fast prefix leg from the regex leg. An empty ``Disallow:`` is the
+    prefixes, ``*`` wildcards (trailing ones included — match no-ops
+    that still count toward longest-match specificity, the Google
+    octet counting), and the trailing ``$`` end anchor all come
+    through verbatim; :func:`robots_pattern_regex` tells the fast
+    prefix leg from the regex leg. An empty ``Disallow:`` is the
     spec's allow-all idiom (no rule emitted). Pure function;
     unit-tested without Spark; :func:`robots_filter` applies the
     result distributively."""

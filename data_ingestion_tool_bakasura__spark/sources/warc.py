@@ -67,7 +67,13 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     covered by the same gate."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
-    elif raw[:4] == b"\x28\xb5\x2f\xfd":
+    elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
+        # zstd SKIPPABLE frame magic 0x184D2A50..5F — how CC's seekable
+        # .warc.zst opens (the dictionary frame); must route to the
+        # same gate, not fall through to the delimiter scan and
+        # silently parse to zero records
+        len(raw) >= 4 and raw[1:4] == b"\x2a\x4d\x18" and 0x50 <= raw[0] <= 0x5F
+    ):
         try:
             import zstandard  # type: ignore[import-not-found]
         except ImportError as exc:
@@ -75,14 +81,20 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
                 "zstd-compressed WARC member: install the 'zstandard' "
                 "package to decode .warc.zst archives"
             ) from exc
-        dctx = zstandard.ZstdDecompressor()
-        out = []
-        buf = memoryview(raw)
-        while len(buf):  # concatenated frames, the multi-member analog
-            with dctx.stream_reader(bytes(buf), read_across_frames=True) as r:
-                out.append(r.read())
-            break
-        raw = b"".join(out)
+        try:
+            # read_across_frames spans every concatenated frame in one
+            # read (skippable frames are skipped by the library)
+            with zstandard.ZstdDecompressor().stream_reader(
+                raw, read_across_frames=True
+            ) as r:
+                raw = r.read()
+        except zstandard.ZstdError as exc:
+            # dictionary-bearing seekable archives need the dict frame
+            # resolved — fail loudly, never return an empty relation
+            raise ValueError(
+                f"zstd WARC member failed to decode (dictionary-bearing "
+                f"seekable .warc.zst needs dedicated handling): {exc}"
+            ) from exc
     records: list[tuple[dict, bytes]] = []
     i = 0
     n = len(raw)
@@ -416,16 +428,27 @@ def build_warc_revisit_record(
     payload_digest: str,
     refers_to: str,
     record_id: str | None = None,
+    http_status: int = 200,
+    content_type: str = "text/html",
+    payload_len: int = 0,
 ) -> bytes:
     """A ``WARC-Type: revisit`` record (identical-payload-digest
     profile) — how a deduplicating crawler records "this URL served
     bytes we already archived" without storing them again:
     ``WARC-Refers-To`` names the original record, ``WARC-Payload-
-    Digest`` carries the shared digest, the body is empty. Pure
-    function; the :func:`write_warc` ``dedup_digest`` leg applies it
-    to every non-first occurrence."""
+    Digest`` carries the shared digest, and the body is THIS capture's
+    HTTP response head (status/content-type/length, no payload) — the
+    real-WARC convention, so each capture's own metadata survives
+    dedup (a 404 that served cached 200 bytes stays a 404 on
+    read-back). Pure function; the :func:`write_warc` ``dedup_digest``
+    leg applies it to every non-first occurrence."""
     if record_id is None:
         record_id = _record_id_of(url, date + "#revisit")
+    http_head = (
+        f"HTTP/1.1 {http_status} {_HTTP_REASON}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {payload_len}\r\n\r\n"
+    ).encode("latin-1")
     head = (
         f"{_WARC_VERSION}\r\n"
         f"WARC-Type: revisit\r\n"
@@ -435,9 +458,10 @@ def build_warc_revisit_record(
         f"WARC-Payload-Digest: md5:{payload_digest}\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Target-URI: {url}\r\n"
-        f"Content-Length: 0\r\n\r\n"
+        f"Content-Type: {_WARC_HTTP_CTYPE}\r\n"
+        f"Content-Length: {len(http_head)}\r\n\r\n"
     ).encode("latin-1")
-    return head + b"\r\n\r\n"
+    return head + http_head + b"\r\n\r\n"
 
 
 def warc_record_expr(url, date, payload_text, http_status: int = 200,
@@ -708,8 +732,11 @@ def write_warc(
                 mime = r["_ctype"] or "text/html"
                 refers = r.get("_refers") if dedup_digest else None
                 if dedup_digest and refers is not None and not pd.isna(refers):
+                    body = r["_payload"]
                     rec = build_warc_revisit_record(
-                        url, date, r["_digest"], refers
+                        url, date, r["_digest"], refers,
+                        http_status=stat, content_type=mime,
+                        payload_len=0 if body is None else len(bytes(body)),
                     )
                     mime = "warc/revisit"  # the CC CDX convention
                 else:
@@ -765,7 +792,8 @@ def write_warc(
 
 REVISIT_SCHEMA = (
     "path string, record_id string, url string, warc_date string, "
-    "refers_to string, payload_digest string"
+    "refers_to string, payload_digest string, content_type string, "
+    "http_status int"
 )
 
 
@@ -776,9 +804,11 @@ def read_warc_revisits(
     streaming: bool = False,
 ) -> DataFrame:
     """``WARC-Type: revisit`` rows with the headers the fixed response
-    schema drops: ``refers_to`` (the original's record id) and
-    ``payload_digest`` (hex, algorithm prefix stripped). Same explode
-    seam as :func:`read_warc`."""
+    schema drops: ``refers_to`` (the original's record id),
+    ``payload_digest`` (hex, algorithm prefix stripped), and THIS
+    capture's own ``content_type``/``http_status`` parsed from the
+    revisit record's HTTP head (NULL when the record carries none).
+    Same explode seam as :func:`read_warc`."""
     from data_ingestion_tool_bakasura__spark.sources.readers import read_binary_files
 
     src = read_binary_files(spark, path, glob=glob, streaming=streaming).select(
@@ -789,10 +819,11 @@ def read_warc_revisits(
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for headers, _body in parse_warc_records(bytes(content)):
+                for headers, body in parse_warc_records(bytes(content)):
                     if headers.get("warc-type", "").lower() != "revisit":
                         continue
                     dig = headers.get("warc-payload-digest", "")
+                    status, ctype, _ = split_http_response(body)
                     rows.append((
                         path_,
                         headers.get("warc-record-id", ""),
@@ -800,11 +831,14 @@ def read_warc_revisits(
                         headers.get("warc-date", ""),
                         headers.get("warc-refers-to", ""),
                         dig.split(":", 1)[-1],
+                        ctype,
+                        status,
                     ))
             yield pd.DataFrame(
                 rows,
                 columns=["path", "record_id", "url", "warc_date",
-                         "refers_to", "payload_digest"],
+                         "refers_to", "payload_digest", "content_type",
+                         "http_status"],
             )
 
     return src.mapInPandas(_explode, REVISIT_SCHEMA)
@@ -816,10 +850,13 @@ def read_warc_deduped(
     glob: str | None = "*.warc*",
 ) -> DataFrame:
     """Lossless inverse of ``write_warc(dedup_digest=True)``: response
-    rows as-is, UNION revisit rows with their payload (and HTTP
-    status/type) restored from the digest-matching original — back to
-    one full row per pre-dedup source row, ``warc_type`` telling the
-    restored ones apart. One join on the digest key (the restore's
+    rows as-is, UNION revisit rows with their payload restored from
+    the digest-matching original — back to one full row per pre-dedup
+    source row, ``warc_type`` telling the restored ones apart. Each
+    revisit keeps its OWN http_status/content_type (parsed from the
+    revisit record's HTTP head — a 404 that served cached 200 bytes
+    stays a 404), falling back to the original's only when the record
+    carries no HTTP head. One join on the digest key (the restore's
     irreducible exchange; the response side is the small distinct-
     digest set)."""
     from pyspark.sql import functions as F
@@ -828,7 +865,12 @@ def read_warc_deduped(
     rev = read_warc_revisits(spark, path, glob=glob)
     originals = (
         resp.withColumn("payload_digest", F.md5("payload"))
-        .select("payload_digest", "content_type", "http_status", "payload")
+        .select(
+            "payload_digest",
+            F.col("content_type").alias("_orig_ctype"),
+            F.col("http_status").alias("_orig_status"),
+            "payload",
+        )
         .dropDuplicates(["payload_digest"])
     )
     restored = rev.join(originals, "payload_digest").select(
@@ -837,8 +879,8 @@ def read_warc_deduped(
         F.lit("revisit").alias("warc_type"),
         "url",
         "warc_date",
-        "content_type",
-        "http_status",
+        F.coalesce("content_type", "_orig_ctype").alias("content_type"),
+        F.coalesce("http_status", "_orig_status").alias("http_status"),
         "payload",
     )
     return resp.unionByName(restored)

@@ -621,6 +621,7 @@ def start_streaming_crawl(
     quality_gate: str | None = None,
     langid_profiles_path: str | None = None,
     allowed_langs=None,
+    keep_und: bool = True,
     boilerplate_removal: bool | dict = False,
     seen_bloom: bool | dict = False,
     link_graph_path: str | None = None,
@@ -752,13 +753,14 @@ def start_streaming_crawl(
     text) write as Common-Crawl-layout ``.warc.gz`` + sibling ``.cdxj``
     index files under ``archive_path/batch-<id>/``
     (``sources.warc.write_warc(gzip_members=True, cdx=True)`` with a
-    warcinfo leader). Replay-idempotent the blunt way: the per-batch
-    directory is cleared and rewritten, so a crashed-then-replayed
-    trigger converges (archive BEFORE corpus, the graph ordering — a
-    crash in between replays into an identical rewrite while the
-    corpus probe still lands the pages). ``read_cdx(archive_path +
-    "/*/*.cdxj")`` then plans range-fetches over everything the crawl
-    ever kept.
+    warcinfo leader). Replay-safe via write-to-tmp + atomic rename +
+    exists-guard: a COMPLETED batch dir is never touched again — in
+    particular a replay AFTER the corpus append (whose seen-guard
+    empties the batch) cannot destroy the published records — while a
+    crash mid-write leaves only a tmp dir the replay clears and
+    rewrites (archive BEFORE corpus, the graph ordering).
+    ``read_cdx(archive_path + "/*/*.cdxj")`` then plans range-fetches
+    over everything the crawl ever kept.
     """
     if ranks_refresh_every and not (link_graph_path and host_ranks_path):
         # a silent no-op here would read as "self-prioritizing" while
@@ -882,36 +884,53 @@ def start_streaming_crawl(
             batch = batch.filter(
                 F.col("_rk") + F.col("_n_have") <= max_per_domain_total
             ).drop("_rk", "_n_have", "_dom2")
+        archived_batch = None
         if archive_path:
-            # archive BEFORE corpus (crash ordering, see docstring):
-            # the per-batch dir rewrite makes replay converge
+            # archive BEFORE corpus (crash ordering, see docstring).
+            # Write-to-tmp + atomic rename + exists-guard: a batch dir
+            # that EXISTS is a completed first attempt and is never
+            # touched again — a replay AFTER the corpus append sees an
+            # emptied batch (the seen-guard drops every row) and a
+            # naive rewrite would destroy the published archive (r12
+            # review finding); a crash DURING the write leaves only
+            # the tmp dir, which the replay clears and rewrites.
             import shutil
 
             from data_ingestion_tool_bakasura__spark.sources.warc import (
                 write_warc,
             )
 
+            # the archive leg adds its own action over the gated batch;
+            # persist so the corpus append below reuses the computed
+            # rows instead of re-running the whole gate stack
+            batch = batch.persist()
+            archived_batch = batch
             adir = os.path.join(
                 archive_path.removeprefix("file://"), f"batch-{batch_id:05d}"
             )
-            if os.path.exists(adir):
-                shutil.rmtree(adir)
-            date_col = "warc_date" if "warc_date" in batch.columns else None
-            asrc = batch
-            if date_col is None:
-                asrc = asrc.withColumn(
-                    "_adate", F.lit("1970-01-01T00:00:00Z")
+            if not os.path.exists(adir):
+                tmp_dir = adir + "_tmp"
+                if os.path.exists(tmp_dir):
+                    shutil.rmtree(tmp_dir)  # partial crashed attempt
+                date_col = ("warc_date" if "warc_date" in batch.columns
+                            else None)
+                asrc = batch
+                if date_col is None:
+                    asrc = asrc.withColumn(
+                        "_adate", F.lit("1970-01-01T00:00:00Z")
+                    )
+                    date_col = "_adate"
+                write_warc(
+                    asrc, tmp_dir, url_col=url_col, date_col=date_col,
+                    payload_col=payload_col,
+                    status_col="http_status", ctype_col="content_type",
+                    gzip_members=True, cdx=True,
+                    cdx_filename_prefix=f"batch-{batch_id:05d}/",
+                    warcinfo={"software": "bakasura-spark streaming crawl",
+                              "format": "WARC File Format 1.0"},
                 )
-                date_col = "_adate"
-            write_warc(
-                asrc, adir, url_col=url_col, date_col=date_col,
-                payload_col=payload_col,
-                status_col="http_status", ctype_col="content_type",
-                gzip_members=True, cdx=True,
-                cdx_filename_prefix=f"batch-{batch_id:05d}/",
-                warcinfo={"software": "bakasura-spark streaming crawl",
-                          "format": "WARC File Format 1.0"},
-            )
+                os.makedirs(os.path.dirname(adir), exist_ok=True)
+                os.rename(tmp_dir, adir)
         # WET streams (read_wet) carry already-extracted text: when the
         # payload column is a STRING it is used verbatim; binary
         # payloads (read_warc) take the charset-decode + html_to_text
@@ -954,7 +973,7 @@ def start_streaming_crawl(
             profiles = spark.read.parquet(langid_profiles_path)
             out = CR.language_filter(
                 out, profiles, allowed_langs=allowed_langs,
-                text_col="text", id_col="norm_url",
+                text_col="text", id_col="norm_url", keep_und=keep_und,
             )
         else:
             out = out.withColumn("lang", F.lit(None).cast("string"))
@@ -1048,6 +1067,10 @@ def start_streaming_crawl(
             # failure). Runs inside foreachBatch, so no reader races
             # with the swap within this stream.
             compact(spark, corpus_path.removeprefix("file://"))
+        if archived_batch is not None:
+            # release the per-batch cache once the corpus append (the
+            # last consumer of the gated batch's lineage) has landed
+            archived_batch.unpersist()
 
     writer = pages_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -259,3 +259,51 @@ def test_image_near_dup_progressive_pair_ungated(spark):
     }
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert all(3 not in pair for pair in got)
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker. Injected fill before DHT/SOS in a baseline file and before
+    the between-scan DHT of a progressive file must not derail the
+    decode (r12 review finding: FF FF parsed as a 65k segment length,
+    silently truncating the scan list)."""
+    px = _gradient(24, 17)
+    base = encode_jpeg_gray(24, 17, px)
+    want = decode_jpeg_luma(base)
+    # inject a fill byte before every marker segment after SOI
+    def inject(buf: bytes) -> bytes:
+        out = bytearray(buf[:2])
+        i = 2
+        n = len(buf)
+        import struct as _st
+
+        while i + 4 <= n:
+            assert buf[i] == 0xFF
+            marker = buf[i + 1]
+            out += b"\xff"  # fill byte ahead of the marker
+            if marker == 0xD9:
+                out += buf[i:]
+                return bytes(out)
+            (slen,) = _st.unpack(">H", buf[i + 2 : i + 4])
+            seg_end = i + 2 + slen
+            out += buf[i:seg_end]
+            i = seg_end
+            if marker == 0xDA:  # entropy data follows: copy to next
+                # marker-like boundary the simple way — the rest
+                out += buf[seg_end:]
+                return bytes(out)
+        return bytes(out)
+
+    got = decode_jpeg_luma(inject(base))
+    assert got == want
+
+    prog = _prog(24, 17, px, successive=True)
+    # progressive: fill bytes land before the BETWEEN-SCAN markers too
+    got_p = decode_jpeg_luma(inject(prog))
+    # inject() only handles up to the first SOS; that is exactly the
+    # hazard zone for the main loop. For the between-scan loop, splice
+    # fill ahead of the second DHT by hand:
+    i = prog.index(b"\xff\xc4", prog.index(b"\xff\xda"))
+    spliced = prog[:i] + b"\xff" + prog[i:]
+    assert decode_jpeg_luma(spliced) == want
+    assert got_p == want

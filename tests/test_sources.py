@@ -767,7 +767,10 @@ def test_write_warc_dedup_digest_revisits(spark, tmp_path):
     src = spark.createDataFrame(
         [
             ("https://a.example/p", "2026-03-01T00:00:00Z", "text/html", 200, shared),
-            ("https://b.example/q", "2026-03-02T00:00:00Z", "text/html", 200, shared),
+            # a 404 that served cached 200 bytes: its OWN metadata must
+            # survive dedup (r12 review finding — revisit records carry
+            # the capture's HTTP head)
+            ("https://b.example/q", "2026-03-02T00:00:00Z", "text/plain", 404, shared),
             ("https://c.example/r", "2026-03-03T00:00:00Z", "text/html", 200, b"unique"),
             ("https://d.example/s", "2026-03-04T00:00:00Z", "text/html", 200, shared),
         ],
@@ -791,13 +794,15 @@ def test_write_warc_dedup_digest_revisits(spark, tmp_path):
     assert all(r["refers_to"] == a_id for r in rev)
     assert len({r["payload_digest"] for r in rev}) == 1
 
-    # lossless restore
+    # lossless restore — INCLUDING each capture's own HTTP metadata
     back = read_warc_deduped(spark, out)
     got = sorted(
-        (r["url"], r["warc_date"], bytes(r["payload"])) for r in back.collect()
+        (r["url"], r["warc_date"], r["content_type"], r["http_status"],
+         bytes(r["payload"])) for r in back.collect()
     )
     want = sorted(
-        (r["url"], r["warc_date"], bytes(r["payload"])) for r in src.collect()
+        (r["url"], r["warc_date"], r["content_type"], r["http_status"],
+         bytes(r["payload"])) for r in src.collect()
     )
     assert got == want
     assert back.filter("warc_type = 'revisit'").count() == 2
@@ -833,6 +838,11 @@ def test_parse_warc_zstd_member_gate():
     except ImportError:
         with _pytest.raises(ValueError, match="zstandard"):
             parse_warc_records(b"\x28\xb5\x2f\xfd" + b"junk")
+        # the CC seekable layout OPENS with a skippable frame
+        # (magic 0x184D2A5x): it must hit the same gate, never fall
+        # through to the delimiter scan and return zero records
+        with _pytest.raises(ValueError, match="zstandard"):
+            parse_warc_records(b"\x50\x2a\x4d\x18" + b"\x04\x00\x00\x00dict")
     else:
         got = parse_warc_records(zstandard.ZstdCompressor().compress(rec))
         assert len(got) == 1 and got[0][1] == b"body"

@@ -774,3 +774,22 @@ def test_streaming_crawl_archive_publisher(spark, tmp_path):
            for r in spark.read.parquet(corpus).collect()}
     assert got == {"https://a.example.org/p": "alpha",
                    "https://new.example.org/q": "beta"}
+
+    # replay AFTER the corpus append (fresh checkpoint = all files
+    # re-read as batch 0; the seen-guard empties it): the exists-guard
+    # must leave the published archive untouched — the r12 review
+    # finding was a rewrite destroying it
+    import shutil as _sh
+
+    before = sorted(
+        (str(p.relative_to(tmp_path / "archive")), p.stat().st_size)
+        for p in (tmp_path / "archive").rglob("*") if p.is_file()
+    )
+    _sh.rmtree(ckpt)
+    run_once()
+    after = sorted(
+        (str(p.relative_to(tmp_path / "archive")), p.stat().st_size)
+        for p in (tmp_path / "archive").rglob("*") if p.is_file()
+    )
+    assert after == before
+    assert read_warc(spark, archive + "/*").count() == 2

@@ -233,17 +233,17 @@ Crawl-delay: 10
     assert C.parse_robots(body, "goodbot") == [
         ("/private", False), ("/private/ok", True),
     ]
-    # '*' group: empty rules skipped, mid-pattern wildcard KEPT (r12 —
-    # full RFC 9309 patterns), trailing '*' stripped
+    # '*' group: empty rules skipped, wildcards KEPT verbatim (r12 —
+    # full RFC 9309 patterns; trailing '*' counts toward specificity)
     assert C.parse_robots(body) == [
-        ("/tmp/", False), ("/wild*card", False), ("/trail", False),
+        ("/tmp/", False), ("/wild*card", False), ("/trail*", False),
     ]
     # no matching group, no '*' group -> allow-all
     assert C.parse_robots("User-agent: x\nDisallow: /", "y") == []
     assert C.parse_robots("") == []
     # consecutive User-agent lines share one group (RFC 9309)
     assert C.parse_robots(body, "other") == [
-        ("/tmp/", False), ("/wild*card", False), ("/trail", False),
+        ("/tmp/", False), ("/wild*card", False), ("/trail*", False),
     ]
 
 
@@ -341,6 +341,26 @@ def test_robots_rules_df_parses_once_per_host(spark):
         ("h.example", "/a", False, 2, None),
         ("h.example", "/a/b", True, 4, None),
     ]
+
+
+def test_robots_trailing_star_specificity(spark):
+    """r12 review finding: 'Allow: /a*' must TIE 'Disallow: /ab' at
+    octet length 3 (Google counting — the old trailing-* strip scored
+    it 2 and the disallow won): tie goes to allow, /ab is fetchable."""
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nAllow: /a*\nDisallow: /ab")],
+        "host string, body string",
+    )
+    rules = C.robots_rules_df(robots)
+    assert {(r["prefix"], r["prefix_len"]) for r in rules.collect()} == {
+        ("/a*", 3), ("/ab", 3),
+    }
+    df = spark.createDataFrame(
+        [(1, "https://h.example/ab"), (2, "https://h.example/zz")],
+        "id int, url string",
+    )
+    kept = sorted(r["id"] for r in C.robots_filter(df, rules).collect())
+    assert kept == [1, 2]
 
 
 def test_robots_filter_wildcard_and_anchor(spark):

@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated language guesses to keep (needs --langid-profiles)",
     )
     p_crw.add_argument(
+        "--drop-und", action="store_true",
+        help="strict language gate: also drop pages the classifier "
+             "cannot call ('und'); default keeps them (crawl-friendly)",
+    )
+    p_crw.add_argument(
         "--boilerplate", action="store_true",
         help="jusText main-content extraction instead of flat html_to_text",
     )
@@ -336,6 +341,7 @@ def main(argv: list[str] | None = None) -> int:
                 allowed_langs=(args.allowed_langs.split(",")
                                if args.allowed_langs else None),
                 text_col="text", id_col="doc_id",
+                keep_und=not args.drop_und,
             ).drop("lang")
         if args.quality_gate:
             docs = CR.web_quality_filter(docs, "text", args.quality_gate)
