@@ -256,7 +256,12 @@ class IndexClient:
 
         d = self._ann_dir(kind)
         corpus = self.table().select("id", "content_vector").filter(
+            # empty arrays excluded too: a zero-length embedding has no
+            # legitimate neighbors and (for the binary kind) an empty
+            # code whose null Hamming would sort nulls-first into the
+            # shortlist
             F.col("content_vector").isNotNull()
+            & (F.size("content_vector") > 0)
         )
         params: dict = {}
         if kind == "hnsw":
@@ -367,7 +372,12 @@ class IndexClient:
                 f"call build_ann({kind!r}) first"
             )
         corpus = self.table().select("id", "content_vector").filter(
+            # empty arrays excluded too: a zero-length embedding has no
+            # legitimate neighbors and (for the binary kind) an empty
+            # code whose null Hamming would sort nulls-first into the
+            # shortlist
             F.col("content_vector").isNotNull()
+            & (F.size("content_vector") > 0)
         )
         p = manifest["params"]
         if kind == "hnsw":
@@ -527,7 +537,10 @@ class IndexClient:
 
                 hits = binary_topk_indexed(
                     self.spark.read.parquet(os.path.join(d, "codes")),
-                    self.table().filter(F.col("content_vector").isNotNull()),
+                    self.table().filter(
+                        F.col("content_vector").isNotNull()
+                        & (F.size("content_vector") > 0)
+                    ),
                     self._query_df(qv),
                     k=k, shortlist=shortlist or max(4 * k, 50),
                     corpus_id="id", vec_col="content_vector",
@@ -538,7 +551,10 @@ class IndexClient:
                 )
 
                 hits = pq_adc_rerank_topk(
-                    self.table().filter(F.col("content_vector").isNotNull()),
+                    self.table().filter(
+                        F.col("content_vector").isNotNull()
+                        & (F.size("content_vector") > 0)
+                    ),
                     self._query_df(qv),
                     k=k, shortlist=shortlist or max(4 * k, 50),
                     corpus_id="id", vec_col="content_vector",

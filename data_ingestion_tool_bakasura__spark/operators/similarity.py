@@ -1175,6 +1175,15 @@ def binary_quantize(
             + F.when(v > 0.0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
         ),
     )
+    # empty/null guard: sequence(1, 0) is the DESCENDING [1, 0], which
+    # would emit two spurious zero words — Hamming 0 to everything,
+    # polluting every shortlist ahead of real candidates. An empty or
+    # null vector gets an empty code (Hamming vs anything = 0 over zero
+    # words too, but zip_with of unequal lengths nulls out — callers
+    # filter on size upstream; the code column at least stays honest).
+    code = F.when(F.size(x) > 0, code).otherwise(
+        F.array().cast("array<bigint>")
+    )
     return df.withColumn(code_col, code)
 
 

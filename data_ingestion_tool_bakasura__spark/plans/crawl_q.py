@@ -1661,6 +1661,10 @@ delayed AS (
   SELECT norm_url, domain, rank_in_domain,
          CASE WHEN regexp_matches(domain, '^site[0-9]+\\.org$')
                    AND CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) % 2 = 0
+                   -- bound to the Spark side's robots universe
+                   -- (spark.range(0, 41)): a site42+.org even domain in
+                   -- the WAT fixture must get NULL delay on BOTH sides
+                   AND CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) <= 40
               THEN CAST(2 + CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INT) % 5
                         AS DOUBLE)
               ELSE NULL END AS crawl_delay

@@ -106,7 +106,15 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
         if he < 0:
             break
         headers: dict[str, str] = {}
-        for line in raw[j:he].decode("latin-1").split("\r\n")[1:]:
+        # WARC header fields are UTF-8 per the spec (ISO 28500 §4);
+        # latin-1 fallback keeps foreign archives with raw-byte URLs
+        # readable (latin-1 cannot fail) without mangling our own
+        # UTF-8-written non-ASCII target URIs on read-back.
+        try:
+            head_text = raw[j:he].decode("utf-8")
+        except UnicodeDecodeError:
+            head_text = raw[j:he].decode("latin-1")
+        for line in head_text.split("\r\n")[1:]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
@@ -398,11 +406,17 @@ def build_warc_record(
     function; :func:`write_warc` applies it per task."""
     if record_id is None:
         record_id = _record_id_of(url, date)
+    # UTF-8 throughout: WARC headers are UTF-8 per spec (ISO 28500 §4),
+    # and a CJK/emoji path in an anchor-extracted URL would raise
+    # UnicodeEncodeError under latin-1 inside the write task — failing
+    # the micro-batch permanently on replay. UTF-8 octets also match
+    # the codegen twin warc_record_expr (Spark strings are UTF-8), so
+    # byte-identity holds for non-ASCII URLs too.
     http_head = (
         f"HTTP/1.1 {http_status} {_HTTP_REASON}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     block = http_head + payload
     warc_head = (
         f"{_WARC_VERSION}\r\n"
@@ -412,7 +426,7 @@ def build_warc_record(
         f"WARC-Target-URI: {url}\r\n"
         f"Content-Type: {_WARC_HTTP_CTYPE}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     return warc_head + block + b"\r\n\r\n"
 
 
@@ -444,11 +458,12 @@ def build_warc_revisit_record(
     leg applies it to every non-first occurrence."""
     if record_id is None:
         record_id = _record_id_of(url, date + "#revisit")
+    # UTF-8 like build_warc_record — latin-1 raised on non-latin URLs
     http_head = (
         f"HTTP/1.1 {http_status} {_HTTP_REASON}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {payload_len}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     head = (
         f"{_WARC_VERSION}\r\n"
         f"WARC-Type: revisit\r\n"
@@ -460,7 +475,7 @@ def build_warc_revisit_record(
         f"WARC-Target-URI: {url}\r\n"
         f"Content-Type: {_WARC_HTTP_CTYPE}\r\n"
         f"Content-Length: {len(http_head)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     return head + http_head + b"\r\n\r\n"
 
 
@@ -549,7 +564,7 @@ def build_warcinfo_record(filename: str, info: dict[str, str]) -> bytes:
         f"WARC-Filename: {filename}\r\n"
         f"Content-Type: application/warc-fields\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     return head + body + b"\r\n\r\n"
 
 
@@ -687,20 +702,31 @@ def write_warc(
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        # per-ATTEMPT temp suffix: speculative execution or a retry
+        # racing a zombie attempt would otherwise interleave writes to
+        # the same part file and invalidate the sibling .cdxj offsets;
+        # each attempt writes its own temp and os.replace()s into place
+        # (atomic on POSIX), so the final name only ever holds one
+        # attempt's complete bytes — last rename wins, both are valid.
+        att = tc.taskAttemptId()
         seq = 0
         n = 0
         fh = None
         path = None
+        tmp = None
         out: list[tuple[str, int, int]] = []
         cdx_lines_buf: list[str] = []
 
         def _open():
-            nonlocal fh, path
+            nonlocal fh, path, tmp
             name = f"part-{pid:05d}-{seq:04d}{ext}"
             path = os.path.join(out_dir, name)
-            fh = open(path, "wb")
+            tmp = f"{path}.{att}.tmp"
+            fh = open(tmp, "wb")
             if warcinfo is not None:
+                # leader's id derives from the FINAL name, not the tmp
                 lead = build_warcinfo_record(name, warcinfo)
                 fh.write(gzip.compress(lead, mtime=0)
                          if gzip_members else lead)
@@ -709,13 +735,16 @@ def write_warc(
             nonlocal fh, seq, n
             if fh is not None:
                 fh.close()
+                os.replace(tmp, path)
                 out.append((os.path.basename(path), n, os.path.getsize(path)))
                 if cdx:
-                    with open(
-                        os.path.join(out_dir, f"part-{pid:05d}-{seq:04d}.cdxj"),
-                        "w",
-                    ) as cf:
+                    cpath = os.path.join(
+                        out_dir, f"part-{pid:05d}-{seq:04d}.cdxj"
+                    )
+                    ctmp = f"{cpath}.{att}.tmp"
+                    with open(ctmp, "w") as cf:
                         cf.writelines(cdx_lines_buf)
+                    os.replace(ctmp, cpath)
                     cdx_lines_buf.clear()
                 fh = None
                 seq += 1

@@ -657,6 +657,27 @@ def test_binary_quantize_packing_and_hamming(spark):
     assert len(bits) >= dim
 
 
+def test_binary_quantize_empty_vector_guard(spark):
+    """r13 ADVICE fix: an empty (or null) embedding must quantize to an
+    EMPTY code, not sequence(1,0)'s descending [1,0] ghost words whose
+    Hamming 0 would top every shortlist."""
+    from data_ingestion_tool_bakasura__spark.operators.similarity import (
+        binary_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5]), (2, []), (3, None)],
+        "id int, embedding array<double>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in binary_quantize(df, "embedding", "c").collect()
+    }
+    assert len(got[1]) == 1
+    assert got[2] == []
+    assert got[3] in ([], None)
+
+
 def test_binary_rerank_recall_vs_shortlist(spark):
     """ANN.md discipline for the 1-bit path: recall@3 vs the exact
     scan rises with the Hamming shortlist and hits 1.0 when the

@@ -577,6 +577,11 @@ def _writer_rows(spark):
              "application/octet-stream", 404, b"\r\n\r\nWARC/1.0\x00\xff bin"),
             ("http://c.example/y", "2026-01-02T03:04:07Z", "text/plain", 200,
              b"plain body"),
+            # non-latin-1 URL (CJK path): the write task must not raise
+            # UnicodeEncodeError and the UTF-8 header must read back
+            # verbatim (r13 ADVICE fix)
+            ("http://d.example/文档/页", "2026-01-02T03:04:08Z",
+             "text/html", 200, b"cjk url body"),
         ],
         "url string, warc_date string, content_type string,"
         " http_status int, payload binary",
@@ -594,7 +599,7 @@ def test_write_warc_roundtrip_and_determinism(spark, tmp_path):
 
     src = _writer_rows(spark).repartition(2, "url")
     man = write_warc(src, str(tmp_path / "out")).collect()
-    assert sum(r["n_records"] for r in man) == 3
+    assert sum(r["n_records"] for r in man) == 4
     back = read_warc(spark, str(tmp_path / "out"))
     got = sorted(
         (r["url"], r["warc_date"], r["content_type"], r["http_status"],
@@ -622,7 +627,7 @@ def test_write_warc_roundtrip_and_determinism(spark, tmp_path):
     import json as _json
 
     m = _json.loads((tmp_path / "out" / "_warc_manifest.json").read_text())
-    assert sum(e["n_records"] for e in m) == 3
+    assert sum(e["n_records"] for e in m) == 4
 
 
 def test_write_warc_gzip_members_roundtrip(spark, tmp_path):
@@ -664,7 +669,13 @@ def test_warc_record_expr_matches_byte_builder(spark):
     )
 
     rows = [("http://a.example/", "2026-01-02T03:04:05Z", "héllo <b>x</b>"),
-            ("http://b.example/p?q=1", "2026-01-02T03:04:06Z", "")]
+            ("http://b.example/p?q=1", "2026-01-02T03:04:06Z", ""),
+            # non-ASCII target URI above U+00FF (CJK path + emoji query,
+            # routine in anchor-extracted crawl URLs): r13 moved the
+            # byte builder to UTF-8 headers (latin-1 raised here and
+            # diverged from the UTF-8-octet codegen twin)
+            ("http://c.example/文档/页?q=🦉", "2026-01-02T03:04:07Z",
+             "body")]
     df = spark.createDataFrame(rows, "url string, d string, body string")
     rendered = {
         r["url"]: r["rec"]
@@ -739,12 +750,12 @@ def test_write_warc_warcinfo_leader(spark, tmp_path):
     assert b"software: bakasura-spark" in raw
     # default read: responses only, roundtrip unaffected
     back = read_warc(spark, str(tmp_path / "wi"))
-    assert back.count() == 3
+    assert back.count() == 4
     assert set(r["warc_type"] for r in back.collect()) == {"response"}
     # types=() keeps everything: the leader is visible
     all_types = read_warc(spark, str(tmp_path / "wi"), types=())
     assert sorted(r["warc_type"] for r in all_types.collect()) == [
-        "response", "response", "response", "warcinfo",
+        "response", "response", "response", "response", "warcinfo",
     ]
 
 
