@@ -34,82 +34,101 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-12 rotation
-#: (r11 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with the TWO queries new this round (q_warc_render — the WARC
-#: write-side framing oracle; q_binary_rerank — 1-bit sign-code
-#: Hamming shortlist + exact rerank, full-pipeline oracle twin) and
-#: the THREE whose implementation changed semantically
-#: (q_fetch_schedule gained the robots Crawl-delay slot stride;
-#: q_robots_filter got the single-evaluation verdict aggregate PLUS
-#: full RFC 9309 wildcard/$ patterns matched on path+query;
-#: q_sitemap_seeds' entry parse gained the gzip-transparent payload
-#: sniff), then the TWENTY-TWO r8-evidence rows the r11 novelties
-#: displaced, then the r9 block oldest-first — filling the 50
-#: exactly (q_embedding_near_dup is the 50th; q_embedding_quantize
-#: slipped just past the boundary and leads the r13 rotation with
-#: the rest of the r9 rows, the r10 block behind them). After this
-#: window lands the oldest driver evidence anywhere is r9.
+#: prefix of ``queries()`` in iteration order. Round-13 rotation
+#: (r12 verdict #1; evidence computed by ``python tools/rotation.py``):
+#: lead with q_hnsw_exact_twin (NEW — full-beam sharded HNSW under the
+#: exact cosine oracle, closing the last never-driver-checked evidence
+#: hole, r12 verdict Missing #1), then the two whose implementation or
+#: oracle changed this round (q_binary_rerank — binary_quantize gained
+#: the empty-vector guard; q_fetch_schedule — its DuckDB twin's
+#: crawl-delay CASE is now bounded to the Spark side's site0..40
+#: robots universe), then q_embedding_quantize + the 21-row r9 block
+#: (the whole remaining r9 evidence), then the r10 block oldest-first
+#: through q_running_revenue (position 50). After this window lands
+#: the oldest driver evidence anywhere is r10. Past the boundary the
+#: remaining r10 rows, then r11, then r12 continue stalest-first so
+#: the r14 rotation reads straight off ``tools/rotation.py``.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
 #: (test_ingest, ANN.md recall contracts, IVF full-probe==exact, HNSW
-#: fused==persisted parity) and by oracle-able twins. Every name must
-#: exist in a module's QUERIES (asserted below) so a rename can't
+#: fused==persisted parity) and by oracle-able twins (q_hnsw_topk's
+#: full-beam twin is VALUE-checked in-window as of r13). Every name
+#: must exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    "q_warc_render",
+    "q_hnsw_exact_twin",
     "q_binary_rerank",
     "q_fetch_schedule",
-    "q_robots_filter",
-    "q_sitemap_seeds",
-    "q_contamination",
-    "q_curation_pipeline",
-    "q_lm_quality",
-    "q_supplier_part_counts",
-    "q_promo_revenue",
-    "q_ship_delay_classes",
-    "q_returned_items",
-    "q_order_count_distribution",
-    "q_top_shippers",
-    "q_market_share",
-    "q_stream_tumbling_hourly",
-    "q_quantized_rerank",
-    "q_value_zscore_builtin",
-    "q_exists_subquery",
-    "q_volume_shipping",
-    "q_funnel_conversion",
-    "q_min_cost_supplier",
-    "q_large_volume_customers",
-    "q_part_value_concentration",
-    "q_brand_quantity_revenue",
-    "q_profit_by_nation",
-    "q_revenue_forecast",
-    "q_semantic_rerank",
-    "q_corpus_report",
-    "q_quality_classifier",
-    "q_stratified_sample",
-    "q_event_dedup",
-    "q_fulltext_score",
-    "q_tfidf_topdocs",
-    "q_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_rollup_returns",
-    "q_ship_within_30d",
-    "q_region_revenue",
-    "q_stream_sliding_1h_30m",
-    "q_stream_session_windows",
-    "q_stream_dedup_keys",
-    "q_stream_click_purchase_join",
-    "q_stream_enriched_nation",
-    "q_sliding_1h_30m",
-    "q_session_windows",
-    "q_geomean_by_type",
-    "q_user_retention",
-    "q_sequence_packing",
-    "q_embedding_near_dup",
-    # ---------- 50-query window boundary ----------
     "q_embedding_quantize",
+    "q_simhash_bands",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_winnow_pairs",
+    "q_winnow_fingerprints",
+    "q_hybrid_rrf",
+    "q_corpus_filter",
+    "q_hash_split",
+    "q_token_budget",
+    "q_source_mixture",
+    "q_pii_redaction",
+    "q_substring_dedup",
+    "q_semantic_dedup",
+    "q_stream_semantic_dedup",
+    "q_paragraph_dedup",
+    "q_upsert_by_key",
+    "q_token_stats",
+    "q_minhash_signatures",
+    "q_jaccard_pairs",
+    "q_cosine_topk",
+    "q_json_variants",
+    "q_domain_cap",
+    "q_domain_blocklist",
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_ivf_search",
+    "q_ivf_kmeans_search",
+    "q_ivfadc_search",
+    "q_pq_rerank",
+    "q_fingerprints",
+    "q_lang_id",
+    "q_quality_scores",
+    "q_term_frequency",
+    "q_vector_norms",
+    "q_l2_centroid_dist",
+    "q_label_centroids",
+    "q_label_centroids_builtin",
+    "q_normalize_hash",
+    "q_chunk_explode",
+    "q_chunk_keys",
+    "q_small_quantity_revenue",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_nation_setops",
+    "q_rank_dense_ntile",
+    "q_running_revenue",
+    # ---------- 50-query window boundary ----------
+    "q_price_percentiles",
+    "q_pivot_daily_value",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_stream_running_stats",
+    "q_stream_near_dedup",
+    "q_stream_funnel",
+    "q_tumbling_hourly",
+    "q_value_zscore",
+    "q_asof_click_error",
+    "q_cosine_topk_batch",
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_bm25_topdocs",
+    "q_ingest_pipeline_fixed",
+    "q_doc_assembly",
+    "q_pricing_summary",
+    "q_temperature_mixture",
+    "q_deep_clean_pipeline",
+    "q_substring_dedup_incr",
+    "q_lm_quality_xcorpus",
     "q_link_graph",
     "q_pagerank",
     "q_anchor_text",
@@ -157,73 +176,54 @@ _PRIORITY = [
     "q_user_event_matrix",
     "q_repetition_filter",
     "q_repeated_spans",
-    "q_simhash_bands",
-    "q_dedup_clusters",
-    "q_incremental_dedup",
-    "q_winnow_pairs",
-    "q_winnow_fingerprints",
-    "q_hybrid_rrf",
-    "q_corpus_filter",
-    "q_hash_split",
-    "q_token_budget",
-    "q_source_mixture",
-    "q_pii_redaction",
-    "q_substring_dedup",
-    "q_semantic_dedup",
-    "q_stream_semantic_dedup",
-    "q_paragraph_dedup",
-    "q_upsert_by_key",
-    "q_token_stats",
-    "q_minhash_signatures",
-    "q_jaccard_pairs",
-    "q_cosine_topk",
-    "q_json_variants",
-    "q_domain_cap",
-    "q_domain_blocklist",
-    "q_dsir_weights",
-    "q_dsir_select",
-    "q_ivf_search",
-    "q_ivf_kmeans_search",
-    "q_ivfadc_search",
-    "q_pq_rerank",
-    "q_fingerprints",
-    "q_lang_id",
-    "q_quality_scores",
-    "q_term_frequency",
-    "q_vector_norms",
-    "q_l2_centroid_dist",
-    "q_label_centroids",
-    "q_label_centroids_builtin",
-    "q_normalize_hash",
-    "q_chunk_explode",
-    "q_chunk_keys",
-    "q_small_quantity_revenue",
-    "q_math_funcs",
-    "q_string_funcs",
-    "q_nation_setops",
-    "q_rank_dense_ntile",
-    "q_running_revenue",
-    "q_price_percentiles",
-    "q_pivot_daily_value",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_stream_running_stats",
-    "q_stream_near_dedup",
-    "q_stream_funnel",
-    "q_tumbling_hourly",
-    "q_value_zscore",
-    "q_asof_click_error",
-    "q_cosine_topk_batch",
-    "q_exact_dedup",
-    "q_minhash_lsh_candidates",
-    "q_bm25_topdocs",
-    "q_ingest_pipeline_fixed",
-    "q_doc_assembly",
-    "q_pricing_summary",
-    "q_temperature_mixture",
-    "q_deep_clean_pipeline",
-    "q_substring_dedup_incr",
-    "q_lm_quality_xcorpus",
+    "q_warc_render",
+    "q_robots_filter",
+    "q_sitemap_seeds",
+    "q_contamination",
+    "q_curation_pipeline",
+    "q_lm_quality",
+    "q_supplier_part_counts",
+    "q_promo_revenue",
+    "q_ship_delay_classes",
+    "q_returned_items",
+    "q_order_count_distribution",
+    "q_top_shippers",
+    "q_market_share",
+    "q_stream_tumbling_hourly",
+    "q_quantized_rerank",
+    "q_value_zscore_builtin",
+    "q_exists_subquery",
+    "q_volume_shipping",
+    "q_funnel_conversion",
+    "q_min_cost_supplier",
+    "q_large_volume_customers",
+    "q_part_value_concentration",
+    "q_brand_quantity_revenue",
+    "q_profit_by_nation",
+    "q_revenue_forecast",
+    "q_semantic_rerank",
+    "q_corpus_report",
+    "q_quality_classifier",
+    "q_stratified_sample",
+    "q_event_dedup",
+    "q_fulltext_score",
+    "q_tfidf_topdocs",
+    "q_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_rollup_returns",
+    "q_ship_within_30d",
+    "q_region_revenue",
+    "q_stream_sliding_1h_30m",
+    "q_stream_session_windows",
+    "q_stream_dedup_keys",
+    "q_stream_click_purchase_join",
+    "q_stream_enriched_nation",
+    "q_sliding_1h_30m",
+    "q_session_windows",
+    "q_geomean_by_type",
+    "q_user_retention",
+    "q_sequence_packing",
+    "q_embedding_near_dup",
     "q_hnsw_topk",
     "q_lsh_ann_topk",
     "q_ivf_assignments",

