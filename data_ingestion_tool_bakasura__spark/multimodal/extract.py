@@ -341,13 +341,22 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         the 180-degree leg (a < 0 on a horizontal baseline): such runs
         group in their own bucket with both keys negated, so rows come
         out in READING order (device bottom-up, right-to-left) instead
-        of the device order that previously scrambled the cells.
-        Heuristic by design: arbitrary-angle text, rotated RULED-only
-        grids and spanned matrices still need fitz; a plain paragraph
-        (one run per baseline, no ruling grid) can never match any
-        detector."""
+        of the device order that previously scrambled the cells. r13
+        closes the two remaining fitz-only buckets the r12 verdict
+        named: COLSPAN rows (a row adjacent to an aligned body whose
+        >= 2 x-positions are a strict subset of the body signature —
+        merged-cell headers/footers) join the positioned table, and
+        RULED-ONLY grids with 90/270-degree text bucket against the
+        rule bands with the axes swapped, reading order from the
+        rotation sign. Heuristic by design: arbitrary-angle (non-
+        quarter-turn) text and 1-run spanning titles still need fitz;
+        a plain paragraph (one run per baseline, no ruling grid) can
+        never match any detector."""
         h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
         v_runs: list[tuple[float, float, str]] = []
+        v_dev: list[tuple[float, float, float]] = []  # device (x, y, sgn),
+        # index-aligned with v_runs — the rotated RULED leg needs raw
+        # device coords to bucket against the (device-space) ruling grid
         r180_runs: list[tuple[float, float, str]] = []
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
             a, b_, c, d = 1.0, 0.0, 0.0, 1.0
@@ -379,6 +388,7 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                     v_runs.append(
                         (round(-sgn * x, 1), round(sgn * y, 1), t.strip())
                     )
+                    v_dev.append((round(x, 1), round(y, 1), sgn))
 
             for m in _OPS.finditer(block):
                 if m.group(1) is not None:  # Tm: full matrix + translation
@@ -411,23 +421,50 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 if len(cells) >= 2:
                     rows.append((yy, tuple(c[0] for c in cells),
                                  [c[1] for c in cells], [c[2] for c in cells]))
-            found: list[str] = []
-            used: set[int] = set()
+            # table BODIES: maximal spans of >= 2 identical-signature rows
+            groups: list[tuple[int, int]] = []
             i = 0
             while i < len(rows):
                 j = i + 1
                 while j < len(rows) and rows[j][1] == rows[i][1]:
                     j += 1
-                if j - i >= 2:  # >= 2 aligned rows -> a table
-                    found.extend(" ".join(r[2]) for r in rows[i:j])
-                    for r in rows[i:j]:
-                        used.update(r[3])
+                if j - i >= 2:
+                    groups.append((i, j))
                 i = j
+            claimed: set[int] = set()
+            for gi, gj in groups:
+                claimed.update(range(gi, gj))
+            found: list[str] = []
+            used: set[int] = set()
+            for gi, gj in groups:
+                sig = set(rows[gi][1])
+                # colspan rows (r13): a row vertically adjacent to the
+                # body whose >= 2 x-positions are a STRICT SUBSET of the
+                # body signature is a merged-cell header/footer (e.g. a
+                # 2-cell heading over a 3-column body — its cells start
+                # exactly on body column positions, one of them spanning
+                # the rest). Absorbed rows emit like any other row, in
+                # reading order. A 1-run spanning title stays out: it is
+                # indistinguishable from a left-aligned paragraph line
+                # (the reference's fitz leg uses ruling lines there).
+                s = gi
+                while (s > 0 and (s - 1) not in claimed
+                       and set(rows[s - 1][1]) < sig):
+                    s -= 1
+                e = gj
+                while (e < len(rows) and e not in claimed
+                       and set(rows[e][1]) < sig):
+                    e += 1
+                claimed.update(range(s, gi))
+                claimed.update(range(gj, e))
+                for r in rows[s:e]:
+                    found.append(" ".join(r[2]))
+                    used.update(r[3])
             return found, used
 
         runs = h_runs  # device coords == (row, col) keys for horizontal text
         out, consumed = _positioned(runs)
-        v_found, _ = _positioned(v_runs)
+        v_found, v_consumed = _positioned(v_runs)
         out.extend(v_found)
         r180_found, _ = _positioned(r180_runs)
         out.extend(r180_found)
@@ -456,6 +493,43 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                         " ".join(t for _, t in sorted(cells_map[(ri, ci)]))
                         for ci in cols
                     ))
+        # detector 2, ROTATED leg (r13): a ruled-only grid whose text
+        # runs 90/270 degrees — the table's ROWS live between the
+        # VERTICAL rules (device x bands) and its columns between the
+        # horizontal rules, the axis swap of the upright leg. Reading
+        # order comes from the rotation sign exactly as in the
+        # positioned detector: 90 deg (sgn +1) reads rows left-to-right
+        # in device x and cells bottom-up in device y; 270 deg mirrors
+        # both. The two orientations bucket separately (a page mixing
+        # them is two tables, not one).
+        if xs and ys and v_runs:
+            for want_sgn in (1.0, -1.0):
+                vcells: dict[tuple[int, int], list[tuple[float, str]]] = {}
+                vcols: set[int] = set()
+                for idx, ((_, _, tt), (dx, dy, sg)) in enumerate(
+                    zip(v_runs, v_dev)
+                ):
+                    if idx in v_consumed or sg != want_sgn:
+                        continue
+                    ri = next((k for k in range(len(xs) - 1)
+                               if xs[k] <= dx < xs[k + 1]), None)
+                    ci = next((k for k in range(len(ys) - 1)
+                               if ys[k] > dy >= ys[k + 1]), None)
+                    if ri is None or ci is None:
+                        continue
+                    # within-cell reading coordinate: along the baseline
+                    vcells.setdefault((ri, ci), []).append((sg * dy, tt))
+                    vcols.add(ci)
+                vrows = sorted({ri for ri, _ in vcells},
+                               reverse=(want_sgn < 0))
+                if len(vrows) >= 2 and len(vcols) >= 2:
+                    for ri in vrows:
+                        cols = sorted((ci for r, ci in vcells if r == ri),
+                                      reverse=(want_sgn > 0))
+                        out.append(" ".join(
+                            " ".join(t for _, t in sorted(vcells[(ri, ci)]))
+                            for ci in cols
+                        ))
         return out
 
     # page order from the /Pages tree when present; else object order

@@ -635,3 +635,109 @@ def test_minipdf_180_rotated_positioned_grid():
     )
     pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), mixed))
     assert pages[0][1] == ["a1 a2", "b1 b2"]
+
+
+def test_minipdf_spanned_header_joins_positioned_table():
+    """r13 (A6, r12 verdict missing #2): a merged-cell header — two
+    runs whose x-positions are a strict subset of the 3-column body
+    signature — joins the table as its first row; the same row WITHOUT
+    an adjacent body stays out (two aligned header-ish lines alone are
+    their own 2-column table only when repeated)."""
+    spanned = (
+        b"BT /F1 12 Tf "
+        # header: "Region" on col 1, "H1 2026" spanning cols 2-3
+        b"1 0 0 1 72 720 Tm (Region) Tj 1 0 0 1 200 720 Tm (H1 2026) Tj "
+        # 3-column body
+        b"1 0 0 1 72 700 Tm (Name) Tj 1 0 0 1 200 700 Tm (Qty) Tj "
+        b"1 0 0 1 330 700 Tm (Rev) Tj "
+        b"1 0 0 1 72 680 Tm (Apple) Tj 1 0 0 1 200 680 Tm (5) Tj "
+        b"1 0 0 1 330 680 Tm (9.5) Tj "
+        b"1 0 0 1 72 660 Tm (Pear) Tj 1 0 0 1 200 660 Tm (12) Tj "
+        b"1 0 0 1 330 660 Tm (30.1) Tj "
+        b"1 0 0 1 72 600 Tm (A closing paragraph.) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), spanned))
+    assert pages[0][1] == [
+        "Region H1 2026", "Name Qty Rev", "Apple 5 9.5", "Pear 12 30.1",
+    ]
+    assert "closing paragraph" in pages[0][0]
+
+    # spanned FOOTER (below the body) absorbs too
+    footer = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm (Name) Tj 1 0 0 1 200 700 Tm (Qty) Tj "
+        b"1 0 0 1 330 700 Tm (Rev) Tj "
+        b"1 0 0 1 72 680 Tm (Apple) Tj 1 0 0 1 200 680 Tm (5) Tj "
+        b"1 0 0 1 330 680 Tm (9.5) Tj "
+        b"1 0 0 1 72 660 Tm (Total) Tj 1 0 0 1 330 660 Tm (39.6) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), footer))
+    assert pages[0][1] == ["Name Qty Rev", "Apple 5 9.5", "Total 39.6"]
+
+    # a NON-subset adjacent row (x off the body grid) must NOT join
+    off_grid = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 90 720 Tm (Left) Tj 1 0 0 1 250 720 Tm (Right) Tj "
+        b"1 0 0 1 72 700 Tm (Name) Tj 1 0 0 1 200 700 Tm (Qty) Tj "
+        b"1 0 0 1 330 700 Tm (Rev) Tj "
+        b"1 0 0 1 72 680 Tm (Apple) Tj 1 0 0 1 200 680 Tm (5) Tj "
+        b"1 0 0 1 330 680 Tm (9.5) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), off_grid))
+    assert pages[0][1] == ["Name Qty Rev", "Apple 5 9.5"]
+
+
+def test_minipdf_rotated_ruled_only_grid():
+    """r13 (A6, r12 verdict missing #2): a RULED-ONLY grid whose text
+    is rotated 90 degrees — per-row x-positions vary (centered cells,
+    the positioned detector can never fire) and the table structure
+    exists only as drawn rules. Rows live between the VERTICAL rules,
+    columns between the horizontal ones (axis swap of the upright
+    leg); reading order from the rotation sign. The 270-degree twin
+    mirrors both axes."""
+    # Grid: vertical rules at x = 100/130/160/190 (3 row bands),
+    # horizontal rules at y = 200/300/400 (2 column bands).
+    rules = (
+        b"100 200 m 100 400 l S 130 200 m 130 400 l S "
+        b"160 200 m 160 400 l S 190 200 m 190 400 l S "
+        b"100 200 m 190 200 l S 100 300 m 190 300 l S "
+        b"100 400 m 190 400 l S "
+    )
+    # 90 deg (b > 0): reading rows = ascending device x bands; cells
+    # within a row read bottom-up (ascending y). x jitters per row so
+    # the positioned detector cannot consume the runs.
+    rot90 = rules + (
+        b"BT /F1 12 Tf "
+        b"0 1 -1 0 105 230 Tm (r1c1) Tj 0 1 -1 0 112 340 Tm (r1c2) Tj "
+        b"0 1 -1 0 140 250 Tm (r2c1) Tj 0 1 -1 0 134 320 Tm (r2c2) Tj "
+        b"0 1 -1 0 170 210 Tm (r3c1) Tj 0 1 -1 0 163 355 Tm (r3c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot90))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
+
+    # 270 deg (b < 0): rows = DESCENDING x bands, cells top-down
+    # (descending y)
+    rot270 = rules + (
+        b"BT /F1 12 Tf "
+        b"0 -1 1 0 170 340 Tm (r1c1) Tj 0 -1 1 0 163 230 Tm (r1c2) Tj "
+        b"0 -1 1 0 140 320 Tm (r2c1) Tj 0 -1 1 0 134 250 Tm (r2c2) Tj "
+        b"0 -1 1 0 105 355 Tm (r3c1) Tj 0 -1 1 0 112 210 Tm (r3c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot270))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
+
+    # rotated prose next to rules that never form a 3x3 grid: no table
+    prose = (
+        b"100 200 m 100 400 l S 100 200 m 190 200 l S "
+        b"BT /F1 12 Tf "
+        b"0 1 -1 0 105 230 Tm (line one) Tj "
+        b"0 1 -1 0 140 250 Tm (line two) Tj "
+        b"ET"
+    )
+    assert MX.minipdf_parse_pages(
+        _splice_content(_tiny_pdf(["x"]), prose))[0][1] == []
