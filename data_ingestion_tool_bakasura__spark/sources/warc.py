@@ -583,6 +583,7 @@ def write_warc(
     cdx: bool = False,
     cdx_filename_prefix: str = "",
     dedup_digest: bool = False,
+    compression: str | None = None,
 ) -> DataFrame:
     """Write response rows as WARC files under ``out_dir`` — the
     inverse of :func:`read_warc` (write->read roundtrips the rows;
@@ -628,11 +629,39 @@ def write_warc(
     writer that shuffles (one exchange on the digest, which digest
     dedup requires by definition; first occurrence by (url, date)
     wins). CDX lines for revisits carry mime ``warc/revisit``, the CC
-    convention. Read back losslessly with :func:`read_warc_deduped`."""
+    convention. Read back losslessly with :func:`read_warc_deduped`.
+
+    ``compression`` (r13): ``None`` | ``'gzip'`` | ``'zstd'`` — one
+    compressed member PER RECORD, concatenated (the CC member layout
+    in both codecs; ``parse_warc_records`` reads either transparently
+    and the CDX offsets index the compressed members). ``'zstd'`` is
+    Common Crawl's current interchange direction (``.warc.zst``) and
+    sits behind the same import gate as the read side (r12,
+    ``zstandard`` — a clear ValueError on the DRIVER when absent, not
+    a per-task crash); frames are written at a fixed level with no
+    checksum so output stays byte-deterministic. ``gzip_members=True``
+    is the r12 spelling of ``compression='gzip'`` (kept for
+    back-compat, byte-identical output)."""
     import json
     import os
 
     from pyspark.sql import functions as F
+
+    if compression is None and gzip_members:
+        compression = "gzip"
+    if compression not in (None, "gzip", "zstd"):
+        raise ValueError(
+            f"write_warc: unknown compression {compression!r} "
+            "(None | 'gzip' | 'zstd')"
+        )
+    if compression == "zstd":
+        try:
+            import zstandard  # noqa: F401  type: ignore[import-not-found]
+        except ImportError as exc:
+            raise ValueError(
+                "write_warc(compression='zstd'): install the "
+                "'zstandard' package to write .warc.zst archives"
+            ) from exc
 
     os.makedirs(out_dir, exist_ok=True)
     status = (
@@ -695,12 +724,28 @@ def write_warc(
         )
     if sort_within:
         src = src.sortWithinPartitions("_url", "_date")
-    ext = ".warc.gz" if gzip_members else ".warc"
+    ext = {"gzip": ".warc.gz", "zstd": ".warc.zst", None: ".warc"}[compression]
 
     def _write(batches):
         import json as _json
 
         from pyspark import TaskContext
+
+        if compression == "zstd":
+            import zstandard as _zstd
+
+            # one reusable compressor per task; fixed level, library
+            # defaults write no checksum -> byte-deterministic members
+            _zc = _zstd.ZstdCompressor(level=3)
+
+        def _member(rec: bytes) -> bytes:
+            if compression == "gzip":
+                # mtime pinned for byte determinism (shards._EPOCH
+                # discipline); one member per record = the CC layout
+                return gzip.compress(rec, mtime=0)
+            if compression == "zstd":
+                return _zc.compress(rec)
+            return rec
 
         tc = TaskContext.get()
         pid = tc.partitionId()
@@ -727,9 +772,7 @@ def write_warc(
             fh = open(tmp, "wb")
             if warcinfo is not None:
                 # leader's id derives from the FINAL name, not the tmp
-                lead = build_warcinfo_record(name, warcinfo)
-                fh.write(gzip.compress(lead, mtime=0)
-                         if gzip_members else lead)
+                fh.write(_member(build_warcinfo_record(name, warcinfo)))
 
         def _close():
             nonlocal fh, seq, n
@@ -776,10 +819,7 @@ def write_warc(
                         http_status=stat,
                         content_type=mime,
                     )
-                if gzip_members:
-                    # mtime pinned for byte determinism (shards._EPOCH
-                    # discipline); one member per record = the CC layout
-                    rec = gzip.compress(rec, mtime=0)
+                rec = _member(rec)
                 if cdx:
                     # CC convention: offset/length of the (compressed)
                     # member as written — read_warc_ranges seeks these

@@ -857,3 +857,86 @@ def test_parse_warc_zstd_member_gate():
     else:
         got = parse_warc_records(zstandard.ZstdCompressor().compress(rec))
         assert len(got) == 1 and got[0][1] == b"body"
+
+
+def test_write_warc_compression_param_and_zstd_gate(spark, tmp_path):
+    """r13: compression='gzip' is byte-identical to the r12
+    gzip_members spelling; compression='zstd' without the zstandard
+    package raises a clear ValueError on the DRIVER (the read-side
+    gate's discipline), and an unknown codec raises immediately."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import write_warc
+
+    src = _writer_rows(spark).coalesce(1)
+    write_warc(src, str(tmp_path / "a"), gzip_members=True,
+               records_per_file=2)
+    write_warc(src, str(tmp_path / "b"), compression="gzip",
+               records_per_file=2)
+    a = b"".join(p.read_bytes()
+                 for p in sorted((tmp_path / "a").glob("part-*.warc.gz")))
+    b = b"".join(p.read_bytes()
+                 for p in sorted((tmp_path / "b").glob("part-*.warc.gz")))
+    assert a == b and len(a) > 0
+
+    with _pytest.raises(ValueError, match="compression"):
+        write_warc(src, str(tmp_path / "c"), compression="lz4")
+
+    try:
+        import zstandard  # noqa: F401
+        has_zstd = True
+    except ImportError:
+        has_zstd = False
+    if not has_zstd:
+        with _pytest.raises(ValueError, match="zstandard"):
+            write_warc(src, str(tmp_path / "z"), compression="zstd")
+
+
+def test_write_warc_zstd_roundtrip(spark, tmp_path):
+    """r13 (.warc.zst write side): per-record zstd members roundtrip
+    through read_warc byte-exactly, write twice is byte-identical, and
+    the CDX sidecar's offsets index the true compressed members
+    (read_warc_ranges fetches exactly the indexed records). Gated on
+    the zstandard package like the read side."""
+    import pytest as _pytest
+
+    _pytest.importorskip("zstandard")
+
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        read_cdx,
+        read_warc_ranges,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    src = _writer_rows(spark).coalesce(1)
+    man = write_warc(src, str(tmp_path / "z1"), compression="zstd",
+                     records_per_file=2, cdx=True,
+                     warcinfo={"software": "t"}).collect()
+    assert sum(r["n_records"] for r in man) == 4
+    files = sorted((tmp_path / "z1").glob("part-*.warc.zst"))
+    assert len(files) == 2
+    assert all(p.read_bytes()[:4] == b"\x28\xb5\x2f\xfd" for p in files)
+    back = read_warc(spark, str(tmp_path / "z1"))
+    got = sorted((r["url"], r["http_status"], bytes(r["payload"]))
+                 for r in back.collect())
+    want = sorted((r["url"], r["http_status"], bytes(r["payload"]))
+                  for r in src.collect())
+    assert got == want
+    # byte determinism across writes
+    write_warc(src, str(tmp_path / "z2"), compression="zstd",
+               records_per_file=2, cdx=True, warcinfo={"software": "t"})
+    z1 = b"".join(p.read_bytes()
+                  for p in sorted((tmp_path / "z1").glob("part-*.warc.zst")))
+    z2 = b"".join(p.read_bytes()
+                  for p in sorted((tmp_path / "z2").glob("part-*.warc.zst")))
+    assert z1 == z2 and len(z1) > 0
+    # CDX offsets are true member offsets in the zstd files
+    caps = read_cdx(spark, str(tmp_path / "z1") + "/*.cdxj")
+    fetched = read_warc_ranges(
+        spark, fetch_plan(caps), base_dir=str(tmp_path / "z1")
+    )
+    assert fetched.count() == 4

@@ -89,3 +89,44 @@ def test_merge_replay_idempotent(spark, tmp_path):
     first = _state(spark, p)
     upsert_into_path(spark, p, w2, key="id", order_by=["version"])  # replay
     assert _state(spark, p) == first
+
+
+def test_delta_merge_parity_when_available(spark, tmp_path):
+    """r13 (r12 verdict #6): the Delta MERGE leg itself, exercised
+    whenever the environment can — delta-spark importable AND the
+    session built with the Delta extension (both required: the MERGE
+    plan needs the SQL extension + catalog registered at session
+    build). Two waves through the Delta engine must equal the same
+    waves through upsert_by_key — the exact parity contract the
+    parquet fallback test pins, so the two engines are interchangeable
+    batch-for-batch. Skips with a reason when either piece is absent
+    (the fitz-seam discipline; this environment has no pip installs)."""
+    pytest.importorskip("delta", reason="delta-spark not installed")
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if "DeltaSparkSessionExtension" not in ext:
+        pytest.skip("session not built with the Delta SQL extension")
+
+    p = str(tmp_path / "dtbl")
+    w1 = spark.createDataFrame(_W1, _SCHEMA)
+    w2 = spark.createDataFrame(_W2, _SCHEMA)
+    # seed as a real Delta table so auto-detect picks the MERGE leg
+    elect_winners(w1, key="id", order_by=["version"]).write.format(
+        "delta"
+    ).save(p)
+    assert upsert_into_path(
+        spark, p, w2, key="id", order_by=["version"]
+    ) == "delta"
+    got = sorted(
+        map(tuple, spark.read.format("delta").load(p).collect())
+    )
+    want = sorted(
+        map(tuple, upsert_by_key(w1, w2, key="id", order_by=["version"]).collect())
+    )
+    assert got == want
+    # replay the same wave: MERGE is idempotent on identical updates
+    assert upsert_into_path(
+        spark, p, w2, key="id", order_by=["version"]
+    ) == "delta"
+    assert sorted(
+        map(tuple, spark.read.format("delta").load(p).collect())
+    ) == want
