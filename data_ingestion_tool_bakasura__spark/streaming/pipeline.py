@@ -35,6 +35,23 @@ from data_ingestion_tool_bakasura__spark.operators.ingest import (
 )
 
 
+#: r13 (r12 verdict #7) — the streaming PLAN-AUDIT seam. The batch
+#: catalog's 170 plans are walked mechanically every round by
+#: ``tools/plan_audit.py``, but the micro-batch plans inside these
+#: foreachBatch closures used to be invisible to it (only their
+#: semantics were tested). When set, every closure in this module
+#: calls the hook with (closure_name, final_frame) right before its
+#: write, so the auditor can walk the REAL micro-batch physical plan
+#: with the same anti-pattern visitor. ``None`` in production — the
+#: cost is one truthiness check per micro-batch.
+BATCH_AUDIT_HOOK = None
+
+
+def _audit(name: str, df: DataFrame) -> None:
+    if BATCH_AUDIT_HOOK is not None:
+        BATCH_AUDIT_HOOK(name, df)
+
+
 def stream_documents(spark: SparkSession, path: str, schema) -> DataFrame:
     """File stream of document rows (parquet parts arriving in ``path``)."""
     return spark.readStream.schema(schema).parquet(path)
@@ -63,6 +80,7 @@ def start_incremental_ingest(
         except Exception:
             index = None  # first batch: no index yet
         rows = ingest_documents(batch_df, index=index, cfg=cfg)
+        _audit("incremental_ingest", rows)
         rows.write.mode("append").parquet(index_path)
 
     writer = docs_stream.writeStream.foreachBatch(_sink).option(
@@ -113,6 +131,15 @@ def start_streaming_upsert(
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="upsert_ckpt_")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if BATCH_AUDIT_HOOK is not None:
+            # audit the election half (the merge's shuffle shape);
+            # the MERGE/swap itself happens inside upsert_into_path
+            from data_ingestion_tool_bakasura__spark.operators.upsert import (
+                elect_winners,
+            )
+
+            _audit("streaming_upsert",
+                   elect_winners(batch_df, key=key, order_by=order_by))
         upsert_into_path(
             batch_df.sparkSession, table_path, batch_df, key=key, order_by=order_by
         )
@@ -227,6 +254,7 @@ def start_streaming_near_dedup(
         dup_in_batch = both_new.select(F.greatest("id_a", "id_b").alias(id_col))
         drop = dup_vs_corpus.unionByName(dup_in_batch).distinct()
         survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
+        _audit("near_dedup", survivors)
         survivors.write.mode("append").parquet(corpus_path)
         # survivors' index rows = the already-computed batch keys minus
         # the dropped docs (no second MinHash pass over the text)
@@ -316,6 +344,7 @@ def start_streaming_semantic_dedup(
             id_col=id_col, vec_col=vec_col, round_dp=round_dp,
             new_assigned=assigned,
         )
+        _audit("semantic_dedup", decisions)
         decisions.write.mode("append").parquet(decisions_path)
         assigned.write.mode("append").parquet(index_path)
 
@@ -393,6 +422,7 @@ def start_streaming_span_dedup(
         new_grams = new_grams.join(
             index.select(F.col("gh")), on="gh", how="left_anti"
         ).transform(reliable_checkpoint)
+        _audit("span_dedup", cleaned)
         cleaned.write.mode("append").parquet(cleaned_path)
         new_grams.write.mode("append").parquet(index_path)
 
@@ -501,6 +531,7 @@ def start_streaming_image_dedup(
             to_index = to_index.join(
                 index.select("media_id"), on="media_id", how="left_anti"
             )
+        _audit("image_dedup", survivors)
         # materialize: the append plan must not lazily read index_path
         # while appending to it
         reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
@@ -590,6 +621,7 @@ def start_streaming_video_dedup(
                 index.select("video_id").distinct(),
                 on="video_id", how="left_anti",
             )
+        _audit("video_dedup", survivors)
         # materialize: the append plan must not lazily read index_path
         # while appending to it
         reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
@@ -1054,6 +1086,7 @@ def start_streaming_crawl(
             # order could leave a landed URL out of the bitmap and
             # silently re-land it later
             _bloom(spark).add_df(out.select("norm_url"), "norm_url")
+        _audit("crawl", out)
         out.write.mode("append").parquet(corpus_path)
         if (compact_every and batch_id > 0
                 and batch_id % compact_every == 0

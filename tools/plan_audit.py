@@ -17,8 +17,11 @@ physical plan tree via py4j, and flags:
   dimension-bounded aggregates (the PLANS.md "Whole-frame windows"
   pattern) — those queries are allowlisted explicitly.
 
-Streaming queries are skipped (their plans materialize through the
-replay/foreachBatch harnesses, audited by their own tests). Queries
+Streaming closures are audited too (r13, r12 verdict #7): the full
+sweep (or the literal arg ``streaming``) drives every foreachBatch
+closure in ``streaming/pipeline.py`` once over scratch fixtures with
+``pipeline.BATCH_AUDIT_HOOK`` set, walking each micro-batch's REAL
+physical plan with the same visitor. Queries
 whose CONSTRUCTION runs jobs (kmeans fits, collected query sets,
 stream replays) run those jobs here — the audit is read-only but not
 free (~2 min at sf0.01).
@@ -164,6 +167,156 @@ def audit_plan(df) -> list[str]:
     return found
 
 
+def audit_streaming(spark, sf: str) -> tuple[int, list[tuple[str, str]]]:
+    """r13 (r12 verdict #7): walk the micro-batch PHYSICAL plans inside
+    every foreachBatch closure in ``streaming/pipeline.py`` with the
+    same anti-pattern visitor the batch catalog gets. The closures call
+    ``pipeline.BATCH_AUDIT_HOOK(name, df)`` with the final frame of
+    each micro-batch; this drives each closure once over a small
+    scratch fixture (per-run mkdtemp — no shared host state) and
+    collects findings per closure."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_ingestion_tool_bakasura__spark.operators.ingest import IngestConfig
+    from data_ingestion_tool_bakasura__spark.operators.similarity import (
+        pick_seed_centroids,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        build_warc_record,
+        read_warc,
+    )
+    from data_ingestion_tool_bakasura__spark.streaming import pipeline as SP
+
+    captured: dict[str, list[str]] = {}
+
+    def hook(name, df) -> None:
+        try:
+            captured.setdefault(name, []).extend(audit_plan(df))
+        except Exception as exc:  # noqa: BLE001 — a hook crash must not
+            # fail the stream; surface it as a finding instead
+            captured.setdefault(name, []).append(f"audit hook failed: {exc}")
+
+    scratch = tempfile.mkdtemp(prefix="plan_audit_stream_")
+
+    def _stage(src: str, name: str) -> str:
+        d = os.path.join(scratch, name)
+        os.makedirs(d)
+        os.symlink(src, os.path.join(d, os.path.basename(src)))
+        return d
+
+    SP.BATCH_AUDIT_HOOK = hook
+    try:
+        docs_src = os.path.join(sf, "documents.parquet")
+        emb_src = os.path.join(sf, "embeddings.parquet")
+        docs_schema = spark.read.parquet(docs_src).schema
+
+        SP.start_incremental_ingest(
+            spark.readStream.schema(docs_schema).parquet(_stage(docs_src, "ing")),
+            os.path.join(scratch, "ing_idx"),
+            cfg=IngestConfig(embedding_dim=8),
+            checkpoint=os.path.join(scratch, "ing_ckpt"),
+        ).awaitTermination()
+
+        upd = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")],
+            "id long, version long, payload string",
+        )
+        upd_dir = os.path.join(scratch, "upd_in")
+        upd.coalesce(1).write.parquet(upd_dir)
+        SP.start_streaming_upsert(
+            spark.readStream.schema(upd.schema).parquet(upd_dir),
+            os.path.join(scratch, "ups_tbl"),
+            key="id", order_by=["version"],
+            checkpoint=os.path.join(scratch, "ups_ckpt"),
+        ).awaitTermination()
+
+        SP.start_streaming_near_dedup(
+            spark.readStream.schema(docs_schema).parquet(_stage(docs_src, "nd")),
+            os.path.join(scratch, "nd_corpus"),
+            os.path.join(scratch, "nd_idx"),
+            checkpoint=os.path.join(scratch, "nd_ckpt"),
+        ).awaitTermination()
+
+        emb = spark.read.parquet(emb_src)
+        SP.start_streaming_semantic_dedup(
+            spark.readStream.schema(emb.schema).parquet(_stage(emb_src, "sd")),
+            pick_seed_centroids(emb, 8),
+            os.path.join(scratch, "sd_dec"),
+            os.path.join(scratch, "sd_idx"),
+            eps=0.30,
+            checkpoint=os.path.join(scratch, "sd_ckpt"),
+        ).awaitTermination()
+
+        SP.start_streaming_span_dedup(
+            spark.readStream.schema(docs_schema).parquet(_stage(docs_src, "sp")),
+            os.path.join(scratch, "sp_clean"),
+            os.path.join(scratch, "sp_idx"),
+            checkpoint=os.path.join(scratch, "sp_ckpt"),
+        ).awaitTermination()
+
+        img = spark.createDataFrame(
+            [(i, "IMG1|8|8|1|" + (f"pixel row {i} content varies here ") * 8)
+             for i in range(6)],
+            "media_id long, payload string",
+        )
+        img_dir = os.path.join(scratch, "img_in")
+        img.coalesce(1).write.parquet(img_dir)
+        SP.start_streaming_image_dedup(
+            spark.readStream.schema(img.schema).parquet(img_dir),
+            os.path.join(scratch, "img_corpus"),
+            os.path.join(scratch, "img_idx"),
+            checkpoint=os.path.join(scratch, "img_ckpt"),
+        ).awaitTermination()
+
+        def _vid(*frames: str) -> bytes:
+            return (b"VID1|10|%d|" % len(frames)) + b"\x00".join(
+                f.encode() for f in frames
+            )
+
+        vid = spark.createDataFrame(
+            [("a", _vid("the first shot holds on the harbor at dawn",
+                        "a second shot pans across the market street")),
+             ("b", _vid("an entirely different closing shot over black"))],
+            "media_id string, media binary",
+        )
+        vid_dir = os.path.join(scratch, "vid_in")
+        vid.coalesce(1).write.parquet(vid_dir)
+        SP.start_streaming_video_dedup(
+            spark.readStream.schema(vid.schema).parquet(vid_dir),
+            os.path.join(scratch, "vid_corpus"),
+            os.path.join(scratch, "vid_idx"),
+            every_k=1,
+            checkpoint=os.path.join(scratch, "vid_ckpt"),
+        ).awaitTermination()
+
+        wdir = os.path.join(scratch, "warc")
+        os.makedirs(wdir)
+        recs = b"".join(
+            build_warc_record(
+                f"https://site{i % 3}.org/p{i}",
+                "2026-01-01T00:00:00Z",
+                b"<html><p>hello body %d with some words</p></html>" % i,
+            )
+            for i in range(8)
+        )
+        with open(os.path.join(wdir, "w1.warc"), "wb") as fh:
+            fh.write(recs)
+        SP.start_streaming_crawl(
+            read_warc(spark, wdir, streaming=True),
+            os.path.join(scratch, "crawl_corpus"),
+            checkpoint=os.path.join(scratch, "crawl_ckpt"),
+        ).awaitTermination()
+    finally:
+        SP.BATCH_AUDIT_HOOK = None
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    findings = [(f"stream:{n}", w) for n, ws in sorted(captured.items())
+                for w in ws]
+    return len(captured), findings
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
@@ -235,9 +388,16 @@ def main() -> int:
                 continue
             findings.append((name, what))
 
+    # streaming closures: full sweep, or on request via the literal
+    # name "streaming" in the query-name args
+    n_stream = 0
+    if not only or "streaming" in only:
+        n_stream, stream_findings = audit_streaming(spark, sf)
+        findings.extend(stream_findings)
+
     print(
-        f"checked {n_checked} batch plans, skipped {n_skipped} streaming; "
-        f"{n_eager} allowlisted eager builds"
+        f"checked {n_checked} batch plans + {n_stream} streaming "
+        f"micro-batch closures; {n_eager} allowlisted eager builds"
     )
     if findings:
         print("findings:")
