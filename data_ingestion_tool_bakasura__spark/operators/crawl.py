@@ -266,23 +266,28 @@ def robots_filter(
     ``rules``: the table from :func:`robots_rules_df` (host, prefix,
     allow, prefix_len[, regex]) — a pre-r12 persisted table without
     the ``regex`` column still works (all rules match as prefixes).
-    Plan: one (broadcast by default) left join on host + a per-rule
-    match folded into the join condition (``startswith`` for plain
-    prefixes, ``regexp_like`` for the wildcard/anchored minority —
-    both engine-native, no Python), then ONE aggregate over the
-    fan-out that both picks the
-    longest-match winner (max(struct(prefix_len, allow))) and carries
-    the page columns through (``first`` — deterministic: every row in
-    a group is the same page row replicated per matching rule). No
-    join-back, so the row id is referenced exactly once in the plan —
-    task retry / speculation cannot pair verdicts with the wrong rows
-    (the r11 ADVICE finding against the old two-sided
-    monotonically_increasing_id join). Matching is on the path PLUS
-    the query when present (r12 — the RFC 9309 match target; real
-    wildcard rules overwhelmingly aim at query strings, e.g.
-    ``Disallow: /*?sessionid=``); the fragment never reaches a
+
+    Plan (r13 — ZERO page-side exchange): the rules first collapse to
+    ONE row per host carrying its rule array (an exchange of the
+    small rules table only), broadcast by default; pages then
+    broadcast-left-join on host with no fan-out (exactly one rule-array
+    row per host), and the RFC 9309 longest-match verdict evaluates
+    per page row as pure higher-order codegen —
+    ``filter`` keeps the matching rules (``startswith`` for plain
+    prefixes, ``regexp_like`` for the wildcard/anchored minority; the
+    per-rule pattern is array data, which Spark's RLIKE accepts as a
+    non-foldable pattern), ``array_max`` over ``struct(prefix_len,
+    allow)`` picks the winner, and an empty/absent match list is a
+    NULL verdict (= allowed). The r12 form paid one full exchange of
+    the page side (``groupBy`` on a row id after the rule fan-out,
+    itself the fix for the r11 nondeterministic id join-back); in the
+    streaming crawl's hot path that was the batch's only shuffle —
+    now the whole filter is map-only on the pages, duplicates need no
+    special casing, and there is no row id at all. Matching is on the
+    path PLUS the query when present (r12 — the RFC 9309 match
+    target; real wildcard rules overwhelmingly aim at query strings,
+    e.g. ``Disallow: /*?sessionid=``); the fragment never reaches a
     server so it is excluded."""
-    rid = F.monotonically_increasing_id()
     host = U.url_host(F.col(url_col))
     path_raw = U.url_path(F.col(url_col))
     query = U.url_query(F.col(url_col))
@@ -290,40 +295,35 @@ def robots_filter(
         F.when(path_raw == "", "/").otherwise(path_raw),
         F.when(query == "", "").otherwise(F.concat(F.lit("?"), query)),
     )
-    keyed = (
-        df.withColumn("_rid", rid)
-        .withColumn("_host", host)
-        .withColumn("_path", target)
-    )
     if "regex" not in rules.columns:  # pre-r12 persisted rule tables
         rules = rules.withColumn("regex", F.lit(None).cast("string"))
-    r = rules.select(
-        F.col("host").alias("_rhost"), "prefix", "allow", "prefix_len",
-        "regex",
+    by_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.collect_list(
+            F.struct("prefix", "allow", "prefix_len", "regex")
+        ).alias("_rules")
     )
     if broadcast_rules:
-        r = F.broadcast(r)
-    match = F.when(
-        r["regex"].isNull(), keyed["_path"].startswith(r["prefix"])
-    ).otherwise(F.regexp_like(keyed["_path"], r["regex"]))
+        by_host = F.broadcast(by_host)
+    keyed = df.withColumn("_host", host).withColumn("_path", target)
     joined = keyed.join(
-        r,
-        on=(keyed["_host"] == r["_rhost"]) & match,
-        how="left",
+        by_host, on=keyed["_host"] == by_host["_rhost"], how="left"
     )
-    # non-matching left-join rows carry struct(NULL, NULL) — which is a
-    # NON-null struct, so wrap in when(): no match must aggregate to a
-    # NULL verdict (= allowed), not a null-fielded winner
+    path_c = F.col("_path")
+    matched = F.filter(
+        F.col("_rules"),
+        lambda r: F.when(
+            r["regex"].isNull(), path_c.startswith(r["prefix"])
+        ).otherwise(F.regexp_like(path_c, r["regex"])),
+    )
+    # array_max orders structs field-by-field: longest prefix wins,
+    # ties go to allow (true > false) — the RFC 9309 evaluation
+    top = F.array_max(
+        F.transform(matched, lambda r: F.struct(r["prefix_len"], r["allow"]))
+    )
     page_cols = [c for c in df.columns]
-    out = joined.groupBy("_rid").agg(
-        *[F.first(c).alias(c) for c in page_cols],
-        F.max(
-            F.when(F.col("prefix_len").isNotNull(),
-                   F.struct("prefix_len", "allow"))
-        ).alias("_top"),
-    )
     return (
-        out.filter(F.col("_top").isNull() | F.col("_top.allow"))
+        joined.withColumn("_top", top)
+        .filter(F.col("_top").isNull() | F.col("_top.allow"))
         .select(*page_cols)
     )
 

@@ -38,13 +38,16 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: (r12 verdict #1; evidence computed by ``python tools/rotation.py``):
 #: lead with q_hnsw_exact_twin (NEW — full-beam sharded HNSW under the
 #: exact cosine oracle, closing the last never-driver-checked evidence
-#: hole, r12 verdict Missing #1), then the two whose implementation or
-#: oracle changed this round (q_binary_rerank — binary_quantize gained
-#: the empty-vector guard; q_fetch_schedule — its DuckDB twin's
+#: hole, r12 verdict Missing #1), then the three whose implementation
+#: or oracle changed this round (q_binary_rerank — binary_quantize
+#: gained the empty-vector guard; q_fetch_schedule — its DuckDB twin's
 #: crawl-delay CASE is now bounded to the Spark side's site0..40
-#: robots universe), then q_embedding_quantize + the 21-row r9 block
-#: (the whole remaining r9 evidence), then the r10 block oldest-first
-#: through q_running_revenue (position 50). After this window lands
+#: robots universe; q_robots_filter — the verdict now evaluates as
+#: map-only higher-order codegen over a per-host rule array, zero
+#: page-side exchange), then q_embedding_quantize + the 21-row r9
+#: block (the whole remaining r9 evidence), then the r10 block
+#: oldest-first through q_rank_dense_ntile (position 50). After this
+#: window lands
 #: the oldest driver evidence anywhere is r10. Past the boundary the
 #: remaining r10 rows, then r11, then r12 continue stalest-first so
 #: the r14 rotation reads straight off ``tools/rotation.py``.
@@ -60,6 +63,7 @@ _PRIORITY = [
     "q_hnsw_exact_twin",
     "q_binary_rerank",
     "q_fetch_schedule",
+    "q_robots_filter",
     "q_embedding_quantize",
     "q_simhash_bands",
     "q_dedup_clusters",
@@ -106,8 +110,8 @@ _PRIORITY = [
     "q_string_funcs",
     "q_nation_setops",
     "q_rank_dense_ntile",
-    "q_running_revenue",
     # ---------- 50-query window boundary ----------
+    "q_running_revenue",
     "q_price_percentiles",
     "q_pivot_daily_value",
     "q_cube_orders",
@@ -177,7 +181,6 @@ _PRIORITY = [
     "q_repetition_filter",
     "q_repeated_spans",
     "q_warc_render",
-    "q_robots_filter",
     "q_sitemap_seeds",
     "q_contamination",
     "q_curation_pipeline",
