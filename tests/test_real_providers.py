@@ -741,3 +741,27 @@ def test_minipdf_rotated_ruled_only_grid():
     )
     assert MX.minipdf_parse_pages(
         _splice_content(_tiny_pdf(["x"]), prose))[0][1] == []
+
+
+def test_minipdf_mixed_rotation_ruled_grids_stay_separate():
+    """Two quarter-turn orientations sharing one page's ruling grid
+    bucket separately (a page mixing 90- and 270-degree text is two
+    tables, not one interleaved one)."""
+    rules = (
+        b"100 200 m 100 400 l S 130 200 m 130 400 l S "
+        b"160 200 m 160 400 l S "
+        b"100 200 m 160 200 l S 100 300 m 160 300 l S "
+        b"100 400 m 160 400 l S "
+    )
+    mixed = rules + (
+        b"BT /F1 12 Tf "
+        # 90-deg table: rows ascending x
+        b"0 1 -1 0 105 230 Tm (a1) Tj 0 1 -1 0 112 340 Tm (a2) Tj "
+        b"0 1 -1 0 140 250 Tm (b1) Tj 0 1 -1 0 134 320 Tm (b2) Tj "
+        # 270-deg table over the same bands: rows DESCENDING x
+        b"0 -1 1 0 140 340 Tm (p1) Tj 0 -1 1 0 134 230 Tm (p2) Tj "
+        b"0 -1 1 0 105 355 Tm (q1) Tj 0 -1 1 0 112 210 Tm (q2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), mixed))
+    assert pages[0][1] == ["a1 a2", "b1 b2", "p1 p2", "q1 q2"]
