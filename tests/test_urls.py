@@ -327,6 +327,16 @@ def test_robots_filter_longest_match_semantics(spark):
     )
     kept = sorted(r["id"] for r in C.robots_filter(df, rules).collect())
     assert kept == [2, 3, 6, 7]
+    # duplicate URLs (r13 map-only form): each duplicate row gets its
+    # own per-row verdict — no row id, no grouping, both copies kept
+    dup = spark.createDataFrame(
+        [(10, "https://a.example/doc/125"), (11, "https://a.example/doc/125"),
+         (12, "https://b.example/z"), (13, "https://b.example/z")],
+        "id int, url string",
+    )
+    assert sorted(
+        r["id"] for r in C.robots_filter(dup, rules).collect()
+    ) == [10, 11]
 
 
 def test_robots_rules_df_parses_once_per_host(spark):
