@@ -729,6 +729,27 @@ def test_export_warc_cli_roundtrip(spark, tmp_path, capsys):
         "https://a.example/p": ("2026-03-01T00:00:00Z", "alpha body"),
         "https://b.example/q": ("2026-03-01T00:00:00Z", "beta body"),
     }
+    # r13: --compression zstd routes to the import gate when the
+    # zstandard package is absent (clear error, exit 1, no partial
+    # output dir left behind beyond the empty mkdir), and works
+    # end-to-end when present
+    out_z = str(tmp_path / "warc_z")
+    try:
+        import zstandard  # noqa: F401
+        rc = curate_cli.main([
+            "export-warc", corpus, out_z, "--compression", "zstd",
+            "--date", "2026-03-01T00:00:00Z",
+        ])
+        assert rc == 0
+        assert read_warc(spark, out_z).count() == 2
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="zstandard"):
+            curate_cli.main([
+                "export-warc", corpus, out_z, "--compression", "zstd",
+                "--date", "2026-03-01T00:00:00Z",
+            ])
 
 
 def test_write_warc_warcinfo_leader(spark, tmp_path):

@@ -147,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
         help="one gzip member per record (the Common Crawl .warc.gz layout)",
     )
     p_warc.add_argument(
+        "--compression", choices=["gzip", "zstd"], default=None,
+        help="member codec (r13): zstd = .warc.zst (requires the "
+             "zstandard package; import-gated like the read side); "
+             "--gzip is the back-compat spelling of --compression gzip",
+    )
+    p_warc.add_argument(
         "--cdx", action="store_true",
         help="publish sibling .cdxj index files (true member offsets; "
              "feeds read_cdx/fetch_plan/read_warc_ranges)",
@@ -289,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
             payload_col="_wpayload", status_col=None, ctype_col=None,
             records_per_file=args.records_per_file,
             gzip_members=args.gzip, cdx=args.cdx,
+            compression=args.compression,
         ).collect()
         print(json.dumps({
             "event": "warc_exported", "n_files": len(man),
