@@ -348,16 +348,24 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         merged-cell headers/footers) join the positioned table, and
         RULED-ONLY grids with 90/270-degree text bucket against the
         rule bands with the axes swapped, reading order from the
-        rotation sign. Heuristic by design: arbitrary-angle (non-
-        quarter-turn) text and 1-run spanning titles still need fitz;
-        a plain paragraph (one run per baseline, no ruling grid) can
-        never match any detector."""
+        rotation sign; and ARBITRARY-ANGLE positioned grids rotate
+        back into per-angle-bucket frames (~0.57-degree resolution)
+        where the positioned detector runs unchanged — reading order
+        falls out of the rotation algebra for any pure rotation.
+        Heuristic by design: 1-run spanning titles and oblique
+        RULED-only grids still need fitz; a plain paragraph (one run
+        per baseline, no ruling grid) can never match any
+        detector."""
         h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
         v_runs: list[tuple[float, float, str]] = []
         v_dev: list[tuple[float, float, float]] = []  # device (x, y, sgn),
         # index-aligned with v_runs — the rotated RULED leg needs raw
         # device coords to bucket against the (device-space) ruling grid
         r180_runs: list[tuple[float, float, str]] = []
+        # arbitrary-angle runs (r13), bucketed per rotation angle:
+        # angle-bucket key -> [(row key, col key, text)] in the bucket's
+        # own rotated frame
+        ob_runs: dict[float, list[tuple[float, float, str]]] = {}
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
             a, b_, c, d = 1.0, 0.0, 0.0, 1.0
             x = y = 0.0
@@ -370,6 +378,28 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
 
             def _record(t: str) -> None:
                 if not t.strip():
+                    return
+                # arbitrary-angle leg (r13): a run whose baseline is
+                # genuinely oblique (both |a| and |b| significant —
+                # the four quarter-turn orientations have one of them
+                # ~0 and keep their dedicated legs byte-identical)
+                # rotates back into its own angle-bucket frame, where
+                # rows/cols group exactly like upright text: along the
+                # baseline x' = reading order, perpendicular y'
+                # descending = successive lines (text-space ty < 0
+                # maps to Δy' = -1 for any pure rotation). Buckets are
+                # ~0.57-degree wide (round to 2 decimals of a radian);
+                # mixed-angle pages form one table per angle.
+                if min(abs(a), abs(b_)) > 0.05 * max(abs(a), abs(b_), 1e-9):
+                    import math
+
+                    th = math.atan2(b_, a)
+                    cs, sn = math.cos(th), math.sin(th)
+                    xr = x * cs + y * sn
+                    yr = -x * sn + y * cs
+                    ob_runs.setdefault(round(th, 2), []).append(
+                        (round(yr, 1), round(xr, 1), t.strip())
+                    )
                     return
                 if abs(b_) <= abs(a):  # horizontal baseline
                     if a >= 0:  # upright
@@ -468,6 +498,9 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         out.extend(v_found)
         r180_found, _ = _positioned(r180_runs)
         out.extend(r180_found)
+        for th in sorted(ob_runs):  # arbitrary-angle buckets (r13)
+            ob_found, _ = _positioned(ob_runs[th])
+            out.extend(ob_found)
         # detector 2: ruled-only grid over the unconsumed runs
         xs, ys = _ruling_grid(stream)
         if xs and ys:

@@ -765,3 +765,44 @@ def test_minipdf_mixed_rotation_ruled_grids_stay_separate():
     )
     pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), mixed))
     assert pages[0][1] == ["a1 a2", "b1 b2", "p1 p2", "q1 q2"]
+
+
+def test_minipdf_arbitrary_angle_positioned_grid():
+    """r13: a 30-degree-rotated positioned grid (full Tm rotation
+    matrix, neither axis-aligned leg can claim it) extracts in reading
+    order by rotating runs back into their angle-bucket frame; oblique
+    PROSE (one run per baseline) stays table-free, and two different
+    angles on one page never merge into one table."""
+    rot30 = (
+        b"BT /F1 12 Tf "
+        b"0.8660 0.5000 -0.5000 0.8660 -63.40 309.81 Tm (r1c1) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 23.21 359.81 Tm (r1c2) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 -53.40 292.49 Tm (r2c1) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 33.21 342.49 Tm (r2c2) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 -43.40 275.17 Tm (r3c1) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 43.21 325.17 Tm (r3c2) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), rot30))
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "r3c1 r3c2"]
+
+    # oblique prose at a different angle: no table
+    prose = (
+        b"BT /F1 12 Tf "
+        b"0.9397 -0.3420 0.3420 0.9397 217.99 452.75 Tm (line one) Tj "
+        b"0.9397 -0.3420 0.3420 0.9397 211.15 433.95 Tm (line two) Tj "
+        b"ET"
+    )
+    assert MX.minipdf_parse_pages(
+        _splice_content(_tiny_pdf(["x"]), prose))[0][1] == []
+
+    # a lone oblique stamp must not join (or break) an upright grid
+    mixed = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 80 700 Tm (a1) Tj 1 0 0 1 200 700 Tm (a2) Tj "
+        b"1 0 0 1 80 680 Tm (b1) Tj 1 0 0 1 200 680 Tm (b2) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 10 10 Tm (stamp) Tj "
+        b"ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), mixed))
+    assert pages[0][1] == ["a1 a2", "b1 b2"]
