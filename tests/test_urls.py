@@ -675,3 +675,85 @@ def test_robots_pattern_regex_matches_reference(core, anchored, path):
         got = bool(_re.search(rx, path))
     want = _ref_robots_match(pattern, path)
     assert got == want, (pattern, path, rx)
+
+
+def test_robots_filter_randomized_parity_vs_python_reference(spark):
+    """r13 (the map-only rewrite's confidence test): 400 random URLs x
+    randomized rule sets (plain prefixes, mid-* wildcards, $ anchors,
+    duplicate prefixes with conflicting verdicts, rule-less hosts)
+    must filter EXACTLY like an independent pure-Python RFC 9309
+    longest-match evaluator — one Spark roundtrip for the whole set."""
+    import random
+    import re as _re
+
+    rng = random.Random(1309)
+    hosts = [f"h{i}.example" for i in range(12)]  # h10/h11 get no rules
+    segs = ["docs", "api", "private", "tmp", "a", "b1", "x?y=1", "x?y=2"]
+
+    rules_rows = []
+    for h in hosts[:10]:
+        for _ in range(rng.randint(1, 6)):
+            parts = [rng.choice(segs) for _ in range(rng.randint(1, 3))]
+            pat = "/" + "/".join(parts)
+            form = rng.random()
+            if form < 0.25:
+                pat = pat.replace("/", "/*", 1) if "*" not in pat else pat
+            elif form < 0.4:
+                pat = pat + "$"
+            allow = rng.random() < 0.5
+            core = pat[:-1] if pat.endswith("$") else pat
+            rules_rows.append((h, pat, allow, len(core)))
+
+    urls_rows = []
+    for i in range(400):
+        h = rng.choice(hosts)
+        parts = [rng.choice(segs) for _ in range(rng.randint(0, 3))]
+        url = f"https://{h}/" + "/".join(parts)
+        urls_rows.append((i, url))
+
+    # independent reference evaluation (no shared translation code:
+    # the regex is rebuilt from the raw pattern here)
+    def _ref_matches(pat: str, path: str) -> bool:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        if "*" not in core and not anchored:
+            return path.startswith(core)
+        rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+        return _re.search("^" + rx + ("$" if anchored else ""), path) is not None
+
+    by_host: dict[str, list[tuple[str, bool, int]]] = {}
+    for h, pat, allow, plen in rules_rows:
+        by_host.setdefault(h, []).append((pat, allow, plen))
+
+    want_keep = set()
+    for i, url in urls_rows:
+        h = url.split("//", 1)[1].split("/", 1)[0]
+        path = "/" + url.split("//", 1)[1].split("/", 1)[1] if "/" in url.split("//", 1)[1] else "/"
+        best = None
+        for pat, allow, plen in by_host.get(h, []):
+            if _ref_matches(pat, path):
+                key = (plen, allow)
+                if best is None or key > best:
+                    best = key
+        if best is None or best[1]:
+            want_keep.add(i)
+
+    # Spark side: raw patterns go through robots_pattern_regex exactly
+    # as robots_rules_df would emit them
+    spark_rules = spark.createDataFrame(
+        [
+            (
+                h,
+                (pat[:-1] if pat.endswith("$") else pat)
+                if ("*" not in pat and not pat.endswith("$")) else pat,
+                allow,
+                plen,
+                C.robots_pattern_regex(pat),
+            )
+            for h, pat, allow, plen in rules_rows
+        ],
+        "host string, prefix string, allow boolean, prefix_len int, regex string",
+    )
+    df = spark.createDataFrame(urls_rows, "id int, url string")
+    got_keep = {r["id"] for r in C.robots_filter(df, spark_rules).collect()}
+    assert got_keep == want_keep
