@@ -297,15 +297,40 @@ def audit_streaming(spark, sf: str) -> tuple[int, list[tuple[str, str]]]:
             build_warc_record(
                 f"https://site{i % 3}.org/p{i}",
                 "2026-01-01T00:00:00Z",
-                b"<html><p>hello body %d with some words</p></html>" % i,
+                b"<html><p>hello body %d with some words here</p>"
+                b"<a href='/n%d'>next</a></html>" % (i, i),
             )
             for i in range(8)
         )
         with open(os.path.join(wdir, "w1.warc"), "wb") as fh:
             fh.write(recs)
+        # FULL-FEATURE crawl micro-batch: the audited plan must include
+        # the hot-path legs a real crawl runs — robots gate (the r13
+        # map-only rewrite lives here), blocklist, per-domain caps,
+        # quality gate, boilerplate removal, Bloom seen-set, link-graph
+        # fold, and the WARC+CDX archive publication
+        from data_ingestion_tool_bakasura__spark.operators.crawl import (
+            robots_rules_df,
+        )
+
+        robots = spark.createDataFrame(
+            [("site0.org", "User-agent: *\nDisallow: /private")],
+            "host string, body string",
+        )
+        rules_path = os.path.join(scratch, "robots_rules")
+        robots_rules_df(robots).write.parquet(rules_path)
         SP.start_streaming_crawl(
             read_warc(spark, wdir, streaming=True),
             os.path.join(scratch, "crawl_corpus"),
+            blocked_domains=["bad.example"],
+            robots_rules_path=rules_path,
+            max_per_domain_per_batch=10,
+            max_per_domain_total=100,
+            quality_gate="c4+gopher",
+            boilerplate_removal=True,
+            seen_bloom=True,
+            link_graph_path=os.path.join(scratch, "crawl_graph"),
+            archive_path=os.path.join(scratch, "crawl_archive"),
             checkpoint=os.path.join(scratch, "crawl_ckpt"),
         ).awaitTermination()
     finally:
