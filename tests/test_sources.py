@@ -961,3 +961,34 @@ def test_write_warc_zstd_roundtrip(spark, tmp_path):
         spark, fetch_plan(caps), base_dir=str(tmp_path / "z1")
     )
     assert fetched.count() == 4
+
+
+def test_parse_warc_latin1_header_fallback():
+    """r13: a FOREIGN archive whose WARC header block carries raw
+    latin-1 bytes (invalid UTF-8 — e.g. a crawler that wrote 0xE9 for
+    'é') still parses via the latin-1 fallback; our own UTF-8-written
+    non-ASCII URIs decode exactly."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        parse_warc_records,
+    )
+
+    body = b"payload"
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://caf\xe9.example/p\r\n"  # raw latin-1
+        b"Content-Length: %d\r\n\r\n" % len(body)
+    )
+    recs = parse_warc_records(head + body + b"\r\n\r\n")
+    assert len(recs) == 1
+    assert recs[0][0]["warc-target-uri"] == "http://caf\xe9.example/p"
+    assert recs[0][1] == body
+
+    utf8_head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://caf\xe9.example/文\r\n"
+        "Content-Length: %d\r\n\r\n" % len(body)
+    ).encode("utf-8")
+    recs = parse_warc_records(utf8_head + body + b"\r\n\r\n")
+    assert recs[0][0]["warc-target-uri"] == "http://caf\xe9.example/文"
