@@ -992,3 +992,57 @@ def test_parse_warc_latin1_header_fallback():
     ).encode("utf-8")
     recs = parse_warc_records(utf8_head + body + b"\r\n\r\n")
     assert recs[0][0]["warc-target-uri"] == "http://caf\xe9.example/文"
+
+
+def test_write_warc_roundtrip_property(spark, tmp_path):
+    """PROPERTY (one Spark roundtrip over a seeded adversarial batch):
+    write_warc -> read_warc recovers every row byte-exactly for URLs
+    spanning ASCII / latin-1 / CJK / emoji / percent-encoded forms and
+    payloads containing CRLFs, the 'WARC/' magic, NULs, gzip magic and
+    empty bytes — in both the plain and gzip-member layouts (r13: the
+    UTF-8 header + attempt-safe rename writer)."""
+    import random
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    rng = random.Random(13)
+    url_forms = [
+        "https://plain.example/p{}",
+        "https://caf\xe9.example/{}/\xe9t\xe9",
+        "http://例え.jp/パス/{}",
+        "https://emoji.example/{}?q=🦉&x=1",
+        "https://pct.example/a%20b/{}",
+    ]
+    payload_pool = [
+        b"", b"\x00", b"\r\n\r\nWARC/1.0\x00\xff", b"\x1f\x8b fake gzip",
+        b"plain words " * 50, bytes(rng.randrange(256) for _ in range(257)),
+    ]
+    rows = [
+        (url_forms[i % len(url_forms)].format(i),
+         f"2026-05-0{1 + i % 9}T0{i % 10}:00:00Z",
+         "text/html" if i % 2 else "application/octet-stream",
+         200 if i % 3 else 404,
+         payload_pool[i % len(payload_pool)])
+        for i in range(23)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "url string, warc_date string, content_type string,"
+        " http_status int, payload binary",
+    ).repartition(3, "url")
+    want = sorted(
+        (r["url"], r["warc_date"], r["content_type"], r["http_status"],
+         bytes(r["payload"])) for r in src.collect()
+    )
+    for layout, kw in (("plain", {}), ("gz", {"gzip_members": True})):
+        out = str(tmp_path / layout)
+        man = write_warc(src, out, records_per_file=7, **kw).collect()
+        assert sum(r["n_records"] for r in man) == 23
+        got = sorted(
+            (r["url"], r["warc_date"], r["content_type"], r["http_status"],
+             bytes(r["payload"])) for r in read_warc(spark, out).collect()
+        )
+        assert got == want, layout
