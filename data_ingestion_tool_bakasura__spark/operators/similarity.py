@@ -1177,12 +1177,14 @@ def binary_quantize(
     )
     # empty/null guard: sequence(1, 0) is the DESCENDING [1, 0], which
     # would emit two spurious zero words — Hamming 0 to everything,
-    # polluting every shortlist ahead of real candidates. An empty or
-    # null vector gets an empty code (Hamming vs anything = 0 over zero
-    # words too, but zip_with of unequal lengths nulls out — callers
-    # filter on size upstream; the code column at least stays honest).
-    code = F.when(F.size(x) > 0, code).otherwise(
-        F.array().cast("array<bigint>")
+    # polluting every shortlist ahead of real candidates. An empty
+    # vector gets an empty code; a NULL vector stays NULL (no
+    # embedding != zero-dim embedding — callers filter on size
+    # upstream, and the code column keeps the distinction honest).
+    code = (
+        F.when(_c(vec_col).isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(x) > 0, code)
+        .otherwise(F.array().cast("array<bigint>"))
     )
     return df.withColumn(code_col, code)
 

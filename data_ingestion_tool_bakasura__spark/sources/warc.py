@@ -59,12 +59,13 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     unframed payload bytes.
 
     Zstandard members (r12, the newer CC compression): the zstd magic
-    dispatches to an import-gated ``zstandard`` leg (the fitz
-    discipline — a clear ValueError names the missing package when
-    absent); multi-frame streams concatenate like gzip members.
-    Dictionary-bearing seekable .warc.zst (CC's skippable-frame
-    dictionary layout) needs the real library's streaming API and is
-    covered by the same gate."""
+    dispatches to a gated leg that resolves the ``zstandard`` package
+    OR a ctypes binding to the system libzstd (``zstd_compat``, r14 —
+    a clear ValueError names the missing package when neither
+    resolves); multi-frame streams concatenate like gzip members and
+    skippable frames are skipped. Dictionary-bearing seekable
+    .warc.zst (CC's skippable-frame dictionary layout) needs the
+    dictionary resolved and fails loudly on either backend."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
@@ -74,13 +75,14 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
         # silently parse to zero records
         len(raw) >= 4 and raw[1:4] == b"\x2a\x4d\x18" and 0x50 <= raw[0] <= 0x5F
     ):
-        try:
-            import zstandard  # type: ignore[import-not-found]
-        except ImportError as exc:
-            raise ValueError(
-                "zstd-compressed WARC member: install the 'zstandard' "
-                "package to decode .warc.zst archives"
-            ) from exc
+        from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+            require_zstd,
+        )
+
+        # r14: the gate resolves the zstandard package OR a ctypes
+        # binding to the system libzstd (zstd_compat) — absent both,
+        # the same clear ValueError naming the package
+        zstandard = require_zstd("zstd-compressed WARC member")
         try:
             # read_across_frames spans every concatenated frame in one
             # read (skippable frames are skipped by the library)
@@ -636,10 +638,11 @@ def write_warc(
     in both codecs; ``parse_warc_records`` reads either transparently
     and the CDX offsets index the compressed members). ``'zstd'`` is
     Common Crawl's current interchange direction (``.warc.zst``) and
-    sits behind the same import gate as the read side (r12,
-    ``zstandard`` — a clear ValueError on the DRIVER when absent, not
-    a per-task crash); frames are written at a fixed level with no
-    checksum so output stays byte-deterministic. ``gzip_members=True``
+    sits behind the same gate as the read side (``zstandard`` package
+    or the r14 ctypes system-libzstd shim — a clear ValueError on the
+    DRIVER when neither resolves, not a per-task crash); frames are
+    written at a fixed level with no checksum so output stays
+    byte-deterministic per libzstd version. ``gzip_members=True``
     is the r12 spelling of ``compression='gzip'`` (kept for
     back-compat, byte-identical output)."""
     import json
@@ -655,13 +658,13 @@ def write_warc(
             "(None | 'gzip' | 'zstd')"
         )
     if compression == "zstd":
-        try:
-            import zstandard  # noqa: F401  type: ignore[import-not-found]
-        except ImportError as exc:
-            raise ValueError(
-                "write_warc(compression='zstd'): install the "
-                "'zstandard' package to write .warc.zst archives"
-            ) from exc
+        from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+            require_zstd,
+        )
+
+        # driver-side gate (never a per-task crash): the zstandard
+        # package or the ctypes system-libzstd shim (r14)
+        require_zstd("write_warc(compression='zstd')")
 
     os.makedirs(out_dir, exist_ok=True)
     status = (
@@ -732,11 +735,14 @@ def write_warc(
         from pyspark import TaskContext
 
         if compression == "zstd":
-            import zstandard as _zstd
+            from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+                require_zstd as _req,
+            )
 
             # one reusable compressor per task; fixed level, library
             # defaults write no checksum -> byte-deterministic members
-            _zc = _zstd.ZstdCompressor(level=3)
+            # (package or ctypes-libzstd backend — same frame shape)
+            _zc = _req("write_warc task").ZstdCompressor(level=3)
 
         def _member(rec: bytes) -> bytes:
             if compression == "gzip":
@@ -768,7 +774,12 @@ def write_warc(
             nonlocal fh, path, tmp
             name = f"part-{pid:05d}-{seq:04d}{ext}"
             path = os.path.join(out_dir, name)
-            tmp = f"{path}.{att}.tmp"
+            # HIDDEN temp (leading dot): a zombie attempt that dies
+            # before os.replace leaves its orphan behind, and
+            # read_warc's default '*.warc*' glob — plus Spark's own
+            # hidden-file filtering — must never pick the truncated
+            # bytes up as a real archive (r13 ADVICE).
+            tmp = os.path.join(out_dir, f".{name}.{att}.tmp")
             fh = open(tmp, "wb")
             if warcinfo is not None:
                 # leader's id derives from the FINAL name, not the tmp
@@ -781,10 +792,13 @@ def write_warc(
                 os.replace(tmp, path)
                 out.append((os.path.basename(path), n, os.path.getsize(path)))
                 if cdx:
-                    cpath = os.path.join(
-                        out_dir, f"part-{pid:05d}-{seq:04d}.cdxj"
-                    )
-                    ctmp = f"{cpath}.{att}.tmp"
+                    cname = f"part-{pid:05d}-{seq:04d}.cdxj"
+                    cpath = os.path.join(out_dir, cname)
+                    # same hidden-temp discipline as the .warc temp —
+                    # read_cdx's '*.cdxj' glob happens not to match the
+                    # old suffix form, but the dot prefix makes the
+                    # invariant structural rather than accidental
+                    ctmp = os.path.join(out_dir, f".{cname}.{att}.tmp")
                     with open(ctmp, "w") as cf:
                         cf.writelines(cdx_lines_buf)
                     os.replace(ctmp, cpath)

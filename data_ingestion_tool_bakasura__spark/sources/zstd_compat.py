@@ -1,0 +1,239 @@
+"""zstd access seam for the ``.warc.zst`` legs.
+
+Common Crawl's current interchange compression is Zstandard
+(``.warc.zst``), so the WARC reader/writer (``sources/warc.py``)
+needs a zstd codec. Resolution order, cached per process:
+
+1. the ``zstandard`` package — the full API, including the streaming
+   reader that resolves dictionary-bearing seekable archives;
+2. a minimal :mod:`ctypes` binding to the SYSTEM ``libzstd`` shared
+   library (the public zstd C API from facebook/zstd ``zstd.h``:
+   ``ZSTD_compress`` / ``ZSTD_compressBound`` /
+   ``ZSTD_decompressStream`` / ``ZSTD_isError`` /
+   ``ZSTD_getErrorName``) — enough for the one-frame-per-record CC
+   member layout this repo writes and reads. ``ZSTD_decompressStream``
+   natively reads concatenated frames and skips skippable frames, so
+   multi-member ``.warc.zst`` files decode exactly like the package
+   leg; dictionary-bearing seekable archives raise :class:`ZstdError`
+   (same failure surface the package leg reports for an unresolved
+   dictionary).
+3. neither — :func:`get_zstd` returns ``None`` and callers raise the
+   same driver-side gate ``ValueError`` as before.
+
+The shim exposes exactly the surface ``sources/warc.py`` consumes
+from the real package: ``ZstdCompressor(level=N).compress(bytes)``,
+``ZstdDecompressor().stream_reader(raw, read_across_frames=True)``
+as a context manager with ``.read()``, and ``ZstdError``. One-shot
+``ZSTD_compress`` at a fixed level writes the frame content size and
+no checksum — byte-deterministic for a given libzstd version, the
+same contract the package leg documents.
+
+Reference parity note: the reference app has no archive writer at
+all (SURVEY.md §2.C2 is mandated-extension scope); the zstd framing
+here follows RFC 8878 via the public C API only.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import threading
+
+
+class ZstdError(Exception):
+    """Codec failure from the ctypes libzstd leg (mirrors
+    ``zstandard.ZstdError`` so callers catch one shape)."""
+
+
+class _InBuffer(ctypes.Structure):
+    # ZSTD_inBuffer: {const void* src; size_t size; size_t pos;}
+    _fields_ = [
+        ("src", ctypes.c_void_p),
+        ("size", ctypes.c_size_t),
+        ("pos", ctypes.c_size_t),
+    ]
+
+
+class _OutBuffer(ctypes.Structure):
+    # ZSTD_outBuffer: {void* dst; size_t size; size_t pos;}
+    _fields_ = [
+        ("dst", ctypes.c_void_p),
+        ("size", ctypes.c_size_t),
+        ("pos", ctypes.c_size_t),
+    ]
+
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_lib_failed = False
+
+
+def _load_lib() -> ctypes.CDLL | None:
+    """Load and sign the system libzstd once per process (worker
+    processes each pay this once; the handle is then shared across
+    tasks in that worker)."""
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+        try:
+            lib = ctypes.CDLL(name)
+            lib.ZSTD_versionNumber.restype = ctypes.c_uint
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_getErrorName.restype = ctypes.c_char_p
+            lib.ZSTD_getErrorName.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ]
+            lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+            lib.ZSTD_freeDCtx.restype = ctypes.c_size_t
+            lib.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
+            lib.ZSTD_DStreamOutSize.restype = ctypes.c_size_t
+            lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+            lib.ZSTD_decompressStream.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(_OutBuffer),
+                ctypes.POINTER(_InBuffer),
+            ]
+        except (OSError, AttributeError):
+            _lib_failed = True
+            return None
+        _lib = lib
+        return lib
+
+
+def _check(lib: ctypes.CDLL, code: int) -> int:
+    if lib.ZSTD_isError(code):
+        raise ZstdError(lib.ZSTD_getErrorName(code).decode("ascii"))
+    return code
+
+
+class ZstdCompressor:
+    """One-shot frame compressor over ``ZSTD_compress`` — one frame
+    per call, content size in the header, no checksum (the simple-API
+    defaults), matching the member shape ``write_warc`` needs."""
+
+    def __init__(self, level: int = 3):
+        self._level = int(level)
+
+    def compress(self, data: bytes) -> bytes:
+        lib = _load_lib()
+        if lib is None:  # callers only reach here after require_zstd
+            raise ZstdError("system libzstd unavailable")
+        data = bytes(data)
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = _check(
+            lib, lib.ZSTD_compress(dst, bound, data, len(data), self._level)
+        )
+        return dst.raw[:n]
+
+
+class _StreamReader:
+    """Context manager mirroring ``zstandard``'s ``stream_reader``
+    for the one call shape ``parse_warc_records`` uses: enter, one
+    ``.read()`` spanning every concatenated frame, exit."""
+
+    def __init__(self, data: bytes):
+        self._data = bytes(data)
+
+    def __enter__(self) -> "_StreamReader":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        return False
+
+    def read(self) -> bytes:
+        lib = _load_lib()
+        if lib is None:
+            raise ZstdError("system libzstd unavailable")
+        data = self._data
+        if not data:
+            return b""
+        dctx = lib.ZSTD_createDCtx()
+        if not dctx:
+            raise ZstdError("ZSTD_createDCtx failed")
+        try:
+            src = ctypes.create_string_buffer(data, len(data))
+            inb = _InBuffer(
+                ctypes.cast(src, ctypes.c_void_p), len(data), 0
+            )
+            osz = lib.ZSTD_DStreamOutSize()
+            obuf = ctypes.create_string_buffer(osz)
+            chunks: list[bytes] = []
+            ret = 0
+            # decompressStream consumes concatenated frames back to
+            # back (skippable frames are swallowed); ret == 0 marks a
+            # frame boundary and the next iteration opens the next
+            # frame with the same context. Every iteration offers a
+            # fresh full output buffer, so the stream always advances
+            # or errors — no livelock case.
+            while inb.pos < inb.size:
+                outb = _OutBuffer(
+                    ctypes.cast(obuf, ctypes.c_void_p), osz, 0
+                )
+                ret = _check(
+                    lib,
+                    lib.ZSTD_decompressStream(
+                        dctx, ctypes.byref(outb), ctypes.byref(inb)
+                    ),
+                )
+                if outb.pos:
+                    chunks.append(obuf.raw[: outb.pos])
+            if ret != 0:
+                # input exhausted mid-frame: a truncated archive must
+                # fail loudly, never return a silently short corpus
+                raise ZstdError(
+                    "truncated zstd frame (input ended mid-frame)"
+                )
+            return b"".join(chunks)
+        finally:
+            lib.ZSTD_freeDCtx(dctx)
+
+
+class ZstdDecompressor:
+    def stream_reader(
+        self, data: bytes, read_across_frames: bool = True
+    ) -> _StreamReader:
+        return _StreamReader(data)
+
+
+class _CtypesShim:
+    """Namespace with the exact attribute surface warc.py touches."""
+
+    ZstdError = ZstdError
+    ZstdCompressor = ZstdCompressor
+    ZstdDecompressor = ZstdDecompressor
+    backend = "ctypes-libzstd"
+
+
+def get_zstd():
+    """The resolved zstd namespace (package first, then the ctypes
+    libzstd shim), or ``None`` when neither backend exists."""
+    try:
+        import zstandard  # type: ignore[import-not-found]
+
+        return zstandard
+    except ImportError:
+        pass
+    if _load_lib() is not None:
+        return _CtypesShim
+    return None
+
+
+def require_zstd(what: str):
+    """``get_zstd()`` or a driver-grade gate error naming the fix."""
+    z = get_zstd()
+    if z is None:
+        raise ValueError(
+            f"{what}: install the 'zstandard' package (no system "
+            "libzstd shared library found either) to handle "
+            ".warc.zst archives"
+        )
+    return z

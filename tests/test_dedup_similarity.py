@@ -675,7 +675,9 @@ def test_binary_quantize_empty_vector_guard(spark):
     }
     assert len(got[1]) == 1
     assert got[2] == []
-    assert got[3] in ([], None)
+    # NULL input stays NULL (r13 ADVICE): no-embedding is not the same
+    # row state as a zero-dimension embedding
+    assert got[3] is None
 
 
 def test_binary_rerank_recall_vs_shortlist(spark):

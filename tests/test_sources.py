@@ -729,20 +729,22 @@ def test_export_warc_cli_roundtrip(spark, tmp_path, capsys):
         "https://a.example/p": ("2026-03-01T00:00:00Z", "alpha body"),
         "https://b.example/q": ("2026-03-01T00:00:00Z", "beta body"),
     }
-    # r13: --compression zstd routes to the import gate when the
-    # zstandard package is absent (clear error, exit 1, no partial
-    # output dir left behind beyond the empty mkdir), and works
-    # end-to-end when present
+    # r13/r14: --compression zstd routes to the gate when NO backend
+    # (zstandard package or system libzstd via zstd_compat) resolves
+    # (clear error, exit 1), and works end-to-end when one does
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        get_zstd,
+    )
+
     out_z = str(tmp_path / "warc_z")
-    try:
-        import zstandard  # noqa: F401
+    if get_zstd() is not None:
         rc = curate_cli.main([
             "export-warc", corpus, out_z, "--compression", "zstd",
             "--date", "2026-03-01T00:00:00Z",
         ])
         assert rc == 0
         assert read_warc(spark, out_z).count() == 2
-    except ImportError:
+    else:
         import pytest as _pytest
 
         with _pytest.raises(ValueError, match="zstandard"):
@@ -851,13 +853,18 @@ def test_write_warc_dedup_digest_revisits(spark, tmp_path):
 
 
 def test_parse_warc_zstd_member_gate():
-    """r12: a zstd-magic member either decodes (zstandard installed)
-    or raises the gated ValueError naming the package — never
-    misparses as framing bytes."""
+    """r12/r14: a zstd-magic member either decodes (zstandard package
+    or the ctypes system-libzstd backend) or raises the gated
+    ValueError naming the package — never misparses as framing
+    bytes. With a backend present, corrupt bytes after a real magic
+    still raise (the loud-failure side of the gate)."""
     import pytest as _pytest
 
     from data_ingestion_tool_bakasura__spark.sources.warc import (
         parse_warc_records,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        get_zstd,
     )
 
     rec = (
@@ -865,9 +872,8 @@ def test_parse_warc_zstd_member_gate():
         b"WARC-Target-URI: http://z.example/\r\n"
         b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
     )
-    try:
-        import zstandard
-    except ImportError:
+    z = get_zstd()
+    if z is None:
         with _pytest.raises(ValueError, match="zstandard"):
             parse_warc_records(b"\x28\xb5\x2f\xfd" + b"junk")
         # the CC seekable layout OPENS with a skippable frame
@@ -876,8 +882,17 @@ def test_parse_warc_zstd_member_gate():
         with _pytest.raises(ValueError, match="zstandard"):
             parse_warc_records(b"\x50\x2a\x4d\x18" + b"\x04\x00\x00\x00dict")
     else:
-        got = parse_warc_records(zstandard.ZstdCompressor().compress(rec))
+        got = parse_warc_records(z.ZstdCompressor(level=3).compress(rec))
         assert len(got) == 1 and got[0][1] == b"body"
+        # a skippable frame LEADER followed by the member decodes too
+        # (the CC seekable layout shape, minus the dictionary use)
+        sk = b"\x50\x2a\x4d\x18" + b"\x04\x00\x00\x00dict"
+        got = parse_warc_records(sk + z.ZstdCompressor(level=3).compress(rec))
+        assert len(got) == 1 and got[0][1] == b"body"
+        # corrupt tail after a real magic fails LOUDLY, never a
+        # silently-short relation
+        with _pytest.raises(ValueError, match="zstd"):
+            parse_warc_records(b"\x28\xb5\x2f\xfd" + b"junkjunk")
 
 
 def test_write_warc_compression_param_and_zstd_gate(spark, tmp_path):
@@ -903,12 +918,11 @@ def test_write_warc_compression_param_and_zstd_gate(spark, tmp_path):
     with _pytest.raises(ValueError, match="compression"):
         write_warc(src, str(tmp_path / "c"), compression="lz4")
 
-    try:
-        import zstandard  # noqa: F401
-        has_zstd = True
-    except ImportError:
-        has_zstd = False
-    if not has_zstd:
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        get_zstd,
+    )
+
+    if get_zstd() is None:
         with _pytest.raises(ValueError, match="zstandard"):
             write_warc(src, str(tmp_path / "z"), compression="zstd")
 
@@ -918,10 +932,16 @@ def test_write_warc_zstd_roundtrip(spark, tmp_path):
     through read_warc byte-exactly, write twice is byte-identical, and
     the CDX sidecar's offsets index the true compressed members
     (read_warc_ranges fetches exactly the indexed records). Gated on
-    the zstandard package like the read side."""
+    a resolvable zstd backend (zstandard package or the r14 ctypes
+    system-libzstd shim — on this host the shim makes the leg RUN)."""
     import pytest as _pytest
 
-    _pytest.importorskip("zstandard")
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        get_zstd,
+    )
+
+    if get_zstd() is None:
+        _pytest.skip("no zstd backend (package or system libzstd)")
 
     from data_ingestion_tool_bakasura__spark.sources.cdx import (
         fetch_plan,
@@ -957,10 +977,71 @@ def test_write_warc_zstd_roundtrip(spark, tmp_path):
     assert z1 == z2 and len(z1) > 0
     # CDX offsets are true member offsets in the zstd files
     caps = read_cdx(spark, str(tmp_path / "z1") + "/*.cdxj")
-    fetched = read_warc_ranges(
-        spark, fetch_plan(caps), base_dir=str(tmp_path / "z1")
+    fetched = read_warc_ranges(fetch_plan(caps), str(tmp_path / "z1"))
+    got_rng = sorted((r["url"], r["http_status"], bytes(r["payload"]))
+                     for r in fetched.collect())
+    assert got_rng == want  # offsets index the true compressed members
+
+
+def test_zstd_compat_ctypes_backend_contract():
+    """r14: the ctypes system-libzstd shim honors the exact contract
+    the warc legs rely on — one deterministic frame per compress
+    call, read-across concatenated + skippable frames, LOUD errors
+    on truncated or corrupt input (never a silently short corpus)."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.sources import zstd_compat
+
+    if zstd_compat._load_lib() is None:
+        _pytest.skip("no system libzstd")
+    shim = zstd_compat._CtypesShim
+    c = shim.ZstdCompressor(level=3)
+    a = c.compress(b"alpha record bytes " * 64)
+    b = c.compress(b"beta")
+    assert a[:4] == b"\x28\xb5\x2f\xfd"
+    assert c.compress(b"alpha record bytes " * 64) == a  # deterministic
+    skippable = b"\x50\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"dict"
+    with shim.ZstdDecompressor().stream_reader(
+        skippable + a + b, read_across_frames=True
+    ) as r:
+        assert r.read() == b"alpha record bytes " * 64 + b"beta"
+    with _pytest.raises(shim.ZstdError, match="truncated"):
+        with shim.ZstdDecompressor().stream_reader(a[:-3]) as r:
+            r.read()
+    with _pytest.raises(shim.ZstdError):
+        with shim.ZstdDecompressor().stream_reader(
+            b"\x28\xb5\x2f\xfd" + b"garbage!"
+        ) as r:
+            r.read()
+    with shim.ZstdDecompressor().stream_reader(b"") as r:
+        assert r.read() == b""
+
+
+def test_write_warc_orphan_temp_invisible(spark, tmp_path):
+    """r13 ADVICE (medium): a zombie attempt's orphaned temp file must
+    be INVISIBLE to read-back. Temps are now dot-prefixed hidden files
+    — Spark's binaryFile listing skips them — so a stray truncated
+    temp in the output dir can never be parsed as a real archive, and
+    a stray .cdxj temp never feeds read_cdx."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import read_cdx
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        read_warc,
+        write_warc,
     )
-    assert fetched.count() == 4
+
+    src = _writer_rows(spark).coalesce(1)
+    out = tmp_path / "o"
+    write_warc(src, str(out), cdx=True)
+    # plant orphans shaped exactly like a died-mid-write attempt:
+    # truncated archive bytes under the attempt-temp naming scheme
+    real = sorted(out.glob("part-*.warc"))[0]
+    (out / f".{real.name}.99.tmp").write_bytes(real.read_bytes()[:37])
+    (out / ".part-00000-0000.cdxj.99.tmp").write_text("garbage not cdxj\n")
+    back = read_warc(spark, str(out))
+    assert back.count() == 4  # the orphan contributed nothing
+    assert sorted(set(r["path"].rsplit("/", 1)[-1] for r in back.collect()))[0].startswith("part-")
+    caps = read_cdx(spark, str(out) + "/*.cdxj")
+    assert caps.count() == 4
 
 
 def test_parse_warc_latin1_header_fallback():
