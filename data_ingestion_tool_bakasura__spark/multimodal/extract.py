@@ -316,6 +316,47 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             return [], []
         return sorted(v_xs), sorted(h_ys, reverse=True)
 
+    def _oblique_rule_grid(
+        stream: bytes, th: float
+    ) -> tuple[list[float], list[float]]:
+        """Ruling grid for a theta-rotated frame (r14; the last
+        ruled-only A6 bucket the r13 verdict named): the same ``m``/
+        ``l`` segments the upright detector reads, with both ENDPOINTS
+        rotated back by -theta — the exact rotation the arbitrary-
+        angle positioned leg applies to text runs — then classified
+        by the ROTATED deltas: an along-baseline segment (|dy'| < 0.5)
+        is one of the frame's horizontal rules at its y', a
+        perpendicular one a vertical rule at its x'. Same >= 3 x >= 3
+        floor and 8pt span threshold as the upright grid. ``re``
+        rectangles stay upright-only: a rotated frame drawn with
+        ``re`` needs a ``cm`` matrix this parser does not track —
+        fitz territory, like 1-run spanning titles
+        (reference behavior = PyMuPDF find_tables,
+        embedding_utils.py:103-120)."""
+        import math
+
+        cs, sn = math.cos(th), math.sin(th)
+        span = 8.0
+        h_ys: set[float] = set()
+        v_xs: set[float] = set()
+        body = re.sub(rb"\bBT\b.*?\bET\b", b" ", stream, flags=re.S)
+        cur: tuple[float, float] | None = None
+        for m in re.finditer(
+            rb"(%s)\s+(%s)\s+(m|l)(?![\w])" % (NUM, NUM), body
+        ):
+            px, py = float(m.group(1)), float(m.group(2))
+            rx, ry = px * cs + py * sn, -px * sn + py * cs
+            if m.group(3) == b"l" and cur is not None:
+                cx, cy = cur
+                if abs(ry - cy) < 0.5 and abs(rx - cx) >= span:
+                    h_ys.add(round(ry, 1))
+                elif abs(rx - cx) < 0.5 and abs(ry - cy) >= span:
+                    v_xs.add(round(rx, 1))
+            cur = (rx, ry)
+        if len(h_ys) < 3 or len(v_xs) < 3:
+            return [], []
+        return sorted(v_xs), sorted(h_ys, reverse=True)
+
     def tables_of(stream: bytes) -> list[str]:
         """A6 floor for the stdlib path, two detectors through one
         seam (same per-row output shape as the stub provider):
@@ -351,11 +392,13 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         rotation sign; and ARBITRARY-ANGLE positioned grids rotate
         back into per-angle-bucket frames (~0.57-degree resolution)
         where the positioned detector runs unchanged — reading order
-        falls out of the rotation algebra for any pure rotation.
-        Heuristic by design: 1-run spanning titles and oblique
-        RULED-only grids still need fitz; a plain paragraph (one run
-        per baseline, no ruling grid) can never match any
-        detector."""
+        falls out of the rotation algebra for any pure rotation. r14
+        closes the OBLIQUE ruled-only bucket: rule segments rotate
+        into the same per-angle frames and the band bucketing runs
+        unchanged. Heuristic by design: 1-run spanning titles (the
+        sole remaining fitz-only case) still need fitz; a plain
+        paragraph (one run per baseline, no ruling grid) can never
+        match any detector."""
         h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
         v_runs: list[tuple[float, float, str]] = []
         v_dev: list[tuple[float, float, float]] = []  # device (x, y, sgn),
@@ -364,8 +407,12 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         r180_runs: list[tuple[float, float, str]] = []
         # arbitrary-angle runs (r13), bucketed per rotation angle:
         # angle-bucket key -> [(row key, col key, text)] in the bucket's
-        # own rotated frame
+        # own rotated frame; ob_th keeps each bucket's first-seen EXACT
+        # angle (r14) — the ruled leg must rotate rule segments with it,
+        # not the 2-decimal bucket key, or a page-spanning rule picks up
+        # ~3pt of transverse error and misses the 0.5pt classifier
         ob_runs: dict[float, list[tuple[float, float, str]]] = {}
+        ob_th: dict[float, float] = {}
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
             a, b_, c, d = 1.0, 0.0, 0.0, 1.0
             x = y = 0.0
@@ -397,7 +444,9 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                     cs, sn = math.cos(th), math.sin(th)
                     xr = x * cs + y * sn
                     yr = -x * sn + y * cs
-                    ob_runs.setdefault(round(th, 2), []).append(
+                    key = round(th, 2)
+                    ob_th.setdefault(key, th)
+                    ob_runs.setdefault(key, []).append(
                         (round(yr, 1), round(xr, 1), t.strip())
                     )
                     return
@@ -498,34 +547,47 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         out.extend(v_found)
         r180_found, _ = _positioned(r180_runs)
         out.extend(r180_found)
+        ob_consumed: dict[float, set[int]] = {}
         for th in sorted(ob_runs):  # arbitrary-angle buckets (r13)
-            ob_found, _ = _positioned(ob_runs[th])
+            ob_found, ob_used = _positioned(ob_runs[th])
             out.extend(ob_found)
-        # detector 2: ruled-only grid over the unconsumed runs
-        xs, ys = _ruling_grid(stream)
-        if xs and ys:
+            ob_consumed[th] = ob_used
+
+        def _ruled_rows(
+            run_list: list[tuple[float, float, str]],
+            consumed_idx: set[int],
+            gxs: list[float],
+            gys: list[float],
+        ) -> list[str]:
             # cell[(row band, col band)] -> [(x, text)]
             cells_map: dict[tuple[int, int], list[tuple[float, str]]] = {}
             used_cols: set[int] = set()
-            for idx, (yy, xx, tt) in enumerate(runs):
-                if idx in consumed:
+            for idx, (yy, xx, tt) in enumerate(run_list):
+                if idx in consumed_idx:
                     continue
-                ri = next((k for k in range(len(ys) - 1)
-                           if ys[k] > yy >= ys[k + 1]), None)
-                ci = next((k for k in range(len(xs) - 1)
-                           if xs[k] <= xx < xs[k + 1]), None)
+                ri = next((k for k in range(len(gys) - 1)
+                           if gys[k] > yy >= gys[k + 1]), None)
+                ci = next((k for k in range(len(gxs) - 1)
+                           if gxs[k] <= xx < gxs[k + 1]), None)
                 if ri is None or ci is None:
                     continue
                 cells_map.setdefault((ri, ci), []).append((xx, tt))
                 used_cols.add(ci)
             row_ids = sorted({ri for ri, _ in cells_map})
+            rows_out: list[str] = []
             if len(row_ids) >= 2 and len(used_cols) >= 2:
                 for ri in row_ids:
                     cols = sorted(ci for r, ci in cells_map if r == ri)
-                    out.append(" ".join(
+                    rows_out.append(" ".join(
                         " ".join(t for _, t in sorted(cells_map[(ri, ci)]))
                         for ci in cols
                     ))
+            return rows_out
+
+        # detector 2: ruled-only grid over the unconsumed runs
+        xs, ys = _ruling_grid(stream)
+        if xs and ys:
+            out.extend(_ruled_rows(runs, consumed, xs, ys))
         # detector 2, ROTATED leg (r13): a ruled-only grid whose text
         # runs 90/270 degrees — the table's ROWS live between the
         # VERTICAL rules (device x bands) and its columns between the
@@ -563,6 +625,20 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                             " ".join(t for _, t in sorted(vcells[(ri, ci)]))
                             for ci in cols
                         ))
+        # detector 2, OBLIQUE leg (r14): a ruled-only grid whose text
+        # AND rules run at an arbitrary angle — rotate the rule
+        # segments back by the bucket's exact angle into the same frame
+        # the arbitrary-angle positioned leg (r13) built for the text
+        # runs, then the band bucketing runs unchanged. Closes the
+        # oblique ruled-only A6 bucket; the sole remaining fitz-only
+        # case is the 1-run spanning title.
+        for th_key, oruns in sorted(ob_runs.items()):
+            cons = ob_consumed.get(th_key, set())
+            if len(oruns) - len(cons) < 2:
+                continue
+            oxs, oys = _oblique_rule_grid(stream, ob_th[th_key])
+            if oxs and oys:
+                out.extend(_ruled_rows(oruns, cons, oxs, oys))
         return out
 
     # page order from the /Pages tree when present; else object order
