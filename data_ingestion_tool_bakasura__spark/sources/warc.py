@@ -42,6 +42,44 @@ WARC_SCHEMA = (
 )
 
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+# skippable frame 0x184D2A5D — the IIPC seekable-.warc.zst convention
+# (implemented publicly by warcio) reserves exactly this magic for the
+# dictionary frame; the other skippable magics (0x50..0x5F) carry no
+# dictionary and are left for the decoder to skip
+_ZSTD_DICT_FRAME_MAGIC = b"\x5d\x2a\x4d\x18"
+
+
+def _seekable_zstd_dictionary(raw: bytes, zstandard) -> bytes | None:
+    """Dictionary bytes from a leading seekable-``.warc.zst``
+    dictionary frame, or ``None`` when the archive opens with anything
+    else.
+
+    Common Crawl's seekable layout opens the file with a SKIPPABLE
+    frame of magic ``0x184D2A5D`` (4-byte LE magic, 4-byte LE size,
+    payload) whose payload is the zstd dictionary every following
+    member frame was compressed with; the payload may itself be a
+    plain (dictionary-less) zstd frame — CC compresses the dictionary
+    — in which case it is inflated here first. A declared size that
+    overruns the buffer raises: a truncated dictionary must fail
+    loudly, never decode members against a partial dictionary."""
+    if len(raw) < 8 or raw[:4] != _ZSTD_DICT_FRAME_MAGIC:
+        return None
+    size = int.from_bytes(raw[4:8], "little")
+    if 8 + size > len(raw):
+        raise ValueError(
+            ".warc.zst dictionary frame truncated: declares "
+            f"{size} payload bytes, {len(raw) - 8} present"
+        )
+    payload = raw[8 : 8 + size]
+    if payload[:4] == _ZSTD_MAGIC:
+        with zstandard.ZstdDecompressor().stream_reader(
+            payload, read_across_frames=True
+        ) as r:
+            payload = r.read()
+    return payload
+
+
 def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     """Split one WARC file's bytes into (headers, body) records.
 
@@ -64,8 +102,11 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     a clear ValueError names the missing package when neither
     resolves); multi-frame streams concatenate like gzip members and
     skippable frames are skipped. Dictionary-bearing seekable
-    .warc.zst (CC's skippable-frame dictionary layout) needs the
-    dictionary resolved and fails loudly on either backend."""
+    .warc.zst (CC's layout: a leading 0x184D2A5D skippable frame
+    carrying the dictionary, itself possibly zstd-compressed) is
+    resolved here (``_seekable_zstd_dictionary``) and the members
+    decoded against it on either backend; a dictionary-compressed
+    member with NO dictionary frame fails loudly."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
@@ -84,18 +125,23 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
         # the same clear ValueError naming the package
         zstandard = require_zstd("zstd-compressed WARC member")
         try:
+            dkw = {}
+            d = _seekable_zstd_dictionary(raw, zstandard)
+            if d is not None:
+                dkw["dict_data"] = zstandard.ZstdCompressionDict(d)
             # read_across_frames spans every concatenated frame in one
-            # read (skippable frames are skipped by the library)
-            with zstandard.ZstdDecompressor().stream_reader(
+            # read (the dictionary frame, being skippable, is skipped;
+            # member frames decode against the referenced dictionary)
+            with zstandard.ZstdDecompressor(**dkw).stream_reader(
                 raw, read_across_frames=True
             ) as r:
                 raw = r.read()
         except zstandard.ZstdError as exc:
-            # dictionary-bearing seekable archives need the dict frame
-            # resolved — fail loudly, never return an empty relation
+            # a dictionary-compressed member with no dictionary frame
+            # (or corrupt bytes) — fail loudly, never return an empty
+            # relation
             raise ValueError(
-                f"zstd WARC member failed to decode (dictionary-bearing "
-                f"seekable .warc.zst needs dedicated handling): {exc}"
+                f"zstd WARC member failed to decode: {exc}"
             ) from exc
     records: list[tuple[dict, bytes]] = []
     i = 0

@@ -4,8 +4,7 @@ Common Crawl's current interchange compression is Zstandard
 (``.warc.zst``), so the WARC reader/writer (``sources/warc.py``)
 needs a zstd codec. Resolution order, cached per process:
 
-1. the ``zstandard`` package — the full API, including the streaming
-   reader that resolves dictionary-bearing seekable archives;
+1. the ``zstandard`` package — the full API;
 2. a minimal :mod:`ctypes` binding to the SYSTEM ``libzstd`` shared
    library (the public zstd C API from facebook/zstd ``zstd.h``:
    ``ZSTD_compress`` / ``ZSTD_compressBound`` /
@@ -14,16 +13,21 @@ needs a zstd codec. Resolution order, cached per process:
    member layout this repo writes and reads. ``ZSTD_decompressStream``
    natively reads concatenated frames and skips skippable frames, so
    multi-member ``.warc.zst`` files decode exactly like the package
-   leg; dictionary-bearing seekable archives raise :class:`ZstdError`
-   (same failure surface the package leg reports for an unresolved
-   dictionary).
+   leg. Dictionary-bearing seekable archives (CC's layout: a leading
+   skippable frame carrying the dictionary) are supported through the
+   same API shape the package exposes — ``ZstdCompressionDict(bytes)``
+   plus ``dict_data=`` on both codec classes (``ZSTD_createDDict`` /
+   ``ZSTD_DCtx_refDDict`` on the read side,
+   ``ZSTD_compress_usingDict`` on the write side); ``warc.py``
+   resolves the dictionary frame itself and stays backend-agnostic.
 3. neither — :func:`get_zstd` returns ``None`` and callers raise the
    same driver-side gate ``ValueError`` as before.
 
 The shim exposes exactly the surface ``sources/warc.py`` consumes
 from the real package: ``ZstdCompressor(level=N).compress(bytes)``,
 ``ZstdDecompressor().stream_reader(raw, read_across_frames=True)``
-as a context manager with ``.read()``, and ``ZstdError``. One-shot
+as a context manager with ``.read()``, ``ZstdCompressionDict`` +
+``dict_data=`` on both codec classes, and ``ZstdError``. One-shot
 ``ZSTD_compress`` at a fixed level writes the frame content size and
 no checksum — byte-deterministic for a given libzstd version, the
 same contract the package leg documents.
@@ -101,6 +105,30 @@ def _load_lib() -> ctypes.CDLL | None:
                 ctypes.POINTER(_OutBuffer),
                 ctypes.POINTER(_InBuffer),
             ]
+            # dictionary API (r14: dictionary-bearing seekable
+            # .warc.zst — the CC layout): DDict for the read side,
+            # one-shot compress_usingDict for test/fixture writes
+            lib.ZSTD_createDDict.restype = ctypes.c_void_p
+            lib.ZSTD_createDDict.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.ZSTD_freeDDict.restype = ctypes.c_size_t
+            lib.ZSTD_freeDDict.argtypes = [ctypes.c_void_p]
+            lib.ZSTD_DCtx_refDDict.restype = ctypes.c_size_t
+            lib.ZSTD_DCtx_refDDict.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+            lib.ZSTD_freeCCtx.restype = ctypes.c_size_t
+            lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+            lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+            lib.ZSTD_compress_usingDict.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_int,
+            ]
         except (OSError, AttributeError):
             _lib_failed = True
             return None
@@ -114,13 +142,33 @@ def _check(lib: ctypes.CDLL, code: int) -> int:
     return code
 
 
+class ZstdCompressionDict:
+    """Dictionary holder mirroring ``zstandard.ZstdCompressionDict``
+    for the one shape ``warc.py`` uses: wrap bytes, pass as
+    ``dict_data=``. libzstd auto-detects the format (magic
+    ``0xEC30A437`` = trained dictionary, anything else = raw-content
+    prefix dictionary) in both ``ZSTD_createDDict`` and
+    ``ZSTD_compress_usingDict`` — same sniff the package performs."""
+
+    def __init__(self, data: bytes):
+        self._data = bytes(data)
+
+    def as_bytes(self) -> bytes:
+        return self._data
+
+
 class ZstdCompressor:
     """One-shot frame compressor over ``ZSTD_compress`` — one frame
     per call, content size in the header, no checksum (the simple-API
-    defaults), matching the member shape ``write_warc`` needs."""
+    defaults), matching the member shape ``write_warc`` needs. With
+    ``dict_data`` the frame is built by ``ZSTD_compress_usingDict``
+    (the seekable-.warc.zst member shape)."""
 
-    def __init__(self, level: int = 3):
+    def __init__(
+        self, level: int = 3, dict_data: ZstdCompressionDict | None = None
+    ):
         self._level = int(level)
+        self._dict = dict_data
 
     def compress(self, data: bytes) -> bytes:
         lib = _load_lib()
@@ -129,10 +177,30 @@ class ZstdCompressor:
         data = bytes(data)
         bound = lib.ZSTD_compressBound(len(data))
         dst = ctypes.create_string_buffer(bound)
-        n = _check(
-            lib, lib.ZSTD_compress(dst, bound, data, len(data), self._level)
-        )
-        return dst.raw[:n]
+        if self._dict is None:
+            n = _check(
+                lib,
+                lib.ZSTD_compress(dst, bound, data, len(data), self._level),
+            )
+            return dst.raw[:n]
+        d = self._dict.as_bytes()
+        cctx = lib.ZSTD_createCCtx()
+        if not cctx:
+            raise ZstdError("ZSTD_createCCtx failed")
+        try:
+            n = _check(
+                lib,
+                lib.ZSTD_compress_usingDict(
+                    cctx,
+                    ctypes.cast(dst, ctypes.c_void_p), bound,
+                    data, len(data),
+                    d, len(d),
+                    self._level,
+                ),
+            )
+            return dst.raw[:n]
+        finally:
+            lib.ZSTD_freeCCtx(cctx)
 
 
 class _StreamReader:
@@ -140,8 +208,11 @@ class _StreamReader:
     for the one call shape ``parse_warc_records`` uses: enter, one
     ``.read()`` spanning every concatenated frame, exit."""
 
-    def __init__(self, data: bytes):
+    def __init__(
+        self, data: bytes, dict_data: ZstdCompressionDict | None = None
+    ):
         self._data = bytes(data)
+        self._dict = dict_data
 
     def __enter__(self) -> "_StreamReader":
         return self
@@ -159,6 +230,22 @@ class _StreamReader:
         dctx = lib.ZSTD_createDCtx()
         if not dctx:
             raise ZstdError("ZSTD_createDCtx failed")
+        ddict = None
+        if self._dict is not None:
+            d = self._dict.as_bytes()
+            ddict = lib.ZSTD_createDDict(d, len(d))
+            if not ddict:
+                lib.ZSTD_freeDCtx(dctx)
+                raise ZstdError("ZSTD_createDDict failed")
+            # the referenced DDict applies to every following frame on
+            # this context; frames written without a dictionary still
+            # decode (their matches never reach before frame start)
+            code = lib.ZSTD_DCtx_refDDict(dctx, ddict)
+            if lib.ZSTD_isError(code):
+                name = lib.ZSTD_getErrorName(code).decode("ascii")
+                lib.ZSTD_freeDDict(ddict)
+                lib.ZSTD_freeDCtx(dctx)
+                raise ZstdError(name)
         try:
             src = ctypes.create_string_buffer(data, len(data))
             inb = _InBuffer(
@@ -194,14 +281,19 @@ class _StreamReader:
                 )
             return b"".join(chunks)
         finally:
+            if ddict is not None:
+                lib.ZSTD_freeDDict(ddict)
             lib.ZSTD_freeDCtx(dctx)
 
 
 class ZstdDecompressor:
+    def __init__(self, dict_data: ZstdCompressionDict | None = None):
+        self._dict = dict_data
+
     def stream_reader(
         self, data: bytes, read_across_frames: bool = True
     ) -> _StreamReader:
-        return _StreamReader(data)
+        return _StreamReader(data, dict_data=self._dict)
 
 
 class _CtypesShim:
@@ -209,6 +301,7 @@ class _CtypesShim:
 
     ZstdError = ZstdError
     ZstdCompressor = ZstdCompressor
+    ZstdCompressionDict = ZstdCompressionDict
     ZstdDecompressor = ZstdDecompressor
     backend = "ctypes-libzstd"
 

@@ -1017,6 +1017,88 @@ def test_zstd_compat_ctypes_backend_contract():
         assert r.read() == b""
 
 
+def test_parse_warc_zst_dictionary_frame(spark, tmp_path):
+    """r14: dictionary-bearing seekable .warc.zst — CC's layout,
+    where the file OPENS with a skippable frame (magic 0x184D2A5D,
+    the IIPC warc.zst convention) carrying the zstd dictionary every
+    member was compressed with. parse_warc_records resolves the
+    dictionary (raw or itself zstd-compressed) and decodes the
+    members against it; a dictionary-compressed member with NO
+    dictionary frame fails loudly (never a silently short corpus), a
+    truncated dictionary frame fails loudly, and the full archive
+    reads back through read_warc's distributed path. Gated on a
+    resolvable zstd backend."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import (
+        parse_warc_records,
+        read_warc,
+    )
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        get_zstd,
+    )
+
+    z = get_zstd()
+    if z is None:
+        _pytest.skip("no zstd backend (package or system libzstd)")
+
+    # raw-content dictionary: the WARC header boilerplate the members
+    # share — matches into it make member decode REQUIRE the dict
+    dict_bytes = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+        b"http://zdict.example/common/path/prefix\r\n"
+        b"Content-Type: text/html\r\n"
+    ) * 8
+    d = z.ZstdCompressionDict(dict_bytes)
+
+    def rec(i: int, body: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: http://zdict.example/common/path/"
+            f"prefix{i}\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    c = z.ZstdCompressor(level=3, dict_data=d)
+    m1 = c.compress(rec(1, b"body-one"))
+    m2 = c.compress(rec(2, b"body-two"))
+    # the dictionary is genuinely referenced: dict members compress
+    # far smaller than the no-dict frame of the same record
+    assert len(m1) < len(z.ZstdCompressor(level=3).compress(rec(1, b"body-one")))
+
+    def dict_frame(payload: bytes) -> bytes:
+        return (b"\x5d\x2a\x4d\x18"
+                + len(payload).to_bytes(4, "little") + payload)
+
+    got = parse_warc_records(dict_frame(dict_bytes) + m1 + m2)
+    assert [b for _, b in got] == [b"body-one", b"body-two"]
+
+    # CC compresses the dictionary itself: payload = plain zstd frame
+    dz = z.ZstdCompressor(level=3).compress(dict_bytes)
+    got = parse_warc_records(dict_frame(dz) + m1 + m2)
+    assert [b for _, b in got] == [b"body-one", b"body-two"]
+
+    # dictionary-compressed members with NO dictionary frame: loud
+    with _pytest.raises(ValueError, match="zstd WARC member"):
+        parse_warc_records(m1 + m2)
+
+    # truncated dictionary frame: loud, never a partial dictionary
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_warc_records(
+            b"\x5d\x2a\x4d\x18" + (9999).to_bytes(4, "little") + b"xx"
+        )
+
+    # the distributed read path resolves the dictionary per file
+    p = tmp_path / "cc-layout.warc.zst"
+    p.write_bytes(dict_frame(dz) + m1 + m2)
+    back = read_warc(spark, str(p))
+    rows = sorted((r["url"], bytes(r["payload"])) for r in back.collect())
+    assert rows == [
+        ("http://zdict.example/common/path/prefix1", b"body-one"),
+        ("http://zdict.example/common/path/prefix2", b"body-two"),
+    ]
+
+
 def test_write_warc_orphan_temp_invisible(spark, tmp_path):
     """r13 ADVICE (medium): a zombie attempt's orphaned temp file must
     be INVISIBLE to read-back. Temps are now dot-prefixed hidden files
