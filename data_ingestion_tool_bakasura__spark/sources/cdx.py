@@ -115,11 +115,15 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
     plan's ranges before calling (each row then fetches
     independently). ``skip_missing=True`` drops plan rows whose
     archive is absent instead of failing the job — the index often
-    outlives retired archives; default is strict."""
+    outlives retired archives; default is strict. Dictionary-bearing
+    seekable ``.warc.zst`` archives (CC's layout) work: the leading
+    dictionary frame is sniffed once per file and resolved for every
+    member slice (r14)."""
     import os
 
     from data_ingestion_tool_bakasura__spark.sources.warc import (
         WARC_SCHEMA,
+        _ZSTD_DICT_FRAME_MAGIC,
         parse_warc_records,
         split_http_response,
     )
@@ -138,9 +142,25 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
                 if skip_missing and not os.path.exists(p):
                     continue
                 with open(p, "rb") as f:
+                    # dictionary-bearing seekable .warc.zst (r14): a
+                    # member slice from such an archive cannot decode
+                    # alone — sniff the leading 0x184D2A5D dictionary
+                    # frame ONCE per file and prepend it to each slice,
+                    # so parse_warc_records resolves the dictionary
+                    # exactly as on the whole-file path. Cost per range
+                    # is one dictionary inflation (CC dictionaries are
+                    # ~100 KB), bounded and local; the frame itself is
+                    # read from disk once per file.
+                    dict_frame = b""
+                    head = f.read(8)
+                    if head[:4] == _ZSTD_DICT_FRAME_MAGIC and len(head) == 8:
+                        size = int.from_bytes(head[4:8], "little")
+                        dict_frame = head + f.read(size)
                     for r in sorted(ranges, key=lambda x: int(x["offset"])):
                         f.seek(int(r["offset"]))
                         raw = f.read(int(r["length"]))
+                        if dict_frame and raw[:4] != _ZSTD_DICT_FRAME_MAGIC:
+                            raw = dict_frame + raw
                         for headers, body in parse_warc_records(raw):
                             wtype = headers.get("warc-type", "")
                             if keep and wtype.lower() not in keep:

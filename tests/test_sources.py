@@ -1098,6 +1098,25 @@ def test_parse_warc_zst_dictionary_frame(spark, tmp_path):
         ("http://zdict.example/common/path/prefix2", b"body-two"),
     ]
 
+    # CDX RANGE fetch into a dictionary-bearing archive — CC's
+    # canonical access pattern: a member slice alone cannot decode, so
+    # read_warc_ranges sniffs the leading dictionary frame once per
+    # file and resolves it for every slice
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        read_warc_ranges,
+    )
+
+    df_len = len(dict_frame(dz))
+    caps = spark.createDataFrame(
+        [("cc-layout.warc.zst", df_len, len(m1)),
+         ("cc-layout.warc.zst", df_len + len(m1), len(m2))],
+        "warc_file string, offset bigint, length bigint",
+    )
+    fetched = read_warc_ranges(fetch_plan(caps), str(tmp_path))
+    got = sorted((r["url"], bytes(r["payload"])) for r in fetched.collect())
+    assert got == rows
+
 
 def test_write_warc_orphan_temp_invisible(spark, tmp_path):
     """r13 ADVICE (medium): a zombie attempt's orphaned temp file must
