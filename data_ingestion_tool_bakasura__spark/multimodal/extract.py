@@ -330,8 +330,7 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         floor and 8pt span threshold as the upright grid. ``re``
         rectangles stay upright-only: a rotated frame drawn with
         ``re`` needs a ``cm`` matrix this parser does not track —
-        fitz territory, like 1-run spanning titles
-        (reference behavior = PyMuPDF find_tables,
+        fitz territory (reference behavior = PyMuPDF find_tables,
         embedding_utils.py:103-120)."""
         import math
 
@@ -395,10 +394,16 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         falls out of the rotation algebra for any pure rotation. r14
         closes the OBLIQUE ruled-only bucket: rule segments rotate
         into the same per-angle frames and the band bucketing runs
-        unchanged. Heuristic by design: 1-run spanning titles (the
-        sole remaining fitz-only case) still need fitz; a plain
-        paragraph (one run per baseline, no ruling grid) can never
-        match any detector."""
+        unchanged. r14 (late) also closes 1-RUN SPANNING TITLES, the
+        last named fitz-only bucket: when a ruling grid exists, an
+        unclaimed single-run baseline sitting INSIDE a grid row band
+        (rules above and below) and the frame's x-range is absorbed
+        into the adjacent positioned table in reading order — exactly
+        how the reference's find_tables treats a title row bound by
+        the ruled region; the ruled-only detector already banded such
+        rows. Heuristic by design: a plain paragraph (one run per
+        baseline, no ruling grid) can never match any detector, and a
+        1-run line with no rule above and below stays prose."""
         h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
         v_runs: list[tuple[float, float, str]] = []
         v_dev: list[tuple[float, float, float]] = []  # device (x, y, sgn),
@@ -490,16 +495,28 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                         _pdf_string(s) for s in re.findall(STR, m.group(14))
                     ))
 
-        def _positioned(runs: list[tuple[float, float, str]]) -> tuple[list[str], set[int]]:
+        def _positioned(
+            runs: list[tuple[float, float, str]],
+            grid: tuple[list[float], list[float]] | None = None,
+        ) -> tuple[list[str], set[int]]:
             by_y: dict[float, list[tuple[float, str, int]]] = {}
             for idx, (yy, xx, tt) in enumerate(runs):
                 by_y.setdefault(yy, []).append((xx, tt, idx))
             rows = []  # (y, x-signature, cells, run indices) top-down
+            # 1-run baselines: candidates for spanning-title absorption
+            # when a ruling grid bounds them (r14 — the last fitz-only
+            # A6 bucket; reference behavior = PyMuPDF find_tables,
+            # embedding_utils.py:103-120, where the ruled region defines
+            # the table and a single spanning run between two rules is a
+            # table row, not a paragraph line)
+            singles: list[tuple[float, float, str, int]] = []
             for yy in sorted(by_y, reverse=True):
                 cells = sorted(by_y[yy])
                 if len(cells) >= 2:
                     rows.append((yy, tuple(c[0] for c in cells),
                                  [c[1] for c in cells], [c[2] for c in cells]))
+                elif grid is not None and cells:
+                    singles.append((yy, cells[0][0], cells[0][1], cells[0][2]))
             # table BODIES: maximal spans of >= 2 identical-signature rows
             groups: list[tuple[int, int]] = []
             i = 0
@@ -515,6 +532,15 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 claimed.update(range(gi, gj))
             found: list[str] = []
             used: set[int] = set()
+            gxs, gys = grid if grid is not None else ([], [])
+
+            def _in_band(yy: float) -> bool:
+                # between two consecutive horizontal rules — the same
+                # band test _ruled_rows applies to ruled-only cells
+                return any(gys[k] > yy >= gys[k + 1]
+                           for k in range(len(gys) - 1))
+
+            taken: set[int] = set()  # singles already absorbed
             for gi, gj in groups:
                 sig = set(rows[gi][1])
                 # colspan rows (r13): a row vertically adjacent to the
@@ -523,9 +549,9 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 # 2-cell heading over a 3-column body — its cells start
                 # exactly on body column positions, one of them spanning
                 # the rest). Absorbed rows emit like any other row, in
-                # reading order. A 1-run spanning title stays out: it is
-                # indistinguishable from a left-aligned paragraph line
-                # (the reference's fitz leg uses ruling lines there).
+                # reading order. A 1-run spanning title needs a ruling
+                # grid (the `singles` leg below) — without rules it is
+                # indistinguishable from a left-aligned paragraph line.
                 s = gi
                 while (s > 0 and (s - 1) not in claimed
                        and set(rows[s - 1][1]) < sig):
@@ -536,20 +562,60 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                     e += 1
                 claimed.update(range(s, gi))
                 claimed.update(range(gj, e))
-                for r in rows[s:e]:
-                    found.append(" ".join(r[2]))
-                    used.update(r[3])
+                emit = [(r[0], " ".join(r[2]), r[3]) for r in rows[s:e]]
+                # 1-run spanning titles (r14): if this group overlaps
+                # the ruling grid (>= 1 row inside a rule band with a
+                # column inside the frame), absorb unclaimed single-run
+                # baselines that sit INSIDE a grid row band and the
+                # frame's x-range — a title/footer row the rules bind
+                # to the table. Merged in reading order (y descending),
+                # so "Title / header / body" comes out top-down like
+                # the reference's find_tables region. A 1-run line
+                # with no rule above AND below it never qualifies — a
+                # plain paragraph line stays prose.
+                if grid is not None:
+                    overlap = any(
+                        _in_band(r[0])
+                        and any(gxs[0] <= x <= gxs[-1] for x in r[1])
+                        for r in rows[s:e]
+                    )
+                    if overlap:
+                        for si, (yy, xx, tt, idx) in enumerate(singles):
+                            if (si in taken or not _in_band(yy)
+                                    or not gxs[0] <= xx <= gxs[-1]):
+                                continue
+                            taken.add(si)
+                            emit.append((yy, tt, [idx]))
+                        emit.sort(key=lambda ent: -ent[0])
+                for _, text, idxs in emit:
+                    found.append(text)
+                    used.update(idxs)
             return found, used
 
         runs = h_runs  # device coords == (row, col) keys for horizontal text
-        out, consumed = _positioned(runs)
+        xs, ys = _ruling_grid(stream)  # shared by the title-absorption
+        # legs below and detector 2 — the key spaces transform per leg
+        grid_up = (xs, ys) if xs and ys else None
+        out, consumed = _positioned(runs, grid_up)
+        # 90/270 text keys mix both rotation signs in one list, so a
+        # single key-space grid box does not exist for them; quarter-
+        # turn 1-run titles stay with the ruled leg's band bucketing
         v_found, v_consumed = _positioned(v_runs)
         out.extend(v_found)
-        r180_found, _ = _positioned(r180_runs)
+        grid_180 = (
+            ([-x for x in xs[::-1]], [-y for y in ys[::-1]])
+            if grid_up is not None else None
+        )  # 180-leg keys are negated device coords; negate the rules too
+        r180_found, _ = _positioned(r180_runs, grid_180)
         out.extend(r180_found)
         ob_consumed: dict[float, set[int]] = {}
+        ob_grids: dict[float, tuple[list[float], list[float]]] = {}
         for th in sorted(ob_runs):  # arbitrary-angle buckets (r13)
-            ob_found, ob_used = _positioned(ob_runs[th])
+            ogx, ogy = _oblique_rule_grid(stream, ob_th[th])
+            ob_grids[th] = (ogx, ogy)
+            ob_found, ob_used = _positioned(
+                ob_runs[th], (ogx, ogy) if ogx and ogy else None
+            )
             out.extend(ob_found)
             ob_consumed[th] = ob_used
 
@@ -585,7 +651,6 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             return rows_out
 
         # detector 2: ruled-only grid over the unconsumed runs
-        xs, ys = _ruling_grid(stream)
         if xs and ys:
             out.extend(_ruled_rows(runs, consumed, xs, ys))
         # detector 2, ROTATED leg (r13): a ruled-only grid whose text
@@ -636,7 +701,7 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             cons = ob_consumed.get(th_key, set())
             if len(oruns) - len(cons) < 2:
                 continue
-            oxs, oys = _oblique_rule_grid(stream, ob_th[th_key])
+            oxs, oys = ob_grids[th_key]
             if oxs and oys:
                 out.extend(_ruled_rows(oruns, cons, oxs, oys))
         return out

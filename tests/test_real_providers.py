@@ -861,3 +861,133 @@ def test_minipdf_oblique_ruled_only_grid():
     assert pages[0][1] == [
         "u1a u1b", "u2a u2b", "r1c1 r1c2", "r2c1 r2c2",
     ]
+
+
+def test_minipdf_one_run_spanning_title():
+    """r14 late (closes the LAST named fitz-only A6 bucket): a 1-run
+    spanning title row INSIDE a ruled frame — between two horizontal
+    rules, within the frame's x-range — joins the table in reading
+    order, for both detector paths: an x-ALIGNED body (positioned
+    detector claims the body; the title is absorbed via the grid) and
+    a centered RULED-ONLY body (the band bucketing already rows it).
+    Reference analog: fitz ``find_tables()`` binds the title row to
+    the ruled region (embedding_utils.py:103-120). Negative controls:
+    the same title with NO ruling grid is a paragraph line; a 1-run
+    line ABOVE the frame's top rule (no rule above it) stays prose;
+    prose below the table stays prose."""
+    rules = (
+        b"72 730 m 330 730 l S 72 710 m 330 710 l S 72 690 m 330 690 l S "
+        b"72 670 m 330 670 l S 72 650 m 330 650 l S "
+        b"72 650 m 72 730 l S 200 650 m 200 710 l S 330 650 m 330 730 l S "
+    )
+    aligned_body = (
+        b"1 0 0 1 80 695 Tm (Name) Tj 1 0 0 1 210 695 Tm (Qty) Tj "
+        b"1 0 0 1 80 675 Tm (Apple) Tj 1 0 0 1 210 675 Tm (5) Tj "
+        b"1 0 0 1 80 655 Tm (Pear) Tj 1 0 0 1 210 655 Tm (12) Tj "
+    )
+    title = b"1 0 0 1 130 715 Tm (Fruit Stock) Tj "
+    extras = (
+        b"1 0 0 1 100 745 Tm (Above the frame) Tj "  # no rule above it
+        b"1 0 0 1 72 600 Tm (A closing note.) Tj "   # below the frame
+    )
+    content = (b"%s BT /F1 12 Tf %s%s%s ET"
+               % (rules, title, aligned_body, extras))
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["Fruit Stock", "Name Qty", "Apple 5", "Pear 12"]
+    assert "Above the frame" in pages[0][0]
+    assert "closing note" in pages[0][0]
+    # without the rules, the title is indistinguishable from a
+    # paragraph line: body extracts alone, title stays prose
+    content = b"BT /F1 12 Tf %s%s ET" % (title, aligned_body)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["Name Qty", "Apple 5", "Pear 12"]
+    # ruled-only body (per-row x jitter, positioned can't group):
+    # the title rows through the same band bucketing
+    ruled_body = (
+        b"1 0 0 1 100 695 Tm (Name) Tj 1 0 0 1 250 695 Tm (Qty) Tj "
+        b"1 0 0 1 90 675 Tm (Apple) Tj 1 0 0 1 260 675 Tm (5) Tj "
+        b"1 0 0 1 110 655 Tm (Pear) Tj 1 0 0 1 240 655 Tm (12) Tj "
+    )
+    content = b"%s BT /F1 12 Tf %s%s ET" % (rules, title, ruled_body)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["Fruit Stock", "Name Qty", "Apple 5", "Pear 12"]
+
+
+def test_minipdf_spanning_footer_and_midrow():
+    """Grid-bound 1-run rows merge at their READING-ORDER position,
+    not just on top: a spanning subtotal row mid-table and a footer
+    row in the frame's bottom band come out between/after the body
+    rows they sit against."""
+    rules = (
+        b"72 730 m 330 730 l S 72 710 m 330 710 l S 72 690 m 330 690 l S "
+        b"72 670 m 330 670 l S 72 650 m 330 650 l S 72 630 m 330 630 l S "
+        b"72 630 m 72 730 l S 200 630 m 200 730 l S 330 630 m 330 730 l S "
+    )
+    body = (
+        b"1 0 0 1 80 715 Tm (Name) Tj 1 0 0 1 210 715 Tm (Qty) Tj "
+        b"1 0 0 1 80 695 Tm (Apple) Tj 1 0 0 1 210 695 Tm (5) Tj "
+        b"1 0 0 1 130 675 Tm (Mid subtotal) Tj "
+        b"1 0 0 1 80 655 Tm (Pear) Tj 1 0 0 1 210 655 Tm (12) Tj "
+        b"1 0 0 1 120 635 Tm (Grand total 17) Tj "
+    )
+    content = b"%s BT /F1 12 Tf %s ET" % (rules, body)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == [
+        "Name Qty", "Apple 5", "Mid subtotal", "Pear 12", "Grand total 17",
+    ]
+
+
+def test_minipdf_spanning_title_rotated_legs():
+    """The grid-bound title absorption on the transformed key spaces:
+    a 180-degree table (keys negated — the grid negates with them) and
+    an OBLIQUE 30-degree positioned table (keys in the angle-bucket
+    frame — the rules rotate back with the exact bucket angle) both
+    pick up their 1-run spanning titles in reading order."""
+    import math
+
+    # 180 degrees: reading order is device bottom-up right-to-left,
+    # so the reading-order FIRST row (the title) sits in the frame's
+    # device-BOTTOM band
+    rules = (
+        b"72 730 m 330 730 l S 72 710 m 330 710 l S 72 690 m 330 690 l S "
+        b"72 670 m 330 670 l S "
+        b"72 670 m 72 730 l S 200 670 m 200 730 l S 330 670 m 330 730 l S "
+    )
+    body = (
+        b"-1 0 0 -1 250 675 Tm (The Title) Tj "
+        b"-1 0 0 -1 210 695 Tm (a2) Tj -1 0 0 -1 330 695 Tm (a1) Tj "
+        b"-1 0 0 -1 210 715 Tm (b2) Tj -1 0 0 -1 330 715 Tm (b1) Tj "
+    )
+    content = b"%s BT /F1 12 Tf %s ET" % (rules, body)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["The Title", "a1 a2", "b1 b2"]
+    # oblique 30 degrees: positioned body (identical x' signatures) in
+    # a ruled frame with an extra title band; fixture coords generated
+    # by rotating frame coords (x', y') with R(30)
+    th = math.radians(30.0)
+    cs, sn = math.cos(th), math.sin(th)
+
+    def dev(xp: float, yp: float) -> bytes:
+        return b"%.2f %.2f" % (xp * cs - yp * sn, xp * sn + yp * cs)
+
+    seg = [
+        # h rules y' = 340/370/400/430 spanning x' 100..220
+        b"%s m %s l S" % (dev(100, yp), dev(220, yp))
+        for yp in (340, 370, 400, 430)
+    ] + [
+        # v rules x' = 100/160/220 spanning y' 340..430
+        b"%s m %s l S" % (dev(xp, 340), dev(xp, 430))
+        for xp in (100, 160, 220)
+    ]
+    tm = b"%.4f %.4f %.4f %.4f" % (cs, sn, -sn, cs)
+    runs = [
+        (120, 410, b"Oblique Title"),
+        (110, 385, b"h1"), (170, 385, b"h2"),
+        (110, 352, b"v1"), (170, 352, b"v2"),
+    ]
+    text = b" ".join(
+        b"%s %s Tm (%s) Tj" % (tm, dev(xp, yp), t) for xp, yp, t in runs
+    )
+    content = b"%s BT /F1 12 Tf %s ET " % (b" ".join(seg), text)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["Oblique Title", "h1 h2", "v1 v2"]
