@@ -135,13 +135,15 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     are emitted one string per table row, and (r11) RULED-ONLY tables
     (grid drawn with ``re``/``m``/``l`` path ops, text positions not
     aligned across rows) are recovered by bucketing runs into the
-    bands between >= 3 horizontal and >= 3 vertical ruling lines, and
-    90/270-degree ROTATED positioned grids group on the tracked Tm
-    matrix's vertical baselines; 180-degree/arbitrary-angle text and
-    spanned tables still need fitz. The page image is the md5
-    stand-in (no
-    rasterizer), same as the stub. Reference leg being replaced:
-    ``embedding_utils.py:123-173``.
+    bands between >= 3 horizontal and >= 3 vertical ruling lines.
+    Rotated layouts close bucket by bucket: 90/180/270-degree and
+    arbitrary-angle positioned grids (r11-r13), rotated + oblique
+    ruled-only grids (r13-r14), colspan rows (r13), grid-bound 1-run
+    spanning titles (r14 late), and — via the ``q``/``Q``/``cm``
+    graphics-state scan (r14 late) — frames and text placed under a
+    CTM, including rotated ``re``-drawn frames. The page image is the
+    md5 stand-in (no rasterizer), same as the stub. Reference leg
+    being replaced: ``embedding_utils.py:123-173``.
 
     Raises on non-PDF bytes — :func:`extract_pages` dead-letters it.
     """
@@ -274,84 +276,155 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         re.S,
     )
 
-    def _ruling_grid(stream: bytes) -> tuple[list[float], list[float]]:
-        """Ruling-line grid from the page's PATH operators (r11; A6
-        ruled-only leg): ``x y w h re`` rectangles and ``m``/``l``
-        segments. A horizontal segment (or a thin/full rect edge)
-        contributes a horizontal rule at its y; vertical likewise at
-        its x. Returns (xs ascending, ys descending) — only when BOTH
-        have >= 3 distinct values (2x2 cells minimum), which a framed
-        paragraph (4 edges = 2+2) or a lone underline can never
-        produce. Span threshold 8pt ignores glyph-sized strokes."""
+    # --- graphics-state scan (r14 late: q/Q/cm CTM tracking) --------
+    # PDF row-vector convention: device point = [x y 1] . M, with
+    # M = [[a b 0], [c d 0], [e f 1]] packed as (a, b, c, d, e, f).
+
+    def _matmul(
+        m1: tuple[float, ...], m2: tuple[float, ...]
+    ) -> tuple[float, float, float, float, float, float]:
+        a1, b1, c1, d1, e1, f1 = m1
+        a2, b2, c2, d2, e2, f2 = m2
+        return (
+            a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+        )
+
+    def _mat_apply(
+        m: tuple[float, ...], px: float, py: float
+    ) -> tuple[float, float]:
+        a, b, c, d, e, f = m
+        return (px * a + py * c + e, px * b + py * d + f)
+
+    _IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    _TOK = re.compile(
+        rb"\bBT\b(.*?)\bET\b"  # 1: text block (consumed as a unit, so
+        # a string literal like "(12 34 l)" can never fake a path op)
+        rb"|(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+cm\b)"  # 2-7
+        rb"|(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+re\b)"  # 8-11
+        rb"|(?:(%s)\s+(%s)\s+(m|l)(?![\w]))"  # 12-14
+        rb"|\b(q|Q)\b"  # 15
+        % ((NUM,) * 12),
+        re.S,
+    )
+
+    def _scan_stream(
+        stream: bytes,
+    ) -> tuple[
+        list[tuple[bytes, tuple[float, ...]]],
+        list[tuple[float, float, float, float]],
+    ]:
+        """One sequential pass over the content stream tracking the
+        graphics-state matrix through ``q``/``Q``/``cm`` (r14 late —
+        previously the parser assumed an identity CTM, so any frame or
+        text placed via ``cm`` was invisible to the table detectors;
+        reference behavior = PyMuPDF's full graphics-state machine,
+        embedding_utils.py:103-120). Returns:
+
+        - ``blocks``: each BT..ET body with the CTM in force at its
+          BT — text matrices compose with it, so page-level rotations
+          and translations classify exactly like inline ``Tm`` ones;
+        - ``segs``: DEVICE-space ruling segments (x1, y1, x2, y2)
+          from ``m``/``l`` strokes and ``re`` rectangles (a thin rect
+          contributes its baseline edge — one rule, as before — a
+          frame rect its 4 edges), every endpoint transformed by the
+          CTM, so a rotated ``re``-drawn frame lands in the oblique
+          grid like any stroked one.
+
+        Unbalanced ``Q`` pops are ignored; ``cm`` inside BT..ET is out
+        of scope (blocks are consumed whole)."""
+        ctm = _IDENT
+        stack: list[tuple[float, ...]] = []
+        blocks: list[tuple[bytes, tuple[float, ...]]] = []
+        segs: list[tuple[float, float, float, float]] = []
+        cur: tuple[float, float] | None = None
+        for m in _TOK.finditer(stream):
+            if m.group(1) is not None:
+                blocks.append((m.group(1), ctm))
+            elif m.group(2) is not None:
+                ctm = _matmul(
+                    tuple(float(m.group(i)) for i in range(2, 8)), ctm
+                )
+            elif m.group(8) is not None:
+                rx, ry, rw, rh = (float(m.group(i)) for i in range(8, 12))
+                p0 = _mat_apply(ctm, rx, ry)
+                p1 = _mat_apply(ctm, rx + rw, ry)
+                p2 = _mat_apply(ctm, rx, ry + rh)
+                p3 = _mat_apply(ctm, rx + rw, ry + rh)
+                d01 = max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]))
+                d02 = max(abs(p2[0] - p0[0]), abs(p2[1] - p0[1]))
+                if d01 >= 8.0 and d02 < 2.0:  # thin rect = one rule
+                    segs.append((*p0, *p1))
+                elif d02 >= 8.0 and d01 < 2.0:
+                    segs.append((*p0, *p2))
+                elif d01 >= 8.0 and d02 >= 8.0:  # frame: 4 edges
+                    segs.extend(
+                        ((*p0, *p1), (*p2, *p3), (*p0, *p2), (*p1, *p3))
+                    )
+            elif m.group(12) is not None:
+                pt = _mat_apply(
+                    ctm, float(m.group(12)), float(m.group(13))
+                )
+                if m.group(14) == b"l" and cur is not None:
+                    segs.append((*cur, *pt))
+                cur = pt
+            elif m.group(15) == b"q":
+                stack.append(ctm)
+            elif stack:  # Q
+                ctm = stack.pop()
+        return blocks, segs
+
+    def _ruling_grid(
+        segs: list[tuple[float, float, float, float]],
+    ) -> tuple[list[float], list[float]]:
+        """Ruling-line grid from the scanned DEVICE-space segments
+        (r11; A6 ruled-only leg). A horizontal segment contributes a
+        horizontal rule at its y; vertical likewise at its x. Returns
+        (xs ascending, ys descending) — only when BOTH have >= 3
+        distinct values (2x2 cells minimum), which a framed paragraph
+        (4 edges = 2+2) or a lone underline can never produce. Span
+        threshold 8pt ignores glyph-sized strokes."""
         span = 8.0
         h_ys: set[float] = set()
         v_xs: set[float] = set()
-        # path ops live outside text blocks; stripping BT..ET keeps a
-        # string literal like "(12 34 l)" from faking a segment
-        stream = re.sub(rb"\bBT\b.*?\bET\b", b" ", stream, flags=re.S)
-        for m in re.finditer(
-            rb"(%s)\s+(%s)\s+(%s)\s+(%s)\s+re\b" % (NUM, NUM, NUM, NUM), stream
-        ):
-            rx, ry, rw, rh = (float(m.group(i)) for i in range(1, 5))
-            if abs(rw) >= span and abs(rh) < 2.0:  # thin rect = h-rule
-                h_ys.add(round(ry, 1))
-            elif abs(rh) >= span and abs(rw) < 2.0:  # thin rect = v-rule
-                v_xs.add(round(rx, 1))
-            elif abs(rw) >= span and abs(rh) >= span:  # frame: 4 edges
-                h_ys.update((round(ry, 1), round(ry + rh, 1)))
-                v_xs.update((round(rx, 1), round(rx + rw, 1)))
-        cur: tuple[float, float] | None = None
-        for m in re.finditer(
-            rb"(%s)\s+(%s)\s+(m|l)(?![\w])" % (NUM, NUM), stream
-        ):
-            px, py = float(m.group(1)), float(m.group(2))
-            if m.group(3) == b"l" and cur is not None:
-                cx, cy = cur
-                if abs(py - cy) < 0.5 and abs(px - cx) >= span:
-                    h_ys.add(round(py, 1))
-                elif abs(px - cx) < 0.5 and abs(py - cy) >= span:
-                    v_xs.add(round(px, 1))
-            cur = (px, py)
+        for x1, y1, x2, y2 in segs:
+            if abs(y2 - y1) < 0.5 and abs(x2 - x1) >= span:
+                h_ys.add(round(y2, 1))
+            elif abs(x2 - x1) < 0.5 and abs(y2 - y1) >= span:
+                v_xs.add(round(x2, 1))
         if len(h_ys) < 3 or len(v_xs) < 3:
             return [], []
         return sorted(v_xs), sorted(h_ys, reverse=True)
 
     def _oblique_rule_grid(
-        stream: bytes, th: float
+        segs: list[tuple[float, float, float, float]], th: float
     ) -> tuple[list[float], list[float]]:
         """Ruling grid for a theta-rotated frame (r14; the last
-        ruled-only A6 bucket the r13 verdict named): the same ``m``/
-        ``l`` segments the upright detector reads, with both ENDPOINTS
-        rotated back by -theta — the exact rotation the arbitrary-
-        angle positioned leg applies to text runs — then classified
-        by the ROTATED deltas: an along-baseline segment (|dy'| < 0.5)
-        is one of the frame's horizontal rules at its y', a
-        perpendicular one a vertical rule at its x'. Same >= 3 x >= 3
-        floor and 8pt span threshold as the upright grid. ``re``
-        rectangles stay upright-only: a rotated frame drawn with
-        ``re`` needs a ``cm`` matrix this parser does not track —
-        fitz territory (reference behavior = PyMuPDF find_tables,
-        embedding_utils.py:103-120)."""
+        ruled-only A6 bucket the r13 verdict named): the scanned
+        device segments with both ENDPOINTS rotated back by -theta —
+        the exact rotation the arbitrary-angle positioned leg applies
+        to text runs — then classified by the ROTATED deltas: an
+        along-baseline segment (|dy'| < 0.5) is one of the frame's
+        horizontal rules at its y', a perpendicular one a vertical
+        rule at its x'. Same >= 3 x >= 3 floor and 8pt span threshold
+        as the upright grid. Since the CTM scan (r14 late), ``re``
+        rectangles placed under a rotation ``cm`` arrive here as
+        transformed edge segments and need no special casing."""
         import math
 
         cs, sn = math.cos(th), math.sin(th)
         span = 8.0
         h_ys: set[float] = set()
         v_xs: set[float] = set()
-        body = re.sub(rb"\bBT\b.*?\bET\b", b" ", stream, flags=re.S)
-        cur: tuple[float, float] | None = None
-        for m in re.finditer(
-            rb"(%s)\s+(%s)\s+(m|l)(?![\w])" % (NUM, NUM), body
-        ):
-            px, py = float(m.group(1)), float(m.group(2))
-            rx, ry = px * cs + py * sn, -px * sn + py * cs
-            if m.group(3) == b"l" and cur is not None:
-                cx, cy = cur
-                if abs(ry - cy) < 0.5 and abs(rx - cx) >= span:
-                    h_ys.add(round(ry, 1))
-                elif abs(rx - cx) < 0.5 and abs(ry - cy) >= span:
-                    v_xs.add(round(rx, 1))
-            cur = (rx, ry)
+        for px1, py1, px2, py2 in segs:
+            rx1, ry1 = px1 * cs + py1 * sn, -px1 * sn + py1 * cs
+            rx2, ry2 = px2 * cs + py2 * sn, -px2 * sn + py2 * cs
+            if abs(ry2 - ry1) < 0.5 and abs(rx2 - rx1) >= span:
+                h_ys.add(round(ry2, 1))
+            elif abs(rx2 - rx1) < 0.5 and abs(ry2 - ry1) >= span:
+                v_xs.add(round(rx2, 1))
         if len(h_ys) < 3 or len(v_xs) < 3:
             return [], []
         return sorted(v_xs), sorted(h_ys, reverse=True)
@@ -418,9 +491,13 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         # ~3pt of transverse error and misses the 0.5pt classifier
         ob_runs: dict[float, list[tuple[float, float, str]]] = {}
         ob_th: dict[float, float] = {}
-        for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
-            a, b_, c, d = 1.0, 0.0, 0.0, 1.0
-            x = y = 0.0
+        blocks, segs = _scan_stream(stream)
+        for block, ctm in blocks:
+            # composed matrix: text space -> device. At BT the text
+            # matrix is identity, so the composition starts at the CTM
+            # (identity when no q/cm precedes the block — the pre-r14
+            # behavior exactly)
+            a, b_, c, d, x, y = ctm
             leading = 12.0
 
             def _advance(tx: float, ty: float) -> None:
@@ -476,8 +553,11 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
 
             for m in _OPS.finditer(block):
                 if m.group(1) is not None:  # Tm: full matrix + translation
-                    a, b_, c, d = (float(m.group(i)) for i in range(1, 5))
-                    x, y = float(m.group(5)), float(m.group(6))
+                    # Tm REPLACES the text matrix; device placement is
+                    # its composition with the block's CTM
+                    a, b_, c, d, x, y = _matmul(
+                        tuple(float(m.group(i)) for i in range(1, 7)), ctm
+                    )
                 elif m.group(7) is not None:  # Td / TD (text-space offsets)
                     _advance(float(m.group(7)), float(m.group(8)))
                     if m.group(9) == b"TD":
@@ -593,7 +673,7 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             return found, used
 
         runs = h_runs  # device coords == (row, col) keys for horizontal text
-        xs, ys = _ruling_grid(stream)  # shared by the title-absorption
+        xs, ys = _ruling_grid(segs)  # shared by the title-absorption
         # legs below and detector 2 — the key spaces transform per leg
         grid_up = (xs, ys) if xs and ys else None
         out, consumed = _positioned(runs, grid_up)
@@ -611,7 +691,7 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         ob_consumed: dict[float, set[int]] = {}
         ob_grids: dict[float, tuple[list[float], list[float]]] = {}
         for th in sorted(ob_runs):  # arbitrary-angle buckets (r13)
-            ogx, ogy = _oblique_rule_grid(stream, ob_th[th])
+            ogx, ogy = _oblique_rule_grid(segs, ob_th[th])
             ob_grids[th] = (ogx, ogy)
             ob_found, ob_used = _positioned(
                 ob_runs[th], (ogx, ogy) if ogx and ogy else None

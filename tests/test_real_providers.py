@@ -991,3 +991,64 @@ def test_minipdf_spanning_title_rotated_legs():
     content = b"%s BT /F1 12 Tf %s ET " % (b" ".join(seg), text)
     pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
     assert pages[0][1] == ["Oblique Title", "h1 h2", "v1 v2"]
+
+
+def test_minipdf_cm_graphics_state():
+    """r14 late: the content-stream scan tracks the graphics-state
+    matrix through ``q``/``Q``/``cm``, so layouts PLACED by the CTM —
+    previously invisible because the parser assumed identity — extract
+    like their inline-``Tm`` twins. Three contracts: (1) a table whose
+    ``re``-drawn cell frame AND upright-``Tm`` text sit under one
+    30-degree rotation ``cm`` extracts through the oblique legs (the
+    formerly named fitz-only '``re`` needs a ``cm`` matrix' case);
+    (2) ``Q`` restores state — an upright table after the ``Q``
+    extracts upright, unpolluted by the rotated block; (3) a
+    translation-only ``cm`` shifts rules and text together, keeping
+    grid-bound title absorption intact."""
+    import math
+
+    th = math.radians(30.0)
+    cm = b"%.4f %.4f %.4f %.4f 0 0 cm" % (
+        math.cos(th), math.sin(th), -math.sin(th), math.cos(th))
+    rects = b" ".join(
+        b"%d %d 128 20 re S" % (x, y)
+        for y in (650, 670, 690) for x in (72, 200)
+    )
+    text = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 100 695 Tm (h1) Tj 1 0 0 1 230 695 Tm (h2) Tj "
+        b"1 0 0 1 80 675 Tm (a) Tj 1 0 0 1 260 675 Tm (b) Tj "
+        b"1 0 0 1 120 655 Tm (c) Tj 1 0 0 1 210 655 Tm (d) Tj "
+        b"ET"
+    )
+    content = b"q %s %s %s Q" % (cm, rects, text)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["h1 h2", "a b", "c d"]
+    # (2) state restore: an upright positioned table after the Q
+    upright = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 315 545 Tm (u1a) Tj 1 0 0 1 372 545 Tm (u1b) Tj "
+        b"1 0 0 1 315 512 Tm (u2a) Tj 1 0 0 1 372 512 Tm (u2b) Tj "
+        b"ET"
+    )
+    content = b"q %s %s %s Q %s" % (cm, rects, text, upright)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["u1a u1b", "u2a u2b", "h1 h2", "a b", "c d"]
+    # (3) translation cm: m/l frame + aligned body + 1-run title all
+    # shift together; absorption still fires
+    rules = (
+        b"72 730 m 330 730 l S 72 710 m 330 710 l S 72 690 m 330 690 l S "
+        b"72 670 m 330 670 l S 72 650 m 330 650 l S "
+        b"72 650 m 72 730 l S 200 650 m 200 710 l S 330 650 m 330 730 l S "
+    )
+    body = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 130 715 Tm (Fruit Stock) Tj "
+        b"1 0 0 1 80 695 Tm (Name) Tj 1 0 0 1 210 695 Tm (Qty) Tj "
+        b"1 0 0 1 80 675 Tm (Apple) Tj 1 0 0 1 210 675 Tm (5) Tj "
+        b"1 0 0 1 80 655 Tm (Pear) Tj 1 0 0 1 210 655 Tm (12) Tj "
+        b"ET"
+    )
+    content = b"q 1 0 0 1 50 -40 cm %s %s Q" % (rules, body)
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["Fruit Stock", "Name Qty", "Apple 5", "Pear 12"]
