@@ -128,8 +128,12 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     Tj / TJ / ' / " with literal ``(...)`` (escape + octal; invalid
     escapes drop the backslash per spec) or hex ``<...>`` strings in
     byte-width encodings (latin-1 decode — Type1/WinAnsi-style fonts).
-    Out of scope and surfaced as missing text rather than wrong text:
-    CID/Type0 composite fonts needing a ToUnicode CMap, encryption.
+    CID/Type0 composite fonts decode through their ``/ToUnicode``
+    CMap (r14 late — ``Tf`` is tracked per page and 2-byte code units
+    map through bfchar/bfrange; unmapped units surface as U+FFFD,
+    missing text rather than wrong text), and simple fonts WITH a
+    ToUnicode CMap map per byte. Out of scope: encryption, and
+    Type0 text whose producer omitted ToUnicode (U+FFFD per glyph).
     Tables have a heuristic FLOOR (A6): grids of Tm/Td-positioned text
     runs — >= 2 consecutive baselines sharing >= 2 exact x-positions —
     are emitted one string per table row, and (r11) RULED-ONLY tables
@@ -208,56 +212,194 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
 
     _splice_objstm()
 
-    def _pdf_string(tok: bytes) -> str:
+    # --- font machinery (r14 late: ToUnicode CMap decoding) ---------
+
+    def _parse_tounicode(data: bytes) -> dict[int, str]:
+        """bfchar/bfrange sections of a ToUnicode CMap -> {code:
+        text}. Destinations are UTF-16BE (possibly multi-char —
+        ligature expansions); bfrange accepts both the incrementing
+        ``<lo> <hi> <dstStart>`` form (spec: the last code unit
+        increments) and the explicit ``[<d1> <d2> ...]`` array."""
+
+        def _u16(hx: bytes) -> str:
+            if len(hx) % 2:
+                hx += b"0"
+            return bytes.fromhex(hx.decode("ascii", "replace")).decode(
+                "utf-16-be", "replace"
+            )
+
+        cmap: dict[int, str] = {}
+        for sect in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+            for m in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sect
+            ):
+                cmap[int(m.group(1), 16)] = _u16(m.group(2))
+        for sect in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+            for m in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+                sect, re.S,
+            ):
+                lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+                if m.group(3) is not None:
+                    width = len(m.group(3)) + (len(m.group(3)) % 2)
+                    base = int(m.group(3), 16)
+                    for i in range(hi - lo + 1):
+                        cmap[lo + i] = _u16(
+                            b"%0*X" % (width, base + i)
+                        )
+                else:
+                    dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(4))
+                    for i, d in enumerate(dsts):
+                        if lo + i <= hi:
+                            cmap[lo + i] = _u16(d)
+        return cmap
+
+    _font_cache: dict[int, tuple[bool, dict[int, str] | None] | None] = {}
+
+    def _font_info(num: int) -> tuple[bool, dict[int, str] | None] | None:
+        """(two_byte, tounicode_map) for a font object, or None for a
+        plain byte-width font with no CMap (the latin-1 fast path).
+        Type0 = 2-byte code units (Identity-H/V, the near-universal
+        composite encoding; a Type0 without ToUnicode keeps two_byte
+        so its codes surface as U+FFFD instead of NUL-ridden
+        latin-1)."""
+        if num not in _font_cache:
+            body = objs.get(num, b"")
+            two = re.search(rb"/Subtype\s*/Type0\b", body) is not None
+            cmap = None
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+            if tm:
+                data = stream_of(objs.get(int(tm.group(1)), b""))
+                if data is not None:
+                    cmap = _parse_tounicode(data)
+            _font_cache[num] = (two, cmap) if (two or cmap) else None
+        return _font_cache[num]
+
+    def _page_fonts(
+        page_body: bytes,
+    ) -> dict[str, tuple[bool, dict[int, str] | None] | None]:
+        """Font-name -> _font_info map from a page's /Resources
+        (inline dict or indirect ref; /Font likewise)."""
+        res = page_body
+        rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+        if rm:
+            res = objs.get(int(rm.group(1)), b"")
+        fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+        if fm is not None:
+            inner = fm.group(1)
+        else:
+            fref = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+            inner = objs.get(int(fref.group(1)), b"") if fref else b""
+        return {
+            m.group(1).decode("latin-1"): _font_info(int(m.group(2)))
+            for m in re.finditer(
+                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", inner
+            )
+        }
+
+    def _pdf_string_bytes(tok: bytes) -> bytes:
+        """Raw CODE bytes of a shown string — the escape/paren grammar
+        of literal strings, or hex pairs — before any font decoding
+        (r14 late: the CID leg needs code units, not latin-1 chars)."""
         if tok.startswith(b"<"):
             hx = re.sub(rb"\s", b"", tok[1:-1])
             if len(hx) % 2:
                 hx += b"0"
-            return bytes.fromhex(hx.decode("ascii", "replace")).decode("latin-1")
-        out, i, depth = [], 1, 1  # tok[0] == b'('
-        while i < len(tok) - 0 and depth:
+            return bytes.fromhex(hx.decode("ascii", "replace"))
+        out, i, depth = bytearray(), 1, 1  # tok[0] == b'('
+        while i < len(tok) and depth:
             c = tok[i : i + 1]
             if c == b"\\" and i + 1 < len(tok):
                 nxt = tok[i + 1 : i + 2]
-                esc = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b",
-                       b"f": "\f", b"(": "(", b")": ")", b"\\": "\\"}
+                esc = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                       b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
                 if nxt in esc:
-                    out.append(esc[nxt]); i += 2
+                    out += esc[nxt]; i += 2
                 elif nxt in b"01234567":  # octal \ddd (spec: 0-7 only;
                     # \8 \9 are invalid escapes -> drop the backslash,
                     # keep the digit — isdigit() here crashed on None)
                     oct_m = re.match(rb"\\([0-7]{1,3})", tok[i:])
-                    out.append(chr(int(oct_m.group(1), 8))); i += 1 + len(oct_m.group(1))
+                    # spec 7.3.4.2: high-order overflow is ignored
+                    out.append(int(oct_m.group(1), 8) & 0xFF)
+                    i += 1 + len(oct_m.group(1))
                 else:
                     i += 1  # line continuation / unknown escape
             elif c == b"(":
-                depth += 1; out.append("("); i += 1
+                depth += 1; out += b"("; i += 1
             elif c == b")":
                 depth -= 1
                 if depth:
-                    out.append(")")
+                    out += b")"
                 i += 1
             else:
-                out.append(c.decode("latin-1")); i += 1
-        return "".join(out)
+                out += c; i += 1
+        return bytes(out)
+
+    def _pdf_string(
+        tok: bytes, font: tuple[bool, dict[int, str] | None] | None = None
+    ) -> str:
+        """Decode a shown string under the CURRENT font (r14 late —
+        previously everything decoded latin-1, so CID/Type0 text
+        surfaced as byte salad of interleaved NULs). ``font`` is the
+        ``_font_info`` tuple: (two_byte, tounicode_map). Simple fonts
+        without a ToUnicode CMap (None) keep the byte-width latin-1
+        decode exactly; a simple font WITH one maps each byte through
+        it (falling back to latin-1 per code — subset encoders often
+        omit ASCII); a Type0 font consumes 2-byte big-endian code
+        units through its CMap, with unmapped units (or a missing
+        CMap — Identity CIDs are glyph ids, not unicode) surfacing as
+        U+FFFD: missing text, never wrong text."""
+        raw = _pdf_string_bytes(tok)
+        if font is None:
+            return raw.decode("latin-1")
+        two_byte, cmap = font
+        if two_byte:
+            out = [
+                (cmap.get((raw[i] << 8) | raw[i + 1], "\ufffd")
+                 if cmap else "\ufffd")
+                for i in range(0, len(raw) - 1, 2)
+            ]
+            if len(raw) % 2:
+                out.append("\ufffd")
+            return "".join(out)
+        if not cmap:
+            return raw.decode("latin-1")
+        return "".join(
+            cmap.get(b) or bytes([b]).decode("latin-1") for b in raw
+        )
 
     STR = rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>"
 
-    def text_of(stream: bytes) -> str:
+    def text_of(
+        stream: bytes,
+        fonts: dict[str, tuple[bool, dict[int, str] | None] | None]
+        | None = None,
+    ) -> str:
+        fonts = fonts or {}
+        font: tuple[bool, dict[int, str] | None] | None = None
         parts: list[str] = []
         for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
             segs: list[str] = []
-            # show ops in order: (s) Tj | (s) ' | (s) " | [ ... ] TJ | T*
+            # show ops in order: (s) Tj | (s) ' | (s) " | [ ... ] TJ |
+            # T* — plus /Name size Tf font selection (the font is text
+            # STATE: it persists across BT blocks within the page)
             for m in re.finditer(
-                rb"(%s)\s*(Tj|'|\")|\[((?:%s|[^\]])*)\]\s*TJ|T\*" % (STR, STR),
+                rb"(%s)\s*(Tj|'|\")|\[((?:%s|[^\]])*)\]\s*TJ|T\*"
+                rb"|/([^\s/<>\[\]()]+)\s+%s\s+Tf" % (STR, STR, NUM),
                 block, re.S,
             ):
-                if m.group(1) is not None:
+                if m.group(4) is not None:  # Tf
+                    font = fonts.get(m.group(4).decode("latin-1"))
+                elif m.group(1) is not None:
                     if m.group(2) in (b"'", b'"') and segs:
                         segs.append("\n")
-                    segs.append(_pdf_string(m.group(1)))
+                    segs.append(_pdf_string(m.group(1), font))
                 elif m.group(3) is not None:
-                    segs.extend(_pdf_string(s) for s in re.findall(STR, m.group(3)))
+                    segs.extend(
+                        _pdf_string(s, font)
+                        for s in re.findall(STR, m.group(3))
+                    )
                 else:  # T*
                     segs.append("\n")
             if segs:
@@ -272,7 +414,8 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         rb"|(T\*)"  # 11
         rb"|(?:(%s)\s*(Tj|'|\"))"  # 12-13
         rb"|(?:\[((?:%s|[^\]])*)\]\s*TJ)"  # 14
-        % (NUM, NUM, NUM, NUM, NUM, NUM, NUM, NUM, NUM, STR, STR),
+        rb"|(?:/([^\s/<>\[\]()]+)\s+(?:%s)\s+Tf)"  # 15
+        % (NUM, NUM, NUM, NUM, NUM, NUM, NUM, NUM, NUM, STR, STR, NUM),
         re.S,
     )
 
@@ -429,7 +572,11 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             return [], []
         return sorted(v_xs), sorted(h_ys, reverse=True)
 
-    def tables_of(stream: bytes) -> list[str]:
+    def tables_of(
+        stream: bytes,
+        fonts: dict[str, tuple[bool, dict[int, str] | None] | None]
+        | None = None,
+    ) -> list[str]:
         """A6 floor for the stdlib path, two detectors through one
         seam (same per-row output shape as the stub provider):
 
@@ -491,6 +638,8 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         # ~3pt of transverse error and misses the 0.5pt classifier
         ob_runs: dict[float, list[tuple[float, float, str]]] = {}
         ob_th: dict[float, float] = {}
+        fonts = fonts or {}
+        font: tuple[bool, dict[int, str] | None] | None = None
         blocks, segs = _scan_stream(stream)
         for block, ctm in blocks:
             # composed matrix: text space -> device. At BT the text
@@ -569,11 +718,14 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 elif m.group(12) is not None:  # Tj / ' / "
                     if m.group(13) in (b"'", b'"'):
                         _advance(0.0, -leading)
-                    _record(_pdf_string(m.group(12)))
-                else:  # TJ array: one cell at the current position
+                    _record(_pdf_string(m.group(12), font))
+                elif m.group(14) is not None:  # TJ array: one cell
                     _record("".join(
-                        _pdf_string(s) for s in re.findall(STR, m.group(14))
+                        _pdf_string(s, font)
+                        for s in re.findall(STR, m.group(14))
                     ))
+                else:  # Tf: font is text state, persists across BT
+                    font = fonts.get(m.group(15).decode("latin-1"))
 
         def _positioned(
             runs: list[tuple[float, float, str]],
@@ -813,9 +965,10 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 if s is not None:
                     streams.append(s)
         raw = b"\n".join(streams)
-        text = text_of(raw)
+        fonts = _page_fonts(objs[pn])
+        text = text_of(raw, fonts)
         image = b"IMG:" + hashlib.md5(raw).hexdigest().encode()
-        pages.append((text, tables_of(raw), image))
+        pages.append((text, tables_of(raw, fonts), image))
 
     if not pages:  # degraded fallback: any text-bearing stream is a page
         for n in sorted(objs):

@@ -1052,3 +1052,72 @@ def test_minipdf_cm_graphics_state():
     content = b"q 1 0 0 1 50 -40 cm %s %s Q" % (rules, body)
     pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
     assert pages[0][1] == ["Fruit Stock", "Name Qty", "Apple 5", "Pear 12"]
+
+
+def _tiny_pdf_type0() -> bytes:
+    """Classic-xref PDF with TWO fonts: /F1 simple Helvetica (latin-1
+    path) and /F2 a Type0 Identity-H font carrying a ToUnicode CMap
+    that exercises every mapping form — bfchar, incrementing bfrange,
+    and the explicit-array bfrange including a multi-char ligature
+    expansion. The page shows latin text with F1, a CID hex string
+    with F2 (one deliberately unmapped code), and a 2x2 positioned
+    table in CID text."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n<0003> <0048>\n<0004> <00E9>\nendbfchar\n"
+        b"2 beginbfrange\n<0010> <0012> <0061>\n"
+        b"<0020> <0021> [<0066006600690020> <0058>]\nendbfrange\n"
+        b"endcmap end end\n"
+    )
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (plain latin) Tj "
+        b"/F2 12 Tf 1 0 0 1 72 740 Tm "
+        b"<0003 0004 0010 0011 0012 0020 0021 0999> Tj "
+        b"1 0 0 1 80 695 Tm <00030004> Tj 1 0 0 1 210 695 Tm <0010> Tj "
+        b"1 0 0 1 80 675 Tm <0011> Tj 1 0 0 1 210 675 Tm <0012> Tj "
+        b"ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Contents 4 0 R "
+         b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>"),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+         b"/Encoding /Identity-H /ToUnicode 7 0 R >>"),
+        b"<< /Length %d >>\nstream\n%sendstream" % (len(cmap), cmap),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def test_minipdf_type0_tounicode_cmap():
+    """r14 late: CID/Type0 composite-font text decodes through the
+    font's /ToUnicode CMap — the layout virtually every modern
+    producer (subset-embedded TrueType/OpenType) writes — instead of
+    surfacing as NUL-ridden latin-1 byte salad. ``Tf`` switches are
+    tracked per page, so simple-font latin text on the same page
+    keeps the byte-width decode; an UNMAPPED code unit surfaces as
+    U+FFFD (missing text, never wrong text); and a positioned table
+    shown in CID text extracts through the same decode."""
+    pages = MX.minipdf_parse_pages(_tiny_pdf_type0())
+    text = pages[0][0]
+    assert "plain latin" in text            # F1 latin-1 leg untouched
+    assert "Héabcffi X�" in text  # bfchar + both bfrange forms
+    assert pages[0][1] == ["Hé a", "b c"]
