@@ -18,6 +18,8 @@ import importlib.util
 import inspect
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
@@ -1121,3 +1123,66 @@ def test_minipdf_type0_tounicode_cmap():
     assert "plain latin" in text            # F1 latin-1 leg untouched
     assert "Héabcffi X�" in text  # bfchar + both bfrange forms
     assert pages[0][1] == ["Hé a", "b c"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from([
+                b"BT", b"ET", b"q", b"Q", b"Tm", b"Td", b"TD", b"TL",
+                b"T*", b"Tj", b"TJ", b"Tf", b"cm", b"re", b"m", b"l",
+                b"S", b"[", b"]", b"/F1", b"/F2", b"'", b"\"",
+            ]),
+            st.integers(min_value=-10**6, max_value=10**6).map(
+                lambda n: str(n).encode()),
+            st.floats(
+                min_value=-1e9, max_value=1e9, allow_nan=False
+            ).map(lambda f: b"%.3f" % f),
+            st.binary(max_size=12).map(
+                lambda b: b"(" + b.replace(b"\\", b"").replace(
+                    b"(", b"").replace(b")", b"") + b")"),
+            st.text(alphabet="0123456789abcdefABCDEF \n", max_size=12)
+            .map(lambda s: b"<" + s.encode() + b">"),
+            st.binary(max_size=8),
+        ),
+        max_size=60,
+    )
+)
+def test_minipdf_parser_never_crashes_on_garbage_streams(tokens):
+    """Adversarial property (the r9 ``\\8`` escape crash is the
+    pattern): ANY content stream — random operator soup, unbalanced
+    q/Q and BT/ET, truncated strings, stray binary — must parse to
+    the (text, tables, image) page shape without raising. Per-file
+    error isolation (A3) dead-letters only genuinely broken FILES;
+    a malformed content stream must degrade to missing text, never
+    to a provider exception."""
+    stream = b" ".join(tokens)
+    pdf = _splice_content(_tiny_pdf(["x"]), stream)
+    pages = MX.minipdf_parse_pages(pdf)
+    assert isinstance(pages, list)
+    for text, tables, image in pages:
+        assert isinstance(text, str)
+        assert isinstance(tables, list)
+        assert all(isinstance(t, str) for t in tables)
+        assert isinstance(image, bytes)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_minipdf_tounicode_parser_never_crashes(data):
+    """The ToUnicode CMap parser must accept arbitrary bytes where a
+    CMap stream should be (fuzzed bfchar/bfrange soup included) and
+    yield only str values keyed by int codes."""
+    pdf = _tiny_pdf_type0()
+    # splice the fuzz bytes into the CMap stream, fixing /Length
+    import re as _re
+
+    m = _re.search(
+        rb"<< /Length \d+ >>\nstream\n(/CIDInit.*?)endstream", pdf, _re.S)
+    pdf = pdf.replace(
+        m.group(0),
+        b"<< /Length %d >>\nstream\n%sendstream" % (len(data), data),
+    )
+    pages = MX.minipdf_parse_pages(pdf)
+    assert isinstance(pages[0][0], str)
