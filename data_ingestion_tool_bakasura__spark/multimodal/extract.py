@@ -445,6 +445,9 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     _TOK = re.compile(
         rb"\bBT\b(.*?)\bET\b"  # 1: text block (consumed as a unit, so
         # a string literal like "(12 34 l)" can never fake a path op)
+        rb"|\bBI\b.*?\bID\b.*?\sEI\b"  # inline image consumed whole:
+        # its BINARY payload can contain m/l/re-shaped byte runs that
+        # would otherwise fabricate ruling lines (r14 late)
         rb"|(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+cm\b)"  # 2-7
         rb"|(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+re\b)"  # 8-11
         rb"|(?:(%s)\s+(%s)\s+(m|l)(?![\w]))"  # 12-14
@@ -515,8 +518,10 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 cur = pt
             elif m.group(15) == b"q":
                 stack.append(ctm)
-            elif stack:  # Q
-                ctm = stack.pop()
+            elif m.group(15) == b"Q":
+                if stack:
+                    ctm = stack.pop()
+            # (inline images match no group: consumed, no state change)
         return blocks, segs
 
     def _ruling_grid(

@@ -1186,3 +1186,33 @@ def test_minipdf_tounicode_parser_never_crashes(data):
     )
     pages = MX.minipdf_parse_pages(pdf)
     assert isinstance(pages[0][0], str)
+
+
+def test_minipdf_inline_image_payload_cannot_fake_rules():
+    """``BI .. ID <binary> EI`` inline images are consumed whole by
+    the stream scan: a payload whose bytes happen to spell m/l
+    segments must not fabricate a ruling grid (it previously turned
+    adjacent prose into a 'ruled table'), and a real table after the
+    image — with q/Q-looking bytes inside the payload — still
+    extracts with an intact graphics-state stack."""
+    payload = (
+        b" 72 710 m 330 710 l 72 690 m 330 690 l 72 670 m 330 670 l"
+        b" 72 670 m 72 710 l 200 670 m 200 710 l 330 670 m 330 710 l "
+    )
+    content = (
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID" + payload + b"EI "
+        b"BT /F1 12 Tf 1 0 0 1 100 695 Tm (one run) Tj "
+        b"1 0 0 1 250 695 Tm (right cell) Tj "
+        b"1 0 0 1 90 675 Tm (second) Tj 1 0 0 1 260 675 Tm (more) Tj ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == []
+    assert "one run" in pages[0][0]
+    content = (
+        b"q BI /W 2 /H 2 /BPC 8 /CS /G ID \x00\x01qQ\x02\x03 EI Q "
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 80 695 Tm (a1) Tj 1 0 0 1 210 695 Tm (a2) Tj "
+        b"1 0 0 1 80 675 Tm (b1) Tj 1 0 0 1 210 675 Tm (b2) Tj ET"
+    )
+    pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["a1 a2", "b1 b2"]
