@@ -241,6 +241,10 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 sect, re.S,
             ):
                 lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+                # cap at the 2-byte code space: a corrupt/crafted
+                # <00000000> <ffffffff> range must not hang the task
+                # (a hang escapes the per-file dead-letter catch)
+                hi = min(hi, lo + 0xFFFF)
                 if m.group(3) is not None:
                     width = len(m.group(3)) + (len(m.group(3)) % 2)
                     base = int(m.group(3), 16)
@@ -270,9 +274,14 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
             cmap = None
             tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
             if tm:
-                data = stream_of(objs.get(int(tm.group(1)), b""))
-                if data is not None:
-                    cmap = _parse_tounicode(data)
+                try:  # a corrupt CMap stream (bad Flate bytes) must
+                    # degrade to cmap=None, not dead-letter a document
+                    # whose TEXT extracts fine
+                    data = stream_of(objs.get(int(tm.group(1)), b""))
+                    if data is not None:
+                        cmap = _parse_tounicode(data)
+                except Exception:
+                    cmap = None
             _font_cache[num] = (two, cmap) if (two or cmap) else None
         return _font_cache[num]
 
@@ -280,9 +289,20 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         page_body: bytes,
     ) -> dict[str, tuple[bool, dict[int, str] | None] | None]:
         """Font-name -> _font_info map from a page's /Resources
-        (inline dict or indirect ref; /Font likewise)."""
-        res = page_body
-        rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+        (inline dict or indirect ref; /Font likewise). A page without
+        its own /Resources INHERITS from its /Pages ancestors (spec
+        7.7.3.4 — common producers hoist shared fonts there), so the
+        /Parent chain is walked, bounded against reference cycles."""
+        body = page_body
+        for _ in range(8):  # /Parent chain, cycle-bounded
+            if re.search(rb"/Resources\b", body):
+                break
+            pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+            if pm is None:
+                break
+            body = objs.get(int(pm.group(1)), b"")
+        res = body
+        rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
         if rm:
             res = objs.get(int(rm.group(1)), b"")
         fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
@@ -372,14 +392,19 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
     STR = rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>"
 
     def text_of(
-        stream: bytes,
+        blocks: list[tuple[bytes, tuple[float, ...]]],
         fonts: dict[str, tuple[bool, dict[int, str] | None] | None]
         | None = None,
     ) -> str:
+        """Page text from the _scan_stream block list (r14 late: text
+        reads the SAME blocks the table scan produced, so a BI..ID..EI
+        inline image's binary payload can no longer fabricate page
+        text — which would both corrupt output and flip the <100-char
+        OCR gate off for a page that needs OCR)."""
         fonts = fonts or {}
         font: tuple[bool, dict[int, str] | None] | None = None
         parts: list[str] = []
-        for block in re.findall(rb"\bBT\b(.*?)\bET\b", stream, re.S):
+        for block, _ctm in blocks:
             segs: list[str] = []
             # show ops in order: (s) Tj | (s) ' | (s) " | [ ... ] TJ |
             # T* — plus /Name size Tf font selection (the font is text
@@ -451,7 +476,9 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         rb"|(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+(%s)\s+cm\b)"  # 2-7
         rb"|(?:(%s)\s+(%s)\s+(%s)\s+(%s)\s+re\b)"  # 8-11
         rb"|(?:(%s)\s+(%s)\s+(m|l)(?![\w]))"  # 12-14
-        rb"|\b(q|Q)\b"  # 15
+        rb"|(?<![/\w])(q|Q)(?![\w])"  # 15 — the lookbehind keeps a
+        # NAME token like /Q (marked-content tag, ExtGState) from
+        # being read as a graphics-state op
         % ((NUM,) * 12),
         re.S,
     )
@@ -578,7 +605,8 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         return sorted(v_xs), sorted(h_ys, reverse=True)
 
     def tables_of(
-        stream: bytes,
+        blocks: list[tuple[bytes, tuple[float, ...]]],
+        segs: list[tuple[float, float, float, float]],
         fonts: dict[str, tuple[bool, dict[int, str] | None] | None]
         | None = None,
     ) -> list[str]:
@@ -645,7 +673,6 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         ob_th: dict[float, float] = {}
         fonts = fonts or {}
         font: tuple[bool, dict[int, str] | None] | None = None
-        blocks, segs = _scan_stream(stream)
         for block, ctm in blocks:
             # composed matrix: text space -> device. At BT the text
             # matrix is identity, so the composition starts at the CTM
@@ -813,10 +840,23 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 if grid is not None:
                     overlap = any(
                         _in_band(r[0])
-                        and any(gxs[0] <= x <= gxs[-1] for x in r[1])
+                        and any(gxs[0] <= xv <= gxs[-1] for xv in r[1])
                         for r in rows[s:e]
                     )
                     if overlap:
+                        # multi-run unclaimed baselines bound by the
+                        # region too (e.g. a CENTERED 2-run title whose
+                        # x-positions match no body column): find_tables
+                        # binds every row inside the ruled region
+                        for ri2 in range(len(rows)):
+                            if ri2 in claimed:
+                                continue
+                            yy2, sig2, cells2, idxs2 = rows[ri2]
+                            if _in_band(yy2) and all(
+                                gxs[0] <= xv <= gxs[-1] for xv in sig2
+                            ):
+                                claimed.add(ri2)
+                                emit.append((yy2, " ".join(cells2), idxs2))
                         for si, (yy, xx, tt, idx) in enumerate(singles):
                             if (si in taken or not _in_band(yy)
                                     or not gxs[0] <= xx <= gxs[-1]):
@@ -971,17 +1011,19 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                     streams.append(s)
         raw = b"\n".join(streams)
         fonts = _page_fonts(objs[pn])
-        text = text_of(raw, fonts)
+        blocks, segs = _scan_stream(raw)  # ONE scan feeds text+tables
+        text = text_of(blocks, fonts)
         image = b"IMG:" + hashlib.md5(raw).hexdigest().encode()
-        pages.append((text, tables_of(raw, fonts), image))
+        pages.append((text, tables_of(blocks, segs, fonts), image))
 
     if not pages:  # degraded fallback: any text-bearing stream is a page
         for n in sorted(objs):
             s = stream_of(objs[n])
             if s and b"BT" in s:
-                t = text_of(s)
+                blocks, segs = _scan_stream(s)
+                t = text_of(blocks)
                 if t:
-                    pages.append((t, tables_of(s),
+                    pages.append((t, tables_of(blocks, segs),
                                   b"IMG:" + hashlib.md5(s).hexdigest().encode()))
     return pages
 

@@ -1216,3 +1216,86 @@ def test_minipdf_inline_image_payload_cannot_fake_rules():
     )
     pages = MX.minipdf_parse_pages(_splice_content(_tiny_pdf(["x"]), content))
     assert pages[0][1] == ["a1 a2", "b1 b2"]
+
+
+def test_minipdf_review_hardening():
+    """Six adversarial contracts from the r14-late review of the
+    CTM/ToUnicode work, each previously a verified failure:
+
+    1. a crafted <00000000> <ffffffff> bfrange must not hang the task
+       (ranges cap at the 2-byte code space — a hang escapes the
+       per-file dead-letter catch);
+    2. a corrupt FlateDecode ToUnicode stream degrades to cmap=None —
+       latin text still extracts, CID text becomes U+FFFD — instead of
+       dead-lettering a document whose text is fine;
+    3. page TEXT reads the same scanned blocks as tables, so a
+       BI..ID..EI payload containing BT..ET bytes cannot fabricate
+       page text (which would also flip the <100-char OCR gate off);
+    4. a NAME token like /Q (marked-content tag) is not the Q
+       operator: the graphics-state stack survives;
+    5. a page with no own /Resources inherits fonts from its /Pages
+       parent (spec 7.7.3.4), so Type0 text still decodes;
+    6. a CENTERED 2-run title inside the ruled frame (x-positions
+       matching no body column) joins the table like the 1-run form.
+    """
+    import re as _re
+
+    pdf = _tiny_pdf_type0()
+    m = _re.search(
+        rb"<< /Length \d+ >>\nstream\n(/CIDInit.*?)endstream", pdf, _re.S)
+    evil = b"1 beginbfrange <00000000> <ffffffff> <0000> endbfrange"
+    pdf1 = pdf.replace(m.group(0),
+                       b"<< /Length %d >>\nstream\n%sendstream"
+                       % (len(evil), evil))
+    import time
+    t0 = time.time()
+    MX.minipdf_parse_pages(pdf1)
+    assert time.time() - t0 < 10.0
+    bad = b"\x00\x01\x02notzlib"
+    pdf2 = pdf.replace(
+        m.group(0),
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%sendstream"
+        % (len(bad), bad))
+    pages = MX.minipdf_parse_pages(pdf2)
+    assert "plain latin" in pages[0][0]
+    assert "�" in pages[0][0]  # CID text: missing, never wrong
+    payload = b" BT /F1 12 Tf (" + b"FAKE TEXT " * 15 + b") Tj ET "
+    content = (b"BI /W 4 /H 4 /BPC 8 /CS /G ID" + payload + b"EI "
+               b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (tiny) Tj ET")
+    pages = MX.minipdf_parse_pages(
+        _splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][0] == "tiny"  # and needs_ocr stays true downstream
+    rules = (
+        b"72 410 m 330 410 l S 72 390 m 330 390 l S 72 370 m 330 370 l S "
+        b"72 370 m 72 410 l S 200 370 m 200 410 l S 330 370 m 330 410 l S ")
+    content = (b"q 1 0 0 1 0 -300 cm " + rules + b" /Q BDC "
+               b"BT /F1 12 Tf "
+               b"1 0 0 1 100 395 Tm (aa) Tj 1 0 0 1 250 395 Tm (bb) Tj "
+               b"1 0 0 1 110 375 Tm (cc) Tj 1 0 0 1 240 375 Tm (dd) Tj "
+               b"ET EMC Q")
+    pages = MX.minipdf_parse_pages(
+        _splice_content(_tiny_pdf(["x"]), content))
+    assert pages[0][1] == ["aa bb", "cc dd"]
+    pdf5 = _tiny_pdf_type0()
+    pdf5 = pdf5.replace(
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 6 0 R >> >>",
+        b"/Contents 4 0 R")
+    pdf5 = pdf5.replace(
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>")
+    pages = MX.minipdf_parse_pages(pdf5)
+    assert "Héabcffi X�" in pages[0][0]
+    rules = (
+        b"72 730 m 330 730 l S 72 710 m 330 710 l S 72 690 m 330 690 l S "
+        b"72 670 m 330 670 l S 72 650 m 330 650 l S "
+        b"72 650 m 72 730 l S 200 650 m 200 710 l S 330 650 m 330 730 l S ")
+    body = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 130 715 Tm (Fruit) Tj 1 0 0 1 250 715 Tm (Stock) Tj "
+        b"1 0 0 1 80 695 Tm (Name) Tj 1 0 0 1 210 695 Tm (Qty) Tj "
+        b"1 0 0 1 80 675 Tm (Apple) Tj 1 0 0 1 210 675 Tm (5) Tj "
+        b"1 0 0 1 80 655 Tm (Pear) Tj 1 0 0 1 210 655 Tm (12) Tj ET")
+    pages = MX.minipdf_parse_pages(
+        _splice_content(_tiny_pdf(["x"]), rules + body))
+    assert pages[0][1] == ["Fruit Stock", "Name Qty", "Apple 5", "Pear 12"]
