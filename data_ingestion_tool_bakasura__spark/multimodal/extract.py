@@ -656,7 +656,15 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
         the ruled region; the ruled-only detector already banded such
         rows. Heuristic by design: a plain paragraph (one run per
         baseline, no ruling grid) can never match any detector, and a
-        1-run line with no rule above and below stays prose."""
+        1-run line with no rule above and below stays prose. One
+        geometric gray zone, reviewed r14 late and kept as-is: band
+        capture requires a run to sit INSIDE the rule-position
+        rectangle on BOTH axes, so text can only ever join a ruled
+        region it physically overlaps — but text rotated 90 degrees
+        relative to an oblique table it sits INSIDE buckets through
+        that table's (angle-shared, mod-90) rules and emits as extra
+        rows; find_tables likewise binds region-resident text to the
+        region, so the words land in the same table either way."""
         h_runs: list[tuple[float, float, str]] = []  # (row key, col key, text)
         v_runs: list[tuple[float, float, str]] = []
         v_dev: list[tuple[float, float, float]] = []  # device (x, y, sgn),

@@ -117,13 +117,17 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
     archive is absent instead of failing the job — the index often
     outlives retired archives; default is strict. Dictionary-bearing
     seekable ``.warc.zst`` archives (CC's layout) work: the leading
-    dictionary frame is sniffed once per file and resolved for every
-    member slice (r14)."""
+    dictionary frame is sniffed, inflated and built into the backend's
+    compression-dict object ONCE per file, then reused for every
+    member slice (r14; per-slice re-inflation removed r14 late) — a
+    short dictionary-frame read fails loudly instead of absorbing
+    member bytes as dictionary content."""
     import os
 
     from data_ingestion_tool_bakasura__spark.sources.warc import (
         WARC_SCHEMA,
         _ZSTD_DICT_FRAME_MAGIC,
+        _seekable_zstd_dictionary,
         parse_warc_records,
         split_http_response,
     )
@@ -145,23 +149,41 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
                     # dictionary-bearing seekable .warc.zst (r14): a
                     # member slice from such an archive cannot decode
                     # alone — sniff the leading 0x184D2A5D dictionary
-                    # frame ONCE per file and prepend it to each slice,
-                    # so parse_warc_records resolves the dictionary
-                    # exactly as on the whole-file path. Cost per range
-                    # is one dictionary inflation (CC dictionaries are
-                    # ~100 KB), bounded and local; the frame itself is
-                    # read from disk once per file.
-                    dict_frame = b""
+                    # frame, resolve it ONCE per file (inflate the
+                    # possibly-compressed payload, build the backend's
+                    # compression-dict object) and hand the PREBUILT
+                    # dict to parse_warc_records for every slice: a
+                    # 10k-range CC fetch re-inflates nothing per range
+                    # (r14-late review).
+                    zdict = None
                     head = f.read(8)
                     if head[:4] == _ZSTD_DICT_FRAME_MAGIC and len(head) == 8:
                         size = int.from_bytes(head[4:8], "little")
                         dict_frame = head + f.read(size)
+                        if len(dict_frame) != 8 + size:
+                            # a short read must fail loudly HERE —
+                            # padded with member bytes it would defeat
+                            # _seekable_zstd_dictionary's truncation
+                            # guard and mis-seek into the member
+                            raise ValueError(
+                                f"{p}: .warc.zst dictionary frame "
+                                f"truncated: declares {size} payload "
+                                f"bytes, {len(dict_frame) - 8} present"
+                            )
+                        from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (  # noqa: E501
+                            require_zstd,
+                        )
+
+                        zmod = require_zstd("zstd-compressed WARC member")
+                        zdict = zmod.ZstdCompressionDict(
+                            _seekable_zstd_dictionary(dict_frame, zmod)
+                        )
                     for r in sorted(ranges, key=lambda x: int(x["offset"])):
                         f.seek(int(r["offset"]))
                         raw = f.read(int(r["length"]))
-                        if dict_frame and raw[:4] != _ZSTD_DICT_FRAME_MAGIC:
-                            raw = dict_frame + raw
-                        for headers, body in parse_warc_records(raw):
+                        for headers, body in parse_warc_records(
+                            raw, dict_data=zdict
+                        ):
                             wtype = headers.get("warc-type", "")
                             if keep and wtype.lower() not in keep:
                                 continue

@@ -80,7 +80,9 @@ def _seekable_zstd_dictionary(raw: bytes, zstandard) -> bytes | None:
     return payload
 
 
-def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
+def parse_warc_records(
+    raw: bytes, dict_data=None
+) -> list[tuple[dict, bytes]]:
     """Split one WARC file's bytes into (headers, body) records.
 
     Pure function (stdlib only) so it unit-tests without Spark and
@@ -106,7 +108,12 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
     carrying the dictionary, itself possibly zstd-compressed) is
     resolved here (``_seekable_zstd_dictionary``) and the members
     decoded against it on either backend; a dictionary-compressed
-    member with NO dictionary frame fails loudly."""
+    member with NO dictionary frame fails loudly. ``dict_data``
+    (r14 late, the range-fetch path): a PREBUILT compression-dict
+    object from the ``require_zstd`` backend, used when the buffer
+    itself carries no dictionary frame — a range fetcher resolves the
+    file's dictionary ONCE and reuses it across thousands of member
+    slices instead of re-inflating it per slice."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
@@ -129,6 +136,8 @@ def parse_warc_records(raw: bytes) -> list[tuple[dict, bytes]]:
             d = _seekable_zstd_dictionary(raw, zstandard)
             if d is not None:
                 dkw["dict_data"] = zstandard.ZstdCompressionDict(d)
+            elif dict_data is not None:
+                dkw["dict_data"] = dict_data
             # read_across_frames spans every concatenated frame in one
             # read (the dictionary frame, being skippable, is skipped;
             # member frames decode against the referenced dictionary)

@@ -231,22 +231,17 @@ class _StreamReader:
         if not dctx:
             raise ZstdError("ZSTD_createDCtx failed")
         ddict = None
-        if self._dict is not None:
-            d = self._dict.as_bytes()
-            ddict = lib.ZSTD_createDDict(d, len(d))
-            if not ddict:
-                lib.ZSTD_freeDCtx(dctx)
-                raise ZstdError("ZSTD_createDDict failed")
-            # the referenced DDict applies to every following frame on
-            # this context; frames written without a dictionary still
-            # decode (their matches never reach before frame start)
-            code = lib.ZSTD_DCtx_refDDict(dctx, ddict)
-            if lib.ZSTD_isError(code):
-                name = lib.ZSTD_getErrorName(code).decode("ascii")
-                lib.ZSTD_freeDDict(ddict)
-                lib.ZSTD_freeDCtx(dctx)
-                raise ZstdError(name)
         try:
+            if self._dict is not None:
+                d = self._dict.as_bytes()
+                ddict = lib.ZSTD_createDDict(d, len(d))
+                if not ddict:
+                    raise ZstdError("ZSTD_createDDict failed")
+                # the referenced DDict applies to every following
+                # frame on this context; frames written without a
+                # dictionary still decode (their matches never reach
+                # before frame start)
+                _check(lib, lib.ZSTD_DCtx_refDDict(dctx, ddict))
             src = ctypes.create_string_buffer(data, len(data))
             inb = _InBuffer(
                 ctypes.cast(src, ctypes.c_void_p), len(data), 0

@@ -1299,3 +1299,56 @@ def test_minipdf_review_hardening():
     pages = MX.minipdf_parse_pages(
         _splice_content(_tiny_pdf(["x"]), rules + body))
     assert pages[0][1] == ["Fruit Stock", "Name Qty", "Apple 5", "Pear 12"]
+
+
+def test_minipdf_cross_angle_text_inside_ruled_region():
+    """r14-late review, documented gray zone pinned: band capture
+    requires a run to sit inside the rule-position rectangle on BOTH
+    axes, so text can only join a ruled region it PHYSICALLY overlaps.
+    (1) Text rotated 90 degrees relative to an oblique table it sits
+    INSIDE buckets through that table's (angle-shared, mod-90) rules
+    and emits as extra rows — find_tables likewise binds
+    region-resident text to the region. (2) Text at a 90-degree-offset
+    angle OUTSIDE the region stays prose."""
+    import math
+
+    rules = (
+        b"-83.4 344.45 m -113.4 396.41 l S "
+        b"-31.44 374.45 m -61.44 426.41 l S "
+        b"20.53 404.45 m -9.47 456.41 l S "
+        b"-83.4 344.45 m 20.53 404.45 l S "
+        b"-98.4 370.43 m 5.53 430.43 l S "
+        b"-113.4 396.41 m -9.47 456.41 l S "
+    )
+    table = (
+        b"BT /F1 12 Tf "
+        b"0.8660 0.5000 -0.5000 0.8660 -92.91 390.92 Tm (r1c1) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 -40.95 420.92 Tm (r1c2) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 -63.42 369.84 Tm (r2c1) Tj "
+        b"0.8660 0.5000 -0.5000 0.8660 -9.72 400.84 Tm (r2c2) Tj "
+    )
+    th = math.radians(120.0)
+    cs, sn = math.cos(th), math.sin(th)
+    tm = b"%.4f %.4f %.4f %.4f" % (cs, sn, -sn, cs)
+
+    def dev(xf: float, yf: float) -> bytes:
+        return b"%.2f %.2f" % (xf * cs - yf * sn, xf * sn + yf * cs)
+
+    # (1) inside: the 30-degree table's rules, seen from the
+    # 120-degree bucket, band at x' 340/370/400, y' -100/-160/-220 —
+    # runs placed in those cells are region-resident
+    inside = b" ".join(
+        b"%s %s Tm (%s) Tj" % (tm, dev(x, y), t)
+        for x, y, t in [(352, -130, b"p1a"), (387, -130, b"p1b"),
+                        (356, -190, b"p2a"), (383, -190, b"p2b")])
+    pdf = _splice_content(_tiny_pdf(["x"]), rules + table + inside + b" ET ")
+    pages = MX.minipdf_parse_pages(pdf)
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2", "p1a p1b", "p2a p2b"]
+    # (2) outside: same angle, coords beyond the rule rectangle
+    outside = b" ".join(
+        b"%s %s Tm (%s) Tj" % (tm, dev(x, y), t)
+        for x, y, t in [(600, -130, b"q1a"), (660, -130, b"q1b"),
+                        (605, -190, b"q2a"), (665, -190, b"q2b")])
+    pdf = _splice_content(_tiny_pdf(["x"]), rules + table + outside + b" ET ")
+    pages = MX.minipdf_parse_pages(pdf)
+    assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2"]

@@ -1228,3 +1228,26 @@ def test_write_warc_roundtrip_property(spark, tmp_path):
              bytes(r["payload"])) for r in read_warc(spark, out).collect()
         )
         assert got == want, layout
+
+
+def test_read_warc_ranges_truncated_dictionary_frame_is_loud(spark, tmp_path):
+    """r14-late review: a dictionary frame whose declared size overruns
+    the FILE (partial download) must fail loudly at the range-fetch
+    sniff — a short read silently padded with member bytes would
+    defeat the whole-file path's truncation guard and mis-seek into
+    the member."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        fetch_plan,
+        read_warc_ranges,
+    )
+
+    p = tmp_path / "cut.warc.zst"
+    p.write_bytes(b"\x5d\x2a\x4d\x18" + (9999).to_bytes(4, "little") + b"xx")
+    caps = spark.createDataFrame(
+        [("cut.warc.zst", 10, 5)],
+        "warc_file string, offset bigint, length bigint",
+    )
+    with _pytest.raises(Exception, match="dictionary frame truncated"):
+        read_warc_ranges(fetch_plan(caps), str(tmp_path)).collect()
