@@ -75,8 +75,14 @@ _lib_failed = False
 def _load_lib() -> ctypes.CDLL | None:
     """Load and sign the system libzstd once per process (worker
     processes each pay this once; the handle is then shared across
-    tasks in that worker)."""
+    tasks in that worker). Lock-free fast path once resolved: this is
+    called per compress()/read(), and taking the lock per record
+    would serialize every local[N] task thread through one mutex
+    (r14-late review); the ZSTD_* calls themselves are stateless or
+    per-context and thread-safe."""
     global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
@@ -255,8 +261,20 @@ class _StreamReader:
             # frame boundary and the next iteration opens the next
             # frame with the same context. Every iteration offers a
             # fresh full output buffer, so the stream always advances
-            # or errors — no livelock case.
-            while inb.pos < inb.size:
+            # or errors — no livelock case. When a call FILLS the
+            # output buffer, zstd may hold flushed-pending bytes
+            # internally and must be called again even with no input
+            # left (r14-late review: exiting on input exhaustion alone
+            # dropped that tail and mis-reported a valid large record
+            # as truncated — real CC records routinely decompress past
+            # the ~128 KB ZSTD_DStreamOutSize). `status` records the
+            # return of the last PRODUCTIVE call (consumed input or
+            # produced output): a final unproductive drain probe on a
+            # fresh-frame boundary returns a next-frame hint and must
+            # not be read as mid-frame truncation.
+            status = 0
+            while True:
+                before = inb.pos
                 outb = _OutBuffer(
                     ctypes.cast(obuf, ctypes.c_void_p), osz, 0
                 )
@@ -266,9 +284,13 @@ class _StreamReader:
                         dctx, ctypes.byref(outb), ctypes.byref(inb)
                     ),
                 )
+                if outb.pos or inb.pos > before:
+                    status = ret
                 if outb.pos:
                     chunks.append(obuf.raw[: outb.pos])
-            if ret != 0:
+                if inb.pos >= inb.size and outb.pos < osz:
+                    break
+            if status != 0:
                 # input exhausted mid-frame: a truncated archive must
                 # fail loudly, never return a silently short corpus
                 raise ZstdError(
@@ -288,6 +310,13 @@ class ZstdDecompressor:
     def stream_reader(
         self, data: bytes, read_across_frames: bool = True
     ) -> _StreamReader:
+        if not read_across_frames:
+            # the shim always concatenates frames; silently honoring
+            # only the True semantics would make record framing differ
+            # between package-backed and shim-backed hosts
+            raise NotImplementedError(
+                "ctypes zstd shim only supports read_across_frames=True"
+            )
         return _StreamReader(data, dict_data=self._dict)
 
 

@@ -1251,3 +1251,43 @@ def test_read_warc_ranges_truncated_dictionary_frame_is_loud(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="dictionary frame truncated"):
         read_warc_ranges(fetch_plan(caps), str(tmp_path)).collect()
+
+
+def test_zstd_shim_large_record_drain_and_flag():
+    """r14-late review of the ctypes backend: (1) payloads well past
+    ZSTD_DStreamOutSize (~128 KB) — incompressible, compressible, and
+    exactly-buffer-sized — roundtrip byte-identically: per zstd.h the
+    decoder must be called again whenever it fills the output buffer,
+    even with no input left, or internally buffered tail bytes are
+    dropped and a valid archive mis-reports as truncated; (2) the shim
+    REFUSES read_across_frames=False instead of silently concatenating
+    (record framing must not differ between package- and shim-backed
+    hosts); (3) genuine truncation is still loud."""
+    import os
+
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.sources import zstd_compat as Z
+
+    if Z._load_lib() is None:
+        _pytest.skip("no system libzstd")
+    osz = Z._load_lib().ZSTD_DStreamOutSize()
+    for payload in (
+        os.urandom(1 << 20),
+        b"WARC record boilerplate " * 43691,
+        os.urandom(osz),
+        b"x",
+    ):
+        comp = Z.ZstdCompressor(level=3).compress(payload)
+        with Z.ZstdDecompressor().stream_reader(
+            comp, read_across_frames=True
+        ) as r:
+            assert r.read() == payload
+    with _pytest.raises(NotImplementedError):
+        Z.ZstdDecompressor().stream_reader(b"", read_across_frames=False)
+    comp = Z.ZstdCompressor(level=3).compress(os.urandom(400000))
+    with _pytest.raises(Z.ZstdError, match="truncated"):
+        with Z.ZstdDecompressor().stream_reader(
+            comp[:-37], read_across_frames=True
+        ) as r:
+            r.read()
