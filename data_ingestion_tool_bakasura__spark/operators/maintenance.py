@@ -55,6 +55,21 @@ def table_file_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
+def recover_swap(path: str) -> None:
+    """Restore a table wedged by a crash between ``swap_directory``'s
+    two renames (r14-late review): ``path`` missing with the displaced
+    copy intact at ``*_swap_old``. Every operation that READS the table
+    before swapping (compact, delete_keys, the parquet upsert sink)
+    must call this first — recovery logic living only inside
+    ``swap_directory`` was unreachable, because the pre-swap read
+    failed on the missing path first; worse, the parquet upsert's
+    exists-check took the fresh-table branch after such a crash and the
+    NEXT swap's entry cleanup then deleted the only full copy."""
+    old = path.rstrip("/") + "_swap_old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -72,6 +87,7 @@ def compact(
     hard crash between the two renames can leave ``path`` briefly
     missing with data intact in ``_compact_old`` (a true atomic swap
     needs a lakehouse table format or ``renameat2``-style exchange)."""
+    recover_swap(path)  # un-wedge a crash between a prior swap's renames
     before = table_file_stats(spark, path)
     df = spark.read.parquet(path)
     n_out = max(1, math.ceil(max(before["total_bytes"], 1) / target_file_bytes))
@@ -114,8 +130,16 @@ def swap_directory(spark: SparkSession, path: str, tmp: str) -> None:
     except OSError:
         os.rename(old, path)  # restore: the table must never stay missing
         raise
-    # verify the new layout reads before dropping the old copy
-    spark.read.parquet(path).schema
+    # verify the new layout reads before dropping the old copy; on a
+    # verify FAILURE put the good copy back live and park the bad bytes
+    # at tmp for inspection (r14-late review: leaving the unreadable
+    # copy live defeated the very check the verify exists to enforce)
+    try:
+        spark.read.parquet(path).schema
+    except Exception:
+        os.rename(path, tmp)
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
 
 
@@ -174,6 +198,7 @@ def delete_keys(
     """
     from pyspark.sql import DataFrame
 
+    recover_swap(path)  # un-wedge a crash between a prior swap's renames
     if not isinstance(keys, DataFrame):
         vals = list(keys)
         if not vals:

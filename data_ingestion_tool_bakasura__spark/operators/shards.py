@@ -84,6 +84,19 @@ def write_tar_shards(
             for c in df.columns if c != key_col
         }
     os.makedirs(out_dir, exist_ok=True)
+    # pre-clean our OWN naming scheme (r14-late review): stale shards
+    # from a prior export with a different partitioning / shard size
+    # would survive the overwrite and read_tar_shards' glob would
+    # silently mix deleted/duplicated samples into the result,
+    # disagreeing with _manifest.json. Only shard-*.tar, their hidden
+    # attempt temps and the manifest are touched — never foreign files.
+    import fnmatch
+
+    for e in os.listdir(out_dir):
+        if (fnmatch.fnmatch(e, "shard-*.tar")
+                or fnmatch.fnmatch(e, ".shard-*.tar.*.tmp")
+                or e in ("_manifest.json", "._manifest.json.tmp")):
+            os.remove(os.path.join(out_dir, e))
     cols = [key_col, *columns]
     src = df.select(*cols)
     if sort_within:
@@ -94,22 +107,34 @@ def write_tar_shards(
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        # per-attempt HIDDEN temp + os.replace (the write_warc
+        # discipline, r14-late review): speculative/zombie attempts of
+        # the same partition must never truncate or interleave a
+        # committed shard, and a crashed task must never leave a
+        # truncated tar at a FINAL name where read_tar_shards'
+        # 'shard-*.tar' glob would pick it up
+        att = tc.taskAttemptId()
         seq = 0
         n = 0
         tar = None
         path = None
+        tmp = None
         out: list[tuple[str, int, int]] = []
 
         def _open():
-            nonlocal tar, path
-            path = os.path.join(out_dir, f"shard-{pid:05d}-{seq:04d}.tar")
-            tar = tarfile.open(path, "w")
+            nonlocal tar, path, tmp
+            name = f"shard-{pid:05d}-{seq:04d}.tar"
+            path = os.path.join(out_dir, name)
+            tmp = os.path.join(out_dir, f".{name}.{att}.tmp")
+            tar = tarfile.open(tmp, "w")
 
         def _close():
             nonlocal tar, seq, n
             if tar is not None:
                 tar.close()
+                os.replace(tmp, path)
                 out.append((os.path.basename(path), n, os.path.getsize(path)))
                 tar = None
                 seq += 1
@@ -146,12 +171,17 @@ def write_tar_shards(
         _write, "shard string, n_samples long, n_bytes long"
     )
     rows = manifest.collect()  # O(shards), the export's only action
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+    # atomic manifest (r14-late review): a crash mid-dump — or a
+    # dataloader polling during a re-export — must never observe
+    # truncated JSON at the advertised final name
+    mtmp = os.path.join(out_dir, "._manifest.json.tmp")
+    with open(mtmp, "w") as f:
         json.dump(
             [{"shard": r["shard"], "n_samples": r["n_samples"],
               "n_bytes": r["n_bytes"]} for r in sorted(rows)],
             f, indent=0, sort_keys=True,
         )
+    os.replace(mtmp, os.path.join(out_dir, "_manifest.json"))
     return df.sparkSession.createDataFrame(
         rows, "shard string, n_samples long, n_bytes long"
     )

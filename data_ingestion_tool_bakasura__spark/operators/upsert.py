@@ -135,6 +135,7 @@ def upsert_into_path(
     import os
 
     from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+        recover_swap,
         swap_directory,
     )
 
@@ -159,15 +160,31 @@ def upsert_into_path(
             )
             return "delta"
 
-    if os.path.exists(table_path.removeprefix("file://")):
+    # r14-late review hardening of the parquet leg's crash story:
+    # (1) a replay after a crash between swap_directory's two renames
+    #     must restore the displaced table FIRST — the exists-check
+    #     otherwise takes the fresh-table branch and the NEXT swap's
+    #     entry cleanup deletes the only full copy (silent data loss);
+    # (2) 'directory exists' is not 'table exists': a crashed first
+    #     write leaves only Spark's _temporary dir, which must take the
+    #     fresh-write branch (mode=overwrite clears it), not wedge the
+    #     read-merge branch on an unreadable directory;
+    # (3) swap_directory speaks plain os paths — strip file:// before
+    #     handing it the table (the pipeline callers' contract).
+    local = table_path.removeprefix("file://")
+    recover_swap(local)
+    has_table = os.path.isdir(local) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(local)
+    )
+    if has_table:
         current = spark.read.parquet(table_path)
         merged = upsert_by_key(
             current, updates, key=key, order_by=order_by,
             updates_small=updates_small,
         )
-        tmp = table_path.rstrip("/") + "_upsert_tmp"
+        tmp = local.rstrip("/") + "_upsert_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        swap_directory(spark, table_path, tmp)
+        swap_directory(spark, local, tmp)
     else:
         elect_winners(updates, key=key, order_by=order_by).write.mode(
             "overwrite"

@@ -917,12 +917,16 @@ def write_warc(
         _write, "file string, n_records long, n_bytes long"
     )
     rows = manifest.collect()  # O(files), the export's only action
-    with open(os.path.join(out_dir, "_warc_manifest.json"), "w") as f:
+    # atomic manifest (r14-late review, the write_tar_shards fix):
+    # a crash mid-dump must never leave truncated JSON live
+    mtmp = os.path.join(out_dir, "._warc_manifest.json.tmp")
+    with open(mtmp, "w") as f:
         json.dump(
             [{"file": r["file"], "n_records": r["n_records"],
               "n_bytes": r["n_bytes"]} for r in sorted(rows)],
             f, indent=0, sort_keys=True,
         )
+    os.replace(mtmp, os.path.join(out_dir, "_warc_manifest.json"))
     return df.sparkSession.createDataFrame(
         rows, "file string, n_records long, n_bytes long"
     )

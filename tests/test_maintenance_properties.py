@@ -379,3 +379,117 @@ def test_ahash_oracle_arithmetic_parity(s, flip_at):
     assert ahash64_py(s) == oracle(s)
     edited = s[:flip_at] + ("X" if s[flip_at] != "X" else "Y") + s[flip_at + 1:]
     assert ahash64_py(edited) == oracle(edited)
+
+
+def test_crash_between_renames_does_not_lose_table(spark, tmp_path):
+    """r14-late review (the data-loss path): a crash between
+    swap_directory's two renames leaves `path` missing with the full
+    table at *_swap_old. Every operation that reads BEFORE swapping
+    must recover first — previously the parquet upsert's exists-check
+    took the fresh-table branch, rewrote the table as just the batch,
+    and the NEXT swap's entry cleanup deleted the only full copy."""
+    import os
+
+    from data_ingestion_tool_bakasura__spark.operators.upsert import (
+        upsert_into_path,
+    )
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(p)
+    # simulate the crash: path displaced to *_swap_old, path missing
+    os.rename(p, p + "_swap_old")
+    # replayed upsert of batch {2': B, 4: D} must merge with the FULL
+    # restored table, not just rewrite the batch
+    upd = spark.createDataFrame([(2, "B"), (4, "D")], "id long, v string")
+    upsert_into_path(spark, p, upd, key="id", use_delta=False)
+    got = dict(
+        (r["id"], r["v"]) for r in spark.read.parquet(p).collect()
+    )
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+    assert not os.path.exists(p + "_swap_old")
+    # compact after the same simulated crash also recovers
+    os.rename(p, p + "_swap_old")
+    compact(spark, p)
+    got = dict((r["id"], r["v"]) for r in spark.read.parquet(p).collect())
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+    # and delete_keys
+    os.rename(p, p + "_swap_old")
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+        delete_keys,
+    )
+
+    delete_keys(spark, p, [4], key_col="id")
+    got = dict((r["id"], r["v"]) for r in spark.read.parquet(p).collect())
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_temporary_only_dir_takes_fresh_branch(spark, tmp_path):
+    """r14-late review: a crashed FIRST write leaves table_path holding
+    only Spark's _temporary dir. 'Directory exists' must not be read
+    as 'table exists' — the replay takes the fresh-write branch
+    (overwrite clears the debris) instead of wedging the read-merge
+    branch on an unreadable directory."""
+    import os
+
+    from data_ingestion_tool_bakasura__spark.operators.upsert import (
+        upsert_into_path,
+    )
+
+    p = str(tmp_path / "tbl2")
+    os.makedirs(os.path.join(p, "_temporary", "0"))
+    upd = spark.createDataFrame([(1, "a")], "id long, v string")
+    upsert_into_path(spark, p, upd, key="id", use_delta=False)
+    assert [tuple(r) for r in spark.read.parquet(p).collect()] == [(1, "a")]
+
+
+def test_upsert_into_path_accepts_file_uri(spark, tmp_path):
+    """r14-late review: upsert_into_path strips file:// for its
+    exists-check but previously handed the RAW URI to swap_directory,
+    whose os.rename cannot resolve a scheme — every merge-path upsert
+    on a file:// table failed at the swap after paying the rewrite."""
+    from data_ingestion_tool_bakasura__spark.operators.upsert import (
+        upsert_into_path,
+    )
+
+    uri = "file://" + str(tmp_path / "tbl3")
+    upsert_into_path(
+        spark, uri,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        key="id", use_delta=False,
+    )
+    upsert_into_path(  # merge path: read + rewrite + swap
+        spark, uri,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        key="id", use_delta=False,
+    )
+    got = dict((r["id"], r["v"]) for r in spark.read.parquet(uri).collect())
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_swap_directory_verify_failure_restores_good_copy(spark, tmp_path):
+    """r14-late review: when the post-swap read-back verify FAILS (the
+    new copy is unreadable — the exact case the verify guards), the
+    GOOD copy must come back live at `path`, with the bad bytes parked
+    at tmp for inspection — not left live to fail every reader."""
+    import os
+
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+        swap_directory,
+    )
+
+    p = str(tmp_path / "tbl4")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    bad = str(tmp_path / "tbl4_bad_tmp")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    with _pytest.raises(Exception):
+        swap_directory(spark, p, bad)
+    # good copy live again; bad bytes parked at tmp; no _swap_old left
+    assert [tuple(r) for r in spark.read.parquet(p).collect()] == [(1, "a")]
+    assert os.path.exists(bad)
+    assert not os.path.exists(p + "_swap_old")

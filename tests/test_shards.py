@@ -165,3 +165,45 @@ def test_empty_corpus_roundtrip(spark, tmp_path):
     assert json.load(open(os.path.join(out, "_manifest.json"))) == []
     back = SH.read_tar_shards(spark, out, {"text": ".txt"})
     assert back.count() == 0 and set(back.columns) == {"shard", "key", "text"}
+
+
+def test_stale_shards_cleaned_and_temps_hidden(spark, tmp_path):
+    """r14-late review: (1) re-exporting into the same out_dir with a
+    different shard size must not leave stale shards behind for
+    read_tar_shards' glob to silently mix in — the writer pre-cleans
+    its OWN naming scheme (shard-*.tar, attempt temps, the manifest)
+    and never touches foreign files; (2) a zombie attempt's orphaned
+    hidden temp is invisible to read-back; (3) the manifest is written
+    via temp + os.replace, so no half-written JSON can sit at the
+    advertised name."""
+    import json
+    import os
+
+    from data_ingestion_tool_bakasura__spark.operators.shards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", f"text {i}") for i in range(20)],
+        "key string, text string",
+    ).repartition(1)
+    out = str(tmp_path / "shards")
+    # run 1: many small shards
+    write_tar_shards(df, out, rows_per_shard=5)
+    assert len([e for e in os.listdir(out) if e.endswith(".tar")]) == 4
+    # foreign file survives the pre-clean; zombie temp planted
+    with open(os.path.join(out, "NOTES.txt"), "w") as f:
+        f.write("keep me")
+    with open(os.path.join(out, ".shard-00000-0000.tar.999.tmp"), "wb") as f:
+        f.write(b"truncated zombie attempt bytes")
+    # run 2: one big shard — run-1 shards and the zombie temp must go
+    write_tar_shards(df, out, rows_per_shard=1000)
+    tars = [e for e in os.listdir(out) if e.endswith(".tar")]
+    assert tars == ["shard-00000-0000.tar"]
+    assert os.path.exists(os.path.join(out, "NOTES.txt"))
+    assert not any(e.endswith(".tmp") for e in os.listdir(out))
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert [m["shard"] for m in man] == tars
+    back = read_tar_shards(spark, out, {"text": ".txt"})
+    assert back.count() == 20
