@@ -170,7 +170,18 @@ def upsert_into_path(
     #     fresh-write branch (mode=overwrite clears it), not wedge the
     #     read-merge branch on an unreadable directory;
     # (3) swap_directory speaks plain os paths — strip file:// before
-    #     handing it the table (the pipeline callers' contract).
+    #     handing it the table (the pipeline callers' contract);
+    # (4) REFUSE other schemes loudly: on an object store the os-level
+    #     exists-check is always False and the fresh-write branch would
+    #     overwrite the whole table with one batch, every call. Remote
+    #     tables belong on the Delta path.
+    if "://" in table_path and not table_path.startswith("file://"):
+        raise ValueError(
+            f"upsert_into_path parquet leg requires a local or file:// "
+            f"path, got {table_path!r}: its crash/replay guards are "
+            "driver-local filesystem checks — use delta-spark (the "
+            "Delta MERGE path) for object-store tables"
+        )
     local = table_path.removeprefix("file://")
     recover_swap(local)
     has_table = os.path.isdir(local) and any(

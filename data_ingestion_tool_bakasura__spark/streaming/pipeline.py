@@ -57,6 +57,53 @@ def stream_documents(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+def _local_or_raise(path: str, what: str) -> str:
+    """Strip ``file://`` and REFUSE any other scheme (r14-late review):
+    every replay/crash guard in this module — exists-checks, seen-set
+    anti-joins, swap recovery — is a driver-local filesystem check. On
+    an object-store path those guards silently never fire, so a
+    replayed micro-batch appends full duplicates and the parquet upsert
+    overwrites the table with one batch. Better a loud error at stream
+    start than silent data loss per trigger; remote tables belong on
+    the Delta path (lakehouse formats carry their own transaction
+    log)."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{what} requires a local or file:// path, got {path!r}: the "
+            "parquet sinks' replay/crash guards are driver-local "
+            "filesystem checks and cannot protect an object-store table "
+            "— use the Delta path (delta-spark) for remote storage"
+        )
+    return path.removeprefix("file://")
+
+
+def _run_token(checkpoint: str) -> str:
+    """Stable per-logical-stream token, persisted INSIDE the checkpoint
+    directory (r14-late review): artifact keys derived from batch_id
+    alone (archive dirs, link-graph wave ids) collide after checkpoint
+    LOSS — the new run's batch 0 re-reads old files plus genuinely new
+    ones, the exists/wave guards treat them as the old batch 0, and the
+    new pages are silently never archived and their links never folded.
+    The token lives with the checkpoint, so a restart of the same
+    checkpoint keeps the same keys (replay guards hold) while a wiped
+    or fresh checkpoint gets fresh keys (new pages re-archive under new
+    names — duplicate capture records, never silent omission)."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    tok_path = os.path.join(checkpoint, "_run_token")
+    if os.path.exists(tok_path):
+        with open(tok_path) as f:
+            return f.read().strip()
+    tok = uuid.uuid4().hex[:12]
+    tmp = tok_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(tok)
+    os.replace(tmp, tok_path)
+    return tok
+
+
 def start_incremental_ingest(
     docs_stream: DataFrame,
     index_path: str,
@@ -72,14 +119,26 @@ def start_incremental_ingest(
     """
     cfg = cfg or IngestConfig()
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_")
+    local_idx = _local_or_raise(index_path, "start_incremental_ingest")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        try:
-            index = spark.read.parquet(index_path).select("text_hash")
-        except Exception:
-            index = None  # first batch: no index yet
+        # exists-check, NOT try/except (r14-late review): a transient
+        # index-read failure treated as 'no index yet' silently disables
+        # the anti-join that is this sink's only replay-idempotency
+        # guard — the replayed batch then appends duplicates forever.
+        # A genuinely failing read must fail the batch (Spark retries).
+        index = (
+            spark.read.parquet(index_path).select("text_hash")
+            if os.path.exists(local_idx) else None
+        )
         rows = ingest_documents(batch_df, index=index, cfg=cfg)
+        # materialize before the self-append: the plan lazily reads
+        # index_path (the anti-join) while appending to it — the same
+        # discipline the image/video/crawl sinks document
+        rows = reliable_checkpoint(rows)
         _audit("incremental_ingest", rows)
         rows.write.mode("append").parquet(index_path)
 
@@ -201,6 +260,8 @@ def start_streaming_near_dedup(
     )
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="neardedup_ckpt_")
+    _local_or_raise(corpus_path, "start_streaming_near_dedup corpus_path")
+    _local_or_raise(index_path, "start_streaming_near_dedup index_path")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -217,14 +278,6 @@ def start_streaming_near_dedup(
         batch_df = batch_df.transform(reliable_checkpoint)
         if not batch_df.take(1):
             return
-        have_index = os.path.exists(index_path.removeprefix("file://"))
-        index = (
-            spark.read.parquet(index_path)
-            if have_index
-            else batch_df.limit(0).sparkSession.createDataFrame(
-                [], "_id long, bkey string"
-            )
-        )
         # Hash the batch ONCE: these uncapped band keys feed both the
         # near-dup probe (which applies the bucket cap internally) and,
         # filtered to survivors, the index append — without this the
@@ -232,6 +285,15 @@ def start_streaming_near_dedup(
         batch_keys = lsh_band_index(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n
         ).transform(reliable_checkpoint)
+        have_index = os.path.exists(index_path.removeprefix("file://"))
+        # first batch: the empty index derives its schema from the
+        # batch's OWN keys (r14-late review — the hardcoded
+        # '_id long' form broke string ids under ANSI type checks)
+        index = (
+            spark.read.parquet(index_path)
+            if have_index
+            else batch_keys.limit(0)
+        )
         pairs = minhash_lsh_increment(
             batch_df, index, text_col, id_col,
             num_hashes, bands, shingle_n, max_bucket_size,
@@ -320,6 +382,8 @@ def start_streaming_semantic_dedup(
     from data_ingestion_tool_bakasura__spark.operators.similarity import ivf_assign
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="semdedup_ckpt_")
+    _local_or_raise(decisions_path, "start_streaming_semantic_dedup decisions_path")
+    _local_or_raise(index_path, "start_streaming_semantic_dedup index_path")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -398,6 +462,8 @@ def start_streaming_span_dedup(
     )
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="spandedup_ckpt_")
+    _local_or_raise(cleaned_path, "start_streaming_span_dedup cleaned_path")
+    _local_or_raise(index_path, "start_streaming_span_dedup index_path")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -483,6 +549,8 @@ def start_streaming_image_dedup(
     )
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="imgdedup_ckpt_")
+    _local_or_raise(corpus_path, "start_streaming_image_dedup corpus_path")
+    _local_or_raise(index_path, "start_streaming_image_dedup index_path")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -580,6 +648,8 @@ def start_streaming_video_dedup(
     )
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="viddedup_ckpt_")
+    _local_or_raise(corpus_path, "start_streaming_video_dedup corpus_path")
+    _local_or_raise(index_path, "start_streaming_video_dedup index_path")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -816,6 +886,10 @@ def start_streaming_crawl(
     from data_ingestion_tool_bakasura__spark.sources.warc import decode_payload_udf
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="crawl_ckpt_")
+    _local_or_raise(corpus_path, "start_streaming_crawl corpus_path")
+    # run-scoped artifact keys (see _run_token): archive dirs and graph
+    # wave ids must not collide across checkpoint generations
+    token = _run_token(checkpoint)
     bloom_holder: list = []  # loaded once, reused across micro-batches
 
     def _bloom(spark):
@@ -853,6 +927,19 @@ def start_streaming_crawl(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+            recover_swap,
+        )
+
+        # un-wedge a crash between a prior swap's two renames BEFORE any
+        # exists-check or read (r14-late review): the corpus seen-guard
+        # would otherwise treat the displaced table as absent, recreate
+        # it from one batch, and the next compact's swap-entry cleanup
+        # would delete the only full copy; ditto the host-ranks gate,
+        # which would silently run ungated until the next refresh.
+        recover_swap(corpus_path.removeprefix("file://"))
+        if host_ranks_path:
+            recover_swap(host_ranks_path.removeprefix("file://"))
         batch = batch_df.withColumn("norm_url", U.url_normalize(F.col(url_col)))
         w = Window.partitionBy("norm_url").orderBy(F.col(order_col))
         batch = (
@@ -917,193 +1004,203 @@ def start_streaming_crawl(
                 F.col("_rk") + F.col("_n_have") <= max_per_domain_total
             ).drop("_rk", "_n_have", "_dom2")
         archived_batch = None
-        if archive_path:
-            # archive BEFORE corpus (crash ordering, see docstring).
-            # Write-to-tmp + atomic rename + exists-guard: a batch dir
-            # that EXISTS is a completed first attempt and is never
-            # touched again — a replay AFTER the corpus append sees an
-            # emptied batch (the seen-guard drops every row) and a
-            # naive rewrite would destroy the published archive (r12
-            # review finding); a crash DURING the write leaves only
-            # the tmp dir, which the replay clears and rewrites.
-            import shutil
+        # try/finally (r14-late review): a batch failing AFTER the
+        # persist() must release its cached blocks — retried attempts
+        # otherwise accumulate executor storage for the stream's life
+        try:
+            if archive_path:
+                # archive BEFORE corpus (crash ordering, see docstring).
+                # Write-to-tmp + atomic rename + exists-guard: a batch dir
+                # that EXISTS is a completed first attempt and is never
+                # touched again — a replay AFTER the corpus append sees an
+                # emptied batch (the seen-guard drops every row) and a
+                # naive rewrite would destroy the published archive (r12
+                # review finding); a crash DURING the write leaves only
+                # the tmp dir, which the replay clears and rewrites.
+                import shutil
 
-            from data_ingestion_tool_bakasura__spark.sources.warc import (
-                write_warc,
-            )
+                from data_ingestion_tool_bakasura__spark.sources.warc import (
+                    write_warc,
+                )
 
-            # the archive leg adds its own action over the gated batch;
-            # persist so the corpus append below reuses the computed
-            # rows instead of re-running the whole gate stack
-            batch = batch.persist()
-            archived_batch = batch
-            adir = os.path.join(
-                archive_path.removeprefix("file://"), f"batch-{batch_id:05d}"
-            )
-            if not os.path.exists(adir):
-                tmp_dir = adir + "_tmp"
-                if os.path.exists(tmp_dir):
-                    shutil.rmtree(tmp_dir)  # partial crashed attempt
-                date_col = ("warc_date" if "warc_date" in batch.columns
-                            else None)
-                asrc = batch
-                if date_col is None:
-                    asrc = asrc.withColumn(
-                        "_adate", F.lit("1970-01-01T00:00:00Z")
+                # the archive leg adds its own action over the gated batch;
+                # persist so the corpus append below reuses the computed
+                # rows instead of re-running the whole gate stack
+                batch = batch.persist()
+                archived_batch = batch
+                adir = os.path.join(
+                    archive_path.removeprefix("file://"),
+                    f"batch-{token}-{batch_id:05d}",
+                )
+                # skip EMPTY gated batches: a checkpoint-loss replay
+                # whose rows were all corpus-seen must not litter the
+                # archive with empty batch dirs under the new run token
+                if not os.path.exists(adir) and batch.take(1):
+                    tmp_dir = adir + "_tmp"
+                    if os.path.exists(tmp_dir):
+                        shutil.rmtree(tmp_dir)  # partial crashed attempt
+                    date_col = ("warc_date" if "warc_date" in batch.columns
+                                else None)
+                    asrc = batch
+                    if date_col is None:
+                        asrc = asrc.withColumn(
+                            "_adate", F.lit("1970-01-01T00:00:00Z")
+                        )
+                        date_col = "_adate"
+                    write_warc(
+                        asrc, tmp_dir, url_col=url_col, date_col=date_col,
+                        payload_col=payload_col,
+                        status_col="http_status", ctype_col="content_type",
+                        gzip_members=True, cdx=True,
+                        cdx_filename_prefix=f"batch-{token}-{batch_id:05d}/",
+                        warcinfo={"software": "bakasura-spark streaming crawl",
+                                  "format": "WARC File Format 1.0"},
                     )
-                    date_col = "_adate"
-                write_warc(
-                    asrc, tmp_dir, url_col=url_col, date_col=date_col,
-                    payload_col=payload_col,
-                    status_col="http_status", ctype_col="content_type",
-                    gzip_members=True, cdx=True,
-                    cdx_filename_prefix=f"batch-{batch_id:05d}/",
-                    warcinfo={"software": "bakasura-spark streaming crawl",
-                              "format": "WARC File Format 1.0"},
-                )
-                os.makedirs(os.path.dirname(adir), exist_ok=True)
-                os.rename(tmp_dir, adir)
-        # WET streams (read_wet) carry already-extracted text: when the
-        # payload column is a STRING it is used verbatim; binary
-        # payloads (read_warc) take the charset-decode + html_to_text
-        # leg. One closure serves both Common-Crawl formats.
-        link_html = None
-        if dict(batch.dtypes).get(payload_col) == "string":
-            text_expr = F.col(payload_col)
-        else:
-            ctype = (F.col("content_type") if "content_type" in batch.columns
-                     else F.lit("text/html"))
-            decoded = decode_payload_udf()(F.col(payload_col), ctype)
-            if link_graph_path:
-                link_html = batch.select(
-                    F.col(url_col).alias("url"), decoded.alias("html")
-                )
-            if boilerplate_removal:
-                from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
-                    extract_main_content,
-                )
-
-                th = (boilerplate_removal
-                      if isinstance(boilerplate_removal, dict) else {})
-                # norm_url is unique within the batch here (post-dedup),
-                # so it keys the block window and the re-join
-                html_df = batch.withColumn("_html", decoded)
-                mc = extract_main_content(html_df, "_html", "norm_url", **th)
-                batch = html_df.join(
-                    mc.select("norm_url", "main_text"), "norm_url"
-                ).drop("_html")
-                text_expr = F.col("main_text")
+                    os.makedirs(os.path.dirname(adir), exist_ok=True)
+                    os.rename(tmp_dir, adir)
+            # WET streams (read_wet) carry already-extracted text: when the
+            # payload column is a STRING it is used verbatim; binary
+            # payloads (read_warc) take the charset-decode + html_to_text
+            # leg. One closure serves both Common-Crawl formats.
+            link_html = None
+            if dict(batch.dtypes).get(payload_col) == "string":
+                text_expr = F.col(payload_col)
             else:
-                text_expr = html_to_text_udf()(decoded)
-        out = batch.select(
-            "norm_url",
-            F.col(url_col).alias("url"),
-            U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
-            text_expr.alias("text"),
-        ).withColumn("n_chars", F.length("text"))
-        if langid_profiles_path:
-            profiles = spark.read.parquet(langid_profiles_path)
-            out = CR.language_filter(
-                out, profiles, allowed_langs=allowed_langs,
-                text_col="text", id_col="norm_url", keep_und=keep_und,
-            )
-        else:
-            out = out.withColumn("lang", F.lit(None).cast("string"))
-        if quality_gate:
-            out = CR.web_quality_filter(out, "text", quality_gate).withColumn(
-                "n_chars", F.length("text")
-            )
-        # log_weight is ALWAYS in the output schema (NULL when DSIR is
-        # off): toggling dsir_ratios_path across runs of one corpus_path
-        # must not produce mixed-schema parquet files — the seen-guard /
-        # domain-count reads above use plain spark.read.parquet (no
-        # mergeSchema) and would otherwise drop or trip on the column.
-        if dsir_ratios_path:
-            from data_ingestion_tool_bakasura__spark.operators.sampling import (
-                dsir_apply,
-            )
+                ctype = (F.col("content_type") if "content_type" in batch.columns
+                         else F.lit("text/html"))
+                decoded = decode_payload_udf()(F.col(payload_col), ctype)
+                if link_graph_path:
+                    link_html = batch.select(
+                        F.col(url_col).alias("url"), decoded.alias("html")
+                    )
+                if boilerplate_removal:
+                    from data_ingestion_tool_bakasura__spark.functions.boilerplate import (
+                        extract_main_content,
+                    )
 
-            ratios = spark.read.parquet(dsir_ratios_path)
-            scored = dsir_apply(
-                out.select(F.col("norm_url").alias("doc_id"), "text"), ratios
-            ).filter(F.col("log_weight") >= dsir_min_weight)
-            out = out.join(
-                scored.select(F.col("doc_id").alias("norm_url"), "log_weight"),
+                    th = (boilerplate_removal
+                          if isinstance(boilerplate_removal, dict) else {})
+                    # norm_url is unique within the batch here (post-dedup),
+                    # so it keys the block window and the re-join
+                    html_df = batch.withColumn("_html", decoded)
+                    mc = extract_main_content(html_df, "_html", "norm_url", **th)
+                    batch = html_df.join(
+                        mc.select("norm_url", "main_text"), "norm_url"
+                    ).drop("_html")
+                    text_expr = F.col("main_text")
+                else:
+                    text_expr = html_to_text_udf()(decoded)
+            out = batch.select(
                 "norm_url",
-            )
-        else:
-            out = out.withColumn("log_weight", F.lit(None).cast("double"))
-        # materialize before the append: the plan lazily reads
-        # corpus_path (the seen-guard) while appending to it
-        out = reliable_checkpoint(out)
-        if link_html is not None:
-            # graph BEFORE corpus (crash ordering): a crash in between
-            # replays the batch, the wave-id guard no-ops the graph
-            # append and the corpus probe still lands the pages; the
-            # reverse order would lose the batch's links forever (the
-            # replayed batch dedups to empty before extraction)
-            from data_ingestion_tool_bakasura__spark.operators import (
-                linkgraph as LG,
-            )
+                F.col(url_col).alias("url"),
+                U.registrable_domain(U.url_host(F.col(url_col))).alias("domain"),
+                text_expr.alias("text"),
+            ).withColumn("n_chars", F.length("text"))
+            if langid_profiles_path:
+                profiles = spark.read.parquet(langid_profiles_path)
+                out = CR.language_filter(
+                    out, profiles, allowed_langs=allowed_langs,
+                    text_col="text", id_col="norm_url", keep_und=keep_und,
+                )
+            else:
+                out = out.withColumn("lang", F.lit(None).cast("string"))
+            if quality_gate:
+                out = CR.web_quality_filter(out, "text", quality_gate).withColumn(
+                    "n_chars", F.length("text")
+                )
+            # log_weight is ALWAYS in the output schema (NULL when DSIR is
+            # off): toggling dsir_ratios_path across runs of one corpus_path
+            # must not produce mixed-schema parquet files — the seen-guard /
+            # domain-count reads above use plain spark.read.parquet (no
+            # mergeSchema) and would otherwise drop or trip on the column.
+            if dsir_ratios_path:
+                from data_ingestion_tool_bakasura__spark.operators.sampling import (
+                    dsir_apply,
+                )
 
-            LG.host_graph_increment(
-                spark, link_graph_path,
-                LG.extract_links_html(link_html, "html", "url"),
-                wave_id=f"batch-{batch_id}",
-            )
-            if (ranks_refresh_every and host_ranks_path
-                    and batch_id % ranks_refresh_every == 0):
+                ratios = spark.read.parquet(dsir_ratios_path)
+                scored = dsir_apply(
+                    out.select(F.col("norm_url").alias("doc_id"), "text"), ratios
+                ).filter(F.col("log_weight") >= dsir_min_weight)
+                out = out.join(
+                    scored.select(F.col("doc_id").alias("norm_url"), "log_weight"),
+                    "norm_url",
+                )
+            else:
+                out = out.withColumn("log_weight", F.lit(None).cast("double"))
+            # materialize before the append: the plan lazily reads
+            # corpus_path (the seen-guard) while appending to it
+            out = reliable_checkpoint(out)
+            if link_html is not None:
+                # graph BEFORE corpus (crash ordering): a crash in between
+                # replays the batch, the wave-id guard no-ops the graph
+                # append and the corpus probe still lands the pages; the
+                # reverse order would lose the batch's links forever (the
+                # replayed batch dedups to empty before extraction)
+                from data_ingestion_tool_bakasura__spark.operators import (
+                    linkgraph as LG,
+                )
+
+                LG.host_graph_increment(
+                    spark, link_graph_path,
+                    LG.extract_links_html(link_html, "html", "url"),
+                    wave_id=f"{token}-batch-{batch_id}",
+                )
+                if (ranks_refresh_every and host_ranks_path
+                        and batch_id % ranks_refresh_every == 0):
+                    from data_ingestion_tool_bakasura__spark.operators.maintenance import (
+                        swap_directory,
+                    )
+
+                    # pagerank persists its edge/nodes/transition/contribs
+                    # frames; this loop re-ranks every N batches for the
+                    # stream's lifetime, so release them once the write
+                    # (the materializing action) lands — otherwise cached
+                    # frames accumulate unboundedly (r11 ADVICE finding)
+                    rank_persists: list = []
+                    ranks = LG.pagerank(
+                        LG.load_host_graph(spark, link_graph_path),
+                        weight_col="n_links",
+                        persisted=rank_persists,
+                    )
+                    try:
+                        dst = host_ranks_path.removeprefix("file://")
+                        if os.path.exists(dst):
+                            tmp = dst.rstrip("/") + "_ranks_tmp"
+                            ranks.write.mode("overwrite").parquet(tmp)
+                            swap_directory(spark, dst, tmp)
+                        else:
+                            ranks.write.parquet(dst)
+                    finally:
+                        for frame in rank_persists:
+                            frame.unpersist()
+            if seen_bloom:
+                # bloom BEFORE corpus (superset invariant): a crash between
+                # the two leaves extra bits — harmless, the maybe-seen rows
+                # re-resolve through the exact check on replay; the reverse
+                # order could leave a landed URL out of the bitmap and
+                # silently re-land it later
+                _bloom(spark).add_df(out.select("norm_url"), "norm_url")
+            _audit("crawl", out)
+            out.write.mode("append").parquet(corpus_path)
+            if (compact_every and batch_id > 0
+                    and batch_id % compact_every == 0
+                    and os.path.exists(corpus_path.removeprefix("file://"))):
                 from data_ingestion_tool_bakasura__spark.operators.maintenance import (
-                    swap_directory,
+                    compact,
                 )
 
-                # pagerank persists its edge/nodes/transition/contribs
-                # frames; this loop re-ranks every N batches for the
-                # stream's lifetime, so release them once the write
-                # (the materializing action) lands — otherwise cached
-                # frames accumulate unboundedly (r11 ADVICE finding)
-                rank_persists: list = []
-                ranks = LG.pagerank(
-                    LG.load_host_graph(spark, link_graph_path),
-                    weight_col="n_links",
-                    persisted=rank_persists,
-                )
-                try:
-                    dst = host_ranks_path.removeprefix("file://")
-                    if os.path.exists(dst):
-                        tmp = dst.rstrip("/") + "_ranks_tmp"
-                        ranks.write.mode("overwrite").parquet(tmp)
-                        swap_directory(spark, dst, tmp)
-                    else:
-                        ranks.write.parquet(dst)
-                finally:
-                    for frame in rank_persists:
-                        frame.unpersist()
-        if seen_bloom:
-            # bloom BEFORE corpus (superset invariant): a crash between
-            # the two leaves extra bits — harmless, the maybe-seen rows
-            # re-resolve through the exact check on replay; the reverse
-            # order could leave a landed URL out of the bitmap and
-            # silently re-land it later
-            _bloom(spark).add_df(out.select("norm_url"), "norm_url")
-        _audit("crawl", out)
-        out.write.mode("append").parquet(corpus_path)
-        if (compact_every and batch_id > 0
-                and batch_id % compact_every == 0
-                and os.path.exists(corpus_path.removeprefix("file://"))):
-            from data_ingestion_tool_bakasura__spark.operators.maintenance import (
-                compact,
-            )
-
-            # layout-only rewrite AFTER the append (a crash here loses
-            # nothing: rows are already durable; the swap restores on
-            # failure). Runs inside foreachBatch, so no reader races
-            # with the swap within this stream.
-            compact(spark, corpus_path.removeprefix("file://"))
-        if archived_batch is not None:
-            # release the per-batch cache once the corpus append (the
-            # last consumer of the gated batch's lineage) has landed
-            archived_batch.unpersist()
+                # layout-only rewrite AFTER the append (a crash here loses
+                # nothing: rows are already durable; the swap restores on
+                # failure). Runs inside foreachBatch, so no reader races
+                # with the swap within this stream.
+                compact(spark, corpus_path.removeprefix("file://"))
+        finally:
+            if archived_batch is not None:
+                # release the per-batch cache once the corpus append
+                # (the last consumer of the gated batch's lineage)
+                # has landed — or the attempt failed
+                archived_batch.unpersist()
 
     writer = pages_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -793,3 +793,175 @@ def test_streaming_crawl_archive_publisher(spark, tmp_path):
     )
     assert after == before
     assert read_warc(spark, archive + "/*").count() == 2
+
+
+def test_crawl_checkpoint_loss_archives_new_pages(spark, tmp_path):
+    """r14-late review: archive dirs / graph waves are keyed by a
+    run token persisted in the checkpoint, so after CHECKPOINT LOSS a
+    regrouped batch 0 no longer collides with the old batch 0 — a
+    genuinely NEW page in the replayed wave is archived (under the new
+    run's keys) instead of silently skipped, while the old published
+    archive stays untouched and the corpus stays deduplicated."""
+    import shutil as _sh
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "archive")
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/p", b"<p>alpha</p>", "a1"))
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True), corpus,
+            archive_path=archive, checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert read_warc(spark, archive + "/*").count() == 1
+    # checkpoint LOST; a new page arrives; the replayed wave re-reads
+    # both files as batch 0
+    _sh.rmtree(ckpt)
+    (crawl / "w2.warc").write_bytes(
+        rec("https://new.example.org/q", b"<p>beta</p>", "b1"))
+    run_once()
+    arch = {r["url"]: bytes(r["payload"])
+            for r in read_warc(spark, archive + "/*").collect()}
+    assert arch == {
+        "https://a.example.org/p": b"<p>alpha</p>",
+        "https://new.example.org/q": b"<p>beta</p>",
+    }
+    got = sorted(r["norm_url"] for r in spark.read.parquet(corpus).collect())
+    assert got == ["https://a.example.org/p", "https://new.example.org/q"]
+
+
+def test_crawl_corpus_recovers_from_crashed_swap(spark, tmp_path):
+    """r14-late review (the crawl twin of the upsert data-loss path):
+    a crash between compact's swap renames leaves the corpus displaced
+    at *_swap_old; the next batch must restore it BEFORE the seen-guard
+    reads — previously the guard treated the corpus as absent,
+    re-landed the batch into a fresh dir, and the next compact's
+    swap-entry cleanup deleted the displaced full copy."""
+    import os
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/p", b"<p>alpha</p>", "a1"))
+
+    def run_once():
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True), corpus,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # simulate the crash mid-swap: corpus displaced, path missing
+    os.rename(corpus, corpus + "_swap_old")
+    (crawl / "w2.warc").write_bytes(
+        rec("https://new.example.org/q", b"<p>beta</p>", "b1"))
+    run_once()
+    got = sorted(r["norm_url"] for r in spark.read.parquet(corpus).collect())
+    assert got == ["https://a.example.org/p", "https://new.example.org/q"]
+    assert not os.path.exists(corpus + "_swap_old")
+
+
+def test_sinks_refuse_remote_paths(spark, tmp_path):
+    """r14-late review: every parquet sink's replay guard is a
+    driver-local filesystem check, so object-store paths are REFUSED
+    loudly at stream start (and in upsert_into_path's parquet leg)
+    instead of silently disabling the guards — where a replayed batch
+    would append duplicates and the upsert would overwrite the table
+    with one batch per trigger."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_bakasura__spark.operators.upsert import (
+        upsert_into_path,
+    )
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_incremental_ingest,
+        start_streaming_near_dedup,
+    )
+
+    with _pytest.raises(ValueError, match="local or file://"):
+        start_incremental_ingest(None, "s3a://bucket/index")
+    with _pytest.raises(ValueError, match="local or file://"):
+        start_streaming_near_dedup(
+            None, "s3a://bucket/corpus", str(tmp_path / "idx"))
+    with _pytest.raises(ValueError, match="local or file://"):
+        upsert_into_path(
+            spark, "s3a://bucket/tbl",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            use_delta=False,
+        )
+
+
+def test_streaming_near_dedup_string_ids_first_batch(spark, tmp_path):
+    """r14-late review: the first micro-batch (no index yet) derives
+    the empty index's schema from the batch's own band keys — the
+    hardcoded '_id long' form broke string doc ids under ANSI type
+    checks before any index existed."""
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_near_dedup,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [("url-a", "the quick brown fox jumps over the lazy dog"),
+         ("url-b", "an entirely different document about spark plans")],
+        "doc_id string, text string",
+    ).write.parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        str(src / "*"))
+    q = start_streaming_near_dedup(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "index"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert got == ["url-a", "url-b"]
