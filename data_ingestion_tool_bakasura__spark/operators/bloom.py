@@ -19,12 +19,19 @@ leaves extra bits (harmless), never missing ones. Replayed batches
 see their own URLs as maybe-seen, exact-check against the corpus,
 and land exactly once.
 
-Layout on disk: ``<path>/meta.json`` (m bits, k hashes, n_added) +
-``<path>/bitmap.bin`` (m/8 bytes), written to a temp sibling and
-``os.replace``d file-by-file (meta last) so readers never see a torn
-bitmap. Sizing: 1e9 URLs at 1% FP is ~1.2 GiB — within executor
-broadcast budgets; ``n_expected`` overflow degrades the FP rate
-gracefully (more exact checks), never correctness.
+Layout on disk: ``<path>/meta.json`` (m bits, k hashes, n_added —
+the count of add ATTEMPTS including replays/reconciliation, an upper
+bound on distinct keys, not an exact cardinality) +
+``<path>/bitmap.bin`` (m/8 bytes), fsync'd and written to a temp
+sibling then ``os.replace``d file-by-file (meta last) so readers
+never see a torn bitmap; saves MERGE with the on-disk copy so a
+concurrent writer's bits are never erased. Sizing: 1e9 URLs at 1% FP
+is ~1.2 GiB; the broadcast ships once per executor JVM but each
+PYTHON WORKER process unpickles its own copy for the probe — budget
+bitmap_size x cores-per-executor of Python-side memory, or cap
+worker parallelism for very large bitmaps. ``n_expected`` overflow
+degrades the FP rate gracefully (more exact checks), never
+correctness.
 
 Hashing: positions are ``xxhash64(value, seed=i) mod m`` computed
 JVM-side (codegen) on BOTH the build and the probe path — the only
@@ -116,25 +123,61 @@ class BloomSeenSet:
     @classmethod
     def load_or_create(cls, spark: SparkSession, path: str,
                        n_expected: int = 1_000_000,
-                       fpp: float = 0.01) -> "BloomSeenSet":
+                       fpp: float = 0.01, **create_kw) -> "BloomSeenSet":
+        """Load, falling back to a FRESH set when the artifact is
+        corrupt/torn (r14-late review): the bitmap is by contract a
+        cache over the corpus, so a detected-torn artifact must
+        rebuild-and-reconcile, never brick the stream. Callers that
+        need the superset invariant re-add the landed corpus after
+        this (idempotent OR) — the streaming crawl does."""
         if cls.exists(path):
-            return cls.load(spark, path)
-        return cls.create(spark, path, n_expected, fpp)
+            try:
+                return cls.load(spark, path)
+            except Exception:
+                pass  # torn/corrupt cache: rebuild below
+        return cls.create(spark, path, n_expected, fpp, **create_kw)
 
     def save(self) -> None:
         """Atomic per-file replace, bitmap first, meta LAST — a reader
         that sees the new meta always sees a complete bitmap of the
-        matching size (and meta.json presence is the existence gate)."""
+        matching size (and meta.json presence is the existence gate).
+
+        r14-late review hardening: (1) the bitmap MERGES with the
+        on-disk copy before replacing it (OR is the set's union), so a
+        concurrent/zombie writer's bits are folded in rather than
+        erased — best-effort only, the contract is one writer per
+        path (one streaming driver); (2) both files fsync before the
+        rename and the directory fsyncs after — rename ordering alone
+        does not survive power loss on delayed-allocation filesystems,
+        and a corpus append outliving the bloom bits would invert the
+        superset invariant into silent re-lands."""
         os.makedirs(self.path, exist_ok=True)
-        for fname, writer in (
-            ("bitmap.bin", lambda p: self.bitmap.tofile(p)),
-            ("meta.json", lambda p: open(p, "w").write(json.dumps(
-                {"m": self.m, "k": self.k, "n_added": self.n_added}))),
+        final_bm = os.path.join(self.path, "bitmap.bin")
+        if os.path.exists(final_bm):
+            try:
+                disk = np.fromfile(final_bm, dtype=np.uint8)
+                if disk.size == self.bitmap.size:
+                    np.bitwise_or(self.bitmap, disk, out=self.bitmap)
+                    self._invalidate()
+            except OSError:
+                pass
+        for fname, data in (
+            ("bitmap.bin", self.bitmap.tobytes()),
+            ("meta.json", json.dumps(
+                {"m": self.m, "k": self.k, "n_added": self.n_added}
+            ).encode()),
         ):
             fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._tmp_")
-            os.close(fd)
-            writer(tmp)
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, os.path.join(self.path, fname))
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # --- build / update ------------------------------------------------
 
@@ -149,12 +192,29 @@ class BloomSeenSet:
         pos = df.select(*_positions(col, m, k)).rdd
 
         def fold(it):
+            # chunked numpy fold (r14-late review): the per-row
+            # per-hash Python bit loop dominated bootstrap cost at
+            # corpus scale; batching rows into (chunk, k) arrays makes
+            # the set-bits a vectorized scatter
             bm = np.zeros(nbytes, dtype=np.uint8)
             n = 0
+            chunk: list[tuple] = []
+
+            def flush():
+                nonlocal n
+                if chunk:
+                    arr = np.asarray(chunk, dtype=np.int64)
+                    n += arr.shape[0]
+                    np.bitwise_or.at(
+                        bm, arr >> 3, (1 << (arr & 7)).astype(np.uint8)
+                    )
+                    chunk.clear()
+
             for row in it:
-                n += 1
-                for p in row:
-                    bm[p >> 3] |= 1 << (p & 7)
+                chunk.append(tuple(row))
+                if len(chunk) >= 65536:
+                    flush()
+            flush()
             yield (bm, n)
 
         def comb(a, b):
@@ -225,9 +285,13 @@ class BloomSeenSet:
             return batch
         probed = self.maybe_contains(batch, col, "_bloom_maybe")
         maybe_keys = probed.filter(F.col("_bloom_maybe")).select(col)
-        seen_hit = corpus.select(col).join(
-            F.broadcast(maybe_keys), col, "left_semi"
-        )
+        # no forced broadcast hints (r14-late review): in the steady
+        # state the maybe set is tiny and AQE broadcasts it from its
+        # RUNTIME size; on the recovery/saturated paths (a replayed
+        # batch probes all-maybe, or n_added >> n_expected) it is the
+        # whole batch, and a forced broadcast would blow the driver on
+        # exactly the recovery path — AQE falls back to a shuffle join
+        seen_hit = corpus.select(col).join(maybe_keys, col, "left_semi")
         return probed.join(
-            F.broadcast(seen_hit), col, "left_anti"
+            seen_hit, col, "left_anti"
         ).drop("_bloom_maybe")

@@ -902,21 +902,25 @@ def start_streaming_crawl(
         import os
 
         path = corpus_path.removeprefix("file://") + "_bloom"
-        if BloomSeenSet.exists(path):
-            b = BloomSeenSet.load(spark, path)
-        else:
-            kw = dict(seen_bloom) if isinstance(seen_bloom, dict) else {}
-            if os.path.exists(corpus_path.removeprefix("file://")):
-                # bootstrap from the landed corpus: the superset
-                # invariant must hold from the first gated batch
-                landed = spark.read.parquet(corpus_path).select("norm_url")
-                kw.setdefault(
-                    "n_expected", max(1_000_000, 2 * landed.count())
-                )
-                b = BloomSeenSet.create(spark, path, **kw)
-                b.add_df(landed, "norm_url")
-            else:
-                b = BloomSeenSet.create(spark, path, **kw)
+        kw = dict(seen_bloom) if isinstance(seen_bloom, dict) else {}
+        have_corpus = os.path.exists(corpus_path.removeprefix("file://"))
+        landed = (
+            spark.read.parquet(corpus_path).select("norm_url")
+            if have_corpus else None
+        )
+        if landed is not None:
+            kw.setdefault("n_expected", max(1_000_000, 2 * landed.count()))
+        # load_or_create tolerates a torn/corrupt artifact (fresh set);
+        # then ALWAYS reconcile from the landed corpus (r14-late
+        # review): a bitmap that is stale relative to the corpus — runs
+        # with seen_bloom off in between, a lost save, a rebuilt set —
+        # would otherwise re-land seen URLs as permanent duplicates.
+        # The OR is idempotent, so this is one corpus scan per stream
+        # START (not per trigger) that makes the superset invariant
+        # hold unconditionally at entry.
+        b = BloomSeenSet.load_or_create(spark, path, **kw)
+        if landed is not None:
+            b.add_df(landed, "norm_url")
         bloom_holder.append(b)
         return b
 

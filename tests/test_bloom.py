@@ -142,7 +142,10 @@ def test_streaming_crawl_seen_bloom(spark, tmp_path):
         "https://a.example.org/p": "first copy",  # bloom-blocked re-land
         "https://new.example.org/q": "fresh page",
     }
-    assert BloomSeenSet.load(spark, corpus + "_bloom").n_added == 2
+    # n_added counts add ATTEMPTS incl. the per-stream-start corpus
+    # reconciliation (r14-late: the superset repair) — an upper bound
+    # on distinct keys, never below them
+    assert BloomSeenSet.load(spark, corpus + "_bloom").n_added >= 2
 
 
 def test_streaming_crawl_bloom_bootstrap_from_corpus(spark, tmp_path):
@@ -195,7 +198,10 @@ def test_streaming_crawl_bloom_bootstrap_from_corpus(spark, tmp_path):
         "https://a.example.org/p": "first",
         "https://b.example.org/q": "new",
     }
-    assert BloomSeenSet.load(spark, corpus + "_bloom").n_added == 2
+    # n_added counts add ATTEMPTS incl. the per-stream-start corpus
+    # reconciliation (r14-late: the superset repair) — an upper bound
+    # on distinct keys, never below them
+    assert BloomSeenSet.load(spark, corpus + "_bloom").n_added >= 2
 
 
 def test_streaming_crawl_compact_every(spark, tmp_path):
@@ -261,3 +267,70 @@ def test_guard_with_no_corpus_ignores_bitmap(spark, tmp_path):
     b.add_df(batch, "u")  # the crashed attempt's bloom write
     got = b.guard_anti_join(batch, "u", None)
     assert got.count() == 50 and "u" in got.columns
+
+
+def test_stale_bloom_reconciles_from_corpus(spark, tmp_path):
+    """r14-late review (the superset-invariant hole): a bitmap STALE
+    relative to the corpus — here, a run with seen_bloom OFF landed a
+    URL through the plain anti-join — must not re-land that URL when
+    the bloom guard comes back on. The stream now reconciles the
+    bitmap from the landed corpus at every start (idempotent OR, one
+    scan per start), so the superset invariant holds unconditionally.
+    A TORN bloom artifact likewise rebuilds + reconciles instead of
+    bricking the stream."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    def rec(uri, html, rid):
+        body = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode() + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    def run(n, bloom):
+        q = start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True), corpus,
+            seen_bloom=bloom, checkpoint=str(tmp_path / f"ckpt{n}"),
+        )
+        q.awaitTermination(120)
+
+    (crawl / "w1.warc").write_bytes(
+        rec("https://a.example.org/p", b"<p>alpha</p>", "a1"))
+    run(1, True)  # bloom on: lands a, bitmap has a
+    (crawl / "w2.warc").write_bytes(
+        rec("https://b.example.org/q", b"<p>beta</p>", "b1"))
+    run(2, False)  # bloom OFF: lands b via plain anti-join — bitmap stale
+    (crawl / "w3.warc").write_bytes(
+        rec("https://b.example.org/q", b"<p>RE-LAND of beta</p>", "b2"))
+    run(3, True)  # bloom back on: must NOT re-land b
+    rows = {r["norm_url"]: r["text"]
+            for r in spark.read.parquet(corpus).collect()}
+    assert rows == {"https://a.example.org/p": "alpha",
+                    "https://b.example.org/q": "beta"}
+    # torn artifact: truncate the bitmap; the next start rebuilds and
+    # still blocks a re-land
+    import os
+
+    bm = os.path.join(corpus + "_bloom", "bitmap.bin")
+    with open(bm, "wb") as f:
+        f.write(b"\x00")  # size no longer matches meta
+    (crawl / "w4.warc").write_bytes(
+        rec("https://a.example.org/p", b"<p>RE-LAND of alpha</p>", "a2"))
+    run(4, True)
+    rows = {r["norm_url"]: r["text"]
+            for r in spark.read.parquet(corpus).collect()}
+    assert rows == {"https://a.example.org/p": "alpha",
+                    "https://b.example.org/q": "beta"}
