@@ -47,6 +47,7 @@ does not fit a service call.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import tempfile
@@ -129,12 +130,25 @@ class BloomSeenSet:
         cache over the corpus, so a detected-torn artifact must
         rebuild-and-reconcile, never brick the stream. Callers that
         need the superset invariant re-add the landed corpus after
-        this (idempotent OR) — the streaming crawl does."""
+        this (idempotent OR) — the streaming crawl does.
+
+        The catch is NARROW (r15, from the r14 advice): only the
+        torn-artifact shapes — short/garbled files (ValueError, which
+        covers json.JSONDecodeError), missing keys (KeyError), and IO
+        errors (OSError) — fall back to a fresh set, and the fallback
+        is LOGGED so a caller that skips corpus reconciliation has a
+        signal that the superset invariant was reset. Anything else
+        (a programming error, an interrupt) propagates."""
         if cls.exists(path):
             try:
                 return cls.load(spark, path)
-            except Exception:
-                pass  # torn/corrupt cache: rebuild below
+            except (ValueError, OSError, KeyError) as exc:
+                # torn/corrupt cache: rebuild below
+                logging.getLogger(__name__).warning(
+                    "bloom seen-set at %r failed to load (%r); creating "
+                    "a fresh set — reconcile it from the landed corpus "
+                    "or the superset invariant is lost", path, exc,
+                )
         return cls.create(spark, path, n_expected, fpp, **create_kw)
 
     def save(self) -> None:
@@ -155,11 +169,22 @@ class BloomSeenSet:
         final_bm = os.path.join(self.path, "bitmap.bin")
         if os.path.exists(final_bm):
             try:
-                disk = np.fromfile(final_bm, dtype=np.uint8)
-                if disk.size == self.bitmap.size:
-                    np.bitwise_or(self.bitmap, disk, out=self.bitmap)
-                    self._invalidate()
-            except OSError:
+                # merge only when the on-disk META agrees on m AND k
+                # (r15, from the r14 advice): byte-size equality alone
+                # admits a same-m bitmap built under a different k —
+                # OR-merging it and republishing under self's meta
+                # would hand the OTHER writer false negatives, the
+                # exact inversion of the invariant this merge protects.
+                # A missing/unreadable sibling meta (torn write) also
+                # skips: the documented one-writer contract covers it.
+                with open(os.path.join(self.path, "meta.json")) as f:
+                    dm = json.load(f)
+                if (dm["m"], dm["k"]) == (self.m, self.k):
+                    disk = np.fromfile(final_bm, dtype=np.uint8)
+                    if disk.size == self.bitmap.size:
+                        np.bitwise_or(self.bitmap, disk, out=self.bitmap)
+                        self._invalidate()
+            except (OSError, ValueError, KeyError):
                 pass
         for fname, data in (
             ("bitmap.bin", self.bitmap.tobytes()),

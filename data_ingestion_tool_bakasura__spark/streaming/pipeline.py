@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,21 @@ def _local_or_raise(path: str, what: str) -> str:
     return path.removeprefix("file://")
 
 
+def _has_table(path: str) -> bool:
+    """True only when the local parquet table holds at least one
+    non-hidden entry — mirrors ``operators.upsert``'s has_table check
+    (r15, from the r14 advice): a crashed FIRST append leaves the
+    directory holding only Spark's ``_temporary`` staging dir, so a
+    bare ``os.path.exists`` gate would send every replayed batch into
+    ``spark.read.parquet`` of a data-less directory — the read raises
+    and the stream wedges until manual cleanup. Hidden (``_``/``.``)
+    entries are staging/metadata, never data."""
+    local = path.removeprefix("file://")
+    return os.path.isdir(local) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(local)
+    )
+
+
 def _run_token(checkpoint: str) -> str:
     """Stable per-logical-stream token, persisted INSIDE the checkpoint
     directory (r14-late review): artifact keys derived from batch_id
@@ -122,17 +138,15 @@ def start_incremental_ingest(
     local_idx = _local_or_raise(index_path, "start_incremental_ingest")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
-        # exists-check, NOT try/except (r14-late review): a transient
+        # _has_table, NOT try/except (r14-late review): a transient
         # index-read failure treated as 'no index yet' silently disables
         # the anti-join that is this sink's only replay-idempotency
         # guard — the replayed batch then appends duplicates forever.
         # A genuinely failing read must fail the batch (Spark retries).
         index = (
             spark.read.parquet(index_path).select("text_hash")
-            if os.path.exists(local_idx) else None
+            if _has_table(local_idx) else None
         )
         rows = ingest_documents(batch_df, index=index, cfg=cfg)
         # materialize before the self-append: the plan lazily reads
@@ -272,7 +286,7 @@ def start_streaming_near_dedup(
         # exact-id replay guard: docs already in the corpus (a replayed
         # micro-batch after crash/restart) are dropped up front — the
         # near-dup check below can't do this, it ignores self-id pairs
-        if os.path.exists(corpus_path.removeprefix("file://")):
+        if _has_table(corpus_path):
             indexed = spark.read.parquet(corpus_path).select(F.col(id_col))
             batch_df = batch_df.join(indexed, on=id_col, how="left_anti")
         batch_df = batch_df.transform(reliable_checkpoint)
@@ -285,7 +299,7 @@ def start_streaming_near_dedup(
         batch_keys = lsh_band_index(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n
         ).transform(reliable_checkpoint)
-        have_index = os.path.exists(index_path.removeprefix("file://"))
+        have_index = _has_table(index_path)
         # first batch: the empty index derives its schema from the
         # batch's OWN keys (r14-late review — the hardcoded
         # '_id long' form broke string ids under ANSI type checks)
@@ -387,7 +401,7 @@ def start_streaming_semantic_dedup(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        have_index = os.path.exists(index_path.removeprefix("file://"))
+        have_index = _has_table(index_path)
         if have_index:
             seen = spark.read.parquet(index_path).select(F.col(id_col))
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
@@ -467,13 +481,13 @@ def start_streaming_span_dedup(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(cleaned_path.removeprefix("file://")):
+        if _has_table(cleaned_path):
             done = spark.read.parquet(cleaned_path).select(F.col(id_col))
             batch_df = batch_df.join(done, on=id_col, how="left_anti")
         batch_df = batch_df.transform(reliable_checkpoint)
         if not batch_df.take(1):
             return
-        have_index = os.path.exists(index_path.removeprefix("file://"))
+        have_index = _has_table(index_path)
         index = (
             spark.read.parquet(index_path)
             if have_index
@@ -558,7 +572,7 @@ def start_streaming_image_dedup(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        if os.path.exists(corpus_path.removeprefix("file://")):
+        if _has_table(corpus_path):
             seen = spark.read.parquet(corpus_path).select(F.col(id_col))
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
         batch_df = batch_df.transform(reliable_checkpoint)
@@ -569,7 +583,7 @@ def start_streaming_image_dedup(
         batch_h = image_hash_index(
             batch_df, id_col=id_col, payload_col=payload_col
         ).transform(reliable_checkpoint)
-        have_index = os.path.exists(index_path.removeprefix("file://"))
+        have_index = _has_table(index_path)
         index = (
             spark.read.parquet(index_path)
             if have_index
@@ -657,7 +671,7 @@ def start_streaming_video_dedup(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        if os.path.exists(corpus_path.removeprefix("file://")):
+        if _has_table(corpus_path):
             seen = spark.read.parquet(corpus_path).select(F.col(id_col))
             batch_df = batch_df.join(seen, on=id_col, how="left_anti")
         batch_df = batch_df.transform(reliable_checkpoint)
@@ -668,7 +682,7 @@ def start_streaming_video_dedup(
         batch_fp = video_fingerprint_index(
             batch_df, id_col=id_col, media_col=media_col, every_k=every_k
         ).transform(reliable_checkpoint)
-        have_index = os.path.exists(index_path.removeprefix("file://"))
+        have_index = _has_table(index_path)
         index = (
             spark.read.parquet(index_path) if have_index else batch_fp.limit(0)
         )
@@ -887,6 +901,14 @@ def start_streaming_crawl(
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="crawl_ckpt_")
     _local_or_raise(corpus_path, "start_streaming_crawl corpus_path")
+    # the checkpoint must be driver-local too (r15, from the r14
+    # advice): _run_token persists the run token with driver-side
+    # os.makedirs/open INSIDE the checkpoint dir, so a remote
+    # (hdfs://, s3a://) checkpoint would silently get a literal local
+    # 'hdfs:' directory and a FRESH token per driver host — duplicate
+    # archive dirs and link-graph wave ids on every driver move. The
+    # corpus is already required local, so this costs no capability.
+    checkpoint = _local_or_raise(checkpoint, "start_streaming_crawl checkpoint")
     # run-scoped artifact keys (see _run_token): archive dirs and graph
     # wave ids must not collide across checkpoint generations
     token = _run_token(checkpoint)
@@ -903,7 +925,7 @@ def start_streaming_crawl(
 
         path = corpus_path.removeprefix("file://") + "_bloom"
         kw = dict(seen_bloom) if isinstance(seen_bloom, dict) else {}
-        have_corpus = os.path.exists(corpus_path.removeprefix("file://"))
+        have_corpus = _has_table(corpus_path)
         landed = (
             spark.read.parquet(corpus_path).select("norm_url")
             if have_corpus else None
@@ -951,7 +973,7 @@ def start_streaming_crawl(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        corpus_exists = os.path.exists(corpus_path.removeprefix("file://"))
+        corpus_exists = _has_table(corpus_path)
         if seen_bloom:
             corpus_urls = (
                 spark.read.parquet(corpus_path).select("norm_url")
@@ -973,8 +995,7 @@ def start_streaming_crawl(
             batch = CR.robots_filter(
                 batch, spark.read.parquet(robots_rules_path), url_col
             )
-        if host_ranks_path and os.path.exists(
-                host_ranks_path.removeprefix("file://")):
+        if host_ranks_path and _has_table(host_ranks_path):
             # persisted linkgraph.pagerank table (node, rank) — the
             # host-quality prior, applied at the domain level BEFORE
             # any per-page decode/extract cost; O(hosts) join, not a
@@ -995,7 +1016,7 @@ def start_streaming_crawl(
             batch = batch.withColumn("_dom2", dom)
             w2 = Window.partitionBy("_dom2").orderBy(F.col(order_col))
             batch = batch.withColumn("_rk", F.row_number().over(w2))
-            if os.path.exists(corpus_path.removeprefix("file://")):
+            if _has_table(corpus_path):
                 have = (
                     spark.read.parquet(corpus_path)
                     .groupBy(F.col("domain").alias("_dom2"))
@@ -1189,7 +1210,7 @@ def start_streaming_crawl(
             out.write.mode("append").parquet(corpus_path)
             if (compact_every and batch_id > 0
                     and batch_id % compact_every == 0
-                    and os.path.exists(corpus_path.removeprefix("file://"))):
+                    and _has_table(corpus_path)):
                 from data_ingestion_tool_bakasura__spark.operators.maintenance import (
                     compact,
                 )

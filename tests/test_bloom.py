@@ -334,3 +334,49 @@ def test_stale_bloom_reconciles_from_corpus(spark, tmp_path):
             for r in spark.read.parquet(corpus).collect()}
     assert rows == {"https://a.example.org/p": "alpha",
                     "https://b.example.org/q": "beta"}
+
+
+def test_save_merges_same_meta_but_skips_mismatched_k(spark, tmp_path):
+    """save()'s disk merge (the zombie-writer fold) requires the sibling
+    meta to agree on m AND k (r15, from the r14 advice): OR-merging a
+    same-size bitmap built under a different k and republishing it under
+    self's meta would hand the other writer false negatives — inverting
+    the superset invariant the merge exists to protect."""
+    p = str(tmp_path / "bl")
+    a = BloomSeenSet.create(spark, p, m=8192, k=4)
+    a.add_df(_urls(spark, 0, 50), "u")  # saves: disk = A's bits, k=4
+    # same meta -> a second handle's save FOLDS the disk bits in
+    b = BloomSeenSet.create(spark, p, m=8192, k=4)
+    b.add_df(_urls(spark, 100, 150), "u")
+    merged = BloomSeenSet.load(spark, p)
+    both = _urls(spark, 0, 50).union(_urls(spark, 100, 150))
+    assert (
+        merged.maybe_contains(both, "u")
+        .filter(~F.col("maybe_seen")).count() == 0
+    )
+    # mismatched k, same byte size -> merge SKIPPED: the republished
+    # bitmap is exactly the new writer's own bits, nothing folded in
+    c = BloomSeenSet.create(spark, p, m=8192, k=7)
+    c.add_df(_urls(spark, 500, 510), "u")
+    disk = np.fromfile(str(tmp_path / "bl" / "bitmap.bin"), dtype=np.uint8)
+    assert np.array_equal(disk, c.bitmap)
+    assert not np.array_equal(disk, np.bitwise_or(merged.bitmap, c.bitmap))
+
+
+def test_load_or_create_warns_on_torn_artifact(spark, tmp_path, caplog):
+    """load_or_create's fallback-to-fresh is narrow and LOGGED (r15,
+    from the r14 advice): a caller that skips corpus reconciliation
+    gets a signal that the superset invariant was reset."""
+    import logging
+
+    p = str(tmp_path / "bl")
+    b = BloomSeenSet.create(spark, p, n_expected=100)
+    b.add_df(_urls(spark, 0, 10), "u")
+    (tmp_path / "bl" / "meta.json").write_text("{not json")
+    with caplog.at_level(
+        logging.WARNING,
+        logger="data_ingestion_tool_bakasura__spark.operators.bloom",
+    ):
+        fresh = BloomSeenSet.load_or_create(spark, p, n_expected=100)
+    assert fresh.n_added == 0
+    assert any("failed to load" in r.message for r in caplog.records)

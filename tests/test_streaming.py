@@ -965,3 +965,49 @@ def test_streaming_near_dedup_string_ids_first_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert got == ["url-a", "url-b"]
+
+
+def test_incremental_ingest_recovers_from_crashed_first_append(spark, tmp_path):
+    """A crashed FIRST append leaves the index dir holding only Spark's
+    _temporary staging dir; the replayed batch must treat that as 'no
+    index yet' (r15, from the r14 advice) — a bare exists-check sent it
+    into spark.read.parquet of a data-less directory, wedging the
+    stream until manual cleanup."""
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    landing = str(tmp_path / "landing")
+    index_path = str(tmp_path / "index")
+    os.makedirs(os.path.join(index_path, "_temporary", "0"))
+    docs.coalesce(1).write.mode("append").parquet(landing)
+    q = SP.start_incremental_ingest(
+        SP.stream_documents(spark, landing, docs.schema),
+        index_path,
+        cfg=IngestConfig(embedding_dim=8),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(index_path).count() > 0
+
+
+def test_streaming_crawl_rejects_remote_checkpoint(spark, tmp_path):
+    """start_streaming_crawl persists its run token with driver-local
+    file IO inside the checkpoint dir, so a remote checkpoint scheme
+    must be refused at construction (r15, from the r14 advice) — it
+    would silently create a literal local 'hdfs:' directory and mint a
+    fresh token per driver host."""
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.streaming.pipeline import (
+        start_streaming_crawl,
+    )
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(ValueError, match="checkpoint"):
+        start_streaming_crawl(
+            stream.selectExpr("cast(value as string) as url",
+                              "cast(value as string) as payload",
+                              "value as record_id"),
+            corpus_path=str(tmp_path / "corpus"),
+            checkpoint="hdfs://namenode:8020/ckpt/crawl",
+        )
