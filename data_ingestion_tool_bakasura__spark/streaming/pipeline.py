@@ -53,6 +53,24 @@ def _audit(name: str, df: DataFrame) -> None:
         BATCH_AUDIT_HOOK(name, df)
 
 
+#: r15 (r14 verdict #3) — crash-point injection seam for the streaming
+#: crawl sink's ordering contract. The sink performs up to five durable
+#: effects per micro-batch (archive publish, link-graph fold, ranks
+#: swap, bloom write, corpus append) whose ORDER is the crash-safety
+#: argument; the r14 review found ordering bugs one at a time, so the
+#: edges are now enumerable: when set, the sink calls the hook with a
+#: named point right after that step's effect lands, and a test raises
+#: from inside to simulate a driver crash at exactly that edge before
+#: the checkpoint commits. ``None`` in production — the cost is one
+#: truthiness check per point per micro-batch.
+CRASH_HOOK = None
+
+
+def _crash_point(name: str) -> None:
+    if CRASH_HOOK is not None:
+        CRASH_HOOK(name)
+
+
 def stream_documents(spark: SparkSession, path: str, schema) -> DataFrame:
     """File stream of document rows (parquet parts arriving in ``path``)."""
     return spark.readStream.schema(schema).parquet(path)
@@ -1081,8 +1099,10 @@ def start_streaming_crawl(
                         warcinfo={"software": "bakasura-spark streaming crawl",
                                   "format": "WARC File Format 1.0"},
                     )
+                    _crash_point("archive_tmp_written")
                     os.makedirs(os.path.dirname(adir), exist_ok=True)
                     os.rename(tmp_dir, adir)
+                    _crash_point("archive_published")
             # WET streams (read_wet) carry already-extracted text: when the
             # payload column is a STRING it is used verbatim; binary
             # payloads (read_warc) take the charset-decode + html_to_text
@@ -1171,6 +1191,7 @@ def start_streaming_crawl(
                     LG.extract_links_html(link_html, "html", "url"),
                     wave_id=f"{token}-batch-{batch_id}",
                 )
+                _crash_point("graph_folded")
                 if (ranks_refresh_every and host_ranks_path
                         and batch_id % ranks_refresh_every == 0):
                     from data_ingestion_tool_bakasura__spark.operators.maintenance import (
@@ -1199,6 +1220,7 @@ def start_streaming_crawl(
                     finally:
                         for frame in rank_persists:
                             frame.unpersist()
+                    _crash_point("ranks_swapped")
             if seen_bloom:
                 # bloom BEFORE corpus (superset invariant): a crash between
                 # the two leaves extra bits — harmless, the maybe-seen rows
@@ -1206,8 +1228,10 @@ def start_streaming_crawl(
                 # order could leave a landed URL out of the bitmap and
                 # silently re-land it later
                 _bloom(spark).add_df(out.select("norm_url"), "norm_url")
+                _crash_point("bloom_written")
             _audit("crawl", out)
             out.write.mode("append").parquet(corpus_path)
+            _crash_point("corpus_appended")
             if (compact_every and batch_id > 0
                     and batch_id % compact_every == 0
                     and _has_table(corpus_path)):
