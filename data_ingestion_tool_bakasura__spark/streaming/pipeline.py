@@ -927,6 +927,26 @@ def start_streaming_crawl(
     # archive dirs and link-graph wave ids on every driver move. The
     # corpus is already required local, so this costs no capability.
     checkpoint = _local_or_raise(checkpoint, "start_streaming_crawl checkpoint")
+    if archive_path:
+        _local_or_raise(archive_path, "start_streaming_crawl archive_path")
+        # sweep ORPHANED attempt dirs at stream start (r15 hidden-temp
+        # audit): a crashed archive attempt leaves batch-<token>-<id>_tmp,
+        # and both read-back globs (read_warc(archive + "/*"),
+        # read_cdx(archive + "/*/*.cdxj")) DO list it — Spark's
+        # hidden-file filter does not apply to user-glob-expanded
+        # directory levels (verified empirically, dot-prefixing does not
+        # help). The per-batch replay cleanup only targets the SAME adir
+        # name, so after checkpoint loss (fresh run token) the orphan
+        # would pollute read-back forever. One writer per archive_path
+        # (one streaming driver, the documented contract) makes the
+        # sweep safe: any *_tmp entry at start belongs to a dead run.
+        import shutil as _shutil
+
+        aroot = archive_path.removeprefix("file://")
+        if os.path.isdir(aroot):
+            for e in os.listdir(aroot):
+                if e.endswith("_tmp"):
+                    _shutil.rmtree(os.path.join(aroot, e))
     # run-scoped artifact keys (see _run_token): archive dirs and graph
     # wave ids must not collide across checkpoint generations
     token = _run_token(checkpoint)

@@ -380,3 +380,22 @@ def test_load_or_create_warns_on_torn_artifact(spark, tmp_path, caplog):
         fresh = BloomSeenSet.load_or_create(spark, p, n_expected=100)
     assert fresh.n_added == 0
     assert any("failed to load" in r.message for r in caplog.records)
+
+
+def test_orphaned_save_temp_invisible_to_load(spark, tmp_path):
+    """r15 hidden-temp audit: a save() killed between mkstemp and
+    os.replace leaves a ``._tmp_*`` sibling inside the set's dir; the
+    reader addresses meta.json/bitmap.bin by exact name, so the debris
+    must never affect load, save, or the probe."""
+    p = str(tmp_path / "bl")
+    b = BloomSeenSet.create(spark, p, n_expected=100)
+    b.add_df(_urls(spark, 0, 10), "u")
+    (tmp_path / "bl" / "._tmp_zombie").write_bytes(b"\xff" * 7)
+    b2 = BloomSeenSet.load(spark, p)
+    assert np.array_equal(b.bitmap, b2.bitmap)
+    b2.add_df(_urls(spark, 10, 20), "u")  # save alongside the debris
+    assert (
+        BloomSeenSet.load(spark, p)
+        .maybe_contains(_urls(spark, 0, 20), "u")
+        .filter(~F.col("maybe_seen")).count() == 0
+    )

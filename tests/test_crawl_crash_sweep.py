@@ -133,3 +133,49 @@ def test_crawl_sink_survives_crash_at_every_ordering_point(
     # ranks table readable and swap-debris-free after the refresh loop
     assert spark.read.parquet(ranks).count() > 0
     assert not os.path.exists(ranks + "_ranks_tmp")
+
+
+def test_orphaned_archive_attempt_swept_after_checkpoint_loss(
+        spark, tmp_path):
+    """r15 hidden-temp audit: a crashed archive attempt leaves
+    ``batch-<token>-<id>_tmp``, which BOTH read-back globs
+    (``read_warc(archive + "/*")``, ``read_cdx(archive + "/*/*.cdxj")``)
+    list — and after checkpoint LOSS the new run token means the
+    per-batch replay cleanup never targets the old name, so the orphan
+    polluted read-back forever. The stream-start sweep removes it."""
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "archive")
+
+    def run_once():
+        q = SP.start_streaming_crawl(
+            read_warc(spark, str(crawl), streaming=True), corpus,
+            archive_path=archive, checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    (crawl / "w1.warc").write_bytes(_rec(*_PAGE_A))
+
+    def crash(name: str) -> None:
+        if name == "archive_tmp_written":
+            raise RuntimeError(f"injected crash at {name}")
+
+    SP.CRASH_HOOK = crash
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            run_once()
+    finally:
+        SP.CRASH_HOOK = None
+    # the attempt dir is orphaned AND the checkpoint is lost: the next
+    # run's fresh token keys its batch dirs differently, so only the
+    # stream-start sweep can ever reclaim the orphan
+    import shutil
+
+    assert [e for e in os.listdir(archive) if e.endswith("_tmp")]
+    shutil.rmtree(ckpt)
+    run_once()
+    assert not [e for e in os.listdir(archive) if e.endswith("_tmp")]
+    arch = [r["url"] for r in read_warc(spark, archive + "/*").collect()]
+    assert arch == ["https://site-a.org/p"]  # exactly once, no orphan copy
