@@ -119,6 +119,13 @@ HEADLINE = [
     "q_pagerank",              # r11: WAT link graph -> fixed-sweep PageRank (C20)
     "q_warc_render",           # r12: WARC write-side record render (C2)
     "q_binary_rerank",         # r12: 1-bit Hamming shortlist + exact rerank (C14)
+    # r15 (r14 verdict #2): pin perf for the r11-r14 heavy additions
+    # that had correctness evidence but no bench number — a regression
+    # in the 1,200-line PDF scanner, the CDX range-fetch path, or the
+    # zstd member codec was invisible to the bench gate before these.
+    "q_page_extract",          # r15: binary -> per-page extraction rows (A4-A10)
+    "q_cdx_range_fetch",       # r15: CDX plan -> byte-range WARC fetch (C1)
+    "q_warc_zst_roundtrip",    # r15: .warc.zst write + member-decode read (C1/C2)
 ]
 
 

@@ -34,82 +34,35 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-14 rotation
-#: (r13 verdict #1; evidence computed by ``python tools/rotation.py``):
-#: lead with q_lsh_exact_twin (NEW — full-bucket-coverage LSH under
-#: the exact cosine oracle, closing the last closable rows-only
-#: evidence hole, r13 verdict Missing #4) and q_binary_rerank (impl
-#: changed this round — binary_quantize now preserves NULL for a NULL
-#: embedding, r13 ADVICE), then the full 22-row r10-evidence block
-#: (q_running_revenue through q_lm_quality_xcorpus — the whole
-#: remaining r10 evidence), then the first 26 r11 rows stalest-first
-#: (q_link_graph through q_page_extract — q_main_content's soft-watch
-#: query gets fresh driver evidence in this window). After this
-#: window lands the oldest driver evidence anywhere is r11. Past the
-#: boundary the remaining r11 rows, then r12, then the r13 window
-#: block continue stalest-first so the r15 rotation reads straight
-#: off ``tools/rotation.py``.
+#: prefix of ``queries()`` in iteration order. Round-15 rotation (r14
+#: verdict #1, executed per the BASELINE.md ledger; evidence computed
+#: by ``python tools/rotation.py``): lead with q_warc_zst_roundtrip
+#: (NEW — the executed .warc.zst write+read leg, pinning a perf number
+#: for the r14 zstd work, r14 verdict Missing #3) and the three
+#: impl-changed queries (q_stream_semantic_dedup, q_stream_near_dedup,
+#: q_bloom_url_dedup — the _has_table replay-guard fix and the Bloom
+#: save/load hardening from the r14 ADVICE), then the 21 remaining
+#: r11-evidence rows (q_image_near_dup through q_repeated_spans), then
+#: the first 25 r12 rows stalest-first (q_warc_render through
+#: q_semantic_rerank). After this window lands the oldest driver
+#: evidence anywhere is r12. Past the boundary the remaining r12 rows,
+#: then the r13 and r14 blocks continue stalest-first (ties keep their
+#: prior catalog order) so the r16 rotation reads straight off
+#: ``tools/rotation.py``.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
 #: (test_ingest, ANN.md recall contracts, IVF full-probe==exact, HNSW
-#: fused==persisted parity) and by oracle-able twins, BOTH now
+#: fused==persisted parity) and by oracle-able twins, BOTH
 #: VALUE-checked: q_hnsw_topk via q_hnsw_exact_twin (r13) and
-#: q_lsh_ann_topk via q_lsh_exact_twin (this round). Every name
+#: q_lsh_ann_topk via q_lsh_exact_twin (r14). Every name
 #: must exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    "q_lsh_exact_twin",
-    "q_binary_rerank",
-    "q_running_revenue",
-    "q_price_percentiles",
-    "q_pivot_daily_value",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_stream_running_stats",
+    "q_warc_zst_roundtrip",
+    "q_stream_semantic_dedup",
     "q_stream_near_dedup",
-    "q_stream_funnel",
-    "q_tumbling_hourly",
-    "q_value_zscore",
-    "q_asof_click_error",
-    "q_cosine_topk_batch",
-    "q_exact_dedup",
-    "q_minhash_lsh_candidates",
-    "q_bm25_topdocs",
-    "q_ingest_pipeline_fixed",
-    "q_doc_assembly",
-    "q_pricing_summary",
-    "q_temperature_mixture",
-    "q_deep_clean_pipeline",
-    "q_substring_dedup_incr",
-    "q_lm_quality_xcorpus",
-    "q_link_graph",
-    "q_pagerank",
-    "q_anchor_text",
-    "q_frontier",
-    "q_html_links",
-    "q_surt_keys",
-    "q_canonical_dedup",
-    "q_recrawl",
-    "q_lang_id_trigram",
-    "q_wet_pipeline",
-    "q_wat_metadata",
-    "q_c4_line_clean",
-    "q_gopher_quality",
-    "q_web_quality_pipeline",
-    "q_gopher_repetition",
-    "q_video_near_dup",
-    "q_audio_features",
-    "q_main_content",
-    "q_html_meta",
     "q_bloom_url_dedup",
-    "q_cdx_fetch_plan",
-    "q_cdx_range_fetch",
-    "q_url_normalize",
-    "q_url_dedup",
-    "q_crawl_pipeline",
-    "q_page_extract",
-    # ---------- 50-query window boundary ----------
     "q_image_near_dup",
     "q_doc_stats",
     "q_lang_facet",
@@ -195,7 +148,6 @@ _PRIORITY = [
     "q_pii_redaction",
     "q_substring_dedup",
     "q_semantic_dedup",
-    "q_stream_semantic_dedup",
     "q_paragraph_dedup",
     "q_upsert_by_key",
     "q_token_stats",
@@ -227,12 +179,59 @@ _PRIORITY = [
     "q_string_funcs",
     "q_nation_setops",
     "q_rank_dense_ntile",
+    "q_lsh_exact_twin",
+    "q_binary_rerank",
+    "q_running_revenue",
+    "q_price_percentiles",
+    "q_pivot_daily_value",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_stream_running_stats",
+    "q_stream_funnel",
+    "q_tumbling_hourly",
+    "q_value_zscore",
+    "q_asof_click_error",
+    "q_cosine_topk_batch",
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_bm25_topdocs",
+    "q_ingest_pipeline_fixed",
+    "q_doc_assembly",
+    "q_pricing_summary",
+    "q_temperature_mixture",
+    "q_deep_clean_pipeline",
+    "q_substring_dedup_incr",
+    "q_lm_quality_xcorpus",
+    "q_link_graph",
+    "q_pagerank",
+    "q_anchor_text",
+    "q_frontier",
+    "q_html_links",
+    "q_surt_keys",
+    "q_canonical_dedup",
+    "q_recrawl",
+    "q_lang_id_trigram",
+    "q_wet_pipeline",
+    "q_wat_metadata",
+    "q_c4_line_clean",
+    "q_gopher_quality",
+    "q_web_quality_pipeline",
+    "q_gopher_repetition",
+    "q_video_near_dup",
+    "q_audio_features",
+    "q_main_content",
+    "q_html_meta",
+    "q_cdx_fetch_plan",
+    "q_cdx_range_fetch",
+    "q_url_normalize",
+    "q_url_dedup",
+    "q_crawl_pipeline",
+    "q_page_extract",
     "q_hnsw_topk",
     "q_lsh_ann_topk",
     "q_ivf_assignments",
     "q_ingest_pipeline",
 ]
-
 
 
 # --- full ingest pipeline (recursive chunker -> dedup -> embed) -----------

@@ -1583,6 +1583,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+_zst_fixture_cache: dict[str, str] = {}
+
+
+def _warc_zst_fixture(spark: SparkSession, sf: str) -> str:
+    """Seekable ``.warc.zst`` archives derived from the documents table
+    via ``write_warc(compression='zstd')`` — one compressed member per
+    record, the Common Crawl interchange layout. Built once per process
+    (cached): the bench's single invocation measures write + read
+    together (the full executed Zstandard leg), and the oracle
+    harness's single invocation does the same."""
+    if sf in _zst_fixture_cache:
+        return _zst_fixture_cache[sf]
+    import tempfile
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import write_warc
+
+    docs = load_table(spark, sf, "documents").select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_zst_fixture_")
+    write_warc(docs, out, compression="zstd")
+    _zst_fixture_cache[sf] = out
+    return out
+
+
+def q_warc_zst_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The executed ``.warc.zst`` leg end-to-end (r15 bench pin, r14
+    verdict #2): documents -> ``write_warc(compression='zstd')`` ->
+    ``read_warc`` over the per-record zstd members (system-libzstd
+    shim, RFC 8878 public C API) -> payload char counts, value-checked
+    against the documents table itself. Until this round the zstd
+    read path had correctness evidence (roundtrip/determinism tests)
+    but no pinned perf number, so a decode-path regression was
+    invisible to the bench gate."""
+    from data_ingestion_tool_bakasura__spark.sources.warc import read_warc
+
+    d = _warc_zst_fixture(spark, sf)
+    recs = read_warc(spark, d)
+    return recs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.length(F.decode("payload", "UTF-8")).cast("bigint")
+        .alias("n_chars_rt"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q_warc_zst_roundtrip"] = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars_rt
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     """Politeness scheduling composed over the frontier: the q_frontier
     discover step capped at 5/domain, then ``fetch_schedule`` assigns
@@ -1836,4 +1891,5 @@ QUERIES = {
     "q_canonical_dedup": q_canonical_dedup,
     "q_recrawl": q_recrawl,
     "q_warc_render": q_warc_render,
+    "q_warc_zst_roundtrip": q_warc_zst_roundtrip,
 }

@@ -121,6 +121,11 @@ _note_build_jobs_ok(
     "probes is (re)built in scratch space first",
 )
 _note_build_jobs_ok(
+    ["q_warc_zst_roundtrip"],
+    ".warc.zst fixture: write_warc(compression='zstd') materializes the "
+    "archives the read leg under test then scans (once per process)",
+)
+_note_build_jobs_ok(
     ["q_token_budget", "q_sequence_packing", "q_curation_pipeline"],
     "two-phase distributed prefix sum: phase 1 collects only the "
     "per-bucket token-total SCALARS (O(buckets) rows) to compute "
