@@ -134,7 +134,8 @@ class BloomSeenSet:
 
         The catch is NARROW (r15, from the r14 advice): only the
         torn-artifact shapes — short/garbled files (ValueError, which
-        covers json.JSONDecodeError), missing keys (KeyError), and IO
+        covers json.JSONDecodeError), missing keys (KeyError),
+        mis-typed JSON like a bare ``null`` (TypeError), and IO
         errors (OSError) — fall back to a fresh set, and the fallback
         is LOGGED so a caller that skips corpus reconciliation has a
         signal that the superset invariant was reset. Anything else
@@ -142,7 +143,7 @@ class BloomSeenSet:
         if cls.exists(path):
             try:
                 return cls.load(spark, path)
-            except (ValueError, OSError, KeyError) as exc:
+            except (ValueError, OSError, KeyError, TypeError) as exc:
                 # torn/corrupt cache: rebuild below
                 logging.getLogger(__name__).warning(
                     "bloom seen-set at %r failed to load (%r); creating "
@@ -184,7 +185,7 @@ class BloomSeenSet:
                     if disk.size == self.bitmap.size:
                         np.bitwise_or(self.bitmap, disk, out=self.bitmap)
                         self._invalidate()
-            except (OSError, ValueError, KeyError):
+            except (OSError, ValueError, KeyError, TypeError):
                 pass
         for fname, data in (
             ("bitmap.bin", self.bitmap.tobytes()),

@@ -109,6 +109,7 @@ _PRIORITY = [
     "q_profit_by_nation",
     "q_revenue_forecast",
     "q_semantic_rerank",
+    # ---------- 50-query window boundary ----------
     "q_corpus_report",
     "q_quality_classifier",
     "q_stratified_sample",

@@ -926,7 +926,12 @@ def start_streaming_crawl(
     # 'hdfs:' directory and a FRESH token per driver host — duplicate
     # archive dirs and link-graph wave ids on every driver move. The
     # corpus is already required local, so this costs no capability.
-    checkpoint = _local_or_raise(checkpoint, "start_streaming_crawl checkpoint")
+    # Only the run-token IO uses the stripped form; checkpointLocation
+    # keeps the caller's original string (r15 review: a scheme-less
+    # path resolves against fs.defaultFS, which on a non-local-default
+    # cluster would split the Spark checkpoint from the token's dir —
+    # the exact split-brain this gate exists to prevent).
+    local_ckpt = _local_or_raise(checkpoint, "start_streaming_crawl checkpoint")
     if archive_path:
         _local_or_raise(archive_path, "start_streaming_crawl archive_path")
         # sweep ORPHANED attempt dirs at stream start (r15 hidden-temp
@@ -942,14 +947,21 @@ def start_streaming_crawl(
         # sweep safe: any *_tmp entry at start belongs to a dead run.
         import shutil as _shutil
 
+        # only the attempt dirs THIS sink creates (batch-<token>-<id>_tmp,
+        # directories) — r15 review: a bare *_tmp match would rmtree a
+        # stray FILE (NotADirectoryError wedging stream start) or, with a
+        # swap-managed table nested under archive_path, delete a crashed
+        # swap's only full copy before recover_swap could restore it.
         aroot = archive_path.removeprefix("file://")
         if os.path.isdir(aroot):
             for e in os.listdir(aroot):
-                if e.endswith("_tmp"):
-                    _shutil.rmtree(os.path.join(aroot, e))
+                p = os.path.join(aroot, e)
+                if (e.startswith("batch-") and e.endswith("_tmp")
+                        and os.path.isdir(p)):
+                    _shutil.rmtree(p)
     # run-scoped artifact keys (see _run_token): archive dirs and graph
     # wave ids must not collide across checkpoint generations
-    token = _run_token(checkpoint)
+    token = _run_token(local_ckpt)
     bloom_holder: list = []  # loaded once, reused across micro-batches
 
     def _bloom(spark):

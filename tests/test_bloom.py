@@ -399,3 +399,23 @@ def test_orphaned_save_temp_invisible_to_load(spark, tmp_path):
         .maybe_contains(_urls(spark, 0, 20), "u")
         .filter(~F.col("maybe_seen")).count() == 0
     )
+
+
+def test_load_or_create_tolerates_mistyped_meta_json(spark, tmp_path, caplog):
+    """r15 review: meta.json that is VALID JSON but not a well-typed
+    dict (a bare null, a list, a string m) raises TypeError inside
+    load — which must take the same logged fallback-to-fresh path as
+    garbled JSON, never brick the stream."""
+    import logging
+
+    p = str(tmp_path / "bl")
+    b = BloomSeenSet.create(spark, p, n_expected=100)
+    b.add_df(_urls(spark, 0, 10), "u")
+    (tmp_path / "bl" / "meta.json").write_text("null")
+    with caplog.at_level(
+        logging.WARNING,
+        logger="data_ingestion_tool_bakasura__spark.operators.bloom",
+    ):
+        fresh = BloomSeenSet.load_or_create(spark, p, n_expected=100)
+    assert fresh.n_added == 0
+    assert any("failed to load" in r.message for r in caplog.records)

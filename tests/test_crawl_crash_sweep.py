@@ -179,3 +179,28 @@ def test_orphaned_archive_attempt_swept_after_checkpoint_loss(
     assert not [e for e in os.listdir(archive) if e.endswith("_tmp")]
     arch = [r["url"] for r in read_warc(spark, archive + "/*").collect()]
     assert arch == ["https://site-a.org/p"]  # exactly once, no orphan copy
+
+
+def test_orphan_sweep_is_scoped_to_own_attempt_dirs(spark, tmp_path):
+    """r15 review: the stream-start sweep must only reclaim the
+    batch-*_tmp DIRECTORIES the sink itself creates — a bare *_tmp
+    match rmtree'd a stray FILE (NotADirectoryError wedging stream
+    start) and would delete a foreign swap temp (e.g. a ranks table
+    nested under archive_path mid-swap) that recover_swap needs."""
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    archive = tmp_path / "archive"
+    archive.mkdir()
+    (archive / "stray_tmp").write_text("a user file, not ours")
+    (archive / "ranks_ranks_tmp").mkdir()  # foreign swap temp
+    (archive / "batch-dead00-00000_tmp").mkdir()  # our orphan
+    (crawl / "w1.warc").write_bytes(_rec(*_PAGE_A))
+    q = SP.start_streaming_crawl(
+        read_warc(spark, str(crawl), streaming=True),
+        str(tmp_path / "corpus"),
+        archive_path=str(archive), checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert (archive / "stray_tmp").exists()        # untouched
+    assert (archive / "ranks_ranks_tmp").exists()  # untouched
+    assert not (archive / "batch-dead00-00000_tmp").exists()  # reclaimed
