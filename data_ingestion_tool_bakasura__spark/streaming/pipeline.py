@@ -348,15 +348,34 @@ def start_streaming_near_dedup(
         dup_in_batch = both_new.select(F.greatest("id_a", "id_b").alias(id_col))
         drop = dup_vs_corpus.unionByName(dup_in_batch).distinct()
         survivors = batch_df.join(F.broadcast(drop), on=id_col, how="left_anti")
-        _audit("near_dedup", survivors)
-        survivors.write.mode("append").parquet(corpus_path)
+        # index append FIRST — the image/video closures' crash-ordering
+        # argument verbatim (r9 ADVICE there; this sink adopted it r15):
+        # a crash between the two writes leaves band keys whose ids are
+        # missing from the corpus; the replayed batch survives the
+        # corpus-id guard above, self-id pairs are ignored by the
+        # probe, and the anti-join below reconciles without
+        # double-indexing. Corpus-first had the opposite failure: the
+        # corpus-id guard empties the replayed batch and the survivors'
+        # band keys are LOST FOREVER — every future near-dup of those
+        # docs undetected.
         # survivors' index rows = the already-computed batch keys minus
         # the dropped docs (no second MinHash pass over the text)
-        batch_keys.join(
+        to_index = batch_keys.join(
             F.broadcast(drop.select(F.col(id_col).alias("_id"))),
             on="_id",
             how="left_anti",
-        ).write.mode("append").parquet(index_path)
+        )
+        if have_index:
+            to_index = to_index.join(
+                index.select("_id").distinct(), on="_id", how="left_anti"
+            )
+        # materialize: the append plan must not lazily read index_path
+        # while appending to it
+        reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
+        _crash_point("neardedup_index_written")
+        _audit("near_dedup", survivors)
+        survivors.write.mode("append").parquet(corpus_path)
+        _crash_point("neardedup_corpus_appended")
 
     writer = docs_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -520,6 +539,14 @@ def start_streaming_span_dedup(
         new_grams = new_grams.join(
             index.select(F.col("gh")), on="gh", how="left_anti"
         ).transform(reliable_checkpoint)
+        # cleaned FIRST is deliberate here, unlike the LSH/image/video
+        # closures (r15 ordering sweep): the gram index is id-LESS
+        # (distinct gh hashes), so index-first would SELF-POISON a
+        # replay — the batch's own pre-surgery grams would count as
+        # "ever seen" and every span of the replayed docs would be cut.
+        # The cost of cleaned-first is bounded: a crash between the two
+        # appends loses ONE batch's new grams (future repeats of those
+        # spans go undetected), never corrupts output.
         _audit("span_dedup", cleaned)
         cleaned.write.mode("append").parquet(cleaned_path)
         new_grams.write.mode("append").parquet(index_path)

@@ -1011,3 +1011,62 @@ def test_streaming_crawl_rejects_remote_checkpoint(spark, tmp_path):
             corpus_path=str(tmp_path / "corpus"),
             checkpoint="hdfs://namenode:8020/ckpt/crawl",
         )
+
+
+def test_streaming_near_dedup_crash_between_writes_loses_nothing(spark, tmp_path):
+    """r15 ordering sweep: the LSH closure appends the band index
+    BEFORE the corpus (the image/video closures' r9 crash argument,
+    adopted here) — a crash between the two writes replays the batch
+    past the corpus-id guard, self-pairs are ignored, and the
+    double-index anti-join reconciles. The old corpus-first order
+    silently LOST the survivors' band keys: a later near-dup of a
+    landed doc went undetected forever."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark query engines and shuffles"
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    def run_once():
+        SP.start_streaming_near_dedup(
+            SP.stream_documents(
+                spark, landing, spark.read.parquet(landing).schema
+            ),
+            corpus, index, num_hashes=16, bands=8,
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base), (3, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def crash(name: str) -> None:
+        if name == "neardedup_index_written":
+            raise RuntimeError(f"injected crash at {name}")
+
+    SP.CRASH_HOOK = crash
+    try:
+        import pytest
+
+        with pytest.raises(Exception, match="injected crash"):
+            run_once()
+    finally:
+        SP.CRASH_HOOK = None
+    run_once()  # replay: corpus lands, index reconciles (no double rows)
+
+    # wave 2: a near-dup of doc 1 MUST be caught — under the old
+    # corpus-first order its band keys were lost and 2 landed as new
+    spark.createDataFrame(
+        [(2, base.replace("today", "tomorrow"))], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run_once()
+
+    got = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3]
+    assert got.count() == 2  # exactly-once rows, not just unique ids
+    idx = spark.read.parquet(index)
+    assert {r["_id"] for r in idx.collect()} == {1, 3}
+    # no double-indexing: each survivor's band rows appear exactly once
+    per_id = idx.groupBy("_id").count().collect()
+    n_bands = {r["_id"]: r["count"] for r in per_id}
+    assert n_bands == {1: 8, 3: 8}
