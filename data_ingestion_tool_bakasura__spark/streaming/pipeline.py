@@ -459,6 +459,12 @@ def start_streaming_semantic_dedup(
             id_col=id_col, vec_col=vec_col, round_dp=round_dp,
             new_assigned=assigned,
         )
+        # decisions FIRST is deliberate (r15 ordering sweep): the
+        # replay guard reads the INDEX, so a crash between the two
+        # appends replays the batch and re-appends the same decisions —
+        # duplicate output rows, recoverable by key. Index-first would
+        # instead empty the replayed batch and the batch's decisions
+        # (the sink's OUTPUT) would never be written at all.
         _audit("semantic_dedup", decisions)
         decisions.write.mode("append").parquet(decisions_path)
         assigned.write.mode("append").parquet(index_path)
@@ -662,7 +668,9 @@ def start_streaming_image_dedup(
         # materialize: the append plan must not lazily read index_path
         # while appending to it
         reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
+        _crash_point("imagededup_index_written")
         survivors.write.mode("append").parquet(corpus_path)
+        _crash_point("imagededup_corpus_appended")
 
     writer = media_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -754,7 +762,9 @@ def start_streaming_video_dedup(
         # materialize: the append plan must not lazily read index_path
         # while appending to it
         reliable_checkpoint(to_index).write.mode("append").parquet(index_path)
+        _crash_point("videodedup_index_written")
         survivors.write.mode("append").parquet(corpus_path)
+        _crash_point("videodedup_corpus_appended")
 
     writer = media_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

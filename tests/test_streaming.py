@@ -1070,3 +1070,52 @@ def test_streaming_near_dedup_crash_between_writes_loses_nothing(spark, tmp_path
     per_id = idx.groupBy("_id").count().collect()
     n_bands = {r["_id"]: r["count"] for r in per_id}
     assert n_bands == {1: 8, 3: 8}
+
+
+def test_streaming_image_dedup_crash_between_writes_loses_nothing(spark, tmp_path):
+    """r15 ordering sweep, image twin of the LSH test: a crash between
+    the index append and the corpus append replays the batch past the
+    corpus-id guard; the index anti-join reconciles without
+    double-indexing and a later near-dup of the landed image is still
+    caught."""
+    base = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "media")
+    index = str(tmp_path / "img_idx")
+
+    def run_once():
+        SP.start_streaming_image_dedup(
+            SP.stream_documents(
+                spark, landing, spark.read.parquet(landing).schema
+            ),
+            corpus, index, checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base)], "media_id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def crash(name: str) -> None:
+        if name == "imagededup_index_written":
+            raise RuntimeError(f"injected crash at {name}")
+
+    SP.CRASH_HOOK = crash
+    try:
+        import pytest
+
+        with pytest.raises(Exception, match="injected crash"):
+            run_once()
+    finally:
+        SP.CRASH_HOOK = None
+    run_once()  # replay reconciles the corpus, no double-indexing
+
+    # wave 2: a perturbed twin of image 1 must still be dropped
+    spark.createDataFrame(
+        [(10, "Z" + base[1:])], "media_id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run_once()
+
+    got = spark.read.parquet(corpus)
+    assert [r["media_id"] for r in got.collect()] == [1]
+    idx = spark.read.parquet(index)
+    assert idx.count() == 1 and idx.collect()[0]["media_id"] == 1
