@@ -273,18 +273,23 @@ def start_streaming_near_dedup(
     dropping if exact verification is required.
 
     Replay-idempotent by exact id: each batch is first anti-joined
-    against the corpus on ``id_col``, so a micro-batch replayed after a
-    crash (or a partial failure between the two appends) contributes no
-    second copy of an already-indexed doc. The LSH near-dup check alone
-    would NOT catch this — ``minhash_lsh_increment`` drops self-pairs by
-    id, so a replayed doc does not near-duplicate its own first
-    delivery. The guard is one column-pruned scan of corpus ids per
-    batch, the same order of work as the band-index probe itself.
-    Residual window: a crash between the corpus append and the index
-    append replays with the corpus row present (guard drops it), leaving
-    the doc's band keys unindexed; it remains deduped itself but won't
-    catch FUTURE near-dups against it — the conservative side of the
-    tradeoff plain parquet append supports.
+    against the corpus on ``id_col``, so a fully-landed micro-batch
+    replayed after a crash contributes no second copy of an
+    already-indexed doc. The LSH near-dup check alone would NOT catch
+    this — a replayed doc does not near-duplicate its own first
+    delivery (its orphan index rows are excluded from the probe). The
+    guard is one column-pruned scan of corpus ids per batch, the same
+    order of work as the band-index probe itself.
+    Residual window (r15 reorder — the image/video closures' crash
+    argument): the INDEX appends first, so a crash between the two
+    writes leaves orphan band keys whose docs are missing from the
+    corpus; the replayed batch passes the corpus guard, its own orphan
+    rows are dropped from the probe index (no double-counting against
+    the bucket cap, no self-pairs), it recomputes the same drop set,
+    lands the corpus rows, and the index anti-join prevents a second
+    key append. The OLD corpus-first order lost the survivors' band
+    keys forever on that crash — every future near-dup of those docs
+    went undetected.
     """
     from data_ingestion_tool_bakasura__spark.operators.dedup import (
         lsh_band_index,
@@ -321,10 +326,22 @@ def start_streaming_near_dedup(
         # first batch: the empty index derives its schema from the
         # batch's OWN keys (r14-late review — the hardcoded
         # '_id long' form broke string ids under ANSI type checks)
-        index = (
+        raw_index = (
             spark.read.parquet(index_path)
             if have_index
             else batch_keys.limit(0)
+        )
+        # drop the batch's OWN orphan rows from the probe index (r15
+        # review, the image closure's discipline): a replay after a
+        # crash at neardedup_index_written otherwise counts each
+        # already-indexed survivor on BOTH sides of the bucket cap —
+        # a bucket at exactly max_bucket_size flips over the cap, its
+        # pairs are silently skipped, and the first attempt's dup docs
+        # (whose drop never persisted) land permanently. Also makes
+        # self-pairs structurally impossible rather than filtered.
+        index = raw_index.join(
+            batch_df.select(F.col(id_col).alias("_id")),
+            on="_id", how="left_anti",
         )
         pairs = minhash_lsh_increment(
             batch_df, index, text_col, id_col,
@@ -366,8 +383,11 @@ def start_streaming_near_dedup(
             how="left_anti",
         )
         if have_index:
+            # guard against the UNFILTERED index: the orphan rows the
+            # probe filter excluded are exactly the ones a replay must
+            # not append twice
             to_index = to_index.join(
-                index.select("_id").distinct(), on="_id", how="left_anti"
+                raw_index.select("_id").distinct(), on="_id", how="left_anti"
             )
         # materialize: the append plan must not lazily read index_path
         # while appending to it
@@ -506,8 +526,12 @@ def start_streaming_span_dedup(
     append would replay the batch with its own grams already indexed,
     and its spans would cut against themselves. The residual window of
     the actual order (cleaned landed, index not) merely leaves the
-    batch's novel grams unindexed for future batches, the conservative
-    side of plain parquet append (same contract as the LSH sink).
+    batch's novel grams unindexed for future batches — bounded, never
+    output-corrupting. NOTE this is the OPPOSITE order from the
+    LSH/image/video sinks (r15): those indexes are id-keyed, so
+    index-first is replay-safe there and corpus-first would lose the
+    keys; this gram index is id-LESS, so index-first would self-poison
+    and cleaned-first is the only safe order.
     """
     import os
 

@@ -1013,11 +1013,17 @@ def test_streaming_crawl_rejects_remote_checkpoint(spark, tmp_path):
         )
 
 
-def test_streaming_near_dedup_crash_between_writes_loses_nothing(spark, tmp_path):
+import pytest as _pt
+
+
+@_pt.mark.parametrize(
+    "point", ["neardedup_index_written", "neardedup_corpus_appended"])
+def test_streaming_near_dedup_crash_between_writes_loses_nothing(
+        spark, tmp_path, point):
     """r15 ordering sweep: the LSH closure appends the band index
     BEFORE the corpus (the image/video closures' r9 crash argument,
-    adopted here) — a crash between the two writes replays the batch
-    past the corpus-id guard, self-pairs are ignored, and the
+    adopted here) — a crash at EITHER durable edge replays the batch,
+    the probe excludes the batch's own orphan index rows, and the
     double-index anti-join reconciles. The old corpus-first order
     silently LOST the survivors' band keys: a later near-dup of a
     landed doc went undetected forever."""
@@ -1041,7 +1047,7 @@ def test_streaming_near_dedup_crash_between_writes_loses_nothing(spark, tmp_path
     ).coalesce(1).write.mode("append").parquet(landing)
 
     def crash(name: str) -> None:
-        if name == "neardedup_index_written":
+        if name == point:
             raise RuntimeError(f"injected crash at {name}")
 
     SP.CRASH_HOOK = crash
@@ -1072,12 +1078,14 @@ def test_streaming_near_dedup_crash_between_writes_loses_nothing(spark, tmp_path
     assert n_bands == {1: 8, 3: 8}
 
 
-def test_streaming_image_dedup_crash_between_writes_loses_nothing(spark, tmp_path):
-    """r15 ordering sweep, image twin of the LSH test: a crash between
-    the index append and the corpus append replays the batch past the
-    corpus-id guard; the index anti-join reconciles without
-    double-indexing and a later near-dup of the landed image is still
-    caught."""
+@_pt.mark.parametrize(
+    "point", ["imagededup_index_written", "imagededup_corpus_appended"])
+def test_streaming_image_dedup_crash_between_writes_loses_nothing(
+        spark, tmp_path, point):
+    """r15 ordering sweep, image twin of the LSH test: a crash at
+    either durable edge replays the batch past the corpus-id guard;
+    the index anti-join reconciles without double-indexing and a later
+    near-dup of the landed image is still caught."""
     base = "IMG1|8|8|1|" + "the quick brown fox jumps over the lazy dog " * 8
     landing = str(tmp_path / "landing")
     corpus = str(tmp_path / "media")
@@ -1096,7 +1104,7 @@ def test_streaming_image_dedup_crash_between_writes_loses_nothing(spark, tmp_pat
     ).coalesce(1).write.mode("append").parquet(landing)
 
     def crash(name: str) -> None:
-        if name == "imagededup_index_written":
+        if name == point:
             raise RuntimeError(f"injected crash at {name}")
 
     SP.CRASH_HOOK = crash
@@ -1119,3 +1127,95 @@ def test_streaming_image_dedup_crash_between_writes_loses_nothing(spark, tmp_pat
     assert [r["media_id"] for r in got.collect()] == [1]
     idx = spark.read.parquet(index)
     assert idx.count() == 1 and idx.collect()[0]["media_id"] == 1
+
+
+@_pt.mark.parametrize(
+    "point", ["videodedup_index_written", "videodedup_corpus_appended"])
+def test_streaming_video_dedup_crash_between_writes_loses_nothing(
+        spark, tmp_path, point):
+    """r15 ordering sweep, video twin: kill at either durable edge,
+    replay, and a later re-cut sharing the landed video's shots is
+    still dropped."""
+    from tests.test_video_incremental import F1, F2, F3, _vid
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "media")
+    index = str(tmp_path / "vid_idx")
+    schema = "media_id string, media binary"
+
+    def run_once():
+        SP.start_streaming_video_dedup(
+            spark.readStream.schema(schema).parquet(landing),
+            corpus, index, every_k=1, min_jaccard=0.4,
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", _vid(F1, F2, F3))], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def crash(name: str) -> None:
+        if name == point:
+            raise RuntimeError(f"injected crash at {name}")
+
+    SP.CRASH_HOOK = crash
+    try:
+        with _pt.raises(Exception, match="injected crash"):
+            run_once()
+    finally:
+        SP.CRASH_HOOK = None
+    run_once()
+
+    # a re-cut of 'a' (2 of 3 shots shared) must still be dropped
+    spark.createDataFrame(
+        [("b", _vid(F1, F2, "a new closing shot"))], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run_once()
+
+    got = spark.read.parquet(corpus)
+    assert [r["media_id"] for r in got.collect()] == ["a"]
+    idx = spark.read.parquet(index)
+    assert {r["video_id"] for r in idx.collect()} == {"a"}
+    assert idx.groupBy("video_id", "fh").count().filter("count > 1").count() == 0
+
+
+def test_streaming_near_dedup_crash_replay_respects_bucket_cap(spark, tmp_path):
+    """r15 review (reproduced before fixing): on a replay after a crash
+    at neardedup_index_written, the survivors' orphan index rows used to
+    count on BOTH sides of the LSH bucket cap — a bucket at exactly
+    max_bucket_size flipped over the cap, its pairs were skipped, and
+    the first attempt's dup docs landed permanently. The probe now
+    excludes the batch's own ids from the index side."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    def run_once():
+        SP.start_streaming_near_dedup(
+            SP.stream_documents(
+                spark, landing, spark.read.parquet(landing).schema
+            ),
+            corpus, index, num_hashes=16, bands=8,
+            max_bucket_size=2,  # docs 1+2 fill their buckets exactly
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tomorrow"))],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def crash(name: str) -> None:
+        if name == "neardedup_index_written":
+            raise RuntimeError(f"injected crash at {name}")
+
+    SP.CRASH_HOOK = crash
+    try:
+        with _pt.raises(Exception, match="injected crash"):
+            run_once()
+    finally:
+        SP.CRASH_HOOK = None
+    run_once()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1]  # pre-fix the replay double-counted and landed [1, 2]
