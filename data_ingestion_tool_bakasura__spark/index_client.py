@@ -361,7 +361,20 @@ class IndexClient:
           a very different distribution) is, as with ivf, a rebuild
           trigger, not an increment.
 
-        Returns the refreshed manifest."""
+        Returns the refreshed manifest. Runs under :meth:`_writer_lock`
+        (r15 review): the hnsw leg is a read-then-dynamic-overwrite of
+        the graph path, so two concurrent increments (or an increment
+        racing ``build_ann``/``store``) could interleave the partition
+        commit and leave a shard with both writers' part files — the
+        torn state ``_graph_from_pdf``'s ord guard now refuses — or
+        with neither; the ivf/binary append legs would double-append
+        the same wave."""
+        import json
+
+        with self._writer_lock():
+            return self._increment_ann_locked(kind)
+
+    def _increment_ann_locked(self, kind: str) -> dict:
         import json
 
         d = self._ann_dir(kind)

@@ -400,11 +400,45 @@ def _graph_rows(index: LocalHNSW):
         yield j, node, lvl, nbrs
 
 
+def _graph_pdf(g: LocalHNSW, shard: int, corpus_id: str) -> pd.DataFrame:
+    """Serialize a local graph to the persisted-row pandas frame — the
+    single construction shared by the build/extend/rebuild closures
+    (r15 review: it was triplicated, so a schema change had to be
+    edited in three places)."""
+    rows = list(_graph_rows(g))
+    return pd.DataFrame(
+        {
+            "shard": [shard] * len(rows),
+            "ord": [r[0] for r in rows],
+            corpus_id: [g.ids[r[1]] for r in rows],
+            "level": [r[2] for r in rows],
+            "vec": [g.vn[r[1]].tolist() for r in rows],
+            "nbrs": [r[3] for r in rows],
+        }
+    )
+
+
 def _graph_from_pdf(pdf: pd.DataFrame, id_col: str) -> LocalHNSW:
     """Rebuild an executor-local graph from persisted rows — array
     assembly only, no re-insertion: the O(n · efC · log n) build cost
-    is paid once at :func:`hnsw_index` time."""
+    is paid once at :func:`hnsw_index` time.
+
+    Torn-artifact guard (r15 review, the load-side twin of
+    ``_graph_rows``' serialize guard): neighbor ordinals are
+    POSITIONAL indexes into the ord-sorted rows, so duplicate or
+    missing rows — a crashed or concurrent partition overwrite leaving
+    old+new part files, or dropping one — would silently misalign
+    every adjacency list and serve plausible-but-wrong top-k. Fail
+    loudly instead."""
     pdf = pdf.sort_values("ord")
+    ords = pdf["ord"].to_numpy()
+    if len(ords) and not np.array_equal(ords, np.arange(len(ords))):
+        raise ValueError(
+            f"hnsw load: torn shard — {len(ords)} rows but ord values "
+            f"are not 0..{len(ords) - 1} (duplicate/missing rows from a "
+            "crashed or concurrent partition overwrite); restore or "
+            "rebuild the shard"
+        )
     g = LocalHNSW()
     g.vn = np.array(pdf["vec"].tolist(), dtype=np.float64)
     g.ids = pdf[id_col].tolist()
@@ -460,17 +494,7 @@ def hnsw_index(
         ids = pdf[corpus_id].tolist()
         vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         g = LocalHNSW(m=m, ef_construction=ef_construction).fit(ids, vecs)
-        rows = list(_graph_rows(g))
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])] * len(rows),
-                "ord": [r[0] for r in rows],
-                corpus_id: [ids[r[1]] for r in rows],
-                "level": [r[2] for r in rows],
-                "vec": [g.vn[r[1]].tolist() for r in rows],
-                "nbrs": [r[3] for r in rows],
-            }
-        )
+        return _graph_pdf(g, int(pdf["shard"].iloc[0]), corpus_id)
 
     return src.groupBy("shard").applyInPandas(_build, schema=out_schema)
 
@@ -507,6 +531,15 @@ def hnsw_index_increment(
     newv = new_vectors.select(
         _c(corpus_id).alias(corpus_id), _c(vec_col).alias(vec_col)
     ).withColumn("shard", _shard_expr(corpus_id, n_shards))
+    # intra-wave dedup (r15 review): the replay guard below only
+    # anti-joins against the STORED index, so a wave carrying the same
+    # id twice (a retried upstream batch unioned with its original)
+    # would insert two nodes with one vec_id — the exact duplicate
+    # top-k state the guard exists to prevent — and make insertion
+    # order depend on Spark row order. One row per id; conflicting
+    # payloads for one id resolve to a single arbitrary row (upsert
+    # semantics belong upstream).
+    newv = newv.dropDuplicates([corpus_id])
     touched = newv.select("shard").distinct()
     old_touched = index.join(F.broadcast(touched), "shard", "semi")
     # replay idempotence (r8 ADVICE): a wave id already in the index hashes
@@ -548,17 +581,7 @@ def hnsw_index_increment(
                 new_pdf[corpus_id].tolist(),
                 np.array(new_pdf[vec_col].tolist(), dtype=np.float64),
             )
-        rows = list(_graph_rows(g))
-        return pd.DataFrame(
-            {
-                "shard": [shard] * len(rows),
-                "ord": [r[0] for r in rows],
-                corpus_id: [g.ids[r[1]] for r in rows],
-                "level": [r[2] for r in rows],
-                "vec": [g.vn[r[1]].tolist() for r in rows],
-                "nbrs": [r[3] for r in rows],
-            }
-        )
+        return _graph_pdf(g, shard, corpus_id)
 
     extended = (
         old_touched.groupBy("shard")
@@ -593,9 +616,27 @@ def hnsw_index_delete(
     under-return without over-searching. Exact-deletion cost is
     bounded to the touched shards — at production shard counts a
     takedown list touches a handful. ``keys`` is a DataFrame carrying
-    ``corpus_id`` (or an iterable of values). A shard whose every
-    vector is deleted vanishes from the output (write the returned
-    rows with dynamic partition overwrite and the partition empties).
+    ``corpus_id`` (or an iterable of values).
+
+    FULLY-EMPTIED shards need one extra caller step (r15 review —
+    the docstring used to claim the partition "empties", which is
+    NOT how Spark works): a shard whose every vector is deleted
+    emits ZERO rows here, and dynamic partition overwrite only
+    replaces partitions PRESENT in the written data — the stale
+    partition would keep serving the deleted vectors. After writing
+    the returned rows, drop the emptied partitions explicitly::
+
+        out = hnsw_index_delete(stored, keys)
+        out.write.mode("overwrite") \\
+           .option("partitionOverwriteMode", "dynamic") \\
+           .partitionBy("shard").parquet(gpath)
+        touched = {r["shard"] for r in stored.join(
+            F.broadcast(keys_df), corpus_id, "semi")
+            .select("shard").distinct().collect()}
+        kept = {r["shard"]
+                for r in out.select("shard").distinct().collect()}
+        for s in touched - kept:          # fully-emptied shards
+            shutil.rmtree(os.path.join(gpath, f"shard={s}"))
     """
     from pyspark.sql import SparkSession
 
@@ -624,17 +665,7 @@ def hnsw_index_delete(
         ids = pdf[corpus_id].tolist()
         vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
         g = LocalHNSW(m=m, ef_construction=ef_construction).fit(ids, vecs)
-        rows = list(_graph_rows(g))
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])] * len(rows),
-                "ord": [r[0] for r in rows],
-                corpus_id: [ids[r[1]] for r in rows],
-                "level": [r[2] for r in rows],
-                "vec": [g.vn[r[1]].tolist() for r in rows],
-                "nbrs": [r[3] for r in rows],
-            }
-        )
+        return _graph_pdf(g, int(pdf["shard"].iloc[0]), corpus_id)
 
     return survivors.groupBy("shard").applyInPandas(_rebuild, schema=out_schema)
 

@@ -486,3 +486,88 @@ def test_hnsw_index_increment_brand_new_shard(spark, tmp_path):
         tuple(r) for r in rows if r["shard"] != old_shard
     )
     assert direct == from_inc
+
+
+def test_hnsw_torn_artifact_raises(spark):
+    """r15 review (reproduced): neighbor ordinals are positional into
+    the ord-sorted rows, so a duplicated or missing row (crashed or
+    concurrent partition overwrite) silently misaligned every adjacency
+    list and served wrong top-k. The load now fails loudly."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    idx = hnsw_index(emb, n_shards=2)
+    torn = idx.unionByName(idx.limit(1))  # one duplicated row
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    with pytest.raises(Exception, match="torn shard"):
+        hnsw_topk_indexed(torn, q, k=3).collect()
+
+
+def test_hnsw_increment_intra_wave_duplicate_id(spark):
+    """r15 review (reproduced): the replay guard anti-joins only
+    against the STORED index, so a wave carrying the same id twice
+    inserted two nodes with one vec_id — duplicate top-k entries. The
+    wave is now deduplicated to one row per id first."""
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_index_increment,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    idx = hnsw_index(emb, n_shards=2)
+    v = emb.limit(1).collect()[0]["embedding"]
+    wave = spark.createDataFrame(
+        [(999_999, v), (999_999, v)], "vec_id long, embedding array<double>"
+    )
+    inc = hnsw_index_increment(idx, wave, n_shards=2)
+    assert inc.filter(F.col("vec_id") == 999_999).count() == 1
+
+
+def test_hnsw_delete_full_shard_needs_explicit_partition_drop(spark, tmp_path):
+    """r15 review (reproduced): a shard whose EVERY vector is deleted
+    emits zero rows, and dynamic partition overwrite only replaces
+    partitions present in the written data — the stale partition kept
+    serving the deleted vectors. The docstring now prescribes the
+    explicit drop; this test encodes the full takedown recipe."""
+    import os
+    import shutil
+
+    from data_ingestion_tool_bakasura__spark.operators.hnsw import (
+        hnsw_index,
+        hnsw_index_delete,
+    )
+
+    from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    gpath = str(tmp_path / "graph")
+    hnsw_index(emb, n_shards=4).write.partitionBy("shard").parquet(gpath)
+    stored = spark.read.parquet(gpath)
+    n_stored = stored.count()
+    doomed = [r["vec_id"]
+              for r in stored.filter("shard = 2").select("vec_id").collect()]
+    assert doomed  # the fixture must actually populate shard 2
+    keys_df = spark.createDataFrame([(k,) for k in doomed], "vec_id long")
+    touched = {r["shard"] for r in stored.join(
+        F.broadcast(keys_df), "vec_id", "semi")
+        .select("shard").distinct().collect()}
+
+    # materialize BEFORE the overwrite (the increment_ann discipline:
+    # out's plan lazily reads gpath, the overwrite target)
+    out = reliable_checkpoint(hnsw_index_delete(stored, doomed))
+    kept = {r["shard"] for r in out.select("shard").distinct().collect()}
+    assert 2 in touched and 2 not in kept  # emptied shard emits no rows
+    (out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(gpath))
+    # WITHOUT the explicit drop the deleted ids are still on disk —
+    # the recipe's final step removes the emptied partitions
+    for s in touched - kept:
+        shutil.rmtree(os.path.join(gpath, f"shard={s}"))
+    after = spark.read.parquet(gpath)
+    assert after.filter(F.col("vec_id").isin(doomed)).count() == 0
+    assert after.count() == n_stored - len(doomed)
