@@ -38,15 +38,18 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: verdict #1, executed per the BASELINE.md ledger; evidence computed
 #: by ``python tools/rotation.py``): lead with q_warc_zst_roundtrip
 #: (NEW — the executed .warc.zst write+read leg, pinning a perf number
-#: for the r14 zstd work, r14 verdict Missing #3) and the four
+#: for the r14 zstd work, r14 verdict Missing #3) and the six
 #: impl-changed queries (q_stream_semantic_dedup, q_stream_near_dedup,
 #: q_bloom_url_dedup — the _has_table replay-guard fix and the Bloom
-#: save/load hardening from the r14 ADVICE — and q_hnsw_exact_twin,
-#: whose serve path gained the torn-shard load guard + shared
-#: serializer in the r15 HNSW review), then the 21 remaining
+#: save/load hardening from the r14 ADVICE; q_hnsw_exact_twin, whose
+#: serve path gained the torn-shard load guard + shared serializer in
+#: the r15 HNSW review; and q_cdx_fetch_plan + q_cdx_range_fetch,
+#: whose plan dedups duplicate index lines, whose recency window
+#: gained a total-order tie-break, and whose fetch now validates the
+#: untrusted index fields — r15 CDX review), then the 21 remaining
 #: r11-evidence rows (q_image_near_dup through q_repeated_spans), then
-#: the first 24 r12 rows stalest-first (q_warc_render through
-#: q_revenue_forecast). After this window lands the oldest driver
+#: the first 22 r12 rows stalest-first (q_warc_render through
+#: q_brand_quantity_revenue). After this window lands the oldest driver
 #: evidence anywhere is r12. Past the boundary the remaining r12 rows,
 #: then the r13 and r14 blocks continue stalest-first (ties keep their
 #: prior catalog order) so the r16 rotation reads straight off
@@ -66,6 +69,8 @@ _PRIORITY = [
     "q_stream_near_dedup",
     "q_bloom_url_dedup",
     "q_hnsw_exact_twin",
+    "q_cdx_fetch_plan",
+    "q_cdx_range_fetch",
     "q_image_near_dup",
     "q_doc_stats",
     "q_lang_facet",
@@ -109,9 +114,9 @@ _PRIORITY = [
     "q_large_volume_customers",
     "q_part_value_concentration",
     "q_brand_quantity_revenue",
+    # ---------- 50-query window boundary ----------
     "q_profit_by_nation",
     "q_revenue_forecast",
-    # ---------- 50-query window boundary ----------
     "q_semantic_rerank",
     "q_corpus_report",
     "q_quality_classifier",
@@ -224,8 +229,6 @@ _PRIORITY = [
     "q_audio_features",
     "q_main_content",
     "q_html_meta",
-    "q_cdx_fetch_plan",
-    "q_cdx_range_fetch",
     "q_url_normalize",
     "q_url_dedup",
     "q_crawl_pipeline",

@@ -88,7 +88,12 @@ def latest_captures(captures: DataFrame, statuses=(200,)) -> DataFrame:
 
     w = (
         Window.partitionBy("urlkey")
-        .orderBy(F.col("ts").desc(), F.col("offset").desc())
+        .orderBy(F.col("ts").desc(), F.col("offset").desc(),
+                 # same capture indexed in TWO archives (merged
+                 # indexes) ties (ts, offset) — without a total order
+                 # the winner (hence the fetched file) flips run to
+                 # run (r15 review)
+                 F.col("warc_file").desc())
     )
     kept = captures.filter(F.col("status").isin(*statuses))
     return (
@@ -109,13 +114,25 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
 
     This is the byte-economics of index-first crawling: for a
     selective capture set the fetch reads a few MB from multi-GB
-    archives instead of scanning them. One task per WARC file (the
-    plan repartitions on ``warc_file``), ranges read sequentially
-    within the file; for a pathological single hot file, explode the
-    plan's ranges before calling (each row then fetches
-    independently). ``skip_missing=True`` drops plan rows whose
-    archive is absent instead of failing the job — the index often
-    outlives retired archives; default is strict. Dictionary-bearing
+    archives instead of scanning them. One task per WARC file BY
+    CONSTRUCTION (the plan repartitions on ``warc_file``, so all of
+    one file's ranges hash to one task and read sequentially — the
+    right IO pattern; r15 review corrected the old advice to "explode
+    the ranges", which provably did nothing because exploded rows
+    still share the file name and land in the same task; to
+    parallelize a single pathological hot file, plan disjoint capture
+    subsets and run separate fetches). ``skip_missing=True`` drops
+    plan rows whose archive is absent instead of failing the job —
+    the index often outlives retired archives; default is strict.
+    Trust boundary (r15 review): every field here comes from an
+    UNTRUSTED index file, so the fetch validates before IO — NULL
+    filename/offset/length (quarantine-eligible lines that reached
+    planning) raise a named error instead of an opaque TypeError,
+    filenames may not escape ``base_dir`` (absolute or ``..`` paths
+    refuse), lengths must be positive, and a range read that returns
+    fewer bytes than planned fails loudly as a stale-index signal
+    rather than silently truncating payloads or (at EOF) silently
+    dropping the record. Dictionary-bearing
     seekable ``.warc.zst`` archives (CC's layout) work: the leading
     dictionary frame is sniffed, inflated and built into the backend's
     compression-dict object ONCE per file, then reused for every
@@ -139,13 +156,32 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
 
         cols = ["path", "record_id", "warc_type", "url",
                 "warc_date", "content_type", "http_status", "payload"]
+        root = os.path.realpath(base_dir)
         for pdf in batches:
             rows = []
             for wf, ranges in zip(pdf["warc_file"], pdf["ranges"]):
+                if wf is None:
+                    raise ValueError(
+                        "CDX fetch plan row with NULL warc_file — "
+                        "quarantine malformed index lines (NULL-cast "
+                        "fields) before planning"
+                    )
                 p = os.path.join(base_dir, wf)
-                if skip_missing and not os.path.exists(p):
-                    continue
-                with open(p, "rb") as f:
+                if os.path.commonpath([root, os.path.realpath(p)]) != root:
+                    raise ValueError(
+                        f"CDX plan filename {wf!r} escapes base_dir — "
+                        "index filenames are untrusted data"
+                    )
+                # open() directly and catch absence (r15 review): the
+                # old exists()-then-open() raced the exact
+                # retired-archive scenario skip_missing exists for
+                try:
+                    fobj = open(p, "rb")
+                except FileNotFoundError:
+                    if skip_missing:
+                        continue
+                    raise
+                with fobj as f:
                     # dictionary-bearing seekable .warc.zst (r14): a
                     # member slice from such an archive cannot decode
                     # alone — sniff the leading 0x184D2A5D dictionary
@@ -158,18 +194,12 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
                     zdict = None
                     head = f.read(8)
                     if head[:4] == _ZSTD_DICT_FRAME_MAGIC and len(head) == 8:
+                        # a regular-file read can only SHORT-read,
+                        # never pad, so _seekable_zstd_dictionary's
+                        # own truncation guard covers the short case
+                        # loudly (r15 review dropped a duplicate check)
                         size = int.from_bytes(head[4:8], "little")
                         dict_frame = head + f.read(size)
-                        if len(dict_frame) != 8 + size:
-                            # a short read must fail loudly HERE —
-                            # padded with member bytes it would defeat
-                            # _seekable_zstd_dictionary's truncation
-                            # guard and mis-seek into the member
-                            raise ValueError(
-                                f"{p}: .warc.zst dictionary frame "
-                                f"truncated: declares {size} payload "
-                                f"bytes, {len(dict_frame) - 8} present"
-                            )
                         from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (  # noqa: E501
                             require_zstd,
                         )
@@ -178,9 +208,33 @@ def read_warc_ranges(plan: DataFrame, base_dir: str,
                         zdict = zmod.ZstdCompressionDict(
                             _seekable_zstd_dictionary(dict_frame, zmod)
                         )
-                    for r in sorted(ranges, key=lambda x: int(x["offset"])):
-                        f.seek(int(r["offset"]))
-                        raw = f.read(int(r["length"]))
+                    spans = []
+                    for r in ranges:
+                        if r["offset"] is None or r["length"] is None:
+                            raise ValueError(
+                                f"{p}: plan range with NULL offset/"
+                                "length — quarantine malformed index "
+                                "lines before planning"
+                            )
+                        off, ln = int(r["offset"]), int(r["length"])
+                        if off < 0 or ln <= 0:
+                            raise ValueError(
+                                f"{p}: implausible plan range "
+                                f"offset={off} length={ln} — a negative "
+                                "length would read to EOF and emit "
+                                "unplanned records"
+                            )
+                        spans.append((off, ln))
+                    for off, ln in sorted(spans):
+                        f.seek(off)
+                        raw = f.read(ln)
+                        if len(raw) != ln:
+                            raise ValueError(
+                                f"{p}: short range read at offset "
+                                f"{off}: planned {ln} bytes, got "
+                                f"{len(raw)} — stale index against a "
+                                "rewritten/truncated archive"
+                            )
                         for headers, body in parse_warc_records(
                             raw, dict_data=zdict
                         ):
@@ -208,15 +262,27 @@ def fetch_plan(captures: DataFrame) -> DataFrame:
     jobs: (warc_file, n_records, bytes_total, ranges sorted by offset)
     — the read schedule a range-request fetcher executes. One
     aggregation exchange on warc_file; ranges stay arrays of (offset,
-    length) structs, sorted so adjacent ranges coalesce downstream."""
+    length) structs, sorted so adjacent ranges coalesce downstream.
+    Byte-identical duplicate index lines (routine in merged/
+    re-published CC indexes) collapse to ONE range (r15 review) —
+    n_records/bytes_total count the deduplicated read schedule, so a
+    duplicated line no longer double-fetches and double-emits its
+    record."""
     return (
         captures.groupBy("warc_file")
         .agg(
-            F.count("*").cast("bigint").alias("n_records"),
-            F.sum("length").cast("bigint").alias("bytes_total"),
             F.array_sort(
-                F.collect_list(F.struct("offset", "length"))
+                F.array_distinct(F.collect_list(F.struct("offset", "length")))
             ).alias("ranges"),
+        )
+        .select(
+            "warc_file",
+            F.size("ranges").cast("bigint").alias("n_records"),
+            F.aggregate(
+                "ranges", F.lit(0).cast("bigint"),
+                lambda acc, r: acc + r["length"],
+            ).alias("bytes_total"),
+            "ranges",
         )
     )
 

@@ -276,3 +276,108 @@ def test_write_warc_cdx_index_full_circle(spark, tmp_path):
     # warcinfo leader (offset 0 is the leader, never a response)
     for row in plan.collect():
         assert all(r["offset"] > 0 for r in row["ranges"])
+
+
+def _one_rec_archive(tmp_path, name="a.warc"):
+    body = b"payload bytes here"
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    head = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:x1>\r\n"
+        "WARC-Target-URI: https://e.org/x\r\n"
+        "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    raw = head + http + b"\r\n\r\n"
+    (tmp_path / name).write_bytes(raw)
+    return len(raw)
+
+
+def _plan_row(spark, wf, off, ln):
+    return spark.createDataFrame(
+        [(wf, 1, ln, [(off, ln)])],
+        "warc_file string, n_records long, bytes_total long, "
+        "ranges array<struct<offset: long, length: long>>",
+    )
+
+
+def test_read_warc_ranges_untrusted_plan_guards(spark, tmp_path):
+    """r15 review: every plan field is untrusted index data. A short
+    range read (stale index vs rewritten archive) must fail loudly
+    instead of silently truncating or dropping the record; negative
+    lengths (read-to-EOF over-emission) and base_dir-escaping
+    filenames refuse; NULL fields raise a named error, not an opaque
+    TypeError."""
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        read_warc_ranges,
+    )
+
+    n = _one_rec_archive(tmp_path)
+    base = str(tmp_path)
+    # stale index: planned length runs past EOF
+    with pytest.raises(Exception, match="short range read"):
+        read_warc_ranges(_plan_row(spark, "a.warc", 0, n + 100), base).collect()
+    # offset at/past EOF: previously returned zero records silently
+    with pytest.raises(Exception, match="short range read"):
+        read_warc_ranges(_plan_row(spark, "a.warc", n + 5, 50), base).collect()
+    # negative length: previously f.read(-1) read to EOF
+    with pytest.raises(Exception, match="implausible plan range"):
+        read_warc_ranges(_plan_row(spark, "a.warc", 0, -1), base).collect()
+    # path traversal out of base_dir
+    with pytest.raises(Exception, match="escapes base_dir"):
+        read_warc_ranges(
+            _plan_row(spark, "../a.warc", 0, n), base + "/sub"
+        ).collect()
+    # NULL length: named error, not TypeError
+    null_plan = spark.createDataFrame(
+        [("a.warc", 1, 0, [(0, None)])],
+        "warc_file string, n_records long, bytes_total long, "
+        "ranges array<struct<offset: long, length: long>>",
+    )
+    with pytest.raises(Exception, match="NULL offset/length"):
+        read_warc_ranges(null_plan, base).collect()
+    # the valid plan still fetches (guards don't over-fire)
+    ok = read_warc_ranges(_plan_row(spark, "a.warc", 0, n), base).collect()
+    assert len(ok) == 1 and bytes(ok[0]["payload"]) == b"payload bytes here"
+
+
+def test_fetch_plan_dedupes_duplicate_index_lines(spark, tmp_path):
+    """r15 review: byte-identical duplicate index lines (routine in
+    merged CC indexes) used to double-fetch and double-emit the
+    record; the plan now collapses them to one range and its
+    n_records/bytes_total count the deduplicated schedule."""
+    from data_ingestion_tool_bakasura__spark.sources.cdx import (
+        read_warc_ranges,
+    )
+
+    n = _one_rec_archive(tmp_path)
+    line = _line("org,e)/x", "20260101000000", url="https://e.org/x",
+                 mime="text/plain", status="200", digest="X",
+                 length=str(n), offset="0", filename="a.warc")
+    (tmp_path / "idx.cdx").write_text(line + "\n" + line + "\n")
+    plan = fetch_plan(read_cdx(spark, str(tmp_path / "idx.cdx")))
+    row = plan.collect()[0]
+    assert row["n_records"] == 1 and row["bytes_total"] == n
+    assert len(row["ranges"]) == 1
+    got = read_warc_ranges(plan, str(tmp_path)).collect()
+    assert len(got) == 1  # emitted once, not twice
+
+
+def test_latest_captures_total_order_across_archives(spark):
+    """r15 review: equal (ts, offset) across two archives (the merged-
+    index shape) now breaks ties on warc_file, so the fetch plan is
+    deterministic run to run."""
+    caps = spark.createDataFrame(
+        [("k", "20260101000000", "https://e.org/x", "text/html", 200,
+          "D", wf, 0, 100) for wf in ("w2.warc.gz", "w1.warc.gz")],
+        "urlkey string, ts string, url string, mime string, status int, "
+        "digest string, warc_file string, offset long, length long",
+    )
+    winners = [latest_captures(caps.repartition(8)).collect()[0]["warc_file"]
+               for _ in range(3)]
+    assert winners == ["w2.warc.gz"] * 3  # desc tie-break, stable
