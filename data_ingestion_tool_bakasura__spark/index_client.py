@@ -95,6 +95,15 @@ class IndexClient:
         lives in the kernel, not the file). Local-filesystem scope by
         design; on a cluster this becomes a lakehouse transactional
         MERGE (Delta/Iceberg), not a bigger lock.
+
+        ``timeout`` bounds the WAIT, not the hold: a holder runs its
+        whole Spark job under the lock (``increment_ann``'s dynamic
+        overwrite can take minutes at scale), so a concurrent writer
+        may exhaust the default 120s and raise ``TimeoutError``. That
+        is the contract — the lock never breaks a live holder — so
+        callers racing a long increment either pass a larger
+        ``lock_timeout`` through the public methods or catch
+        ``TimeoutError`` and retry (r15 ADVICE).
         """
         import fcntl
 
@@ -123,13 +132,15 @@ class IndexClient:
                 fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    def store(self, index_rows: DataFrame) -> int:
+    def store(self, index_rows: DataFrame, *, lock_timeout: float = 120.0) -> int:
         """Dedup-checked append (A18+A19, batched): drops rows whose
         text_hash already exists, appends the rest; returns rows added.
         The probe and append run under :meth:`_writer_lock`, so two
         concurrent ``store`` calls cannot both pass the probe and write
-        duplicate keys."""
-        with self._writer_lock():
+        duplicate keys. ``lock_timeout`` bounds the wait for that lock;
+        raise it (or retry on ``TimeoutError``) when racing a long
+        holder such as ``increment_ann``."""
+        with self._writer_lock(timeout=lock_timeout):
             fresh = index_rows.join(
                 self.table().select("text_hash").distinct(), on="text_hash", how="left_anti"
             ).cache()
@@ -334,7 +345,7 @@ class IndexClient:
             json.dump(manifest, f)
         return manifest
 
-    def increment_ann(self, kind: str = "hnsw") -> dict:
+    def increment_ann(self, kind: str = "hnsw", *, lock_timeout: float = 120.0) -> dict:
         """Fold rows ingested SINCE the artifact was built into the
         persisted ANN structure without rebuilding it — the serving-side
         closure of the r8 increment operators, and the answer to a
@@ -368,10 +379,13 @@ class IndexClient:
         commit and leave a shard with both writers' part files — the
         torn state ``_graph_from_pdf``'s ord guard now refuses — or
         with neither; the ivf/binary append legs would double-append
-        the same wave."""
-        import json
+        the same wave.
 
-        with self._writer_lock():
+        The lock is held for the DURATION of the increment job —
+        minutes at scale — so concurrent ``store``/``increment_ann``
+        callers should pass a matching ``lock_timeout`` or retry on
+        ``TimeoutError`` (see :meth:`_writer_lock`)."""
+        with self._writer_lock(timeout=lock_timeout):
             return self._increment_ann_locked(kind)
 
     def _increment_ann_locked(self, kind: str) -> dict:

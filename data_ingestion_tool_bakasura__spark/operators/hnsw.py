@@ -624,19 +624,30 @@ def hnsw_index_delete(
     emits ZERO rows here, and dynamic partition overwrite only
     replaces partitions PRESENT in the written data — the stale
     partition would keep serving the deleted vectors. After writing
-    the returned rows, drop the emptied partitions explicitly::
+    the returned rows, drop the emptied partitions explicitly.
+    ``stored`` below is the pre-delete index read from ``gpath`` and
+    ``keys`` is a DataFrame carrying the ``corpus_id`` column (the
+    same value passed to this function); needs ``import os, shutil``.
+    Collect ``touched`` BEFORE the overwrite (``stored`` lazily reads
+    ``gpath``, the overwrite target), and checkpoint ``out`` before
+    writing for the same reason::
 
-        out = hnsw_index_delete(stored, keys)
+        touched = {r["shard"] for r in stored.join(
+            F.broadcast(keys), corpus_id, "semi")
+            .select("shard").distinct().collect()}
+        out = reliable_checkpoint(hnsw_index_delete(
+            stored, keys, corpus_id=corpus_id))
+        kept = {r["shard"]
+                for r in out.select("shard").distinct().collect()}
         out.write.mode("overwrite") \\
            .option("partitionOverwriteMode", "dynamic") \\
            .partitionBy("shard").parquet(gpath)
-        touched = {r["shard"] for r in stored.join(
-            F.broadcast(keys_df), corpus_id, "semi")
-            .select("shard").distinct().collect()}
-        kept = {r["shard"]
-                for r in out.select("shard").distinct().collect()}
         for s in touched - kept:          # fully-emptied shards
             shutil.rmtree(os.path.join(gpath, f"shard={s}"))
+
+    The executable canonical recipe is
+    ``test_hnsw_delete_full_shard_needs_explicit_partition_drop``
+    in ``tests/test_hnsw.py``.
     """
     from pyspark.sql import SparkSession
 

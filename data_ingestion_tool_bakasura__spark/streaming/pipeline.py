@@ -432,11 +432,13 @@ def start_streaming_semantic_dedup(
     Replay-idempotent by exact id: the batch is anti-joined against
     the index ids first, so a replayed micro-batch (crash between the
     two appends) contributes no duplicate decisions or index rows.
-    Residual window: a crash between the decisions append and the
-    index append replays the batch with decisions already recorded —
-    the guard keys on the INDEX (appended last), so the replay
-    re-emits those decisions; consumers of ``decisions_path`` should
-    dedupe on ``id_col``, the usual at-least-once append contract.
+    The decisions append reconciles itself too (r15 ADVICE): a crash
+    between the decisions append and the index append replays the
+    batch with decisions already recorded — the replay guard keys on
+    the INDEX (appended last) so the batch recomputes, but its
+    (deterministic) decision rows are anti-joined against
+    ``decisions_path`` by id before the append, so nothing lands
+    twice. Consumers read exactly-one decision per id.
 
     Scale: the corpus is never re-compared; a year of daily
     increments costs a year of assignments + cluster-local GEMMs.
@@ -480,14 +482,24 @@ def start_streaming_semantic_dedup(
             new_assigned=assigned,
         )
         # decisions FIRST is deliberate (r15 ordering sweep): the
-        # replay guard reads the INDEX, so a crash between the two
-        # appends replays the batch and re-appends the same decisions —
-        # duplicate output rows, recoverable by key. Index-first would
-        # instead empty the replayed batch and the batch's decisions
-        # (the sink's OUTPUT) would never be written at all.
+        # replay guard reads the INDEX, so index-first would empty the
+        # replayed batch and the batch's decisions (the sink's OUTPUT)
+        # would never be written at all. The replay's duplicate
+        # decision rows are reconciled here instead (r16, r15 ADVICE):
+        # the recompute is deterministic (static centroids, index
+        # unchanged by the crashed attempt), so an anti-join by id
+        # against what already landed makes the append idempotent.
+        if _has_table(decisions_path):
+            prior = spark.read.parquet(decisions_path).select(F.col(id_col))
+            decisions = decisions.join(prior, on=id_col, how="left_anti")
         _audit("semantic_dedup", decisions)
+        # materialize: the append plan must not lazily read
+        # decisions_path while appending to it
+        decisions = decisions.transform(reliable_checkpoint)
         decisions.write.mode("append").parquet(decisions_path)
+        _crash_point("semdedup_decisions_appended")
         assigned.write.mode("append").parquet(index_path)
+        _crash_point("semdedup_index_appended")
 
     writer = vecs_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

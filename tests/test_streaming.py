@@ -1219,3 +1219,84 @@ def test_streaming_near_dedup_crash_replay_respects_bucket_cap(spark, tmp_path):
     run_once()
     got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert got == [1]  # pre-fix the replay double-counted and landed [1, 2]
+
+
+@_pt.mark.parametrize(
+    "point", ["semdedup_decisions_appended", "semdedup_index_appended"])
+def test_streaming_semantic_dedup_crash_between_writes_loses_nothing(
+        spark, tmp_path, point):
+    """r15 ADVICE closure: the SemDeDup sink appends decisions FIRST
+    (the sink's output must not be lost to an index-first replay
+    guard), so a crash between the two appends used to replay the
+    batch and append DUPLICATE decision rows — the documented residual
+    pushed dedupe-by-id onto every consumer. The sink now anti-joins
+    the (deterministic) recomputed decisions against decisions_path by
+    id before appending, so a crash at EITHER durable edge replays to
+    exactly one decision row and one index row per id."""
+
+    def _vec(seed, bump=0.0):
+        v = [0.0] * 8
+        v[seed] = 1.0
+        v[(seed + 1) % 8] = bump
+        return v
+
+    from data_ingestion_tool_bakasura__spark.operators import dedup as DD
+
+    rows1 = [(1, _vec(0)), (2, _vec(0, 0.03)), (5, _vec(4))]
+    rows2 = [(4, _vec(0, 0.05))]  # near-dup of 1: witness must persist
+    cents = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(4))], "c_id long, embedding array<double>"
+    )
+    landing = str(tmp_path / "landing")
+    decisions = str(tmp_path / "decisions")
+    index = str(tmp_path / "index")
+
+    def run_once():
+        SP.start_streaming_semantic_dedup(
+            SP.stream_documents(
+                spark, landing, spark.read.parquet(landing).schema
+            ),
+            cents, decisions, index, eps=0.9,
+            checkpoint=str(tmp_path / "ckpt"),
+        ).awaitTermination(120)
+
+    spark.createDataFrame(
+        rows1, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def crash(name: str) -> None:
+        if name == point:
+            raise RuntimeError(f"injected crash at {name}")
+
+    SP.CRASH_HOOK = crash
+    try:
+        with _pt.raises(Exception, match="injected crash"):
+            run_once()
+    finally:
+        SP.CRASH_HOOK = None
+    run_once()  # replay: decisions reconcile by id, index guard holds
+
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run_once()
+
+    dec_df = spark.read.parquet(decisions)
+    # exactly ONE decision row per id (pre-fix: the decisions-edge
+    # crash replayed wave 1's three rows twice)
+    per_id = {r["vec_id"]: r["count"]
+              for r in dec_df.groupBy("vec_id").count().collect()}
+    assert per_id == {1: 1, 2: 1, 4: 1, 5: 1}
+    # decisions equal the batch oracle on the full arrival set
+    all_rows = spark.createDataFrame(
+        rows1 + rows2, "vec_id long, embedding array<double>"
+    )
+    batch = {r["vec_id"]: r.asDict()
+             for r in DD.semantic_dedup(all_rows, cents, eps=0.9).collect()}
+    got = {r["vec_id"]: r.asDict() for r in dec_df.collect()}
+    assert got == batch
+    assert batch[4]["is_dup"]  # wave-2 near-dup caught via persisted witness
+    # index holds every seen vector exactly once
+    idx = spark.read.parquet(index)
+    assert idx.count() == 4
+    assert {r["vec_id"] for r in idx.collect()} == {1, 2, 4, 5}
