@@ -1,0 +1,106 @@
+"""tools/adjudicate_bench.py — mechanical bench adjudication (r15
+verdict #2). Pure-Python: no Spark session needed."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools import adjudicate_bench as AB  # noqa: E402
+
+BASELINE = os.path.join(REPO, "BASELINE.md")
+
+
+def test_band_table_parses_all_suite_rows():
+    bands, total = AB.parse_bands(BASELINE)
+    # the authoritative table holds one row per suite member + a total
+    assert len(bands) >= 63
+    assert total is not None and total[0] < total[1]
+    lo, hi = bands["q_pricing_summary"]
+    assert (lo, hi) == (2.0, 2.4)
+    for q, (b_lo, b_hi) in bands.items():
+        assert b_lo <= b_hi, q
+
+
+def test_classify_low_ok_high_new():
+    bands = {"q_a": (1.0, 2.0), "q_b": (1.0, 2.0), "q_c": (1.0, 2.0)}
+    run = {"queries": {"q_a": 0.5, "q_b": 1.5, "q_c": 2.5, "q_new": 3.0}}
+    v = AB.classify(run, bands)
+    assert v["q_a"][0] == "LOW"
+    assert v["q_b"][0] == "ok"
+    assert v["q_c"][0] == "HIGH"
+    assert v["q_new"][0] == "NEW" and v["q_new"][2] is None
+
+
+def test_contention_rule_matches_baseline_methodology():
+    # BASELINE.md: median per-query ratio >= ~1.3 vs a healthy run is
+    # host contention; <= ~1.15 adjudicates raw
+    assert AB.contention_verdict([1.0, 1.02, 1.05])[0] == "SETTLED"
+    assert AB.contention_verdict([1.2, 1.22, 1.25])[0] == "ELEVATED"
+    assert AB.contention_verdict([1.4, 1.42, 1.45])[0] == "CONTENDED"
+    assert AB.contention_verdict([])[0] == "NO-REF"
+
+
+def test_driver_wrapper_payload_unwraps():
+    wrapped = {"n": 16, "rc": 0, "tail": "...",
+               "parsed": {"queries": {"q_a": 1.0}, "value": 1.0}}
+    assert AB._payload(wrapped) == wrapped["parsed"]
+    plain = {"queries": {"q_a": 1.0}, "value": 1.0}
+    assert AB._payload(plain) is plain
+
+
+def _write(tmp_path, name, payload):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        json.dump(payload, f)
+    return p
+
+
+def test_contended_run_exits_zero_settled_high_exits_two(tmp_path, capsys):
+    bands, _ = AB.parse_bands(BASELINE)
+    qs = dict(list(bands.items())[:10])
+    ref = {"queries": {q: (lo + hi) / 2 for q, (lo, hi) in qs.items()},
+           "value": 10.0, "n_ok": 10, "n_err": 0}
+    # uniformly 1.5x the reference: several rows breach band-hi, but
+    # the median-ratio rule classifies the run CONTENDED -> exit 0
+    contended = {"queries": {q: round(s * 1.5, 3) for q, s in ref["queries"].items()},
+                 "value": 15.0, "n_ok": 10, "n_err": 0}
+    ref_p = _write(tmp_path, "ref.json", ref)
+    con_p = _write(tmp_path, "contended.json", contended)
+    assert AB.adjudicate(con_p, ref_p, BASELINE) == 0
+    assert "CONTENDED" in capsys.readouterr().out
+
+    # one genuine spike on an otherwise settled run -> exit 2
+    spiked = {"queries": dict(ref["queries"]), "value": 11.0,
+              "n_ok": 10, "n_err": 0}
+    worst = next(iter(qs))
+    spiked["queries"][worst] = qs[worst][1] * 3
+    sp_p = _write(tmp_path, "spiked.json", spiked)
+    assert AB.adjudicate(sp_p, ref_p, BASELINE) == 2
+    out = capsys.readouterr().out
+    assert "SETTLED" in out and "HIGH" in out
+
+
+def test_real_r15_adjudication_reproduces_the_judged_call():
+    """The r15 verdict's call — driver run CONTENDED (median ~1.36 vs
+    the settled local run), settled local run zero band-hi — must fall
+    out of the tool mechanically."""
+    driver = os.path.join(REPO, "BENCH_r15.json")
+    local = os.path.join(REPO, "BENCH_local_r15.json")
+    if not (os.path.exists(driver) and os.path.exists(local)):
+        pytest.skip("r15 bench artifacts not in tree")
+    run = AB._payload(json.load(open(driver)))
+    ref = AB._payload(json.load(open(local)))
+    rs = AB.ratios(run, ref)
+    verdict, med = AB.contention_verdict(rs)
+    assert verdict == "CONTENDED"
+    assert 1.3 <= med <= 1.45
+    bands, _ = AB.parse_bands(BASELINE)
+    high = [q for q, (v, _s, _b) in AB.classify(ref, bands).items() if v == "HIGH"]
+    assert high == []  # the settled local run is clean
