@@ -45,17 +45,40 @@ class IndexClient:
 
     def initialize(self) -> None:
         """Create-if-not-exists with the fixed schema (O7 idempotency):
-        an empty dataframe write establishes schema + directory."""
-        if not self._exists():
-            empty = self.spark.createDataFrame([], INDEX_SCHEMA)
-            empty.write.mode("overwrite").parquet(self.path)
+        an empty dataframe write establishes schema + directory.
+
+        Never destructive (r16 review, reproduced): the old
+        check-then-``mode("overwrite")`` raced concurrent writers (the
+        probe and the overwrite were separate steps, and the overwrite
+        would wipe rows a second writer landed in between), and —
+        worse — ``_exists`` swallowing EVERY exception turned any
+        read error on a populated table into False and therefore into
+        a data-destroying overwrite (observed: one type-mismatched
+        append poisoned the read, the next ``initialize()`` silently
+        emptied the table). Now: the probe runs under the writer lock,
+        ``_exists`` only maps missing-path to False (anything else —
+        corruption, mixed schema — raises), and the write itself is
+        ``mode("ignore")``, which cannot clobber an existing path even
+        if every other guard misfires."""
+        with self._writer_lock():
+            if not self._exists():
+                empty = self.spark.createDataFrame([], INDEX_SCHEMA)
+                empty.write.mode("ignore").parquet(self.path)
 
     def _exists(self) -> bool:
+        """True if the table reads; False ONLY for a missing path.
+        A path that exists but does not read cleanly raises — callers
+        must never mistake a broken table for an absent one (r16
+        review: that mistake made ``initialize()`` destructive)."""
+        from pyspark.errors import AnalysisException
+
         try:
             self.spark.read.parquet(self.path).limit(1).collect()
             return True
-        except Exception:
-            return False
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return False
+            raise
 
     def table(self) -> DataFrame:
         try:
@@ -139,16 +162,34 @@ class IndexClient:
         concurrent ``store`` calls cannot both pass the probe and write
         duplicate keys. ``lock_timeout`` bounds the wait for that lock;
         raise it (or retry on ``TimeoutError``) when racing a long
-        holder such as ``increment_ann``."""
+        holder such as ``increment_ann``.
+
+        r16 review hardening, each reproduced before fixing:
+
+        - input columns are CAST to ``INDEX_SCHEMA``'s types (a
+          type-incompatible batch raises at analysis instead of
+          appending parquet files no later read can open — one
+          ``array<double>`` batch used to poison the whole table);
+        - the batch self-dedupes on ``text_hash`` first (two same-hash
+          rows in ONE call both passed the table anti-join; the
+          survivor among equal-hash rows is arbitrary, as with the
+          reference's first-wins probe under arbitrary arrival order);
+        - the input plan is materialized BEFORE the lock, so the
+          critical section is the probe + append alone — not the
+          caller's whole extract/embed pipeline (concurrent writers
+          used to burn their ``lock_timeout`` waiting on upstream
+          compute that needed no mutual exclusion)."""
+        aligned = index_rows.select(
+            [F.col(f.name).cast(f.dataType).alias(f.name) for f in INDEX_SCHEMA.fields]
+        ).dropDuplicates(["text_hash"])
+        aligned = reliable_checkpoint(aligned)
         with self._writer_lock(timeout=lock_timeout):
-            fresh = index_rows.join(
+            fresh = aligned.join(
                 self.table().select("text_hash").distinct(), on="text_hash", how="left_anti"
             ).cache()
             n = fresh.count()
             if n:
-                fresh.select([f.name for f in INDEX_SCHEMA.fields]).write.mode("append").parquet(
-                    self.path
-                )
+                fresh.write.mode("append").parquet(self.path)
             fresh.unpersist()
         return n
 
@@ -218,9 +259,13 @@ class IndexClient:
 
     def ann_manifest(self, kind: str) -> dict | None:
         """The build manifest of a persisted ANN artifact (params +
-        row count at build time), or None if never built. Compare
-        ``n_rows`` against ``stats()['document_count']`` to detect a
-        stale artifact after later ``store`` appends."""
+        row counts at build time), or None if never built. Staleness
+        check: compare ``n_table_rows`` against
+        ``stats()['document_count']`` — NOT ``n_rows``, which counts
+        only the embeddable corpus (non-null, non-empty vectors) the
+        artifact indexes; with any null-vector rows in the table the
+        two never converge and the old docstring's recipe reported a
+        fresh artifact permanently stale (r16 review)."""
         import json
 
         mpath = os.path.join(self._ann_dir(kind), "manifest.json")
@@ -228,6 +273,19 @@ class IndexClient:
             return None
         with open(mpath) as f:
             return json.load(f)
+
+    def _write_manifest(self, d: str, manifest: dict) -> None:
+        """Atomic replace (r16 review): the old truncate-in-place
+        ``open(..., "w")`` let a concurrent ``ann_manifest`` reader —
+        or any reader after a mid-dump crash — see an empty/partial
+        file and die on JSONDecodeError instead of the 'call
+        build_ann first' guidance."""
+        import json
+
+        tmp = os.path.join(d, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
 
     def build_ann(
         self,
@@ -240,15 +298,24 @@ class IndexClient:
         iters: int = 3,
         pq_m: int = 8,
         n_codes: int = 32,
+        lock_timeout: float = 120.0,
     ) -> dict:
         """Build and persist the ANN serving artifact for this index's
         ``content_vector`` column — pay the build ONCE, then every
         ``search_vector(index=kind)`` call serves from the stored
         structure (graphs / inverted lists / codebooks) instead of
         scanning the corpus. Rebuild after ingesting new rows (the
-        manifest records ``n_rows`` so staleness is detectable); at
-        production scale the incremental closures
+        manifest records ``n_table_rows`` so staleness is detectable);
+        at production scale the incremental closures
         (``hnsw_index_increment`` etc.) take over from full rebuilds.
+
+        Runs under :meth:`_writer_lock` (r16 review — the lock
+        ``increment_ann`` takes only excludes races when BOTH sides
+        take it): an unlocked build racing an increment interleaved
+        the graph-dir overwrite commits (a shard with both writers'
+        part files, or neither), and a build racing ``store`` wrote an
+        artifact from one table snapshot but counted manifest rows
+        from a later one, silently mis-reporting the artifact fresh.
 
         - ``hnsw``: sharded graph rows (``operators.hnsw.hnsw_index``).
         - ``ivf``: Lloyd-refined centroids (relabelled to dense long
@@ -263,8 +330,25 @@ class IndexClient:
           the codes for the Hamming shortlist and touches floats for
           the rerank rows alone.
         """
-        import json
+        with self._writer_lock(timeout=lock_timeout):
+            return self._build_ann_locked(
+                kind, m=m, ef_construction=ef_construction,
+                n_shards=n_shards, n_lists=n_lists, iters=iters,
+                pq_m=pq_m, n_codes=n_codes,
+            )
 
+    def _build_ann_locked(
+        self,
+        kind: str,
+        *,
+        m: int,
+        ef_construction: int,
+        n_shards: int,
+        n_lists: int,
+        iters: int,
+        pq_m: int,
+        n_codes: int,
+    ) -> dict:
         d = self._ann_dir(kind)
         corpus = self.table().select("id", "content_vector").filter(
             # empty arrays excluded too: a zero-length embedding has no
@@ -338,11 +422,16 @@ class IndexClient:
         manifest = {
             "kind": kind,
             "params": params,
+            # n_rows: the embeddable corpus the artifact indexes;
+            # n_table_rows: the whole table, for the stats() staleness
+            # comparison (see ann_manifest) — under the writer lock
+            # both counts see the same snapshot no concurrent store
+            # can move
             "n_rows": corpus.count(),
+            "n_table_rows": self.table().count(),
             "embedding_dim": self.embedding_dim,
         }
-        with open(os.path.join(d, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        self._write_manifest(d, manifest)
         return manifest
 
     def increment_ann(self, kind: str = "hnsw", *, lock_timeout: float = 120.0) -> dict:
@@ -389,8 +478,6 @@ class IndexClient:
             return self._increment_ann_locked(kind)
 
     def _increment_ann_locked(self, kind: str) -> dict:
-        import json
-
         d = self._ann_dir(kind)
         manifest = self.ann_manifest(kind)
         if manifest is None:
@@ -461,10 +548,10 @@ class IndexClient:
                 binary_quantize(wave, "content_vector", code_col="b_code") \
                     .select("id", "b_code") \
                     .write.mode("append").parquet(cpath)
-        # pq: codebooks serve any corpus snapshot; only the count moves
+        # pq: codebooks serve any corpus snapshot; only the counts move
         manifest["n_rows"] = corpus.count()
-        with open(os.path.join(d, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        manifest["n_table_rows"] = self.table().count()
+        self._write_manifest(d, manifest)
         return manifest
 
     def _query_df(self, qv: list) -> DataFrame:
@@ -502,15 +589,38 @@ class IndexClient:
 
         qv = E.hash_embed_py(query, self.embedding_dim)
         if index == "exact":
+            # same embeddable-corpus filter as every ANN build: a
+            # zero-length vector scores cos_sim 0.0, outranking real
+            # docs with negative cosine, and a null vector sorts into
+            # the tail — both could appear in 'exact' output but never
+            # in any artifact's, breaking the documented exact==ANN
+            # parity at full dials (r16 review, reproduced)
+            corpus = self.table().filter(
+                F.col("content_vector").isNotNull()
+                & (F.size("content_vector") > 0)
+            )
             hits = cosine_topk(
-                self.table(), qv, k=k, id_col="id", vec_col="content_vector"
+                corpus, qv, k=k, id_col="id", vec_col="content_vector"
             )
         else:
             d = self._ann_dir(index)
-            if self.ann_manifest(index) is None:
+            man = self.ann_manifest(index)
+            if man is None:
                 raise RuntimeError(
                     f"no persisted {index!r} artifact for {self.path!r}: "
                     f"call build_ann({index!r}) first"
+                )
+            built_dim = man.get("embedding_dim")
+            if built_dim is not None and built_dim != self.embedding_dim:
+                # fail fast: embedding the query at a different dim
+                # than the artifact's vectors silently returns
+                # null/zero similarities, i.e. garbage hits (r16
+                # review, reproduced)
+                raise ValueError(
+                    f"{index!r} artifact at {self.path!r} was built at "
+                    f"embedding_dim={built_dim}, but this client embeds "
+                    f"queries at {self.embedding_dim}: construct "
+                    f"IndexClient(..., embedding_dim={built_dim})"
                 )
             if index == "hnsw":
                 from data_ingestion_tool_bakasura__spark.operators.hnsw import (

@@ -115,6 +115,8 @@ def test_concurrent_store_over_leftover_lock_serializes(spark, tmp_path):
     client = IndexClient(spark, str(tmp_path / "idx_race"), embedding_dim=8)
     client.initialize()
     lock = str(tmp_path / "idx_race").rstrip("/") + ".lock"
+    if os.path.exists(lock):  # initialize() itself locks since r16
+        os.remove(lock)
     os.mkdir(lock)  # stale mkdir-era leftover; cleared on first acquire
     old = _t.time() - 10_000
     os.utime(lock, (old, old))
@@ -557,3 +559,151 @@ def test_pipeline_cli_crawl_gates(spark, tmp_path, capsys):
     out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
            if ln.startswith("{")]
     assert "en.example/good" in out[0]["filename"]
+
+
+def test_initialize_never_destroys_and_exists_raises_on_broken_table(
+        spark, tmp_path):
+    """r16 serve-path review (reproduced): (1) initialize() used
+    check-then-mode('overwrite') — a false-negative _exists() (any
+    swallowed read error) emptied a populated table; now the write is
+    mode('ignore') under the writer lock. (2) _exists() maps ONLY
+    missing-path to False; a table that exists but cannot be read
+    raises instead of being mistaken for absent."""
+    import pytest
+
+    path = str(tmp_path / "idx_init")
+    client = IndexClient(spark, path, embedding_dim=8)
+    client.initialize()
+    n = client.store(_rows(spark, 0, 10))
+    assert n > 0
+    client.initialize()  # re-initialize on populated table: no-op
+    assert client.stats()["document_count"] == n
+
+    # even if _exists misfires, the write leg cannot clobber: simulate
+    # by writing through the same mode the implementation uses
+    from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
+
+    spark.createDataFrame([], INDEX_SCHEMA).write.mode("ignore").parquet(path)
+    assert client.stats()["document_count"] == n
+
+    # a path that EXISTS but is not a readable table raises from
+    # _exists rather than reading as absent (a mixed-type poisoned
+    # table is the same class but nondeterministic under limit(1) —
+    # a junk file is deterministically unreadable)
+    bad = str(tmp_path / "idx_bad")
+    with open(bad, "wb") as f:
+        f.write(b"not a parquet table")
+    broken = IndexClient(spark, bad, embedding_dim=8)
+    with pytest.raises(Exception):
+        broken._exists()
+    # ...and only a genuinely MISSING path reads as absent
+    assert IndexClient(
+        spark, str(tmp_path / "never_written"), embedding_dim=8
+    )._exists() is False
+
+
+def test_store_casts_types_and_dedupes_within_batch(spark, tmp_path):
+    """r16 review (reproduced): (1) a batch whose content_vector was
+    array<double> appended parquet files no later read could open —
+    store now casts to INDEX_SCHEMA's types; (2) two rows sharing a
+    text_hash within ONE call both passed the table anti-join —
+    store now self-dedupes on text_hash first."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
+
+    path = str(tmp_path / "idx_cast")
+    client = IndexClient(spark, path, embedding_dim=4)
+    client.initialize()
+    df = spark.createDataFrame(
+        [("a", "H1", "same text", [1.0, 0.0, 0.0, 0.0]),
+         ("b", "H1", "same text", [1.0, 0.0, 0.0, 0.0]),
+         ("c", "H2", "other", [0.0, 1.0, 0.0, 0.0])],
+        # deliberately array<double>: the table stores array<float>
+        "id string, text_hash string, content string, "
+        "content_vector array<double>",
+    ).withColumn("filename", F.lit("f.pdf"))
+    for f in INDEX_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    assert client.store(df) == 2  # H1 deduped in-batch, H2 lands
+    t = client.table()
+    assert t.count() == 2  # and the table still READS after the append
+    assert t.filter("text_hash = 'H1'").count() == 1
+
+
+def test_search_vector_rejects_mismatched_embedding_dim(spark, tmp_path):
+    """r16 review (reproduced): a client at the wrong embedding_dim
+    served garbage (null/zero cosine) from a persisted artifact built
+    at another dim; the manifest records the build dim, so the serve
+    path now fails fast with the correct constructor call."""
+    import pytest
+
+    path = str(tmp_path / "idx_dim")
+    client = IndexClient(spark, path, embedding_dim=8)
+    client.initialize()
+    client.store(_rows(spark, 0, 10))
+    client.build_ann("binary")
+    assert client.ann_manifest("binary")["embedding_dim"] == 8
+
+    wrong = IndexClient(spark, path)  # default FIXTURE_DIM != 8
+    with pytest.raises(ValueError, match="embedding_dim=8"):
+        wrong.search_vector("query", k=2, index="binary")
+
+
+def test_exact_mode_excludes_unembeddable_rows(spark, tmp_path):
+    """r16 review (reproduced): an empty content_vector scored
+    cos_sim 0.0 in the 'exact' mode, outranking real docs with
+    negative cosine — while every ANN artifact filters such rows at
+    build time, breaking the documented exact==ANN parity. Exact now
+    applies the same embeddable-corpus filter."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
+
+    path = str(tmp_path / "idx_exact")
+    client = IndexClient(spark, path, embedding_dim=4)
+    client.initialize()
+    df = spark.createDataFrame(
+        [("neg", "HN", "negative doc", [-1.0, 0.0, 0.0, 0.0]),
+         ("empty", "HE", "empty-vector doc", []),
+         ("none", "HX", "null-vector doc", None)],
+        "id string, text_hash string, content string, "
+        "content_vector array<float>",
+    ).withColumn("filename", F.lit("f.pdf"))
+    for f in INDEX_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    client.store(df)
+    got = [r["id"] for r in client.search_vector("q", k=3, index="exact").collect()]
+    assert "empty" not in got and "none" not in got
+    assert got == ["neg"]
+
+
+def test_manifest_staleness_via_n_table_rows(spark, tmp_path):
+    """r16 review: manifest n_rows counts only the embeddable corpus,
+    so comparing it to stats()['document_count'] mis-reported a fresh
+    artifact as stale whenever null-vector rows existed; the manifest
+    now records n_table_rows for that comparison, and build_ann under
+    the writer lock snapshots both counts consistently."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
+
+    path = str(tmp_path / "idx_stale")
+    client = IndexClient(spark, path, embedding_dim=4)
+    client.initialize()
+    df = spark.createDataFrame(
+        [("a", "HA", "doc a", [1.0, 0.0, 0.0, 0.0]),
+         ("b", "HB", "doc b", None)],  # un-embeddable row
+        "id string, text_hash string, content string, "
+        "content_vector array<float>",
+    ).withColumn("filename", F.lit("f.pdf"))
+    for f in INDEX_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    client.store(df)
+    man = client.build_ann("binary")
+    assert man["n_rows"] == 1  # embeddable corpus only
+    # the documented staleness comparison is exact on a fresh build
+    assert man["n_table_rows"] == client.stats()["document_count"] == 2
