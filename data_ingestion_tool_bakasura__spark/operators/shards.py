@@ -75,7 +75,17 @@ def write_tar_shards(
     must be a filesystem every executor can reach — local mode, NFS,
     or a FUSE-mounted object store. (Tar is not a Hadoop output
     format; on a cluster without a shared mount, write per-executor
-    local shards and ship them with your object-store client.)"""
+    local shards and ship them with your object-store client.)
+
+    Member-name collisions FAIL LOUDLY (r16 trust-boundary review,
+    both reproduced): two columns mapped to the same extension, or two
+    keys whose sanitized forms collide within one shard (``"a/b"`` vs
+    ``"a_b"``), would otherwise write duplicate member names — tar
+    accepts them, the manifest counts both samples, and the read
+    silently merges/drops one. The extension check is driver-side;
+    the key check is a per-shard set in the writing task."""
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
     if columns is None:
         dtypes = dict(df.dtypes)
         columns = {
@@ -83,6 +93,15 @@ def write_tar_shards(
                 else ".bin" if dtypes[c] == "binary" else ".json")
             for c in df.columns if c != key_col
         }
+    rev: dict[str, str] = {}
+    for c, e in columns.items():
+        if e in rev:
+            raise ValueError(
+                f"columns {rev[e]!r} and {c!r} both map to member "
+                f"extension {e!r}: their members would share a name and "
+                f"the read would silently merge them"
+            )
+        rev[e] = c
     os.makedirs(out_dir, exist_ok=True)
     # pre-clean our OWN naming scheme (r14-late review): stale shards
     # from a prior export with a different partitioning / shard size
@@ -121,6 +140,7 @@ def write_tar_shards(
         tar = None
         path = None
         tmp = None
+        seen: set[str] = set()
         out: list[tuple[str, int, int]] = []
 
         def _open():
@@ -129,6 +149,7 @@ def write_tar_shards(
             path = os.path.join(out_dir, name)
             tmp = os.path.join(out_dir, f".{name}.{att}.tmp")
             tar = tarfile.open(tmp, "w")
+            seen.clear()
 
         def _close():
             nonlocal tar, seq, n
@@ -146,6 +167,20 @@ def write_tar_shards(
                 if tar is None:
                     _open()
                 key = str(r[key_col]).replace("/", "_")
+                # sanitized-collision guard (r16 review, reproduced):
+                # a second "a_b" after an "a/b" in the same shard would
+                # duplicate every member name — the manifest would
+                # count both samples, the read would return one with
+                # fields silently mixed between them
+                if key in seen:
+                    raise ValueError(
+                        f"duplicate sample key {key!r} in shard "
+                        f"{os.path.basename(path)!r} (two equal keys, or "
+                        f"two keys whose '/'->'_' sanitized forms "
+                        f"collide): the shard would hold duplicate "
+                        f"member names and the read would merge them"
+                    )
+                seen.add(key)
                 for c, e in ext.items():
                     v = r[c]
                     if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -198,7 +233,19 @@ def read_tar_shards(
     ``extensions`` (column -> member extension) the columns come back
     typed (``.txt`` utf-8 string, ``.bin`` binary, ``.json`` parsed to
     its JSON string); without it, returns the raw member table
-    (shard, key, ext, data). Map-only."""
+    (shard, key, ext, pos, data) — ``pos`` is the member's ordinal in
+    its tar. Map-only.
+
+    Trust-boundary semantics (r16 review — shard tars from other
+    producers are untrusted input, like CDX lines): tar permits
+    DUPLICATE member names, and WebDataset's contract is last-wins;
+    the old ``max(data)`` pick resolved a duplicate by byte
+    comparison, so an appended ``k.txt`` could lose to the original
+    (reproduced). Typed reassembly now takes the member with the
+    highest ``pos`` per (shard, key, ext). Members whose extension is
+    not requested — including extensionless foreign files like a
+    stray README — are filtered before the pivot, so they can no
+    longer materialize phantom all-null samples."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -213,26 +260,31 @@ def read_tar_shards(
             rows = []
             for shard, content in zip(pdf["shard"], pdf["content"]):
                 with tarfile.open(fileobj=io.BytesIO(content)) as tar:
-                    for m in tar.getmembers():
+                    for pos, m in enumerate(tar.getmembers()):
                         if not m.isfile():
                             continue
                         stem, dot, e = m.name.rpartition(".")
+                        if not dot:  # extensionless: name is the key
+                            stem, e = m.name, ""
                         rows.append(
-                            (shard, stem, dot + e,
+                            (shard, stem, dot + e, pos,
                              tar.extractfile(m).read())
                         )
             yield pd.DataFrame(
-                rows, columns=["shard", "key", "ext", "data"]
+                rows, columns=["shard", "key", "ext", "pos", "data"]
             )
 
     members = raw.mapInPandas(
-        _untar, "shard string, key string, ext string, data binary"
+        _untar, "shard string, key string, ext string, pos long, data binary"
     )
     if extensions is None:
         return members
+    members = members.filter(F.col("ext").isin(list(extensions.values())))
     cols = [
-        F.max(
-            F.when(F.col("ext") == e, F.col("data"))
+        # last occurrence wins (WebDataset overwrite semantics): the
+        # value at the max tar ordinal among this extension's members
+        F.max_by(
+            F.col("data"), F.when(F.col("ext") == e, F.col("pos"))
         ).alias(c)
         for c, e in extensions.items()
     ]

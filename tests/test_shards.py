@@ -207,3 +207,72 @@ def test_stale_shards_cleaned_and_temps_hidden(spark, tmp_path):
     assert [m["shard"] for m in man] == tars
     back = read_tar_shards(spark, out, {"text": ".txt"})
     assert back.count() == 20
+
+
+def test_duplicate_member_resolves_last_wins(spark, tmp_path):
+    """r16 trust-boundary review (reproduced): tar permits duplicate
+    member names and WebDataset's contract is last-wins (overwrite);
+    the old max(data) pick resolved by BYTE comparison, so an appended
+    k.txt lost to the original whenever its bytes sorted lower."""
+    import io
+
+    out = str(tmp_path / "dup")
+    os.makedirs(out)
+    with tarfile.open(os.path.join(out, "shard-00000-0000.tar"), "w") as tar:
+        for data in (b"zzz first", b"aaa last"):  # last sorts LOWER
+            info = tarfile.TarInfo(name="k1.txt")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    back = SH.read_tar_shards(spark, out, {"text": ".txt"}).collect()
+    assert len(back) == 1
+    assert back[0]["text"] == "aaa last"
+
+
+def test_foreign_members_no_phantom_samples(spark, tmp_path):
+    """r16 review: an extensionless foreign member (a stray README) or
+    an unrequested extension used to materialize a phantom all-null
+    sample row in typed reassembly; both are filtered before the
+    pivot, and the raw table now exposes them with their tar ordinal."""
+    import io
+
+    out = str(tmp_path / "foreign")
+    os.makedirs(out)
+    with tarfile.open(os.path.join(out, "shard-00000-0000.tar"), "w") as tar:
+        for name, data in (
+            ("README", b"not a sample"),
+            ("k1.txt", b"real sample"),
+            ("k1.xyz", b"unrequested ext"),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    typed = SH.read_tar_shards(spark, out, {"text": ".txt"}).collect()
+    assert [(r["key"], r["text"]) for r in typed] == [("k1", "real sample")]
+    raw = {(r["key"], r["ext"]): r["pos"]
+           for r in SH.read_tar_shards(spark, out).collect()}
+    assert raw == {("README", ""): 0, ("k1", ".txt"): 1, ("k1", ".xyz"): 2}
+
+
+def test_write_rejects_member_name_collisions(spark, tmp_path):
+    """r16 review (both reproduced): (1) two columns mapped to one
+    extension and (2) two keys with colliding sanitized forms each
+    produced duplicate member names — tar accepted them, the manifest
+    counted both samples, and the read silently merged them (manifest
+    said 2, read returned 1 with fields mixed across the two rows)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a/b", "text of a/b", "m1"), ("a_b", "text of a_b", "m2")],
+        "key string, text string, meta string",
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="both map to member extension"):
+        SH.write_tar_shards(
+            df, str(tmp_path / "s1"), columns={"text": ".txt", "meta": ".txt"}
+        )
+    with pytest.raises(Exception, match="duplicate sample key"):
+        SH.write_tar_shards(
+            df, str(tmp_path / "s2"),
+            columns={"text": ".txt", "meta": ".json"}, rows_per_shard=10,
+        )
+    with pytest.raises(ValueError, match="rows_per_shard"):
+        SH.write_tar_shards(df, str(tmp_path / "s3"), rows_per_shard=0)
