@@ -164,13 +164,21 @@ def read_json_with_errors(
     the input is exactly what you can't do at 100 TB. ``from_json``
     keeps the parse lazy, per-row, and the quarantine carries the raw
     line verbatim.
+
+    Blank/whitespace-only lines are SKIPPED, not parsed (r16 review,
+    reproduced): ``from_json`` maps them to a NULL struct whose
+    corrupt field is also null, so they classified as GOOD and emitted
+    phantom all-null rows — the built-in JSON reader skips them, and
+    so do we. A literal ``null`` line or a bare scalar still lands in
+    the quarantine.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, **options}
-    parsed = spark.read.text(path).select(
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    parsed = lines.select(
         "value", F.from_json("value", full, opts).alias("_r")
     )
     good = parsed.filter(F.col(f"_r.{CORRUPT_COL}").isNull()).select("_r.*").drop(
@@ -191,13 +199,21 @@ def read_csv_with_errors(
     With ``header=True`` the header line is dropped by value match (a
     text scan has no header notion; the match is exact, so a data row
     identical to the header — necessarily all-string — would also drop).
+
+    Empty lines are SKIPPED, not parsed (r16 review, reproduced —
+    same phantom-all-null-row hole as the JSON twin; the built-in CSV
+    reader skips them too). A whitespace-only line is NOT skipped: it
+    is a candidate single-column value and parses or quarantines on
+    its own merits. Quoted multi-line records are out of contract —
+    the text scan is line-oriented; use ``read_csv`` with
+    ``multiLine=true`` for those.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, **options}
-    lines = spark.read.text(path)
+    lines = spark.read.text(path).filter(F.col("value") != "")
     if header:
         hdr = ",".join(f.name for f in schema.fields)
         lines = lines.filter(F.col("value") != hdr)

@@ -1291,3 +1291,32 @@ def test_zstd_shim_large_record_drain_and_flag():
             comp[:-37], read_across_frames=True
         ) as r:
             r.read()
+
+
+def test_error_channel_readers_skip_blank_lines(spark, tmp_path):
+    """r16 review (reproduced): a blank line made from_json/from_csv
+    return a NULL struct whose corrupt field is also null, so it
+    classified as GOOD and emitted a phantom all-null row in both
+    error-channel readers; the built-in readers skip blank lines, and
+    these now match. null literals / bare scalars still quarantine."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_tool_bakasura__spark.sources.readers import (
+        read_csv_with_errors,
+        read_json_with_errors,
+    )
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    jp = tmp_path / "data.jsonl"
+    jp.write_text('{"a": 1, "b": "x"}\n\n   \nnull\n5\n')
+    good, bad = read_json_with_errors(spark, str(jp), schema)
+    assert [(r["a"], r["b"]) for r in good.collect()] == [(1, "x")]
+    assert sorted(r["raw"] for r in bad.collect()) == ["5", "null"]
+
+    cp = tmp_path / "data.csv"
+    cp.write_text("1,x\n\nzz,y\n")
+    good2, bad2 = read_csv_with_errors(spark, str(cp), schema)
+    assert [(r["a"], r["b"]) for r in good2.collect()] == [(1, "x")]
+    assert [r["raw"] for r in bad2.collect()] == ["zz,y"]
