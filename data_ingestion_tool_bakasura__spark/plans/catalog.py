@@ -34,26 +34,23 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-15 rotation (r14
+#: prefix of ``queries()`` in iteration order. Round-16 rotation (r15
 #: verdict #1, executed per the BASELINE.md ledger; evidence computed
-#: by ``python tools/rotation.py``): lead with q_warc_zst_roundtrip
-#: (NEW — the executed .warc.zst write+read leg, pinning a perf number
-#: for the r14 zstd work, r14 verdict Missing #3) and the six
-#: impl-changed queries (q_stream_semantic_dedup, q_stream_near_dedup,
-#: q_bloom_url_dedup — the _has_table replay-guard fix and the Bloom
-#: save/load hardening from the r14 ADVICE; q_hnsw_exact_twin, whose
-#: serve path gained the torn-shard load guard + shared serializer in
-#: the r15 HNSW review; and q_cdx_fetch_plan + q_cdx_range_fetch,
-#: whose plan dedups duplicate index lines, whose recency window
-#: gained a total-order tie-break, and whose fetch now validates the
-#: untrusted index fields — r15 CDX review), then the 21 remaining
-#: r11-evidence rows (q_image_near_dup through q_repeated_spans), then
-#: the first 22 r12 rows stalest-first (q_warc_render through
-#: q_brand_quantity_revenue). After this window lands the oldest driver
-#: evidence anywhere is r12. Past the boundary the remaining r12 rows,
-#: then the r13 and r14 blocks continue stalest-first (ties keep their
-#: prior catalog order) so the r16 rotation reads straight off
-#: ``tools/rotation.py``.
+#: by ``python tools/rotation.py``, the order generated from it
+#: mechanically — sort by (newest driver-green round, prior catalog
+#: position)): lead with q_stream_semantic_dedup (impl-changed — the
+#: sink's decisions append is now replay-idempotent via an anti-join
+#: reconciliation, r15 ADVICE), then ALL 25 remaining r12-evidence
+#: rows (q_profit_by_nation through q_embedding_near_dup), then the
+#: first 24 r13 rows (q_fetch_schedule through q_domain_cap). After
+#: this window lands the oldest driver evidence anywhere is r13.
+#: Past the boundary the remaining r13 rows, the r14 block, and the
+#: r15 block continue stalest-first (ties keep their prior catalog
+#: order) so the r17 rotation reads straight off
+#: ``tools/rotation.py``. The r16 themed-review fixes to
+#: index_client / tar shards / error-channel readers touch NO catalog
+#: query's plan (verified by grep — those surfaces serve the CLI and
+#: dedicated tests), so no other impl-changed rows lead.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
@@ -64,57 +61,7 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: must exist in a module's QUERIES (asserted below) so a rename can't
 #: silently drop a query.
 _PRIORITY = [
-    "q_warc_zst_roundtrip",
     "q_stream_semantic_dedup",
-    "q_stream_near_dedup",
-    "q_bloom_url_dedup",
-    "q_hnsw_exact_twin",
-    "q_cdx_fetch_plan",
-    "q_cdx_range_fetch",
-    "q_image_near_dup",
-    "q_doc_stats",
-    "q_lang_facet",
-    "q_array_ops",
-    "q_json_props",
-    "q_filter_project",
-    "q_fulltext_match",
-    "q_distinct_stats",
-    "q_top_orders",
-    "q_price_buckets",
-    "q_orders_by_month",
-    "q_order_gaps",
-    "q_customers_with_orders",
-    "q_customers_without_orders",
-    "q_top_revenue_supplier",
-    "q_orders_above_cust_avg",
-    "q_rich_inactive_customers",
-    "q_lone_late_supplier",
-    "q_user_event_matrix",
-    "q_repetition_filter",
-    "q_repeated_spans",
-    "q_warc_render",
-    "q_sitemap_seeds",
-    "q_contamination",
-    "q_curation_pipeline",
-    "q_lm_quality",
-    "q_supplier_part_counts",
-    "q_promo_revenue",
-    "q_ship_delay_classes",
-    "q_returned_items",
-    "q_order_count_distribution",
-    "q_top_shippers",
-    "q_market_share",
-    "q_stream_tumbling_hourly",
-    "q_quantized_rerank",
-    "q_value_zscore_builtin",
-    "q_exists_subquery",
-    "q_volume_shipping",
-    "q_funnel_conversion",
-    "q_min_cost_supplier",
-    "q_large_volume_customers",
-    "q_part_value_concentration",
-    "q_brand_quantity_revenue",
-    # ---------- 50-query window boundary ----------
     "q_profit_by_nation",
     "q_revenue_forecast",
     "q_semantic_rerank",
@@ -164,6 +111,7 @@ _PRIORITY = [
     "q_cosine_topk",
     "q_json_variants",
     "q_domain_cap",
+    # ---------- 50-query window boundary ----------
     "q_domain_blocklist",
     "q_dsir_weights",
     "q_dsir_select",
@@ -233,6 +181,55 @@ _PRIORITY = [
     "q_url_dedup",
     "q_crawl_pipeline",
     "q_page_extract",
+    "q_warc_zst_roundtrip",
+    "q_stream_near_dedup",
+    "q_bloom_url_dedup",
+    "q_hnsw_exact_twin",
+    "q_cdx_fetch_plan",
+    "q_cdx_range_fetch",
+    "q_image_near_dup",
+    "q_doc_stats",
+    "q_lang_facet",
+    "q_array_ops",
+    "q_json_props",
+    "q_filter_project",
+    "q_fulltext_match",
+    "q_distinct_stats",
+    "q_top_orders",
+    "q_price_buckets",
+    "q_orders_by_month",
+    "q_order_gaps",
+    "q_customers_with_orders",
+    "q_customers_without_orders",
+    "q_top_revenue_supplier",
+    "q_orders_above_cust_avg",
+    "q_rich_inactive_customers",
+    "q_lone_late_supplier",
+    "q_user_event_matrix",
+    "q_repetition_filter",
+    "q_repeated_spans",
+    "q_warc_render",
+    "q_sitemap_seeds",
+    "q_contamination",
+    "q_curation_pipeline",
+    "q_lm_quality",
+    "q_supplier_part_counts",
+    "q_promo_revenue",
+    "q_ship_delay_classes",
+    "q_returned_items",
+    "q_order_count_distribution",
+    "q_top_shippers",
+    "q_market_share",
+    "q_stream_tumbling_hourly",
+    "q_quantized_rerank",
+    "q_value_zscore_builtin",
+    "q_exists_subquery",
+    "q_volume_shipping",
+    "q_funnel_conversion",
+    "q_min_cost_supplier",
+    "q_large_volume_customers",
+    "q_part_value_concentration",
+    "q_brand_quantity_revenue",
     "q_hnsw_topk",
     "q_lsh_ann_topk",
     "q_ivf_assignments",
