@@ -59,8 +59,25 @@ class IndexClient:
         ``_exists`` only maps missing-path to False (anything else —
         corruption, mixed schema — raises), and the write itself is
         ``mode("ignore")``, which cannot clobber an existing path even
-        if every other guard misfires."""
+        if every other guard misfires.
+
+        A TORN first write heals (r16 fix-chain review, reproduced):
+        a crash during the initial create leaves the directory holding
+        only Spark's ``_temporary`` staging — ``_exists`` raises
+        UNABLE_TO_INFER_SCHEMA (not PATH_NOT_FOUND) and
+        ``mode("ignore")`` no-ops because the path exists, wedging
+        every retry. Under the lock, a directory with ONLY hidden
+        (``_``/``.``) entries — the ``_has_table`` discipline, never
+        data — is cleared so the create can run; a directory with any
+        committed data is untouched."""
+        import shutil
+
         with self._writer_lock():
+            local = self.path.removeprefix("file://")
+            if os.path.isdir(local) and not any(
+                not e.startswith(("_", ".")) for e in os.listdir(local)
+            ):
+                shutil.rmtree(local)
             if not self._exists():
                 empty = self.spark.createDataFrame([], INDEX_SCHEMA)
                 empty.write.mode("ignore").parquet(self.path)
@@ -87,6 +104,22 @@ class IndexClient:
             raise RuntimeError(
                 f"index table not found at {self.path!r}: call initialize() first"
             ) from e
+
+    @staticmethod
+    def _embeddable(df: DataFrame) -> DataFrame:
+        """The vector-bearing corpus every ANN build, increment, and
+        serve mode (including 'exact') operates on: non-null,
+        non-empty ``content_vector``. Empty arrays are excluded too —
+        a zero-length embedding has no legitimate neighbors, scores
+        cos_sim 0.0 (outranking negative-cosine docs), and for the
+        binary kind yields an empty code whose null Hamming would
+        sort nulls-first into the shortlist. ONE definition (r16
+        fix-chain review): the documented exact==ANN mode parity
+        depends on every site filtering identically."""
+        return df.filter(
+            F.col("content_vector").isNotNull()
+            & (F.size("content_vector") > 0)
+        )
 
     def ping(self) -> bool:
         """EP3 health check: 1 row through the embed provider; False on
@@ -350,14 +383,7 @@ class IndexClient:
         n_codes: int,
     ) -> dict:
         d = self._ann_dir(kind)
-        corpus = self.table().select("id", "content_vector").filter(
-            # empty arrays excluded too: a zero-length embedding has no
-            # legitimate neighbors and (for the binary kind) an empty
-            # code whose null Hamming would sort nulls-first into the
-            # shortlist
-            F.col("content_vector").isNotNull()
-            & (F.size("content_vector") > 0)
-        )
+        corpus = self._embeddable(self.table().select("id", "content_vector"))
         params: dict = {}
         if kind == "hnsw":
             from data_ingestion_tool_bakasura__spark.operators.hnsw import hnsw_index
@@ -485,14 +511,7 @@ class IndexClient:
                 f"no persisted {kind!r} artifact for {self.path!r}: "
                 f"call build_ann({kind!r}) first"
             )
-        corpus = self.table().select("id", "content_vector").filter(
-            # empty arrays excluded too: a zero-length embedding has no
-            # legitimate neighbors and (for the binary kind) an empty
-            # code whose null Hamming would sort nulls-first into the
-            # shortlist
-            F.col("content_vector").isNotNull()
-            & (F.size("content_vector") > 0)
-        )
+        corpus = self._embeddable(self.table().select("id", "content_vector"))
         p = manifest["params"]
         if kind == "hnsw":
             from data_ingestion_tool_bakasura__spark.operators.hnsw import (
@@ -595,10 +614,7 @@ class IndexClient:
             # the tail — both could appear in 'exact' output but never
             # in any artifact's, breaking the documented exact==ANN
             # parity at full dials (r16 review, reproduced)
-            corpus = self.table().filter(
-                F.col("content_vector").isNotNull()
-                & (F.size("content_vector") > 0)
-            )
+            corpus = self._embeddable(self.table())
             hits = cosine_topk(
                 corpus, qv, k=k, id_col="id", vec_col="content_vector"
             )
@@ -674,10 +690,7 @@ class IndexClient:
 
                 hits = binary_topk_indexed(
                     self.spark.read.parquet(os.path.join(d, "codes")),
-                    self.table().filter(
-                        F.col("content_vector").isNotNull()
-                        & (F.size("content_vector") > 0)
-                    ),
+                    self._embeddable(self.table()),
                     self._query_df(qv),
                     k=k, shortlist=shortlist or max(4 * k, 50),
                     corpus_id="id", vec_col="content_vector",
@@ -688,10 +701,7 @@ class IndexClient:
                 )
 
                 hits = pq_adc_rerank_topk(
-                    self.table().filter(
-                        F.col("content_vector").isNotNull()
-                        & (F.size("content_vector") > 0)
-                    ),
+                    self._embeddable(self.table()),
                     self._query_df(qv),
                     k=k, shortlist=shortlist or max(4 * k, 50),
                     corpus_id="id", vec_col="content_vector",

@@ -79,11 +79,14 @@ def write_tar_shards(
 
     Member-name collisions FAIL LOUDLY (r16 trust-boundary review,
     both reproduced): two columns mapped to the same extension, or two
-    keys whose sanitized forms collide within one shard (``"a/b"`` vs
-    ``"a_b"``), would otherwise write duplicate member names — tar
+    keys whose sanitized forms collide within one partition (``"a/b"``
+    vs ``"a_b"``), would otherwise write duplicate member names — tar
     accepts them, the manifest counts both samples, and the read
     silently merges/drops one. The extension check is driver-side;
-    the key check is a per-shard set in the writing task."""
+    the key check is a per-PARTITION set in the writing task (not
+    per-shard: a collision straddling a rows_per_shard cut must not
+    escape). Equal keys in DIFFERENT partitions are the caller's
+    contract — detecting them would cost a shuffle."""
     if rows_per_shard < 1:
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
     if columns is None:
@@ -149,7 +152,11 @@ def write_tar_shards(
             path = os.path.join(out_dir, name)
             tmp = os.path.join(out_dir, f".{name}.{att}.tmp")
             tar = tarfile.open(tmp, "w")
-            seen.clear()
+            # ``seen`` is per-PARTITION, not per-shard (r16 fix-chain
+            # review): clearing it at each shard cut let a sanitized
+            # collision straddling a rows_per_shard boundary through
+            # unguarded. Cross-partition equal keys remain the
+            # caller's contract (checking them needs a shuffle).
 
         def _close():
             nonlocal tar, seq, n
@@ -174,11 +181,12 @@ def write_tar_shards(
                 # fields silently mixed between them
                 if key in seen:
                     raise ValueError(
-                        f"duplicate sample key {key!r} in shard "
-                        f"{os.path.basename(path)!r} (two equal keys, or "
-                        f"two keys whose '/'->'_' sanitized forms "
-                        f"collide): the shard would hold duplicate "
-                        f"member names and the read would merge them"
+                        f"duplicate sample key {key!r} in partition {pid} "
+                        f"(two equal keys, or two keys whose '/'->'_' "
+                        f"sanitized forms collide): duplicate member "
+                        f"names within a shard silently merge on read, "
+                        f"and across shards the samples become "
+                        f"indistinguishable by key"
                     )
                 seen.add(key)
                 for c, e in ext.items():

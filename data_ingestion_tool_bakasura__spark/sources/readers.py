@@ -169,15 +169,17 @@ def read_json_with_errors(
     reproduced): ``from_json`` maps them to a NULL struct whose
     corrupt field is also null, so they classified as GOOD and emitted
     phantom all-null rows — the built-in JSON reader skips them, and
-    so do we. A literal ``null`` line or a bare scalar still lands in
-    the quarantine.
+    so do we. The filter keeps lines containing ANY non-whitespace
+    (``rlike '\\S'`` — ``F.trim`` strips only ASCII spaces, so a
+    tab-only line slipped the first version of this fix). A literal
+    ``null`` line or a bare scalar still lands in the quarantine.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, **options}
-    lines = spark.read.text(path).filter(F.trim("value") != "")
+    lines = spark.read.text(path).filter(F.col("value").rlike(r"\S"))
     parsed = lines.select(
         "value", F.from_json("value", full, opts).alias("_r")
     )

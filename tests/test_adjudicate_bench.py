@@ -104,3 +104,38 @@ def test_real_r15_adjudication_reproduces_the_judged_call():
     bands, _ = AB.parse_bands(BASELINE)
     high = [q for q, (v, _s, _b) in AB.classify(ref, bands).items() if v == "HIGH"]
     assert high == []  # the settled local run is clean
+
+
+def test_true_median_on_even_length_lists():
+    """r16 fix-chain review: rs[n//2] is the upper-middle element on
+    an even-length list and could flip the verdict at a threshold;
+    the true median (mean of the middle pair) adjudicates."""
+    # middle pair 1.29/1.31: true median 1.30 -> CONTENDED boundary
+    verdict, med = AB.contention_verdict([1.0, 1.29, 1.31, 1.32])
+    assert med == pytest.approx(1.30)
+    assert verdict == "CONTENDED"
+    # middle pair 1.13/1.15: median 1.14 -> SETTLED (upper-mid 1.15 too)
+    verdict2, med2 = AB.contention_verdict([1.0, 1.13, 1.15, 1.16])
+    assert med2 == pytest.approx(1.14) and verdict2 == "SETTLED"
+
+
+def test_cli_accepts_ref_equals_form(tmp_path, capsys):
+    """r16 fix-chain review: '--ref=PATH' was silently dropped by the
+    hand-rolled scan (adjudicating against the wrong reference) and a
+    trailing bare '--ref' crashed; argparse handles both."""
+    import json
+
+    bands, _ = AB.parse_bands(BASELINE)
+    q = next(iter(bands))
+    lo, hi = bands[q]
+    payload = {"queries": {q: (lo + hi) / 2}, "value": 1.0,
+               "n_ok": 1, "n_err": 0}
+    run = tmp_path / "run.json"
+    ref = tmp_path / "ref.json"
+    run.write_text(json.dumps(payload))
+    ref.write_text(json.dumps(payload))
+    assert AB.main([str(run), f"--ref={ref}"]) == 0
+    out = capsys.readouterr().out
+    assert str(ref) in out  # the = form reached the adjudication
+    with pytest.raises(SystemExit):
+        AB.main([str(run), "--ref"])  # trailing bare --ref: argparse error

@@ -707,3 +707,20 @@ def test_manifest_staleness_via_n_table_rows(spark, tmp_path):
     assert man["n_rows"] == 1  # embeddable corpus only
     # the documented staleness comparison is exact on a fresh build
     assert man["n_table_rows"] == client.stats()["document_count"] == 2
+
+
+def test_initialize_heals_torn_first_write(spark, tmp_path):
+    """r16 fix-chain review (reproduced): a crash during the very
+    first create leaves the directory holding only Spark's _temporary
+    staging — _exists raised UNABLE_TO_INFER_SCHEMA forever and
+    mode('ignore') no-opped because the path existed, wedging every
+    retry. A dir with ONLY hidden entries now heals under the lock."""
+    import os
+
+    path = str(tmp_path / "idx_torn")
+    os.makedirs(os.path.join(path, "_temporary", "0"))
+    client = IndexClient(spark, path, embedding_dim=8)
+    client.initialize()
+    assert client.stats()["document_count"] == 0
+    n = client.store(_rows(spark, 0, 5))
+    assert n > 0

@@ -276,3 +276,19 @@ def test_write_rejects_member_name_collisions(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="rows_per_shard"):
         SH.write_tar_shards(df, str(tmp_path / "s3"), rows_per_shard=0)
+
+
+def test_key_collision_across_shard_boundary_still_caught(spark, tmp_path):
+    """r16 fix-chain review: clearing the seen-set at each shard cut
+    let a sanitized collision straddling a rows_per_shard boundary
+    through unguarded; the set is per-partition now."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a/b", "first"), ("a_b", "second")], "key string, text string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate sample key"):
+        SH.write_tar_shards(
+            df, str(tmp_path / "cut"),
+            columns={"text": ".txt"}, rows_per_shard=1,
+        )

@@ -1320,3 +1320,24 @@ def test_error_channel_readers_skip_blank_lines(spark, tmp_path):
     good2, bad2 = read_csv_with_errors(spark, str(cp), schema)
     assert [(r["a"], r["b"]) for r in good2.collect()] == [(1, "x")]
     assert [r["raw"] for r in bad2.collect()] == ["zz,y"]
+
+
+def test_json_error_reader_skips_tab_only_lines(spark, tmp_path):
+    """r16 fix-chain review (reproduced): F.trim strips only ASCII
+    spaces, so a tab-only line slipped the blank-line filter and
+    emitted a phantom all-null good row; the filter now keeps lines
+    with ANY non-whitespace (rlike)."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_tool_bakasura__spark.sources.readers import (
+        read_json_with_errors,
+    )
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    jp = tmp_path / "tabs.jsonl"
+    jp.write_text('{"a": 1, "b": "x"}\n\t\n \t \n')
+    good, bad = read_json_with_errors(spark, str(jp), schema)
+    assert [(r["a"], r["b"]) for r in good.collect()] == [(1, "x")]
+    assert bad.count() == 0

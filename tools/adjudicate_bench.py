@@ -96,7 +96,11 @@ def ratios(run: dict, ref: dict) -> list[float]:
 def contention_verdict(rs: list[float]) -> tuple[str, float]:
     if not rs:
         return ("NO-REF", float("nan"))
-    med = rs[len(rs) // 2]
+    # true median (r16 fix-chain review): the upper-middle element on
+    # an even-length list could flip the verdict at a threshold
+    import statistics
+
+    med = float(statistics.median(rs))
     if med >= CONTENDED_MIN:
         return ("CONTENDED", med)
     if med > SETTLED_MAX:
@@ -104,8 +108,13 @@ def contention_verdict(rs: list[float]) -> tuple[str, float]:
     return ("SETTLED", med)
 
 
-def newest_local_bench(repo: str) -> str | None:
-    cands = glob.glob(os.path.join(repo, "BENCH_local_r*.json"))
+def newest_local_bench(repo: str, exclude: str | None = None) -> str | None:
+    """Newest settled local run, optionally excluding the run under
+    test (self-comparison proves nothing)."""
+    cands = [
+        p for p in glob.glob(os.path.join(repo, "BENCH_local_r*.json"))
+        if exclude is None or os.path.abspath(p) != os.path.abspath(exclude)
+    ]
 
     def rnd(p: str) -> int:
         m = re.search(r"r0*(\d+)", os.path.basename(p))
@@ -173,26 +182,24 @@ def adjudicate(run_path: str, ref_path: str | None, baseline_md: str) -> int:
 
 
 def main(argv: list[str]) -> int:
+    # argparse (r16 fix-chain review): the hand-rolled scan silently
+    # dropped the '--ref=PATH' form (falling back to the wrong
+    # reference) and crashed on a trailing bare '--ref'
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="adjudicate_bench",
+        description="Classify a BENCH json against BASELINE.md's band "
+                    "table and the median-ratio contention rule.",
+    )
+    ap.add_argument("run", help="BENCH json to adjudicate")
+    ap.add_argument("--ref", default=None,
+                    help="settled reference run (default: newest "
+                         "BENCH_local_r*.json other than the run itself)")
+    ns = ap.parse_args(argv)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    args = [a for a in argv if not a.startswith("--")]
-    ref = None
-    if "--ref" in argv:
-        ref = argv[argv.index("--ref") + 1]
-        args = [a for a in args if a != ref]
-    if not args:
-        print(__doc__)
-        return 1
-    run_path = args[0]
-    if ref is None:
-        # newest settled local run that is not the run under test —
-        # self-comparison proves nothing
-        cands = [p for p in glob.glob(os.path.join(repo, "BENCH_local_r*.json"))
-                 if os.path.abspath(p) != os.path.abspath(run_path)]
-        ref = max(
-            cands,
-            key=lambda p: int(re.search(r"r0*(\d+)", os.path.basename(p)).group(1)),
-        ) if cands else None
-    return adjudicate(run_path, ref, os.path.join(repo, "BASELINE.md"))
+    ref = ns.ref or newest_local_bench(repo, exclude=ns.run)
+    return adjudicate(ns.run, ref, os.path.join(repo, "BASELINE.md"))
 
 
 if __name__ == "__main__":
