@@ -114,6 +114,15 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown block 0x{block:02X}")
         w = raw[pos + 4] | (raw[pos + 5] << 8)
         h = raw[pos + 6] | (raw[pos + 7] << 8)
+        # refuse adversarial dims BEFORE the LZW decode (r16 codec
+        # review): _lzw_decode's output bound IS w*h, so a hostile
+        # descriptor (16-bit dims allow 65535^2 ~ 4.3e9) sets a
+        # multi-gigabyte expansion budget from a tiny input
+        from data_ingestion_tool_bakasura__spark.multimodal.png import (
+            check_pixel_cap,
+        )
+
+        check_pixel_cap(w, h, "GIF image descriptor")
         iflags = raw[pos + 8]
         pos += 9
         pal = global_pal

@@ -38,6 +38,8 @@ from __future__ import annotations
 import math
 import struct
 
+from data_ingestion_tool_bakasura__spark.multimodal.png import check_pixel_cap
+
 try:
     import numpy as _np
 except ImportError:
@@ -254,6 +256,10 @@ def decode_jpeg_luma(b: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("only 8-bit precision supported")
                 progressive = marker == 0xC2
                 height, width = struct.unpack(">HH", seg[1:5])
+                # refuse adversarial dims BEFORE any plane allocation
+                # (r16 codec review): the scan buffers are sized from
+                # these header fields, not from the data present
+                check_pixel_cap(width, height, "JPEG SOF")
                 nc = seg[5]
                 comps = []
                 for ci in range(nc):

@@ -34,6 +34,29 @@ except ImportError:  # importable even without it
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: Adversarial-allocation cap shared by every stdlib decoder (r16
+#: codec trust-boundary review): crawl images are UNTRUSTED bytes,
+#: and a kilobyte of hostile input can DECLARE 65535x65535 (~4.3e9
+#: px) — the JPEG path allocates its component planes from the
+#: header dims before reading any entropy data, and GIF's LZW output
+#: bound is w*h, so without a cap each such file costs gigabytes of
+#: allocation per task BEFORE the per-row dead-letter catch can fire
+#: (32 concurrent tasks -> executor OOM, which no row-level isolation
+#: survives). 1e8 px (a 10000x10000 image) is far beyond real crawl
+#: content; refusal raises ValueError -> the usual dead-letter row.
+MAX_PIXELS = 100_000_000
+
+
+def check_pixel_cap(width: int, height: int, what: str) -> None:
+    """Raise (dead-letter) when declared dims exceed MAX_PIXELS."""
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"{what} declares {width}x{height} = {width * height} px, "
+            f"over the MAX_PIXELS cap ({MAX_PIXELS}): refusing "
+            f"adversarial allocation"
+        )
+
+
 #: raw samples per pixel for each PNG color type (palette expands later)
 _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -72,6 +95,7 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
             )
             if width <= 0 or height <= 0:
                 raise ValueError("bad dimensions")
+            check_pixel_cap(width, height, "PNG IHDR")
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth} (8-bit only)")
             if color_type not in _SAMPLES:
@@ -92,8 +116,17 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IDAT")
     samples = _SAMPLES[color_type]
     stride = width * samples
-    flat = zlib.decompress(bytes(idat))
-    if len(flat) < height * (stride + 1):
+    # bounded inflate (r16 codec review): the one-shot zlib.decompress
+    # inflated the WHOLE stream before the size check below — a
+    # decompression bomb (kilobytes compressed, gigabytes declared)
+    # allocated everything first and only then failed. The expected
+    # output is exactly height*(stride+1) filtered bytes (itself
+    # bounded by the pixel cap above); inflate stops there and any
+    # surplus compressed data is ignored, as the old code ignored
+    # surplus DECOMPRESSED bytes.
+    expected = height * (stride + 1)
+    flat = zlib.decompressobj().decompress(bytes(idat), expected)
+    if len(flat) < expected:
         raise ValueError("IDAT too short for dimensions")
     pixels = _unfilter(flat, height, stride, samples)
     if color_type == 3:

@@ -93,3 +93,22 @@ def test_decode_image_gif_fallback():
     except ImportError:
         w, h, c, luma = MM.decode_image(encode_gif_gray(5, 3, bytes(range(15))))
         assert (w, h, c) == (5, 3, 1) and luma == bytes(range(15))
+
+
+def test_adversarial_descriptor_dims_refused_before_lzw():
+    """r16 codec trust-boundary review (reproduced): _lzw_decode's
+    output bound IS w*h from the image descriptor, so hostile 16-bit
+    dims (65535^2 ~ 4.3e9 px) set a multi-gigabyte expansion budget
+    from a tiny input; the cap refuses before the LZW loop runs."""
+    import struct
+
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.multimodal import gif as G
+
+    hdr = (b"GIF89a" + struct.pack("<HHBBB", 10, 10, 0x80, 0, 0)
+           + b"\x00\x00\x00\xff\xff\xff")
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    hostile = hdr + desc + bytes([2]) + b"\x01\x04\x00" + b"\x3b"
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        G.decode_gif_luma(hostile)

@@ -307,3 +307,24 @@ def test_fill_bytes_before_markers_decode():
     spliced = prog[:i] + b"\xff" + prog[i:]
     assert decode_jpeg_luma(spliced) == want
     assert got_p == want
+
+
+def test_adversarial_sof_dims_refused_before_allocation():
+    """r16 codec trust-boundary review (reproduced): the scan buffers
+    are sized from the SOF header, not the data present — a 600-byte
+    file declaring 60000x60000 allocated ~3.5 GB and burned seconds
+    before failing on the entropy data (measured peak RSS 3483 MB ->
+    49 MB with the cap). Refusal must precede any plane allocation."""
+    import struct
+
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.multimodal import jpeg as J
+
+    good = J.encode_jpeg_gray(16, 16, bytes(range(256)))
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    patched = bytearray(good)
+    struct.pack_into(">HH", patched, i + 5, 60000, 60000)  # height,width
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        J.decode_jpeg_luma(bytes(patched))

@@ -204,3 +204,37 @@ def test_image_near_dup_real_png_pair_ungated(spark):
     }
     assert (1, 2) in got and got[(1, 2)] <= 2
     assert all(3 not in pair for pair in got)
+
+
+def test_adversarial_dims_and_inflate_are_bounded():
+    """r16 codec trust-boundary review (reproduced, peak-RSS measured):
+    crawl images are untrusted bytes — a tiny file declaring huge IHDR
+    dims must refuse BEFORE allocation, and a surplus-IDAT bomb must
+    inflate only the expected filtered bytes (the one-shot
+    zlib.decompress inflated everything first)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_ingestion_tool_bakasura__spark.multimodal import png as P
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    # declared 50000x50000 (2.5e9 px) from ~1 KB of input: refused
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 0, 0, 0, 0)
+    bomb = (P.PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\0" * 1000)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        P.decode_png(bomb)
+
+    # legit dims + 50 MB of surplus decompressed zeros: inflate stops
+    # at the expected byte count and the decode succeeds
+    ihdr2 = struct.pack(">IIBBBBB", 100, 100, 8, 0, 0, 0, 0)
+    big = zlib.compress(b"\0" * 50_000_000)
+    ok = (P.PNG_MAGIC + chunk(b"IHDR", ihdr2) + chunk(b"IDAT", big)
+          + chunk(b"IEND", b""))
+    w, h, c, px = P.decode_png(ok)
+    assert (w, h, c) == (100, 100, 1) and len(px) == 100 * 100
