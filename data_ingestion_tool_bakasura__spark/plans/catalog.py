@@ -38,19 +38,22 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: verdict #1, executed per the BASELINE.md ledger; evidence computed
 #: by ``python tools/rotation.py``, the order generated from it
 #: mechanically — sort by (newest driver-green round, prior catalog
-#: position)): lead with q_stream_semantic_dedup (impl-changed — the
-#: sink's decisions append is now replay-idempotent via an anti-join
-#: reconciliation, r15 ADVICE), then ALL 25 remaining r12-evidence
-#: rows (q_profit_by_nation through q_embedding_near_dup), then the
-#: first 24 r13 rows (q_fetch_schedule through q_domain_cap). After
-#: this window lands the oldest driver evidence anywhere is r13.
+#: position)): lead with the three impl-changed queries —
+#: q_stream_semantic_dedup (the sink's decisions append is now
+#: replay-idempotent via an anti-join reconciliation, r15 ADVICE) and
+#: q_image_near_dup + q_video_near_dup (their decode paths gained the
+#: MAX_PIXELS adversarial-allocation cap in the r16 codec
+#: trust-boundary review) — then ALL 25 remaining r12-evidence rows
+#: (q_profit_by_nation through q_embedding_near_dup), then the first
+#: 22 r13 rows (q_fetch_schedule through q_cosine_topk). After this
+#: window lands the oldest driver evidence anywhere is r13.
 #: Past the boundary the remaining r13 rows, the r14 block, and the
 #: r15 block continue stalest-first (ties keep their prior catalog
 #: order) so the r17 rotation reads straight off
-#: ``tools/rotation.py``. The r16 themed-review fixes to
-#: index_client / tar shards / error-channel readers touch NO catalog
-#: query's plan (verified by grep — those surfaces serve the CLI and
-#: dedicated tests), so no other impl-changed rows lead.
+#: ``tools/rotation.py``. The other r16 themed-review fixes
+#: (index_client serve path, tar shards, error-channel readers) touch
+#: NO catalog query's plan (verified by grep — those surfaces serve
+#: the CLI and dedicated tests), so no further impl-changed rows lead.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
@@ -62,6 +65,8 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: silently drop a query.
 _PRIORITY = [
     "q_stream_semantic_dedup",
+    "q_image_near_dup",
+    "q_video_near_dup",
     "q_profit_by_nation",
     "q_revenue_forecast",
     "q_semantic_rerank",
@@ -109,9 +114,9 @@ _PRIORITY = [
     "q_minhash_signatures",
     "q_jaccard_pairs",
     "q_cosine_topk",
+    # ---------- 50-query window boundary ----------
     "q_json_variants",
     "q_domain_cap",
-    # ---------- 50-query window boundary ----------
     "q_domain_blocklist",
     "q_dsir_weights",
     "q_dsir_select",
@@ -173,7 +178,6 @@ _PRIORITY = [
     "q_gopher_quality",
     "q_web_quality_pipeline",
     "q_gopher_repetition",
-    "q_video_near_dup",
     "q_audio_features",
     "q_main_content",
     "q_html_meta",
@@ -187,7 +191,6 @@ _PRIORITY = [
     "q_hnsw_exact_twin",
     "q_cdx_fetch_plan",
     "q_cdx_range_fetch",
-    "q_image_near_dup",
     "q_doc_stats",
     "q_lang_facet",
     "q_array_ops",
