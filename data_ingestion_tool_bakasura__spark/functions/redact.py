@@ -22,8 +22,15 @@ from pyspark.sql import functions as F
 #: cannot eat an IPv4 because IPv4 runs first). Keys are the tags
 #: substituted into the replacement token.
 PII_PATTERNS: dict[str, str] = {
-    # local@domain.tld — the dot-TLD anchor keeps plain '@' mentions
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # local@domain.tld — the dot-TLD anchor keeps plain '@' mentions.
+    # BOUNDED quantifiers (r16 ReDoS review, measured): the unbounded
+    # form was quadratic on '@'-bearing unbroken runs — 4s for ONE
+    # 20 KB base64-ish blob in Spark's Java regex, hours for a 1 MB
+    # one, and such blobs exist in any web-scale corpus. RFC 5321
+    # caps the local part at 64 octets and the domain at 255, so the
+    # bounds also reject only non-deliverable shapes; per-start
+    # backtracking is now <= ~320 chars -> linear scans.
+    "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     # 123-45-6789 (US SSN shape) before ipv4/phone so neither eats it
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",

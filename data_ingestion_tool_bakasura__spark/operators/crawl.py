@@ -74,6 +74,41 @@ def domain_cap(
     )
 
 
+#: ReDoS guards for the robots wildcard-rule regex leg (r16, both
+#: measured in Spark's backtracking Java regex): a pattern with k
+#: INTERIOR wildcards (a ``*`` with more pattern after it — trailing
+#: stars and the leading anchor never backtrack) costs O(n^k) against
+#: a non-matching n-char target, and BOTH inputs are attacker-
+#: controlled (the hostile host serves the robots.txt AND mints its
+#: own URLs): measured 3.25s at k=3/n=2048 and 23s at k=3/n=4096 per
+#: single match. k=2 at n=2048 is ~20ms worst. RFC 9309 §2.5 invites
+#: implementation limits; real rules essentially never exceed two
+#: interior wildcards (``/*/*/admin``).
+ROBOTS_MAX_INTERIOR_WILDCARDS = 2
+#: regex rules are only evaluated against match targets at most this
+#: long; longer targets SKIP regex rules (no match) rather than
+#: truncate — a truncated target could falsely satisfy a ``$`` anchor.
+#: Plain-prefix rules (the vast majority) still match at any length.
+ROBOTS_REGEX_MATCH_MAX = 2048
+
+
+def robots_pattern_safe(pattern: str) -> bool:
+    """False when the pattern's regex translation could backtrack
+    catastrophically: more than :data:`ROBOTS_MAX_INTERIOR_WILDCARDS`
+    interior ``*`` after collapsing runs (``**`` == ``*``). Callers
+    drop unsafe rules at parse time (RFC 9309 §2.5 robustness /
+    implementation limits — hostile-only territory; see the constant's
+    note). Pure function."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    while "**" in core:
+        core = core.replace("**", "*")
+    interior = core.count("*")
+    if core.endswith("*") and not anchored:
+        interior -= 1  # a trailing star with no anchor never backtracks
+    return interior <= ROBOTS_MAX_INTERIOR_WILDCARDS
+
+
 def robots_pattern_regex(pattern: str) -> str | None:
     """RFC 9309 path pattern -> anchored regex, or None when the
     pattern is a PLAIN PREFIX (no mid-pattern ``*``, no ``$`` anchor)
@@ -82,9 +117,15 @@ def robots_pattern_regex(pattern: str) -> str | None:
     literal, the Google reading). The escaper covers exactly the
     regex metacharacters, producing a pattern Java regex (Spark) and
     RE2 (DuckDB) read identically — the shared-constant discipline, so
-    both engines must misparse together or not at all. Pure function."""
+    both engines must misparse together or not at all. Consecutive
+    ``*`` runs collapse first (identical semantics, and ``.*.*`` is a
+    classic backtracking amplifier); patterns failing
+    :func:`robots_pattern_safe` should be dropped BEFORE this
+    translation. Pure function."""
     anchored = pattern.endswith("$")
     core = pattern[:-1] if anchored else pattern
+    while "**" in core:
+        core = core.replace("**", "*")
     if "*" not in core and not anchored:
         return None
     esc = "".join(
@@ -123,6 +164,11 @@ def _robots_groups(
             in_group_body = True
             if not value:
                 continue  # empty Disallow/Allow: no rule
+            if not robots_pattern_safe(value):
+                # ReDoS guard (r16): >2 interior wildcards is a
+                # weaponized-robots.txt shape, never a real rule —
+                # dropped per RFC 9309 §2.5 implementation limits
+                continue
             # patterns are kept VERBATIM — including a trailing '*',
             # which is a match no-op but COUNTS toward longest-match
             # specificity (Google's octet counting: 'Allow: /a*' must
@@ -309,11 +355,21 @@ def robots_filter(
         by_host, on=keyed["_host"] == by_host["_rhost"], how="left"
     )
     path_c = F.col("_path")
+    # regex rules only evaluate against bounded targets (r16 ReDoS
+    # guard): even the capped two-interior-wildcard patterns are
+    # O(n^2) against a crafted target, so a hostile host minting
+    # megabyte URLs could still wedge the match — targets over
+    # ROBOTS_REGEX_MATCH_MAX skip regex rules (prefix rules, the vast
+    # majority, still apply at any length; skipping beats truncating,
+    # which could falsely satisfy a $ anchor)
     matched = F.filter(
         F.col("_rules"),
         lambda r: F.when(
             r["regex"].isNull(), path_c.startswith(r["prefix"])
-        ).otherwise(F.regexp_like(path_c, r["regex"])),
+        ).otherwise(
+            (F.length(path_c) <= ROBOTS_REGEX_MATCH_MAX)
+            & F.regexp_like(path_c, r["regex"])
+        ),
     )
     # array_max orders structs field-by-field: longest prefix wins,
     # ties go to allow (true > false) — the RFC 9309 evaluation

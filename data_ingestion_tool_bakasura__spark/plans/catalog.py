@@ -38,15 +38,20 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: verdict #1, executed per the BASELINE.md ledger; evidence computed
 #: by ``python tools/rotation.py``, the order generated from it
 #: mechanically — sort by (newest driver-green round, prior catalog
-#: position)): lead with the three impl-changed queries —
+#: position)): lead with the five impl-changed queries —
 #: q_stream_semantic_dedup (the sink's decisions append is now
-#: replay-idempotent via an anti-join reconciliation, r15 ADVICE) and
+#: replay-idempotent via an anti-join reconciliation, r15 ADVICE),
 #: q_image_near_dup + q_video_near_dup (their decode paths gained the
 #: MAX_PIXELS adversarial-allocation cap in the r16 codec
-#: trust-boundary review) — then ALL 25 remaining r12-evidence rows
-#: (q_profit_by_nation through q_embedding_near_dup), then the first
-#: 22 r13 rows (q_fetch_schedule through q_cosine_topk). After this
-#: window lands the oldest driver evidence anywhere is r13.
+#: trust-boundary review), and q_robots_filter + q_pii_redaction
+#: (ReDoS hardening, both measured: interior-wildcard cap + star
+#: collapse + bounded regex targets on the robots leg; RFC
+#: 5321-bounded email quantifiers on the PII leg — the oracle twins
+#: carry the identical guards) — then ALL 25 remaining r12-evidence
+#: rows (q_profit_by_nation through q_embedding_near_dup), then the
+#: first 20 remaining r13 rows (q_fetch_schedule through
+#: q_cosine_topk). After this window lands the oldest driver evidence
+#: anywhere is r13.
 #: Past the boundary the remaining r13 rows, the r14 block, and the
 #: r15 block continue stalest-first (ties keep their prior catalog
 #: order) so the r17 rotation reads straight off
@@ -67,6 +72,8 @@ _PRIORITY = [
     "q_stream_semantic_dedup",
     "q_image_near_dup",
     "q_video_near_dup",
+    "q_robots_filter",
+    "q_pii_redaction",
     "q_profit_by_nation",
     "q_revenue_forecast",
     "q_semantic_rerank",
@@ -93,7 +100,6 @@ _PRIORITY = [
     "q_sequence_packing",
     "q_embedding_near_dup",
     "q_fetch_schedule",
-    "q_robots_filter",
     "q_embedding_quantize",
     "q_simhash_bands",
     "q_dedup_clusters",
@@ -105,7 +111,6 @@ _PRIORITY = [
     "q_hash_split",
     "q_token_budget",
     "q_source_mixture",
-    "q_pii_redaction",
     "q_substring_dedup",
     "q_semantic_dedup",
     "q_paragraph_dedup",

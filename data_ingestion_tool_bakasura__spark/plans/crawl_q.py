@@ -467,7 +467,8 @@ WITH w AS (
   SELECT w.doc_id, w.host, r.allow, r.plen
   FROM w LEFT JOIN r ON r.host = w.host AND
     (CASE WHEN r.regex IS NULL THEN starts_with(w.path, r.prefix)
-          ELSE regexp_matches(w.path, r.regex) END)
+          ELSE length(w.path) <= {C.ROBOTS_REGEX_MATCH_MAX}
+               AND regexp_matches(w.path, r.regex) END)
 ), v AS (
   SELECT doc_id, host,
          (array_agg(allow ORDER BY plen DESC, allow DESC))[1] AS top_allow,

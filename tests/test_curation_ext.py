@@ -203,3 +203,25 @@ def test_null_text_is_inert_in_token_and_gram_paths(spark, tmp_path):
     # planted boilerplate pair does (6 distinct 20-grams in 25 tokens)
     assert out["web"]["n_docs_with_repeats"] == 2
     assert out["web"]["n_repeated_grams"] == 6
+
+
+def test_email_redaction_linear_on_hostile_blobs(spark):
+    """r16 ReDoS review (measured): the unbounded email pattern was
+    quadratic on '@'-bearing unbroken runs — 4s for ONE 20KB blob,
+    hours for 1MB, and base64-with-@ blobs exist in any web corpus.
+    The RFC 5321-bounded pattern ({1,64}@{1,255}) scans linearly, and
+    still matches real emails identically."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.functions import redact as RD
+
+    blob = "junk a@" + "a" * 200_000 + " end x@mail.example.com tail"
+    df = spark.createDataFrame([(1, blob)], "doc_id long, text string")
+    t = time.time()
+    out = RD.redact_pii(df, "text").collect()[0]
+    took = time.time() - t
+    assert out["n_pii_email"] == 1  # the real address, not the blob
+    assert "[PII:email]" in out["text"]
+    assert took < 30, f"email scan took {took:.1f}s on a 200KB blob"

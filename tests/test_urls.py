@@ -757,3 +757,53 @@ def test_robots_filter_randomized_parity_vs_python_reference(spark):
     df = spark.createDataFrame(urls_rows, "id int, url string")
     got_keep = {r["id"] for r in C.robots_filter(df, spark_rules).collect()}
     assert got_keep == want_keep
+
+
+def test_robots_redos_guards():
+    """r16 ReDoS review (measured in Spark's Java regex): a pattern
+    with k interior wildcards is O(n^k) against a crafted non-matching
+    target, and a hostile host controls both the robots.txt AND its
+    URLs (23s per single match at k=3/n=4096). Guards: consecutive
+    stars collapse (identical semantics), rules with >2 interior
+    wildcards drop at parse per RFC 9309 §2.5 limits, and regex rules
+    skip targets over ROBOTS_REGEX_MATCH_MAX (skip, not truncate — a
+    truncated target could falsely satisfy a $ anchor)."""
+    from data_ingestion_tool_bakasura__spark.operators import crawl as C
+
+    # collapse: '**' == '*' in RFC 9309 semantics
+    assert C.robots_pattern_regex("/a****b*") == "^/a.*b.*"
+    # the safe predicate: trailing unanchored star never backtracks
+    assert C.robots_pattern_safe("/*/*/admin")      # 2 interior: real shape
+    assert C.robots_pattern_safe("/a*b*")           # trailing star free
+    assert C.robots_pattern_safe("/a****b")         # collapses to 1
+    assert not C.robots_pattern_safe("/*x*x*x$")    # 3 interior (anchored)
+    assert not C.robots_pattern_safe("/*a*b*c*d")   # 3 interior + trailing lit
+    # parse drops the hostile rule, keeps the legit ones
+    body = ("User-agent: *\nDisallow: /*x*x*x*x*x$\n"
+            "Disallow: /safe\nAllow: /*/*/ok\n")
+    assert C.parse_robots(body) == [("/safe", False), ("/*/*/ok", True)]
+
+
+def test_robots_filter_skips_regex_on_oversized_targets(spark):
+    """Regex rules must not evaluate against attacker-length URLs:
+    a 100KB path skips the wildcard rule (allowed — under-blocking on
+    pathological URLs, documented) while prefix rules still apply."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.operators import crawl as C
+
+    rules = spark.createDataFrame(
+        [("h.com", "/*x*y$", False, 6, C.robots_pattern_regex("/*x*y$")),
+         ("h.com", "/block", False, 6, None)],
+        "host string, prefix string, allow boolean, prefix_len int, regex string",
+    )
+    long_path = "http://h.com/" + "xz" * 50_000 + "y"
+    df = spark.createDataFrame(
+        [(long_path,), ("http://h.com/block/" + "a" * 5000,),
+         ("http://h.com/axy",)],
+        "url string",
+    )
+    kept = [r["url"][:20] for r in C.robots_filter(df, rules, "url").collect()]
+    # the long URL passes (regex skipped); the prefix rule still blocks
+    # its 5KB URL; the short URL matching the wildcard rule is blocked
+    assert kept == [long_path[:20]]
