@@ -26,11 +26,15 @@ PII_PATTERNS: dict[str, str] = {
     # BOUNDED quantifiers (r16 ReDoS review, measured): the unbounded
     # form was quadratic on '@'-bearing unbroken runs — 4s for ONE
     # 20 KB base64-ish blob in Spark's Java regex, hours for a 1 MB
-    # one, and such blobs exist in any web-scale corpus. RFC 5321
-    # caps the local part at 64 octets and the domain at 255, so the
-    # bounds also reject only non-deliverable shapes; per-start
-    # backtracking is now <= ~320 chars -> linear scans.
-    "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
+    # one, and such blobs exist in any web-scale corpus. Bounds are
+    # set FAR ABOVE the deliverable limits (RFC 5321: local 64,
+    # domain 255) so real addresses AND over-limit quasi-addresses
+    # (SRS-rewritten forwards and the like) still redact FULLY — a
+    # tight local bound partially matched a 70-char local and leaked
+    # its leading chars (r16 fix-chain review). Only degenerate
+    # >320-char runs partially match; per-start backtracking is
+    # <= ~600 chars -> linear scans.
+    "email": r"[A-Za-z0-9._%+-]{1,320}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     # 123-45-6789 (US SSN shape) before ipv4/phone so neither eats it
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",

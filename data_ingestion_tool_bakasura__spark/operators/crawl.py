@@ -92,20 +92,33 @@ ROBOTS_MAX_INTERIOR_WILDCARDS = 2
 ROBOTS_REGEX_MATCH_MAX = 2048
 
 
-def robots_pattern_safe(pattern: str) -> bool:
-    """False when the pattern's regex translation could backtrack
-    catastrophically: more than :data:`ROBOTS_MAX_INTERIOR_WILDCARDS`
-    interior ``*`` after collapsing runs (``**`` == ``*``). Callers
-    drop unsafe rules at parse time (RFC 9309 §2.5 robustness /
-    implementation limits — hostile-only territory; see the constant's
-    note). Pure function."""
+def _collapsed_core(pattern: str) -> tuple[str, bool]:
+    """Shared anchor-strip + consecutive-star collapse for the safe
+    predicate and the regex translation — ONE definition (r16
+    fix-chain review): the predicate only models the translation
+    correctly while the two derivations stay byte-identical."""
     anchored = pattern.endswith("$")
     core = pattern[:-1] if anchored else pattern
     while "**" in core:
         core = core.replace("**", "*")
+    return core, anchored
+
+
+def robots_pattern_safe(pattern: str) -> bool:
+    """False when the pattern's regex translation could backtrack
+    catastrophically: more than :data:`ROBOTS_MAX_INTERIOR_WILDCARDS`
+    interior ``*`` after collapsing runs (``**`` == ``*``). A TRAILING
+    star is exempt whether anchored or not (r16 fix-chain review,
+    measured): unanchored it translates to a final ``.*`` that never
+    backtracks, and anchored the final ``.*$`` consumes to the end
+    and matches in O(1) — 12ms vs 3.8s for a true third interior star
+    at a 4KB target. Callers drop unsafe rules at parse time (RFC
+    9309 §2.5 robustness / implementation limits — hostile-only
+    territory; see the constant's note). Pure function."""
+    core, _anchored = _collapsed_core(pattern)
     interior = core.count("*")
-    if core.endswith("*") and not anchored:
-        interior -= 1  # a trailing star with no anchor never backtracks
+    if core.endswith("*"):
+        interior -= 1
     return interior <= ROBOTS_MAX_INTERIOR_WILDCARDS
 
 
@@ -122,10 +135,7 @@ def robots_pattern_regex(pattern: str) -> str | None:
     classic backtracking amplifier); patterns failing
     :func:`robots_pattern_safe` should be dropped BEFORE this
     translation. Pure function."""
-    anchored = pattern.endswith("$")
-    core = pattern[:-1] if anchored else pattern
-    while "**" in core:
-        core = core.replace("**", "*")
+    core, anchored = _collapsed_core(pattern)
     if "*" not in core and not anchored:
         return None
     esc = "".join(
@@ -343,6 +353,21 @@ def robots_filter(
     )
     if "regex" not in rules.columns:  # pre-r12 persisted rule tables
         rules = rules.withColumn("regex", F.lit(None).cast("string"))
+    # re-validate PERSISTED rules (r16 fix-chain review): the
+    # interior-wildcard cap guards at parse time, but this function's
+    # back-compat contract accepts rule tables persisted BEFORE the
+    # cap existed — a stored hostile k>=3 regex would still wedge the
+    # match. Each collapsed wildcard is exactly one '.*' in the
+    # translation (literal dots escape to '\.'), and a trailing
+    # '.*' / '.*$' never backtracks, so the cap re-derives from the
+    # regex itself — once per RULE on the small side, never per page.
+    rx = F.col("regex")
+    n_wild = (F.length(rx) - F.length(F.replace(rx, F.lit(".*"), F.lit("")))) / 2
+    trailing = (rx.endswith(".*") | rx.endswith(".*$")).cast("int")
+    rules = rules.filter(
+        rx.isNull()
+        | ((n_wild - trailing) <= ROBOTS_MAX_INTERIOR_WILDCARDS)
+    )
     by_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
         F.collect_list(
             F.struct("prefix", "allow", "prefix_len", "regex")
@@ -350,7 +375,11 @@ def robots_filter(
     )
     if broadcast_rules:
         by_host = F.broadcast(by_host)
-    keyed = df.withColumn("_host", host).withColumn("_path", target)
+    keyed = (
+        df.withColumn("_host", host)
+        .withColumn("_path", target)
+        .withColumn("_plen", F.length("_path"))
+    )
     joined = keyed.join(
         by_host, on=keyed["_host"] == by_host["_rhost"], how="left"
     )
@@ -359,15 +388,22 @@ def robots_filter(
     # guard): even the capped two-interior-wildcard patterns are
     # O(n^2) against a crafted target, so a hostile host minting
     # megabyte URLs could still wedge the match — targets over
-    # ROBOTS_REGEX_MATCH_MAX skip regex rules (prefix rules, the vast
-    # majority, still apply at any length; skipping beats truncating,
-    # which could falsely satisfy a $ anchor)
+    # ROBOTS_REGEX_MATCH_MAX skip regex rules. Skipping beats
+    # truncating (a truncated target could falsely satisfy a $
+    # anchor), and the verdict on such a URL is "whatever the PREFIX
+    # rules say" — that can land on either side: a Disallow regex
+    # skipped under-blocks, and an Allow regex that would have
+    # rescued a matching Disallow prefix over-blocks. Both are
+    # deterministic and confined to >2KB URLs, themselves a refusal
+    # shape. ``_plen`` is computed once per row, not per rule
+    # (higher-order lambdas get no subexpression elimination).
+    plen_c = F.col("_plen")
     matched = F.filter(
         F.col("_rules"),
         lambda r: F.when(
             r["regex"].isNull(), path_c.startswith(r["prefix"])
         ).otherwise(
-            (F.length(path_c) <= ROBOTS_REGEX_MATCH_MAX)
+            (plen_c <= ROBOTS_REGEX_MATCH_MAX)
             & F.regexp_like(path_c, r["regex"])
         ),
     )

@@ -440,12 +440,17 @@ def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
 def _robots_rules_values() -> str:
     """Inline VALUES mirroring robots_rules_df's output — the regex
     column comes from the SAME robots_pattern_regex translation the
-    Spark side uses (shared-constant discipline); prefix_len counts
-    the raw pattern's octets, wildcards included."""
+    Spark side uses (shared-constant discipline), and the SAME
+    robots_pattern_safe drop the parser applies (r16 — without it a
+    future >2-interior-wildcard fixture rule would be enforced by the
+    oracle while Spark's parser drops it); prefix_len counts the raw
+    pattern's octets, wildcards included."""
     rows = []
     for d in range(13):
         for who, pattern, allow in _ROBOTS_RULES:
             if who is None or who == d:
+                if not C.robots_pattern_safe(pattern):
+                    continue  # the parser drops it; the twin must too
                 rx = C.robots_pattern_regex(pattern)
                 rows.append(
                     f"('example{d}.com', '{pattern}', "

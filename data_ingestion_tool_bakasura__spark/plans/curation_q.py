@@ -508,7 +508,7 @@ WITH salted AS (
 ),
 red AS (
   SELECT source, text,
-         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}')) AS n_email,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]{1,320}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}')) AS n_email,
          len(regexp_extract_all(text, '\+\d(?:[\- ]?\d){7,}')) AS n_phone,
          len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
          len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
@@ -516,7 +516,7 @@ red AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(text,
-                 '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '[PII:email]', 'g'),
+                 '[A-Za-z0-9._%+-]{1,320}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '[PII:email]', 'g'),
                '\b\d{3}-\d{2}-\d{4}\b', '[PII:ssn]', 'g'),
              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII:ipv4]', 'g'),
            '\+\d(?:[\- ]?\d){7,}', '[PII:phone]', 'g') AS redacted

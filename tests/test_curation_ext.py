@@ -225,3 +225,22 @@ def test_email_redaction_linear_on_hostile_blobs(spark):
     assert out["n_pii_email"] == 1  # the real address, not the blob
     assert "[PII:email]" in out["text"]
     assert took < 30, f"email scan took {took:.1f}s on a 200KB blob"
+
+
+def test_email_redaction_fully_masks_over_limit_addresses(spark):
+    """r16 fix-chain review (reproduced): a tight {1,64} local bound
+    PARTIALLY matched a 70-char local (SRS-rewritten forwards exceed
+    64) and leaked its leading characters unredacted; the bounds now
+    sit far above deliverable limits so such addresses mask fully."""
+    from data_ingestion_tool_bakasura__spark.functions import redact as RD
+
+    # 76-char local part, all in the local char class (an SRS-style
+    # rewrite spelled with '.' separators — '=' was never in-class)
+    addr = "SRS0.abcd.ef.origin.example." + "u" * 48 + "@forwarder.net"
+    assert len(addr.split("@")[0]) > 64
+    df = spark.createDataFrame(
+        [(1, f"fwd from {addr} today")], "doc_id long, text string"
+    )
+    out = RD.redact_pii(df, "text").collect()[0]
+    assert out["text"] == "fwd from [PII:email] today"  # no leaked prefix
+    assert out["n_pii_email"] == 1

