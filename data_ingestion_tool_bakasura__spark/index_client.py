@@ -33,6 +33,20 @@ from data_ingestion_tool_bakasura__spark.schema import INDEX_SCHEMA
 from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 
 
+def _is_staging_artifact(name: str) -> bool:
+    """True for entries Spark's FileOutputCommitter (v1/v2) leaves
+    behind in a torn first write — the ONLY things initialize()'s
+    heal may delete. Anything else hidden (``.git``, ``.config``,
+    ``_metadata`` from another system) is not ours to remove."""
+    return (
+        name == "_temporary"
+        or name == "_SUCCESS"
+        or name.startswith("_started_")
+        or name.startswith("_committed_")
+        or (name.startswith(".") and name.endswith(".crc"))
+    )
+
+
 class IndexClient:
     """Query/ingest client over one index table (parquet directory)."""
 
@@ -66,18 +80,29 @@ class IndexClient:
         only Spark's ``_temporary`` staging — ``_exists`` raises
         UNABLE_TO_INFER_SCHEMA (not PATH_NOT_FOUND) and
         ``mode("ignore")`` no-ops because the path exists, wedging
-        every retry. Under the lock, a directory with ONLY hidden
-        (``_``/``.``) entries — the ``_has_table`` discipline, never
-        data — is cleared so the create can run; a directory with any
-        committed data is untouched."""
+        every retry. Under the lock, a directory holding ONLY known
+        Spark staging artifacts (``_temporary``, ``_SUCCESS``,
+        ``.*.crc``, ``_started_*``/``_committed_*`` markers) is
+        cleared so the create can run; anything else raises. The
+        r16 heal matched ANY all-hidden directory, which turned a
+        misconfigured path (a dotfiles dir, a ``.git``-only
+        checkout) into an rmtree target — contradicting this
+        method's own never-destructive contract (r17 advice)."""
         import shutil
 
         with self._writer_lock():
             local = self.path.removeprefix("file://")
-            if os.path.isdir(local) and not any(
-                not e.startswith(("_", ".")) for e in os.listdir(local)
-            ):
-                shutil.rmtree(local)
+            if os.path.isdir(local):
+                entries = os.listdir(local)
+                if entries and all(_is_staging_artifact(e) for e in entries):
+                    shutil.rmtree(local)
+                elif entries and all(e.startswith(("_", ".")) for e in entries):
+                    raise RuntimeError(
+                        f"refusing to heal {self.path!r}: directory holds only "
+                        f"hidden entries but they are not Spark staging "
+                        f"artifacts ({entries[:5]!r}...); inspect and clear it "
+                        f"manually if it is safe to discard"
+                    )
             if not self._exists():
                 empty = self.spark.createDataFrame([], INDEX_SCHEMA)
                 empty.write.mode("ignore").parquet(self.path)
@@ -93,7 +118,22 @@ class IndexClient:
             self.spark.read.parquet(self.path).limit(1).collect()
             return True
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
+            # Compare the structured error class, not the rendered
+            # message — message wording changes across Spark versions
+            # (r17 advice). Fall back to the substring only when the
+            # accessor yields nothing (older connectors).
+            cond = None
+            for acc in ("getCondition", "getErrorClass"):
+                fn = getattr(e, acc, None)
+                if callable(fn):
+                    with contextlib.suppress(Exception):
+                        cond = fn()
+                    if cond:
+                        break
+            if cond is not None:
+                if cond == "PATH_NOT_FOUND":
+                    return False
+            elif "PATH_NOT_FOUND" in str(e):
                 return False
             raise
 

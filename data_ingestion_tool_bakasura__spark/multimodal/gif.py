@@ -117,7 +117,12 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
         # refuse adversarial dims BEFORE the LZW decode (r16 codec
         # review): _lzw_decode's output bound IS w*h, so a hostile
         # descriptor (16-bit dims allow 65535^2 ~ 4.3e9) sets a
-        # multi-gigabyte expansion budget from a tiny input
+        # multi-gigabyte expansion budget from a tiny input. This cap
+        # is also the PER-FILE budget, not just per-frame: the return
+        # below fires on the first image descriptor, so later frames
+        # of an animated GIF are never decoded (invariant pinned by
+        # test_multiframe_cost_is_one_frame — a refactor that walks
+        # frames must add a cumulative budget here)
         from data_ingestion_tool_bakasura__spark.multimodal.png import (
             check_pixel_cap,
         )

@@ -112,3 +112,33 @@ def test_adversarial_descriptor_dims_refused_before_lzw():
     hostile = hdr + desc + bytes([2]) + b"\x01\x04\x00" + b"\x3b"
     with pytest.raises(ValueError, match="MAX_PIXELS"):
         G.decode_gif_luma(hostile)
+
+
+def test_multiframe_cost_is_one_frame(monkeypatch):
+    """r17 advice adjudication (reproduction FAILED, invariant locked):
+    the advice claimed _decode walks every image descriptor, so an
+    animated GIF could cost frames x MAX_PIXELS of LZW work. It does
+    not — _decode returns inside the loop at the FIRST 0x2C block, so
+    the per-frame pixel cap IS the per-file budget. This test pins
+    that: _lzw_decode must run exactly once no matter how many frames
+    follow, so a future refactor that starts walking frames inherits
+    the cumulative-budget concern loudly."""
+    from data_ingestion_tool_bakasura__spark.multimodal import gif as G
+
+    px = _grad(32, 32)
+    single = encode_gif_gray(32, 32, px)
+    body = single[6 + 7 + 3 * 256 : -1]  # descriptor..before-trailer
+    assert body[0] == 0x2C
+    multi = single[:-1] + body * 199 + b"\x3B"  # 200 frames
+
+    calls = []
+    real = G._lzw_decode
+
+    def counting(mcs, data, n_expected):
+        calls.append(n_expected)
+        return real(mcs, data, n_expected)
+
+    monkeypatch.setattr(G, "_lzw_decode", counting)
+    dw, dh, luma = decode_gif_luma(multi)
+    assert (dw, dh, luma) == (32, 32, px)
+    assert calls == [32 * 32]  # one frame decoded, ever

@@ -724,3 +724,39 @@ def test_initialize_heals_torn_first_write(spark, tmp_path):
     assert client.stats()["document_count"] == 0
     n = client.store(_rows(spark, 0, 5))
     assert n > 0
+
+
+def test_initialize_heal_scoped_to_spark_staging_artifacts(spark, tmp_path):
+    """r17 advice (reproduced): the r16 torn-write heal rmtree'd ANY
+    directory whose entries were all hidden, so a client misconfigured
+    at a dotfiles dir (or a .git-only checkout) was recursively
+    deleted — contradicting initialize()'s never-destructive contract.
+    The heal now deletes only directories holding nothing but Spark
+    staging artifacts (_temporary/_SUCCESS/.*.crc/commit markers);
+    other all-hidden directories raise for operator inspection."""
+    import os
+
+    import pytest
+
+    # (1) a dotfiles dir must survive initialize() and raise
+    dot = str(tmp_path / "dotfiles")
+    os.makedirs(os.path.join(dot, ".git"))
+    with open(os.path.join(dot, ".bashrc"), "w") as f:
+        f.write("export X=1\n")
+    client = IndexClient(spark, dot, embedding_dim=8)
+    with pytest.raises(RuntimeError, match="refusing to heal"):
+        client.initialize()
+    assert os.path.exists(os.path.join(dot, ".bashrc"))  # untouched
+    assert os.path.isdir(os.path.join(dot, ".git"))
+
+    # (2) a mixed torn write (_SUCCESS-less staging + crc sidecars)
+    # still heals — this is the exact artifact set a v1 committer
+    # crash leaves behind
+    torn = str(tmp_path / "idx_torn_mixed")
+    os.makedirs(os.path.join(torn, "_temporary", "0"))
+    with open(os.path.join(torn, ".part-00000.crc"), "wb") as f:
+        f.write(b"\x00")
+    healed = IndexClient(spark, torn, embedding_dim=8)
+    healed.initialize()
+    assert healed.stats()["document_count"] == 0
+    assert healed.store(_rows(spark, 0, 3)) > 0
