@@ -123,10 +123,13 @@ def html_blocks_py(html: str) -> list[tuple[str, int]]:
             if self.a_depth:
                 link_buf.append(data)
 
+    from data_ingestion_tool_bakasura__spark.functions.htmlguard import (
+        bounded_parse,
+    )
+
     p = _P()
     try:
-        p.feed(html or "")
-        p.close()
+        bounded_parse(p, html or "")  # r17: work-budgeted (hostile pages)
     except Exception:
         pass  # tolerant: keep whatever parsed before the hiccup
     flush()

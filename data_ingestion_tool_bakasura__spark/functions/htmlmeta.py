@@ -96,10 +96,13 @@ def html_meta_py(html: str) -> dict:
             if self.in_title:
                 title_buf.append(data)
 
+    from data_ingestion_tool_bakasura__spark.functions.htmlguard import (
+        bounded_parse,
+    )
+
     p = _P()
     try:
-        p.feed(html or "")
-        p.close()
+        bounded_parse(p, html or "")  # r17: work-budgeted (hostile pages)
     except Exception:
         pass  # tolerant: keep whatever parsed before the hiccup
     return out
@@ -168,10 +171,13 @@ def html_links_py(html: str) -> list[tuple[str, str | None]]:
             if stack:
                 stack[-1][1].append(data)
 
+    from data_ingestion_tool_bakasura__spark.functions.htmlguard import (
+        bounded_parse,
+    )
+
     p = _L()
     try:
-        p.feed(html or "")
-        p.close()
+        bounded_parse(p, html or "")  # r17: work-budgeted (hostile pages)
     except Exception:
         pass
     # unclosed anchors at EOF still count (truncated pages)

@@ -261,10 +261,13 @@ def html_to_text_py(html: str) -> str:
     ingestion path (``sources/warc.py``) — pure function first so it
     unit-tests without Spark; malformed markup never raises (the
     parser is tolerant by design), it just yields what it can."""
+    from data_ingestion_tool_bakasura__spark.functions.htmlguard import (
+        bounded_parse,
+    )
+
     p = _HtmlTextParser()
     try:
-        p.feed(html or "")
-        p.close()
+        bounded_parse(p, html or "")  # r17: work-budgeted (hostile pages)
     except Exception:
         pass  # tolerant: keep whatever was parsed before the hiccup
     lines = [_WS_RUN_RE.sub(" ", ln).strip()

@@ -112,14 +112,38 @@ class BloomSeenSet:
     def load(cls, spark: SparkSession, path: str) -> "BloomSeenSet":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        if not isinstance(meta, dict):
+            raise ValueError(
+                f"bloom meta {path}: not a JSON object — corrupt artifact"
+            )
+        m, k = meta.get("m"), meta.get("k")
+        # validate the UNTRUSTED meta shape BEFORE building anything on
+        # it (r17 themed review, both reproduced): m=0 passed the size
+        # check against an empty bitmap and every later probe died
+        # mid-query with REMAINDER_BY_ZERO — a corrupt CACHE artifact
+        # bricking the stream, exactly what load_or_create's fallback
+        # exists to absorb; and k is the count of codegen exprs built
+        # per probe, so k=200_000 from a garbled meta wedges the DRIVER
+        # for ~15 min before any error. Bounds are generous over what
+        # this class ever writes (bloom_params: m >= 1024, k <= 16).
+        if not isinstance(m, int) or isinstance(m, bool) or m < 64 or m % 8:
+            raise ValueError(
+                f"bloom meta {path}: invalid m={m!r} — corrupt artifact"
+            )
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 256:
+            raise ValueError(
+                f"bloom meta {path}: invalid k={k!r} — corrupt artifact"
+            )
+        n_added = meta.get("n_added", 0)
+        if not isinstance(n_added, int) or isinstance(n_added, bool) or n_added < 0:
+            n_added = 0  # informational only; never worth a rebuild
         bitmap = np.fromfile(os.path.join(path, "bitmap.bin"), dtype=np.uint8)
-        if bitmap.size != meta["m"] // 8:
+        if bitmap.size != m // 8:
             raise ValueError(
                 f"bloom bitmap {path}: {bitmap.size} bytes, meta says "
-                f"{meta['m'] // 8} — torn artifact"
+                f"{m // 8} — torn artifact"
             )
-        return cls(spark, path, meta["m"], meta["k"], bitmap,
-                   meta.get("n_added", 0))
+        return cls(spark, path, m, k, bitmap, n_added)
 
     @classmethod
     def load_or_create(cls, spark: SparkSession, path: str,

@@ -50,6 +50,85 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 _ZSTD_DICT_FRAME_MAGIC = b"\x5d\x2a\x4d\x18"
 
 
+def _bounded_gunzip(raw: bytes) -> bytes:
+    """Multi-member gzip decompress under the codec inflate budget
+    (r17 themed review, reproduced: ``gzip.decompress`` materializes
+    the FULL output before any caller can measure it, so a ~1 MiB
+    deflate bomb — gzip's 1032:1 ceiling — inflates ~1 GiB per member
+    and a concatenated-member bomb multiplies that without bound).
+    Semantics match ``gzip.decompress`` exactly on non-bomb input
+    (pinned by test: multi-member concat, trailing-zero padding
+    tolerated, garbage -> BadGzipFile, truncation -> EOFError);
+    crossing the budget raises ValueError so the archive fails loudly
+    like any other corrupt member."""
+    import zlib
+
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        inflate_budget,
+    )
+
+    budget = inflate_budget(len(raw))
+    out: list[bytes] = []
+    total = 0
+    data = bytes(raw)
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        buf = data
+        while True:
+            chunk = d.decompress(buf, 1 << 20)
+            total += len(chunk)
+            if total > budget:
+                raise ValueError(
+                    f"gzip stream inflates past the {budget}-byte "
+                    f"budget for {len(raw)} compressed bytes: refusing "
+                    f"adversarial allocation (gzip bomb?)"
+                )
+            if chunk:
+                out.append(chunk)
+            if d.eof:
+                data = d.unused_data
+                break
+            buf = d.unconsumed_tail
+            if not buf:
+                raise EOFError(
+                    "Compressed file ended before the end-of-stream "
+                    "marker was reached"
+                )
+    if data.strip(b"\x00"):
+        raise gzip.BadGzipFile(f"Not a gzipped file ({data[:2]!r})")
+    return b"".join(out)
+
+
+def _bounded_zstd_read(zstandard, reader, n_compressed: int, what: str) -> bytes:
+    """Drain a zstd ``stream_reader`` under the inflate budget. The
+    ctypes shim enforces the identical budget inside its decode loop
+    (it cannot read incrementally), so it drains in one call; the
+    ``zstandard`` package leg reads 1 MiB slices and refuses once the
+    budget is crossed — BEFORE the bomb materializes, which a
+    ``len(read())`` check after the fact cannot do."""
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        inflate_budget,
+    )
+
+    if getattr(zstandard, "backend", "") == "ctypes-libzstd":
+        return reader.read()
+    budget = inflate_budget(n_compressed)
+    chunks: list[bytes] = []
+    total = 0
+    while True:
+        b = reader.read(1 << 20)
+        if not b:
+            return b"".join(chunks)
+        total += len(b)
+        if total > budget:
+            raise ValueError(
+                f"{what} inflates past the {budget}-byte budget for "
+                f"{n_compressed} compressed bytes: refusing adversarial "
+                f"allocation (zstd bomb?)"
+            )
+        chunks.append(b)
+
+
 def _seekable_zstd_dictionary(raw: bytes, zstandard) -> bytes | None:
     """Dictionary bytes from a leading seekable-``.warc.zst``
     dictionary frame, or ``None`` when the archive opens with anything
@@ -76,7 +155,9 @@ def _seekable_zstd_dictionary(raw: bytes, zstandard) -> bytes | None:
         with zstandard.ZstdDecompressor().stream_reader(
             payload, read_across_frames=True
         ) as r:
-            payload = r.read()
+            payload = _bounded_zstd_read(
+                zstandard, r, len(payload), ".warc.zst dictionary frame"
+            )
     return payload
 
 
@@ -115,7 +196,7 @@ def parse_warc_records(
     file's dictionary ONCE and reuses it across thousands of member
     slices instead of re-inflating it per slice."""
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
+        raw = _bounded_gunzip(raw)
     elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
         # zstd SKIPPABLE frame magic 0x184D2A50..5F — how CC's seekable
         # .warc.zst opens (the dictionary frame); must route to the
@@ -144,7 +225,9 @@ def parse_warc_records(
             with zstandard.ZstdDecompressor(**dkw).stream_reader(
                 raw, read_across_frames=True
             ) as r:
-                raw = r.read()
+                raw = _bounded_zstd_read(
+                    zstandard, r, len(raw), "zstd WARC member"
+                )
         except zstandard.ZstdError as exc:
             # a dictionary-compressed member with no dictionary frame
             # (or corrupt bytes) — fail loudly, never return an empty
@@ -219,6 +302,89 @@ def _dechunk(payload: bytes) -> bytes:
     return b"".join(out)
 
 
+def _bounded_zlib_body(payload: bytes, wbits: int) -> bytes:
+    """One-stream zlib/gzip/deflate inflate for a CRAWLED response
+    body under the codec inflate budget (r17 themed review: these
+    bytes are attacker-authored wire content, the same bomb class as
+    the archive members). Semantics match ``zlib.decompress(p, wbits)``
+    on non-bomb input — trailing junk tolerated, truncation raises
+    ``zlib.error`` — and an over-budget body raises ``zlib.error`` too,
+    so the existing best-effort chain keeps the compressed bytes
+    rather than killing the task: one hostile page must never fail
+    the archive (per-record isolation), it just stays undecoded."""
+    import zlib
+
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        inflate_budget,
+    )
+
+    budget = inflate_budget(len(payload))
+    d = zlib.decompressobj(wbits)
+    out: list[bytes] = []
+    total = 0
+    buf = payload
+    while True:
+        chunk = d.decompress(buf, 1 << 20)
+        total += len(chunk)
+        if total > budget:
+            raise zlib.error(
+                f"body inflates past the {budget}-byte budget "
+                f"(compression bomb?)"
+            )
+        if chunk:
+            out.append(chunk)
+        if d.eof:
+            return b"".join(out)
+        buf = d.unconsumed_tail
+        if not buf:
+            raise zlib.error("incomplete or truncated stream")
+
+
+def _bounded_brotli_body(payload: bytes) -> bytes:
+    """Brotli leg of the body decode, import-gated (passes through
+    compressed when no ``brotli`` lib is importable — the fitz-style
+    gate). When the lib exposes an incremental decompressor
+    (``brotli.Decompressor`` in both google-brotli and brotlicffi),
+    input is fed in 64 KiB slices with the inflate budget checked
+    after each — a bomb is refused within one slice's expansion of
+    the budget instead of fully materializing. A lib exposing only
+    one-shot ``decompress`` still decodes (bounded enforcement is
+    impossible there; the gate keeps this leg rare). Any failure —
+    budget, corrupt bytes, API mismatch — keeps the compressed
+    payload, same per-record isolation as the zlib leg."""
+    try:
+        import brotli  # type: ignore[import-not-found]
+    except ImportError:
+        return payload
+    from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+        inflate_budget,
+    )
+
+    budget = inflate_budget(len(payload))
+    try:
+        dec = getattr(brotli, "Decompressor", None)
+        if dec is not None:
+            d = dec()
+            feed = getattr(d, "decompress", None) or getattr(d, "process", None)
+            if feed is None:
+                raise AttributeError("no incremental decompress method")
+            out: list[bytes] = []
+            total = 0
+            for i in range(0, len(payload), 1 << 16):
+                chunk = feed(payload[i : i + (1 << 16)])
+                total += len(chunk)
+                if total > budget:
+                    raise ValueError("brotli body inflates past budget")
+                out.append(chunk)
+            return b"".join(out)
+        decoded = brotli.decompress(payload)
+        if len(decoded) > budget:
+            raise ValueError("brotli body inflates past budget")
+        return decoded
+    except Exception:
+        return payload
+
+
 def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     """Split an archived HTTP response into (status, content-type,
     payload). Non-HTTP bodies (warcinfo, metadata, resource records)
@@ -253,21 +419,16 @@ def split_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
 
         try:
             # 47: auto-detect gzip/zlib headers; raw-deflate retried bare
-            payload = zlib.decompress(payload, 47)
+            payload = _bounded_zlib_body(payload, 47)
         except zlib.error:
             try:
-                payload = zlib.decompress(payload, -15)
+                payload = _bounded_zlib_body(payload, -15)
             except zlib.error:
                 pass  # keep the compressed bytes; magic is detectable downstream
     elif cenc == "br":
         # import-gated like the fitz/tesseract legs: decode when a brotli
         # lib is installed, pass through compressed otherwise
-        try:
-            import brotli  # type: ignore[import-not-found]
-
-            payload = brotli.decompress(payload)
-        except Exception:
-            pass
+        payload = _bounded_brotli_body(payload)
     return status, ctype, payload
 
 

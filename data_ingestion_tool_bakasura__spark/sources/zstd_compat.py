@@ -49,6 +49,29 @@ class ZstdError(Exception):
     ``zstandard.ZstdError`` so callers catch one shape)."""
 
 
+#: Adversarial-allocation budget for inflating UNTRUSTED compressed
+#: bytes — the codecs' MAX_PIXELS analogue (r17 themed review,
+#: reproduced: a 1 MiB crafted .warc.zst of RLE blocks decompresses
+#: ~20 GiB and OOMs the worker before any caller can look at the
+#: output size). Real archive ratios sit at 3–10×; the 256× ratio
+#: plus the 8 GiB ceiling admits every plausible legitimate archive
+#: while bounding what a bomb can make one task allocate. The floor
+#: keeps tiny members (single-record range fetches) from tripping on
+#: ratio alone. Read at call time so tests can shrink them.
+MAX_INFLATE_RATIO = 256
+MIN_INFLATE_BUDGET = 64 * 1024 * 1024
+MAX_INFLATE_BUDGET = 8 * 1024 * 1024 * 1024
+
+
+def inflate_budget(n_compressed: int) -> int:
+    """Max decompressed bytes one inflate of ``n_compressed`` input
+    may produce before it is refused as a decompression bomb."""
+    return min(
+        MAX_INFLATE_BUDGET,
+        max(MIN_INFLATE_BUDGET, MAX_INFLATE_RATIO * int(n_compressed)),
+    )
+
+
 class _InBuffer(ctypes.Structure):
     # ZSTD_inBuffer: {const void* src; size_t size; size_t pos;}
     _fields_ = [
@@ -273,6 +296,8 @@ class _StreamReader:
             # fresh-frame boundary returns a next-frame hint and must
             # not be read as mid-frame truncation.
             status = 0
+            budget = inflate_budget(len(data))
+            total = 0
             while True:
                 before = inb.pos
                 outb = _OutBuffer(
@@ -287,6 +312,16 @@ class _StreamReader:
                 if outb.pos or inb.pos > before:
                     status = ret
                 if outb.pos:
+                    total += outb.pos
+                    if total > budget:
+                        # r17 themed review: enforced INSIDE the loop —
+                        # a caller checking len(read()) is already OOM
+                        raise ZstdError(
+                            f"decompressed output exceeds the "
+                            f"{budget}-byte inflate budget for "
+                            f"{len(data)} compressed bytes: refusing "
+                            f"adversarial allocation (zstd bomb?)"
+                        )
                     chunks.append(obuf.raw[: outb.pos])
                 if inb.pos >= inb.size and outb.pos < osz:
                     break

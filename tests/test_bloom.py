@@ -419,3 +419,53 @@ def test_load_or_create_tolerates_mistyped_meta_json(spark, tmp_path, caplog):
         fresh = BloomSeenSet.load_or_create(spark, p, n_expected=100)
     assert fresh.n_added == 0
     assert any("failed to load" in r.message for r in caplog.records)
+
+
+def test_load_rejects_hostile_meta_values(spark, tmp_path):
+    """r17 themed review (both reproduced): (1) meta m=0 with an empty
+    bitmap passed the size check, and every probe then died mid-query
+    with REMAINDER_BY_ZERO (pmod by m) — a corrupt cache artifact
+    bricking the stream instead of triggering the documented
+    fallback-to-fresh; (2) a garbled k like 200_000 built that many
+    codegen exprs PER PROBE on the driver (~43 s per 10k exprs — a
+    quarter-hour wedge before any error). load() now validates the
+    untrusted meta shape and raises ValueError, the class
+    load_or_create already maps to a logged fresh set."""
+    import json
+
+    import pytest
+
+    def plant(name, meta, bitmap):
+        p = tmp_path / name
+        p.mkdir()
+        (p / "meta.json").write_text(json.dumps(meta))
+        (p / "bitmap.bin").write_bytes(bitmap)
+        return str(p)
+
+    for meta, bitmap in [
+        ({"m": 0, "k": 3}, b""),                      # pmod-by-zero
+        ({"m": -8192, "k": 3}, b""),                  # negative m
+        ({"m": 8193, "k": 3}, b"\x00" * 1024),        # non-byte m
+        ({"m": 8192, "k": 200_000}, b"\x00" * 1024),  # driver wedge
+        ({"m": 8192, "k": 0}, b"\x00" * 1024),        # degenerate k
+        ({"m": True, "k": 3}, b""),                   # bool is not int
+    ]:
+        path = plant(f"bl_{meta['m']}_{meta['k']}", meta, bitmap)
+        with pytest.raises(ValueError, match="corrupt artifact"):
+            BloomSeenSet.load(spark, path)
+        # ...and the tolerant entry point takes the fresh-set path
+        fresh = BloomSeenSet.load_or_create(spark, path, n_expected=100)
+        assert fresh.n_added == 0
+
+    # a mistyped n_added is informational: normalized, not rejected
+    ok = plant("bl_nadd", {"m": 8192, "k": 3, "n_added": "nan"},
+               b"\x00" * 1024)
+    assert BloomSeenSet.load(spark, ok).n_added == 0
+
+    # a legit artifact still round-trips bit-for-bit
+    p = str(tmp_path / "bl_ok")
+    b = BloomSeenSet.create(spark, p, n_expected=100)
+    b.add_df(_urls(spark, 0, 10), "u")
+    again = BloomSeenSet.load(spark, p)
+    assert (again.m, again.k) == (b.m, b.k)
+    assert np.array_equal(again.bitmap, b.bitmap)
