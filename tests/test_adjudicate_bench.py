@@ -139,3 +139,39 @@ def test_cli_accepts_ref_equals_form(tmp_path, capsys):
     assert str(ref) in out  # the = form reached the adjudication
     with pytest.raises(SystemExit):
         AB.main([str(run), "--ref"])  # trailing bare --ref: argparse error
+
+
+def test_confirm_run_reclassifies_unreproduced_highs(tmp_path, capsys):
+    """r16 verdict #7: a HIGH that reads in-band in a second reading
+    of the same tree is per-row noise (settled-run spread 0.69-1.56x)
+    — auto-labeled and excluded from the exit-2 verdict; a HIGH that
+    REPRODUCES in the confirming run still fails."""
+    baseline = tmp_path / "BASELINE.md"
+    baseline.write_text(
+        "| query | band (s) |\n|---|---|\n"
+        "| q_a | 1.0-2.0 |\n| q_b | 1.0-2.0 |\n"
+    )
+    run = _write(tmp_path, "run.json",
+                 {"queries": {"q_a": 2.5, "q_b": 2.5}, "value": 5.0})
+    ref = _write(tmp_path, "ref.json",
+                 {"queries": {"q_a": 2.4, "q_b": 2.4}, "value": 4.8})
+    # confirm: q_a in-band (noise), q_b still high (genuine)
+    confirm = _write(tmp_path, "confirm.json",
+                     {"queries": {"q_a": 1.5, "q_b": 2.6}, "value": 4.1})
+    rc = AB.adjudicate(run, ref, str(baseline), confirm_path=confirm)
+    out = capsys.readouterr().out
+    assert rc == 2  # q_b reproduced -> still a violation
+    assert "per-row noise (confirmed in-band at 1.5" in out
+    assert "noise=1" in out and "HIGH=1" in out
+
+    # both confirmed in-band -> clean exit
+    confirm2 = _write(tmp_path, "confirm2.json",
+                      {"queries": {"q_a": 1.5, "q_b": 1.5}, "value": 3.0})
+    rc2 = AB.adjudicate(run, ref, str(baseline), confirm_path=confirm2)
+    out2 = capsys.readouterr().out
+    assert rc2 == 0 and "noise=2" in out2 and "HIGH=0" in out2
+
+    # and without --confirm nothing changes (no 'noise' column)
+    rc3 = AB.adjudicate(run, ref, str(baseline))
+    out3 = capsys.readouterr().out
+    assert rc3 == 2 and "noise" not in out3

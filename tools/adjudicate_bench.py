@@ -28,6 +28,12 @@ Usage::
 
     python tools/adjudicate_bench.py BENCH_r16.json
     python tools/adjudicate_bench.py BENCH_r16.json --ref BENCH_local_r15.json
+    python tools/adjudicate_bench.py BENCH_r17.json --confirm BENCH_local_r17.json
+
+``--confirm`` (r16 verdict #7) takes a SECOND reading of the same
+tree: a HIGH row that reads in-band there is reclassified "noise"
+(the per-query spread of a settled run is 0.69-1.56x) and no longer
+fails the run — only HIGHs that reproduce in both readings exit 2.
 """
 
 from __future__ import annotations
@@ -131,10 +137,23 @@ def _payload(d: dict) -> dict:
     return d
 
 
-def adjudicate(run_path: str, ref_path: str | None, baseline_md: str) -> int:
+def adjudicate(
+    run_path: str,
+    ref_path: str | None,
+    baseline_md: str,
+    confirm_path: str | None = None,
+) -> int:
     run = _payload(json.load(open(run_path)))
     bands, total_band = parse_bands(baseline_md)
     verdicts = classify(run, bands)
+    # --confirm (r16 verdict #7): a second reading of the same tree.
+    # A HIGH that reads in-band there is per-row noise of a settled
+    # run (observed spread 0.69-1.56x), not a band violation — the
+    # cross-referencing the r16 judge did by hand, mechanized.
+    confirm = (
+        classify(_payload(json.load(open(confirm_path))), bands)
+        if confirm_path else {}
+    )
 
     ref = _payload(json.load(open(ref_path))) if ref_path else None
     rs = ratios(run, ref) if ref else []
@@ -153,19 +172,26 @@ def adjudicate(run_path: str, ref_path: str | None, baseline_md: str) -> int:
               "(band verdicts below are unadjusted)")
 
     counts: dict[str, int] = {}
+    confirmed_noise = 0
     for q in sorted(verdicts):
         v, sec, band = verdicts[q]
+        note = ""
+        if v == "HIGH" and q in confirm and confirm[q][0] in ("ok", "LOW"):
+            v = "noise"
+            confirmed_noise += 1
+            note = (f" — per-row noise (confirmed in-band at "
+                    f"{confirm[q][1]} by {confirm_path})")
         counts[v] = counts.get(v, 0) + 1
-        if v in ("HIGH", "NEW"):
+        if v in ("HIGH", "NEW", "noise"):
             b = f"{band[0]}-{band[1]}" if band else "(no band)"
-            print(f"  {v:4s} {q}: {sec} vs {b}")
+            print(f"  {v:4s} {q}: {sec} vs {b}{note}")
     if total_band and isinstance(run.get("value"), (int, float)):
         tv = run["value"]
         tflag = ("ok" if total_band[0] <= tv <= total_band[1]
                  else "LOW" if tv < total_band[0] else "HIGH")
         print(f"suite total: {tv} vs {total_band[0]}-{total_band[1]} -> {tflag}")
-    print("rows:", " ".join(f"{k}={counts.get(k, 0)}"
-                            for k in ("ok", "LOW", "HIGH", "NEW")))
+    keys = ("ok", "LOW", "HIGH", "NEW") + (("noise",) if confirm else ())
+    print("rows:", " ".join(f"{k}={counts.get(k, 0)}" for k in keys))
 
     highs = counts.get("HIGH", 0)
     if highs and verdict == "CONTENDED":
@@ -196,10 +222,15 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--ref", default=None,
                     help="settled reference run (default: newest "
                          "BENCH_local_r*.json other than the run itself)")
+    ap.add_argument("--confirm", default=None,
+                    help="second reading of the same tree: a HIGH row "
+                         "that is in-band here is auto-labeled per-row "
+                         "noise and does not fail the run")
     ns = ap.parse_args(argv)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ref = ns.ref or newest_local_bench(repo, exclude=ns.run)
-    return adjudicate(ns.run, ref, os.path.join(repo, "BASELINE.md"))
+    return adjudicate(ns.run, ref, os.path.join(repo, "BASELINE.md"),
+                      confirm_path=ns.confirm)
 
 
 if __name__ == "__main__":
