@@ -34,92 +34,54 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-16 rotation (r15
-#: verdict #1, executed per the BASELINE.md ledger; evidence computed
-#: by ``python tools/rotation.py``, the order generated from it
-#: mechanically — sort by (newest driver-green round, prior catalog
-#: position)): lead with the five impl-changed queries —
-#: q_stream_semantic_dedup (the sink's decisions append is now
-#: replay-idempotent via an anti-join reconciliation, r15 ADVICE),
-#: q_image_near_dup + q_video_near_dup (their decode paths gained the
-#: MAX_PIXELS adversarial-allocation cap in the r16 codec
-#: trust-boundary review), and q_robots_filter + q_pii_redaction
-#: (ReDoS hardening, both measured: interior-wildcard cap + star
-#: collapse + bounded regex targets on the robots leg; RFC
-#: 5321-bounded email quantifiers on the PII leg — the oracle twins
-#: carry the identical guards) — then ALL 25 remaining r12-evidence
-#: rows (q_profit_by_nation through q_embedding_near_dup), then the
-#: first 20 remaining r13 rows (q_fetch_schedule through
-#: q_cosine_topk). After this window lands the oldest driver evidence
-#: anywhere is r13.
-#: Past the boundary the remaining r13 rows, the r14 block, and the
-#: r15 block continue stalest-first (ties keep their prior catalog
-#: order) so the r17 rotation reads straight off
-#: ``tools/rotation.py``. The other r16 themed-review fixes
-#: (index_client serve path, tar shards, error-channel readers) touch
-#: NO catalog query's plan (verified by grep — those surfaces serve
-#: the CLI and dedicated tests), so no further impl-changed rows lead.
+#: prefix of ``queries()`` in iteration order. Round-17 rotation (r16
+#: verdict #1; evidence computed by ``python tools/rotation.py``, the
+#: order generated from it mechanically — sort by (newest driver-green
+#: round, prior catalog position)): lead with the 15 impl-changed
+#: queries from the r17 themed review — six whose WARC/CDX read path
+#: gained the decompression-bomb inflate budget (q_wet_pipeline,
+#: q_wat_metadata, q_warc_zst_roundtrip, q_cdx_fetch_plan,
+#: q_cdx_range_fetch, q_warc_render), eight whose HTML parse now runs
+#: work-budgeted against the stdlib parser's measured quadratics
+#: (q_main_content, q_html_meta, q_html_links, and the outlink-fed
+#: link-graph family q_link_graph/q_pagerank/q_anchor_text/q_frontier/
+#: q_fetch_schedule), and q_bloom_url_dedup whose persisted-meta load
+#: is now shape-validated — then ALL 25 remaining r13-evidence rows
+#: (q_json_variants through q_rank_dense_ntile), then the first 10
+#: remaining r14 rows (q_lsh_exact_twin through q_tumbling_hourly).
+#: After this window lands the oldest driver evidence anywhere is r14.
+#: Past the boundary the remaining r14, r15 and r16 blocks continue
+#: stalest-first (ties keep their prior catalog order) so the r18
+#: rotation reads straight off ``tools/rotation.py``. The r17 advice
+#: fixes (index_client heal scoping + error-class dispatch, GIF
+#: first-frame invariant) touch NO catalog query's plan (verified by
+#: grep — those surfaces serve the CLI and dedicated tests), so no
+#: further impl-changed rows lead.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
 #: (test_ingest, ANN.md recall contracts, IVF full-probe==exact, HNSW
 #: fused==persisted parity) and by oracle-able twins, BOTH
-#: VALUE-checked: q_hnsw_topk via q_hnsw_exact_twin (r13) and
-#: q_lsh_ann_topk via q_lsh_exact_twin (r14). Every name
-#: must exist in a module's QUERIES (asserted below) so a rename can't
-#: silently drop a query.
+#: VALUE-checked: q_hnsw_topk via q_hnsw_exact_twin (r13, re-checked
+#: r17 window-adjacent) and q_lsh_ann_topk via q_lsh_exact_twin (in
+#: the r17 window). Every name must exist in a module's QUERIES
+#: (asserted below) so a rename can't silently drop a query.
 _PRIORITY = [
-    "q_stream_semantic_dedup",
-    "q_image_near_dup",
-    "q_video_near_dup",
-    "q_robots_filter",
-    "q_pii_redaction",
-    "q_profit_by_nation",
-    "q_revenue_forecast",
-    "q_semantic_rerank",
-    "q_corpus_report",
-    "q_quality_classifier",
-    "q_stratified_sample",
-    "q_event_dedup",
-    "q_fulltext_score",
-    "q_tfidf_topdocs",
-    "q_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_rollup_returns",
-    "q_ship_within_30d",
-    "q_region_revenue",
-    "q_stream_sliding_1h_30m",
-    "q_stream_session_windows",
-    "q_stream_dedup_keys",
-    "q_stream_click_purchase_join",
-    "q_stream_enriched_nation",
-    "q_sliding_1h_30m",
-    "q_session_windows",
-    "q_geomean_by_type",
-    "q_user_retention",
-    "q_sequence_packing",
-    "q_embedding_near_dup",
+    "q_wet_pipeline",
+    "q_wat_metadata",
+    "q_warc_zst_roundtrip",
+    "q_cdx_fetch_plan",
+    "q_cdx_range_fetch",
+    "q_warc_render",
+    "q_main_content",
+    "q_html_meta",
+    "q_html_links",
+    "q_link_graph",
+    "q_pagerank",
+    "q_anchor_text",
+    "q_frontier",
     "q_fetch_schedule",
-    "q_embedding_quantize",
-    "q_simhash_bands",
-    "q_dedup_clusters",
-    "q_incremental_dedup",
-    "q_winnow_pairs",
-    "q_winnow_fingerprints",
-    "q_hybrid_rrf",
-    "q_corpus_filter",
-    "q_hash_split",
-    "q_token_budget",
-    "q_source_mixture",
-    "q_substring_dedup",
-    "q_semantic_dedup",
-    "q_paragraph_dedup",
-    "q_upsert_by_key",
-    "q_token_stats",
-    "q_minhash_signatures",
-    "q_jaccard_pairs",
-    "q_cosine_topk",
-    # ---------- 50-query window boundary ----------
+    "q_bloom_url_dedup",
     "q_json_variants",
     "q_domain_cap",
     "q_domain_blocklist",
@@ -155,6 +117,7 @@ _PRIORITY = [
     "q_stream_running_stats",
     "q_stream_funnel",
     "q_tumbling_hourly",
+    # ---------- 50-query window boundary ----------
     "q_value_zscore",
     "q_asof_click_error",
     "q_cosine_topk_batch",
@@ -168,34 +131,21 @@ _PRIORITY = [
     "q_deep_clean_pipeline",
     "q_substring_dedup_incr",
     "q_lm_quality_xcorpus",
-    "q_link_graph",
-    "q_pagerank",
-    "q_anchor_text",
-    "q_frontier",
-    "q_html_links",
     "q_surt_keys",
     "q_canonical_dedup",
     "q_recrawl",
     "q_lang_id_trigram",
-    "q_wet_pipeline",
-    "q_wat_metadata",
     "q_c4_line_clean",
     "q_gopher_quality",
     "q_web_quality_pipeline",
     "q_gopher_repetition",
     "q_audio_features",
-    "q_main_content",
-    "q_html_meta",
     "q_url_normalize",
     "q_url_dedup",
     "q_crawl_pipeline",
     "q_page_extract",
-    "q_warc_zst_roundtrip",
     "q_stream_near_dedup",
-    "q_bloom_url_dedup",
     "q_hnsw_exact_twin",
-    "q_cdx_fetch_plan",
-    "q_cdx_range_fetch",
     "q_doc_stats",
     "q_lang_facet",
     "q_array_ops",
@@ -216,7 +166,6 @@ _PRIORITY = [
     "q_user_event_matrix",
     "q_repetition_filter",
     "q_repeated_spans",
-    "q_warc_render",
     "q_sitemap_seeds",
     "q_contamination",
     "q_curation_pipeline",
@@ -238,6 +187,55 @@ _PRIORITY = [
     "q_large_volume_customers",
     "q_part_value_concentration",
     "q_brand_quantity_revenue",
+    "q_stream_semantic_dedup",
+    "q_image_near_dup",
+    "q_video_near_dup",
+    "q_robots_filter",
+    "q_pii_redaction",
+    "q_profit_by_nation",
+    "q_revenue_forecast",
+    "q_semantic_rerank",
+    "q_corpus_report",
+    "q_quality_classifier",
+    "q_stratified_sample",
+    "q_event_dedup",
+    "q_fulltext_score",
+    "q_tfidf_topdocs",
+    "q_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_rollup_returns",
+    "q_ship_within_30d",
+    "q_region_revenue",
+    "q_stream_sliding_1h_30m",
+    "q_stream_session_windows",
+    "q_stream_dedup_keys",
+    "q_stream_click_purchase_join",
+    "q_stream_enriched_nation",
+    "q_sliding_1h_30m",
+    "q_session_windows",
+    "q_geomean_by_type",
+    "q_user_retention",
+    "q_sequence_packing",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_simhash_bands",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_winnow_pairs",
+    "q_winnow_fingerprints",
+    "q_hybrid_rrf",
+    "q_corpus_filter",
+    "q_hash_split",
+    "q_token_budget",
+    "q_source_mixture",
+    "q_substring_dedup",
+    "q_semantic_dedup",
+    "q_paragraph_dedup",
+    "q_upsert_by_key",
+    "q_token_stats",
+    "q_minhash_signatures",
+    "q_jaccard_pairs",
+    "q_cosine_topk",
     "q_hnsw_topk",
     "q_lsh_ann_topk",
     "q_ivf_assignments",
