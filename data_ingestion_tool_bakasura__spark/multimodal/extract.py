@@ -207,7 +207,39 @@ def minipdf_parse_pages(content: bytes) -> list[tuple[str, list[str], bytes]]:
                 return None
             data = em.group(1)
         if b"/FlateDecode" in body[: sm.start()]:
-            data = zlib.decompress(data)
+            # bounded inflate (r17 decompression-bomb wave; the PNG
+            # IDAT leg got its cap in r16, this PDF stream leg was
+            # missed): a crafted /FlateDecode stream inflates ~1000x,
+            # so a small hostile PDF could OOM the worker before the
+            # dead-letter isolation sees any error. Over-budget raises
+            # ValueError -> the per-file dead-letter column.
+            from data_ingestion_tool_bakasura__spark.sources.zstd_compat import (
+                inflate_budget,
+            )
+
+            budget = inflate_budget(len(data))
+            d = zlib.decompressobj()
+            out = []
+            total = 0
+            buf = data
+            while True:
+                chunk = d.decompress(buf, 1 << 20)
+                total += len(chunk)
+                if total > budget:
+                    raise ValueError(
+                        f"/FlateDecode stream inflates past the "
+                        f"{budget}-byte budget: refusing adversarial "
+                        f"allocation (deflate bomb?)"
+                    )
+                if chunk:
+                    out.append(chunk)
+                if d.eof:
+                    break
+                buf = d.unconsumed_tail
+                if not buf:
+                    # same class zlib.decompress raises on truncation
+                    raise zlib.error("incomplete or truncated stream")
+            data = b"".join(out)
         return data
 
     _splice_objstm()

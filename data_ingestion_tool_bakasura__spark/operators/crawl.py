@@ -625,25 +625,32 @@ def sitemap_xml_of(payload) -> str:
     latin-1 decode (re-encoded and decompressed; anything that fails
     falls back to the raw string, which :func:`parse_sitemap`'s
     tolerant path then treats as malformed XML). Pure function."""
-    import gzip
     import zlib
+
+    from data_ingestion_tool_bakasura__spark.sources.warc import _bounded_gunzip
 
     # gzip surfaces corruption as BadGzipFile (OSError), truncation as
     # EOFError, and checksum/stream damage as zlib.error — all read as
-    # "not actually decompressable", tolerant fallback to the raw text
-    gz_errors = (OSError, EOFError, zlib.error)
+    # "not actually decompressable", tolerant fallback to the raw text.
+    # ValueError is the inflate-budget refusal (r17 decompression-bomb
+    # wave: a hostile host's 1 MiB sitemap.xml.gz inflated unbounded
+    # here — _bounded_gunzip is the warc.py member decompressor, same
+    # budget, semantics identical to gzip.decompress on non-bombs);
+    # an over-budget sitemap degrades to the raw-bytes fallback, which
+    # parses to zero entries — one hostile host must not kill the task.
+    gz_errors = (OSError, EOFError, zlib.error, ValueError)
     if isinstance(payload, (bytes, bytearray, memoryview)):
         b = bytes(payload)
         if b[:2] == b"\x1f\x8b":
             try:
-                b = gzip.decompress(b)
+                b = _bounded_gunzip(b)
             except gz_errors:
-                pass  # truncated/corrupt member: parse what we got
+                pass  # truncated/corrupt/bomb member: parse what we got
         return b.decode("utf-8", errors="replace")
     s = payload or ""
     if s[:2] == "\x1f\x8b":
         try:
-            return gzip.decompress(s.encode("latin-1")).decode(
+            return _bounded_gunzip(s.encode("latin-1")).decode(
                 "utf-8", errors="replace"
             )
         except gz_errors + (UnicodeEncodeError,):

@@ -37,7 +37,7 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: prefix of ``queries()`` in iteration order. Round-17 rotation (r16
 #: verdict #1; evidence computed by ``python tools/rotation.py``, the
 #: order generated from it mechanically — sort by (newest driver-green
-#: round, prior catalog position)): lead with the 15 impl-changed
+#: round, prior catalog position)): lead with the 19 impl-changed
 #: queries from the r17 themed review — six whose WARC/CDX read path
 #: gained the decompression-bomb inflate budget (q_wet_pipeline,
 #: q_wat_metadata, q_warc_zst_roundtrip, q_cdx_fetch_plan,
@@ -45,10 +45,13 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: work-budgeted against the stdlib parser's measured quadratics
 #: (q_main_content, q_html_meta, q_html_links, and the outlink-fed
 #: link-graph family q_link_graph/q_pagerank/q_anchor_text/q_frontier/
-#: q_fetch_schedule), and q_bloom_url_dedup whose persisted-meta load
-#: is now shape-validated — then ALL 25 remaining r13-evidence rows
-#: (q_json_variants through q_rank_dense_ntile), then the first 10
-#: remaining r14 rows (q_lsh_exact_twin through q_tumbling_hourly).
+#: q_fetch_schedule), q_bloom_url_dedup whose persisted-meta load is
+#: now shape-validated, and the late-wave four on the same budget —
+#: q_page_extract + q_doc_assembly (PDF /FlateDecode streams) and
+#: q_sitemap_seeds + q_recrawl (hostile .xml.gz sitemaps degrade to
+#: the tolerant raw fallback) — then ALL 25 remaining r13-evidence
+#: rows (q_json_variants through q_rank_dense_ntile), then the first
+#: 6 remaining r14 rows (q_lsh_exact_twin through q_cube_orders).
 #: After this window lands the oldest driver evidence anywhere is r14.
 #: Past the boundary the remaining r14, r15 and r16 blocks continue
 #: stalest-first (ties keep their prior catalog order) so the r18
@@ -82,6 +85,10 @@ _PRIORITY = [
     "q_frontier",
     "q_fetch_schedule",
     "q_bloom_url_dedup",
+    "q_page_extract",
+    "q_doc_assembly",
+    "q_sitemap_seeds",
+    "q_recrawl",
     "q_json_variants",
     "q_domain_cap",
     "q_domain_blocklist",
@@ -113,11 +120,11 @@ _PRIORITY = [
     "q_price_percentiles",
     "q_pivot_daily_value",
     "q_cube_orders",
+    # ---------- 50-query window boundary ----------
     "q_grouping_sets",
     "q_stream_running_stats",
     "q_stream_funnel",
     "q_tumbling_hourly",
-    # ---------- 50-query window boundary ----------
     "q_value_zscore",
     "q_asof_click_error",
     "q_cosine_topk_batch",
@@ -125,7 +132,6 @@ _PRIORITY = [
     "q_minhash_lsh_candidates",
     "q_bm25_topdocs",
     "q_ingest_pipeline_fixed",
-    "q_doc_assembly",
     "q_pricing_summary",
     "q_temperature_mixture",
     "q_deep_clean_pipeline",
@@ -133,7 +139,6 @@ _PRIORITY = [
     "q_lm_quality_xcorpus",
     "q_surt_keys",
     "q_canonical_dedup",
-    "q_recrawl",
     "q_lang_id_trigram",
     "q_c4_line_clean",
     "q_gopher_quality",
@@ -143,7 +148,6 @@ _PRIORITY = [
     "q_url_normalize",
     "q_url_dedup",
     "q_crawl_pipeline",
-    "q_page_extract",
     "q_stream_near_dedup",
     "q_hnsw_exact_twin",
     "q_doc_stats",
@@ -166,7 +170,6 @@ _PRIORITY = [
     "q_user_event_matrix",
     "q_repetition_filter",
     "q_repeated_spans",
-    "q_sitemap_seeds",
     "q_contamination",
     "q_curation_pipeline",
     "q_lm_quality",

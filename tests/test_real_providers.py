@@ -1352,3 +1352,39 @@ def test_minipdf_cross_angle_text_inside_ruled_region():
     pdf = _splice_content(_tiny_pdf(["x"]), rules + table + outside + b" ET ")
     pages = MX.minipdf_parse_pages(pdf)
     assert pages[0][1] == ["r1c1 r1c2", "r2c1 r2c2"]
+
+
+def test_flate_bomb_refused_to_dead_letter(monkeypatch):
+    """r17 decompression-bomb wave (the PNG IDAT leg got its cap in
+    r16; this PDF stream leg was missed): a crafted /FlateDecode
+    content stream inflates ~1000x, OOMing the worker before the
+    dead-letter isolation sees any error. Over the inflate budget the
+    parse now raises ValueError — the dead-letter class — while
+    normal compressed streams and the truncation semantics
+    (zlib.error) are unchanged."""
+    import re
+    import zlib
+
+    from data_ingestion_tool_bakasura__spark.sources import zstd_compat as zc
+
+    monkeypatch.setattr(zc, "MIN_INFLATE_BUDGET", 1 << 20)
+    monkeypatch.setattr(zc, "MAX_INFLATE_RATIO", 4)
+
+    pdf = _tiny_pdf(["normal page"])
+
+    def replace_stream(b: bytes, payload: bytes) -> bytes:
+        comp = zlib.compress(payload)
+        return re.sub(
+            rb"<< /Length \d+ >>\nstream\n.*?\nendstream",
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(comp), comp),
+            b, count=1, flags=re.S,
+        )
+
+    bomb = replace_stream(pdf, b"\x00" * (8 << 20))  # ~8 KiB compressed
+    with pytest.raises(ValueError, match="adversarial allocation"):
+        MX.minipdf_parse_pages(bomb)
+
+    # an in-budget compressed stream still parses
+    ok = replace_stream(pdf, b"BT /F1 12 Tf 72 720 Td (still ok) Tj ET")
+    assert MX.minipdf_parse_pages(ok)[0][0] == "still ok"

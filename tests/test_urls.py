@@ -842,3 +842,53 @@ def test_robots_filter_revalidates_persisted_rules(spark):
     # the crafted URL survives (hostile rule filtered out), /block is
     # prefix-blocked, and the SAFE anchored wildcard rule still works
     assert kept == ["xyxyz"[-6:]] or kept == ["yxyxz"] or len(kept) == 1
+
+
+def test_sitemap_gzip_bomb_degrades_tolerantly(monkeypatch):
+    """r17 decompression-bomb wave: sitemap_xml_of inflated hostile
+    .xml.gz payloads unbounded (a remote host controls these bytes
+    entirely). Over-budget payloads now take the same tolerant
+    raw-bytes fallback as corrupt gzip — zero entries, task alive —
+    while normal gzipped sitemaps decode unchanged."""
+    import gzip
+
+    from data_ingestion_tool_bakasura__spark.sources import zstd_compat as zc
+
+    monkeypatch.setattr(zc, "MIN_INFLATE_BUDGET", 1 << 20)
+    monkeypatch.setattr(zc, "MAX_INFLATE_RATIO", 4)
+
+    bomb = gzip.compress(
+        b"<urlset><url><loc>http://x/</loc></url>" + b" " * (8 << 20)
+    )
+    xml = C.sitemap_xml_of(bomb)
+    assert "<urlset" not in xml  # not inflated; raw-bytes fallback
+    assert C.parse_sitemap(xml) == []  # parses to zero entries, no raise
+
+    ok = gzip.compress(b"<urlset><url><loc>http://a/</loc></url></urlset>")
+    assert C.parse_sitemap(C.sitemap_xml_of(ok)) == [("http://a/", None, False)]
+
+    # the string-smuggled variant (latin-1 round-trip) is bounded too
+    smuggled = bomb.decode("latin-1")
+    assert C.sitemap_xml_of(smuggled) == smuggled  # fallback to raw string
+
+
+def test_sitemap_xml_entity_bomb_inert():
+    """Billion-laughs probe (r17 review, no fix needed — pinned): the
+    stdlib expat in this runtime does not expand the nested entities;
+    the entity reference survives literally and the parse stays
+    milliseconds. If a runtime change ever re-enables expansion, this
+    fails loudly."""
+    import time
+
+    bomb = (
+        '<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY lol "lol">'
+        + "".join(
+            f'<!ENTITY lol{i + 1} "' + f"&lol{i};" * 10 + '">'
+            for i in range(9)
+        )
+        + "]><urlset><url><loc>http://x/&lol9;</loc></url></urlset>"
+    )
+    t0 = time.perf_counter()
+    out = C.parse_sitemap(bomb)
+    assert time.perf_counter() - t0 < 2.0
+    assert out == [("http://x/&lol9;", None, False)]
