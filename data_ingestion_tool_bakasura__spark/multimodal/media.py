@@ -294,9 +294,14 @@ def audio_features(df: DataFrame, id_col: str = "media_id", media_col: str = "me
                     continue
                 payload = raw.split(b"|", 3)[-1]
                 energy = (sum(x * x for x in payload) / len(payload)) if payload else 0.0
+                # a crafted AUD1 header with sample_rate 0 must not
+                # kill the task (r17, reproduced: ZeroDivisionError
+                # escaped the _parse_header catch) — duration 0.0,
+                # the same guard the WAVE leg carries
+                sr = h["sample_rate"]
                 rows.append(
-                    (str(aid), h["sample_rate"], h["n_samples"],
-                     h["n_samples"] / h["sample_rate"], round(energy, 6))
+                    (str(aid), sr, h["n_samples"],
+                     h["n_samples"] / sr if sr else 0.0, round(energy, 6))
                 )
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 

@@ -37,7 +37,7 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: prefix of ``queries()`` in iteration order. Round-17 rotation (r16
 #: verdict #1; evidence computed by ``python tools/rotation.py``, the
 #: order generated from it mechanically — sort by (newest driver-green
-#: round, prior catalog position)): lead with the 19 impl-changed
+#: round, prior catalog position)): lead with the 20 impl-changed
 #: queries from the r17 themed review — six whose WARC/CDX read path
 #: gained the decompression-bomb inflate budget (q_wet_pipeline,
 #: q_wat_metadata, q_warc_zst_roundtrip, q_cdx_fetch_plan,
@@ -47,11 +47,13 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: link-graph family q_link_graph/q_pagerank/q_anchor_text/q_frontier/
 #: q_fetch_schedule), q_bloom_url_dedup whose persisted-meta load is
 #: now shape-validated, and the late-wave four on the same budget —
-#: q_page_extract + q_doc_assembly (PDF /FlateDecode streams) and
+#: q_page_extract + q_doc_assembly (PDF /FlateDecode streams),
 #: q_sitemap_seeds + q_recrawl (hostile .xml.gz sitemaps degrade to
-#: the tolerant raw fallback) — then ALL 25 remaining r13-evidence
-#: rows (q_json_variants through q_rank_dense_ntile), then the first
-#: 6 remaining r14 rows (q_lsh_exact_twin through q_cube_orders).
+#: the tolerant raw fallback), and q_audio_features (a zero
+#: sample_rate AUD1 header no longer ZeroDivisionErrors the task) —
+#: then ALL 25 remaining r13-evidence rows (q_json_variants through
+#: q_rank_dense_ntile), then the first 5 remaining r14 rows
+#: (q_lsh_exact_twin through q_pivot_daily_value).
 #: After this window lands the oldest driver evidence anywhere is r14.
 #: Past the boundary the remaining r14, r15 and r16 blocks continue
 #: stalest-first (ties keep their prior catalog order) so the r18
@@ -89,6 +91,7 @@ _PRIORITY = [
     "q_doc_assembly",
     "q_sitemap_seeds",
     "q_recrawl",
+    "q_audio_features",
     "q_json_variants",
     "q_domain_cap",
     "q_domain_blocklist",
@@ -119,8 +122,8 @@ _PRIORITY = [
     "q_running_revenue",
     "q_price_percentiles",
     "q_pivot_daily_value",
-    "q_cube_orders",
     # ---------- 50-query window boundary ----------
+    "q_cube_orders",
     "q_grouping_sets",
     "q_stream_running_stats",
     "q_stream_funnel",
@@ -144,7 +147,6 @@ _PRIORITY = [
     "q_gopher_quality",
     "q_web_quality_pipeline",
     "q_gopher_repetition",
-    "q_audio_features",
     "q_url_normalize",
     "q_url_dedup",
     "q_crawl_pipeline",

@@ -435,3 +435,19 @@ def test_wav_features_real_pcm(spark):
     assert rows["w1"]["duration_s"] == 0.5
     assert abs(rows["w1"]["byte_energy"] - 0.125) < 0.01
     assert rows["a1"]["duration_s"] == 2.0  # stand-in semantics unchanged
+
+
+def test_audio_features_zero_rate_header_survives(spark):
+    """r17 (reproduced): a crafted AUD1 header with sample_rate 0
+    raised ZeroDivisionError OUTSIDE the _parse_header catch and
+    killed the whole task — one hostile row poisoning the batch. It
+    now yields duration 0.0 (the WAVE leg's existing guard) and the
+    neighboring rows are unaffected."""
+    df = spark.createDataFrame(
+        [("z0", bytearray(b"AUD1|0|100|xyz")),
+         ("ok", bytearray(b"AUD1|8000|16000|abcd"))],
+        "media_id string, media binary",
+    )
+    rows = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    assert rows["z0"]["duration_s"] == 0.0 and rows["z0"]["sample_rate"] == 0
+    assert rows["ok"]["duration_s"] == 2.0
