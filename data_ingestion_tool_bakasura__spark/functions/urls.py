@@ -49,15 +49,36 @@ QUERY_RE = r"^[^#?]*\?([^#]*)"
 #: query params that are tracking noise, dropped by url_normalize
 TRACKING_RE = r"^(utm_[a-zA-Z]+|fbclid|gclid|msclkid|mc_eid|igshid)="
 #: last two / last three dot-labels of a host (group 1)
-LAST2_RE = r"([^.]+\.[^.]+)$"
-LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+#: last-N-labels extractors, BOUNDED at RFC 1035's 63-octet label
+#: limit (r17 ReDoS review, measured in Spark's Java regex before
+#: fixing: the unbounded `[^.]+\.[^.]+$` form retries at every start
+#: position of a dotless host, O(n^2) — 20s for ONE crafted 80 KB
+#: host, ~50 min at 1 MB, and the host string comes straight from
+#: hostile page links via url_host). With the bound, per-start work
+#: is <= ~130 chars -> linear. Real hosts are unaffected (no
+#: deliverable DNS label exceeds 63 octets); a degenerate >63-char
+#: label matches only its LAST 63 chars (the start is unanchored —
+#: an RE2-incompatible lookbehind is not available to the DuckDB
+#: twin), so the extracted domain is the truncated tail of such a
+#: host. Deterministic, and only non-deliverable hosts differ. The
+#: DuckDB twins embed these SAME constants, so the oracle cannot
+#: drift.
+LAST2_RE = r"([^.]{1,63}\.[^.]{1,63})$"
+LAST3_RE = r"([^.]{1,63}\.[^.]{1,63}\.[^.]{1,63})$"
 
 #: href starts with a scheme ('https:', 'mailto:', ...) -> already absolute
 HREF_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
 #: scheme://authority of a base URL (group 1), port and userinfo kept
 ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
-#: final path segment (replaced with '' to get the dirname-with-slash)
-LASTSEG_RE = r"[^/]*$"
+#: dirname-with-slash of a path: everything through the LAST '/'
+#: (group 1; no match -> '' for a slashless path). ANCHORED on
+#: purpose (r17 ReDoS review, measured): the old unanchored
+#: ``[^/]*$`` replace retried at every start of a long final
+#: segment — O(n^2), 28 s for one crafted 80 KB path — while this
+#: single-start greedy backtrack is linear. ``(?s)`` so a hostile
+#: path containing newlines cannot split the match (``.`` excludes
+#: them by default in BOTH Java and RE2, so the twin agrees).
+DIRPATH_RE = r"(?s)^(.*/)"
 #: base URL up to (not including) the first '?' or '#' (group 1)
 PREQUERY_RE = r"^([^?#]*)"
 #: base URL up to (not including) the first '#' (group 1)
@@ -154,7 +175,7 @@ def resolve_url(base: Column, href: Column) -> Column:
     consistently because both spellings resolve identically). Pure
     codegen; twin: ``resolve_sql``."""
     origin = F.regexp_extract(base, ORIGIN_RE, 1)
-    dirpath = F.regexp_replace(url_path(base), LASTSEG_RE, "")
+    dirpath = F.regexp_extract(url_path(base), DIRPATH_RE, 1)
     dirpath = F.when(dirpath == "", "/").otherwise(dirpath)
     return (
         F.when(href.rlike(HREF_SCHEME_RE), href)
@@ -231,7 +252,7 @@ def resolve_sql(base_e: str, href_e: str) -> str:
     scheme = f"lower(regexp_extract({base_e}, '{SCHEME_RE}', 1))"
     origin = f"regexp_extract({base_e}, '{ORIGIN_RE}', 1)"
     path = path_sql(base_e)
-    dirp = f"regexp_replace({path}, '{LASTSEG_RE}', '')"
+    dirp = f"regexp_extract({path}, '{DIRPATH_RE}', 1)"
     dirp = f"CASE WHEN {dirp} = '' THEN '/' ELSE {dirp} END"
     return (
         f"CASE WHEN regexp_matches({href_e}, '{HREF_SCHEME_RE}') THEN {href_e} "

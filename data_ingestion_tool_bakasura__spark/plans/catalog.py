@@ -37,7 +37,7 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: prefix of ``queries()`` in iteration order. Round-17 rotation (r16
 #: verdict #1; evidence computed by ``python tools/rotation.py``, the
 #: order generated from it mechanically — sort by (newest driver-green
-#: round, prior catalog position)): lead with the 20 impl-changed
+#: round, prior catalog position)): lead with the 23 impl-changed
 #: queries from the r17 themed review — six whose WARC/CDX read path
 #: gained the decompression-bomb inflate budget (q_wet_pipeline,
 #: q_wat_metadata, q_warc_zst_roundtrip, q_cdx_fetch_plan,
@@ -49,11 +49,16 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
 #: now shape-validated, and the late-wave four on the same budget —
 #: q_page_extract + q_doc_assembly (PDF /FlateDecode streams),
 #: q_sitemap_seeds + q_recrawl (hostile .xml.gz sitemaps degrade to
-#: the tolerant raw fallback), and q_audio_features (a zero
-#: sample_rate AUD1 header no longer ZeroDivisionErrors the task) —
-#: then ALL 25 remaining r13-evidence rows (q_json_variants through
-#: q_rank_dense_ntile), then the first 5 remaining r14 rows
-#: (q_lsh_exact_twin through q_pivot_daily_value).
+#: the tolerant raw fallback), q_audio_features (a zero sample_rate
+#: AUD1 header no longer ZeroDivisionErrors the task), and the
+#: url-regex ReDoS wave — q_url_normalize, q_url_dedup,
+#: q_canonical_dedup (the last-labels extractor is bounded at RFC
+#: 1035's 63-octet label limit and the dirpath segment strip is
+#: anchored; both were O(n^2) on crafted hosts/paths, measured 20-28s
+#: at 80 KB, and both constants feed the DuckDB twins) — then ALL 25
+#: remaining r13-evidence rows (q_json_variants through
+#: q_rank_dense_ntile), then the first 2 remaining r14 rows
+#: (q_lsh_exact_twin, q_binary_rerank).
 #: After this window lands the oldest driver evidence anywhere is r14.
 #: Past the boundary the remaining r14, r15 and r16 blocks continue
 #: stalest-first (ties keep their prior catalog order) so the r18
@@ -92,6 +97,9 @@ _PRIORITY = [
     "q_sitemap_seeds",
     "q_recrawl",
     "q_audio_features",
+    "q_url_normalize",
+    "q_url_dedup",
+    "q_canonical_dedup",
     "q_json_variants",
     "q_domain_cap",
     "q_domain_blocklist",
@@ -119,10 +127,10 @@ _PRIORITY = [
     "q_rank_dense_ntile",
     "q_lsh_exact_twin",
     "q_binary_rerank",
+    # ---------- 50-query window boundary ----------
     "q_running_revenue",
     "q_price_percentiles",
     "q_pivot_daily_value",
-    # ---------- 50-query window boundary ----------
     "q_cube_orders",
     "q_grouping_sets",
     "q_stream_running_stats",
@@ -141,14 +149,11 @@ _PRIORITY = [
     "q_substring_dedup_incr",
     "q_lm_quality_xcorpus",
     "q_surt_keys",
-    "q_canonical_dedup",
     "q_lang_id_trigram",
     "q_c4_line_clean",
     "q_gopher_quality",
     "q_web_quality_pipeline",
     "q_gopher_repetition",
-    "q_url_normalize",
-    "q_url_dedup",
     "q_crawl_pipeline",
     "q_stream_near_dedup",
     "q_hnsw_exact_twin",

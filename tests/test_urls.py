@@ -892,3 +892,71 @@ def test_sitemap_xml_entity_bomb_inert():
     out = C.parse_sitemap(bomb)
     assert time.perf_counter() - t0 < 2.0
     assert out == [("http://x/&lol9;", None, False)]
+
+
+def test_url_regex_hostile_shapes_linear(spark):
+    """r17 ReDoS review (measured in Spark's Java regex before fixing):
+    the unbounded last-two-labels extractor retried at every start of
+    a dotless host (20s for ONE 80 KB host, ~50 min at 1 MB) and the
+    unanchored last-segment replace did the same on a long final path
+    segment (28s at 80 KB). Both inputs arrive straight from hostile
+    page links. Bounded labels (RFC 1035's 63-octet limit) and the
+    anchored dirpath extract are linear; this pins the cost at a
+    ceiling ~5x the observed post-fix readings on a noisy host."""
+    import time
+
+    url = "http://" + "a" * 400_000
+    df = spark.createDataFrame([(url,)], "url string")
+    t0 = time.perf_counter()
+    df.select(U.registrable_domain(U.url_host(F.col("url")))).collect()
+    assert time.perf_counter() - t0 < 20.0
+
+    purl = "http://h/" + "b" * 400_000 + "/"
+    pdf = spark.createDataFrame([(purl, "x")], "url string, href string")
+    t0 = time.perf_counter()
+    pdf.select(U.resolve_url(F.col("url"), F.col("href"))).collect()
+    assert time.perf_counter() - t0 < 20.0
+
+
+def test_url_regex_fix_preserves_semantics(spark):
+    """The bounded/anchored rewrites agree with the old unbounded
+    forms on every realistic and edge shape (host labels <= 63, the
+    only divergence class is degenerate >63-char labels, which now
+    pass through registrable_domain unchanged like single-label
+    hosts), and DuckDB agrees on the shared constants."""
+    hosts = ["example.com", "a.b.co.uk", "localhost", "x.y",
+             "sub.deep.example.org", "a" * 63 + ".com",
+             "trailing.dot.", ".leading", "..", "ip.10.0.0.1"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rows = df.select(
+        "host",
+        F.regexp_extract("host", U.LAST2_RE, 1).alias("n2"),
+        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("o2"),
+        F.regexp_extract("host", U.LAST3_RE, 1).alias("n3"),
+        F.regexp_extract("host", r"([^.]+\.[^.]+\.[^.]+)$", 1).alias("o3"),
+    ).collect()
+    assert all(r["n2"] == r["o2"] and r["n3"] == r["o3"] for r in rows)
+    # >63-char label: the unanchored bounded form matches its LAST 63
+    # chars, so the domain is the truncated tail (documented
+    # divergence — deterministic, degenerate hosts only; a lookbehind
+    # would fix it but is RE2-incompatible with the DuckDB twin)
+    big = spark.createDataFrame([("a" * 64 + ".com",)], "host string")
+    got = big.select(U.registrable_domain(F.col("host")).alias("d")).first()
+    assert got["d"] == "a" * 63 + ".com"
+
+    paths = ["/a/b/c", "/", "", "/a/", "abc", "/seg?not/here",
+             "/x" * 50, "/a//b", "/nl\n/seg"]
+    pdf = spark.createDataFrame([(p,) for p in paths], "p string")
+    rows = pdf.select(
+        "p",
+        F.regexp_extract("p", U.DIRPATH_RE, 1).alias("new"),
+        F.regexp_replace("p", r"[^/]*$", "").alias("old"),
+    ).collect()
+    assert all(r["new"] == r["old"] for r in rows), [
+        (r["p"], r["new"], r["old"]) for r in rows if r["new"] != r["old"]]
+    con = duckdb.connect()
+    for p in paths:
+        dd = con.execute(
+            f"select regexp_extract(?, '{U.DIRPATH_RE}', 1)", [p]
+        ).fetchone()[0]
+        assert dd == (p[: p.rfind("/") + 1] if "/" in p else ""), p
