@@ -203,13 +203,22 @@ def chunk_text_py(
 
 
 def chunk_udf(chunk_size: int = CHUNK_SIZE, chunk_overlap: int = CHUNK_OVERLAP):
-    """Arrow-batched pandas UDF: text -> array<string> of chunks (A13)."""
+    """Arrow-batched pandas UDF: text -> array<string> of chunks (A13).
+
+    Marked non-deterministic (optimization guide §4.4): the chunk array
+    always feeds a posexplode, and Spark's InferFiltersFromGenerate adds
+    a ``size(chunks) > 0`` predicate that PushDownPredicates then copies
+    below the projection — duplicating the ArrowEvalPython node so every
+    document is chunked TWICE (verified in q_ingest_pipeline's executed
+    plan). The marker forbids duplicating/reordering the call; the
+    function is in fact deterministic, so results are unchanged.
+    """
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _chunk(s: pd.Series) -> pd.Series:
         return s.map(lambda t: chunk_text_py(t or "", chunk_size, chunk_overlap))
 
-    return _chunk
+    return _chunk.asNondeterministic()
 
 
 # --- HTML -> text (WARC companion, round 10) -------------------------------

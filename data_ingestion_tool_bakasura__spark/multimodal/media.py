@@ -520,9 +520,14 @@ def image_near_dup(
     the ``ann_index`` pattern. Pass False to stay fully lazy (e.g.
     streaming foreachBatch composition).
     """
-    h = df.select(
+    # Null guard on the INPUT column, not the UDF output: a filter on
+    # the hash column is pushed below the projection and duplicates the
+    # ArrowEvalPython node (optimization guide §4.4 — every payload
+    # hashed twice; verified in the executed plan). _ahash(x) is NULL
+    # iff x is NULL, so the input-side filter is exactly equivalent.
+    h = df.filter(F.col(payload_col).isNotNull()).select(
         F.col(id_col).alias("_id"), ahash64_udf()(F.col(payload_col)).alias("_h")
-    ).filter(F.col("_h").isNotNull())
+    )
     if checkpoint:
         h = h.transform(reliable_checkpoint)
     b = _banded(h, bands)
@@ -580,10 +585,24 @@ def video_near_dup(
     ``id_a < id_b`` and ``jaccard`` rounded to 6 decimals.
     """
     frames = sample_frames(df, every_k=every_k, id_col=id_col, media_col=media_col)
+    # Null guard on the INPUT column (frame), not the hash output: an
+    # isNotNull filter on the UDF column is pushed below the projection
+    # and duplicates the ArrowEvalPython node (guide §4.4 — every frame
+    # hashed twice). _ahash(x) is NULL iff x is NULL, so this is exact.
     fh = (
-        frames.select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
-        .filter(F.col("fh").isNotNull())
+        frames.filter(F.col("frame").isNotNull())
+        .select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
         .distinct()
+        # share point, not a write-ordering barrier: the persist sits
+        # BEFORE the hot-frame cap because the cap's own aggregate reads
+        # this frame too — persisted after the anti-join (the r11 form),
+        # one materialization ran the sample+hash subtree twice (once
+        # under `hot`, once under the anti-join's left side; seen in the
+        # executed plan as two full MapInPandas+ArrowEvalPython trees).
+        # NOT reliable_checkpoint — under AQE even a lazy checkpoint
+        # forces toRdd at plan build, executing the upstream stages
+        # (plan_audit caught exactly that: eager jobs at construction)
+        .persist()
     )
     # boilerplate cap: drop hashes shared by too many videos (both from
     # candidates AND from sizes, keeping jaccard self-consistent)
@@ -593,11 +612,9 @@ def video_near_dup(
         .filter(F.col("nv") > max_videos_per_frame)
         .select("fh")
     )
-    # share point, not a write-ordering barrier: fh feeds sizes AND both
-    # self-join sides, so persist() computes the frame hashing once at
-    # first action. NOT reliable_checkpoint — under AQE even a lazy
-    # checkpoint forces toRdd at plan build, executing the upstream
-    # stages (plan_audit caught exactly that: eager jobs at construction)
+    # second (tiny) share point: sizes and both self-join sides read the
+    # capped frame — persisting it materializes `hot` + the anti-join
+    # once from the cached raw frame instead of once per consumer
     fh = fh.join(F.broadcast(hot), "fh", "left_anti").persist()
     sizes = fh.groupBy("video_id").agg(F.count("*").alias("n"))
     shared = (
@@ -635,9 +652,11 @@ def video_fingerprint_index(
     probe increments against it forever (the ``image_hash_index``
     pattern; videos are sampled + hashed exactly once, ever)."""
     frames = sample_frames(df, every_k=every_k, id_col=id_col, media_col=media_col)
+    # input-side null guard: equivalent to filtering the hash output
+    # (NULL iff input NULL) without the §4.4 double-ArrowEvalPython
     return (
-        frames.select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
-        .filter(F.col("fh").isNotNull())
+        frames.filter(F.col("frame").isNotNull())
+        .select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
         .distinct()
     )
 
@@ -749,10 +768,12 @@ def image_hash_index(
     ahash)`` rows, 65 bytes each — write once per corpus, band-join
     increments against it forever (the ``ann_index`` /
     ``span_gram_index`` pattern; images are hashed exactly once)."""
-    return df.select(
+    # input-side null guard: equivalent to filtering the hash output
+    # (NULL iff input NULL) without the §4.4 double-ArrowEvalPython
+    return df.filter(F.col(payload_col).isNotNull()).select(
         F.col(id_col).alias("media_id"),
         ahash64_udf()(F.col(payload_col)).alias("ahash"),
-    ).filter(F.col("ahash").isNotNull())
+    )
 
 
 def image_near_dup_increment(
