@@ -256,7 +256,15 @@ def minhash_lsh_candidates(
     scale they are noise, and the self-join inside one is O(bucket^2),
     so the cap is what keeps worst-case cost linear in corpus size.
     """
-    keyed = lsh_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # persist the (id, band-key) rows — the frame every downstream branch
+    # reads (bucket-size counts, the cap anti-join, BOTH self-join
+    # sides). Spark does not share common subplans across DAG branches,
+    # so without the share point the full text -> shingle -> signature
+    # pipeline ran once PER BRANCH (8 text scans in this operator's
+    # executed plan; 1 after). The persisted frame is O(docs x bands)
+    # scalar rows — ~1000x smaller than the text it derives from, the
+    # same artifact lsh_band_index persists to parquet at scale. Lazy.
+    keyed = lsh_band_index(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
     if max_bucket_size is not None:
         big = (
             keyed.groupBy("bkey")
@@ -264,7 +272,10 @@ def minhash_lsh_candidates(
             .filter(F.col("_bsz") > max_bucket_size)
             .select("bkey")
         )
-        keyed = keyed.join(F.broadcast(big), on="bkey", how="left_anti")
+        # second share point: both self-join sides read the capped frame
+        # (the video_near_dup precedent — without it AQE re-runs the
+        # cap anti-join stages once per consumer)
+        keyed = keyed.join(F.broadcast(big), on="bkey", how="left_anti").persist()
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -313,9 +324,17 @@ def minhash_lsh_increment(
     Returns (id_a, id_b), id_a < id_b, distinct.
     """
     if new_keyed is None:
+        # persist the self-derived increment keys: they feed the combined
+        # bucket counts, the cap anti-join, the probe-key set, the cross
+        # join and BOTH within-increment self-join sides — six branches,
+        # and Spark re-derives unshared subtrees, so the MinHash pass
+        # over the increment text ran once per branch without this (the
+        # streaming sink already passes a checkpointed new_keyed; this
+        # only covers the batch/in-plan path). O(increment x bands)
+        # scalar rows — small by the increment assumption. Lazy.
         new_keyed = lsh_band_index(
             new_docs, text_col, id_col, num_hashes, bands, shingle_n
-        )
+        ).persist()
     if max_bucket_size is not None:
         combined = (
             index.groupBy("bkey").agg(F.count("*").alias("_ci"))
@@ -330,7 +349,12 @@ def minhash_lsh_increment(
             )
             .select("bkey")
         )
-        new_keyed = new_keyed.join(F.broadcast(combined), on="bkey", how="left_anti")
+        # capped increment keys feed four branches (probe keys, cross,
+        # both within-sides) — persist so the cap anti-join and the
+        # combined-counts subtree materialize once, not per branch
+        new_keyed = new_keyed.join(
+            F.broadcast(combined), on="bkey", how="left_anti"
+        ).persist()
         index = index.join(F.broadcast(combined), on="bkey", how="left_anti")
     probe_keys = new_keyed.select("bkey").distinct()
     idx_hit = index.join(F.broadcast(probe_keys), on="bkey", how="left_semi")

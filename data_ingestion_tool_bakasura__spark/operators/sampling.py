@@ -549,7 +549,14 @@ def char_trigram_nll(
         # map-side, so the estimate job never pays the groupBy shuffle
         # that materializing the model would
         estimate_src = tri
-        model = tri.groupBy("tri").agg(F.count("*").alias("c"))
+        # persist the self-built model: both the totals branch and the
+        # scoring join read it, and Spark re-derives unshared subtrees —
+        # without the persist the corpus trigram explode + aggregation
+        # ran twice (3 text scans in q_lm_quality's executed plan).
+        # Bounded by the observed trigram domain (the same quantity the
+        # broadcast decision estimates); MEMORY_AND_DISK spills
+        # gracefully on a 1e8-trigram multilingual model. Lazy.
+        model = tri.groupBy("tri").agg(F.count("*").alias("c")).persist()
     else:
         estimate_src = model
     if broadcast_model is None:
@@ -1047,8 +1054,17 @@ def dsir_log_ratios(
             .agg(F.count("*").alias(name))
         )
 
-    j = counts(target, "tc").join(counts(raw, "rc"), "bucket", "full").na.fill(
-        {"tc": 0, "rc": 0}
+    # persist the (<= n_buckets)-row joined count table: the totals
+    # branch below otherwise RE-DERIVES the whole subtree — Spark has no
+    # cross-branch common-subplan sharing, so without the persist both
+    # corpus gram explodes ran twice (5 text scans in q_dsir_weights'
+    # executed plan, vs the 3 this operator actually needs). Lazy — no
+    # build-time jobs; the frame is bounded by construction.
+    j = (
+        counts(target, "tc")
+        .join(counts(raw, "rc"), "bucket", "full")
+        .na.fill({"tc": 0, "rc": 0})
+        .persist()
     )
     tot = j.agg(F.sum("tc").alias("_T"), F.sum("rc").alias("_R"))
     aB = float(alpha) * n_buckets

@@ -820,9 +820,14 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
+    # persist: in production this frame IS a parquet-persisted artifact
+    # (lsh_band_index docstring); the in-plan simulation re-derived the
+    # corpus MinHash pipeline once per consumer branch inside
+    # minhash_lsh_increment (combined counts, cap anti-join, probe
+    # semi-join) without it — 30 text scans in the executed plan, 2 after
     index = DD.lsh_band_index(
         corpus, "text", "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3
-    )
+    ).persist()
     return DD.minhash_lsh_increment(
         new,
         index,
