@@ -323,15 +323,18 @@ def minhash_lsh_increment(
 
     Returns (id_a, id_b), id_a < id_b, distinct.
     """
-    if new_keyed is None:
+    self_derived = new_keyed is None
+    if self_derived:
         # persist the self-derived increment keys: they feed the combined
         # bucket counts, the cap anti-join, the probe-key set, the cross
         # join and BOTH within-increment self-join sides — six branches,
         # and Spark re-derives unshared subtrees, so the MinHash pass
-        # over the increment text ran once per branch without this (the
-        # streaming sink already passes a checkpointed new_keyed; this
-        # only covers the batch/in-plan path). O(increment x bands)
-        # scalar rows — small by the increment assumption. Lazy.
+        # over the increment text ran once per branch without this.
+        # O(increment x bands) scalar rows — small by the increment
+        # assumption. Lazy. Only on the batch/in-plan path: the
+        # streaming sink passes a checkpointed new_keyed per micro-batch,
+        # and a per-batch persist would accumulate cached frames for the
+        # stream's lifetime (the pagerank `persisted` lesson).
         new_keyed = lsh_band_index(
             new_docs, text_col, id_col, num_hashes, bands, shingle_n
         ).persist()
@@ -352,9 +355,11 @@ def minhash_lsh_increment(
         # capped increment keys feed four branches (probe keys, cross,
         # both within-sides) — persist so the cap anti-join and the
         # combined-counts subtree materialize once, not per branch
-        new_keyed = new_keyed.join(
-            F.broadcast(combined), on="bkey", how="left_anti"
-        ).persist()
+        # (batch path only: a streaming caller's checkpointed new_keyed
+        # makes the re-derivation cheap, and a per-batch persist leaks)
+        new_keyed = new_keyed.join(F.broadcast(combined), on="bkey", how="left_anti")
+        if self_derived:
+            new_keyed = new_keyed.persist()
         index = index.join(F.broadcast(combined), on="bkey", how="left_anti")
     probe_keys = new_keyed.select("bkey").distinct()
     idx_hit = index.join(F.broadcast(probe_keys), on="bkey", how="left_semi")
