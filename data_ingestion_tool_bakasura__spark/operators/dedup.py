@@ -256,15 +256,20 @@ def minhash_lsh_candidates(
     scale they are noise, and the self-join inside one is O(bucket^2),
     so the cap is what keeps worst-case cost linear in corpus size.
     """
-    # persist the (id, band-key) rows — the frame every downstream branch
-    # reads (bucket-size counts, the cap anti-join, BOTH self-join
-    # sides). Spark does not share common subplans across DAG branches,
-    # so without the share point the full text -> shingle -> signature
-    # pipeline ran once PER BRANCH (8 text scans in this operator's
-    # executed plan; 1 after). The persisted frame is O(docs x bands)
-    # scalar rows — ~1000x smaller than the text it derives from, the
-    # same artifact lsh_band_index persists to parquet at scale. Lazy.
-    keyed = lsh_band_index(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
+    # Deliberately NOT persisted (measured r17): the (id, band-key)
+    # frame feeds four branches (bucket counts, cap anti-join, both
+    # self-join sides) and Spark re-derives unshared subtrees, so the
+    # text -> shingle -> signature pipeline runs once per branch (8 text
+    # scans in the executed plan). Persisting it read SLOWER at sf0.1 on
+    # local[32] (min-of-3: 2.46s vs 1.90s lazy) — the lazy branches
+    # execute in parallel while the persist serializes a materialization
+    # barrier — and a cached frame here would let a later query with an
+    # identical subtree (q_dedup_clusters) silently reuse it, corrupting
+    # per-query bench attribution. The 100 TB answer is the operator
+    # contract one: build lsh_band_index ONCE, write it to parquet, and
+    # dedup increments against it (minhash_lsh_increment) — never
+    # recompute candidates from raw text at corpus scale.
+    keyed = lsh_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
     if max_bucket_size is not None:
         big = (
             keyed.groupBy("bkey")
@@ -272,10 +277,7 @@ def minhash_lsh_candidates(
             .filter(F.col("_bsz") > max_bucket_size)
             .select("bkey")
         )
-        # second share point: both self-join sides read the capped frame
-        # (the video_near_dup precedent — without it AQE re-runs the
-        # cap anti-join stages once per consumer)
-        keyed = keyed.join(F.broadcast(big), on="bkey", how="left_anti").persist()
+        keyed = keyed.join(F.broadcast(big), on="bkey", how="left_anti")
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -323,21 +325,19 @@ def minhash_lsh_increment(
 
     Returns (id_a, id_b), id_a < id_b, distinct.
     """
-    self_derived = new_keyed is None
-    if self_derived:
-        # persist the self-derived increment keys: they feed the combined
-        # bucket counts, the cap anti-join, the probe-key set, the cross
-        # join and BOTH within-increment self-join sides — six branches,
-        # and Spark re-derives unshared subtrees, so the MinHash pass
-        # over the increment text ran once per branch without this.
-        # O(increment x bands) scalar rows — small by the increment
-        # assumption. Lazy. Only on the batch/in-plan path: the
-        # streaming sink passes a checkpointed new_keyed per micro-batch,
-        # and a per-batch persist would accumulate cached frames for the
-        # stream's lifetime (the pagerank `persisted` lesson).
+    if new_keyed is None:
+        # Deliberately NOT persisted (measured r17): the increment keys
+        # feed six branches, so the MinHash pass over the increment text
+        # runs once per branch — but the branches execute in parallel
+        # and persisting read slower at sf0.1 on local[32] (min-of-3:
+        # keys-persisted 4.37s vs lazy 2.64s for q_incremental_dedup).
+        # The production paths never hit this fan-out: the streaming
+        # sink passes a CHECKPOINTED new_keyed, and a batch increment
+        # job should do the same (reliable_checkpoint) when its
+        # increment is expensive to re-derive.
         new_keyed = lsh_band_index(
             new_docs, text_col, id_col, num_hashes, bands, shingle_n
-        ).persist()
+        )
     if max_bucket_size is not None:
         combined = (
             index.groupBy("bkey").agg(F.count("*").alias("_ci"))
@@ -352,14 +352,7 @@ def minhash_lsh_increment(
             )
             .select("bkey")
         )
-        # capped increment keys feed four branches (probe keys, cross,
-        # both within-sides) — persist so the cap anti-join and the
-        # combined-counts subtree materialize once, not per branch
-        # (batch path only: a streaming caller's checkpointed new_keyed
-        # makes the re-derivation cheap, and a per-batch persist leaks)
         new_keyed = new_keyed.join(F.broadcast(combined), on="bkey", how="left_anti")
-        if self_derived:
-            new_keyed = new_keyed.persist()
         index = index.join(F.broadcast(combined), on="bkey", how="left_anti")
     probe_keys = new_keyed.select("bkey").distinct()
     idx_hit = index.join(F.broadcast(probe_keys), on="bkey", how="left_semi")

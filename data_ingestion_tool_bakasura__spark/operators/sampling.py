@@ -549,14 +549,15 @@ def char_trigram_nll(
         # map-side, so the estimate job never pays the groupBy shuffle
         # that materializing the model would
         estimate_src = tri
-        # persist the self-built model: both the totals branch and the
-        # scoring join read it, and Spark re-derives unshared subtrees —
-        # without the persist the corpus trigram explode + aggregation
-        # ran twice (3 text scans in q_lm_quality's executed plan).
-        # Bounded by the observed trigram domain (the same quantity the
-        # broadcast decision estimates); MEMORY_AND_DISK spills
-        # gracefully on a 1e8-trigram multilingual model. Lazy.
-        model = tri.groupBy("tri").agg(F.count("*").alias("c")).persist()
+        # NOT persisted, measured r17: the totals branch re-derives the
+        # trigram explode+aggregation (3 text scans in q_lm_quality's
+        # executed plan — Spark has no cross-branch subplan sharing),
+        # but the lazy branches execute in parallel and a persist's
+        # materialization barrier read slower at sf0.1 on local[32]
+        # (min-of-3: 2.91s persisted vs 2.53s lazy). The 100 TB path
+        # never self-scores: pass a persisted char_trigram_counts
+        # parquet as ``model`` and this subtree scans text exactly once.
+        model = tri.groupBy("tri").agg(F.count("*").alias("c"))
     else:
         estimate_src = model
     if broadcast_model is None:
