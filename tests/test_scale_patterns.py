@@ -275,3 +275,61 @@ def test_char_trigram_nll_model_join_is_size_gated(spark, monkeypatch):
 
     got_fast = {r["doc_id"]: r.asDict() for r in fast.collect()}
     assert got_fast == got_slow
+
+
+def _stacked_python_evals(df) -> list[str]:
+    """Same-argument ArrowEvalPython/BatchEvalPython nodes stacked
+    parent-child in the executed plan — the optimizer-duplicated-UDF
+    signature (optimization guide §4.4): every row pays the UDF twice."""
+    import re
+
+    pat = re.compile(
+        r"(?:ArrowEvalPython|BatchEvalPython) \[([a-zA-Z0-9_]+\([^\]]*?\)#\d+)\]"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    evs = [m.group(1) for ln in plan.splitlines() if (m := pat.search(ln))]
+    return [b for a, b in zip(evs, evs[1:]) if a == b]
+
+
+def test_no_duplicated_udf_evaluation_r17(spark):
+    """r17 optimization regression guard: the three §4.4 duplicated-UDF
+    sites stay single-evaluation.
+
+    - perceptual-hash paths: an isNotNull filter on the UDF OUTPUT gets
+      pushed below the projection and duplicates the ArrowEvalPython
+      node (every payload hashed twice) — the guard must filter the
+      input column;
+    - chunk_udf: InferFiltersFromGenerate's size(chunks) > 0 predicate
+      gets copied below the projection unless the UDF is marked
+      non-deterministic (every document chunked twice).
+    """
+    from data_ingestion_tool_bakasura__spark.multimodal.media import (
+        image_hash_index,
+        video_fingerprint_index,
+    )
+    from data_ingestion_tool_bakasura__spark.operators.ingest import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("IMG1|8|8|1|"), F.coalesce("text", F.lit(""))).alias("payload"),
+    )
+    vids = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("VID1|10|4|"), F.coalesce("text", F.lit(""))), "UTF-8"
+        ).alias("media"),
+    )
+    assert _stacked_python_evals(image_hash_index(imgs)) == []
+    assert _stacked_python_evals(video_fingerprint_index(vids)) == []
+    chunks = chunk_documents(docs.limit(50))
+    assert _stacked_python_evals(chunks) == []
+    # and the null-guard semantics are unchanged: a NULL payload yields
+    # no hash row (the input-side filter is equivalent to the old
+    # output-side one because the hash is NULL iff its input is NULL)
+    one_null = imgs.limit(3).unionByName(
+        spark.createDataFrame([(999999, None)], "media_id long, payload string")
+    )
+    got = image_hash_index(one_null)
+    assert got.filter(F.col("media_id") == 999999).count() == 0
+    assert got.count() == 3
