@@ -1055,17 +1055,26 @@ def dsir_log_ratios(
             .agg(F.count("*").alias(name))
         )
 
-    # persist the (<= n_buckets)-row joined count table: the totals
-    # branch below otherwise RE-DERIVES the whole subtree — Spark has no
-    # cross-branch common-subplan sharing, so without the persist both
-    # corpus gram explodes ran twice (5 text scans in q_dsir_weights'
-    # executed plan, vs the 3 this operator actually needs). Lazy — no
-    # build-time jobs; the frame is bounded by construction.
+    # NOT persisted (r18 A/B, the driver's cold-in-suite methodology):
+    # the totals branch below re-derives the whole subtree (5 text
+    # scans in q_dsir_weights' executed plan vs the 3-scan floor —
+    # Spark has no cross-branch common-subplan sharing), but the lazy
+    # branches run IN PARALLEL inside one job while a persist inserts a
+    # serialized materialization barrier. r17's isolated min-of-3 said
+    # persist wins (2.85s -> 2.32s); the driver's single cold in-suite
+    # run said the opposite (2.04s -> 3.48s), and the r18 settled
+    # in-suite A/B confirmed the driver: persisted 3.81/3.33s vs lazy
+    # 3.91/2.71/2.81s (median 2.81) at sf0.1 — same class as the
+    # minhash/lm_quality reverts (operators/dedup.py). The 100 TB
+    # answer is unchanged:
+    # persist the <= n_buckets-row ratio TABLE (this function's output)
+    # to parquet once per reference corpus and broadcast it at serving
+    # time; the in-plan fan-out only exists when the model is derived
+    # inline, the oracle-gate shape.
     j = (
         counts(target, "tc")
         .join(counts(raw, "rc"), "bucket", "full")
         .na.fill({"tc": 0, "rc": 0})
-        .persist()
     )
     tot = j.agg(F.sum("tc").alias("_T"), F.sum("rc").alias("_R"))
     aB = float(alpha) * n_buckets
