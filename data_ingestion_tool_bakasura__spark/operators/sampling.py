@@ -717,6 +717,7 @@ def trigram_lang_id(
     id_col: str = "doc_id",
     broadcast_profiles: bool = True,
     doc_counts: DataFrame | None = None,
+    langs: DataFrame | None = None,
 ) -> DataFrame:
     """Classify each document's language by max trigram log-likelihood
     against :func:`fit_lang_profiles` output: ``score(doc, lang) =
@@ -730,12 +731,28 @@ def trigram_lang_id(
     the plan is doc-trigram counts (one partial-agg exchange on
     (doc, tri)) x a profile join (broadcast by default; set
     ``broadcast_profiles=False`` for 1e7+-trigram multilingual
-    profiles) -> one (doc, lang) aggregation -> an argmax window on
-    the doc key (ties break lexicographically, deterministic both
-    engines). No UDF, no driver collect. ``doc_counts`` (a persisted
-    :func:`doc_trigram_counts` frame) skips the explode stage — the
-    share-the-explode path when the profiles were just fit on the
-    same corpus."""
+    profiles) -> one (doc, lang) aggregation -> a per-doc argmax fold
+    over the sorted candidate-language array (strictly-greater keeps
+    the earlier entry, so ties break lexicographically — deterministic
+    both engines, identical to the former ``row_number`` over
+    (score DESC, lang ASC)). No UDF, no driver collect, and since r18
+    no window sort either: the per-doc lang->adj map is co-partitioned
+    with the doc totals on the doc key, so the argmax costs one
+    shuffle-free join plus an O(|langs|) array fold per doc (guide
+    §2.4 — the old doc_n x langs cross join + left join + window paid
+    two extra exchanges and a sort for the same answer).
+
+    ``doc_counts`` (a persisted :func:`doc_trigram_counts` frame)
+    skips the explode stage — the share-the-explode path when the
+    profiles were just fit on the same corpus. ``langs`` optionally
+    pins the candidate language set (one ``lang`` column; duplicates
+    fine, NULLs are dropped): the default derives it from
+    ``profiles``, which RE-RUNS the whole profile subtree when
+    ``profiles`` is a lazy fit (Spark shares no subplans across DAG
+    branches) — pass the corpus's label column (e.g.
+    ``docs.select("lang")``) when fit and classify share a corpus and
+    every label owns at least one trigram (then the two sets are
+    provably equal and the second fit derivation disappears)."""
     pen = F.lit(LANG_ID_OOV_LOGP)
     doc_tri = (
         doc_counts if doc_counts is not None
@@ -748,20 +765,41 @@ def trigram_lang_id(
         .groupBy("_id", "lang")
         .agg(F.sum(F.col("_n") * (F.col("logp") - pen)).alias("_adj"))
     )
-    langs = profiles.select("lang").distinct()
-    scores = (
-        doc_n.crossJoin(F.broadcast(langs))
-        .join(adj, ["_id", "lang"], "left")
-        .select(
-            "_id", "lang",
-            (pen * F.col("_nn") + F.coalesce("_adj", F.lit(0.0))).alias("score"),
-        )
+    # per-doc lang -> adj-term map; grouped on the same key as doc_n,
+    # so the join below reuses the hash partitioning (no exchange)
+    adj_map = adj.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "_adj"))).alias("_m")
     )
-    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("lang"))
+    cand = langs if langs is not None else profiles.select("lang")
+    # 1-row sorted candidate array (collect_set dedups map-side — no
+    # distinct exchange), broadcast onto every doc row
+    lang_arr = cand.agg(F.sort_array(F.collect_set("lang")).alias("_ls"))
+
+    def _adj_of(lang: Column) -> Column:
+        # element_at on a NULL map (doc matched no profile trigram in
+        # any language) propagates NULL -> the OOV-only term 0.0
+        return F.coalesce(F.element_at(F.col("_m"), lang), F.lit(0.0))
+
+    first = F.element_at(F.col("_ls"), 1)
+    best = F.aggregate(
+        F.slice(F.col("_ls"), 2, F.size("_ls") - 1),
+        F.struct(_adj_of(first).alias("_a"), first.alias("lang")),
+        lambda acc, lang: F.when(
+            _adj_of(lang) > acc["_a"],
+            F.struct(_adj_of(lang).alias("_a"), lang.alias("lang")),
+        ).otherwise(acc),
+    )
     pred = (
-        scores.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", F.col("lang").alias("guess"), "score")
+        doc_n.join(adj_map, "_id", "left")
+        .crossJoin(F.broadcast(lang_arr))
+        # empty candidate set: no prediction rows, every doc falls back
+        # to 'und'/NULL below — the pre-r18 empty-langs behavior
+        .filter(F.size("_ls") > 0)
+        .select(
+            "_id",
+            best.getField("lang").alias("guess"),
+            (pen * F.col("_nn") + best.getField("_a")).alias("score"),
+        )
     )
     return (
         df.select(_c(id_col).alias("_id"))

@@ -372,7 +372,11 @@ def q_lang_id_trigram(spark: SparkSession, sf: str) -> DataFrame:
     corpus-wide explode + (doc, tri) aggregation is by far the
     heaviest stage and Spark does not share subplans across DAG
     branches — without sharing it ran twice); persist() not
-    checkpoint, zero build-time jobs."""
+    checkpoint, zero build-time jobs. ``langs`` is passed as the
+    corpus's own label column (r18): the default would re-derive the
+    whole profile subtree a second time just to list the candidate
+    languages, and the oracle's candidate set IS ``SELECT DISTINCT
+    lang FROM documents`` — the label column is the exact twin."""
     from data_ingestion_tool_bakasura__spark.operators.sampling import (
         doc_trigram_counts,
         fit_lang_profiles,
@@ -382,7 +386,8 @@ def q_lang_id_trigram(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     dc = doc_trigram_counts(docs, "text", "doc_id").persist()
     pred = trigram_lang_id(
-        docs, fit_lang_profiles(docs, doc_counts=dc), doc_counts=dc
+        docs, fit_lang_profiles(docs, doc_counts=dc), doc_counts=dc,
+        langs=docs.select("lang"),
     )
     return (
         docs.select("doc_id", "lang")
