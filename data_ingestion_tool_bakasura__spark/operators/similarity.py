@@ -393,6 +393,45 @@ def _centroid_schema(corpus: DataFrame, id_col: str, vec_col: str) -> T.StructTy
     )
 
 
+def _md5_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, cap: int
+) -> tuple[list, "np.ndarray"]:
+    """The bounded deterministic fit sample every driver-side trainer
+    shares: the ``cap`` md5-first corpus rows as (ids, vectors). ONE
+    scan (TakeOrdered); r18 hoists it so a composition like
+    :func:`ivfadc_topk` collects it once for both the coarse k-means
+    and the PQ codebooks instead of paying one identical scan per
+    trainer (guide §1.2 — serial driver roundtrips)."""
+    rows = (
+        corpus.select(_c(id_col).alias("_id"), _c(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(cap)
+        .collect()
+    )
+    ids = [r["_id"] for r in rows]
+    V = np.array([r["_v"] for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def _maxmin_greedy(ids: list, Vn: "np.ndarray", n: int) -> list[int]:
+    """Farthest-first traversal over a normalized sample matrix: start
+    from the md5-first row, greedily add the row with the largest
+    cosine distance to its nearest chosen seed, ties -> lowest id.
+    Returns chosen row indices (the shared core of
+    :func:`maxmin_seed_centroids` and :func:`kmeans_centroids`)."""
+    chosen = [0]  # md5-first row seeds the traversal
+    mind = 1.0 - Vn @ Vn[0]
+    for _ in range(min(n, len(ids)) - 1):
+        dmax = mind.max()
+        if dmax <= 0.0:
+            break  # fewer distinct directions than requested seeds
+        at_max = np.flatnonzero(mind == dmax)
+        best = min((int(j) for j in at_max), key=lambda j: ids[j])  # ties -> lowest id
+        chosen.append(best)
+        mind = np.minimum(mind, 1.0 - Vn @ Vn[best])
+    return chosen
+
+
 def maxmin_seed_centroids(
     corpus: DataFrame,
     n: int,
@@ -417,27 +456,11 @@ def maxmin_seed_centroids(
     A naive distributed form (one argmax scan per seed) costs n full
     scans and is strictly worse at any scale.
     """
-    rows = (
-        corpus.select(_c(id_col).alias("c_id"), _c(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("c_id").cast("string")), F.col("c_id"))
-        .limit(sample_cap)
-        .collect()
-    )
-    if not rows:
+    ids, V = _md5_sample(corpus, id_col, vec_col, sample_cap)
+    if not ids:
         raise ValueError("maxmin_seed_centroids: corpus is empty")
-    ids = [r["c_id"] for r in rows]
-    V = np.array([r["v"] for r in rows], dtype=np.float64)
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-    chosen = [0]  # md5-first row seeds the traversal
-    mind = 1.0 - Vn @ Vn[0]
-    for _ in range(min(n, len(rows)) - 1):
-        dmax = mind.max()
-        if dmax <= 0.0:
-            break  # fewer distinct directions than requested seeds
-        at_max = np.flatnonzero(mind == dmax)
-        best = min((int(j) for j in at_max), key=lambda j: ids[j])  # ties -> lowest id
-        chosen.append(best)
-        mind = np.minimum(mind, 1.0 - Vn @ Vn[best])
+    chosen = _maxmin_greedy(ids, Vn, n)
     spark = corpus.sparkSession
     # preserve the id column's original type (ADVICE r6: int() coercion
     # crashed on non-numeric ids, inconsistent with pick_seed_centroids)
@@ -454,72 +477,62 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "maxmin",
+    sample_cap: int = 8192,
+    sample: tuple[list, "np.ndarray"] | None = None,
 ) -> DataFrame:
-    """Lloyd-refined IVF centroids as pure DataFrame ops (r5 verdict #5
-    — hash-picked seeds give unbalanced lists, and balanced lists are
-    what make ``nprobe/n_lists`` an honest scan-fraction dial):
+    """Lloyd-refined IVF centroids, fit driver-side over the bounded
+    md5-ordered sample (r5 verdict #5: hash-picked seeds give
+    unbalanced lists, and balanced lists are what make
+    ``nprobe/n_lists`` an honest scan-fraction dial):
 
-    - init: ``"maxmin"`` (default) = :func:`maxmin_seed_centroids`
-      farthest-first traversal — avoids the two-seeds-in-one-cluster
-      local optimum Lloyd cannot escape; ``"seed"`` =
-      :func:`pick_seed_centroids` (cheaper: no distance math).
-    - per iteration, ONE Spark job: assign each row with the same Arrow
-      matmul-argmax as :func:`ivf_assign` (map-side, no shuffle of
-      vectors) and hash-aggregate per-dimension means on (c_id,
-      dim_idx) — the exchange carries O(n_lists x dim) partial sums,
-      not the corpus. The n x dim means come back to the driver (the
-      same tiny-by-contract collect as ivf_assign's centroid ship) and
-      the next iteration's matmul uses them directly — no per-iteration
-      join/checkpoint plumbing.
+    - init: ``"maxmin"`` (default) = farthest-first traversal over the
+      sample — avoids the two-seeds-in-one-cluster local optimum Lloyd
+      cannot escape; ``"seed"`` = the ``n`` md5-first sample rows
+      (= :func:`pick_seed_centroids`; cheaper, no distance math).
+    - Lloyd then runs in numpy over the SAME sample matrix: one
+      (sample x dim) @ (dim x n) argmax per iteration (first max ->
+      lowest ``c_id``, the :func:`ivf_assign` tiebreak) and per-list
+      raw-vector means. Lists that lose every member keep their
+      previous centroid (deterministic, no reseeding).
 
-    Lists that lose every member keep their previous centroid
-    (deterministic, no reseeding). At 100 TB fit on a
-    :func:`~..operators.sampling.hash_sample` of the corpus — k-means
-    needs a representative sample, not every row; assignment of the
-    full corpus happens once, after the fit.
-    """
+    Cost: ONE Spark job total — the sample TakeOrdered (or zero with a
+    precollected ``sample`` from :func:`_md5_sample`, the shared-scan
+    path :func:`ivfadc_topk` uses). The pre-r18 form ran the init scan
+    plus one full corpus assign+mean job PER Lloyd iteration; k-means
+    needs a representative sample, not every row (the stated 100 TB
+    contract — fit on the sample, assign the full corpus once, after
+    the fit), so those extra passes bought only float-summation-order
+    differences in the means at fixture scale (sample_cap >= corpus)
+    while costing 1 + iters serial driver roundtrips (guide §1.2).
+    Full-probe search over ANY centroid set still equals the exact
+    scan — the q_ivf_kmeans_search oracle contract is
+    centroid-independent (contract-tested)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    if init == "maxmin":
-        seed_df = maxmin_seed_centroids(corpus, n, id_col, vec_col)
-    elif init == "seed":
-        seed_df = pick_seed_centroids(corpus, n, id_col, vec_col)
-    else:
+    if init not in ("maxmin", "seed"):
         raise ValueError(f"init must be 'maxmin' or 'seed', got {init!r}")
-    rows = sorted(seed_df.collect(), key=lambda r: r["c_id"])
-    cids = [r["c_id"] for r in rows]
-    C = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    spark = corpus.sparkSession
-    id_type = corpus.schema[id_col].dataType
+    ids, V = sample if sample is not None else _md5_sample(
+        corpus, id_col, vec_col, sample_cap
+    )
+    if not ids:
+        raise ValueError("kmeans_centroids: corpus is empty")
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    if init == "maxmin":
+        chosen = _maxmin_greedy(ids, Vn, n)
+    else:
+        chosen = list(range(min(n, len(ids))))  # md5-first rows
+    chosen = sorted(chosen, key=lambda i: ids[i])  # ascending c_id, the
+    # argmax-first tiebreak order ivf_assign and the old collect used
+    cids = [ids[i] for i in chosen]
+    C = V[chosen].copy()
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-        cids_i, Cn_i = list(cids), Cn  # bind per-iteration for the closure
-
-        @F.pandas_udf(id_type)
-        def _assign(vecs: pd.Series) -> pd.Series:
-            V = np.array(vecs.tolist(), dtype=np.float64)
-            if not len(V):
-                return pd.Series([], dtype="object")
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            return pd.Series([cids_i[i] for i in np.argmax(Vn @ Cn_i.T, axis=1)])
-
-        stats = (
-            # two-step: UDF assignment in its own projection BELOW the
-            # generator, so the matmul runs once per row, not once per
-            # exploded element
-            corpus.select(_assign(_c(vec_col)).alias("_kc"), _c(vec_col).alias("_kv"))
-            .select("_kc", F.posexplode("_kv").alias("_kp", "_kx"))
-            .groupBy("_kc", "_kp")
-            .agg(F.avg("_kx").alias("m"))
-            .collect()
-        )
-        means: dict[object, dict[int, float]] = {}
-        for r in stats:
-            means.setdefault(r["_kc"], {})[r["_kp"]] = r["m"]
-        for i, cid in enumerate(cids):
-            if cid in means:
-                C[i] = [means[cid][p] for p in range(C.shape[1])]
-    return spark.createDataFrame(
+        a = np.argmax(Vn @ Cn.T, axis=1)  # first max -> lowest c_id
+        for j in range(len(cids)):
+            mask = a == j
+            if mask.any():
+                C[j] = V[mask].mean(axis=0)
+    return corpus.sparkSession.createDataFrame(
         [(cid, [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
         _centroid_schema(corpus, id_col, vec_col),
     )
@@ -615,6 +628,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = 8192,
+    sample: tuple[list, "np.ndarray"] | None = None,
 ) -> DataFrame:
     """Train product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI'11): L2-normalize
@@ -624,7 +638,9 @@ def pq_train(
     m x n_codes rows.
 
     Training runs driver-side in numpy over a bounded md5-ordered
-    sample (ONE scan; the same boundedness contract as
+    sample (ONE scan, or ZERO with a precollected ``sample`` from
+    :func:`_md5_sample` — the shared-scan path :func:`ivfadc_topk`
+    uses; the same boundedness contract as
     :func:`maxmin_seed_centroids` — PQ needs a representative sample,
     not the corpus). Deterministic: md5 sample order, farthest-first
     init per subspace, fixed Lloyd iterations, empty clusters keep
@@ -632,15 +648,11 @@ def pq_train(
     """
     if n_codes > 128:
         raise ValueError("n_codes > 128 does not fit the tinyint code column")
-    rows = (
-        corpus.select(_c(id_col).alias("_id"), _c(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-        .limit(sample_cap)
-        .collect()
+    _ids, V = sample if sample is not None else _md5_sample(
+        corpus, id_col, vec_col, sample_cap
     )
-    if not rows:
+    if not _ids:
         raise ValueError("pq_train: corpus is empty")
-    V = np.array([r["_v"] for r in rows], dtype=np.float64)
     if V.shape[1] % m:
         raise ValueError(f"dim {V.shape[1]} not divisible by m={m}")
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
@@ -692,6 +704,7 @@ def pq_train_residual(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = 8192,
+    sample: tuple[list, "np.ndarray"] | None = None,
 ) -> DataFrame:
     """Residual PQ codebooks — the classic IVFADC fine quantizer
     (TPAMI'11 §V): codes quantize r = x_norm - centroid(assigned(x))
@@ -699,18 +712,15 @@ def pq_train_residual(
     smaller spread than raw vectors, so the same code budget buys a
     finer grid exactly where the probed list's vectors live; measured
     recall deltas in ANN.md. Same bounded-sample, deterministic
-    training contract as :func:`pq_train`."""
+    training contract as :func:`pq_train` (and the same optional
+    precollected ``sample`` shared-scan path)."""
     if n_codes > 128:
         raise ValueError("n_codes > 128 does not fit the tinyint code column")
-    rows = (
-        corpus.select(_c(id_col).alias("_id"), _c(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-        .limit(sample_cap)
-        .collect()
+    _ids, V = sample if sample is not None else _md5_sample(
+        corpus, id_col, vec_col, sample_cap
     )
-    if not rows:
+    if not _ids:
         raise ValueError("pq_train_residual: corpus is empty")
-    V = np.array([r["_v"] for r in rows], dtype=np.float64)
     if V.shape[1] % m:
         raise ValueError(f"dim {V.shape[1]} not divisible by m={m}")
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
@@ -958,17 +968,28 @@ def ivfadc_topk(
     candidate exchange carries (corpus_id, query, adc_score) scalars;
     floats are re-read only for shortlist ids via broadcast semi-join.
     """
+    # one md5 fit sample, shared by the coarse k-means AND the PQ
+    # codebooks (they trained on the identical TakeOrdered scan anyway
+    # — collecting it twice was a pure duplicate driver job, §1.2)
+    fit_sample = (
+        _md5_sample(corpus, corpus_id, vec_col, 8192)
+        if centroids is None or codebooks is None
+        else None
+    )
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_lists, iters=iters,
-                                     id_col=corpus_id, vec_col=vec_col)
+                                     id_col=corpus_id, vec_col=vec_col,
+                                     sample=fit_sample)
     if codebooks is None:
         if residual:
             codebooks = pq_train_residual(corpus, centroids, m=m,
                                           n_codes=n_codes, iters=iters,
-                                          id_col=corpus_id, vec_col=vec_col)
+                                          id_col=corpus_id, vec_col=vec_col,
+                                          sample=fit_sample)
         else:
             codebooks = pq_train(corpus, m=m, n_codes=n_codes, iters=iters,
-                                 id_col=corpus_id, vec_col=vec_col)
+                                 id_col=corpus_id, vec_col=vec_col,
+                                 sample=fit_sample)
     assigned = ivf_assign(corpus, centroids, corpus_id, vec_col, "c_id")
     if residual:
         encoded = pq_encode_residual(assigned, centroids, codebooks, vec_col).select(
