@@ -593,16 +593,23 @@ def video_near_dup(
         frames.filter(F.col("frame").isNotNull())
         .select("video_id", ahash64_udf()(F.col("frame")).alias("fh"))
         .distinct()
-        # share point, not a write-ordering barrier: the persist sits
-        # BEFORE the hot-frame cap because the cap's own aggregate reads
-        # this frame too — persisted after the anti-join (the r11 form),
-        # one materialization ran the sample+hash subtree twice (once
-        # under `hot`, once under the anti-join's left side; seen in the
+        # share point, not a write-ordering barrier: it sits BEFORE the
+        # hot-frame cap because the cap's own aggregate reads this
+        # frame too — shared after the anti-join (the r11 form), one
+        # materialization ran the sample+hash subtree twice (once under
+        # `hot`, once under the anti-join's left side; seen in the
         # executed plan as two full MapInPandas+ArrowEvalPython trees).
-        # NOT reliable_checkpoint — under AQE even a lazy checkpoint
-        # forces toRdd at plan build, executing the upstream stages
-        # (plan_audit caught exactly that: eager jobs at construction)
-        .persist()
+        # reliable_checkpoint, not persist (r18, VERDICT r17 #6): the
+        # two persists stayed registered in the CacheManager for the
+        # app lifetime with no caller handle to unpersist — a long
+        # session composing many near-dup calls accumulates pinned
+        # frame tables (guide §5). Checkpoint blocks are GC-scoped:
+        # once the returned pairs frame is materialized and released,
+        # ContextCleaner frees them (this raw table's blocks already
+        # when the capped checkpoint below cuts its lineage). Same
+        # eager-at-construction contract as image_near_dup's hash-table
+        # checkpoint; the frames are hashed exactly once either way.
+        .transform(reliable_checkpoint)
     )
     # boilerplate cap: drop hashes shared by too many videos (both from
     # candidates AND from sizes, keeping jaccard self-consistent)
@@ -612,12 +619,10 @@ def video_near_dup(
         .filter(F.col("nv") > max_videos_per_frame)
         .select("fh")
     )
-    # second (tiny) share point: sizes and both self-join sides read the
-    # capped frame — persisting it materializes `hot` + the anti-join
-    # once from the cached raw frame; measured on local[32], the lazy
-    # alternative re-runs the hot/anti stages per consumer under AQE
-    # (30 jobs vs 22 for the whole query)
-    fh = fh.join(F.broadcast(hot), "fh", "left_anti").persist()
+    # second (tiny) share point: sizes and both self-join sides read
+    # the capped frame; without it AQE re-runs the hot/anti stages per
+    # consumer (measured r17: 30 jobs vs 22 for the whole query)
+    fh = fh.join(F.broadcast(hot), "fh", "left_anti").transform(reliable_checkpoint)
     sizes = fh.groupBy("video_id").agg(F.count("*").alias("n"))
     shared = (
         fh.alias("a")
@@ -710,9 +715,12 @@ def video_near_dup_increment(
         new_f = new_fp.join(F.broadcast(hot), "fh", "left_anti")
     else:
         idx_f, new_f = index, new_fp
-    # share point (feeds both join legs + sizes); persist, NOT
-    # checkpoint — see the video_near_dup note on AQE eager toRdd
-    new_f = new_f.persist()
+    # share point (feeds both join legs + sizes); reliable_checkpoint,
+    # not persist (r18): this operator runs inside the streaming
+    # foreachBatch sink, where a per-batch persist with no unpersist
+    # accumulates one CacheManager registration per micro-batch for
+    # the app lifetime — checkpoint blocks are GC-scoped instead
+    new_f = new_f.transform(reliable_checkpoint)
     base = idx_f.alias("x").join(new_f.alias("y"), "fh").select(
         F.col("x.video_id").alias("id_a"), F.col("y.video_id").alias("id_b")
     )

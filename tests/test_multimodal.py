@@ -195,6 +195,40 @@ def test_video_near_dup_shot_fingerprints(spark):
     assert abs(ab["jaccard"] - 5 / 7) < 1e-6
 
 
+def test_video_near_dup_leaves_no_registered_cache(spark):
+    """r18 (VERDICT r17 #6): video_near_dup's two share points used to
+    persist() with no unpersist — each call pinned its frame tables in
+    the CacheManager for the app lifetime. They are GC-scoped local
+    checkpoints now: after the operator returns and its result is
+    materialized, the SQL cache registry holds nothing new."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_bakasura__spark.multimodal.media import video_near_dup
+
+    def frame(seed):
+        d = hashlib.sha256(seed).digest()
+        return bytes((b % 255) + 1 for b in d) * 8
+
+    f = [frame(b"cache-frame-%d" % i) for i in range(4)]
+    rows = [
+        ("A", b"VID1|24|3|" + b"\x00".join([f[0], f[1], f[2]])),
+        ("B", b"VID1|24|3|" + b"\x00".join([f[0], f[1], f[3]])),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    out = video_near_dup(df, every_k=1, min_jaccard=0.1)
+    out.write.format("noop").mode("overwrite").save()
+    # nothing newly registered by the operator or its materialization
+    assert cm.isEmpty() == was_empty
+    if was_empty:
+        assert cm.isEmpty()
+    # and the result is still the shared-frame pair
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {("A", "B")}
+
+
 def test_image_near_dup_incremental_wave_parity(spark, tmp_path):
     """r8 incremental closure: hashing the corpus once and probing a
     wave against the persisted hash index yields exactly the batch

@@ -121,6 +121,14 @@ _note_build_jobs_ok(
     "probes is (re)built in scratch space first",
 )
 _note_build_jobs_ok(
+    ["q_video_near_dup"],
+    "video near-dup share points: the distinct fingerprint frame and "
+    "its hot-capped subset materialize as GC-scoped checkpoints at "
+    "construction (r18 — the former lazy persists stayed registered "
+    "in the CacheManager for the app lifetime); frames are sampled "
+    "and hashed exactly once, the image_near_dup contract",
+)
+_note_build_jobs_ok(
     ["q_warc_zst_roundtrip"],
     ".warc.zst fixture: write_warc(compression='zstd') materializes the "
     "archives the read leg under test then scans (once per process)",
