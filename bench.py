@@ -41,6 +41,15 @@ in the low tens; a ``load_start`` well above ~8 before the warm-up, or
 query_load1 values far above ``32 + load_start``, mark the run as
 contended per BASELINE.md's exclusion rule (uniform ≳1.3x median
 per-query ratio).
+
+Since r18 (VERDICT r17 #4) the line additionally carries
+``adjudication`` (SETTLED/ELEVATED/CONTENDED per
+``tools/adjudicate_bench.py``'s median-ratio rule), ``median_ratio``
+and ``adj_ref`` (the newest committed ``BENCH_local_r*.json`` it was
+computed against) — machine-readable host-shift-vs-code-shift for the
+driver's PERF comparison; ``NO-REF`` when no reference run exists.
+Additive fields only; the timed region and every prior field are
+unchanged, so totals stay comparable across rounds.
 """
 
 from __future__ import annotations
@@ -192,6 +201,36 @@ def main() -> None:
         n_ok += 1
 
     total = round(sum(t for t in times.values() if isinstance(t, float)), 3)
+    # Self-adjudication (r17 verdict #4): the settled-vs-contended call
+    # used to need post-hoc forensics against the committed settled
+    # window; the already-computed median per-query ratio now rides the
+    # JSON line so a PERF comparison can separate host shift from code
+    # shift mechanically. ADDITIVE only — the timed region, the metric
+    # and every existing field are untouched; failures degrade to
+    # "NO-REF" rather than ever breaking the bench.
+    adj: dict[str, object] = {"adjudication": "NO-REF"}
+    try:
+        from tools.adjudicate_bench import (
+            _payload,
+            contention_verdict,
+            newest_local_bench,
+            ratios,
+        )
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        ref_path = newest_local_bench(repo)
+        if ref_path:
+            ref = _payload(json.load(open(ref_path)))
+            ok_times = {n: t for n, t in times.items() if isinstance(t, float)}
+            verdict, med = contention_verdict(ratios({"queries": ok_times}, ref))
+            if med == med:  # not NaN
+                adj = {
+                    "adjudication": verdict,
+                    "median_ratio": round(med, 3),
+                    "adj_ref": os.path.basename(ref_path),
+                }
+    except Exception as exc:  # noqa: BLE001 — advisory metadata only
+        print(f"bench: self-adjudication skipped: {exc}", file=sys.stderr)
     detail = {
         "metric": "headline_suite_total",
         "value": total,
@@ -204,6 +243,7 @@ def main() -> None:
         "load_end": load_now(),
         "query_load1": query_load1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **adj,
     }
     # Full verbose payload: sidecar file only (r8 verdict #7 — echoing it
     # to stderr interleaved a truncated fragment ahead of the parseable
