@@ -1002,6 +1002,15 @@ def winnow_candidate_pairs(
     that many docs (universal boilerplate) before the quadratic
     per-bucket pairing, the same worst-case-linear cap as the LSH
     banding path.
+
+    Share points measured and left LAZY (r18, closing the r17 census
+    on this 8-wide-scan plan; min-of-3 isolated fresh sessions at
+    sf0.1, q_winnow_pairs): lazy 6.59s, fps persisted 6.75s, kept
+    persisted 5.94s, both 5.74s — the ~10% best case sits inside this
+    host's per-run spread (the same runs swung 6.6-13.3s), unlike the
+    decisive deep-clean surgery checkpoint (7.2 -> 4.0s). Same verdict
+    class as the minhash persists above; at scale the sketch is a
+    persisted parquet index, not an in-plan re-derivation.
     """
     fps = winnow_fingerprints(df, text_col, id_col, shingle_n, window)
     ok = fps.groupBy("fp").agg(F.count("*").alias("_n")).filter(

@@ -854,25 +854,35 @@ ORDER BY doc_id
 
 
 def q_deep_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """Round-7 capstone composition, one lazy plan: substring-span
-    surgery (remove_repeated_spans) -> char-trigram LM self-scoring of
-    the POST-surgery text (the model trains on what survives, the
-    CCNet ordering) -> per-source accounting (docs cut, tokens removed,
-    average NLL, docs flagged above 5.38 nats). Proves the new
-    operators compose lazily — Catalyst sees one tree; nothing
-    materializes between stages — and the whole chain is value-checked
-    against a single DuckDB oracle that re-derives surgery, model and
-    rollup in SQL."""
+    """Round-7 capstone composition: substring-span surgery
+    (remove_repeated_spans) -> char-trigram LM self-scoring of the
+    POST-surgery text (the model trains on what survives, the CCNet
+    ordering) -> per-source accounting (docs cut, tokens removed,
+    average NLL, docs flagged above 5.38 nats), value-checked against
+    a single DuckDB oracle that re-derives surgery, model and rollup
+    in SQL.
+
+    The surgery output is a GC-scoped checkpoint since r18 (the r17
+    live-scan census counted 7 wide scans: the span surgery — the
+    single most expensive per-byte operator in the engine — re-derived
+    under the LM's model branch, its scoring branch, its totals and
+    the rollup joins). Measured min-of-3 isolated at sf0.1: lazy
+    7.20s, persist() 5.11s, reliable_checkpoint 3.98s — unlike the
+    minhash/DSIR share points this one wins big either way because
+    each re-derivation repeats the surgery's work, not a cheap scan.
+    This is also the production seam: at 100 TB the cleaned corpus is
+    written to parquet once and every downstream filter reads that,
+    never re-runs the surgery."""
     from data_ingestion_tool_bakasura__spark.operators.dedup import (
         remove_repeated_spans,
     )
+    from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 
     docs = load_table(spark, sf, "documents")
-    cleaned = remove_repeated_spans(docs, n=_SPAN_N)
-    # broadcast_model=True: caller-asserted small trigram domain keeps
-    # the composition a single lazy tree (the auto gate would run its
-    # size-estimate job at plan-build time); q_lm_quality exercises
-    # the auto gate on the same corpus
+    cleaned = reliable_checkpoint(remove_repeated_spans(docs, n=_SPAN_N))
+    # broadcast_model=True: caller-asserted small trigram domain (the
+    # auto gate would run its size-estimate job at plan-build time);
+    # q_lm_quality exercises the auto gate on the same corpus
     scored = SP.char_trigram_nll(
         cleaned, text_col="cleaned", id_col="doc_id", broadcast_model=True
     )

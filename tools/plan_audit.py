@@ -101,7 +101,9 @@ _note_build_jobs_ok(
 _note_build_jobs_ok(
     ["q_lm_quality_xcorpus", "q_lm_quality", "q_deep_clean_pipeline"],
     "char_trigram_nll broadcast auto-sizing: one approx_count_distinct "
-    "job bounds the model before choosing broadcast vs shuffle join",
+    "job bounds the model before choosing broadcast vs shuffle join "
+    "(q_deep_clean_pipeline additionally checkpoints the span-surgery "
+    "output once — r18, measured 7.20s lazy vs 3.98s checkpointed)",
 )
 _note_build_jobs_ok(
     ["q_semantic_dedup", "q_stream_semantic_dedup"],
