@@ -212,6 +212,15 @@ def chunk_udf(chunk_size: int = CHUNK_SIZE, chunk_overlap: int = CHUNK_OVERLAP):
     document is chunked TWICE (verified in q_ingest_pipeline's executed
     plan). The marker forbids duplicating/reordering the call; the
     function is in fact deterministic, so results are unchanged.
+
+    Caller note (r17 ADVICE): the marker also blocks pushing OTHER
+    predicates below the chunk projection — a DOCUMENT-selective
+    filter applied after chunking now chunks every document first.
+    Apply document gates before the chunk stage and project away
+    unneeded columns upstream, since nothing migrates past this node
+    anymore (the in-repo pipelines' post-chunk operations — chunk-hash
+    dedup, index joins — genuinely need the chunks, so nothing was
+    lost there).
     """
 
     @F.pandas_udf(T.ArrayType(T.StringType()))

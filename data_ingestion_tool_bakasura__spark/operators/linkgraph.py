@@ -62,7 +62,18 @@ def extract_links(
     value-identical on the fixtures (exceptAll both ways) and the
     oracle family re-certified; the JSON cost is per-byte and
     data-proportional at crawl scale. Nested paths (real Common-Crawl
-    WAT's ``$.Envelope...Links``) keep the general two-step form."""
+    WAT's ``$.Envelope...Links``) keep the general two-step form.
+
+    Corrupt-record semantics of the fast path (r17 ADVICE): the pruned
+    ``from_json`` is PERMISSIVE over the WHOLE record — any malformed
+    byte NULLs the row — while the two-step form can still extract a
+    links array from a record whose JSON breaks only AFTER it. A
+    partially-corrupt WAT record therefore yields no links on the fast
+    path where the old form may have yielded some. That matches the
+    crawl-scale dead-letter philosophy (malformed records are dropped,
+    not half-parsed); if parity on corrupt-tail records ever matters,
+    pass a nested-looking path (or any non-``$.name`` form) to force
+    the two-step extraction."""
     import re as _re
 
     m = _re.fullmatch(r"\$\.(\w+)", links_path)

@@ -278,17 +278,26 @@ def test_char_trigram_nll_model_join_is_size_gated(spark, monkeypatch):
 
 
 def _stacked_python_evals(df) -> list[str]:
-    """Same-argument ArrowEvalPython/BatchEvalPython nodes stacked
-    parent-child in the executed plan — the optimizer-duplicated-UDF
-    signature (optimization guide §4.4): every row pays the UDF twice."""
+    """ArrowEvalPython/BatchEvalPython eval signatures appearing MORE
+    THAN ONCE anywhere in the executed plan — the optimizer-duplicated-
+    UDF signature (optimization guide §4.4): every row pays the UDF
+    twice. Whole-plan occurrence counting (r17 ADVICE: the original
+    adjacent-pair check missed a duplicated eval separated by another
+    eval node); sound for the frames guarded below because the
+    signature includes the argument EXPRESSION IDS, which only a
+    pushed-down copy of the same node shares — legitimate cross-branch
+    re-evaluation instantiates fresh ids."""
+    import collections
     import re
 
     pat = re.compile(
         r"(?:ArrowEvalPython|BatchEvalPython) \[([a-zA-Z0-9_]+\([^\]]*?\)#\d+)\]"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    evs = [m.group(1) for ln in plan.splitlines() if (m := pat.search(ln))]
-    return [b for a, b in zip(evs, evs[1:]) if a == b]
+    counts = collections.Counter(
+        m.group(1) for ln in plan.splitlines() if (m := pat.search(ln))
+    )
+    return [sig for sig, n in counts.items() if n > 1]
 
 
 def test_no_duplicated_udf_evaluation_r17(spark):
