@@ -34,49 +34,87 @@ for mod in (relational, documents_q, events_q, streaming_q, multimodal_q, vector
     ORACLE.update(mod.ORACLE)
 
 #: Catalog iteration order. External correctness harnesses check a
-#: prefix of ``queries()`` in iteration order. Round-17 rotation (r16
-#: verdict #1; evidence computed by ``python tools/rotation.py``, the
-#: order generated from it mechanically — sort by (newest driver-green
-#: round, prior catalog position)): lead with the 23 impl-changed
-#: queries from the r17 themed review — six whose WARC/CDX read path
-#: gained the decompression-bomb inflate budget (q_wet_pipeline,
-#: q_wat_metadata, q_warc_zst_roundtrip, q_cdx_fetch_plan,
-#: q_cdx_range_fetch, q_warc_render), eight whose HTML parse now runs
-#: work-budgeted against the stdlib parser's measured quadratics
-#: (q_main_content, q_html_meta, q_html_links, and the outlink-fed
-#: link-graph family q_link_graph/q_pagerank/q_anchor_text/q_frontier/
-#: q_fetch_schedule), q_bloom_url_dedup whose persisted-meta load is
-#: now shape-validated, and the late-wave four on the same budget —
-#: q_page_extract + q_doc_assembly (PDF /FlateDecode streams),
-#: q_sitemap_seeds + q_recrawl (hostile .xml.gz sitemaps degrade to
-#: the tolerant raw fallback), q_audio_features (a zero sample_rate
-#: AUD1 header no longer ZeroDivisionErrors the task), and the
-#: url-regex ReDoS wave — q_url_normalize, q_url_dedup,
-#: q_canonical_dedup (the last-labels extractor is bounded at RFC
-#: 1035's 63-octet label limit and the dirpath segment strip is
-#: anchored; both were O(n^2) on crafted hosts/paths, measured 20-28s
-#: at 80 KB, and both constants feed the DuckDB twins) — then ALL 25
-#: remaining r13-evidence rows (q_json_variants through
-#: q_rank_dense_ntile), then the first 2 remaining r14 rows
-#: (q_lsh_exact_twin, q_binary_rerank).
-#: After this window lands the oldest driver evidence anywhere is r14.
-#: Past the boundary the remaining r14, r15 and r16 blocks continue
-#: stalest-first (ties keep their prior catalog order) so the r18
-#: rotation reads straight off ``tools/rotation.py``. The r17 advice
-#: fixes (index_client heal scoping + error-class dispatch, GIF
-#: first-frame invariant) touch NO catalog query's plan (verified by
-#: grep — those surfaces serve the CLI and dedicated tests), so no
-#: further impl-changed rows lead.
+#: prefix of ``queries()`` in iteration order. Round-18 rotation
+#: (evidence computed by ``python tools/rotation.py``, the order
+#: generated from it mechanically — sort by (newest driver-green
+#: round, prior catalog position)): lead with the 8 impl-changed
+#: queries of the r18 optimization round — q_dsir_weights /
+#: q_dsir_select (ratio-table persist reverted, measured cold
+#: in-suite), q_lang_id_trigram (argmax fold + langs= candidate set,
+#: no window sort, no second profile derivation),
+#: q_ivf_kmeans_search / q_ivfadc_search / q_pq_rerank (driver-side
+#: sample-fit Lloyd + one shared md5 fit sample), q_video_near_dup
+#: (share points became GC-scoped checkpoints),
+#: q_deep_clean_pipeline (span-surgery output checkpointed, 7.2 ->
+#: 4.0s) — then the remaining 25 r14-evidence rows
+#: (q_running_revenue .. q_crawl_pipeline) and the first 17
+#: r15-evidence rows (q_stream_near_dedup .. q_orders_above_cust_avg),
+#: stalest-first with ties keeping prior catalog order.
+#: After this window lands the oldest driver evidence anywhere is r15.
+#: Past the boundary the remaining r15, r16 and r17 blocks continue
+#: stalest-first, so the next rotation again reads straight off
+#: ``tools/rotation.py``.
 #: Rows-only queries with no oracle by design (q_ingest_pipeline,
 #: q_lsh_ann_topk, q_ivf_assignments, q_hnsw_topk) sit past the
 #: checked window — their semantics are held by dedicated tests
 #: (test_ingest, ANN.md recall contracts, IVF full-probe==exact, HNSW
 #: fused==persisted parity) and by oracle-able twins, BOTH
-#: VALUE-checked: q_hnsw_topk via q_hnsw_exact_twin (r13, re-checked
-#: r17 window-adjacent) and q_lsh_ann_topk via q_lsh_exact_twin (in
-#: the r17 window). Every name must exist in a module's QUERIES
-#: (asserted below) so a rename can't silently drop a query.
+#: VALUE-checked: q_hnsw_topk via q_hnsw_exact_twin (in the r18
+#: window) and q_lsh_ann_topk via q_lsh_exact_twin (r17 window).
+#: Every name must exist in a module's QUERIES (asserted below) so a
+#: rename can't silently drop a query.
 _PRIORITY = [
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_lang_id_trigram",
+    "q_ivf_kmeans_search",
+    "q_ivfadc_search",
+    "q_pq_rerank",
+    "q_video_near_dup",
+    "q_deep_clean_pipeline",
+    "q_running_revenue",
+    "q_price_percentiles",
+    "q_pivot_daily_value",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_stream_running_stats",
+    "q_stream_funnel",
+    "q_tumbling_hourly",
+    "q_value_zscore",
+    "q_asof_click_error",
+    "q_cosine_topk_batch",
+    "q_exact_dedup",
+    "q_minhash_lsh_candidates",
+    "q_bm25_topdocs",
+    "q_ingest_pipeline_fixed",
+    "q_pricing_summary",
+    "q_temperature_mixture",
+    "q_substring_dedup_incr",
+    "q_lm_quality_xcorpus",
+    "q_surt_keys",
+    "q_c4_line_clean",
+    "q_gopher_quality",
+    "q_web_quality_pipeline",
+    "q_gopher_repetition",
+    "q_crawl_pipeline",
+    "q_stream_near_dedup",
+    "q_hnsw_exact_twin",
+    "q_doc_stats",
+    "q_lang_facet",
+    "q_array_ops",
+    "q_json_props",
+    "q_filter_project",
+    "q_fulltext_match",
+    "q_distinct_stats",
+    "q_top_orders",
+    "q_price_buckets",
+    "q_orders_by_month",
+    "q_order_gaps",
+    "q_customers_with_orders",
+    "q_customers_without_orders",
+    "q_top_revenue_supplier",
+    "q_orders_above_cust_avg",
+    # ---------- 50-query window boundary ----------
     "q_wet_pipeline",
     "q_wat_metadata",
     "q_warc_zst_roundtrip",
@@ -103,12 +141,7 @@ _PRIORITY = [
     "q_json_variants",
     "q_domain_cap",
     "q_domain_blocklist",
-    "q_dsir_weights",
-    "q_dsir_select",
     "q_ivf_search",
-    "q_ivf_kmeans_search",
-    "q_ivfadc_search",
-    "q_pq_rerank",
     "q_fingerprints",
     "q_lang_id",
     "q_quality_scores",
@@ -127,51 +160,6 @@ _PRIORITY = [
     "q_rank_dense_ntile",
     "q_lsh_exact_twin",
     "q_binary_rerank",
-    # ---------- 50-query window boundary ----------
-    "q_running_revenue",
-    "q_price_percentiles",
-    "q_pivot_daily_value",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_stream_running_stats",
-    "q_stream_funnel",
-    "q_tumbling_hourly",
-    "q_value_zscore",
-    "q_asof_click_error",
-    "q_cosine_topk_batch",
-    "q_exact_dedup",
-    "q_minhash_lsh_candidates",
-    "q_bm25_topdocs",
-    "q_ingest_pipeline_fixed",
-    "q_pricing_summary",
-    "q_temperature_mixture",
-    "q_deep_clean_pipeline",
-    "q_substring_dedup_incr",
-    "q_lm_quality_xcorpus",
-    "q_surt_keys",
-    "q_lang_id_trigram",
-    "q_c4_line_clean",
-    "q_gopher_quality",
-    "q_web_quality_pipeline",
-    "q_gopher_repetition",
-    "q_crawl_pipeline",
-    "q_stream_near_dedup",
-    "q_hnsw_exact_twin",
-    "q_doc_stats",
-    "q_lang_facet",
-    "q_array_ops",
-    "q_json_props",
-    "q_filter_project",
-    "q_fulltext_match",
-    "q_distinct_stats",
-    "q_top_orders",
-    "q_price_buckets",
-    "q_orders_by_month",
-    "q_order_gaps",
-    "q_customers_with_orders",
-    "q_customers_without_orders",
-    "q_top_revenue_supplier",
-    "q_orders_above_cust_avg",
     "q_rich_inactive_customers",
     "q_lone_late_supplier",
     "q_user_event_matrix",
@@ -199,7 +187,6 @@ _PRIORITY = [
     "q_brand_quantity_revenue",
     "q_stream_semantic_dedup",
     "q_image_near_dup",
-    "q_video_near_dup",
     "q_robots_filter",
     "q_pii_redaction",
     "q_profit_by_nation",
