@@ -90,7 +90,14 @@ def test_contended_run_exits_zero_settled_high_exits_two(tmp_path, capsys):
 def test_real_r15_adjudication_reproduces_the_judged_call():
     """The r15 verdict's call — driver run CONTENDED (median ~1.36 vs
     the settled local run), settled local run zero band-hi — must fall
-    out of the tool mechanically."""
+    out of the tool mechanically. Bands are re-pinned DOWNWARD when a
+    later optimization round genuinely speeds a query up (r18: IVF
+    sample-fit, video checkpoint share points), so the r15-era run is
+    only held to rows whose band has NOT been re-pinned since r15 —
+    a historical run cannot be expected inside a band tightened by
+    later code it never ran."""
+    import re
+
     driver = os.path.join(REPO, "BENCH_r15.json")
     local = os.path.join(REPO, "BENCH_local_r15.json")
     if not (os.path.exists(driver) and os.path.exists(local)):
@@ -102,8 +109,17 @@ def test_real_r15_adjudication_reproduces_the_judged_call():
     assert verdict == "CONTENDED"
     assert 1.3 <= med <= 1.45
     bands, _ = AB.parse_bands(BASELINE)
+    repinned_after_r15 = set()
+    row = re.compile(r"^\|\s*(q_\w+)\s*\|[^|]*\|([^|]*)\|")
+    with open(BASELINE) as fh:
+        for line in fh:
+            m = row.match(line)
+            if m and re.search(r"r1[6-9]\d* re-pin|r[2-9]\d+ re-pin",
+                               m.group(2)):
+                repinned_after_r15.add(m.group(1))
     high = [q for q, (v, _s, _b) in AB.classify(ref, bands).items() if v == "HIGH"]
-    assert high == []  # the settled local run is clean
+    stale_highs = [q for q in high if q not in repinned_after_r15]
+    assert stale_highs == []  # clean vs every band of its own era
 
 
 def test_true_median_on_even_length_lists():
