@@ -368,23 +368,29 @@ def q_lang_id_trigram(spark: SparkSession, sf: str) -> DataFrame:
     guessed, n_docs). On the fixtures this strictly dominates
     q_lang_id's stopword baseline (asserted in test_sampling).
 
-    Fit and serve share ONE persisted doc_trigram_counts frame (the
+    Fit and serve share ONE materialized doc_trigram_counts frame (the
     corpus-wide explode + (doc, tri) aggregation is by far the
     heaviest stage and Spark does not share subplans across DAG
-    branches — without sharing it ran twice); persist() not
-    checkpoint, zero build-time jobs. ``langs`` is passed as the
-    corpus's own label column (r18): the default would re-derive the
-    whole profile subtree a second time just to list the candidate
-    languages, and the oracle's candidate set IS ``SELECT DISTINCT
-    lang FROM documents`` — the label column is the exact twin."""
+    branches — without sharing it ran twice). reliable_checkpoint
+    since late r18, not persist(): lineage truncation stops AQE
+    re-deriving cached-subtree stages per consumer and the blocks are
+    GC-scoped (alternating A/B at sf0.1, fresh sessions: persist
+    6.40/7.24/6.07s vs checkpoint 5.16/5.91/4.72s — the same result
+    as the deep-clean surgery and video share points). ``langs`` is
+    passed as the corpus's own label column (r18): the default would
+    re-derive the whole profile subtree a second time just to list
+    the candidate languages, and the oracle's candidate set IS
+    ``SELECT DISTINCT lang FROM documents`` — the label column is the
+    exact twin."""
     from data_ingestion_tool_bakasura__spark.operators.sampling import (
         doc_trigram_counts,
         fit_lang_profiles,
         trigram_lang_id,
     )
+    from data_ingestion_tool_bakasura__spark.session import reliable_checkpoint
 
     docs = load_table(spark, sf, "documents")
-    dc = doc_trigram_counts(docs, "text", "doc_id").persist()
+    dc = reliable_checkpoint(doc_trigram_counts(docs, "text", "doc_id"))
     pred = trigram_lang_id(
         docs, fit_lang_profiles(docs, doc_counts=dc), doc_counts=dc,
         langs=docs.select("lang"),

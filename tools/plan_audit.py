@@ -123,6 +123,14 @@ _note_build_jobs_ok(
     "probes is (re)built in scratch space first",
 )
 _note_build_jobs_ok(
+    ["q_lang_id_trigram"],
+    "lang-id share point: the (doc, tri) counts frame the fit and "
+    "serve branches share materializes as a GC-scoped checkpoint at "
+    "construction (late r18 — beat the lazy persist 5.2 vs 6.4s "
+    "median; lineage truncation stops AQE re-deriving cached-subtree "
+    "stages per consumer)",
+)
+_note_build_jobs_ok(
     ["q_video_near_dup"],
     "video near-dup share points: the distinct fingerprint frame and "
     "its hot-capped subset materialize as GC-scoped checkpoints at "
